@@ -1,0 +1,77 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, Tables}
+
+/** Star-schema sanity queries over the TPC-H-ish tables: classic windowed
+  * aggregation, a broadcast dimension join, and a filter-pushdown scan.
+  * These anchor the oracle harness on a second data surface (lineitem) and
+  * double as bench headliners.
+  */
+object TpchQueries extends QueryProvider {
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        Exact.davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** revenue by nation: lineitem ⋈ supplier ⋈ nation — the two dimension
+    * sides are tiny and broadcast (no shuffle of the fact table beyond the
+    * final groupBy).
+    */
+  private def q5ish(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val sup = Tables(s, dir, "supplier")
+    val nat = Tables(s, dir, "nation")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** filter + projection pushdown scan: predicate and 3-column ReadSchema
+    * must reach the parquet reader (verified in TpchSpec via explain).
+    */
+  private def scan(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp") &&
+        col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1"   -> ((s, d) => q1(s, d)),
+    "tpch_q5"   -> ((s, d) => q5ish(s, d)),
+    "tpch_scan" -> ((s, d) => scan(s, d)))
+
+  def oracle: Map[String, String] = Map(
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Exact.dsumSql("l_quantity")} AS sum_qty,
+         |  ${Exact.dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${Exact.davgSql("l_quantity")} AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "tpch_q5" ->
+      s"""SELECT n_name,
+         |  ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_scan" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_orderstatus = 'F'
+         |ORDER BY o_orderkey""".stripMargin)
+}

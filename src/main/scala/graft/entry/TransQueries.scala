@@ -1,0 +1,67 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.SeriesOps
+import graft.ops.Trans
+
+/** Gate queries for the pointwise transforms and constant arithmetic
+  * (SURVEY §2.3). The scale transforms are exercised over a *signed* input
+  * (value − 100, i.e. chained after `sub(m, 100)`) so the signed-sqrt /
+  * signed-log10 branches are actually covered; arithmetic runs on the raw
+  * series. `derivate` and `confidence` get dedicated queries.
+  */
+object TransQueries extends QueryProvider {
+  private val Scale = Seq("abs", "sqrt_scale", "log10_scale", "min", "max")
+  private val Arith = Seq("add", "sub", "mul", "divide")
+  private def const(n: String): Option[Double] = n match {
+    case "min" | "max"                       => Some(50.0)
+    case "add" | "sub" | "mul" | "divide"    => Some(2.5)
+    case _                                   => None
+  }
+
+  private val DayStart = 1704412800000L
+  private val DayEnd   = 1704499200000L
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    SeriesOps.series(s, dir).where(col("mtype") === "purchase")
+
+  private def out(df: DataFrame): DataFrame =
+    df.select("metric", "ts_ms", "value").orderBy("metric", "ts_ms")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Scale.map { n => s"trans_$n" -> ((s: SparkSession, d: String) =>
+      out(base(s, d).withColumn("value",
+        Trans.spark(n, const(n))(col("value") - 100.0))))
+    }.toMap ++
+    Arith.map { n => s"arith_$n" -> ((s: SparkSession, d: String) =>
+      out(base(s, d).withColumn("value",
+        Trans.spark(n, const(n))(col("value")))))
+    }.toMap ++ Map(
+      "trans_derivate" -> ((s: SparkSession, d: String) =>
+        out(Trans.derivate(base(s, d)))),
+      "trans_confidence" -> ((s: SparkSession, d: String) =>
+        out(Trans.confidence(SeriesOps.gapFilled(s, d, DayStart,
+          DayStart + 3600000L, Some("purchase"), muserMax = Some(10L))))))
+
+  private def withSeries(body: String): String =
+    s"WITH series AS (${SeriesOps.seriesSql})\n$body"
+
+  def oracle: Map[String, String] =
+    Scale.map { n => s"trans_$n" -> withSeries(
+      s"""SELECT metric, ts_ms, ${Trans.sql(n, const(n), "(value - 100.0)")} AS value
+         |FROM series WHERE mtype = 'purchase' ORDER BY metric, ts_ms""".stripMargin)
+    }.toMap ++
+    Arith.map { n => s"arith_$n" -> withSeries(
+      s"""SELECT metric, ts_ms, ${Trans.sql(n, const(n), "value")} AS value
+         |FROM series WHERE mtype = 'purchase' ORDER BY metric, ts_ms""".stripMargin)
+    }.toMap ++ Map(
+      "trans_derivate" -> withSeries(
+        s"""SELECT metric, ts_ms, value FROM (
+           |${Trans.derivateSql("(SELECT * FROM series WHERE mtype = 'purchase')")}
+           |) ORDER BY metric, ts_ms""".stripMargin),
+      "trans_confidence" ->
+        s"""${SeriesOps.gapFilledSql(DayStart, DayStart + 3600000L, Some("purchase"), Some(10L))}
+           |SELECT metric, ts_ms, confidence AS value
+           |FROM gapfilled ORDER BY metric, ts_ms""".stripMargin)
+}
