@@ -1,0 +1,47 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.SeriesOps
+import graft.ops.Events
+import graft.ops.Events._
+
+/** Gate queries for the event scan + filter operators (SURVEY §2.9):
+  * comparison on a JSON payload path, regex match, and a boolean
+  * AND/OR/NOT combination — the reference's full predicate surface.
+  */
+object EventQueries extends QueryProvider {
+  private val evCols = Set("event_id", "ts_ms", "user_id", "event_type", "value")
+
+  private val filters: Map[String, Filter] = Map(
+    // EVENTS FROM 'events' WHERE 'event_type' == 'error' AND 'k' >= 50
+    "events_filter_cmp" ->
+      And(Seq(Cmp("event_type", "==", "error"), Cmp("k", ">=", 50))),
+    // ... WHERE 'event_type' ~= 'pur|cli' AND 'k' < 30
+    "events_filter_regex" ->
+      And(Seq(Regex("event_type", "pur|cli"), Cmp("k", "<", 30))),
+    // ... WHERE ('k' < 20 OR 'k' > 80) AND NOT 'event_type' == 'view'
+    "events_filter_bool" ->
+      And(Seq(Or(Cmp("k", "<", 20), Cmp("k", ">", 80)),
+        Not(Cmp("event_type", "==", "view")))))
+
+  private def run(f: Filter)(s: SparkSession, dir: String): DataFrame = {
+    val ev = SeriesOps.events(s, dir)
+    ev.where(Events.compile(ev, f))
+      .select("event_id", "ts_ms", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    filters.map { case (n, f) =>
+      n -> ((s: SparkSession, d: String) => run(f)(s, d))
+    }
+
+  def oracle: Map[String, String] =
+    filters.map { case (n, f) =>
+      n ->
+        s"""SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value
+           |FROM events WHERE ${Events.sql(f, evCols)}
+           |ORDER BY event_id""".stripMargin
+    }
+}
