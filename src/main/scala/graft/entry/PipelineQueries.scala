@@ -1,0 +1,71 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.pipeline._
+
+/** Gate queries for the LLM-data-pipeline operators (builder brief):
+  * 5 dedup families, 2 similarity-search variants, 4 text-analysis ops,
+  * and the multimodal decode plumbing — over the `documents` and
+  * `embeddings` testdata tables.
+  */
+object PipelineQueries extends QueryProvider {
+  private val Dim = 64
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d)).orderBy("text_hash")),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), 0.5).orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), 8).orderBy("doc_a", "doc_b")),
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), 0.3).orderBy("doc_a", "doc_b")),
+    "dedup_embed" -> ((s, d) =>
+      Dedup.embedNearDup(emb(s, d), bits = 6, dim = Dim, threshold = 0.3)
+        .orderBy("vec_a", "vec_b")),
+    "sim_topk_brute" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteTopK(e, e.where(col("vec_id") < 5), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_topk_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 5), bits = 6, dim = Dim,
+        k = 5).orderBy("query_id", "rank")
+    }),
+    "text_tokens" -> ((s, d) =>
+      TextOps.tokens(docs(s, d)).orderBy("doc_id")),
+    "text_quality" -> ((s, d) =>
+      TextOps.quality(docs(s, d)).orderBy("doc_id")),
+    "text_langid" -> ((s, d) =>
+      TextOps.langid(docs(s, d)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) =>
+      TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "mm_decode" -> ((s, d) =>
+      Multimodal.decodeMeta(s, Multimodal.asMedia(docs(s, d)))
+        .toDF().orderBy("doc_id")))
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      (Dedup.exactSql + "\nORDER BY text_hash"),
+    "dedup_minhash" -> Dedup.minhashPairsSql(0.5),
+    "dedup_simhash" -> Dedup.simhashPairsSql(8),
+    "dedup_ngram" -> Dedup.ngramJaccardPairsSql(0.3),
+    "dedup_embed" -> Dedup.embedNearDupSql(6, Dim, 0.3),
+    "sim_topk_brute" -> Similarity.bruteTopKSql(Dim, 10,
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
+    "sim_topk_lsh" -> Similarity.lshTopKSql(6, Dim, 5,
+      "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
+    "text_tokens" -> TextOps.tokensSql,
+    "text_quality" -> TextOps.qualitySql,
+    "text_langid" -> TextOps.langidSql,
+    "text_fingerprint" -> TextOps.fingerprintSql,
+    "mm_decode" -> Multimodal.decodeMetaSql)
+}

@@ -1,0 +1,280 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora (builder brief;
+  * beyond the reference surface, SURVEY §2.10 north star).
+  *
+  * Five dedup families, all expressed as shuffle-bounded DataFrame plans —
+  * no driver-side loops, no O(n²) cross joins (every pairwise op is blocked
+  * by a bucket key first, so the quadratic term is per-bucket only):
+  *
+  *   - exact:        hash-groupBy on full text
+  *   - MinHash+LSH:  shingle → k minhashes → banded bucket join →
+  *                   exact-Jaccard verification of candidates
+  *   - SimHash:      per-word 32-bit hashes folded to a sign fingerprint;
+  *                   candidates block on the high bits, rank by Hamming
+  *   - n-gram Jaccard: exact shingle-set similarity over blocked pairs
+  *   - embedding near-dup: cosine over LSH-bucketed vector pairs
+  *
+  * All hashes are md5-derived so the DuckDB oracle can reproduce them
+  * exactly; the similarity arithmetic uses integer/fixed-point folds
+  * (see [[VectorOps]]) for cross-engine bit-equality.
+  */
+object Dedup {
+
+  /** (doc_id, w: array<string>) — whitespace tokenization. */
+  def withWords(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(trim(col("text")), " "))
+
+  /** distinct (doc_id, shingle) of n-word shingles (n fixed at call site
+    * via the expression — 3 here, 2 for the n-gram variant).
+    */
+  def shingles3(docs: DataFrame): DataFrame =
+    withWords(docs)
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .as("shingle"))
+      .distinct()
+
+  val shingles3Sql: String =
+    """ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s AS shingle
+      |       FROM ws, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                        for i in range(1, len(w)-1)]) AS t(s)
+      |       WHERE len(w) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: one row per distinct text with its canonical (minimum)
+    * doc_id and multiplicity. One shuffle on the text hash.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
+      |       COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- minhash
+
+  val NumHashes = 12
+  val Bands = 3 // 4 rows per band
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    * Returns (doc_a, doc_b, jaccard) for candidates sharing an LSH band
+    * whose true shingle-set Jaccard ≥ threshold.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles3(docs)
+    val r = NumHashes / Bands
+    val mhAggs = (0 until NumHashes).map(j =>
+      min(md5(concat_ws("|", lit(j.toString), col("shingle")))).as(s"mh$j"))
+    val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bandCols = (0 until Bands).map(b =>
+      md5(concat((b * r until (b + 1) * r).map(j => col(s"mh$j")): _*)).as(s"band$b"))
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val stackExpr = (0 until Bands).map(b => s"$b, band$b").mkString(", ")
+    val melted = banded.selectExpr("doc_id",
+      s"stack($Bands, $stackExpr) as (band_idx, bh)")
+    val pairs = melted.as("x").join(melted.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(pairs, sh, threshold)
+  }
+
+  /** exact |A∩B| / |A∪B| over candidate pairs; integer counts → the final
+    * double division is deterministic.
+    */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("za.sz") + col("zb.sz") - col("i")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  def minhashPairsSql(threshold: Double): String = {
+    val r = NumHashes / Bands
+    val mhs = (0 until NumHashes)
+      .map(j => s"MIN(md5('$j|' || shingle)) AS mh$j").mkString(", ")
+    val bandDefs = (0 until Bands).map(b =>
+      s"md5(${(b * r until (b + 1) * r).map(j => s"mh$j").mkString(" || ")}) AS band$b")
+      .mkString(", ")
+    val melted = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, band$b AS bh FROM banded")
+      .mkString(" UNION ALL ")
+    s"""WITH ${shingles3Sql},
+       |sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, $bandDefs FROM sig),
+       |melted AS ($melted),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM melted x JOIN melted y
+       |          ON x.band_idx = y.band_idx AND x.bh = y.bh
+       |             AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+       |          FROM pairs p
+       |          JOIN sh a ON a.doc_id = p.doc_a
+       |          JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(i AS DOUBLE)/(za.sz + zb.sz - i) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE)/(za.sz + zb.sz - i) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash fingerprint per document: per-word md5-derived hashes,
+    * ±1 vote per bit position, sign → bit.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = withWords(docs)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .withColumn("hv",
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+    val sumAggs = (0 until 32).map(j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    val sums = words.groupBy("doc_id").agg(sumAggs.head, sumAggs.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until 32).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+        .as("fp"))
+  }
+
+  val simhashSql: String = {
+    val sums = (0 until 32).map(j =>
+      s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val fp = (0 until 32).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""wordsx AS (SELECT doc_id, CAST('0x' || substr(md5(t.word), 1, 8) AS BIGINT) AS hv
+       |           FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+       |                 FROM documents) ws, unnest(ws.w) AS t(word)),
+       |sums AS (SELECT doc_id, $sums FROM wordsx GROUP BY doc_id),
+       |simhash AS (SELECT doc_id, $fp AS fp FROM sums)""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: block on the high 16 fingerprint bits, rank by
+    * Hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = simhash(docs).withColumn("blk", shiftright(col("fp"), 16))
+    fp.as("x").join(fp.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  def simhashPairsSql(maxHamming: Int): String =
+    s"""WITH $simhashSql,
+       |blocked AS (SELECT doc_id, fp, fp >> 16 AS blk FROM simhash)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |       bit_count(xor(x.fp, y.fp)) AS hamming
+       |FROM blocked x JOIN blocked y
+       |ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.fp, y.fp)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------- ngram jaccard
+
+  /** Exact word-bigram Jaccard over pairs blocked by a 16-char text-prefix
+    * bucket (blocking keeps the pairwise term per-block — near-dup edits in
+    * this corpus preserve openings; a production block key would be a
+    * content sketch like the minhash bands).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh2 = withWords(docs)
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
+        explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("shingle"))
+      .distinct()
+    val sizes = sh2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh2.as("a").join(sh2.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("za.sz") + col("zb.sz") - col("i")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  def ngramJaccardPairsSql(threshold: Double): String =
+    s"""WITH ws AS (SELECT doc_id, substr(text, 1, 16) AS blk,
+       |                  string_split(trim(text), ' ') AS w
+       |           FROM documents),
+       |sh2 AS (SELECT DISTINCT doc_id, blk, s AS shingle
+       |        FROM ws, unnest([w[i] || ' ' || w[i+1]
+       |                         for i in range(1, len(w))]) AS t(s)
+       |        WHERE len(w) >= 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM sh2 a JOIN sh2 b
+       |          ON a.blk = b.blk AND a.shingle = b.shingle
+       |             AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(i AS DOUBLE)/(za.sz + zb.sz - i) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE)/(za.sz + zb.sz - i) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup: pairs within the same LSH bucket (see
+    * [[VectorOps.lshBucket]]) with cosine ≥ threshold.
+    */
+  def embedNearDup(emb: DataFrame, bits: Int, dim: Int,
+                   threshold: Double): DataFrame = {
+    val b = emb.withColumn("bkt", VectorOps.lshBucket(col("embedding"), bits, dim))
+    b.as("x").join(b.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        VectorOps.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  def embedNearDupSql(bits: Int, dim: Int, threshold: Double): String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |           ${VectorOps.lshBucketSql("embedding", bits, dim)} AS bkt
+       |           FROM embeddings)
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |       ${VectorOps.cosineSql("x.embedding", "y.embedding", dim)} AS cos
+       |FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+       |WHERE ${VectorOps.cosineSql("x.embedding", "y.embedding", dim)} >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns (builder
+  * brief): brute-force cosine top-k as the exactness baseline, and an
+  * LSH-bucketed variant as the scale path (candidates restricted to the
+  * query's hyperplane-sign bucket — the 100 TB posture: the bucket key is
+  * a shuffle/partition key, turning all-pairs into per-bucket pairs).
+  *
+  * Ranking determinism: cosines come from [[VectorOps]]' fixed-point dot
+  * products (bit-identical across engines), ties break on vec_id.
+  */
+object Similarity {
+
+  /** Brute-force top-k: queries × corpus, rank by cosine desc. The query
+    * set is broadcast — the corpus is never shuffled.
+    */
+  def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = emb.as("t").join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("t.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        VectorOps.cosine(col("q.embedding"), col("t.embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  def bruteTopKSql(dim: Int, k: Int, querySel: String): String =
+    s"""WITH q AS ($querySel),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} AS cos
+       |  FROM embeddings t JOIN q ON q.vec_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed top-k: score only candidates in the query's bucket. */
+  def lshTopK(emb: DataFrame, queries: DataFrame, bits: Int, dim: Int,
+              k: Int): DataFrame = {
+    val bucketed = emb.withColumn("bkt",
+      VectorOps.lshBucket(col("embedding"), bits, dim))
+    val qb = queries.withColumn("bkt",
+      VectorOps.lshBucket(col("embedding"), bits, dim))
+    val scored = bucketed.as("t").join(broadcast(qb.as("q")),
+        col("q.bkt") === col("t.bkt") && col("q.vec_id") =!= col("t.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        VectorOps.cosine(col("q.embedding"), col("t.embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  def lshTopKSql(bits: Int, dim: Int, k: Int, querySel: String): String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |           ${VectorOps.lshBucketSql("embedding", bits, dim)} AS bkt
+       |           FROM embeddings),
+       |q AS (SELECT * FROM b WHERE vec_id IN ($querySel)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} AS cos
+       |  FROM b t JOIN q ON q.bkt = t.bkt AND q.vec_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+}

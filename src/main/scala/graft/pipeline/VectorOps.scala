@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic vector math over `array<float>` embedding columns.
+  *
+  * Everything is built for cross-engine reproducibility AND scale: the dot
+  * product folds scaled-long terms (`round(x*y*1e15)` summed as BIGINT), so
+  * the sum is associative/exact — the same result regardless of partition
+  * order, and bit-identical to the DuckDB oracle. All expressions are
+  * codegen'd `functions._` higher-order forms — no UDFs, no driver loops;
+  * a 100 TB pairwise job distributes as plain narrow transforms.
+  */
+object VectorOps {
+  /** Scale for the fixed-point dot product: products of unit-ish floats
+    * ×1e15 summed over ≤1k dims stays well under 2^63.
+    */
+  val Scale = 1e15
+
+  /** Exact scaled-long dot product of two float arrays, as double. */
+  def dot(a: Column, b: Column): Column = {
+    val terms = zip_with(a, b,
+      (x, y) => round(x.cast("double") * y.cast("double") * Scale, 0).cast("long"))
+    (aggregate(terms, lit(0L), (acc, t) => acc + t).cast("double") / Scale)
+  }
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB mirrors (dim = array length; DuckDB lists are 1-based). */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"CAST(CAST(list_sum([CAST(ROUND(CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)*1e15, 0) AS BIGINT) " +
+      s"for i in range(1, ${dim + 1})]) AS BIGINT) AS DOUBLE)/1e15"
+  def normSql(a: String, dim: Int): String = s"SQRT(${dotSql(a, a, dim)})"
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"${dotSql(a, b, dim)} / (${normSql(a, dim)} * ${normSql(b, dim)})"
+
+  /** Deterministic pseudo-random hyperplane component for LSH bit `j`,
+    * dimension `d` (1-based): the first hex digit of md5("j_d") mapped to
+    * [-7.5, 7.5]. Same construction in [[hyperplaneSql]].
+    */
+  def hyperplane(j: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to dim).map { d =>
+      val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) - 7.5
+    }.toArray
+  }
+
+  /** SQL for the signed projection of `v` onto hyperplane `j` (scaled-long
+    * exact sum): mirrors `hyperplane(j, dim) · v > 0`.
+    */
+  def projPositiveSql(v: String, j: Int, dim: Int): String =
+    s"CAST(list_sum([CAST(ROUND((strpos('0123456789abcdef', substr(md5('${j}_' || CAST(i AS VARCHAR)),1,1)) - 8.5)" +
+      s" * CAST($v[i] AS DOUBLE) * 1e14, 0) AS BIGINT) for i in range(1, ${dim + 1})]) AS BIGINT) > 0"
+
+  /** Column form of [[projPositiveSql]]: same fixed-point fold with the
+    * hyperplane baked in as a literal array.
+    */
+  def projPositive(v: Column, j: Int, dim: Int): Column = {
+    val r = hyperplane(j, dim)
+    val rCol = array(r.map(lit(_)): _*)
+    val terms = zip_with(rCol, v,
+      (ri, x) => round(ri * x.cast("double") * 1e14, 0).cast("long"))
+    aggregate(terms, lit(0L), (acc, t) => acc + t) > 0
+  }
+
+  /** 16-bit LSH bucket id from hyperplane sign bits. */
+  def lshBucket(v: Column, bits: Int, dim: Int): Column =
+    (0 until bits).map(j =>
+      when(projPositive(v, j, dim), lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+
+  def lshBucketSql(v: String, bits: Int, dim: Int): String =
+    (0 until bits).map(j =>
+      s"(CASE WHEN ${projPositiveSql(v, j, dim)} THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+}
