@@ -1,0 +1,343 @@
+package graft.dql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Exact
+import graft.ops.{Aggrs, Trans}
+import Ast._
+import Resolver._
+
+/** Typed DQL plan → DataFrame. This is where the reference's dflow process
+  * graph (one Erlang process per operator) becomes a declarative Catalyst
+  * plan (SURVEY §3 "Spark lifecycle equivalent"): leaves are parquet scans
+  * with pushed range/path predicates, aggregations are window groupBys,
+  * transforms are codegen'd projections; Catalyst+Tungsten replace the
+  * hand-built streaming engine.
+  *
+  * Scale posture: series are ROWS throughout — a glob or lookup matching a
+  * million series compiles to the same fixed-size plan (the reference
+  * expands one plan node per series, its main scaling weakness, SURVEY
+  * §7.2). Gap-filling (dense empty points with confidence 0) is applied
+  * LAZILY: only when the plan actually reads the confidence channel —
+  * value-channel aggregates are provably identical on sparse input, so the
+  * dense spine (timeframe × series) is never materialized unless paid for.
+  */
+final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
+  import Compiler._
+
+  final case class CompileError(msg: String) extends RuntimeException(msg)
+
+  /** compile a full query to one result frame:
+    * (name, ts_ms, value[, metadata]) for metric selectors, or the event
+    * frame (event_id, ts_ms, event_type, value) for a lone events selector.
+    */
+  def compile(q: Query): DataFrame = {
+    val (startMs, endMs) = range(q.timeframe)
+    val isEvents = q.selectors.map(_.expr).exists {
+      case _: EventsScan => true
+      case _             => false
+    }
+    if (isEvents) {
+      if (q.selectors.length != 1)
+        throw CompileError("an EVENTS selector must be the only selector")
+      Resolver.resolve(q.selectors.head.expr, q.aliases, store.resolutionMs) match {
+        case REvents(bucket, filter) =>
+          val ev = store.events(spark, bucket)
+          val cond = filter.map(eventCond(ev, _)).getOrElse(lit(true))
+          return ev.where(col("ts_ms") >= startMs && col("ts_ms") < endMs && cond)
+            .select("event_id", "ts_ms", "event_type", "value")
+        case other =>
+          throw CompileError(s"unexpected events plan: $other")
+      }
+    }
+
+    val withMeta = q.selectors.exists(_.metadata.nonEmpty)
+    val frames = q.selectors.zipWithIndex.map { case (sel, idx) =>
+      val plan = Resolver.resolve(sel.expr, q.aliases, store.resolutionMs)
+      val shiftMs = sel.shift.map(_.ms).getOrElse(0L)
+      val df = compilePlan(plan, startMs - shiftMs, endMs - shiftMs,
+        needsConf(plan))
+      val unshifted =
+        if (shiftMs == 0) df
+        else df.withColumn("ts_ms", col("ts_ms") + shiftMs)
+      named(unshifted, sel, idx, withMeta)
+    }
+    val unioned = frames.reduce(_ unionByName _)
+    q.limit.fold(unioned)(applyLimit(unioned, _))
+  }
+
+  // ----------------------------------------------------------- naming
+
+  /** default output name = unparsed selector text (src/dql_flatten.erl:19);
+    * `$N` → N-th metric path segment; `$ns:tag` → tag column.
+    */
+  private def named(df: DataFrame, sel: Selector, idx: Int,
+                    withMeta: Boolean): DataFrame = {
+    val nameCol = sel.name match {
+      case None => lit(Unparse.expr(sel.expr))
+      case Some(parts) =>
+        concat_ws(".", parts.map {
+          case NLit(s) => lit(s): Column
+          case NPos(n) => element_at(split(col("metric"), "\\."), n)
+          case NTag(ns, key) =>
+            store.tagCol(ns, key) match {
+              case Some(c) if df.columns.contains(c) => col(c).cast("string")
+              case _ => lit("")
+            }
+        }: _*)
+    }
+    val base = df.select(nameCol.as("name"), col("metric"), col("ts_ms"),
+      col("value"))
+    if (!withMeta) base
+    else {
+      val md = sel.metadata.map { case (k, v) =>
+        val vs = v match {
+          case MStr(s)        => "\"" + s + "\""
+          case MNum(n, true)  => n.toLong.toString
+          case MNum(n, false) => n.toString
+        }
+        "\"" + k + "\": " + vs
+      }.mkString("{", ", ", "}")
+      base.withColumn("metadata", lit(md))
+    }
+  }
+
+  /** TOP/BOTTOM n BY fun: score each output series by running the fun over
+    * its ENTIRE range as one window (src/dqe_funnel.erl:59-71), keep the n
+    * best series' streams. Deterministic tie-break on the series key.
+    */
+  private def applyLimit(df: DataFrame, lim: Limit): DataFrame = {
+    val scoreAgg = Aggrs.spark(lim.fun, None)(col("value"), col("ts_ms"))
+    val scores = df.groupBy(col("name"), col("metric"))
+      .agg(scoreAgg.as("score"))
+    val ordered =
+      if (lim.top) scores.orderBy(col("score").desc, col("name"), col("metric"))
+      else scores.orderBy(col("score").asc, col("name"), col("metric"))
+    val winners = ordered.limit(lim.n).select("name", "metric")
+    df.join(broadcast(winners), Seq("name", "metric"), "left_semi")
+  }
+
+  // ------------------------------------------------------------ plans
+
+  private def needsConf(p: RExpr): Boolean = p match {
+    case RAggr(n, _, _, c)   => n.endsWith("_conf") || needsConf(c)
+    case RTrans("confidence", _, c) => true
+    case RTrans(_, _, c)     => needsConf(c)
+    case RComb(_, cs)        => cs.exists(needsConf)
+    case RHistFn(_, _, _, c) => needsConf(c)
+    case _                   => false
+  }
+
+  /** frame contract: (metric, <tag cols>, ts_ms, value, confidence) */
+  private def compilePlan(p: RExpr, startMs: Long, endMs: Long,
+                          dense: Boolean): DataFrame = p match {
+    case RScan(bucket, path, _) =>
+      leaf(store.series(spark, bucket), pathCond(path), startMs, endMs, dense)
+
+    case RLookup(coll, path, where, gb, gf, _) =>
+      // lookup paths match as metric-path PREFIXES ('purchase' finds every
+      // purchase.<user> series), unlike get paths which match exactly
+      val cond = path.map(lookupPathCond).getOrElse(lit(true)) &&
+        where.map(tagCond).getOrElse(lit(true))
+      val base = leaf(store.series(spark, coll), cond, startMs, endMs, dense)
+      if (gb.isEmpty) base
+      else {
+        val cols = gb.map { case (ns, key) =>
+          store.tagCol(ns, key).getOrElse(
+            throw CompileError(s"unknown tag $ns:$key"))
+        }
+        val agg = gf.get match {
+          case "sum" => Exact.dsum(col("value"))
+          case "avg" => Exact.davg(col("value"))
+          case "min" => min(col("value"))
+          case "max" => max(col("value"))
+        }
+        val grouped = base.groupBy(col("ts_ms") +: cols.map(col): _*)
+          .agg(agg.as("value"), avg(col("confidence")).as("confidence"))
+          .withColumn("metric",
+            concat_ws(".", cols.map(c => col(c).cast("string")): _*))
+        // restore the non-grouped tag columns as nulls (frame contract)
+        store.tagCols.filterNot(cols.contains).foldLeft(grouped) {
+          (df, c) => df.withColumn(c, lit(null).cast("string"))
+        }
+      }
+
+    case RAggr(name, c, w, child) =>
+      val in = compilePlan(child, startMs, endMs, dense)
+      val (baseName, channel) =
+        if (name.endsWith("_conf")) (name.stripSuffix("_conf"), col("confidence"))
+        else (name, col("value"))
+      val agg = Aggrs.spark(baseName, c)(channel, col("ts_ms"))
+      groupWindow(in, w).agg(agg.as("value"),
+        avg(col("confidence")).as("confidence"))
+
+    case RHistFn(name, pOpt, w, child) =>
+      val in = compilePlan(child, startMs, endMs, dense)
+      val ints = round(col("value"), 0).cast("long")
+      val agg = name match {
+        case "min"    => min(ints).cast("double")
+        case "max"    => max(ints).cast("double")
+        case "mean"   => Exact.davg(ints)
+        case "stddev" => Exact.dstddevPop(ints)
+        case "median" => kth(ints, 0.5).cast("double")
+        case "percentile" => kth(ints, pOpt.get).cast("double")
+      }
+      groupWindow(in, w).agg(agg.as("value"),
+        avg(col("confidence")).as("confidence"))
+
+    case RTrans("derivate", _, child) =>
+      Trans.derivate(compilePlan(child, startMs, endMs, dense))
+    case RTrans("confidence", _, child) =>
+      compilePlan(child, startMs, endMs, dense)
+        .withColumn("value", col("confidence"))
+    case RTrans(name, c, child) =>
+      compilePlan(child, startMs, endMs, dense)
+        .withColumn("value", Trans.spark(name, c)(col("value")))
+
+    case RComb(name, children) =>
+      val frames = children.zipWithIndex.map { case (ch, i) =>
+        compilePlan(ch, startMs, endMs, dense)
+          .select(lit(i).as("cidx"), col("ts_ms"), col("value"))
+      }
+      val all = frames.reduce(_ unionByName _)
+      val combined = name match {
+        case "sum" => all.groupBy("ts_ms").agg(Exact.dsum(col("value")).as("value"))
+        case "avg" => all.groupBy("ts_ms").agg(Exact.davg(col("value")).as("value"))
+        case "min" => all.groupBy("ts_ms").agg(min(col("value")).as("value"))
+        case "max" => all.groupBy("ts_ms").agg(max(col("value")).as("value"))
+        case _ =>
+          val n = children.length
+          val pivots = (0 until n).map(i =>
+            max(when(col("cidx") === i, col("value"))).as(s"c$i"))
+          val piv = all.groupBy("ts_ms").agg(pivots.head, pivots.tail: _*)
+          val folded = name match {
+            case "diff" =>
+              (1 until n).foldLeft[Column](col("c0"))((a, i) => a - col(s"c$i"))
+            case "product" =>
+              (1 until n).foldLeft[Column](col("c0"))((a, i) => a * col(s"c$i"))
+            case "quotient" =>
+              (1 until n).foldLeft[Column](col("c0")) { (a, i) =>
+                when(col(s"c$i") === 0.0, a).otherwise(a / col(s"c$i"))
+              }
+          }
+          piv.select(col("ts_ms"), folded.as("value"))
+      }
+      // a combinator's output is one synthetic series
+      combined.withColumn("metric", lit(name))
+        .withColumn("confidence", lit(1.0))
+        .select(Seq(col("metric")) ++ store.tagCols.map(c => lit(null).cast("string").as(c)) ++
+          Seq(col("ts_ms"), col("value"), col("confidence")): _*)
+
+    case _: REvents =>
+      throw CompileError("event streams cannot appear under metric operators")
+  }
+
+  /** group on the series key + window start, re-exposed as ts_ms */
+  private def groupWindow(in: DataFrame, w: Long) =
+    in.groupBy(Seq(col("metric")) ++ store.tagCols.map(col) :+
+      Exact.wstart(col("ts_ms"), w).as("ts_ms"): _*)
+
+  private def kth(v: Column, p: Double): Column = {
+    val arr = array_sort(collect_list(v))
+    element_at(arr,
+      greatest(lit(1L), ceil(lit(p) * size(arr).cast("double")).cast("long"))
+        .cast("int"))
+  }
+
+  // ----------------------------------------------------------- leaves
+
+  /** scan + optional lazy densification over [startMs, endMs). */
+  private def leaf(series: DataFrame, cond: Column, startMs: Long,
+                   endMs: Long, dense: Boolean): DataFrame = {
+    val base = series.where(cond)
+      .where(col("ts_ms") >= startMs && col("ts_ms") < endMs)
+    if (!dense) base.withColumn("confidence", lit(1.0))
+    else {
+      val res = SeriesStoreResolution
+      val catalog = series.where(cond)
+        .select((col("metric") +: store.tagCols.map(col)): _*).distinct()
+      val nSlots = (endMs - startMs) / res
+      val spine = spark.range(nSlots)
+        .select((lit(startMs) + col("id") * res).as("ts_ms"))
+        .crossJoin(broadcast(catalog))
+      spine.join(base, Seq("metric") ++ store.tagCols :+ "ts_ms", "left")
+        .withColumn("confidence",
+          when(col("value").isNotNull, 1.0).otherwise(0.0))
+    }
+  }
+  private val SeriesStoreResolution = store.resolutionMs("")
+
+  private def lookupPathCond(path: Seq[String]): Column = {
+    val parts = split(col("metric"), "\\.")
+    path.zipWithIndex.map { case (p, i) =>
+      element_at(parts, i + 1) === p
+    }.foldLeft(size(parts) >= path.length)(_ && _)
+  }
+
+  private def pathCond(path: Seq[String]): Column =
+    if (!path.contains("*")) col("metric") === path.mkString(".")
+    else {
+      val parts = split(col("metric"), "\\.")
+      val sizeOk = size(parts) === path.length
+      path.zipWithIndex.collect {
+        case (p, i) if p != "*" => element_at(parts, i + 1) === p
+      }.foldLeft(sizeOk)(_ && _)
+    }
+
+  private def tagCond(f: TagFilter): Column = f match {
+    case TagEq(ns, key, v) =>
+      store.tagCol(ns, key) match {
+        case Some(c) => col(c).cast("string") === v
+        case None    => lit(false)
+      }
+    case TagNeq(ns, key, v) =>
+      store.tagCol(ns, key) match {
+        case Some(c) => col(c).cast("string") =!= v
+        case None    => lit(true)
+      }
+    case TagAnd(a, b) => tagCond(a) && tagCond(b)
+    case TagOr(a, b)  => tagCond(a) || tagCond(b)
+  }
+
+  private def eventCond(ev: DataFrame, f: EventFilter): Column = f match {
+    case ECmp(p, op, v) =>
+      val value: Any = v match {
+        case Left(s)  => s
+        case Right(d) => d
+      }
+      graft.ops.Events.compile(ev, graft.ops.Events.Cmp(pathStr(p), op, value))
+    case ERegex(p, pat) =>
+      graft.ops.Events.compile(ev, graft.ops.Events.Regex(pathStr(p), pat))
+    case EAnd(a, b) => eventCond(ev, a) && eventCond(ev, b)
+    case EOr(a, b)  => eventCond(ev, a) || eventCond(ev, b)
+    case ENot(g)    => !eventCond(ev, g)
+  }
+  private def pathStr(p: Seq[String]): String =
+    p.head + p.tail.map(s => if (s.startsWith("[")) s else "." + s).mkString
+
+  // -------------------------------------------------------- timeframe
+
+  def range(tf: Timeframe): (Long, Long) = {
+    def pt(p: Point): Long = p match {
+      case AbsMs(ms) => ms
+      case Now       => nowMs
+      case Ago(t)    => nowMs - t.ms
+    }
+    tf match {
+      case Last(t)       => (nowMs - t.ms, nowMs)
+      case Between(a, b) =>
+        val (x, y) = (pt(a), pt(b))
+        if (x <= y) (x, y) else (y, x) // reference swaps reversed bounds
+      case After(p, t)   => (pt(p), pt(p) + t.ms)
+      case Before(p, t)  => (pt(p) - t.ms, pt(p))
+    }
+  }
+}
+
+object Compiler {
+  /** parse + resolve + compile in one shot */
+  def run(spark: SparkSession, store: SeriesStore, nowMs: Long,
+          dql: String): DataFrame =
+    new Compiler(spark, store, nowMs).compile(Parser.parse(dql))
+}

@@ -1,0 +1,207 @@
+package graft.dql
+
+import Ast._
+
+/** Function/type resolution (reference: `src/dql_resolver.erl:12-129` +
+  * the registry in `src/dqe.erl:62-122`), alias substitution
+  * (`src/dql_alias.erl`), and resolution (sample-interval) propagation
+  * (`src/dql_resolution.erl:142-158`).
+  *
+  * Produces a typed plan: every function call is classified as windowed
+  * aggregation / transform / arithmetic / combinator / histogram by its
+  * argument types, exactly like the reference's signature lookup —
+  * `min(m, 5)` is a clamp, `min(m, 5 m)` a windowed min, `min(m1, m2)` a
+  * combinator. Output resolution is a compile-time property: aggregations
+  * coarsen it to their window, combinator children must agree
+  * (`resolution_conflict`, `src/dql_resolution.erl:96-112`).
+  */
+object Resolver {
+  final case class ResolveError(msg: String) extends RuntimeException(msg)
+
+  // ------------------------------------------------------- typed plan
+
+  sealed trait RExpr { def resMs: Long }
+  /** direct scan; path may contain `*` globs */
+  final case class RScan(bucket: String, path: Seq[String], resMs: Long)
+    extends RExpr
+  /** tag-index lookup, optionally grouped (GROUP BY tags USING fun) */
+  final case class RLookup(collection: String, path: Option[Seq[String]],
+                           where: Option[TagFilter],
+                           groupBy: Seq[(String, String)],
+                           groupFun: Option[String],
+                           resMs: Long) extends RExpr
+  final case class RAggr(name: String, const: Option[Double], windowMs: Long,
+                         child: RExpr) extends RExpr {
+    def resMs: Long = windowMs
+  }
+  final case class RTrans(name: String, const: Option[Double], child: RExpr)
+    extends RExpr { def resMs: Long = child.resMs }
+  final case class RComb(name: String, children: Seq[RExpr]) extends RExpr {
+    def resMs: Long = children.head.resMs
+  }
+  /** fused `fn(histogram(m, htv, sf, t))` (SURVEY §2.7) */
+  final case class RHistFn(name: String, p: Option[Double], windowMs: Long,
+                           child: RExpr) extends RExpr {
+    def resMs: Long = windowMs
+  }
+  final case class REvents(bucket: String, filter: Option[EventFilter])
+    extends RExpr { def resMs: Long = 1L }
+
+  // --------------------------------------------------------- registry
+
+  val aggr2: Set[String] =
+    Set("sum", "avg", "min", "max", "variance", "stddev", "median")
+  val aggr3: Set[String] = Set("percentile", "count_above", "count_below",
+    "first_above", "first_below", "last_above", "last_below",
+    "count_above_conf", "count_below_conf", "first_above_conf",
+    "first_below_conf", "last_above_conf", "last_below_conf")
+  val trans1: Set[String] =
+    Set("derivate", "abs", "sqrt_scale", "log10_scale", "confidence")
+  val trans2: Set[String] = Set("min", "max", "add", "sub", "mul", "divide")
+  val combs: Set[String] =
+    Set("sum", "avg", "min", "max", "diff", "product", "quotient")
+  val histFns: Set[String] = Set("min", "max", "mean", "median", "stddev")
+
+  /** all registered function names (for error messages / generators) */
+  val allFunctions: Set[String] =
+    aggr2 ++ aggr3 ++ trans1 ++ trans2 ++ combs ++ Set("histogram", "percentile")
+
+  // ---------------------------------------------------------- resolve
+
+  /** `bucketRes`: resolution lookup per bucket/collection (the reference
+    * fetches this from storage at plan time, `src/dql_resolution.erl:206`).
+    */
+  def resolve(e: Expr, aliases: Map[String, Expr],
+              bucketRes: String => Long): RExpr = e match {
+    case Get(path, bucket) => RScan(bucket, path, bucketRes(bucket))
+    case Lookup(path, coll, where, gb, gf) =>
+      gf.foreach { f =>
+        if (!Set("sum", "avg", "min", "max").contains(f))
+          throw ResolveError(s"GROUP BY USING '$f': only commutative " +
+            "combinators (sum/avg/min/max) are defined over unordered groups")
+      }
+      RLookup(coll, path, where, gb, gf, bucketRes(coll))
+    case EventsScan(bucket, f) => REvents(bucket, f)
+    case Var(n) =>
+      val sub = aliases.getOrElse(n,
+        throw ResolveError(s"unknown alias '$n'"))
+      resolve(sub, aliases - n, bucketRes)
+    case Num(_, _) | TimeLit(_, _) =>
+      throw ResolveError("constant cannot be a selector by itself")
+    case FCall(name, args) => resolveCall(name, args, aliases, bucketRes)
+  }
+
+  private def num(e: Expr): Option[Double] = e match {
+    case Num(v, _) => Some(v)
+    case _         => None
+  }
+
+  private def resolveCall(name: String, args: Seq[Expr],
+                          aliases: Map[String, Expr],
+                          bucketRes: String => Long): RExpr = {
+    def res(e: Expr) = resolve(e, aliases, bucketRes)
+    def isSeries(e: Expr) = e match {
+      case _: Num | _: TimeLit => false
+      case _                   => true
+    }
+    (name, args) match {
+      // infix lowering (src/dql_parser.yrl:132-158)
+      case ("__add", Seq(a, b)) if isSeries(a) && isSeries(b) =>
+        mkComb("sum", Seq(res(a), res(b)))
+      case ("__add", Seq(a, b)) if isSeries(a) => RTrans("add", num(b), res(a))
+      case ("__add", Seq(a, b)) if isSeries(b) => RTrans("add", num(a), res(b))
+      case ("__sub", Seq(a, b)) if isSeries(a) && isSeries(b) =>
+        mkComb("diff", Seq(res(a), res(b)))
+      case ("__sub", Seq(a, b)) if isSeries(a) => RTrans("sub", num(b), res(a))
+      case ("__mul", Seq(a, b)) if isSeries(a) && isSeries(b) =>
+        mkComb("product", Seq(res(a), res(b)))
+      case ("__mul", Seq(a, b)) if isSeries(a) => RTrans("mul", num(b), res(a))
+      case ("__mul", Seq(a, b)) if isSeries(b) => RTrans("mul", num(a), res(b))
+      case ("__div", Seq(a, b)) if isSeries(a) && isSeries(b) =>
+        mkComb("quotient", Seq(res(a), res(b)))
+      case ("__div", Seq(a, b)) if isSeries(a) =>
+        val c = num(b)
+        if (c.contains(0.0)) throw ResolveError("division by zero constant")
+        RTrans("divide", c, res(a))
+
+      // fused histogram: fn(histogram(m, htv, sf, t)) / percentile(hist, p)
+      case (fn, Seq(FCall("histogram", hargs))) if histFns.contains(fn) =>
+        val (child, w) = histogramArgs(hargs, aliases, bucketRes)
+        RHistFn(fn, None, w, child)
+      case ("percentile", Seq(FCall("histogram", hargs), p)) if num(p).isDefined =>
+        val (child, w) = histogramArgs(hargs, aliases, bucketRes)
+        RHistFn("percentile", num(p), w, child)
+      case ("histogram", hargs) =>
+        throw ResolveError("histogram(...) must be wrapped in a reducing " +
+          "function (min/max/mean/median/stddev/percentile)")
+
+      // (metric, time) → windowed aggregation
+      case (n, Seq(m, t: TimeLit)) if aggr2.contains(n) && isSeries(m) =>
+        mkAggr(n, None, t, res(m))
+      // (metric, const, time) → threshold/percentile aggregation
+      case (n, Seq(m, c, t: TimeLit)) if aggr3.contains(n) && isSeries(m) &&
+        num(c).isDefined =>
+        // integer percentile constants are halved (dqe_percentile_aggr:15)
+        val k = (n, c) match {
+          case ("percentile", Num(v, true)) => Some(v * 0.5)
+          case _                            => num(c)
+        }
+        mkAggr(n, k, t, res(m))
+      // (metric) → transform
+      case (n, Seq(m)) if trans1.contains(n) && isSeries(m) =>
+        RTrans(n, None, res(m))
+      // (metric, const) → clamp / arithmetic
+      case (n, Seq(m, c)) if trans2.contains(n) && isSeries(m) &&
+        num(c).isDefined =>
+        if (n == "divide" && num(c).contains(0.0))
+          throw ResolveError("division by zero constant")
+        RTrans(n, num(c), res(m))
+      // (metric, metric, ...) → combinator
+      case (n, ms) if combs.contains(n) && ms.length >= 2 &&
+        ms.forall(isSeries) =>
+        mkComb(n, ms.map(res))
+      case _ =>
+        val sig = args.map {
+          case _: Num     => "number"
+          case _: TimeLit => "time"
+          case _          => "metric"
+        }.mkString(", ")
+        throw ResolveError(s"no function $name($sig) is registered")
+    }
+  }
+
+  private def histogramArgs(hargs: Seq[Expr], aliases: Map[String, Expr],
+                            bucketRes: String => Long): (RExpr, Long) =
+    hargs match {
+      case Seq(m, Num(_, true), Num(sf, true), t: TimeLit)
+        if sf >= 1 && sf <= 5 =>
+        val child = resolve(m, aliases, bucketRes)
+        checkWindow(t, child)
+        (child, t.ms)
+      case _ => throw ResolveError(
+        "histogram expects (metric, int highest-trackable, int 1-5 " +
+          "significant-figures, time)")
+    }
+
+  private def checkWindow(t: TimeLit, child: RExpr): Unit = {
+    if (t.ms <= 0 || t.ms % child.resMs != 0)
+      throw ResolveError(s"window ${t.n} ${t.unit} is not a multiple of " +
+        s"the input resolution ${child.resMs} ms")
+  }
+
+  private def mkAggr(n: String, c: Option[Double], t: TimeLit,
+                     child: RExpr): RAggr = {
+    checkWindow(t, child)
+    RAggr(n, c, t.ms, child)
+  }
+
+  private def mkComb(n: String, children: Seq[RExpr]): RComb = {
+    val rs = children.map(_.resMs).distinct
+    if (rs.length != 1)
+      throw ResolveError(s"resolution_conflict: combinator '$n' children " +
+        s"have resolutions ${rs.mkString(", ")} ms — they must be equal")
+    if (children.exists(_.isInstanceOf[REvents]))
+      throw ResolveError("combinators are not defined over event streams")
+    RComb(n, children)
+  }
+}

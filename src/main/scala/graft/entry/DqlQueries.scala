@@ -1,0 +1,195 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Exact, SeriesOps}
+import graft.dql.{Compiler, Parser, TestdataStore, Unparse}
+
+/** Gate queries driven through the FULL DQL stack — parse → resolve →
+  * compile → Catalyst — proving a reference user's queries run verbatim
+  * (SURVEY §3 lifecycle). Each oracle recomputes the same semantics in
+  * DuckDB; default output names come from the unparser exactly as the
+  * engine produces them (`src/dql_flatten.erl:19-27`).
+  */
+object DqlQueries extends QueryProvider {
+  /** fixed "now" for determinism: 2024-02-01T00:00:00Z (after the data) */
+  private val NowMs = 1706745600000L
+  private val T0 = 1704067200000L // 2024-01-01
+  private val T1 = 1706745600000L // 2024-02-01
+  private val D5 = 1704412800000L // 2024-01-05
+  private val D6 = 1704499200000L // 2024-01-06
+  private val Hour = 3600000L
+  private val Day = 86400000L
+
+  private val dqls: Map[String, String] = Map(
+    "dql_select_avg" ->
+      s"SELECT avg('purchase'.'3' BUCKET 'testdata', 1 h) BETWEEN $T0 AND $T1",
+    "dql_chain" ->
+      s"SELECT sum(divide('purchase'.'3' BUCKET 'testdata', 2), 1 h) BETWEEN $T0 AND $T1",
+    "dql_infix_arith" ->
+      s"SELECT ('purchase'.'3' BUCKET 'testdata') * 2 BETWEEN $T0 AND $T1",
+    "dql_infix_comb" ->
+      s"SELECT avg('purchase'.'3' BUCKET 'testdata', 1 d) / avg('error'.'3' BUCKET 'testdata', 1 d) BETWEEN $T0 AND $T1",
+    "dql_sget_glob" ->
+      s"SELECT avg('purchase'.* BUCKET 'testdata', 1 d) BETWEEN $T0 AND $T1",
+    "dql_lookup_where" ->
+      s"SELECT avg('purchase' FROM 'testdata' WHERE 'graft':'user' = '3', 1 h) BETWEEN $T0 AND $T1",
+    "dql_group_by" ->
+      s"SELECT 'purchase' FROM 'testdata' WHERE 'graft':'user' = '1' OR 'graft':'user' = '2' GROUP BY $$'graft':'user' USING avg BETWEEN $T0 AND $T1",
+    "dql_top" ->
+      s"SELECT avg('purchase'.* BUCKET 'testdata', 1 d) BETWEEN $T0 AND $T1 TOP 3 BY avg()",
+    "dql_shift" ->
+      s"SELECT avg('purchase'.'3' BUCKET 'testdata', 1 h) SHIFT BY 1 d BETWEEN ${T0 + 7 * Day} AND ${T0 + 14 * Day}",
+    "dql_naming" ->
+      s"SELECT derivate('purchase'.'3' BUCKET 'testdata') AS 'rate'.$$1.$$'graft':'user' METADATA {'team': 'infra'} BETWEEN $T0 AND $T1",
+    "dql_conf" ->
+      s"SELECT count_above_conf('purchase'.'3' BUCKET 'testdata', 0.5, 1 h) BETWEEN $D5 AND $D6",
+    "dql_percentile_int" ->
+      s"SELECT percentile('purchase'.'3' BUCKET 'testdata', 1, 1 h) BETWEEN $T0 AND $T1",
+    "dql_hist" ->
+      s"SELECT percentile(histogram('purchase'.'3' BUCKET 'testdata', 1000, 3, 1 h), 0.9) BETWEEN $T0 AND $T1",
+    "dql_alias" ->
+      s"SELECT max('base', 1 h) ALIAS 'base' = 'purchase'.'3' BUCKET 'testdata' BETWEEN $T0 AND $T1",
+    "dql_multi" ->
+      s"SELECT avg('purchase'.'3' BUCKET 'testdata', 1 d), max('purchase'.'3' BUCKET 'testdata', 1 d) BETWEEN $T0 AND $T1",
+    "dql_last_ago" ->
+      s"SELECT avg('purchase'.'3' BUCKET 'testdata', 1 d) BEFORE 7 d AGO FOR 7 d",
+    "dql_events" ->
+      s"SELECT EVENTS FROM 'testdata' WHERE 'k' > 50 AND NOT 'event_type' == 'view' LAST 31 d")
+
+  /** default name literal for a selector, exactly as the engine renders */
+  private def nameOf(key: String, sel: Int = 0): String =
+    Unparse.expr(Parser.parse(dqls(key)).selectors(sel).expr)
+      .replace("'", "''")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    dqls.map { case (key, dql) =>
+      key -> ((s: SparkSession, d: String) => {
+        val df = Compiler.run(s, new TestdataStore(d), NowMs, dql)
+        if (key == "dql_events") df.orderBy("event_id")
+        else df.orderBy("name", "metric", "ts_ms")
+      })
+    }
+
+  // ----------------------------------------------------------- oracle
+
+  private def ser(body: String) =
+    s"WITH series AS (${SeriesOps.seriesSql})\n$body"
+
+  private def winAgg(key: String, metricCond: String, w: Long, agg: String,
+                     t0: Long, t1: Long, valueExpr: String = "value"): String =
+    ser(s"""SELECT '${nameOf(key)}' AS name, metric,
+       |       ${Exact.wstartSql("ts_ms", w)} AS ts_ms, $agg AS value
+       |FROM (SELECT metric, ts_ms, $valueExpr AS value FROM series
+       |      WHERE $metricCond AND ts_ms >= $t0 AND ts_ms < $t1)
+       |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin)
+
+  private val kth50 =
+    "list_sort(list(value))[GREATEST(1, CAST(CEIL(0.5 * COUNT(value)) AS BIGINT))]"
+
+  def oracle: Map[String, String] = Map(
+    "dql_select_avg" -> winAgg("dql_select_avg", "metric = 'purchase.3'",
+      Hour, Exact.davgSql("value"), T0, T1),
+    "dql_chain" -> winAgg("dql_chain", "metric = 'purchase.3'",
+      Hour, Exact.dsumSql("value"), T0, T1, valueExpr = "value / 2.0"),
+    "dql_infix_arith" -> ser(
+      s"""SELECT '${nameOf("dql_infix_arith")}' AS name, metric, ts_ms,
+         |       value * 2.0 AS value
+         |FROM series WHERE metric = 'purchase.3'
+         |  AND ts_ms >= $T0 AND ts_ms < $T1
+         |ORDER BY name, metric, ts_ms""".stripMargin),
+    "dql_infix_comb" -> ser(
+      s"""SELECT '${nameOf("dql_infix_comb")}' AS name, 'quotient' AS metric,
+         |       ts_ms, CASE WHEN b = 0 THEN a ELSE a / b END AS value
+         |FROM (
+         |  SELECT ${Exact.wstartSql("ts_ms", Day)} AS ts_ms,
+         |    MAX(CASE WHEN metric = 'purchase.3' THEN v END) AS a,
+         |    MAX(CASE WHEN metric = 'error.3' THEN v END) AS b
+         |  FROM (SELECT metric, ${Exact.wstartSql("ts_ms", Day)} AS ts_ms,
+         |               ${Exact.davgSql("value")} AS v
+         |        FROM series WHERE metric IN ('purchase.3', 'error.3')
+         |          AND ts_ms >= $T0 AND ts_ms < $T1
+         |        GROUP BY 1, 2) GROUP BY 1)
+         |ORDER BY ts_ms""".stripMargin),
+    "dql_sget_glob" -> winAgg("dql_sget_glob", "mtype = 'purchase'",
+      Day, Exact.davgSql("value"), T0, T1),
+    "dql_lookup_where" -> winAgg("dql_lookup_where",
+      "mtype = 'purchase' AND muser = 3", Hour, Exact.davgSql("value"), T0, T1),
+    "dql_group_by" -> ser(
+      s"""SELECT '${nameOf("dql_group_by")}' AS name,
+         |       CAST(muser AS VARCHAR) AS metric, ts_ms,
+         |       ${Exact.davgSql("value")} AS value
+         |FROM series
+         |WHERE mtype = 'purchase' AND (muser = 1 OR muser = 2)
+         |  AND ts_ms >= $T0 AND ts_ms < $T1
+         |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin),
+    "dql_top" -> ser(
+      s""", agg AS (
+         |  SELECT '${nameOf("dql_top")}' AS name, metric,
+         |         ${Exact.wstartSql("ts_ms", Day)} AS ts_ms,
+         |         ${Exact.davgSql("value")} AS value
+         |  FROM series WHERE mtype = 'purchase'
+         |    AND ts_ms >= $T0 AND ts_ms < $T1 GROUP BY 1, 2, 3),
+         |scores AS (SELECT name, metric, ${Exact.davgSql("value")} AS score
+         |           FROM agg GROUP BY 1, 2),
+         |winners AS (SELECT metric FROM scores
+         |            ORDER BY score DESC, name, metric LIMIT 3)
+         |SELECT * FROM agg WHERE metric IN (SELECT metric FROM winners)
+         |ORDER BY name, metric, ts_ms""".stripMargin)
+      .replace("(" + SeriesOps.seriesSql + ")\n,", "(" + SeriesOps.seriesSql + "),"),
+    "dql_shift" -> ser(
+      s"""SELECT '${nameOf("dql_shift")}' AS name, metric,
+         |       ${Exact.wstartSql("(ts_ms + " + Day + ")", Hour)} AS ts_ms,
+         |       ${Exact.davgSql("value")} AS value
+         |FROM series WHERE metric = 'purchase.3'
+         |  AND ts_ms + $Day >= ${T0 + 7 * Day} AND ts_ms + $Day < ${T0 + 14 * Day}
+         |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin),
+    "dql_naming" -> ser(
+      s"""SELECT 'rate.purchase.3' AS name, metric, ts_ms, value,
+         |       '{"team": "infra"}' AS metadata FROM (
+         |${graft.ops.Trans.derivateSql(
+             s"(SELECT * FROM series WHERE metric = 'purchase.3' AND ts_ms >= $T0 AND ts_ms < $T1)")}
+         |) ORDER BY name, metric, ts_ms""".stripMargin),
+    "dql_conf" ->
+      s"""${SeriesOps.gapFilledSql(D5, D6)}
+         |SELECT '${nameOf("dql_conf")}' AS name, metric,
+         |       ${Exact.wstartSql("ts_ms", Hour)} AS ts_ms,
+         |       COUNT(CASE WHEN confidence > 0.5 THEN 1 END) AS value
+         |FROM gapfilled WHERE metric = 'purchase.3'
+         |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin,
+    "dql_percentile_int" -> winAgg("dql_percentile_int",
+      "metric = 'purchase.3'", Hour, kth50, T0, T1),
+    "dql_hist" -> winAgg("dql_hist", "metric = 'purchase.3'", Hour,
+      "CAST(list_sort(list(CAST(ROUND(value, 0) AS BIGINT)))" +
+        "[GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))] AS DOUBLE)",
+      T0, T1),
+    "dql_alias" -> winAgg("dql_alias", "metric = 'purchase.3'", Hour,
+      "MAX(value)", T0, T1),
+    "dql_multi" -> ser(
+      s"""SELECT name, metric, ts_ms, value FROM (
+         |  SELECT '${nameOf("dql_multi", 0)}' AS name, metric,
+         |         ${Exact.wstartSql("ts_ms", Day)} AS ts_ms,
+         |         ${Exact.davgSql("value")} AS value
+         |  FROM series WHERE metric = 'purchase.3'
+         |    AND ts_ms >= $T0 AND ts_ms < $T1 GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT '${nameOf("dql_multi", 1)}' AS name, metric,
+         |         ${Exact.wstartSql("ts_ms", Day)} AS ts_ms,
+         |         MAX(value) AS value
+         |  FROM series WHERE metric = 'purchase.3'
+         |    AND ts_ms >= $T0 AND ts_ms < $T1 GROUP BY 1, 2, 3)
+         |ORDER BY name, metric, ts_ms""".stripMargin),
+    "dql_last_ago" -> winAgg("dql_last_ago", "metric = 'purchase.3'",
+      Day, Exact.davgSql("value"), NowMs - 14 * Day, NowMs - 7 * Day),
+    "dql_events" ->
+      s"""SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value
+         |FROM events
+         |WHERE CAST(epoch_ms(ts) AS BIGINT) >= ${NowMs - 31 * Day}
+         |  AND CAST(epoch_ms(ts) AS BIGINT) < $NowMs
+         |  AND CAST(json_extract_string(props, '$$.k') AS DOUBLE) > 50
+         |  AND NOT event_type = 'view'
+         |ORDER BY event_id""".stripMargin)
+
+  // `dql_conf` uses the full-catalog gap-fill (all mtypes) restricted to
+  // one metric in the outer query; the Spark side densifies only matching
+  // series — both sides see identical purchase.3 slots.
+}
