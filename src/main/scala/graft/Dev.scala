@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch main for local iteration — not part of the library surface.
-  * Currently: emulates the driver's smoke check (entry() on a fresh session
-  * with no special confs, rows > 0).
+  * Currently: dumps the physical plan of the embedding near-dup query to
+  * confirm FixedPointDot sits inside WholeStageCodegen.
   */
 object Dev {
   def main(args: Array[String]): Unit = {
@@ -14,10 +15,10 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.entry(spark)
-    val n = df.count()
-    println(s"[dev] entry() rows=$n")
-    df.show(5, false)
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = graft.pipeline.Dedup.embedNearDup(emb, 6, 64, 0.3)
+    df.explain("formatted")
+    println("[dev] rows=" + df.count())
     spark.stop()
   }
 }

@@ -72,7 +72,11 @@ object Dedup {
     * whose true shingle-set Jaccard ≥ threshold.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // the shingle table feeds the signature, the size table and both sides
+    // of the intersection join — persist it or the explode+distinct runs 4×
+    // (at corpus scale this is a materialized intermediate table)
     val sh = shingles3(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val r = NumHashes / Bands
     val mhAggs = (0 until NumHashes).map(j =>
       min(md5(concat_ws("|", lit(j.toString), col("shingle")))).as(s"mh$j"))
@@ -215,6 +219,7 @@ object Dedup {
           "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
           .as("shingle"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh2.as("a").join(sh2.as("b"),
         col("a.blk") === col("b.blk") &&
@@ -260,11 +265,18 @@ object Dedup {
     */
   def embedNearDup(emb: DataFrame, bits: Int, dim: Int,
                    threshold: Double): DataFrame = {
-    val b = emb.withColumn("bkt", VectorOps.lshBucket(col("embedding"), bits, dim))
+    // bucket and norm are per-ROW (narrow, computed once per vector);
+    // only the dot product is per-pair — at n² pair scale that's the
+    // difference between 1 and 3 full-vector folds per candidate
+    val b = emb.select(col("vec_id"), col("embedding"),
+      VectorOps.lshBucket(col("embedding"), bits, dim).as("bkt"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        VectorOps.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        (VectorOps.dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
   }
 

@@ -19,10 +19,15 @@ object Similarity {
     * set is broadcast — the corpus is never shuffled.
     */
   def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = emb.as("t").join(broadcast(queries.as("q")),
+    val t = emb.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val q = queries.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val scored = t.as("t").join(broadcast(q.as("q")),
         col("q.vec_id") =!= col("t.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        VectorOps.cosine(col("q.embedding"), col("t.embedding")).as("cos"))
+        (VectorOps.dot(col("q.embedding"), col("t.embedding")) /
+          (col("q.nrm") * col("t.nrm"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -44,14 +49,16 @@ object Similarity {
   /** LSH-bucketed top-k: score only candidates in the query's bucket. */
   def lshTopK(emb: DataFrame, queries: DataFrame, bits: Int, dim: Int,
               k: Int): DataFrame = {
-    val bucketed = emb.withColumn("bkt",
-      VectorOps.lshBucket(col("embedding"), bits, dim))
-    val qb = queries.withColumn("bkt",
-      VectorOps.lshBucket(col("embedding"), bits, dim))
+    def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      VectorOps.lshBucket(col("embedding"), bits, dim).as("bkt"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val bucketed = prep(emb)
+    val qb = prep(queries)
     val scored = bucketed.as("t").join(broadcast(qb.as("q")),
         col("q.bkt") === col("t.bkt") && col("q.vec_id") =!= col("t.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        VectorOps.cosine(col("q.embedding"), col("t.embedding")).as("cos"))
+        (VectorOps.dot(col("q.embedding"), col("t.embedding")) /
+          (col("q.nrm") * col("t.nrm"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -18,12 +18,13 @@ object VectorOps {
     */
   val Scale = 1e15
 
-  /** Exact scaled-long dot product of two float arrays, as double. */
-  def dot(a: Column, b: Column): Column = {
-    val terms = zip_with(a, b,
-      (x, y) => round(x.cast("double") * y.cast("double") * Scale, 0).cast("long"))
-    (aggregate(terms, lit(0L), (acc, t) => acc + t).cast("double") / Scale)
-  }
+  /** Exact scaled-long dot product of two float arrays, as double.
+    * Implemented as the native codegen'd [[graft.expr.FixedPointDot]]
+    * kernel (the zip_with+aggregate composition evaluates interpreted
+    * lambdas — same values, ~an order of magnitude slower per pair).
+    */
+  def dot(a: Column, b: Column): Column =
+    graft.expr.FixedPointDot(a, b, Scale).cast("double") / Scale
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -63,9 +64,7 @@ object VectorOps {
   def projPositive(v: Column, j: Int, dim: Int): Column = {
     val r = hyperplane(j, dim)
     val rCol = array(r.map(lit(_)): _*)
-    val terms = zip_with(rCol, v,
-      (ri, x) => round(ri * x.cast("double") * 1e14, 0).cast("long"))
-    aggregate(terms, lit(0L), (acc, t) => acc + t) > 0
+    graft.expr.FixedPointDot(rCol, v, 1e14) > 0
   }
 
   /** 16-bit LSH bucket id from hyperplane sign bits. */

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's package-private classic Column↔Expression
+  * converters (Spark 4 wraps Columns in ColumnNodes; custom Catalyst
+  * expressions need the classic bridge to surface as Columns).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
