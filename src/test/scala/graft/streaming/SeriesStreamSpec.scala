@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+/** Streaming path driven through MemoryStream: windowed aggregation with
+  * watermark finalization, and stateful gap detection across batches.
+  */
+class SeriesStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ev(sec: Long, t: String = "purchase", u: Long = 1,
+                 v: Double = 10.0) =
+    SeriesStream.Ev(new Timestamp(sec * 1000), t, u, v)
+
+  test("streaming window agg aggregates per series and window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = SeriesStream.windowAgg(in.toDF(), "1 minute", "30 seconds", "sum")
+    val q = out.writeStream.format("memory").queryName("wagg")
+      .outputMode("update").start()
+    in.addData(ev(0, v = 1), ev(10, v = 2), ev(70, v = 5),
+      ev(10, t = "error", v = 9))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT metric, ws, value, n_points FROM wagg ORDER BY metric, ws")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      ("error.1", 0L, 9.0, 1L),
+      ("purchase.1", 0L, 3.0, 2L),
+      ("purchase.1", 60000L, 5.0, 1L)))
+  }
+
+  test("gap detection emits missing-slot ranges across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = SeriesStream.detectGaps(spark, in.toDS(), resolutionMs = 1000L)
+    val q = out.writeStream.format("memory").queryName("gaps")
+      .outputMode("append").start()
+    in.addData(ev(0), ev(1), ev(5))   // gap [2s, 5s): slots 2,3,4 missing
+    q.processAllAvailable()
+    in.addData(ev(6), ev(10))         // state carries 6 → gap [7s, 10s)
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT metric, gapStartMs, gapEndMs, missedSlots FROM gaps " +
+        "ORDER BY gapStartMs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      ("purchase.1", 2000L, 5000L, 3L),
+      ("purchase.1", 7000L, 10000L, 3L)))
+  }
+}
