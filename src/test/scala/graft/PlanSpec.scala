@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan shape assertions — the properties that decide whether
+  * these plans survive a 100 TB scale-up (builder brief): predicate and
+  * projection pushdown into the parquet scan, broadcast joins for small
+  * dimensions, and map-side partial aggregation.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("filter + projection pushdown reach the parquet scan (tpch_scan)") {
+    val plan = planOf(
+      entry.TpchQueries.queries("tpch_scan")(spark, dir))
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("EqualTo(o_orderstatus,F)") ||
+      plan.contains("o_orderstatus"), "status predicate not pushed")
+    // projection pruning: payload columns we did not select must not be read
+    assert(!plan.contains("o_orderpriority"), "unneeded column in ReadSchema")
+  }
+
+  test("series-level predicates push through the slot aggregation to the scan") {
+    val df = core.SeriesOps.series(spark, dir)
+      .where(col("mtype") === "purchase")
+    val plan = planOf(df)
+    // the event_type filter must sit in the parquet scan, below the groupBy
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(event_type,purchase)"),
+      plan.take(3000))
+  }
+
+  test("dimension joins broadcast; fact table is not shuffled for the join") {
+    val plan = planOf(entry.TpchQueries.queries("tpch_q5")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("windowed aggregation has map-side partial aggregation") {
+    val plan = planOf(entry.AggrQueries.queries("aggr_sum")(spark, dir))
+    // HashAggregate appears in partial + final pairs around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("TOP/BOTTOM winner join is a broadcast semi-join") {
+    val plan = planOf(entry.LimitQueries.queries("limit_top")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(3000))
+  }
+}
