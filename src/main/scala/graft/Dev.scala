@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch main for local iteration — not part of the library surface.
-  * Currently: drives the README's Graft facade sample verbatim, plus a
-  * duplicate-leaf query to observe the compiler CSE.
+  * Currently: drives core.Layout on disk and probes the midnight
+  * partition boundary.
   */
 object Dev {
   def main(args: Array[String]): Unit = {
@@ -14,22 +14,28 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // README sample, with a deterministic now inside the data range
-    val df = Graft.query(spark, "/root/testdata/sf0.01",
-      "SELECT avg('purchase'.'3' BUCKET 'testdata', 1 h) LAST 7 d",
-      nowMs = 1704499200000L)
-    df.show(3, false)
-    println("[dev] facade rows=" + df.count())
-    // wall-clock default `now` path (non-deterministic arg default)
-    val live = Graft.query(spark, "/root/testdata/sf0.01",
-      "SELECT avg('purchase'.'3' BUCKET 'testdata', 1 h) LAST 1 d")
-    println("[dev] live-now rows=" + live.count() + " (expected 0: data is historical)")
-    // duplicate leaves → CSE'd scan
-    val dup = Graft.query(spark, "/root/testdata/sf0.01",
-      "SELECT avg('purchase'.'3' BUCKET 'testdata', 1 d), " +
-        "max('purchase'.'3' BUCKET 'testdata', 1 d) LAST 31 d",
-      nowMs = 1706745600000L)
-    println("[dev] dup-leaf rows=" + dup.count())
+    val path = java.nio.file.Files.createTempDirectory("graft-dev-layout").toString
+    graft.core.Layout.writeSeriesPartitioned(
+      graft.core.SeriesOps.series(spark, "/root/testdata/sf0.001"), path)
+    val dts = new java.io.File(path).list().count(_.startsWith("dt="))
+    println(s"[dev] partitions=$dts")
+    // range ending exactly at midnight: [Jan05, Jan06) must touch ONE day
+    val scan = graft.core.Layout.rangeScan(spark, path,
+      1704412800000L, 1704499200000L)
+    val parts = scan.queryExecution.executedPlan.toString()
+    val prunedToOneDay = parts.contains("dt#") // PartitionFilters present
+    println(s"[dev] boundary rows=${scan.count()} partitionFilters=$prunedToOneDay")
+    val expect = graft.core.SeriesOps.series(spark, "/root/testdata/sf0.001")
+      .where(org.apache.spark.sql.functions.col("ts_ms") >= 1704412800000L &&
+        org.apache.spark.sql.functions.col("ts_ms") < 1704499200000L).count()
+    println(s"[dev] unpartitioned-expect=$expect match=${expect == scan.count()}")
+    // the authoritative pruning signal: the scan node's selected partitions
+    scan.queryExecution.executedPlan.collectLeaves().foreach {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        println(s"[dev] selectedPartitions=${f.selectedPartitions.partitionCount} " +
+          s"partitionFilters=${f.partitionFilters.mkString(";")}")
+      case _ =>
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Production storage layout for the series table at 100 TB (SURVEY §4
+  * "time-range pushdown" → partition pruning):
+  *
+  *   series/dt=YYYY-MM-DD/  (parquet, sorted by (metric, ts_ms) in-file)
+  *
+  * - **dt partitioning**: every DQL timeframe is a ts range; pruning
+  *   eliminates all out-of-range days before any IO. A 14-day query on 3
+  *   years of data touches 1.3% of files regardless of cluster size.
+  * - **in-file sort by (metric, ts_ms)**: parquet row-group statistics
+  *   make per-series scans skip row groups (metric min/max), and
+  *   time-ordered layout keeps windowed aggregation input runs local.
+  * - the testdata path (one small parquet per table) bypasses this; the
+  *   layout is exercised by LayoutSpec, which writes a partitioned copy
+  *   and asserts pruning in the physical plan.
+  */
+object Layout {
+  /** write a (metric, …, ts_ms, value) series frame date-partitioned */
+  def writeSeriesPartitioned(series: DataFrame, path: String): Unit =
+    series
+      .withColumn("dt", to_date(timestamp_millis(col("ts_ms"))))
+      .repartition(col("dt"))
+      .sortWithinPartitions("metric", "ts_ms")
+      .write.partitionBy("dt").mode("overwrite").parquet(path)
+
+  /** read back; time predicates on ts_ms should be paired with dt
+    * predicates by the caller (or derive them here from a range).
+    */
+  def readSeries(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** range scan with explicit partition predicate derived from the ms
+    * range — this is what the DQL compiler's leaf would issue in a
+    * production store binding.
+    */
+  def rangeScan(spark: SparkSession, path: String, startMs: Long,
+                endMs: Long): DataFrame = {
+    val d0 = java.time.Instant.ofEpochMilli(startMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val d1 = java.time.Instant.ofEpochMilli(endMs - 1)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    readSeries(spark, path)
+      .where(col("dt") >= lit(d0.toString) && col("dt") <= lit(d1.toString))
+      .where(col("ts_ms") >= startMs && col("ts_ms") < endMs)
+  }
+}

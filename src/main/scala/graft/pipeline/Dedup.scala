@@ -64,12 +64,18 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
-  val NumHashes = 12
-  val Bands = 3 // 4 rows per band
+  val Seeds = 3     // md5 invocations per shingle
+  val Channels = 4  // independent 8-hex-char minhash channels per md5
+  val Bands = Seeds // one band per seed (4 rows each) → 12 minhashes
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) for candidates sharing an LSH band
     * whose true shingle-set Jaccard ≥ threshold.
+    *
+    * 12 minhash functions from only 3 md5 calls per shingle: each md5's 32
+    * hex chars split into 4 independent 8-char channels (md5 output bits
+    * are independent); the per-seed md5 is projected ONCE before the
+    * aggregation so the hash cost is 3/shingle, not 12.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     // the shingle table feeds the signature, the size table and both sides
@@ -77,12 +83,15 @@ object Dedup {
     // (at corpus scale this is a materialized intermediate table)
     val sh = shingles3(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val r = NumHashes / Bands
-    val mhAggs = (0 until NumHashes).map(j =>
-      min(md5(concat_ws("|", lit(j.toString), col("shingle")))).as(s"mh$j"))
-    val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val hashed = sh.select(col("doc_id") +:
+      (0 until Seeds).map(s =>
+        md5(concat_ws("|", lit(s.toString), col("shingle"))).as(s"h$s")): _*)
+    val mhAggs = for (s <- 0 until Seeds; c <- 0 until Channels)
+      yield min(substring(col(s"h$s"), c * 8 + 1, 8)).as(s"mh${s}_$c")
+    val sig = hashed.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     val bandCols = (0 until Bands).map(b =>
-      md5(concat((b * r until (b + 1) * r).map(j => col(s"mh$j")): _*)).as(s"band$b"))
+      md5(concat((0 until Channels).map(c => col(s"mh${b}_$c")): _*))
+        .as(s"band$b"))
     val banded = sig.select(col("doc_id") +: bandCols: _*)
     val stackExpr = (0 until Bands).map(b => s"$b, band$b").mkString(", ")
     val melted = banded.selectExpr("doc_id",
@@ -117,11 +126,11 @@ object Dedup {
   }
 
   def minhashPairsSql(threshold: Double): String = {
-    val r = NumHashes / Bands
-    val mhs = (0 until NumHashes)
-      .map(j => s"MIN(md5('$j|' || shingle)) AS mh$j").mkString(", ")
+    val mhs = (for (s <- 0 until Seeds; c <- 0 until Channels)
+      yield s"MIN(substr(md5('$s|' || shingle), ${c * 8 + 1}, 8)) AS mh${s}_$c")
+      .mkString(", ")
     val bandDefs = (0 until Bands).map(b =>
-      s"md5(${(b * r until (b + 1) * r).map(j => s"mh$j").mkString(" || ")}) AS band$b")
+      s"md5(${(0 until Channels).map(c => s"mh${b}_$c").mkString(" || ")}) AS band$b")
       .mkString(", ")
     val melted = (0 until Bands)
       .map(b => s"SELECT doc_id, $b AS band_idx, band$b AS bh FROM banded")
