@@ -36,6 +36,15 @@ object Dev {
           s"partitionFilters=${f.partitionFilters.mkString(";")}")
       case _ =>
     }
+    // error path: EVENTS query against the metrics-only layout binding
+    try {
+      Graft.query(spark, new graft.dql.LayoutStore(path),
+        "SELECT EVENTS FROM 'testdata' LAST 1 d", nowMs = 1704499200000L)
+      println("[dev] events-on-layout: NO ERROR (unexpected)")
+    } catch {
+      case e: UnsupportedOperationException =>
+        println(s"[dev] events-on-layout rejected cleanly: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

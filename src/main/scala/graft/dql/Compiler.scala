@@ -142,14 +142,14 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
                           dense: Boolean): DataFrame = p match {
     case s @ RScan(bucket, path, _) =>
       leafCache.getOrElseUpdate((s, startMs, endMs, dense),
-        leaf(store.series(spark, bucket), pathCond(path), startMs, endMs, dense))
+        leaf(bucket, pathCond(path), startMs, endMs, dense))
 
     case RLookup(coll, path, where, gb, gf, _) =>
       // lookup paths match as metric-path PREFIXES ('purchase' finds every
       // purchase.<user> series), unlike get paths which match exactly
       val cond = path.map(lookupPathCond).getOrElse(lit(true)) &&
         where.map(tagCond).getOrElse(lit(true))
-      val base = leaf(store.series(spark, coll), cond, startMs, endMs, dense)
+      val base = leaf(coll, cond, startMs, endMs, dense)
       if (gb.isEmpty) base
       else {
         val cols = gb.map { case (ns, key) =>
@@ -256,15 +256,19 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
 
   // ----------------------------------------------------------- leaves
 
-  /** scan + optional lazy densification over [startMs, endMs). */
-  private def leaf(series: DataFrame, cond: Column, startMs: Long,
+  /** scan + optional lazy densification over [startMs, endMs). The range
+    * goes through the store's scanRange so partitioned bindings prune
+    * before IO; the catalog for densification comes from the unranged
+    * series (the tag index's role — a series with no points in range still
+    * gets its all-empty spine).
+    */
+  private def leaf(bucket: String, cond: Column, startMs: Long,
                    endMs: Long, dense: Boolean): DataFrame = {
-    val base = series.where(cond)
-      .where(col("ts_ms") >= startMs && col("ts_ms") < endMs)
+    val base = store.scanRange(spark, bucket, startMs, endMs).where(cond)
     if (!dense) base.withColumn("confidence", lit(1.0))
     else {
       val res = SeriesStoreResolution
-      val catalog = series.where(cond)
+      val catalog = store.series(spark, bucket).where(cond)
         .select((col("metric") +: store.tagCols.map(col)): _*).distinct()
       val nSlots = (endMs - startMs) / res
       val spine = spark.range(nSlots)

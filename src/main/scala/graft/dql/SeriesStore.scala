@@ -13,6 +13,17 @@ trait SeriesStore {
   def resolutionMs(bucket: String): Long
   /** (metric, <tag cols...>, ts_ms, value) */
   def series(spark: SparkSession, bucket: String): DataFrame
+  /** Range-bounded scan — the storage seam where time-range pushdown
+    * lives (the reference converts ranges to exact storage reads,
+    * `src/dql_resolution.erl:131-135`). The default filters `ts_ms`;
+    * partitioned bindings override to add partition predicates so the
+    * range prunes files before any IO.
+    */
+  def scanRange(spark: SparkSession, bucket: String, startMs: Long,
+                endMs: Long): DataFrame =
+    series(spark, bucket).where(
+      org.apache.spark.sql.functions.col("ts_ms") >= startMs &&
+        org.apache.spark.sql.functions.col("ts_ms") < endMs)
   /** DQL `ns:key` tag → physical column name */
   def tagCol(ns: String, key: String): Option[String]
   def tagCols: Seq[String]
@@ -23,6 +34,32 @@ trait SeriesStore {
   * series derived from `events` (SURVEY §1.5 mapping; FIXTURES.md B),
   * tags `type` (event_type) and `user` (user_id).
   */
+/** Production-layout binding: the date-partitioned series table written by
+  * [[graft.core.Layout]]. Same DQL, same compiler — the overridden
+  * [[scanRange]] adds the dt partition predicates, so every query's
+  * timeframe prunes partitions before IO (verified in LayoutStoreSpec).
+  */
+final class LayoutStore(path: String,
+                        resolution: Long = graft.core.SeriesOps.ResolutionMs)
+    extends SeriesStore {
+  def resolutionMs(bucket: String): Long = resolution
+  def series(spark: SparkSession, bucket: String): DataFrame =
+    graft.core.Layout.readSeries(spark, path)
+      .drop("dt")
+  override def scanRange(spark: SparkSession, bucket: String, startMs: Long,
+                         endMs: Long): DataFrame =
+    graft.core.Layout.rangeScan(spark, path, startMs, endMs).drop("dt")
+  def tagCol(ns: String, key: String): Option[String] = key match {
+    case "type" => Some("mtype")
+    case "user" => Some("muser")
+    case _      => None
+  }
+  val tagCols: Seq[String] = Seq("mtype", "muser")
+  def events(spark: SparkSession, bucket: String): DataFrame =
+    throw new UnsupportedOperationException(
+      "LayoutStore holds metric series only")
+}
+
 final class TestdataStore(dir: String) extends SeriesStore {
   def resolutionMs(bucket: String): Long = SeriesOps.ResolutionMs
   def series(spark: SparkSession, bucket: String): DataFrame =
