@@ -24,4 +24,20 @@ object Graft {
   def query(spark: SparkSession, store: SeriesStore, dql: String,
             nowMs: Long): DataFrame =
     Compiler.run(spark, store, nowMs, dql)
+
+  /** Register the engine's tables as temp views for plain Spark SQL —
+    * everything the reference lacks (joins, grouping sets, rollup, window
+    * functions; SURVEY §2.10) comes for free on the same data:
+    * `graft_series`, `graft_events`, `graft_documents`, `graft_embeddings`.
+    */
+  def registerViews(spark: SparkSession, dataDir: String): Unit = {
+    graft.core.SeriesOps.series(spark, dataDir)
+      .createOrReplaceTempView("graft_series")
+    graft.core.SeriesOps.events(spark, dataDir)
+      .createOrReplaceTempView("graft_events")
+    graft.core.Tables(spark, dataDir, "documents")
+      .createOrReplaceTempView("graft_documents")
+    graft.core.Tables(spark, dataDir, "embeddings")
+      .createOrReplaceTempView("graft_embeddings")
+  }
 }

@@ -15,6 +15,19 @@ object Parser {
 
   def parse(input: String): Query = new P(Lexer.lex(input)).query()
 
+  /** 'yyyy-MM-dd', 'yyyy-MM-dd HH:mm:ss' or ISO-8601 instant → epoch ms
+    * (UTC). Used for quoted date points in timeframes.
+    */
+  def parseDateMs(s: String): Option[Long] = {
+    import java.time._
+    import scala.util.Try
+    Try(LocalDate.parse(s).atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli)
+      .orElse(Try(LocalDateTime.parse(s.replace(' ', 'T'))
+        .atZone(ZoneOffset.UTC).toInstant.toEpochMilli))
+      .orElse(Try(Instant.parse(s).toEpochMilli))
+      .toOption
+  }
+
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
     private def peek: Tok = toks(pos)
@@ -269,6 +282,13 @@ object Parser {
           case TPart(u) if TimeLit.units.contains(u) =>
             val t = timeLit(); expectKw("AGO"); Ago(t)
           case _ => next(); AbsMs(v)
+        }
+      // quoted date string (reference grammar accepts RFC dates):
+      // 'yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss' / ISO instant, UTC
+      case TPart(s) =>
+        Parser.parseDateMs(s) match {
+          case Some(ms) => next(); AbsMs(ms)
+          case None     => fail(s"point in time (unparseable date '$s')")
         }
       case t => fail(s"point in time (got $t)")
     }

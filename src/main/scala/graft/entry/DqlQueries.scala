@@ -53,6 +53,12 @@ object DqlQueries extends QueryProvider {
       s"SELECT avg('purchase'.'3' BUCKET 'testdata', 1 d), max('purchase'.'3' BUCKET 'testdata', 1 d) BETWEEN $T0 AND $T1",
     "dql_last_ago" ->
       s"SELECT avg('purchase'.'3' BUCKET 'testdata', 1 d) BEFORE 7 d AGO FOR 7 d",
+    "dql_after_for" ->
+      s"SELECT max('purchase'.'3' BUCKET 'testdata', 1 d) AFTER $D5 FOR 7 d",
+    "dql_date_points" ->
+      "SELECT avg('purchase'.'3' BUCKET 'testdata', 1 d) BETWEEN '2024-01-05' AND '2024-01-15'",
+    "dql_all_from" ->
+      s"SELECT sum(ALL FROM 'testdata' WHERE 'graft':'type' = 'error' AND 'graft':'user' = '2', 1 d) BETWEEN $T0 AND $T1",
     "dql_events" ->
       s"SELECT EVENTS FROM 'testdata' WHERE 'k' > 50 AND NOT 'event_type' == 'view' LAST 31 d")
 
@@ -180,6 +186,12 @@ object DqlQueries extends QueryProvider {
          |ORDER BY name, metric, ts_ms""".stripMargin),
     "dql_last_ago" -> winAgg("dql_last_ago", "metric = 'purchase.3'",
       Day, Exact.davgSql("value"), NowMs - 14 * Day, NowMs - 7 * Day),
+    "dql_after_for" -> winAgg("dql_after_for", "metric = 'purchase.3'",
+      Day, "MAX(value)", D5, D5 + 7 * Day),
+    "dql_date_points" -> winAgg("dql_date_points", "metric = 'purchase.3'",
+      Day, Exact.davgSql("value"), D5, D5 + 10 * Day),
+    "dql_all_from" -> winAgg("dql_all_from",
+      "mtype = 'error' AND muser = 2", Day, Exact.dsumSql("value"), T0, T1),
     "dql_events" ->
       s"""SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value
          |FROM events
