@@ -60,7 +60,14 @@ object DqlQueries extends QueryProvider {
     "dql_all_from" ->
       s"SELECT sum(ALL FROM 'testdata' WHERE 'graft':'type' = 'error' AND 'graft':'user' = '2', 1 d) BETWEEN $T0 AND $T1",
     "dql_events" ->
-      s"SELECT EVENTS FROM 'testdata' WHERE 'k' > 50 AND NOT 'event_type' == 'view' LAST 31 d")
+      s"SELECT EVENTS FROM 'testdata' WHERE 'k' > 50 AND NOT 'event_type' == 'view' LAST 31 d",
+    // resolution coarsening chain: hourly means re-aggregated daily
+    // (output resolution propagation, src/dql_resolution.erl:142-158)
+    "dql_nested_agg" ->
+      s"SELECT sum(avg('purchase'.'3' BUCKET 'testdata', 1 h), 1 d) BETWEEN $T0 AND $T1",
+    // transform after aggregation: derivative of the daily mean
+    "dql_trans_after_agg" ->
+      s"SELECT derivate(avg('purchase'.'3' BUCKET 'testdata', 1 d)) BETWEEN $T0 AND $T1")
 
   /** default name literal for a selector, exactly as the engine renders */
   private def nameOf(key: String, sel: Int = 0): String =
@@ -192,6 +199,25 @@ object DqlQueries extends QueryProvider {
       Day, Exact.davgSql("value"), D5, D5 + 10 * Day),
     "dql_all_from" -> winAgg("dql_all_from",
       "mtype = 'error' AND muser = 2", Day, Exact.dsumSql("value"), T0, T1),
+    "dql_nested_agg" -> ser(
+      s""", h AS (
+         |  SELECT metric, ${Exact.wstartSql("ts_ms", Hour)} AS ts_ms,
+         |         ${Exact.davgSql("value")} AS value
+         |  FROM series WHERE metric = 'purchase.3'
+         |    AND ts_ms >= $T0 AND ts_ms < $T1 GROUP BY 1, 2)
+         |SELECT '${nameOf("dql_nested_agg")}' AS name, metric,
+         |       ${Exact.wstartSql("ts_ms", Day)} AS ts_ms,
+         |       ${Exact.dsumSql("value")} AS value
+         |FROM h GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin),
+    "dql_trans_after_agg" -> ser(
+      s""", daily AS (
+         |  SELECT metric, mtype, muser, ${Exact.wstartSql("ts_ms", Day)} AS ts_ms,
+         |         ${Exact.davgSql("value")} AS value
+         |  FROM series WHERE metric = 'purchase.3'
+         |    AND ts_ms >= $T0 AND ts_ms < $T1 GROUP BY 1, 2, 3, 4)
+         |SELECT '${nameOf("dql_trans_after_agg")}' AS name, metric, ts_ms, value
+         |FROM (${graft.ops.Trans.derivateSql("daily")})
+         |ORDER BY name, metric, ts_ms""".stripMargin),
     "dql_events" ->
       s"""SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value
          |FROM events
