@@ -30,6 +30,9 @@ object PipelineQueries extends QueryProvider {
     "dedup_embed" -> ((s, d) =>
       Dedup.embedNearDup(emb(s, d), bits = 6, dim = Dim, threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
+    "dedup_canonical" -> ((s, d) =>
+      Dedup.canonicalize(Dedup.minhashPairs(docs(s, d), 0.5))
+        .orderBy("doc_id")),
     "sim_topk_brute" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteTopK(e, e.where(col("vec_id") < 5), k = 10)
@@ -59,6 +62,7 @@ object PipelineQueries extends QueryProvider {
     "dedup_simhash" -> Dedup.simhashPairsSql(8),
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql(0.3),
     "dedup_embed" -> Dedup.embedNearDupSql(6, Dim, 0.3),
+    "dedup_canonical" -> Dedup.canonicalizeSql(Dedup.minhashPairsSql(0.5)),
     "sim_topk_brute" -> Similarity.bruteTopKSql(Dim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
     "sim_topk_lsh" -> Similarity.lshTopKSql(6, Dim, 5,

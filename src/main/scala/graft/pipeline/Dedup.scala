@@ -267,6 +267,63 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE)/(za.sz + zb.sz - i) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------ canonicalization
+
+  /** Cluster near-dup pairs into components and assign each member its
+    * canonical (minimum) doc_id — the step that turns pair lists into a
+    * keep/drop decision. Iterative min-label propagation: converges to the
+    * component minimum, a unique fixpoint independent of iteration order
+    * (so results are deterministic and engine-comparable). Iterations are
+    * logarithmic in component diameter; near-dup components are tiny, and
+    * at corpus scale this is the standard alternating-star CC shape with
+    * the same join primitive.
+    */
+  def canonicalize(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 32) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changes = updated.withColumnRenamed("label", "l2")
+        .join(labels, "doc_id")
+        .where(col("l2") =!= col("label")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** DuckDB mirror: transitive closure via recursive CTE, then min per
+    * node — same unique fixpoint.
+    */
+  def canonicalizeSql(pairsSql: String): String =
+    s"""WITH RECURSIVE
+       |mhp AS (SELECT * FROM ($pairsSql)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhp
+       |          UNION SELECT doc_b, doc_a FROM mhp),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach(doc_id, node) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT doc_id, MIN(node) AS canonical_id FROM reach
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup: pairs within the same LSH bucket (see
