@@ -53,7 +53,10 @@ object PipelineQueries extends QueryProvider {
       TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
     "mm_decode" -> ((s, d) =>
       Multimodal.decodeMeta(s, Multimodal.asMedia(docs(s, d)))
-        .toDF().orderBy("doc_id")))
+        .toDF().orderBy("doc_id")),
+    "corpus_decisions" -> ((s, d) =>
+      Corpus.decisions(docs(s, d), jaccardThreshold = 0.5,
+        qualityThreshold = 0.46).orderBy("doc_id")))
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -71,5 +74,6 @@ object PipelineQueries extends QueryProvider {
     "text_quality" -> TextOps.qualitySql,
     "text_langid" -> TextOps.langidSql,
     "text_fingerprint" -> TextOps.fingerprintSql,
-    "mm_decode" -> Multimodal.decodeMetaSql)
+    "mm_decode" -> Multimodal.decodeMetaSql,
+    "corpus_decisions" -> Corpus.decisionsSql(0.5, 0.46))
 }

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline (builder brief capstone):
+  * near-dup detection → canonicalization → quality scoring → per-document
+  * keep/drop decision. Each stage is one of the already-verified operators;
+  * this is the end-to-end shape a 100 TB corpus job runs — all joins are on
+  * doc_id (co-partitionable), the dup set is tiny relative to the corpus
+  * (broadcast), and no stage collects to the driver.
+  */
+object Corpus {
+
+  /** decision per document: 'dup' (non-canonical member of a near-dup
+    * component — dedup wins over quality), 'low_quality', or 'kept'.
+    */
+  def decisions(docs: DataFrame, jaccardThreshold: Double,
+                qualityThreshold: Double): DataFrame = {
+    val canon = Dedup.canonicalize(Dedup.minhashPairs(docs, jaccardThreshold))
+    val dups = canon.where(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val quality = TextOps.quality(docs).select("doc_id", "quality")
+    docs.select("doc_id")
+      .join(broadcast(dups), Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("is_dup"), "dup")
+          .when(col("quality") < qualityThreshold, "low_quality")
+          .otherwise("kept").as("decision"))
+  }
+
+  def decisionsSql(jaccardThreshold: Double,
+                   qualityThreshold: Double): String = {
+    // quality expression inlined from TextOps.qualitySql's formula
+    val stops = TextOps.Stopwords.map(s =>
+      s"CAST(len(list_filter(w, x -> x = '$s')) AS DOUBLE)").mkString(" + ")
+    s"""WITH canon AS (
+       |  SELECT * FROM (${Dedup.canonicalizeSql(Dedup.minhashPairsSql(jaccardThreshold))})),
+       |dups AS (SELECT doc_id FROM canon WHERE doc_id <> canonical_id),
+       |q AS (
+       |  SELECT doc_id,
+       |    0.4*(($stops)/nw) +
+       |    0.3*(1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text)) +
+       |    0.3*LEAST(((CAST(length(text) AS DOUBLE) - (nw - 1))/nw)/10.0, 1.0) AS quality
+       |  FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w,
+       |               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS nw
+       |        FROM documents))
+       |SELECT d.doc_id,
+       |  CASE WHEN dup.doc_id IS NOT NULL THEN 'dup'
+       |       WHEN q.quality < $qualityThreshold THEN 'low_quality'
+       |       ELSE 'kept' END AS decision
+       |FROM documents d
+       |LEFT JOIN dups dup ON dup.doc_id = d.doc_id
+       |JOIN q ON q.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+}
