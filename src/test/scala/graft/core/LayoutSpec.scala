@@ -26,6 +26,35 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("bucketed tables join without any shuffle") {
+    val sqlf = org.apache.spark.sql.functions
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      val ord = Tables(spark, "/root/testdata/sf0.001", "orders")
+      Layout.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+      Layout.writeBucketed(ord, "ord_bucketed", "o_orderkey", 8)
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          sqlf.col("l_orderkey") === sqlf.col("o_orderkey"))
+        .groupBy(sqlf.col("o_orderpriority"))
+        .agg(sqlf.count(sqlf.lit(1)).as("n"))
+      // the JOIN itself must be exchange-free: both sides pre-placed.
+      // (the groupBy after it may still exchange — count only the
+      // exchanges BELOW the join)
+      val plan = joined.queryExecution.executedPlan.toString()
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!joinPart.contains("Exchange"),
+        "join inputs were shuffled despite bucketing:\n" + joinPart.take(1500))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("date partitions exist and carry the in-file sort") {
     val dts = new java.io.File(path).list().count(_.startsWith("dt="))
     assert(dts >= 28, s"expected ~30 date partitions, found $dts")
