@@ -61,7 +61,18 @@ object PipelineQueries extends QueryProvider {
         .toDF().orderBy("doc_id")),
     "corpus_decisions" -> ((s, d) =>
       Corpus.decisions(docs(s, d), jaccardThreshold = 0.5,
-        qualityThreshold = 0.46).orderBy("doc_id")))
+        qualityThreshold = 0.46).orderBy("doc_id")),
+    // the custom physical operator (LogicalPlan+Strategy+SparkPlan):
+    // partition-local streaming densification, no spine, no join
+    "gapfill_native" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = graft.core.SeriesOps.series(s, d)
+        .where(col("mtype") === "purchase" && col("muser") < 5 &&
+          col("ts_ms") >= 1704412800000L && col("ts_ms") < 1704499200000L)
+      graft.plans.GapFillOps.gapFill(base, 1704412800000L, 1704499200000L, 1000L)
+        .select("metric", "ts_ms", "value", "confidence")
+        .orderBy("metric", "ts_ms")
+    }))
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -81,5 +92,19 @@ object PipelineQueries extends QueryProvider {
     "text_langid" -> TextOps.langidSql,
     "text_fingerprint" -> TextOps.fingerprintSql,
     "mm_decode" -> Multimodal.decodeMetaSql,
-    "corpus_decisions" -> Corpus.decisionsSql(0.5, 0.46))
+    "corpus_decisions" -> Corpus.decisionsSql(0.5, 0.46),
+    // ranged catalog: the operator densifies the series it SEES in range
+    "gapfill_native" ->
+      s"""WITH series AS (${graft.core.SeriesOps.seriesSql}),
+         |base AS (SELECT * FROM series
+         |         WHERE mtype = 'purchase' AND muser < 5
+         |           AND ts_ms >= 1704412800000 AND ts_ms < 1704499200000),
+         |cat AS (SELECT DISTINCT metric FROM base),
+         |spine AS (SELECT c.metric, CAST(r.range AS BIGINT) AS ts_ms
+         |          FROM cat c CROSS JOIN range(1704412800000, 1704499200000, 1000) r)
+         |SELECT s.metric, s.ts_ms, b.value,
+         |       CASE WHEN b.value IS NOT NULL THEN CAST(1 AS DOUBLE)
+         |            ELSE CAST(0 AS DOUBLE) END AS confidence
+         |FROM spine s LEFT JOIN base b USING (metric, ts_ms)
+         |ORDER BY metric, ts_ms""".stripMargin)
 }
