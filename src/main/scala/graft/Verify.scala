@@ -21,9 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators persist multi-use intermediates (shingle/bucket tables);
-      // release them between queries so 90+ queries don't accumulate cache
-      spark.catalog.clearCache()
+      // per-query persisted intermediates (shingle/bucket tables) are
+      // orphaned after the write and evicted by the block manager's LRU;
+      // the shared memoized series table (SeriesOps) must survive across
+      // queries, so no blanket clearCache here
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -44,8 +44,23 @@ object SeriesOps {
   /** (metric, mtype, muser, ts_ms, value) at 1 s resolution — present slots
     * only. One shuffle (the groupBy); filter on mtype/muser pushes into the
     * parquet scan of `events` before the shuffle.
+    *
+    * Memoized + persisted per (session, dir): in production the series
+    * table IS materialized storage (core/Layout); the testdata path derives
+    * it from raw events, and without this every one of the 90+ gate
+    * queries would redo the slot aggregation. The frame is small (one row
+    * per occupied second) and evicted with the session.
     */
   def series(spark: SparkSession, dir: String): DataFrame =
+    seriesCache.computeIfAbsent((spark, dir), { _ =>
+      buildSeries(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private val seriesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def buildSeries(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(
         col("event_type").as("mtype"),

@@ -283,8 +283,10 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // initialize with the first sweep folded in: min of self and direct
+    // neighbors (saves one full join+count round trip)
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
