@@ -60,6 +60,15 @@ object SeriesOps {
   private val seriesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** The non-materialized derivation: predicates push through the slot
+    * aggregation into the raw events parquet scan. Use when scanning a
+    * narrow slice of a large raw history once — the memoized [[series]]
+    * is better when many queries share the table (its cached scans prune
+    * via in-memory batch stats instead of parquet pushdown).
+    */
+  def seriesFresh(spark: SparkSession, dir: String): DataFrame =
+    buildSeries(spark, dir)
+
   private def buildSeries(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(

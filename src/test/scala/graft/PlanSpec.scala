@@ -38,13 +38,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("series-level predicates push through the slot aggregation to the scan") {
-    val df = core.SeriesOps.series(spark, dir)
+    // the non-materialized derivation: filter must reach the parquet scan
+    val df = core.SeriesOps.seriesFresh(spark, dir)
       .where(col("mtype") === "purchase")
     val plan = planOf(df)
     // the event_type filter must sit in the parquet scan, below the groupBy
     assert(plan.contains("PushedFilters") &&
       plan.contains("EqualTo(event_type,purchase)"),
       plan.take(3000))
+    // the memoized path filters the cached table instead (in-memory batch
+    // pruning) — no parquet re-scan at all
+    val cached = planOf(core.SeriesOps.series(spark, dir)
+      .where(col("mtype") === "purchase"))
+    assert(cached.contains("InMemoryTableScan"), cached.take(2000))
   }
 
   test("dimension joins broadcast; fact table is not shuffled for the join") {
