@@ -3,15 +3,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs every SparkEntry query
-  * on `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with the total and
-  * per-query seconds.
+  * on `SPARK_GRAFT_SF_DIR`, prints ONE compact JSON line with the total and
+  * headline per-query seconds.
   *
   * Measurement notes: a warmup query (not timed) absorbs session/codegen
   * startup; each query is forced through the `noop` sink so the FULL plan
   * executes (a bare `count()` lets Spark prune projections and would
   * under-measure narrow transforms).
+  *
+  * Output-size note: the driver captures a bounded tail of the run's
+  * output, so the contract line must stay small enough to land fully
+  * inside it (round 1's single line with all ~95 per-query timings
+  * overflowed the window and failed to parse). The full per-query map is
+  * printed FIRST on its own `{"detail":…}` line (no "metric" key, so any
+  * parser keyed on the contract shape skips it); the compact contract
+  * line — total over ALL queries + a fixed headline subset — prints LAST.
   */
 object Bench {
+
+  /** one representative per operator family (fixed, order-stable) */
+  val Headline: Seq[String] = Seq(
+    "tpch_q1", "tpch_q5", "aggr_avg", "aggr_percentile", "trans_derivate",
+    "comb_diff", "group_user_sum", "limit_top", "events_filter_regex",
+    "hist_p90", "gapfill_native", "shift_1d", "naming_pvar", "dql_multi",
+    "dql_sget_glob", "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram", "dedup_embed", "dedup_canonical", "corpus_decisions",
+    "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh", "text_fingerprint",
+    "text_langid", "text_quality", "text_tokens", "mm_decode",
+    "asof_series", "range_clicks")
+
+  private def r3(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,10 +62,15 @@ object Bench {
     // note: the memoized series table (SeriesOps) is shared across queries
     // by design — it models the materialized storage layer (core/Layout),
     // which production queries read instead of re-deriving
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    println(s"""{"detail":$detail,"sf":"$sfDir"}""")
+
+    val byName = results.toMap
+    val qs = Headline.filter(byName.contains)
+      .map(k => "\"" + k + "\":" + r3(byName(k))).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

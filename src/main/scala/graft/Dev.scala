@@ -14,6 +14,9 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // driver smoke: entry() on this fresh session (no custom confs) must
+    // return rows — covers the nanosAsLong self-configuration too
+    println(s"[dev] entry() rows=${SparkEntry.entry(spark).count()}")
     val path = java.nio.file.Files.createTempDirectory("graft-dev-layout").toString
     graft.core.Layout.writeSeriesPartitioned(
       graft.core.SeriesOps.series(spark, "/root/testdata/sf0.001"), path)

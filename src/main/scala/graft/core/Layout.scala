@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   *   and asserts pruning in the physical plan.
   */
 object Layout {
-  /** write a (metric, …, ts_ms, value) series frame date-partitioned */
+  /** write a (metric, …, ts_ms, value) series frame date-partitioned.
+    * dt is derived timezone-INDEPENDENTLY (floor-div to UTC day number →
+    * date_from_unix_date) so a layout written from a non-UTC session
+    * agrees with [[rangeScan]]'s UTC dt bounds — to_date(timestamp_millis)
+    * would use the session zone and drop rows near midnight.
+    */
   def writeSeriesPartitioned(series: DataFrame, path: String): Unit =
     series
-      .withColumn("dt", to_date(timestamp_millis(col("ts_ms"))))
+      .withColumn("dt", date_from_unix_date(
+        ((col("ts_ms") - pmod(col("ts_ms"), lit(86400000L))) / 86400000L)
+          .cast("int")))
       .repartition(col("dt"))
       .sortWithinPartitions("metric", "ts_ms")
       .write.partitionBy("dt").mode("overwrite").parquet(path)

@@ -81,12 +81,17 @@ object SeriesOps {
         concat_ws(".", col("mtype"), col("muser")).as("metric"),
         col("mtype"), col("muser"), col("ts_ms"), col("value"))
 
-  /** DuckDB mirror of [[series]] — keep in lockstep. */
+  /** DuckDB mirror of [[series]] — keep in lockstep. The decimal→double
+    * hop goes through VARCHAR ([[Exact.davgSql]] convention): DuckDB's
+    * direct decimal→double cast is not correctly rounded once the scaled
+    * sum exceeds 2^53, while string→double parsing matches Spark's
+    * BigDecimal.doubleValue bit-for-bit at any magnitude.
+    */
   val seriesSql: String =
-    """SELECT event_type || '.' || CAST(user_id AS VARCHAR) AS metric,
+    s"""SELECT event_type || '.' || CAST(user_id AS VARCHAR) AS metric,
       |       event_type AS mtype, user_id AS muser,
       |       CAST(epoch_ms(ts) - epoch_ms(ts) % 1000 AS BIGINT) AS ts_ms,
-      |       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)/COUNT(value) AS value
+      |       ${Exact.davgSql("value")} AS value
       |FROM events GROUP BY 1, 2, 3, 4""".stripMargin
 
   /** Dense, gap-filled series over [startMs, endMs) with a confidence

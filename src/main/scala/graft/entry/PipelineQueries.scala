@@ -48,6 +48,16 @@ object PipelineQueries extends QueryProvider {
       Similarity.ivfTopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
         nCells = 8, dim = Dim, k = 5).orderBy("query_id", "rank")
     }),
+    "sim_topk_multiprobe" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshMultiProbeTopK(e, e.where(col("vec_id") < 5), bits = 6,
+        dim = Dim, k = 5).orderBy("query_id", "rank")
+    }),
+    "sim_topk_ivf_trained" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTrainedTopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, dim = Dim, k = 5).orderBy("query_id", "rank")
+    }),
     "text_tokens" -> ((s, d) =>
       TextOps.tokens(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
@@ -87,6 +97,10 @@ object PipelineQueries extends QueryProvider {
     "sim_topk_lsh" -> Similarity.lshTopKSql(6, Dim, 5,
       "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     "sim_topk_ivf" -> Similarity.ivfTopKSql(8, Dim, 5, "10, 11, 12"),
+    "sim_topk_multiprobe" -> Similarity.lshMultiProbeTopKSql(6, Dim, 5,
+      "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
+    "sim_topk_ivf_trained" -> Similarity.ivfTrainedTopKSql(8, Dim, 5,
+      "10, 11, 12"),
     "text_tokens" -> TextOps.tokensSql,
     "text_quality" -> TextOps.qualitySql,
     "text_langid" -> TextOps.langidSql,

@@ -51,20 +51,27 @@ case class FixedPointDot(left: Expression, right: Expression, scale: Double)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
-      val lGet = if (isFloat(left)) s"(double)$l.getFloat(i)" else s"$l.getDouble(i)"
-      val rGet = if (isFloat(right)) s"(double)$r.getFloat(i)" else s"$r.getDouble(i)"
+      // every local must be ctx.freshName'd: a bare `i`/`v` colliding with
+      // an enclosing whole-stage-codegen scope fails Java compilation and
+      // silently drops the whole stage to interpreted evaluation
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val a = ctx.freshName("a")
+      val f = ctx.freshName("f")
+      val rr = ctx.freshName("rr")
+      val lGet = if (isFloat(left)) s"(double)$l.getFloat($i)" else s"$l.getDouble($i)"
+      val rGet = if (isFloat(right)) s"(double)$r.getFloat($i)" else s"$r.getDouble($i)"
       s"""
          |int $n = Math.min($l.numElements(), $r.numElements());
          |long $acc = 0L;
-         |for (int i = 0; i < $n; i++) {
-         |  double v = ($lGet) * ($rGet) * ${scale}d;
-         |  double a = Math.abs(v);
-         |  double f = Math.floor(a);
-         |  double rr = (a - f >= 0.5d) ? f + 1.0d : f;
-         |  $acc += (long)(v < 0 ? -rr : rr);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ($lGet) * ($rGet) * ${scale}d;
+         |  double $a = Math.abs($v);
+         |  double $f = Math.floor($a);
+         |  double $rr = ($a - $f >= 0.5d) ? $f + 1.0d : $f;
+         |  $acc += (long)($v < 0 ? -$rr : $rr);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -107,13 +107,24 @@ object Dedup {
 
   /** exact |A∩B| / |A∪B| over candidate pairs; integer counts → the final
     * double division is deterministic.
+    *
+    * Scale note: LSH candidates are a vanishing fraction of the corpus, so
+    * the shingle table is semi-join-pruned to candidate docs FIRST (the
+    * candidate id set broadcasts) — the intersection join then shuffles
+    * only candidate shingles, not the full corpus's. Pure pruning: the
+    * output is identical, so the DuckDB mirror keeps the direct joins.
     */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val cand = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shp = sh.join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pairs
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+      .join(shp.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shp.as("sb"), col("doc_b") === col("sb.doc_id") &&
         col("sa.shingle") === col("sb.shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter
@@ -279,15 +290,22 @@ object Dedup {
     * the same join primitive.
     */
   def canonicalize(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (eager) on both loop inputs: it truncates lineage so
+    // iteration k's plan is (cached edges ⋈ cached labels), CONSTANT size.
+    // Without it the `updated` plan embeds the previous labels plan twice
+    // plus the full upstream pair-generation DAG — geometric plan growth
+    // that turns Catalyst analysis itself into the bottleneck long before
+    // execution does. (At cluster scale with lineage-based recovery
+    // concerns, substitute reliable checkpoint(); same shape.)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // initialize with the first sweep folded in: min of self and direct
     // neighbors (saves one full join+count round trip)
     var labels = edges.groupBy(col("src").as("doc_id"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < 32) {
@@ -298,11 +316,10 @@ object Dedup {
         .join(neighborMin, col("doc_id") === col("src"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changes = updated.withColumnRenamed("label", "l2")
         .join(labels, "doc_id")
         .where(col("l2") =!= col("label")).count()
-      labels.unpersist()
       labels = updated
       converged = changes == 0
       iter += 1

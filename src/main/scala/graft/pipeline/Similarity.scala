@@ -131,6 +131,154 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Multi-probe LSH top-k: candidates come from the query's own bucket
+    * PLUS every 1-bit-flip neighbor bucket (bits+1 probes). Recall rises
+    * steeply (a near neighbor differing in one hyperplane sign is found)
+    * while cost stays ~(bits+1)/2^bits of brute force — the standard
+    * probe-sequence trade. Each corpus vector lives in exactly one bucket
+    * and probes are distinct, so no candidate dedup is needed.
+    */
+  def lshMultiProbeTopK(emb: DataFrame, queries: DataFrame, bits: Int,
+                        dim: Int, k: Int): DataFrame = {
+    def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      VectorOps.lshBucket(col("embedding"), bits, dim).as("bkt"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val bucketed = prep(emb)
+    val probes = prep(queries).withColumn("probe",
+      explode(array(col("bkt") +:
+        (0 until bits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*)))
+    val scored = bucketed.as("t").join(broadcast(probes.as("q")),
+        col("q.probe") === col("t.bkt") && col("q.vec_id") =!= col("t.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        (VectorOps.dot(col("q.embedding"), col("t.embedding")) /
+          (col("q.nrm") * col("t.nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  def lshMultiProbeTopKSql(bits: Int, dim: Int, k: Int,
+                           querySel: String): String = {
+    val probeList = ("q.bkt" +: (0 until bits).map(j =>
+      s"xor(q.bkt, ${1L << j})")).mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |           ${VectorOps.lshBucketSql("embedding", bits, dim)} AS bkt
+       |           FROM embeddings),
+       |q AS (SELECT * FROM b WHERE vec_id IN ($querySel)),
+       |probes AS (SELECT q.vec_id, q.embedding, p.probe
+       |           FROM q, unnest($probeList) AS p(probe)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} AS cos
+       |  FROM b t JOIN probes q ON q.probe = t.bkt AND q.vec_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF with a TRAINED coarse quantizer: deterministic seeding (first
+    * nCells vectors), then one Lloyd update — assign all vectors to their
+    * argmax-cosine centroid, recompute each centroid as the exact
+    * per-dimension mean of its members — then the final assignment builds
+    * the inverted file and search is restricted to the query's cell.
+    *
+    * Exactness: member sums per dimension go through the fixed-point
+    * convention (round(v·1e7) summed as BIGINT — associative, partition-
+    * order-independent), and the mean is two deterministic double
+    * divisions, so centroids — and therefore assignments and final ranks —
+    * are bit-identical to the DuckDB oracle. Empty cells drop out of the
+    * centroid set identically on both engines.
+    *
+    * Scale shape: assignment is a broadcast cross-join (nCells ≪ corpus) +
+    * one window argmin; the centroid update is a (cell, dim) groupBy — all
+    * shuffle-partitionable; iterations multiply cost linearly, not the
+    * plan depth (each round materializes only nCells × dim rows).
+    */
+  def ivfTrainedTopK(emb: DataFrame, queries: DataFrame, nCells: Int,
+                     dim: Int, k: Int): DataFrame = {
+    val prepped = emb.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = prepped.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          VectorOps.dot(col("embedding"), col("cvec")) /
+            (col("nrm") * col("cnrm")))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cid").as("cell"))
+    }
+    val c0 = emb.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        VectorOps.norm(col("embedding")).as("cnrm"))
+    val a1 = assign(c0)
+    val sums = a1
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("cell", "i")
+      .agg(sum(round(col("v").cast("double") * 1e7).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+    val c1 = sums.groupBy(col("cell").as("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, s, n))), " +
+        "x -> CAST(x.s AS DOUBLE)/1e7/x.n)").as("cvec"))
+      .withColumn("cnrm", VectorOps.norm(col("cvec")))
+    val cells = assign(c1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qcells = cells.join(
+      broadcast(queries.select(col("vec_id").as("qid"))),
+      col("vec_id") === col("qid"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"), col("cell").as("qcell"))
+    val scored = cells.as("t").join(broadcast(qcells),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        (VectorOps.dot(col("qvec"), col("t.embedding")) /
+          (col("qnrm") * col("t.nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  def ivfTrainedTopKSql(nCells: Int, dim: Int, k: Int,
+                        queryIds: String): String = {
+    def assignSql(centsRel: String, out: String): String = {
+      val cos = VectorOps.cosineSql("e.embedding", "c.cvec", dim)
+      s"""$out AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cos DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN $centsRel c)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |            WHERE vec_id < $nCells),
+       |${assignSql("c0", "a1")},
+       |sums AS (SELECT cell, d.i,
+       |           SUM(CAST(ROUND(CAST(embedding[d.i] AS DOUBLE)*1e7, 0) AS BIGINT)) AS s,
+       |           COUNT(*) AS n
+       |         FROM a1 CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) d
+       |         GROUP BY cell, d.i),
+       |c1 AS (SELECT cell AS cid,
+       |              list(CAST(s AS DOUBLE)/1e7/n ORDER BY i) AS cvec
+       |       FROM sums GROUP BY cell),
+       |${assignSql("c1", "a2")},
+       |q AS (SELECT * FROM a2 WHERE vec_id IN ($queryIds)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} AS cos
+       |  FROM a2 t JOIN q ON q.cell = t.cell AND q.vec_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def lshTopKSql(bits: Int, dim: Int, k: Int, querySel: String): String =
     s"""WITH b AS (SELECT vec_id, embedding,
        |           ${VectorOps.lshBucketSql("embedding", bits, dim)} AS bkt

@@ -112,11 +112,14 @@ object TextOps {
 
   /** Rolling-hash document fingerprint: minimum md5 over all character
     * 8-grams (1-min-sketch of the winnowing family). Array-expression form
-    * — no explode, no shuffle.
+    * — no explode, no shuffle. Texts shorter than 8 chars yield NULL (a
+    * bare sequence(1, length-7) would DESCEND when start > stop and hash
+    * bogus positions, diverging from the oracle's empty-range NULL).
     */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      expr("array_min(transform(sequence(1, length(text)-7), i -> md5(substr(text, i, 8))))")
+      expr("CASE WHEN length(text) >= 8 THEN " +
+        "array_min(transform(sequence(1, length(text)-7), i -> md5(substr(text, i, 8)))) END")
         .as("fp"))
 
   val fingerprintSql: String =

@@ -44,6 +44,8 @@ object SeriesStream {
       case "min"   => min(col("value"))
       case "max"   => max(col("value"))
       case "count" => count(lit(1)).cast("double")
+      case other   => throw new IllegalArgumentException(
+        s"windowAgg: unsupported aggregate '$other' (sum|avg|min|max|count)")
     }
     events
       .withWatermark("ts", watermark)
@@ -88,31 +90,45 @@ object SeriesStream {
 
   /** Per-series gap detection with explicit state: keeps the last seen
     * slot per series; when a new point arrives more than one resolution
-    * step later, emits the gap. State is one long per series; the timeout
-    * evicts idle series (their trailing gap is unknowable until data or
-    * teardown — emitted on timeout as an open-ended gap up to the
-    * processing watermark).
+    * step later, emits the gap. State is one long per series, and a
+    * processing-time timeout evicts idle series so state is bounded by
+    * LIVE cardinality, not lifetime cardinality. Slots at or before the
+    * stored frontier (out-of-order batches) are dropped: they must neither
+    * regress the frontier nor fabricate negative deltas that would
+    * suppress real gaps or re-emit old ones.
     */
   def detectGaps(spark: SparkSession, events: Dataset[Ev],
-                 resolutionMs: Long): Dataset[Gap] = {
+                 resolutionMs: Long,
+                 idleTimeout: String = "30 minutes"): Dataset[Gap] = {
     import spark.implicits._
     events
       .groupByKey(e => s"${e.event_type}.${e.user_id}")
       .flatMapGroupsWithState[Long, Gap](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (metric: String, rows: Iterator[Ev], state: GroupState[Long]) =>
-          val slots = rows.map(e =>
-            e.ts.getTime - e.ts.getTime % resolutionMs).toSeq.sorted.distinct
-          if (slots.isEmpty) Iterator.empty
-          else {
-            val start = if (state.exists) state.get else slots.head
-            val all = if (state.exists) start +: slots else slots
-            val gaps = all.sliding(2).collect {
-              case Seq(a, b) if b - a > resolutionMs =>
-                Gap(metric, a + resolutionMs, b, (b - a) / resolutionMs - 1)
-            }.toVector
-            state.update(slots.last)
-            gaps.iterator
+          if (state.hasTimedOut) {
+            // idle series: drop its state — the trailing gap is unknowable
+            // without data; a later point simply restarts tracking
+            state.remove()
+            Iterator.empty
+          } else {
+            val last = if (state.exists) Some(state.get) else None
+            val fresh = rows.map(e =>
+              e.ts.getTime - e.ts.getTime % resolutionMs).toSeq.sorted.distinct
+            val slots = last.fold(fresh)(l => fresh.dropWhile(_ <= l))
+            if (slots.isEmpty) {
+              if (state.exists) state.setTimeoutDuration(idleTimeout)
+              Iterator.empty
+            } else {
+              val all = last.fold(slots)(_ +: slots)
+              val gaps = all.sliding(2).collect {
+                case Seq(a, b) if b - a > resolutionMs =>
+                  Gap(metric, a + resolutionMs, b, (b - a) / resolutionMs - 1)
+              }.toVector
+              state.update(slots.last)
+              state.setTimeoutDuration(idleTimeout)
+              gaps.iterator
+            }
           }
       }
   }

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dql.{Ast, Parser, Resolver}
+import graft.dql.Resolver._
+import graft.ops.{Aggrs, Trans}
+
+/** DQL on Structured Streaming: the SAME query text the batch engine runs
+  * (graft.dql.Compiler) compiled against an unbounded event stream —
+  * tumbling DQL aggregations become watermarked streaming window
+  * aggregations, transforms become projections on the aggregated stream.
+  *
+  * This is a capability the reference fundamentally lacks (SURVEY §2.10:
+  * queries are one-shot pulls; no late-data story): here the identical
+  * `avg('purchase'.* BUCKET 'testdata', 1m)` text runs continuously with
+  * bounded state (watermark evicts closed windows) and graceful handling
+  * of late arrivals.
+  *
+  * Scope (the streamable subset, enforced with clear errors):
+  *   - leaf scans (exact and glob paths, lookup prefixes) over the stream
+  *   - every §2.2 windowed aggregation (they are all expression aggregates)
+  *   - pointwise transforms/arithmetic ABOVE an aggregation
+  *   - NOT streamable: derivate (needs an ordered per-series scan — use
+  *     [[SeriesStream.detectGaps]]-style stateful ops), combinators over
+  *     differently-windowed children, SHIFT, TOP/BOTTOM (global sorts).
+  *
+  * The query's timeframe is ignored — a stream is "from now on"; the
+  * window width comes from the aggregation argument as in batch.
+  */
+object StreamingDql {
+
+  final case class Unstreamable(msg: String) extends RuntimeException(msg)
+
+  /** @param stream streaming frame with (ts: timestamp, event_type,
+    *               user_id, value) — the raw event shape; the series key
+    *               is `event_type.user_id` as in the batch series model
+    * @param dql    DQL text (same grammar as the batch compiler)
+    * @param watermark late-data bound, e.g. "10 seconds"
+    * @return streaming frame (metric, ws, value) — ws = window start ms
+    */
+  def compile(stream: DataFrame, dql: String, watermark: String): DataFrame = {
+    val q = Parser.parse(dql)
+    if (q.selectors.length != 1)
+      throw Unstreamable("streaming DQL supports exactly one selector")
+    if (q.limit.nonEmpty)
+      throw Unstreamable("TOP/BOTTOM is a global sort — not streamable")
+    if (q.selectors.head.shift.nonEmpty)
+      throw Unstreamable("SHIFT BY is not streamable")
+    val plan = Resolver.resolve(q.selectors.head.expr, q.aliases, _ => 1000L)
+    val base = stream
+      .withWatermark("ts", watermark)
+      .withColumn("metric",
+        concat_ws(".", col("event_type"), col("user_id")))
+    aggregated(plan, base)
+  }
+
+  /** compile the plan; the result is always post-aggregation (streaming
+    * needs the stateful agg to bound the unbounded input)
+    */
+  private def aggregated(p: RExpr, base: DataFrame): DataFrame = p match {
+    case RAggr(name, c, w, child) =>
+      val leafed = leaf(child, base)
+      val (baseName, channel) =
+        if (name.endsWith("_conf"))
+          throw Unstreamable(
+            "_conf aggregates need the densified confidence channel — batch only")
+        else (name, col("value"))
+      val agg = Aggrs.spark(baseName, c)(channel, unix_millis(col("ts")))
+      leafed
+        .groupBy(window(col("ts"), s"$w milliseconds").as("w"), col("metric"))
+        .agg(agg.as("value"))
+        .select(col("metric"), unix_millis(col("w.start")).as("ws"),
+          col("value"))
+    case RTrans("derivate", _, _) =>
+      throw Unstreamable(
+        "derivate needs an ordered per-series scan — use stateful ops")
+    case RTrans("confidence", _, _) =>
+      throw Unstreamable("confidence channel is batch-only")
+    case RTrans(name, c, child) =>
+      aggregated(child, base)
+        .withColumn("value", Trans.spark(name, c)(col("value")))
+    case other =>
+      throw Unstreamable(
+        s"not a streamable plan shape (aggregation required): $other")
+  }
+
+  /** leaf: filter the stream down to the selected series */
+  private def leaf(p: RExpr, base: DataFrame): DataFrame = p match {
+    case RScan(_, path, _)                 => base.where(pathCond(path, exact = true))
+    case RLookup(_, path, where, gb, _, _) =>
+      if (gb.nonEmpty)
+        throw Unstreamable("GROUP BY tag: group keys change the output key" +
+          " — use the batch compiler or group post-sink")
+      if (where.nonEmpty)
+        throw Unstreamable("tag WHERE needs the tag index — batch only")
+      base.where(path.map(pathCond(_, exact = false)).getOrElse(lit(true)))
+    case RTrans(name, c, child) =>
+      // pre-aggregation pointwise transform: fine, row-local
+      if (name == "derivate" || name == "confidence")
+        throw Unstreamable(s"$name is not a row-local transform")
+      else leaf(child, base).withColumn("value", Trans.spark(name, c)(col("value")))
+    case other =>
+      throw Unstreamable(s"not a streamable leaf: $other")
+  }
+
+  private def pathCond(path: Seq[String], exact: Boolean): Column = {
+    val parts = split(col("metric"), "\\.")
+    val sizeOk =
+      if (exact) size(parts) === path.length else size(parts) >= path.length
+    path.zipWithIndex.collect {
+      case (p, i) if p != "*" => element_at(parts, i + 1) === p
+    }.foldLeft(sizeOk)(_ && _)
+  }
+}
