@@ -39,7 +39,12 @@ object TextOps {
     * and a composite score in [0,1]. Ratios are integer-count divisions —
     * deterministic across engines.
     */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame): DataFrame =
+    withQuality(docs).select("doc_id", "punct_ratio", "stop_ratio",
+      "avg_word_len", "quality")
+
+  /** column-preserving form (streams compose with it without a join) */
+  def withQuality(docs: DataFrame): DataFrame = {
     val w = split(trim(col("text")), " ")
     val nW = size(w).cast("double")
     val punct = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
@@ -49,8 +54,10 @@ object TextOps {
     val wlen = (length(col("text")).cast("double") - (nW - 1)) / nW
     val score = lit(0.4) * stops + lit(0.3) * (lit(1.0) - punct) +
       lit(0.3) * least(wlen / 10.0, lit(1.0))
-    docs.select(col("doc_id"), punct.as("punct_ratio"),
-      stops.as("stop_ratio"), wlen.as("avg_word_len"), score.as("quality"))
+    docs.withColumn("punct_ratio", punct)
+      .withColumn("stop_ratio", stops)
+      .withColumn("avg_word_len", wlen)
+      .withColumn("quality", score)
   }
 
   val qualitySql: String = {

@@ -90,21 +90,30 @@ object SeriesStream {
 
   /** Per-series gap detection with explicit state: keeps the last seen
     * slot per series; when a new point arrives more than one resolution
-    * step later, emits the gap. State is one long per series, and a
-    * processing-time timeout evicts idle series so state is bounded by
-    * LIVE cardinality, not lifetime cardinality. Slots at or before the
-    * stored frontier (out-of-order batches) are dropped: they must neither
-    * regress the frontier nor fabricate negative deltas that would
-    * suppress real gaps or re-emit old ones.
+    * step later, emits the gap. Slots at or before the stored frontier
+    * (out-of-order batches) are dropped: they must neither regress the
+    * frontier nor fabricate negative deltas that would suppress real gaps
+    * or re-emit old ones.
+    *
+    * State is one long per series. `idleTimeout = Some(d)` arms a
+    * processing-time timeout that EVICTS idle series, bounding state by
+    * live cardinality instead of lifetime cardinality — pass it on
+    * production firehoses with series churn. It is opt-in because
+    * processing-time timeouts keep the micro-batch engine re-triggering,
+    * which deadlocks `processAllAvailable`-style drain-and-stop harnesses
+    * (and is pointless for bounded replays).
     */
   def detectGaps(spark: SparkSession, events: Dataset[Ev],
                  resolutionMs: Long,
-                 idleTimeout: String = "30 minutes"): Dataset[Gap] = {
+                 idleTimeout: Option[String] = None): Dataset[Gap] = {
     import spark.implicits._
+    val timeoutConf = idleTimeout.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
+    def arm(state: GroupState[Long]): Unit =
+      idleTimeout.foreach(state.setTimeoutDuration)
     events
       .groupByKey(e => s"${e.event_type}.${e.user_id}")
-      .flatMapGroupsWithState[Long, Gap](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+      .flatMapGroupsWithState[Long, Gap](OutputMode.Append(), timeoutConf) {
         (metric: String, rows: Iterator[Ev], state: GroupState[Long]) =>
           if (state.hasTimedOut) {
             // idle series: drop its state — the trailing gap is unknowable
@@ -117,7 +126,7 @@ object SeriesStream {
               e.ts.getTime - e.ts.getTime % resolutionMs).toSeq.sorted.distinct
             val slots = last.fold(fresh)(l => fresh.dropWhile(_ <= l))
             if (slots.isEmpty) {
-              if (state.exists) state.setTimeoutDuration(idleTimeout)
+              if (state.exists) arm(state)
               Iterator.empty
             } else {
               val all = last.fold(slots)(_ +: slots)
@@ -126,7 +135,7 @@ object SeriesStream {
                   Gap(metric, a + resolutionMs, b, (b - a) / resolutionMs - 1)
               }.toVector
               state.update(slots.last)
-              state.setTimeoutDuration(idleTimeout)
+              arm(state)
               gaps.iterator
             }
           }

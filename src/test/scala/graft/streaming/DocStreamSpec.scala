@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+/** Streaming document pipeline: bounded-state exact dedup and the batch
+  * quality operator running unchanged on the stream.
+  */
+class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  final case class Doc(ts: Timestamp, doc_id: Long, text: String)
+  private def doc(sec: Long, id: Long, text: String) =
+    Doc(new Timestamp(sec * 1000), id, text)
+
+  test("streaming exact dedup keeps first occurrence, within watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[Doc]
+    val out = DocStream.dedupExact(in.toDF(), "1 minute")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    // duplicates arrive in LATER batches: the first occurrence is already
+    // committed state, so the drop is deterministic (within one batch the
+    // kept row among equal hashes is arbitrary — engine contract)
+    in.addData(doc(1000, 1, "the quick brown fox"), doc(1001, 2, "a lazy dog"))
+    q.processAllAvailable()
+    in.addData(doc(1002, 3, "the quick brown fox"), doc(1003, 4, "a lazy dog"))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM sdedup ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L))
+  }
+
+  test("curate: dedup + the batch quality expressions, no extra shuffle") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[Doc]
+    val out = DocStream.curate(in.toDF(), "1 minute")
+    val q = out.writeStream.format("memory").queryName("scurate")
+      .outputMode("append").start()
+    in.addData(doc(1000, 1, "the cat sat on the mat"))
+    q.processAllAvailable()
+    in.addData(doc(1001, 2, "the cat sat on the mat"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT doc_id, quality FROM scurate ORDER BY doc_id").collect()
+    q.stop()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L)
+    // same numbers as the batch operator on the same text
+    val batch = graft.pipeline.TextOps.quality(
+      Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text"))
+      .collect().head.getAs[Double]("quality")
+    assert(rows.head.getDouble(1) == batch)
+  }
+}

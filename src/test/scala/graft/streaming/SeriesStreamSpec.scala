@@ -100,6 +100,9 @@ class SeriesStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     in.addData(ev(6), ev(10))         // state carries 6 → gap [7s, 10s)
     q.processAllAvailable()
+    in.addData(ev(3), ev(10))         // late/duplicate slots ≤ frontier:
+    q.processAllAvailable()           // dropped — no regressed state, no
+                                      // re-emitted or negative-delta gaps
     val rows = spark.sql(
       "SELECT metric, gapStartMs, gapEndMs, missedSlots FROM gaps " +
         "ORDER BY gapStartMs").collect()
