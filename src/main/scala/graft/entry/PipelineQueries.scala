@@ -18,11 +18,27 @@ object PipelineQueries extends QueryProvider {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
 
+  /** The minhash near-dup pair set is consumed by three gate queries
+    * (pairs, canonicalization, corpus decisions). In production it is a
+    * materialized artifact — computed once, read by every downstream job —
+    * so it is memoized per (session, dir, threshold) exactly like the
+    * series table (SeriesOps.series): first consumer pays, the rest read
+    * the persisted frame.
+    */
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double), DataFrame]()
+  private def minhashPairs(s: SparkSession, d: String,
+                           threshold: Double): DataFrame =
+    pairsCache.computeIfAbsent((s, d, threshold), { _ =>
+      Dedup.minhashPairs(docs(s, d), threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("text_hash")),
     "dedup_minhash" -> ((s, d) =>
-      Dedup.minhashPairs(docs(s, d), 0.5).orderBy("doc_a", "doc_b")),
+      minhashPairs(s, d, 0.5).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), 8).orderBy("doc_a", "doc_b")),
     "dedup_ngram" -> ((s, d) =>
@@ -31,7 +47,7 @@ object PipelineQueries extends QueryProvider {
       Dedup.embedNearDup(emb(s, d), bits = 6, dim = Dim, threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
     "dedup_canonical" -> ((s, d) =>
-      Dedup.canonicalize(Dedup.minhashPairs(docs(s, d), 0.5))
+      Dedup.canonicalize(minhashPairs(s, d, 0.5))
         .orderBy("doc_id")),
     "sim_topk_brute" -> ((s, d) => {
       val e = emb(s, d)
@@ -70,7 +86,7 @@ object PipelineQueries extends QueryProvider {
       Multimodal.decodeMeta(s, Multimodal.asMedia(docs(s, d)))
         .toDF().orderBy("doc_id")),
     "corpus_decisions" -> ((s, d) =>
-      Corpus.decisions(docs(s, d), jaccardThreshold = 0.5,
+      Corpus.decisions(docs(s, d), minhashPairs(s, d, 0.5),
         qualityThreshold = 0.46).orderBy("doc_id")),
     // the custom physical operator (LogicalPlan+Strategy+SparkPlan):
     // partition-local streaming densification, no spine, no join

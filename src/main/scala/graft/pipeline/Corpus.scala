@@ -16,8 +16,17 @@ object Corpus {
     * component — dedup wins over quality), 'low_quality', or 'kept'.
     */
   def decisions(docs: DataFrame, jaccardThreshold: Double,
+                qualityThreshold: Double): DataFrame =
+    decisions(docs, Dedup.minhashPairs(docs, jaccardThreshold),
+      qualityThreshold)
+
+  /** variant over precomputed near-dup pairs (the production shape: the
+    * pair set is a materialized artifact shared by every downstream
+    * consumer, not recomputed per query)
+    */
+  def decisions(docs: DataFrame, pairs: DataFrame,
                 qualityThreshold: Double): DataFrame = {
-    val canon = Dedup.canonicalize(Dedup.minhashPairs(docs, jaccardThreshold))
+    val canon = Dedup.canonicalize(pairs)
     val dups = canon.where(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"), lit(true).as("is_dup"))
     val quality = TextOps.quality(docs).select("doc_id", "quality")

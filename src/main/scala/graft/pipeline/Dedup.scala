@@ -309,13 +309,23 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < 32) {
+      // edge relaxation: one-hop neighbor minimum
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src")).agg(min("label").as("nlabel"))
-      val updated = labels
+      val relaxed = labels
         .join(neighborMin, col("doc_id") === col("src"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jumping: follow the label's own label (path halving) —
+      // together with the relax step this converges in O(log diameter)
+      // rounds instead of O(diameter), i.e. O(log) shuffle rounds on a
+      // 100 TB pair set; the fixpoint (component minimum) is unchanged
+      val updated = relaxed
+        .join(relaxed.select(col("doc_id").as("pid"), col("label").as("plabel")),
+          col("label") === col("pid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint(true)
       val changes = updated.withColumnRenamed("label", "l2")
         .join(labels, "doc_id")
