@@ -88,6 +88,23 @@ object PipelineQueries extends QueryProvider {
     "corpus_decisions" -> ((s, d) =>
       Corpus.decisions(docs(s, d), minhashPairs(s, d, 0.5),
         qualityThreshold = 0.46).orderBy("doc_id")),
+    // gap-fill over the DSv2 "graft-spine" connector: the generated-spine
+    // leaf (zero IO, partition-planned) left-joined with the ranged series
+    "gapfill_spine" -> ((s, d) => {
+      val start = 1704412800000L; val end = 1704499200000L
+      val ser = graft.core.SeriesOps.series(s, d)
+        .where(col("mtype") === "purchase" && col("muser") < 5 &&
+          col("ts_ms") >= start && col("ts_ms") < end)
+      val spine = s.read.format("graft-spine")
+        .option("startMs", start).option("endMs", end)
+        .option("stepMs", 1000L).load().select("ts_ms")
+        .crossJoin(broadcast(ser.select("metric").distinct()))
+      spine.join(ser.select("metric", "ts_ms", "value"),
+          Seq("metric", "ts_ms"), "left")
+        .select(col("metric"), col("ts_ms"), col("value"),
+          when(col("value").isNotNull, 1.0).otherwise(0.0).as("confidence"))
+        .orderBy("metric", "ts_ms")
+    }),
     // the custom physical operator (LogicalPlan+Strategy+SparkPlan):
     // partition-local streaming densification, no spine, no join
     "gapfill_native" -> ((s, d) => {
@@ -123,6 +140,20 @@ object PipelineQueries extends QueryProvider {
     "text_fingerprint" -> TextOps.fingerprintSql,
     "mm_decode" -> Multimodal.decodeMetaSql,
     "corpus_decisions" -> Corpus.decisionsSql(0.5, 0.46),
+    // same densification semantics through the DSv2 spine leaf
+    "gapfill_spine" ->
+      s"""WITH series AS (${graft.core.SeriesOps.seriesSql}),
+         |base AS (SELECT * FROM series
+         |         WHERE mtype = 'purchase' AND muser < 5
+         |           AND ts_ms >= 1704412800000 AND ts_ms < 1704499200000),
+         |cat AS (SELECT DISTINCT metric FROM base),
+         |spine AS (SELECT c.metric, CAST(r.range AS BIGINT) AS ts_ms
+         |          FROM cat c CROSS JOIN range(1704412800000, 1704499200000, 1000) r)
+         |SELECT s.metric, s.ts_ms, b.value,
+         |       CASE WHEN b.value IS NOT NULL THEN CAST(1 AS DOUBLE)
+         |            ELSE CAST(0 AS DOUBLE) END AS confidence
+         |FROM spine s LEFT JOIN base b USING (metric, ts_ms)
+         |ORDER BY metric, ts_ms""".stripMargin,
     // ranged catalog: the operator densifies the series it SEES in range
     "gapfill_native" ->
       s"""WITH series AS (${graft.core.SeriesOps.seriesSql}),
