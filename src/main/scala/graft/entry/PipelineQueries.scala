@@ -85,6 +85,9 @@ object PipelineQueries extends QueryProvider {
     "mm_decode" -> ((s, d) =>
       Multimodal.decodeMeta(s, Multimodal.asMedia(docs(s, d)))
         .toDF().orderBy("doc_id")),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.frameSample(s, Multimodal.asMedia(docs(s, d)))
+        .toDF().orderBy("doc_id", "frame_idx")),
     "corpus_decisions" -> ((s, d) =>
       Corpus.decisions(docs(s, d), minhashPairs(s, d, 0.5),
         qualityThreshold = 0.46).orderBy("doc_id")),
@@ -139,6 +142,7 @@ object PipelineQueries extends QueryProvider {
     "text_langid" -> TextOps.langidSql,
     "text_fingerprint" -> TextOps.fingerprintSql,
     "mm_decode" -> Multimodal.decodeMetaSql,
+    "mm_frames" -> Multimodal.frameSampleSql,
     "corpus_decisions" -> Corpus.decisionsSql(0.5, 0.46),
     // same densification semantics through the DSv2 spine leaf
     "gapfill_spine" ->

@@ -61,6 +61,40 @@ object Multimodal {
     }
   }
 
+  /** sampled "frame": chunk index + content digest */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** The frame-sample stage (video shape: one row in, k frames out).
+    * STUB samples one "frame" per 256-byte payload chunk, capped at
+    * [[MaxFrames]], digesting each chunk — a real implementation would
+    * seek keyframes and emit decoded frame tensors; the 1→N flatMap
+    * partition shape, the cap (bounded row-explosion at 100 TB), and the
+    * downstream schema are the real thing.
+    */
+  val MaxFrames = 5
+  def frameSample(spark: SparkSession, media: DataFrame): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val n = math.min((r.payload.length + 255) / 256, MaxFrames)
+      (0 until n).map { i =>
+        val chunk = r.payload.slice(i * 256, math.min((i + 1) * 256,
+          r.payload.length))
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(chunk).map("%02x".format(_)).mkString
+        FrameRow(r.doc_id, i, digest)
+      }
+    }
+  }
+
+  /** DuckDB mirror (ASCII text: substr chunks = payload byte chunks) */
+  val frameSampleSql: String =
+    s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |       md5(substr(text, i*256 + 1, 256)) AS frame_md5
+       |FROM documents,
+       |     unnest(range(0, LEAST(CAST(ceil(length(text)/256.0) AS BIGINT),
+       |                           $MaxFrames))) AS t(i)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** DuckDB mirror of the stub decode (documents are ASCII so byte length
     * equals char length).
     */

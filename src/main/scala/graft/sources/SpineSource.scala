@@ -44,11 +44,16 @@ object SpineSource {
     StructField("slot", LongType, nullable = false)))
 }
 
+/** `baseMs` anchors slot numbering at the ORIGINAL start so filter
+  * pushdown (which advances startMs) never renumbers the slot column.
+  */
 private[sources] final case class SpineSpec(startMs: Long, endMs: Long,
-                                            stepMs: Long, numPartitions: Int) {
+                                            stepMs: Long, numPartitions: Int,
+                                            baseMs: Long) {
   require(stepMs > 0, "stepMs must be positive")
   require(numPartitions > 0, "numPartitions must be positive")
   val nSlots: Long = math.max(0L, (endMs - startMs + stepMs - 1) / stepMs)
+  val slotOffset: Long = (startMs - baseMs) / stepMs
 }
 
 private[sources] object SpineSpec {
@@ -58,11 +63,13 @@ private[sources] object SpineSpec {
       require(v != null, s"graft-spine: missing required option '$k'")
       v.toLong
     }
-    SpineSpec(req("startMs"), req("endMs"),
+    val start = req("startMs")
+    SpineSpec(start, req("endMs"),
       Option(o.get("stepMs")).map(_.toLong).getOrElse(1000L),
       Option(o.get("numPartitions")).map(_.toInt).getOrElse(
         org.apache.spark.sql.SparkSession.active
-          .sparkContext.defaultParallelism))
+          .sparkContext.defaultParallelism),
+      baseMs = start)
   }
 }
 
@@ -77,11 +84,43 @@ private[sources] class SpineTable(spec: SpineSpec) extends Table
     new SpineScanBuilder(spec)
 }
 
-private[sources] class SpineScanBuilder(spec: SpineSpec) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+private[sources] class SpineScanBuilder(spec0: SpineSpec) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var schema: StructType = SpineSource.Schema
+  private var spec: SpineSpec = spec0
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     schema = requiredSchema
+
+  /** ts_ms range predicates narrow the GENERATED range — the connector
+    * never produces the filtered-out slots at all (the DSv2 analog of
+    * partition pruning; a `LAST 1 h` query over a year-wide spine costs
+    * 1 h of generation). Other predicates stay with Spark.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def clampLo(ms: Long): Unit = if (ms > spec.startMs) {
+      // snap UP to the next on-grid slot >= ms
+      val k = (ms - spec.startMs + spec.stepMs - 1) / spec.stepMs
+      spec = spec.copy(startMs = spec.startMs + k * spec.stepMs)
+    }
+    def clampHi(endExclusive: Long): Unit = if (endExclusive < spec.endMs)
+      spec = spec.copy(endMs = endExclusive)
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("ts_ms", v: Long)        => clampLo(v + 1); true
+      case GreaterThanOrEqual("ts_ms", v: Long) => clampLo(v); true
+      case LessThan("ts_ms", v: Long)           => clampHi(v); true
+      case LessThanOrEqual("ts_ms", v: Long)    => clampHi(v + 1); true
+      case IsNotNull("ts_ms") | IsNotNull("slot") => true // never null
+      case _                                    => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new SpineScan(spec, schema)
 }
 
@@ -103,13 +142,14 @@ private[sources] class SpineScan(spec: SpineSpec, schema: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SpineReaderFactory(spec.startMs, spec.stepMs, schema)
+    new SpineReaderFactory(spec.startMs, spec.stepMs, spec.slotOffset, schema)
 }
 
 private[sources] final case class SpinePartition(loSlot: Long, hiSlot: Long)
     extends InputPartition
 
 private[sources] class SpineReaderFactory(startMs: Long, stepMs: Long,
+                                          slotOffset: Long,
                                           schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -118,7 +158,7 @@ private[sources] class SpineReaderFactory(startMs: Long, stepMs: Long,
       private var slot = sp.loSlot - 1
       private val cols: Array[Long => Long] = schema.fieldNames.map {
         case "ts_ms" => (s: Long) => startMs + s * stepMs
-        case "slot"  => (s: Long) => s
+        case "slot"  => (s: Long) => slotOffset + s
         case other   => throw new IllegalArgumentException(
           s"graft-spine: unknown column $other")
       }

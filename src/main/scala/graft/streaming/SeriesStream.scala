@@ -88,6 +88,41 @@ object SeriesStream {
         unix_millis(col("w.end")).as("session_end"), col("n_points"),
         col("value"))
 
+  /** derivate output point */
+  final case class Deriv(metric: String, ts_ms: Long, value: Double)
+
+  /** Streaming derivate: per-series difference between consecutive points
+    * — the stateful dual of the batch `derivate` transform (reference
+    * `src/dqe_derivate.erl`). State per series is the last (ts, value);
+    * out-of-order points at or before the frontier are dropped (same
+    * policy as [[detectGaps]]). The batch path backfills the first delta
+    * (v'(0)=v'(1), a lookahead); a stream cannot look ahead, so emission
+    * starts at the SECOND point of each series — the one semantic
+    * divergence, documented here.
+    */
+  def derivate(spark: SparkSession, events: Dataset[Ev]): Dataset[Deriv] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => s"${e.event_type}.${e.user_id}")
+      .flatMapGroupsWithState[(Long, Double), Deriv](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Ev],
+         state: GroupState[(Long, Double)]) =>
+          val last = if (state.exists) Some(state.get) else None
+          val pts = rows.map(e => (e.ts.getTime, e.value)).toSeq
+            .sortBy(_._1)
+          val fresh = last.fold(pts)(l => pts.dropWhile(_._1 <= l._1))
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val all = last.fold(fresh)(_ +: fresh)
+            state.update(all.last)
+            all.sliding(2).collect {
+              case Seq((_, v0), (t1, v1)) => Deriv(metric, t1, v1 - v0)
+            }
+          }
+      }
+  }
+
   /** Per-series gap detection with explicit state: keeps the last seen
     * slot per series; when a new point arrives more than one resolution
     * step later, emits the gap. Slots at or before the stored frontier

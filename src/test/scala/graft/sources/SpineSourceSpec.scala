@@ -50,6 +50,21 @@ class SpineSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("ts_ms range filters push into the generator (no filtered slots produced)") {
+    val df = spine(0L, 86400000L, 1000L, 4) // a day of seconds
+      .where(col("ts_ms") >= 3600000L && col("ts_ms") < 7200000L)
+    // the scan's own description carries the NARROWED range — the
+    // generator never produces the filtered-out slots
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanDesc.contains("graft-spine [3600000, 7200000)"))
+    // slot numbering stays anchored at the ORIGINAL start
+    val slots = df.orderBy("slot").select("slot", "ts_ms").collect()
+    assert(slots.head.getLong(0) == 3600L &&
+      slots.head.getLong(1) == 3600000L)
+    assert(df.count() == 3600)
+  }
+
   test("gap-fill via the connector matches the spine-join form") {
     val dir = "/root/testdata/sf0.001"
     val (s, e) = (1704412800000L, 1704416400000L) // 1 h on 2024-01-05

@@ -88,6 +88,25 @@ class SeriesStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq.take(2) == Seq((0L, 2L), (100000L, 1L)))
   }
 
+  test("streaming derivate: per-series deltas across batches, late drops") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = SeriesStream.derivate(spark, in.toDS())
+    val q = out.writeStream.format("memory").queryName("deriv")
+      .outputMode("append").start()
+    in.addData(ev(1, v = 10), ev(2, v = 13), ev(4, v = 12))
+    q.processAllAvailable()
+    in.addData(ev(5, v = 20), ev(3, v = 99)) // 3s is behind the frontier
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT ts_ms, value FROM deriv ORDER BY ts_ms").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    q.stop()
+    assert(rows.toSeq == Seq((2000L, 3.0), (4000L, -1.0), (5000L, 8.0)))
+  }
+
   test("gap detection emits missing-slot ranges across batches") {
     val s = spark
     import s.implicits._
