@@ -12,6 +12,8 @@ import org.apache.spark.sql.types.DoubleType
   *   - the [[graft.plans.GapFillStrategy]] physical strategy (the custom
   *     partition-local densification operator; also runtime-installable
   *     via [[graft.plans.GapFillOps.install]])
+  *   - the [[graft.plans.GapFillRangeRule]] optimizer rule (time filters
+  *     narrow the operator's generation bounds)
   *   - `graft_dot(a, b)` as a SQL function: the exact fixed-point dot
   *     product ([[graft.expr.FixedPointDot]], whole-stage-codegen'd) over
   *     float/double array columns, returned as double on the engine's
@@ -21,6 +23,7 @@ import org.apache.spark.sql.types.DoubleType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.GapFillStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.GapFillRangeRule)
     ext.injectFunction(GraftExtensions.graftDot)
   }
 }

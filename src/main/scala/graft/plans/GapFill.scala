@@ -172,6 +172,9 @@ object GapFillOps {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(GapFillStrategy))
       spark.experimental.extraStrategies = strategies :+ GapFillStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(GapFillRangeRule))
+      spark.experimental.extraOptimizations = opts :+ GapFillRangeRule
   }
 
   def gapFill(df: DataFrame, startMs: Long, endMs: Long,

@@ -49,6 +49,32 @@ class GapFillSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perSeries.forall(_.getLong(1) == 86400L))
   }
 
+  test("range rule: a time filter narrows the operator's generation bounds") {
+    val hourEnd = D5 + 3600000L
+    val wide = GapFillOps.gapFill(base, D5, D6, 1000L)
+      .where(col("ts_ms") >= D5 && col("ts_ms") < hourEnd)
+    // the optimized plan's GapFill carries the narrowed bounds
+    val opt = wide.queryExecution.optimizedPlan.toString
+    assert(opt.contains(s"GapFill") && opt.contains(hourEnd.toString),
+      s"expected narrowed endMs in:\n$opt")
+    // row count = one hour of slots per series present in range
+    val nSeries = base.select("metric").distinct().count()
+    assert(wide.count() == 3600L * nSeries)
+    // identical rows to the spine-join gap-fill of the hour over the same
+    // catalog (series present in the DAY — a series with no points in the
+    // hour still gets its all-empty hour, exactly as the unoptimized
+    // wide-then-filter plan produces)
+    val present = base.select("metric").distinct()
+    val direct = graft.core.SeriesOps
+      .gapFilled(spark, dir, D5, hourEnd, Some("purchase"))
+      .join(present, Seq("metric"), "left_semi")
+      .select("metric", "ts_ms", "value", "confidence")
+      .orderBy("metric", "ts_ms").collect()
+    val filtered = wide.select("metric", "ts_ms", "value", "confidence")
+      .orderBy("metric", "ts_ms").collect()
+    assert(filtered.sameElements(direct))
+  }
+
   test("plan shape: one exchange+sort feeding the operator, no join") {
     val df = GapFillOps.gapFill(base, D5, D6, 1000L)
     // SparkPlan.nodeName strips the Exec suffix: the exec renders as
