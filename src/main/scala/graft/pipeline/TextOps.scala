@@ -118,16 +118,16 @@ object TextOps {
   // -------------------------------------------------------- fingerprint
 
   /** Rolling-hash document fingerprint: minimum md5 over all character
-    * 8-grams (1-min-sketch of the winnowing family). Array-expression form
-    * — no explode, no shuffle. Texts shorter than 8 chars yield NULL (a
-    * bare sequence(1, length-7) would DESCEND when start > stop and hash
-    * bogus positions, diverging from the oracle's empty-range NULL).
+    * 8-grams (1-min-sketch of the winnowing family). Runs as the native
+    * [[graft.expr.MinShingleMd5]] kernel — one tight loop per row, no
+    * per-position string/array materialization (the composed
+    * `array_min(transform(sequence...))` form computes the same value ~5×
+    * slower). Texts shorter than 8 chars yield NULL, matching the
+    * oracle's empty-range NULL.
     */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      expr("CASE WHEN length(text) >= 8 THEN " +
-        "array_min(transform(sequence(1, length(text)-7), i -> md5(substr(text, i, 8)))) END")
-        .as("fp"))
+      graft.expr.MinShingleMd5(col("text"), 8).as("fp"))
 
   val fingerprintSql: String =
     """SELECT doc_id,
