@@ -53,15 +53,29 @@ object MinShingleMd5 {
     if (nChars < len) return null
     val md = java.security.MessageDigest.getInstance("MD5")
     var best: Array[Byte] = null
-    var i = 1
-    while (i <= nChars - len + 1) {
-      // char-correct slice (matches substr semantics on any input;
-      // ASCII corpora slice bytes directly underneath)
-      val sub = s.substringSQL(i, len)
-      md.reset()
-      val d = md.digest(sub.getBytes)
-      if (best == null || unsignedLess(d, best)) best = d
-      i += 1
+    if (s.numBytes() == nChars) {
+      // pure-ASCII fast path: char slices ARE byte slices — digest
+      // directly over one materialized byte array, no per-position
+      // allocation at all
+      val bytes = s.getBytes
+      var i = 0
+      while (i <= bytes.length - len) {
+        md.reset()
+        md.update(bytes, i, len)
+        val d = md.digest()
+        if (best == null || unsignedLess(d, best)) best = d
+        i += 1
+      }
+    } else {
+      var i = 1
+      while (i <= nChars - len + 1) {
+        // char-correct slice (matches substr semantics on any input)
+        val sub = s.substringSQL(i, len)
+        md.reset()
+        val d = md.digest(sub.getBytes)
+        if (best == null || unsignedLess(d, best)) best = d
+        i += 1
+      }
     }
     UTF8String.fromString(best.map("%02x".format(_)).mkString)
   }
