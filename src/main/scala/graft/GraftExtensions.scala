@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.GapFillStrategy)
     ext.injectOptimizerRule(_ => graft.plans.GapFillRangeRule)
     ext.injectFunction(GraftExtensions.graftDot)
+    ext.injectFunction(GraftExtensions.graftFingerprint)
   }
 }
 
@@ -40,5 +41,21 @@ object GraftExtensions {
       Divide(
         Cast(graft.expr.FixedPointDot(args(0), args(1), Scale), DoubleType),
         Literal(Scale))
+    })
+
+  /** `graft_fingerprint(text[, len])` — the [[graft.expr.MinShingleMd5]]
+    * rolling-hash fingerprint kernel (len defaults to 8)
+    */
+  val graftFingerprint: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_fingerprint"),
+    new ExpressionInfo(classOf[graft.expr.MinShingleMd5].getName,
+      "graft_fingerprint"),
+    (args: Seq[Expression]) => args match {
+      case Seq(text) => graft.expr.MinShingleMd5(text, 8)
+      case Seq(text, Literal(n: Int, _)) =>
+        graft.expr.MinShingleMd5(text, n)
+      case _ => throw new IllegalArgumentException(
+        "graft_fingerprint(text[, intLiteralLen])")
     })
 }

@@ -37,6 +37,19 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v == 2.0)
   }
 
+  test("graft_fingerprint is callable from SQL") {
+    val v = spark.sql("SELECT graft_fingerprint('abcdefghi') AS fp")
+      .collect().head.getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h1 = md.digest("abcdefgh".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h2 = java.security.MessageDigest.getInstance("MD5")
+      .digest("bcdefghi".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(v == Seq(h1, h2).min)
+    assert(spark.sql("SELECT graft_fingerprint('ab', 2) AS fp")
+      .collect().head.getString(0).length == 32)
+  }
+
   test("the gap-fill strategy is injected") {
     assert(spark.sessionState.planner.strategies
       .exists(_.getClass.getName.contains("GapFillStrategy")) ||
