@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse machine-readable JSON from the run's
+// stdout tail: forked output must reach stdout RAW (no "[info] " logger
+// prefix) and nothing may print after it (no "[success] Total time"
+// epilogue). Both held the contract line hostage in rounds 1-2.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** throwaway profiling scratch — not part of the library surface */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs -> $r")
+      r
+    }
+
+    t("docs.count")(docs.count())
+    // ngram stages
+    val sh2 = graft.pipeline.Dedup.shingles2(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("sh2.count")(sh2.count())
+    t("ngram full")(graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
+      .write.format("noop").mode("overwrite").save())
+    t("ngram full 2nd")(graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
+      .write.format("noop").mode("overwrite").save())
+    t("simhash full")(graft.pipeline.Dedup.simhashPairs(docs, 8)
+      .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}
