@@ -125,7 +125,7 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     case RTrans("confidence", _, c) => true
     case RTrans(_, _, c)     => needsConf(c)
     case RComb(_, cs)        => cs.exists(needsConf)
-    case RHistFn(_, _, _, c) => needsConf(c)
+    case RHistFn(_, _, _, _, c) => needsConf(c)
     case _                   => false
   }
 
@@ -156,15 +156,40 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
           store.tagCol(ns, key).getOrElse(
             throw CompileError(s"unknown tag $ns:$key"))
         }
-        val agg = gf.get match {
-          case "sum" => Exact.dsum(col("value"))
-          case "avg" => Exact.davg(col("value"))
-          case "min" => min(col("value"))
-          case "max" => max(col("value"))
-        }
-        val grouped = base.groupBy(col("ts_ms") +: cols.map(col): _*)
-          .agg(agg.as("value"), avg(col("confidence")).as("confidence"))
-          .withColumn("metric",
+        val gkeys = col("ts_ms") +: cols.map(col)
+        val grouped = (gf.get match {
+          case "sum" => base.groupBy(gkeys: _*)
+            .agg(Exact.dsum(col("value")).as("value"),
+              avg(col("confidence")).as("confidence"))
+          case "avg" => base.groupBy(gkeys: _*)
+            .agg(Exact.davg(col("value")).as("value"),
+              avg(col("confidence")).as("confidence"))
+          case "min" => base.groupBy(gkeys: _*)
+            .agg(min(col("value")).as("value"),
+              avg(col("confidence")).as("confidence"))
+          case "max" => base.groupBy(gkeys: _*)
+            .agg(max(col("value")).as("value"),
+              avg(col("confidence")).as("confidence"))
+          case f @ ("diff" | "product" | "quotient") =>
+            // non-commutative combinators fold the group's member values in
+            // lexicographic metric order (the deterministic analog of the
+            // reference's index-answer order, src/dql_resolver.erl:48-63);
+            // the fold is a pinned-order double fold, so it is bit-identical
+            // across engines without decimal routing
+            val op = f match {
+              case "diff"     => "acc - x"
+              case "product"  => "acc * x"
+              case "quotient" => "CASE WHEN x = CAST(0 AS DOUBLE) THEN acc ELSE acc / x END"
+            }
+            base.groupBy(gkeys: _*)
+              .agg(expr("array_sort(collect_list(struct(metric, value)))").as("arr"),
+                avg(col("confidence")).as("confidence"))
+              .withColumn("vals", expr("transform(arr, x -> x.value)"))
+              .withColumn("value", expr(
+                s"aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), " +
+                  s"element_at(vals, 1), (acc, x) -> $op)"))
+              .drop("arr", "vals")
+        }).withColumn("metric",
             concat_ws(".", cols.map(c => col(c).cast("string")): _*))
         // restore the non-grouped tag columns as nulls (frame contract)
         store.tagCols.filterNot(cols.contains).foldLeft(grouped) {
@@ -181,9 +206,11 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       groupWindow(in, w).agg(agg.as("value"),
         avg(col("confidence")).as("confidence"))
 
-    case RHistFn(name, pOpt, w, child) =>
+    case RHistFn(name, pOpt, w, htv, child) =>
       val in = compilePlan(child, startMs, endMs, dense)
-      val ints = round(col("value"), 0).cast("long")
+      // HDR recording semantics: int-round, then SATURATE at the histogram's
+      // highest trackable value (src/dqe_hist.erl:31-57)
+      val ints = least(round(col("value"), 0).cast("long"), lit(htv))
       val agg = name match {
         case "min"    => min(ints).cast("double")
         case "max"    => max(ints).cast("double")
@@ -207,18 +234,23 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     case RComb(name, children) =>
       val frames = children.zipWithIndex.map { case (ch, i) =>
         compilePlan(ch, startMs, endMs, dense)
-          .select(lit(i).as("cidx"), col("ts_ms"), col("value"))
+          .select(lit(i).as("cidx"), col("ts_ms"), col("value"),
+            col("confidence"))
       }
       val all = frames.reduce(_ unionByName _)
+      // a combinator AVERAGES its children's confidence at each point, like
+      // the reference's mmath_comb channel handling (SURVEY §1.1:
+      // "aggregation averages it"); the value channel combines per `name`
+      val conf = avg(col("confidence")).as("confidence")
       val combined = name match {
-        case "sum" => all.groupBy("ts_ms").agg(Exact.dsum(col("value")).as("value"))
-        case "avg" => all.groupBy("ts_ms").agg(Exact.davg(col("value")).as("value"))
-        case "min" => all.groupBy("ts_ms").agg(min(col("value")).as("value"))
-        case "max" => all.groupBy("ts_ms").agg(max(col("value")).as("value"))
+        case "sum" => all.groupBy("ts_ms").agg(Exact.dsum(col("value")).as("value"), conf)
+        case "avg" => all.groupBy("ts_ms").agg(Exact.davg(col("value")).as("value"), conf)
+        case "min" => all.groupBy("ts_ms").agg(min(col("value")).as("value"), conf)
+        case "max" => all.groupBy("ts_ms").agg(max(col("value")).as("value"), conf)
         case _ =>
           val n = children.length
           val pivots = (0 until n).map(i =>
-            max(when(col("cidx") === i, col("value"))).as(s"c$i"))
+            max(when(col("cidx") === i, col("value"))).as(s"c$i")) :+ conf
           val piv = all.groupBy("ts_ms").agg(pivots.head, pivots.tail: _*)
           val folded = name match {
             case "diff" =>
@@ -230,11 +262,10 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
                 when(col(s"c$i") === 0.0, a).otherwise(a / col(s"c$i"))
               }
           }
-          piv.select(col("ts_ms"), folded.as("value"))
+          piv.select(col("ts_ms"), folded.as("value"), col("confidence"))
       }
       // a combinator's output is one synthetic series
       combined.withColumn("metric", lit(name))
-        .withColumn("confidence", lit(1.0))
         .select(Seq(col("metric")) ++ store.tagCols.map(c => lit(null).cast("string").as(c)) ++
           Seq(col("ts_ms"), col("value"), col("confidence")): _*)
 

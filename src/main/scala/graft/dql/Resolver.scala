@@ -39,9 +39,17 @@ object Resolver {
   final case class RComb(name: String, children: Seq[RExpr]) extends RExpr {
     def resMs: Long = children.head.resMs
   }
-  /** fused `fn(histogram(m, htv, sf, t))` (SURVEY §2.7) */
+  /** fused `fn(histogram(m, htv, sf, t))` (SURVEY §2.7). `htv` is the HDR
+    * highest-trackable-value: recorded values are int-rounded and SATURATE
+    * at htv (reference `src/dqe_hist.erl:31-57`). `sf` (significant
+    * figures) bounds the quantile error the reference's HDR buckets may
+    * introduce; the exact reductions used here have zero error, which is
+    * within any sf ≥ 1 bound, so sf is validated but needs no runtime
+    * effect (the faithful bucketed sketch lives in expr/HdrHistogram for
+    * callers that want HDR memory behavior).
+    */
   final case class RHistFn(name: String, p: Option[Double], windowMs: Long,
-                           child: RExpr) extends RExpr {
+                           htv: Long, child: RExpr) extends RExpr {
     def resMs: Long = windowMs
   }
   final case class REvents(bucket: String, filter: Option[EventFilter])
@@ -75,10 +83,15 @@ object Resolver {
               bucketRes: String => Long): RExpr = e match {
     case Get(path, bucket) => RScan(bucket, path, bucketRes(bucket))
     case Lookup(path, coll, where, gb, gf) =>
+      // any registered combinator is a valid group fun, like the reference's
+      // metric_list signature lookup (src/dql_resolver.erl:48-63);
+      // non-commutative funs (diff/product/quotient) fold group members in
+      // lexicographic metric order — the deterministic analog of the
+      // reference's index-answer order (see Compiler's RLookup case)
       gf.foreach { f =>
-        if (!Set("sum", "avg", "min", "max").contains(f))
-          throw ResolveError(s"GROUP BY USING '$f': only commutative " +
-            "combinators (sum/avg/min/max) are defined over unordered groups")
+        if (!combs.contains(f))
+          throw ResolveError(s"GROUP BY USING '$f': not a combinator " +
+            s"(expected one of ${combs.toSeq.sorted.mkString(", ")})")
       }
       RLookup(coll, path, where, gb, gf, bucketRes(coll))
     case EventsScan(bucket, f) => REvents(bucket, f)
@@ -126,11 +139,11 @@ object Resolver {
 
       // fused histogram: fn(histogram(m, htv, sf, t)) / percentile(hist, p)
       case (fn, Seq(FCall("histogram", hargs))) if histFns.contains(fn) =>
-        val (child, w) = histogramArgs(hargs, aliases, bucketRes)
-        RHistFn(fn, None, w, child)
+        val (child, w, htv) = histogramArgs(hargs, aliases, bucketRes)
+        RHistFn(fn, None, w, htv, child)
       case ("percentile", Seq(FCall("histogram", hargs), p)) if num(p).isDefined =>
-        val (child, w) = histogramArgs(hargs, aliases, bucketRes)
-        RHistFn("percentile", num(p), w, child)
+        val (child, w, htv) = histogramArgs(hargs, aliases, bucketRes)
+        RHistFn("percentile", num(p), w, htv, child)
       case ("histogram", hargs) =>
         throw ResolveError("histogram(...) must be wrapped in a reducing " +
           "function (min/max/mean/median/stddev/percentile)")
@@ -171,13 +184,13 @@ object Resolver {
   }
 
   private def histogramArgs(hargs: Seq[Expr], aliases: Map[String, Expr],
-                            bucketRes: String => Long): (RExpr, Long) =
+                            bucketRes: String => Long): (RExpr, Long, Long) =
     hargs match {
-      case Seq(m, Num(_, true), Num(sf, true), t: TimeLit)
-        if sf >= 1 && sf <= 5 =>
+      case Seq(m, Num(htv, true), Num(sf, true), t: TimeLit)
+        if sf >= 1 && sf <= 5 && htv >= 1 =>
         val child = resolve(m, aliases, bucketRes)
         checkWindow(t, child)
-        (child, t.ms)
+        (child, t.ms, htv.toLong)
       case _ => throw ResolveError(
         "histogram expects (metric, int highest-trackable, int 1-5 " +
           "significant-figures, time)")

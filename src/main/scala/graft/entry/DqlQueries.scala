@@ -35,6 +35,10 @@ object DqlQueries extends QueryProvider {
       s"SELECT avg('purchase' FROM 'testdata' WHERE 'graft':'user' = '3', 1 h) BETWEEN $T0 AND $T1",
     "dql_group_by" ->
       s"SELECT 'purchase' FROM 'testdata' WHERE 'graft':'user' = '1' OR 'graft':'user' = '2' GROUP BY $$'graft':'user' USING avg BETWEEN $T0 AND $T1",
+    // non-commutative group fun: members fold in lexicographic metric
+    // order (deterministic analog of the reference's index-answer order)
+    "dql_group_diff" ->
+      s"SELECT 'purchase' FROM 'testdata' WHERE 'graft':'user' = '1' OR 'graft':'user' = '2' GROUP BY $$'graft':'type' USING diff BETWEEN $T0 AND $T1",
     "dql_top" ->
       s"SELECT avg('purchase'.* BUCKET 'testdata', 1 d) BETWEEN $T0 AND $T1 TOP 3 BY avg()",
     "dql_shift" ->
@@ -47,6 +51,14 @@ object DqlQueries extends QueryProvider {
       s"SELECT percentile('purchase'.'3' BUCKET 'testdata', 1, 1 h) BETWEEN $T0 AND $T1",
     "dql_hist" ->
       s"SELECT percentile(histogram('purchase'.'3' BUCKET 'testdata', 1000, 3, 1 h), 0.9) BETWEEN $T0 AND $T1",
+    // htv saturation: slot values reach ~185, so htv=100 clamps them
+    // (reference HDR recording semantics, src/dqe_hist.erl:31-57)
+    "dql_hist_htv" ->
+      s"SELECT percentile(histogram('purchase'.'3' BUCKET 'testdata', 100, 3, 1 h), 0.9) BETWEEN $T0 AND $T1",
+    // combinator confidence propagation: the sum of two gap-filled series
+    // carries the MEAN of its children's confidence at each point
+    "conf_comb" ->
+      s"SELECT confidence(sum('purchase'.'1' BUCKET 'testdata', 'purchase'.'2' BUCKET 'testdata')) BETWEEN $D5 AND $D6",
     "dql_alias" ->
       s"SELECT max('base', 1 h) ALIAS 'base' = 'purchase'.'3' BUCKET 'testdata' BETWEEN $T0 AND $T1",
     "dql_multi" ->
@@ -135,6 +147,17 @@ object DqlQueries extends QueryProvider {
          |WHERE mtype = 'purchase' AND (muser = 1 OR muser = 2)
          |  AND ts_ms >= $T0 AND ts_ms < $T1
          |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin),
+    "dql_group_diff" -> ser(
+      s"""SELECT '${nameOf("dql_group_diff")}' AS name,
+         |       mtype AS metric, ts_ms,
+         |       list_reduce(
+         |         list_transform(list_sort(list({'m': metric, 'v': value})),
+         |                        x -> x.v),
+         |         (acc, x) -> acc - x) AS value
+         |FROM series
+         |WHERE mtype = 'purchase' AND (muser = 1 OR muser = 2)
+         |  AND ts_ms >= $T0 AND ts_ms < $T1
+         |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin),
     "dql_top" -> ser(
       s""", agg AS (
          |  SELECT '${nameOf("dql_top")}' AS name, metric,
@@ -175,6 +198,16 @@ object DqlQueries extends QueryProvider {
       "CAST(list_sort(list(CAST(ROUND(value, 0) AS BIGINT)))" +
         "[GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))] AS DOUBLE)",
       T0, T1),
+    "dql_hist_htv" -> winAgg("dql_hist_htv", "metric = 'purchase.3'", Hour,
+      "CAST(list_sort(list(LEAST(CAST(ROUND(value, 0) AS BIGINT), 100)))" +
+        "[GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))] AS DOUBLE)",
+      T0, T1),
+    "conf_comb" ->
+      s"""${SeriesOps.gapFilledSql(D5, D6, Some("purchase"))}
+         |SELECT '${nameOf("conf_comb")}' AS name, 'sum' AS metric, ts_ms,
+         |       AVG(confidence) AS value
+         |FROM gapfilled WHERE metric IN ('purchase.1', 'purchase.2')
+         |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin,
     "dql_alias" -> winAgg("dql_alias", "metric = 'purchase.3'", Hour,
       "MAX(value)", T0, T1),
     "dql_multi" -> ser(
