@@ -22,15 +22,12 @@ object Scratch {
     }
 
     t("docs.count")(docs.count())
-    // ngram stages
-    val sh2 = graft.pipeline.Dedup.shingles2(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    t("sh2.count")(sh2.count())
+    // mimic bench: minhash (3-shingle) pipeline warm first
+    t("minhash warm")(graft.pipeline.Dedup.minhashPairs(docs, 0.5)
+      .write.format("noop").mode("overwrite").save())
     t("ngram full")(graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
       .write.format("noop").mode("overwrite").save())
     t("ngram full 2nd")(graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
-      .write.format("noop").mode("overwrite").save())
-    t("simhash full")(graft.pipeline.Dedup.simhashPairs(docs, 8)
       .write.format("noop").mode("overwrite").save())
     spark.stop()
   }

@@ -83,7 +83,9 @@ object Dedup {
     // (at corpus scale this is a materialized intermediate table)
     val sh = shingles3(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(bandedCandidates(sh), sh, threshold)
+    val pairs = bandedCandidates(sh)
+    val (out, shp) = verifyJaccard(pairs, sh, threshold)
+    Persist.handoff(out, sh, pairs, shp)
   }
 
   /** Banded-minhash candidate pairs over any (doc_id, shingle) table:
@@ -157,7 +159,9 @@ object Dedup {
   }
 
   /** exact |A∩B| / |A∪B| over candidate pairs; integer counts → the final
-    * double division is deterministic.
+    * double division is deterministic. Returns the verified pairs plus the
+    * pruned-shingle intermediate it persisted (for the caller's
+    * [[Persist.handoff]] release list).
     *
     * Scale note: LSH candidates are a vanishing fraction of the corpus, so
     * the shingle table is semi-join-pruned to candidate docs FIRST (the
@@ -166,7 +170,7 @@ object Dedup {
     * output is identical, so the DuckDB mirror keeps the direct joins.
     */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
+                            threshold: Double): (DataFrame, DataFrame) = {
     val cand = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -178,13 +182,14 @@ object Dedup {
       .join(shp.as("sb"), col("doc_b") === col("sb.doc_id") &&
         col("sa.shingle") === col("sb.shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
+    val verified = inter
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("za.sz") + col("zb.sz") - col("i")))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (verified, shp)
   }
 
   def minhashPairsSql(threshold: Double): String =
@@ -298,7 +303,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh2 = shingles2(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(bandedCandidates(sh2), sh2, threshold)
+    val pairs = bandedCandidates(sh2)
+    val (out, shp) = verifyJaccard(pairs, sh2, threshold)
+    Persist.handoff(out, sh2, pairs, shp)
   }
 
   /** distinct (doc_id, shingle) of word bigrams. */
@@ -411,12 +418,13 @@ object Dedup {
       VectorOps.lshBucket(col("embedding"), bits, dim).as("bkt"),
       VectorOps.norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    b.as("x").join(b.as("y"),
+    val out = b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         (VectorOps.dot(col("x.embedding"), col("y.embedding")) /
           (col("x.nrm") * col("y.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
+    Persist.handoff(out, b)
   }
 
   def embedNearDupSql(bits: Int, dim: Int, threshold: Double): String =

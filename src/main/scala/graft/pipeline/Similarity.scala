@@ -104,8 +104,9 @@ object Similarity {
           (col("qnrm") * col("t.nrm"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+    Persist.handoff(out, cells)
   }
 
   def ivfTopKSql(nCells: Int, dim: Int, k: Int, queryIds: String): String = {
@@ -239,8 +240,9 @@ object Similarity {
           (col("qnrm") * col("t.nrm"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+    Persist.handoff(out, cells)
   }
 
   def ivfTrainedTopKSql(nCells: Int, dim: Int, k: Int,

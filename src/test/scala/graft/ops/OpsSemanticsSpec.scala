@@ -69,6 +69,24 @@ class OpsSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.toSeq == Seq(3.0, 3.0, 5.0)) // v'(0) = v'(1)
   }
 
+  test("exact percentile survives a 1M-point window (max_read envelope) at default memory") {
+    // the reference's read envelope allows 1.2M points in one window; the
+    // exact k-th-smallest collects the window into one finishing task —
+    // this pins that the O(window) buffer fits without raised driver memory
+    val agg = Aggrs.spark("percentile", Some(0.9))
+    val n = 1000000L
+    val df = spark.range(n).selectExpr("'m' AS metric", "id AS ts_ms",
+      // deterministic non-monotonic values so the sort does real work
+      "CAST((id * 1103515245 + 12345) % 1000003 AS DOUBLE) AS value")
+    val r = df.groupBy("metric")
+      .agg(agg(col("value"), col("ts_ms")).as("v"))
+      .collect().head.getDouble(1)
+    // oracle: k-th smallest of ((i*1103515245+12345) mod 1000003), k = ceil(0.9 * n)
+    val expect = (0L until n).map(i => (i * 1103515245L + 12345L) % 1000003L)
+      .sorted.apply((math.ceil(0.9 * n).toLong - 1).toInt).toDouble
+    assert(r == expect)
+  }
+
   test("windowed min_by threshold ops pick the first qualifying value in time order") {
     val agg = Aggrs.spark("first_above", Some(5.0))
     val df = series(("m", 3L, 9.0), ("m", 1L, 2.0), ("m", 2L, 7.0))
