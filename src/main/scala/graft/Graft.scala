@@ -25,6 +25,26 @@ object Graft {
             nowMs: Long): DataFrame =
     Compiler.run(spark, store, nowMs, dql)
 
+  /** Raised by [[queryStrict]] on an empty result — parity with the
+    * reference's explicit `no_results` error from the collecting funnel
+    * (`src/dqe_funnel.erl:23-31`): a user polling a dead series gets a
+    * signal, not silence.
+    */
+  final case class NoResultsException(dql: String)
+    extends RuntimeException(s"no_results: $dql")
+
+  /** [[query]] that MATERIALIZES the reference's empty-result contract: the
+    * lazy DataFrame API cannot know emptiness without executing, so this
+    * variant eagerly checks (one `isEmpty` action — a limit-1 scan, not a
+    * full count) and throws [[NoResultsException]] like `dqe_funnel` does.
+    */
+  def queryStrict(spark: SparkSession, store: SeriesStore, dql: String,
+                  nowMs: Long): DataFrame = {
+    val df = Compiler.run(spark, store, nowMs, dql)
+    if (df.isEmpty) throw NoResultsException(dql)
+    df
+  }
+
   /** Register the engine's tables as temp views for plain Spark SQL —
     * everything the reference lacks (joins, grouping sets, rollup, window
     * functions; SURVEY §2.10) comes for free on the same data:

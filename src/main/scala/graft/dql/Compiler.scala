@@ -125,7 +125,7 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     case RTrans("confidence", _, c) => true
     case RTrans(_, _, c)     => needsConf(c)
     case RComb(_, cs)        => cs.exists(needsConf)
-    case RHistFn(_, _, _, _, c) => needsConf(c)
+    case RHistFn(_, _, _, _, _, c) => needsConf(c)
     case _                   => false
   }
 
@@ -206,16 +206,28 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       groupWindow(in, w).agg(agg.as("value"),
         avg(col("confidence")).as("confidence"))
 
-    case RHistFn(name, pOpt, w, htv, child) =>
+    case RHistFn(name, pOpt, w, htv, sf, child) =>
       val in = compilePlan(child, startMs, endMs, dense)
       // HDR recording semantics: int-round, then SATURATE at the histogram's
       // highest trackable value (src/dqe_hist.erl:31-57)
       val ints = least(round(col("value"), 0).cast("long"), lit(htv))
+      // quantiles default to the exact order statistic (strictly inside any
+      // sf error bound); set spark.graft.dql.histogram.hdr=true to route
+      // them through the faithful HDR-bucketed sketch (expr/HdrHistogram):
+      // fixed memory per window, mergeable, quantiles at the bucket's
+      // highest equivalent value with relative error ≤ 10^-sf — the
+      // reference's actual reply semantics
+      val useHdr = spark.conf
+        .getOption("spark.graft.dql.histogram.hdr").contains("true")
       val agg = name match {
         case "min"    => min(ints).cast("double")
         case "max"    => max(ints).cast("double")
         case "mean"   => Exact.davg(ints)
         case "stddev" => Exact.dstddevPop(ints)
+        case "median" if useHdr =>
+          graft.expr.HdrHistogram.hdrPercentile(sf, 0.5)(ints)
+        case "percentile" if useHdr =>
+          graft.expr.HdrHistogram.hdrPercentile(sf, pOpt.get)(ints)
         case "median" => kth(ints, 0.5).cast("double")
         case "percentile" => kth(ints, pOpt.get).cast("double")
       }

@@ -49,7 +49,7 @@ object Resolver {
     * callers that want HDR memory behavior).
     */
   final case class RHistFn(name: String, p: Option[Double], windowMs: Long,
-                           htv: Long, child: RExpr) extends RExpr {
+                           htv: Long, sf: Int, child: RExpr) extends RExpr {
     def resMs: Long = windowMs
   }
   final case class REvents(bucket: String, filter: Option[EventFilter])
@@ -139,11 +139,11 @@ object Resolver {
 
       // fused histogram: fn(histogram(m, htv, sf, t)) / percentile(hist, p)
       case (fn, Seq(FCall("histogram", hargs))) if histFns.contains(fn) =>
-        val (child, w, htv) = histogramArgs(hargs, aliases, bucketRes)
-        RHistFn(fn, None, w, htv, child)
+        val (child, w, htv, sf) = histogramArgs(hargs, aliases, bucketRes)
+        RHistFn(fn, None, w, htv, sf, child)
       case ("percentile", Seq(FCall("histogram", hargs), p)) if num(p).isDefined =>
-        val (child, w, htv) = histogramArgs(hargs, aliases, bucketRes)
-        RHistFn("percentile", num(p), w, htv, child)
+        val (child, w, htv, sf) = histogramArgs(hargs, aliases, bucketRes)
+        RHistFn("percentile", num(p), w, htv, sf, child)
       case ("histogram", hargs) =>
         throw ResolveError("histogram(...) must be wrapped in a reducing " +
           "function (min/max/mean/median/stddev/percentile)")
@@ -184,13 +184,13 @@ object Resolver {
   }
 
   private def histogramArgs(hargs: Seq[Expr], aliases: Map[String, Expr],
-                            bucketRes: String => Long): (RExpr, Long, Long) =
+                            bucketRes: String => Long): (RExpr, Long, Long, Int) =
     hargs match {
       case Seq(m, Num(htv, true), Num(sf, true), t: TimeLit)
         if sf >= 1 && sf <= 5 && htv >= 1 =>
         val child = resolve(m, aliases, bucketRes)
         checkWindow(t, child)
-        (child, t.ms, htv.toLong)
+        (child, t.ms, htv.toLong, sf.toInt)
       case _ => throw ResolveError(
         "histogram expects (metric, int highest-trackable, int 1-5 " +
           "significant-figures, time)")

@@ -24,6 +24,20 @@ trait SeriesStore {
     series(spark, bucket).where(
       org.apache.spark.sql.functions.col("ts_ms") >= startMs &&
         org.apache.spark.sql.functions.col("ts_ms") < endMs)
+  /** Multi-range scan — the reference's leaf reads take range LISTS with
+    * per-range endpoints (`src/dqe_get.erl:25-36`, produced by exotic index
+    * answers). One union of pruned per-range scans: each branch keeps its
+    * own partition pruning, and Catalyst merges adjacent scans where
+    * possible. Ranges are assumed non-overlapping (as the reference's
+    * resolver guarantees); overlapping ranges would duplicate rows,
+    * exactly like stacked reference reads.
+    */
+  def scanRanges(spark: SparkSession, bucket: String,
+                 ranges: Seq[(Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "scanRanges: empty range list")
+    ranges.map { case (s, e) => scanRange(spark, bucket, s, e) }
+      .reduce(_ union _)
+  }
   /** DQL `ns:key` tag → physical column name */
   def tagCol(ns: String, key: String): Option[String]
   def tagCols: Seq[String]

@@ -79,4 +79,46 @@ class CompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.columns.toSeq ==
       Seq("event_id", "ts_ms", "event_type", "value"))
   }
+
+  test("multi-range scan unions pruned per-range reads (dqe_get range lists)") {
+    val store = new TestdataStore(dir)
+    val r1 = (1704412800000L, 1704499200000L) // Jan 05
+    val r2 = (1704672000000L, 1704758400000L) // Jan 08
+    val multi = store.scanRanges(spark, "testdata", Seq(r1, r2)).count()
+    val a = store.scanRange(spark, "testdata", r1._1, r1._2).count()
+    val b = store.scanRange(spark, "testdata", r2._1, r2._2).count()
+    assert(a > 0 && b > 0 && multi == a + b)
+  }
+
+  test("spark.graft.dql.histogram.hdr routes quantiles through the HDR sketch") {
+    val dql = "SELECT percentile(histogram('purchase'.'3' BUCKET 'testdata'," +
+      " 1000, 1, 1 h), 0.9) BETWEEN 1704067200000 AND 1706745600000"
+    val exact = run(dql).select("value").collect().map(_.getDouble(0))
+    spark.conf.set("spark.graft.dql.histogram.hdr", "true")
+    try {
+      val hdr = run(dql).select("value").collect().map(_.getDouble(0))
+      assert(exact.length == hdr.length && exact.nonEmpty)
+      val layout = new graft.expr.HdrHistogram.Layout(1)
+      exact.zip(hdr).foreach { case (e, h) =>
+        // HDR convention: the exact order statistic's bucket, reported at
+        // its highest equivalent value — and within the 10^-sf bound
+        assert(h == layout.highestEquivalent(layout.indexOf(e.toLong)).toDouble)
+        assert(h >= e && (h - e) <= math.max(1.0, e * math.pow(10, -1) * 2))
+      }
+      assert(exact.zip(hdr).exists { case (e, h) => e != h }) // bucket error visible
+    } finally spark.conf.unset("spark.graft.dql.histogram.hdr")
+  }
+
+  test("queryStrict raises no_results on a dead series (dqe_funnel parity)") {
+    val store = new TestdataStore(dir)
+    // a path that matches nothing → empty result → explicit error
+    intercept[graft.Graft.NoResultsException] {
+      graft.Graft.queryStrict(spark, store,
+        "SELECT avg('nosuch'.'999' BUCKET 'testdata', 1 h) LAST 1 d", nowMs)
+    }
+    // a live series passes through untouched
+    val df = graft.Graft.queryStrict(spark, store,
+      "SELECT avg('purchase'.'3' BUCKET 'testdata', 1 h) LAST 31 d", nowMs)
+    assert(df.count() > 0)
+  }
 }
