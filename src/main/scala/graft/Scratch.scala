@@ -25,9 +25,18 @@ object Scratch {
     // mimic bench: minhash (3-shingle) pipeline warm first
     t("minhash warm")(graft.pipeline.Dedup.minhashPairs(docs, 0.5)
       .write.format("noop").mode("overwrite").save())
-    t("ngram full")(graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
-      .write.format("noop").mode("overwrite").save())
-    t("ngram full 2nd")(graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
+    // ngram stage breakdown
+    val sh2 = graft.pipeline.Dedup.shingles2(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("ngram sh2 materialize")(sh2.count())
+    val hashed = sh2.select(col("doc_id") +:
+      (0 until 3).map(s =>
+        md5(concat_ws("|", lit(s.toString), col("shingle"))).as(s"h$s")): _*)
+    val mhAggs = for (s <- 0 until 3; c <- 0 until 4)
+      yield min(substring(col(s"h$s"), c * 8 + 1, 8)).as(s"mh${s}_$c")
+    val sig = hashed.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    t("ngram sig")(sig.write.format("noop").mode("overwrite").save())
+    t("ngram full (sh2 warm)")(graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
       .write.format("noop").mode("overwrite").save())
     spark.stop()
   }

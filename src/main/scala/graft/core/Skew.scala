@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew handling for HOLISTIC aggregations.
+  *
+  * Algebraic aggregates (sum/avg/min/max/variance — everything in
+  * [[Exact]]) need no salting: Spark's hash aggregation partially
+  * aggregates map-side, so a hot key contributes one partial row per input
+  * partition, not its full row set, to the shuffle. The aggregates that DO
+  * concentrate a hot key into one task are the holistic ones — this
+  * engine's exact percentile/median collect the key's window into a single
+  * sorted array ([[graft.ops.Aggrs]], documented O(window) bound).
+  *
+  * [[saltedKth]] is the two-phase salted form: phase 1 groups on
+  * (key, salt) — the hot key's rows spread over `salts` reducers, each
+  * building a small sorted partial — and phase 2 merges the ≤ `salts`
+  * pre-sorted partials per key. The final array assembly still holds one
+  * key's window (inherent to an exact order statistic); what salting fixes
+  * is the phase-1 shuffle skew and the single-task sort, which dominate on
+  * a hot key at cluster scale. Joins need none of this by hand: AQE's
+  * skew-join splitting is on wherever the engine builds a session.
+  *
+  * The salt is `pmod(hash(value, ts), salts)` — deterministic (replay-safe,
+  * engine-comparable), uncorrelated with the key, and value-spreading.
+  */
+object Skew {
+
+  /** Exact k-th-smallest (k = max(1, ceil(p·n))) per key over a possibly
+    * skewed key distribution — same semantics as the unsalted
+    * `Aggrs.spark("percentile", p)`, different shuffle shape.
+    */
+  def saltedKth(df: DataFrame, keys: Seq[String], v: String, ts: String,
+                p: Double, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(v), col(ts)), lit(salts)))
+    val partials = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sort_array(collect_list(col(v))).as("__part"))
+    partials
+      .groupBy(keys.map(col): _*)
+      .agg(flatten(collect_list(col("__part"))).as("__all"))
+      .withColumn("__sorted", array_sort(col("__all")))
+      .select(keys.map(col) :+ element_at(col("__sorted"),
+        greatest(lit(1L), ceil(lit(p) * size(col("__sorted")).cast("double"))
+          .cast("long")).cast("int")).as("value"): _*)
+  }
+}
