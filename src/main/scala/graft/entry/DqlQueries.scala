@@ -59,6 +59,9 @@ object DqlQueries extends QueryProvider {
     // carries the MEAN of its children's confidence at each point
     "conf_comb" ->
       s"SELECT confidence(sum('purchase'.'1' BUCKET 'testdata', 'purchase'.'2' BUCKET 'testdata')) BETWEEN $D5 AND $D6",
+    // same confidence semantics through the non-commutative (pivot) branch
+    "conf_comb_quot" ->
+      s"SELECT confidence(quotient('purchase'.'1' BUCKET 'testdata', 'purchase'.'2' BUCKET 'testdata')) BETWEEN $D5 AND $D6",
     "dql_alias" ->
       s"SELECT max('base', 1 h) ALIAS 'base' = 'purchase'.'3' BUCKET 'testdata' BETWEEN $T0 AND $T1",
     "dql_multi" ->
@@ -206,6 +209,12 @@ object DqlQueries extends QueryProvider {
       s"""${SeriesOps.gapFilledSql(D5, D6, Some("purchase"))}
          |SELECT '${nameOf("conf_comb")}' AS name, 'sum' AS metric, ts_ms,
          |       AVG(confidence) AS value
+         |FROM gapfilled WHERE metric IN ('purchase.1', 'purchase.2')
+         |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin,
+    "conf_comb_quot" ->
+      s"""${SeriesOps.gapFilledSql(D5, D6, Some("purchase"))}
+         |SELECT '${nameOf("conf_comb_quot")}' AS name, 'quotient' AS metric,
+         |       ts_ms, AVG(confidence) AS value
          |FROM gapfilled WHERE metric IN ('purchase.1', 'purchase.2')
          |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin,
     "dql_alias" -> winAgg("dql_alias", "metric = 'purchase.3'", Hour,

@@ -235,27 +235,54 @@ object Dedup {
        |simhash AS (SELECT doc_id, ${fold("a")} AS fp_hi, ${fold("b")} AS fp_lo FROM sums)""".stripMargin
   }
 
-  /** SimHash near-dup pairs: banded blocking — the 64-bit fingerprint is
-    * split into 4 bands of 16 bits, candidates share at least one band
-    * (guaranteed detection at Hamming ≤ 3, high-probability above), rank by
-    * 64-bit Hamming distance ≤ maxHamming.
+  /** The 64-bit fingerprint split into 6 chunks (11/11/10 bits per half):
+    * (name, bit-extract expr over fp_hi/fp_lo) in fixed order. Shared by
+    * the Spark and SQL forms below — bit arithmetic only, so the same
+    * expression text is valid in both engines.
+    */
+  private val SimhashChunks: Seq[(String, String)] = Seq(
+    "c0" -> "(fp_hi >> 21) & 2047", "c1" -> "(fp_hi >> 10) & 2047",
+    "c2" -> "fp_hi & 1023",
+    "c3" -> "(fp_lo >> 21) & 2047", "c4" -> "(fp_lo >> 10) & 2047",
+    "c5" -> "fp_lo & 1023")
+
+  /** all C(6,3) = 20 chunk triples, fixed order; each packs into one
+    * ≤ 33-bit block key (11-bit shifts)
+    */
+  private val SimhashCombos: Seq[Seq[Int]] =
+    (0 until 6).combinations(3).map(_.toSeq).toSeq
+
+  private def comboKey(c: Seq[Int]): String =
+    s"((c${c(0)} << 22) | (c${c(1)} << 11) | c${c(2)})"
+
+  /** SimHash near-dup pairs via COMBINATION blocking (the scheme of Manku,
+    * Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07): the 64-bit fingerprint splits into 6 chunks, and each of the
+    * C(6,3)=20 3-chunk combinations is one ~32-bit block key. Any pair at
+    * Hamming ≤ 3 leaves 3 chunks untouched, so it shares at least one key
+    * (guaranteed detection; probabilistic above, ranked by full 64-bit
+    * Hamming ≤ maxHamming).
     *
-    * Scale note: the previous single block key (`fp >> 16`) concentrated
-    * near-dup clusters — the very thing being hunted — into few blocks,
-    * degenerating to per-block O(n²) on a skewed corpus. Four independent
-    * 16-bit bands bound every block by the corpus's per-band collision rate
-    * (uniform for non-dup text since md5 bits are unbiased), the same shape
-    * [[minhashPairs]] uses.
+    * Scale note: this replaces both earlier schemes deliberately — a single
+    * `fp >> 16` key concentrates near-dup clusters into few quadratic
+    * blocks, and fixed 16-bit bands keep blocks at n/2^16, which grows
+    * linearly with the corpus. A ~32-bit combination key keeps uniform
+    * block occupancy ≈ n/2^32 — one expected collision per block well into
+    * billions of documents — while the 20-row melt stays linear.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // one row per doc: persist so the per-word vote aggregation runs once,
+    // not once per self-join side (it is the expensive subtree)
     val fp = simhash(docs)
-    val melted = fp.selectExpr("doc_id", "fp_hi", "fp_lo",
-      s"""stack(4,
-         |  0, shiftright(fp_hi, 16) & 65535,
-         |  1, fp_hi & 65535,
-         |  2, shiftright(fp_lo, 16) & 65535,
-         |  3, fp_lo & 65535) as (band_idx, bv)""".stripMargin)
-    melted.as("x").join(melted.as("y"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkExprs = SimhashChunks.map { case (n, e) => s"$e AS $n" }
+    val chunked = fp.selectExpr(
+      Seq("doc_id", "fp_hi", "fp_lo") ++ chunkExprs: _*)
+    val stackArgs = SimhashCombos.zipWithIndex
+      .map { case (c, i) => s"$i, ${comboKey(c)}" }.mkString(", ")
+    val melted = chunked.selectExpr("doc_id", "fp_hi", "fp_lo",
+      s"stack(${SimhashCombos.length}, $stackArgs) as (band_idx, bv)")
+    val out = melted.as("x").join(melted.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -264,16 +291,17 @@ object Dedup {
          bit_count(col("x.fp_lo").bitwiseXOR(col("y.fp_lo")))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    Persist.handoff(out, fp)
   }
 
   def simhashPairsSql(maxHamming: Int): String = {
-    val melted = Seq(
-      "0" -> "(fp_hi >> 16) & 65535", "1" -> "fp_hi & 65535",
-      "2" -> "(fp_lo >> 16) & 65535", "3" -> "fp_lo & 65535")
-      .map { case (i, e) =>
-        s"SELECT doc_id, fp_hi, fp_lo, $i AS band_idx, $e AS bv FROM simhash" }
+    val chunkDefs = SimhashChunks.map { case (n, e) => s"$e AS $n" }
+      .mkString(", ")
+    val melted = SimhashCombos.zipWithIndex.map { case (c, i) =>
+      s"SELECT doc_id, fp_hi, fp_lo, $i AS band_idx, ${comboKey(c)} AS bv FROM chunked" }
       .mkString(" UNION ALL ")
     s"""WITH $simhashSql,
+       |chunked AS (SELECT doc_id, fp_hi, fp_lo, $chunkDefs FROM simhash),
        |melted AS ($melted)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |       bit_count(xor(x.fp_hi, y.fp_hi)) + bit_count(xor(x.fp_lo, y.fp_lo)) AS hamming
