@@ -29,8 +29,13 @@ object Dedup {
   def withWords(docs: DataFrame): DataFrame =
     docs.withColumn("w", split(trim(col("text")), " "))
 
-  /** distinct (doc_id, shingle) of n-word shingles (n fixed at call site
-    * via the expression — 3 here, 2 for the n-gram variant).
+  /** RAW (doc_id, shingle) occurrences of 3-word shingles — deliberately
+    * NOT deduplicated: the minhash signature is a per-doc MIN, which is
+    * duplicate-insensitive, so the full-corpus `distinct` would be a
+    * massive shuffle with no map-side reduction bought for nothing. Set
+    * semantics are applied only to the candidate-pruned slice inside
+    * [[verifyJaccard]], where the table is a vanishing fraction of the
+    * corpus.
     */
   def shingles3(docs: DataFrame): DataFrame =
     withWords(docs)
@@ -39,7 +44,6 @@ object Dedup {
         explode(expr(
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
           .as("shingle"))
-      .distinct()
 
   val shingles3Sql: String =
     """ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -78,14 +82,13 @@ object Dedup {
     * aggregation so the hash cost is 3/shingle, not 12.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // the shingle table feeds the signature, the size table and both sides
-    // of the intersection join — persist it or the explode+distinct runs 4×
-    // (at corpus scale this is a materialized intermediate table)
+    // raw shingles stream into the signature aggregation (map-side
+    // combinable mins) and into the candidate-pruned verify slice — the
+    // only shuffled shingle rows are the candidates'
     val sh = shingles3(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bandedCandidates(sh)
     val (out, shp) = verifyJaccard(pairs, sh, threshold)
-    Persist.handoff(out, sh, pairs, shp)
+    Persist.handoff(out, pairs, shp)
   }
 
   /** Banded-minhash candidate pairs over any (doc_id, shingle) table:
@@ -174,7 +177,10 @@ object Dedup {
     val cand = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
+    // set semantics (distinct) applied AFTER the candidate prune: the
+    // deduplicated shuffle touches only candidate docs' shingles
     val shp = sh.join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pairs
@@ -330,13 +336,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh2 = shingles2(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bandedCandidates(sh2)
     val (out, shp) = verifyJaccard(pairs, sh2, threshold)
-    Persist.handoff(out, sh2, pairs, shp)
+    Persist.handoff(out, pairs, shp)
   }
 
-  /** distinct (doc_id, shingle) of word bigrams. */
+  /** raw (doc_id, shingle) occurrences of word bigrams (see [[shingles3]]
+    * for why these are not deduplicated corpus-wide).
+    */
   def shingles2(docs: DataFrame): DataFrame =
     withWords(docs)
       .where(size(col("w")) >= 2)
@@ -344,7 +351,6 @@ object Dedup {
         explode(expr(
           "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
           .as("shingle"))
-      .distinct()
 
   val shingles2Sql: String =
     """ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
