@@ -69,4 +69,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       plan.take(3000))
   }
+
+  test("no pairwise operator plans an unblocked Cartesian product") {
+    // every blocked-pair pipeline must join on its block key — a
+    // CartesianProduct node means the blocking regressed to all-pairs.
+    // (Broadcast nested-loop joins over a provably tiny broadcast side —
+    // the ANN query sets — are the one sanctioned non-equi shape.)
+    val docs = core.Tables(spark, dir, "documents")
+    val emb = core.Tables(spark, dir, "embeddings")
+    val plans = Seq(
+      "minhash" -> pipeline.Dedup.minhashPairs(docs, 0.5),
+      "ngram" -> pipeline.Dedup.ngramJaccardPairs(docs, 0.3),
+      "simhash" -> pipeline.Dedup.simhashPairs(docs, 8),
+      "embed" -> pipeline.Dedup.embedNearDup(emb, 6, 64, 0.3))
+    plans.foreach { case (name, df) =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a Cartesian product:\n${plan.take(3000)}")
+    }
+  }
 }
