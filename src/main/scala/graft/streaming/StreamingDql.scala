@@ -21,6 +21,9 @@ import graft.ops.{Aggrs, Trans}
   *   - leaf scans (exact and glob paths, lookup prefixes) over the stream
   *   - every §2.2 windowed aggregation (they are all expression aggregates)
   *   - pointwise transforms/arithmetic ABOVE an aggregation
+  *   - combinators over SAME-window aggregation children, fused into one
+  *     stateful operator (per-child filtered aggregates in a single
+  *     windowed groupBy — not a union of streaming aggregations)
   *   - NOT streamable: derivate (needs an ordered per-series scan — use
   *     [[SeriesStream.detectGaps]]-style stateful ops), combinators over
   *     differently-windowed children, SHIFT, TOP/BOTTOM (global sorts).
@@ -80,9 +83,81 @@ object StreamingDql {
     case RTrans(name, c, child) =>
       aggregated(child, base)
         .withColumn("value", Trans.spark(name, c)(col("value")))
+
+    case RComb(name, children) =>
+      // Same-window combinators FUSE into one stateful operator: each child
+      // becomes a filtered aggregate (`agg(when(childCond, v))`) inside a
+      // single windowed groupBy, then the combine is a stateless projection
+      // over the child columns. No union of streaming aggregations, no
+      // multi-stateful-operator plan — one state store row per window.
+      val aggrs = children.map {
+        case a: RAggr if !a.name.endsWith("_conf") => a
+        case a: RAggr => throw Unstreamable(
+          s"${a.name}: confidence channel is batch-only")
+        case other => throw Unstreamable(
+          "streaming combinators take same-window aggregations as " +
+            s"children, got: $other")
+      }
+      val ws = aggrs.map(_.windowMs).distinct
+      if (ws.length != 1)
+        throw Unstreamable("resolution_conflict: streaming combinator " +
+          s"children must share one window, got ${ws.mkString(", ")} ms")
+      val condVals = aggrs.map(a => leafCondValue(a.child))
+      val anyCond = condVals.map(_._1).reduce(_ || _)
+      val cvs = aggrs.zip(condVals).zipWithIndex.map {
+        case ((a, (cond, v)), i) =>
+          Aggrs.spark(a.name, a.const)(when(cond, v),
+            when(cond, unix_millis(col("ts")))).as(s"c$i")
+      }
+      val piv = base.where(anyCond)
+        .groupBy(window(col("ts"), s"${ws.head} milliseconds").as("w"))
+        .agg(cvs.head, cvs.tail: _*)
+      val cols = aggrs.indices.map(i => col(s"c$i"))
+      // null children (no data in window) skip for the commutative funs —
+      // matching the batch combinator, where a missing child contributes no
+      // row to the union — and propagate through the non-commutative folds,
+      // matching the batch pivot
+      val folded = name match {
+        case "sum" =>
+          when(cols.map(_.isNull).reduce(_ && _), lit(null))
+            .otherwise(cols.map(c => coalesce(c, lit(0.0))).reduce(_ + _))
+        case "avg" =>
+          val cnt = cols.map(c => when(c.isNotNull, 1.0).otherwise(0.0))
+            .reduce(_ + _)
+          when(cnt === 0.0, lit(null))
+            .otherwise(cols.map(c => coalesce(c, lit(0.0))).reduce(_ + _) / cnt)
+        case "min" => least(cols: _*)
+        case "max" => greatest(cols: _*)
+        case "diff" => cols.reduce(_ - _)
+        case "product" => cols.reduce(_ * _)
+        case "quotient" => cols.tail.foldLeft(cols.head)((a, c) =>
+          when(c === 0.0, a).otherwise(a / c))
+      }
+      piv.select(lit(name).as("metric"),
+        unix_millis(col("w.start")).as("ws"), folded.as("value"))
+
     case other =>
       throw Unstreamable(
         s"not a streamable plan shape (aggregation required): $other")
+  }
+
+  /** leaf as a (row condition, value expression) pair — used by the fused
+    * combinator path, where filtering must happen inside the aggregate
+    * (per child), not on the rows (shared by all children).
+    */
+  private def leafCondValue(p: RExpr): (Column, Column) = p match {
+    case RScan(_, path, _) => (pathCond(path, exact = true), col("value"))
+    case RLookup(_, path, where, gb, _, _) =>
+      if (gb.nonEmpty || where.nonEmpty)
+        throw Unstreamable("tag GROUP BY / WHERE need the tag index — batch only")
+      (path.map(pathCond(_, exact = false)).getOrElse(lit(true)), col("value"))
+    case RTrans(name, c, child) =>
+      if (name == "derivate" || name == "confidence")
+        throw Unstreamable(s"$name is not a row-local transform")
+      val (cond, v) = leafCondValue(child)
+      (cond, Trans.spark(name, c)(v))
+    case other =>
+      throw Unstreamable(s"not a streamable leaf: $other")
   }
 
   /** leaf: filter the stream down to the selected series */
