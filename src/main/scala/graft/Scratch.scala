@@ -28,7 +28,11 @@ object Scratch {
     t("gate cold: simhashPairs+orderBy+write")(
       graft.pipeline.Dedup.simhashPairs(docs, 8).orderBy("doc_a", "doc_b")
         .coalesce(1).write.mode("overwrite").parquet("/tmp/scratch_sh"))
-    t("warm re-run")(
+    // drop the first run's pinned intermediates — without this the re-run
+    // cache-hits the materialized fingerprint table and "warm" measures a
+    // cache scan, not the computation (codegen/JIT warm, data cold)
+    graft.core.Caches.releaseTransient(spark)
+    t("warm re-run (codegen warm, caches released)")(
       graft.pipeline.Dedup.simhashPairs(docs, 8).orderBy("doc_a", "doc_b")
         .coalesce(1).write.mode("overwrite").parquet("/tmp/scratch_sh"))
     spark.stop()

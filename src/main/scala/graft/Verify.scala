@@ -31,9 +31,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query persisted intermediates (shingle/bucket tables) are
-      // orphaned after the write and evicted by the block manager's LRU;
-      // the shared memoized series table (SeriesOps) must survive across
-      // queries, so no blanket clearCache here
+      // released here; the sanctioned memoized artifacts (series table,
+      // minhash pair set) survive across queries by design
+      graft.core.Caches.releaseTransient(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

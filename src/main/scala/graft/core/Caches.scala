@@ -1,0 +1,93 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+
+/** Session-scoped cache governance for pipeline builders.
+  *
+  * Two cache lifetimes exist in this engine:
+  *
+  *   - SANCTIONED artifacts model materialized storage: the series table
+  *     ([[SeriesOps.series]]) and the minhash near-dup pair set
+  *     ([[graft.entry.PipelineQueries]]). Production queries READ these
+  *     instead of re-deriving them; their one-off build cost is storage
+  *     provisioning, not query time. They live for the session.
+  *   - TRANSIENT pins are builder intermediates (shingle tables, candidate
+  *     pair sets, ANN cell assignments) persisted because one query's plan
+  *     consumes them several times. They are registered here at build time
+  *     and released en masse with [[releaseTransient]] — after a query in
+  *     the bench loop, after verification, or whenever the caller wants
+  *     storage back.
+  *
+  * Staleness contract: Spark's CacheManager substitutes any cached plan by
+  * canonical equality, so a pinned frame SHADOWS recomputation — if the
+  * underlying parquet is overwritten mid-session, pinned results serve the
+  * old data until released. Callers that rewrite inputs must call
+  * [[releaseTransient]] (and rebuild sanctioned artifacts) first.
+  *
+  * Registration is identity-based (Dataset does not override equals);
+  * memoizing call-sites hand the same object in, so promotion from
+  * transient to sanctioned is a set lookup.
+  */
+object Caches {
+  private val pinned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+  private val sanctionedDfs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Register a persisted frame for deferred release. Lazy — nothing is
+    * materialized here; the frame caches on its first action.
+    */
+  def deferRelease(df: DataFrame): DataFrame = { pinned.add(df); df }
+
+  /** Promote a persisted frame to session-lifetime materialized artifact:
+    * [[releaseTransient]] will never unpersist it.
+    */
+  def sanction(df: DataFrame): DataFrame = { sanctionedDfs.add(df); df }
+
+  /** Unpersist every transient pin belonging to `spark`; returns how many
+    * were released. Sanctioned artifacts survive.
+    */
+  def releaseTransient(spark: SparkSession): Int = {
+    var n = 0
+    pinned.forEach { df =>
+      if ((df.sparkSession eq spark) && !sanctionedDfs.contains(df)) {
+        df.unpersist(blocking = false)
+        pinned.remove(df)
+        n += 1
+      }
+    }
+    n
+  }
+
+  /** The cache-builder instances (CacheManager's unit of substitution)
+    * behind the sanctioned artifacts of `spark`. Object identity is the
+    * comparison key: the CacheManager hands the same builder instance to
+    * every plan it substitutes the cached relation into.
+    */
+  def sanctionedBuilders(spark: SparkSession): Seq[AnyRef] = {
+    val out = Seq.newBuilder[AnyRef]
+    sanctionedDfs.forEach { df =>
+      if (df.sparkSession eq spark)
+        out ++= df.queryExecution.withCachedData.collect {
+          case r: InMemoryRelation => r.cacheBuilder
+        }
+    }
+    out.result()
+  }
+
+  /** Measurement-integrity check for the bench: the cached relations in
+    * `df`'s plan whose column buffers are ALREADY materialized but are not
+    * in `allowed`. A hit means a timed run would read a warm cache some
+    * earlier run populated — the timing would measure a cache scan, not
+    * the computation. Fresh (unmaterialized) pins made by `df`'s own
+    * builder are fine: the timed run itself pays to fill them.
+    */
+  def contaminatedRelations(df: DataFrame, allowed: Seq[AnyRef]): Seq[String] =
+    df.queryExecution.withCachedData.collect {
+      case r: InMemoryRelation
+        if r.cacheBuilder.isCachedColumnBuffersLoaded &&
+          !allowed.exists(_ eq r.cacheBuilder) =>
+        r.cacheBuilder.cachedName
+    }
+}

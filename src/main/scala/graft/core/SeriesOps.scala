@@ -53,8 +53,9 @@ object SeriesOps {
     */
   def series(spark: SparkSession, dir: String): DataFrame =
     seriesCache.computeIfAbsent((spark, dir), { _ =>
-      buildSeries(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Caches.sanction(
+        buildSeries(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   private val seriesCache =

@@ -207,10 +207,19 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         avg(col("confidence")).as("confidence"))
 
     case RHistFn(name, pOpt, w, htv, sf, child) =>
-      val in = compilePlan(child, startMs, endMs, dense)
-      // HDR recording semantics: int-round, then SATURATE at the histogram's
-      // highest trackable value (src/dqe_hist.erl:31-57)
-      val ints = least(round(col("value"), 0).cast("long"), lit(htv))
+      val in0 = compilePlan(child, startMs, endMs, dense)
+      // HDR recording semantics: int-round, then DROP out-of-range points —
+      // `hdr_histogram:record/2`'s return value is ignored in the reference
+      // (src/dqe_hist.erl:53-57), and the hdr library REJECTS values above
+      // the highest trackable value (and below 0), so such points never
+      // enter the histogram: they contribute to neither the value nor the
+      // confidence channel. (Not a clamp: with htv=100 a point at 185 is
+      // discarded, not counted as 100.) Null-valued gap rows pass through —
+      // they carry the confidence-0 channel and aggregates skip null values.
+      val rounded = round(col("value"), 0).cast("long")
+      val in = in0.where(col("value").isNull ||
+        (rounded >= 0L && rounded <= htv))
+      val ints = rounded
       // quantiles default to the exact order statistic (strictly inside any
       // sf error bound); set spark.graft.dql.histogram.hdr=true to route
       // them through the faithful HDR-bucketed sketch (expr/HdrHistogram):

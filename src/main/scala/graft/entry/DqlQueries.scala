@@ -51,10 +51,19 @@ object DqlQueries extends QueryProvider {
       s"SELECT percentile('purchase'.'3' BUCKET 'testdata', 1, 1 h) BETWEEN $T0 AND $T1",
     "dql_hist" ->
       s"SELECT percentile(histogram('purchase'.'3' BUCKET 'testdata', 1000, 3, 1 h), 0.9) BETWEEN $T0 AND $T1",
-    // htv saturation: slot values reach ~185, so htv=100 clamps them
-    // (reference HDR recording semantics, src/dqe_hist.erl:31-57)
+    // htv rejection: slot values reach ~185, so htv=100 DROPS them from
+    // the histogram — hdr_histogram:record's return is ignored in the
+    // reference and the hdr lib rejects out-of-range values, so p90 is
+    // computed over only in-range points (src/dqe_hist.erl:53-57)
     "dql_hist_htv" ->
       s"SELECT percentile(histogram('purchase'.'3' BUCKET 'testdata', 100, 3, 1 h), 0.9) BETWEEN $T0 AND $T1",
+    // same query through the faithful HDR-bucketed sketch
+    // (spark.graft.dql.histogram.hdr=true, set by the gate runner): sf=1
+    // gives sub-bucket count 32, so values ≥ 32 are genuinely quantized
+    // and the quantile reports the bucket's highest equivalent value —
+    // the oracle mirrors the bucket math, not the exact order statistic
+    "dql_hist_hdr" ->
+      s"SELECT percentile(histogram('purchase'.'3' BUCKET 'testdata', 1000, 1, 1 h), 0.9) BETWEEN $T0 AND $T1",
     // combinator confidence propagation: the sum of two gap-filled series
     // carries the MEAN of its children's confidence at each point
     "conf_comb" ->
@@ -92,9 +101,15 @@ object DqlQueries extends QueryProvider {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     dqls.map { case (key, dql) =>
       key -> ((s: SparkSession, d: String) => {
-        val df = Compiler.run(s, new TestdataStore(d), NowMs, dql)
-        if (key == "dql_events") df.orderBy("event_id")
-        else df.orderBy("name", "metric", "ts_ms")
+        // the hdr gate pins the sketch quantile path; the flag is read at
+        // COMPILE time, so set/restore around plan construction only
+        val hdr = key == "dql_hist_hdr"
+        if (hdr) s.conf.set("spark.graft.dql.histogram.hdr", "true")
+        try {
+          val df = Compiler.run(s, new TestdataStore(d), NowMs, dql)
+          if (key == "dql_events") df.orderBy("event_id")
+          else df.orderBy("name", "metric", "ts_ms")
+        } finally if (hdr) s.conf.unset("spark.graft.dql.histogram.hdr")
       })
     }
 
@@ -197,14 +212,43 @@ object DqlQueries extends QueryProvider {
          |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin,
     "dql_percentile_int" -> winAgg("dql_percentile_int",
       "metric = 'purchase.3'", Hour, kth50, T0, T1),
-    "dql_hist" -> winAgg("dql_hist", "metric = 'purchase.3'", Hour,
+    // hdr recording mirror: out-of-range points (round(v) outside
+    // [0, htv]) are DROPPED before aggregation, exactly as the Spark
+    // compile filters them (reference rejects them at record time)
+    "dql_hist" -> winAgg("dql_hist",
+      "metric = 'purchase.3' AND CAST(ROUND(value, 0) AS BIGINT) BETWEEN 0 AND 1000",
+      Hour,
       "CAST(list_sort(list(CAST(ROUND(value, 0) AS BIGINT)))" +
         "[GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))] AS DOUBLE)",
       T0, T1),
-    "dql_hist_htv" -> winAgg("dql_hist_htv", "metric = 'purchase.3'", Hour,
-      "CAST(list_sort(list(LEAST(CAST(ROUND(value, 0) AS BIGINT), 100)))" +
+    "dql_hist_htv" -> winAgg("dql_hist_htv",
+      "metric = 'purchase.3' AND CAST(ROUND(value, 0) AS BIGINT) BETWEEN 0 AND 100",
+      Hour,
+      "CAST(list_sort(list(CAST(ROUND(value, 0) AS BIGINT)))" +
         "[GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))] AS DOUBLE)",
       T0, T1),
+    // HDR bucket-math mirror (sf=1 → sub-bucket count 32, magnitude 5):
+    // each recorded value maps to its bucket's HIGHEST EQUIVALENT value
+    // (v < 32 exact; else b = bit_length(v)-5 low bits saturate), then the
+    // discrete p90 over the transformed multiset equals the sketch's
+    // cumulative-bucket quantile (hev is monotone in bucket index)
+    "dql_hist_hdr" -> ser(
+      s"""SELECT '${nameOf("dql_hist_hdr")}' AS name, metric,
+         |       ${Exact.wstartSql("ts_ms", Hour)} AS ts_ms,
+         |       CAST(list_sort(list(hev))
+         |         [GREATEST(1, CAST(CEIL(0.9 * COUNT(hev)) AS BIGINT))]
+         |         AS DOUBLE) AS value
+         |FROM (SELECT metric, ts_ms,
+         |        CASE WHEN iv < 32 THEN iv
+         |             ELSE (((iv >> b) + 1) << b) - 1 END AS hev
+         |      FROM (SELECT metric, ts_ms,
+         |              CAST(ROUND(value, 0) AS BIGINT) AS iv,
+         |              GREATEST(length(bin(CAST(ROUND(value, 0) AS BIGINT))) - 5, 0) AS b
+         |            FROM series
+         |            WHERE metric = 'purchase.3'
+         |              AND ts_ms >= $T0 AND ts_ms < $T1
+         |              AND CAST(ROUND(value, 0) AS BIGINT) BETWEEN 0 AND 1000))
+         |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin),
     "conf_comb" ->
       s"""${SeriesOps.gapFilledSql(D5, D6, Some("purchase"))}
          |SELECT '${nameOf("conf_comb")}' AS name, 'sum' AS metric, ts_ms,

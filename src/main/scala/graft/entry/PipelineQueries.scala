@@ -30,8 +30,9 @@ object PipelineQueries extends QueryProvider {
   private def minhashPairs(s: SparkSession, d: String,
                            threshold: Double): DataFrame =
     pairsCache.computeIfAbsent((s, d, threshold), { _ =>
-      Dedup.minhashPairs(docs(s, d), threshold)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.core.Caches.sanction(
+        Dedup.minhashPairs(docs(s, d), threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
