@@ -47,4 +47,42 @@ object Skew {
         greatest(lit(1L), ceil(lit(p) * size(col("__sorted")).cast("double"))
           .cast("long")).cast("int")).as("value"): _*)
   }
+
+  /** The DQL-frame form of [[saltedKth]]: same output contract as the
+    * unsalted windowed percentile compile — one row per `keys` group with
+    * `value` = discrete k-th smallest and `confidence` = mean of the
+    * group's confidence channel — but phase 1 shuffles on (keys, salt), so
+    * a hot (series, window) group spreads over `salts` reducers instead of
+    * concentrating its whole row set in one task.
+    *
+    * `df` must carry `__ts` (the raw point timestamp, kept for the salt —
+    * the window start has replaced `ts_ms` in the keys by now), `value`,
+    * and `confidence`. Value semantics are exactly the unsalted path's:
+    * collect_list skips null values (gap rows), confidence averages over
+    * every row. Decimal partial sums keep the confidence mean
+    * order-independent across the two phases.
+    */
+  def saltedKthWindow(df: DataFrame, keys: Seq[String], p: Double,
+                      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salted = df.withColumn("__salt",
+      pmod(hash(col("value"), col("__ts")), lit(salts)))
+    val partials = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sort_array(collect_list(col("value"))).as("__part"),
+        sum(col("confidence")
+          .cast(org.apache.spark.sql.types.DecimalType(28, Exact.S)))
+          .as("__csum"),
+        count(col("confidence")).as("__cn"))
+    partials
+      .groupBy(keys.map(col): _*)
+      .agg(flatten(collect_list(col("__part"))).as("__all"),
+        sum(col("__csum")).as("__csum2"), sum(col("__cn")).as("__cn2"))
+      .withColumn("__sorted", array_sort(col("__all")))
+      .select(keys.map(col) :+
+        element_at(col("__sorted"),
+          greatest(lit(1L), ceil(lit(p) * size(col("__sorted")).cast("double"))
+            .cast("long")).cast("int")).as("value") :+
+        (col("__csum2").cast("double") / col("__cn2")).as("confidence"): _*)
+  }
 }

@@ -197,6 +197,24 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         }
       }
 
+    case RAggr(name, c, w, child)
+        if (name == "median" || name == "percentile") && saltedPercentile =>
+      // skew path: the exact windowed order statistic is the one holistic
+      // aggregate whose group state is O(window), so a hot series key at
+      // cluster scale lands one window's full row set in one task. The
+      // salted two-phase form (core/Skew) spreads phase 1 over
+      // (series, window, salt) — identical output, different shuffle shape.
+      // Opt-in via spark.graft.dql.percentile.salted (default off: the
+      // single-phase form is cheaper under the reference's 1.2 M-point
+      // window envelope).
+      val in = compilePlan(child, startMs, endMs, dense)
+      val p = if (name == "median") 0.5 else c.get
+      val keyed = in.select(col("metric") +: store.tagCols.map(col) :+
+        Exact.wstart(col("ts_ms"), w).as("ts_ms") :+
+        col("ts_ms").as("__ts") :+ col("value") :+ col("confidence"): _*)
+      graft.core.Skew.saltedKthWindow(keyed,
+        Seq("metric") ++ store.tagCols :+ "ts_ms", p, saltCount)
+
     case RAggr(name, c, w, child) =>
       val in = compilePlan(child, startMs, endMs, dense)
       val (baseName, channel) =
@@ -293,6 +311,11 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     case _: REvents =>
       throw CompileError("event streams cannot appear under metric operators")
   }
+
+  private def saltedPercentile: Boolean = spark.conf
+    .getOption("spark.graft.dql.percentile.salted").contains("true")
+  private def saltCount: Int = spark.conf
+    .getOption("spark.graft.dql.percentile.salts").map(_.toInt).getOrElse(16)
 
   /** group on the series key + window start, re-exposed as ts_ms */
   private def groupWindow(in: DataFrame, w: Long) =

@@ -64,6 +64,12 @@ object DqlQueries extends QueryProvider {
     // the oracle mirrors the bucket math, not the exact order statistic
     "dql_hist_hdr" ->
       s"SELECT percentile(histogram('purchase'.'3' BUCKET 'testdata', 1000, 1, 1 h), 0.9) BETWEEN $T0 AND $T1",
+    // same percentile through the salted two-phase skew path
+    // (spark.graft.dql.percentile.salted=true, set by the gate runner):
+    // must hash-match the unsalted order statistic exactly — the oracle is
+    // the plain discrete kth, proving the two shuffle shapes agree
+    "dql_percentile_salted" ->
+      s"SELECT percentile('purchase'.'3' BUCKET 'testdata', 0.9, 1 h) BETWEEN $T0 AND $T1",
     // combinator confidence propagation: the sum of two gap-filled series
     // carries the MEAN of its children's confidence at each point
     "conf_comb" ->
@@ -98,18 +104,23 @@ object DqlQueries extends QueryProvider {
     Unparse.expr(Parser.parse(dqls(key)).selectors(sel).expr)
       .replace("'", "''")
 
+  /** gates that pin an opt-in compile path: the flag is read at COMPILE
+    * time, so it is set/restored around plan construction only
+    */
+  private val gateConfs: Map[String, (String, String)] = Map(
+    "dql_hist_hdr" -> ("spark.graft.dql.histogram.hdr" -> "true"),
+    "dql_percentile_salted" -> ("spark.graft.dql.percentile.salted" -> "true"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     dqls.map { case (key, dql) =>
       key -> ((s: SparkSession, d: String) => {
-        // the hdr gate pins the sketch quantile path; the flag is read at
-        // COMPILE time, so set/restore around plan construction only
-        val hdr = key == "dql_hist_hdr"
-        if (hdr) s.conf.set("spark.graft.dql.histogram.hdr", "true")
+        val conf = gateConfs.get(key)
+        conf.foreach { case (k, v) => s.conf.set(k, v) }
         try {
           val df = Compiler.run(s, new TestdataStore(d), NowMs, dql)
           if (key == "dql_events") df.orderBy("event_id")
           else df.orderBy("name", "metric", "ts_ms")
-        } finally if (hdr) s.conf.unset("spark.graft.dql.histogram.hdr")
+        } finally conf.foreach { case (k, _) => s.conf.unset(k) }
       })
     }
 
@@ -212,6 +223,12 @@ object DqlQueries extends QueryProvider {
          |GROUP BY 1, 2, 3 ORDER BY name, metric, ts_ms""".stripMargin,
     "dql_percentile_int" -> winAgg("dql_percentile_int",
       "metric = 'purchase.3'", Hour, kth50, T0, T1),
+    // oracle is the PLAIN discrete kth: the salted two-phase shuffle shape
+    // must be value-identical to the unsalted one
+    "dql_percentile_salted" -> winAgg("dql_percentile_salted",
+      "metric = 'purchase.3'", Hour,
+      "list_sort(list(value))[GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))]",
+      T0, T1),
     // hdr recording mirror: out-of-range points (round(v) outside
     // [0, htv]) are DROPPED before aggregation, exactly as the Spark
     // compile filters them (reference rejects them at record time)

@@ -70,6 +70,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(3000))
   }
 
+  test("salted percentile compiles to the two-phase (key, salt) shape") {
+    // flag on: phase 1 aggregates on (series, window, __salt), phase 2
+    // merges per (series, window) — two exchanges instead of one, no
+    // single task ever holds a hot window's full row set
+    val salted = entry.DqlQueries.queries("dql_percentile_salted")(spark, dir)
+    val plan = planOf(salted)
+    assert(plan.contains("__salt"), plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2,
+      "expected the two-phase shuffle shape:\n" + plan.take(3000))
+    // and the default path stays single-phase (one window shuffle)
+    val unsalted = planOf(
+      entry.DqlQueries.queries("dql_percentile_int")(spark, dir))
+    assert(!unsalted.contains("__salt"), unsalted.take(2000))
+  }
+
   test("no pairwise operator plans an unblocked Cartesian product") {
     // every blocked-pair pipeline must join on its block key — a
     // CartesianProduct node means the blocking regressed to all-pairs.
