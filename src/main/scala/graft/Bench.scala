@@ -16,8 +16,10 @@ import org.apache.spark.sql.SparkSession
   * inside it (round 1's single line with all ~95 per-query timings
   * overflowed the window and failed to parse). The full per-query map is
   * printed FIRST on its own `{"detail":…}` line (no "metric" key, so any
-  * parser keyed on the contract shape skips it); the compact contract
-  * line — total over ALL queries + a fixed headline subset — prints LAST.
+  * parser keyed on the contract shape skips it); each detail value is
+  * `[compile_s, exec_s, second_run_s]` (see the timed loop below); the
+  * compact contract line — total over ALL queries + a fixed headline
+  * subset, first-run seconds — prints LAST.
   */
 object Bench {
 
@@ -77,40 +79,65 @@ object Bench {
     // its plan reads no already-materialized cache outside the sanctioned
     // set — a violation marks the query failed rather than reporting a
     // flattering number.
-    graft.core.Caches.releaseTransient(spark)
+    graft.core.Caches.releaseTransient(spark, blocking = true)
     val sanctioned = graft.core.Caches.sanctionedBuilders(spark)
 
+    // one measured pass: plan construction + analysis + contamination
+    // assertion timed as `compile`, execution (noop sink) as `exec` —
+    // separated so driver-side plan-construction noise is distinguishable
+    // from engine regressions in the artifact itself
+    def runOnce(name: String): (Double, Double) = {
+      val c0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val dirty = graft.core.Caches.contaminatedRelations(df, sanctioned)
+      if (dirty.nonEmpty)
+        throw new IllegalStateException(
+          s"timed plan reads unsanctioned warm cache: ${dirty.mkString("; ")}")
+      val c1 = System.nanoTime()
+      force(df)
+      val e1 = System.nanoTime()
+      ((c1 - c0) / 1e9, (e1 - c1) / 1e9)
+    }
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per query: [compile_s, exec_s, second_run_s]. Transient pins are
+    // released BLOCKING before each run — the round-4 regression was async
+    // eviction from the dedup family's pins billed to the next family —
+    // and the second run rebuilds the plan from scratch (fresh builder,
+    // same contamination assertion), so run2 isolates steady-state JIT/GC
+    // variance from first-run cost. The contract headline stays first-run.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      graft.core.Caches.releaseTransient(spark)
+      graft.core.Caches.releaseTransient(spark, blocking = true)
       val t0 = System.nanoTime()
-      try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        val dirty = graft.core.Caches.contaminatedRelations(df, sanctioned)
-        if (dirty.nonEmpty)
-          throw new IllegalStateException(
-            s"timed plan reads unsanctioned warm cache: ${dirty.mkString("; ")}")
-        force(df)
-      } catch { case t: Throwable =>
-        // a throwing query must be visible, not a flattering ~0s entry
-        failed += name
-        System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> dt
+      val (c1, e1) =
+        try runOnce(name)
+        catch { case t: Throwable =>
+          // a throwing query must be visible, not a flattering ~0s entry
+          failed += name
+          System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+          val dt = (System.nanoTime() - t0) / 1e9
+          (dt, 0.0)
+        }
+      graft.core.Caches.releaseTransient(spark, blocking = true)
+      val t1 = System.nanoTime()
+      val r2 =
+        try { runOnce(name); (System.nanoTime() - t1) / 1e9 }
+        catch { case _: Throwable => 0.0 } // failure already reported above
+      name -> ((c1, e1, r2))
     }
     // note: the memoized series table (SeriesOps) is shared across queries
     // by design — it models the materialized storage layer (core/Layout),
     // which production queries read instead of re-deriving
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    val detail = results.map { case (k, (c, e, r2)) =>
+      "\"" + k + "\":[" + r3(c) + "," + r3(e) + "," + r3(r2) + "]"
+    }.mkString("{", ",", "}")
     println(s"""{"detail":$detail,"failed":$failedJson,"sf":"$sfDir"}""")
 
-    val byName = results.toMap
+    val byName = results.map { case (k, (c, e, _)) => k -> (c + e) }.toMap
     val qs = Headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + r3(byName(k))).mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = byName.values.sum
     spark.stop()
     // contract line LAST (exact documented shape, no extra keys), after
     // spark.stop() so no shutdown logging prints below it; build.sbt routes

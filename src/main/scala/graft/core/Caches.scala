@@ -47,12 +47,19 @@ object Caches {
 
   /** Unpersist every transient pin belonging to `spark`; returns how many
     * were released. Sanctioned artifacts survive.
+    *
+    * `blocking = true` waits for the block manager to actually drop the
+    * blocks before returning. The bench MUST use it: with async release,
+    * the eviction RPCs and the freed-memory accounting land during the
+    * NEXT timed query — measured in round 4 as a broad 2–4× inflation of
+    * whichever family ran after the heavy dedup queries (alphabetically,
+    * `dql_*`).
     */
-  def releaseTransient(spark: SparkSession): Int = {
+  def releaseTransient(spark: SparkSession, blocking: Boolean = false): Int = {
     var n = 0
     pinned.forEach { df =>
       if ((df.sparkSession eq spark) && !sanctionedDfs.contains(df)) {
-        df.unpersist(blocking = false)
+        df.unpersist(blocking = blocking)
         pinned.remove(df)
         n += 1
       }
