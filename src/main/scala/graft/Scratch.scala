@@ -1,12 +1,16 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway profiling scratch — not part of the library surface. Edit the
   * body to time whatever is under investigation; keep measurements honest
   * by mirroring the driver flow (cold first action = the Verify shape,
   * post-warmup = the Bench shape). Session-cold numbers are dominated by
   * per-plan codegen/JIT at test scale — profile both.
+  *
+  * Current investigation: dedup_ngram stage split (VERDICT r4 #2) — banded
+  * candidate generation vs exact-Jaccard verification.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -24,17 +28,42 @@ object Scratch {
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs -> $r")
       r
     }
+    def release(): Unit =
+      graft.core.Caches.releaseTransient(spark, blocking = true)
 
-    t("gate cold: simhashPairs+orderBy+write")(
-      graft.pipeline.Dedup.simhashPairs(docs, 8).orderBy("doc_a", "doc_b")
-        .coalesce(1).write.mode("overwrite").parquet("/tmp/scratch_sh"))
-    // drop the first run's pinned intermediates — without this the re-run
-    // cache-hits the materialized fingerprint table and "warm" measures a
-    // cache scan, not the computation (codegen/JIT warm, data cold)
-    graft.core.Caches.releaseTransient(spark)
-    t("warm re-run (codegen warm, caches released)")(
-      graft.pipeline.Dedup.simhashPairs(docs, 8).orderBy("doc_a", "doc_b")
-        .coalesce(1).write.mode("overwrite").parquet("/tmp/scratch_sh"))
+    // codegen/JIT warmup on a different family so stage timings below are
+    // not charged session startup
+    graft.pipeline.Dedup.exact(docs).write.format("noop").mode("overwrite").save()
+
+    // ---- stage split, bigram path (2 passes each: first-run + steady) ----
+    for (run <- 1 to 2) {
+      release()
+      t(s"run$run shingles2 count")(
+        graft.pipeline.Dedup.shingles2(docs).count())
+      release()
+      t(s"run$run signature (md5+groupBy) count")(
+        graft.pipeline.Dedup.ngramSignatureForProfile(docs).count())
+      release()
+      t(s"run$run melted materialize")(
+        graft.pipeline.Dedup.ngramMeltedForProfile(docs).count())
+      // NO release: next step reads the warm melted cache on purpose
+      t(s"run$run pairs from warm melted")(
+        graft.pipeline.Dedup.ngramCandidatesForProfile(docs).count())
+      release()
+      t(s"run$run banded candidates count")(
+        graft.pipeline.Dedup.ngramCandidatesForProfile(docs).count())
+      // NO release: verify-only timing on warm candidate caches
+      t(s"run$run verify-only (warm candidates)")(
+        graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
+          .orderBy("doc_a", "doc_b")
+          .write.format("noop").mode("overwrite").save())
+      release()
+      t(s"run$run full ngramJaccardPairs")(
+        graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
+          .orderBy("doc_a", "doc_b")
+          .write.format("noop").mode("overwrite").save())
+      release()
+    }
     spark.stop()
   }
 }

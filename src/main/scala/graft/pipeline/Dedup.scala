@@ -25,9 +25,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** (doc_id, w: array<string>) — whitespace tokenization. */
-  def withWords(docs: DataFrame): DataFrame =
-    docs.withColumn("w", split(trim(col("text")), " "))
+  /** (doc_id, w: array<string>) — whitespace tokenization.
+    *
+    * The downstream explode→md5 stages are compute-bound, so they must
+    * not inherit a narrow storage layout: a corpus that arrives as fewer
+    * splits than cores (the local-test shape — one small parquet file =
+    * one split) would hash single-threaded. Widen to the cluster's
+    * default parallelism in that case; when the scan already yields at
+    * least that many splits (any realistic 100 TB layout), this is a
+    * no-op — no shuffle is added.
+    */
+  def withWords(docs: DataFrame): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val wide =
+      if (docs.rdd.getNumPartitions < sc.defaultParallelism)
+        docs.repartition(sc.defaultParallelism)
+      else docs
+    wide.withColumn("w", split(trim(col("text")), " "))
+  }
 
   /** RAW (doc_id, shingle) occurrences of 3-word shingles — deliberately
     * NOT deduplicated: the minhash signature is a per-doc MIN, which is
@@ -86,9 +101,9 @@ object Dedup {
     // combinable mins) and into the candidate-pruned verify slice — the
     // only shuffled shingle rows are the candidates'
     val sh = shingles3(docs)
-    val pairs = bandedCandidates(sh)
+    val (pairs, mel) = bandedCandidates(sh)
     val (out, shp) = verifyJaccard(pairs, sh, threshold)
-    Persist.handoff(out, pairs, shp)
+    Persist.handoff(out, pairs, mel, shp)
   }
 
   /** Banded-minhash candidate pairs over any (doc_id, shingle) table:
@@ -99,21 +114,39 @@ object Dedup {
     * sketch, never of position (prefix keys collapse boilerplate-prefixed
     * corpora into one quadratic block).
     */
-  private def bandedCandidates(sh: DataFrame): DataFrame = {
+  private def signature(sh: DataFrame): DataFrame = {
     val hashed = sh.select(col("doc_id") +:
       (0 until Seeds).map(s =>
         md5(concat_ws("|", lit(s.toString), col("shingle"))).as(s"h$s")): _*)
     val mhAggs = for (s <- 0 until Seeds; c <- 0 until Channels)
       yield min(substring(col(s"h$s"), c * 8 + 1, 8)).as(s"mh${s}_$c")
-    val sig = hashed.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    hashed.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+  }
+
+  /** profiling-only view of the bigram signature stage (Scratch) */
+  def ngramSignatureForProfile(docs: DataFrame): DataFrame =
+    signature(shingles2(docs))
+
+  /** Returns (candidate pairs, melted band-key pin). Both frames are
+    * persisted; callers hand both to [[Persist.handoff]]'s release list.
+    */
+  private def bandedCandidates(sh: DataFrame): (DataFrame, DataFrame) = {
+    val sig = signature(sh)
     val bandCols = (0 until Bands).map(b =>
       md5(concat((0 until Channels).map(c => col(s"mh${b}_$c")): _*))
         .as(s"band$b"))
     val banded = sig.select(col("doc_id") +: bandCols: _*)
     val stackExpr = (0 until Bands).map(b => s"$b, band$b").mkString(", ")
+    // pin the melted band keys (Bands rows per doc — corpus-small, nothing
+    // like the shingle table) BEFORE the self-join: without it the x and y
+    // sides each recompute the whole shingle→md5→signature pipeline, i.e.
+    // the corpus is exploded and hashed twice per candidate build —
+    // measured as the dominant cost of dedup_ngram (2.1s of 4.2s steady
+    // at sf0.1; with the pin the signature computes once)
     val melted = banded.selectExpr("doc_id",
       s"stack($Bands, $stackExpr) as (band_idx, bh)")
-    melted.as("x").join(melted.as("y"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = melted.as("x").join(melted.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -123,6 +156,7 @@ object Dedup {
       // verification joins) and is tiny relative to the corpus — persist so
       // the band join doesn't run once per consumer
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (pairs, melted)
   }
 
   /** SQL mirror of [[bandedCandidates]] + [[verifyJaccard]] given a shingle
@@ -336,9 +370,24 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh2 = shingles2(docs)
-    val pairs = bandedCandidates(sh2)
+    val (pairs, mel) = bandedCandidates(sh2)
     val (out, shp) = verifyJaccard(pairs, sh2, threshold)
-    Persist.handoff(out, pairs, shp)
+    Persist.handoff(out, pairs, mel, shp)
+  }
+
+  /** profiling-only view of the bigram candidate stage (Scratch); the
+    * candidate and band-key frames are self-persisted, so register both
+    * for release too
+    */
+  def ngramCandidatesForProfile(docs: DataFrame): DataFrame = {
+    val (p, mel) = bandedCandidates(shingles2(docs))
+    Persist.handoff(p, p, mel)
+  }
+
+  /** profiling-only view of the pinned band-key frame (Scratch) */
+  def ngramMeltedForProfile(docs: DataFrame): DataFrame = {
+    val (p, mel) = bandedCandidates(shingles2(docs))
+    Persist.handoff(mel, p, mel)
   }
 
   /** raw (doc_id, shingle) occurrences of word bigrams (see [[shingles3]]
