@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+/** Batch-vs-stream equivalence: the SAME DQL text through
+  * [[StreamingDql]] over a replayed event stream and through the batch
+  * compiler ([[graft.dql.Compiler]]) over an in-memory [[graft.dql.SeriesStore]]
+  * holding the same events must produce identical window results.
+  *
+  * This is the oracle-style check for the streaming surface (the batch
+  * side IS gate-verified against DuckDB, so agreement transfers). The
+  * reference's own execution model is chunked incremental evaluation with
+  * carried state (`src/dqe_get.erl:25-36`, `src/dqe_hist.erl:33-51`) —
+  * the streaming path mirrors that shape; this spec pins its results to
+  * the one-shot batch semantics.
+  *
+  * Exactness: the replay holds one point per (series, second) — the
+  * reference's data model, where a series has at most one value per
+  * resolution tick — and values with two decimal digits, so the batch
+  * side's slot derivation (`Exact.davg` over a single decimal-exact
+  * value) is the identity and both sides aggregate the identical inputs
+  * with the identical aggregate expressions. The comparison is therefore
+  * EXACT double equality, no tolerance.
+  */
+class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ------------------------------------------------------------- fixture
+
+  private val EndMs = 600000L // 10 minutes of replay, [0, 600000)
+
+  /** deterministic sparse replay: 3 series, one point per occupied second
+    * (~75% density so windows contain gaps), 2-decimal-digit values
+    */
+  private lazy val replay: Seq[SeriesStream.Ev] = for {
+    (t, u) <- Seq(("purchase", 1L), ("purchase", 2L), ("error", 1L))
+    sec <- 0L until (EndMs / 1000)
+    if (sec * 2654435761L + u * 40503L + t.length * 97L) % 4 != 0
+  } yield SeriesStream.Ev(new Timestamp(sec * 1000), t, u,
+    ((sec * 31 + u * 7 + t.length) % 1000) / 100.0)
+
+  /** the batch compiler's storage seam bound to the replayed events —
+    * the same derivation as SeriesOps.buildSeries, over the same rows the
+    * stream ingests
+    */
+  private final class ReplayStore(ev: DataFrame) extends graft.dql.SeriesStore {
+    def resolutionMs(bucket: String): Long = 1000L
+    def series(spark: SparkSession, bucket: String): DataFrame =
+      ev.groupBy(
+          col("event_type").as("mtype"), col("user_id").as("muser"),
+          graft.core.Exact.wstart(unix_millis(col("ts")), 1000L).as("ts_ms"))
+        .agg(graft.core.Exact.davg(col("value")).as("value"))
+        .select(concat_ws(".", col("mtype"), col("muser")).as("metric"),
+          col("mtype"), col("muser"), col("ts_ms"), col("value"))
+    def tagCol(ns: String, key: String): Option[String] = key match {
+      case "type" => Some("mtype")
+      case "user" => Some("muser")
+      case _      => None
+    }
+    val tagCols: Seq[String] = Seq("mtype", "muser")
+    def events(spark: SparkSession, bucket: String): DataFrame =
+      ev.select(monotonically_increasing_id().as("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"), col("value"))
+  }
+
+  // ------------------------------------------------------------ both paths
+
+  private def batchRows(dql: String): Set[(String, Long, Option[Double])] = {
+    val s = spark
+    import s.implicits._
+    val store = new ReplayStore(replay.toDF())
+    graft.dql.Compiler.run(spark, store, EndMs, dql)
+      .select("metric", "ts_ms", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+  }
+
+  private def streamRows(dql: String,
+                         name: String): Set[(String, Long, Option[Double])] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = StreamingDql.compile(in.toDF(), dql, "30 seconds")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      in.addData(replay: _*)
+      q.processAllAvailable()
+      spark.sql(s"SELECT metric, ws, CAST(value AS DOUBLE) AS v FROM $name")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSet
+    } finally q.stop()
+  }
+
+  /** Assert stream ≡ batch on the windows the stream emits. The batch
+    * side may additionally report windows no event fell into (its leaf
+    * densifies when the plan needs the confidence channel); a stream has
+    * no row to trigger those, so they are excluded — every window WITH
+    * data must match exactly, and the stream must emit no window the
+    * batch side doesn't have.
+    */
+  private def assertEquivalent(dql: String, name: String): Unit = {
+    val b = batchRows(dql)
+    val st = streamRows(dql, name)
+    assert(st.nonEmpty, s"stream produced nothing for: $dql")
+    val bKeys = b.map(r => (r._1, r._2))
+    val missing = st.filterNot(r => bKeys.contains((r._1, r._2)))
+    assert(missing.isEmpty,
+      s"stream emitted windows batch doesn't have: ${missing.take(5)}")
+    val bByKey = b.map(r => (r._1, r._2) -> r._3).toMap
+    val mismatched = st.filter(r => bByKey((r._1, r._2)) != r._3)
+    assert(mismatched.isEmpty,
+      s"value mismatch (stream vs batch=${mismatched.take(5).map(r => (r, bByKey((r._1, r._2))))}")
+    // and no with-data batch window is absent from the stream: batch rows
+    // with a non-null value always correspond to ≥1 event in the window
+    val stKeys = st.map(r => (r._1, r._2))
+    val lost = b.filter(_._3.nonEmpty).filterNot(r => stKeys.contains((r._1, r._2)))
+    assert(lost.isEmpty, s"batch windows missing from stream: ${lost.take(5)}")
+  }
+
+  // -------------------------------------------------------------- shapes
+
+  test("windowed avg over a glob selector: stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT avg('purchase'.* BUCKET 'testdata', 1 m) BETWEEN 0 AND $EndMs",
+      "eq_avg_glob")
+  }
+
+  test("transform below the aggregation (divide, then sum): stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT sum(divide('purchase'.'1' BUCKET 'testdata', 2), 30 s) BETWEEN 0 AND $EndMs",
+      "eq_sum_divide")
+  }
+
+  test("transform above the aggregation (add on the agg stream): stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT add(max('error'.'1' BUCKET 'testdata', 1 m), 100) BETWEEN 0 AND $EndMs",
+      "eq_add_max")
+  }
+
+  test("fused same-window combinator (diff of sums): stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT diff(sum('purchase'.'1' BUCKET 'testdata', 1 m), " +
+        s"sum('purchase'.'2' BUCKET 'testdata', 1 m)) BETWEEN 0 AND $EndMs",
+      "eq_diff_sums")
+  }
+
+  test("fused non-commutative combinator (quotient): stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT quotient(sum('purchase'.'1' BUCKET 'testdata', 1 m), " +
+        s"sum('error'.'1' BUCKET 'testdata', 1 m)) BETWEEN 0 AND $EndMs",
+      "eq_quot_sums")
+  }
+}
