@@ -198,15 +198,20 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       }
 
     case RAggr(name, c, w, child)
-        if (name == "median" || name == "percentile") && saltedPercentile =>
+        if (name == "median" || name == "percentile") &&
+          (saltedPercentile ||
+            w / math.max(child.resMs, 1L) >= saltedAutoRows) =>
       // skew path: the exact windowed order statistic is the one holistic
       // aggregate whose group state is O(window), so a hot series key at
       // cluster scale lands one window's full row set in one task. The
       // salted two-phase form (core/Skew) spreads phase 1 over
       // (series, window, salt) — identical output, different shuffle shape.
-      // Opt-in via spark.graft.dql.percentile.salted (default off: the
-      // single-phase form is cheaper under the reference's 1.2 M-point
-      // window envelope).
+      // Enabled by spark.graft.dql.percentile.salted, or AUTOMATICALLY
+      // when the plan-time row bound per (series, window) group trips
+      // spark.graft.dql.percentile.salted.autoRows (default 1M): in the
+      // dense series model a group holds at most window/child-tick points,
+      // so the bound needs no statistics — it is exact from the plan. Below
+      // the bound the single-phase form stays cheaper (one shuffle).
       val in = compilePlan(child, startMs, endMs, dense)
       val p = if (name == "median") 0.5 else c.get
       val keyed = in.select(col("metric") +: store.tagCols.map(col) :+
@@ -316,6 +321,9 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     .getOption("spark.graft.dql.percentile.salted").contains("true")
   private def saltCount: Int = spark.conf
     .getOption("spark.graft.dql.percentile.salts").map(_.toInt).getOrElse(16)
+  private def saltedAutoRows: Long = spark.conf
+    .getOption("spark.graft.dql.percentile.salted.autoRows")
+    .map(_.toLong).getOrElse(1000000L)
 
   /** group on the series key + window start, re-exposed as ts_ms */
   private def groupWindow(in: DataFrame, w: Long) =

@@ -70,6 +70,13 @@ object DqlQueries extends QueryProvider {
     // the plain discrete kth, proving the two shuffle shapes agree
     "dql_percentile_salted" ->
       s"SELECT percentile('purchase'.'3' BUCKET 'testdata', 0.9, 1 h) BETWEEN $T0 AND $T1",
+    // salted AUTO-trigger: a 14 d window at 1 s resolution bounds every
+    // (series, window) group at 1,209,600 rows — past the 1M autoRows
+    // default — so the two-phase shape engages with NO flag set; the
+    // oracle is again the plain discrete kth (value-identical by
+    // construction, whatever the shuffle shape)
+    "dql_percentile_auto" ->
+      s"SELECT percentile('purchase'.'3' BUCKET 'testdata', 0.9, 14 d) BETWEEN $T0 AND $T1",
     // combinator confidence propagation: the sum of two gap-filled series
     // carries the MEAN of its children's confidence at each point
     "conf_comb" ->
@@ -227,6 +234,10 @@ object DqlQueries extends QueryProvider {
     // must be value-identical to the unsalted one
     "dql_percentile_salted" -> winAgg("dql_percentile_salted",
       "metric = 'purchase.3'", Hour,
+      "list_sort(list(value))[GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))]",
+      T0, T1),
+    "dql_percentile_auto" -> winAgg("dql_percentile_auto",
+      "metric = 'purchase.3'", 14 * Day,
       "list_sort(list(value))[GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))]",
       T0, T1),
     // hdr recording mirror: out-of-range points (round(v) outside

@@ -85,6 +85,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!unsalted.contains("__salt"), unsalted.take(2000))
   }
 
+  test("salted percentile auto-engages past the plan-time group-row bound") {
+    // no flag set: a 14 d window / 1 s tick bounds each (series, window)
+    // group at 1.2M rows, past the 1M autoRows default — two-phase shape
+    val auto = planOf(
+      entry.DqlQueries.queries("dql_percentile_auto")(spark, dir))
+    assert(auto.contains("__salt"), auto.take(3000))
+    // the same query under a raised threshold stays single-phase
+    spark.conf.set("spark.graft.dql.percentile.salted.autoRows", "10000000")
+    try {
+      val raised = planOf(
+        entry.DqlQueries.queries("dql_percentile_auto")(spark, dir))
+      assert(!raised.contains("__salt"), raised.take(2000))
+    } finally
+      spark.conf.unset("spark.graft.dql.percentile.salted.autoRows")
+  }
+
   test("no pairwise operator plans an unblocked Cartesian product") {
     // every blocked-pair pipeline must join on its block key — a
     // CartesianProduct node means the blocking regressed to all-pairs.
