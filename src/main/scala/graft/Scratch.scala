@@ -9,19 +9,23 @@ import org.apache.spark.sql.functions._
   * post-warmup = the Bench shape). Session-cold numbers are dominated by
   * per-plan codegen/JIT at test scale — profile both.
   *
-  * Current investigation: dedup_ngram stage split (VERDICT r4 #2) — banded
-  * candidate generation vs exact-Jaccard verification.
+  * Current investigation: sf1 scale rehearsal (VERDICT r4 #4) — a 10×
+  * corpus (50k docs) synthesized from the sf0.1 documents table by
+  * interleaving a copy-specific token every 3rd word (cross-copy bigram
+  * Jaccard collapses, intra-copy near-dup structure is preserved), then:
+  * block-occupancy stats for simhash combination blocking and ngram band
+  * keys, and timed dedup-family runs against the 5 s envelope.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = "/tmp/sf1_rehearsal"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = graft.core.Tables(spark, sfDir, "documents")
 
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -31,36 +35,70 @@ object Scratch {
     def release(): Unit =
       graft.core.Caches.releaseTransient(spark, blocking = true)
 
-    // codegen/JIT warmup on a different family so stage timings below are
-    // not charged session startup
-    graft.pipeline.Dedup.exact(docs).write.format("noop").mode("overwrite").save()
+    // ---- synthesize the 10× corpus (written once, reused) ----
+    val docs01 = graft.core.Tables(spark, sfDir, "documents")
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val copies = (0 until 10).map { k =>
+        if (k == 0) docs01
+        else docs01
+          .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", expr(
+            s"""concat_ws(' ', flatten(transform(
+               |  split(trim(text), ' '),
+               |  (w, i) -> CASE WHEN i % 3 = 2 THEN array(w, 'rk$k')
+               |            ELSE array(w) END)))""".stripMargin))
+      }
+      copies.reduce(_ unionByName _).repartition(8)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    println(s"[scratch] sf1 corpus docs=${docs.count()}")
 
-    // ---- stage split, bigram path (2 passes each: first-run + steady) ----
+    // ---- block occupancy: the n/2^32 uniformity claim ----
+    def occupancy(name: String, blocks: org.apache.spark.sql.DataFrame,
+                  keyCols: Seq[String]): Unit = {
+      val sizes = blocks.groupBy(keyCols.map(col): _*).count()
+      val row = sizes.agg(
+        count(lit(1)).as("buckets"), max("count").as("max_occ"),
+        avg("count").as("mean_occ"),
+        sum((col("count") * (col("count") - 1) / 2).cast("long"))
+          .as("cand_pairs")).collect()(0)
+      println(f"[scratch] occupancy $name: buckets=${row.getLong(0)} " +
+        f"max=${row.getLong(1)} mean=${row.getDouble(2)}%.3f " +
+        f"pairs=${row.getLong(3)}")
+      release()
+    }
+    occupancy("simhash-blocks sf0.1-baseline",
+      graft.pipeline.Dedup.simhashBlocksForProfile(docs01),
+      Seq("band_idx", "bv"))
+    occupancy("ngram-bands sf0.1-baseline",
+      graft.pipeline.Dedup.ngramMeltedForProfile(docs01),
+      Seq("band_idx", "bh"))
+    occupancy("simhash-combination-blocks",
+      graft.pipeline.Dedup.simhashBlocksForProfile(docs),
+      Seq("band_idx", "bv"))
+    occupancy("ngram-band-keys",
+      graft.pipeline.Dedup.ngramMeltedForProfile(docs),
+      Seq("band_idx", "bh"))
+
+    // ---- timed dedup family at sf1 (2 runs: first + steady) ----
     for (run <- 1 to 2) {
       release()
-      t(s"run$run shingles2 count")(
-        graft.pipeline.Dedup.shingles2(docs).count())
+      t(s"run$run simhashPairs sf1")(
+        graft.pipeline.Dedup.simhashPairs(docs, 8).orderBy("doc_a", "doc_b")
+          .write.format("noop").mode("overwrite").save())
       release()
-      t(s"run$run signature (md5+groupBy) count")(
-        graft.pipeline.Dedup.ngramSignatureForProfile(docs).count())
-      release()
-      t(s"run$run melted materialize")(
-        graft.pipeline.Dedup.ngramMeltedForProfile(docs).count())
-      // NO release: next step reads the warm melted cache on purpose
-      t(s"run$run pairs from warm melted")(
-        graft.pipeline.Dedup.ngramCandidatesForProfile(docs).count())
-      release()
-      t(s"run$run banded candidates count")(
-        graft.pipeline.Dedup.ngramCandidatesForProfile(docs).count())
-      // NO release: verify-only timing on warm candidate caches
-      t(s"run$run verify-only (warm candidates)")(
+      t(s"run$run ngramJaccardPairs sf1")(
         graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
           .orderBy("doc_a", "doc_b")
           .write.format("noop").mode("overwrite").save())
       release()
-      t(s"run$run full ngramJaccardPairs")(
-        graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
-          .orderBy("doc_a", "doc_b")
+      t(s"run$run minhashPairs sf1")(
+        graft.pipeline.Dedup.minhashPairs(docs, 0.5).orderBy("doc_a", "doc_b")
+          .write.format("noop").mode("overwrite").save())
+      release()
+      t(s"run$run exact sf1")(
+        graft.pipeline.Dedup.exact(docs)
           .write.format("noop").mode("overwrite").save())
       release()
     }

@@ -40,6 +40,11 @@ object PipelineQueries extends QueryProvider {
       Dedup.exact(docs(s, d)).orderBy("text_hash")),
     "dedup_minhash" -> ((s, d) =>
       minhashPairs(s, d, 0.5).orderBy("doc_a", "doc_b")),
+    // recall note: C(6,3) combination blocking GUARANTEES pairs at
+    // Hamming ≤ 3; candidates at 4–8 are found only when ≥3 chunks
+    // happen to survive untouched (probabilistic — the WWW'07 operating
+    // point). The DuckDB oracle shares the blocking, so the gate checks
+    // the implementation, and this line records the semantics.
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), 8).orderBy("doc_a", "doc_b")),
     "dedup_ngram" -> ((s, d) =>

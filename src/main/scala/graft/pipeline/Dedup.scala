@@ -390,6 +390,20 @@ object Dedup {
     Persist.handoff(mel, p, mel)
   }
 
+  /** profiling-only view of the simhash combination-block keys
+    * (doc_id, band_idx, bv) — for measuring block occupancy (Scratch)
+    */
+  def simhashBlocksForProfile(docs: DataFrame): DataFrame = {
+    val fp = simhash(docs)
+    val chunkExprs = SimhashChunks.map { case (n, e) => s"$e AS $n" }
+    val chunked = fp.selectExpr(
+      Seq("doc_id", "fp_hi", "fp_lo") ++ chunkExprs: _*)
+    val stackArgs = SimhashCombos.zipWithIndex
+      .map { case (c, i) => s"$i, ${comboKey(c)}" }.mkString(", ")
+    chunked.selectExpr("doc_id",
+      s"stack(${SimhashCombos.length}, $stackArgs) as (band_idx, bv)")
+  }
+
   /** raw (doc_id, shingle) occurrences of word bigrams (see [[shingles3]]
     * for why these are not deduplicated corpus-wide).
     */
