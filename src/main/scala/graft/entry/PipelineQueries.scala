@@ -15,6 +15,11 @@ object PipelineQueries extends QueryProvider {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
+  // widened variant for the regex-heavy text ops only: measured a win for
+  // langid/quality (multi-pattern regex per row), a loss for the cheap
+  // per-row ops where the exchange outweighs the parallel compute
+  private def docsWide(s: SparkSession, d: String): DataFrame =
+    graft.core.Parallel.widen(docs(s, d))
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
 
@@ -83,9 +88,9 @@ object PipelineQueries extends QueryProvider {
     "text_tokens" -> ((s, d) =>
       TextOps.tokens(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
-      TextOps.quality(docs(s, d)).orderBy("doc_id")),
+      TextOps.quality(docsWide(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) =>
-      TextOps.langid(docs(s, d)).orderBy("doc_id")),
+      TextOps.langid(docsWide(s, d)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
       TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
     "mm_decode" -> ((s, d) =>

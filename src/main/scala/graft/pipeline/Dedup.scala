@@ -35,14 +35,9 @@ object Dedup {
     * least that many splits (any realistic 100 TB layout), this is a
     * no-op — no shuffle is added.
     */
-  def withWords(docs: DataFrame): DataFrame = {
-    val sc = docs.sparkSession.sparkContext
-    val wide =
-      if (docs.rdd.getNumPartitions < sc.defaultParallelism)
-        docs.repartition(sc.defaultParallelism)
-      else docs
-    wide.withColumn("w", split(trim(col("text")), " "))
-  }
+  def withWords(docs: DataFrame): DataFrame =
+    graft.core.Parallel.widen(docs)
+      .withColumn("w", split(trim(col("text")), " "))
 
   /** RAW (doc_id, shingle) occurrences of 3-word shingles — deliberately
     * NOT deduplicated: the minhash signature is a per-doc MIN, which is
