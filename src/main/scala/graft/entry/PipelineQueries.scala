@@ -15,6 +15,10 @@ object PipelineQueries extends QueryProvider {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
+
+  /** per-lang sampling rates for the stratified-sampling gate */
+  private val SampleRates =
+    Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1)
   // widened variant for the regex-heavy text ops only: measured a win for
   // langid/quality (multi-pattern regex per row), a loss for the cheap
   // per-row ops where the exchange outweighs the parallel compute
@@ -93,6 +97,21 @@ object PipelineQueries extends QueryProvider {
       TextOps.langid(docsWide(s, d)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
       TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
+    // benchmark decontamination: eval set = doc_id % 97 = 0, flag train
+    // docs sharing ≥ 3 distinct 3-gram shingles with it
+    "decon_ngram" -> ((s, d) => {
+      val all = docs(s, d)
+      Curation.decontaminate(all.where(col("doc_id") % 97 =!= 0),
+        all.where(col("doc_id") % 97 === 0), 3).orderBy("doc_id")
+    }),
+    // deterministic stratified sampling: per-lang keep rates via md5(doc_id)
+    "sample_stratified" -> ((s, d) =>
+      Curation.sampleStratified(docs(s, d), "lang", SampleRates, 0.2)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // per-language top-10 by quality score (window group limit shape)
+    "curate_topk" -> ((s, d) =>
+      Curation.topkByQuality(docs(s, d), "lang", 10)
+        .orderBy("lang", "rank")),
     "mm_decode" -> ((s, d) =>
       Multimodal.decodeMeta(s, Multimodal.asMedia(docs(s, d)))
         .toDF().orderBy("doc_id")),
@@ -152,6 +171,10 @@ object PipelineQueries extends QueryProvider {
     "text_quality" -> TextOps.qualitySql,
     "text_langid" -> TextOps.langidSql,
     "text_fingerprint" -> TextOps.fingerprintSql,
+    "decon_ngram" -> Curation.decontaminateSql(3),
+    "sample_stratified" -> Curation.sampleStratifiedSql("lang", SampleRates,
+      0.2, "doc_id, lang, source"),
+    "curate_topk" -> Curation.topkByQualitySql(10),
     "mm_decode" -> Multimodal.decodeMetaSql,
     "mm_frames" -> Multimodal.frameSampleSql,
     "corpus_decisions" -> Corpus.decisionsSql(0.5, 0.46),

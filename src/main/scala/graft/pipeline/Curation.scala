@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines (builder brief,
+  * beyond the reference surface): benchmark decontamination, deterministic
+  * stratified sampling, and per-stratum top-k selection.
+  *
+  * All three are shuffle-bounded declarative plans; the hashes are
+  * md5-derived so the DuckDB oracle reproduces them exactly.
+  */
+object Curation {
+
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * `minOverlap` DISTINCT word-3-gram shingles with the evaluation set —
+    * the standard n-gram-overlap contamination test run before training.
+    *
+    * Scale shape: the eval set is a benchmark — tiny and fixed relative
+    * to a training corpus — so its distinct shingle set BROADCASTS; the
+    * train side streams map-side through the broadcast join and the only
+    * shuffle is the per-doc distinct-overlap count. No corpus self-join,
+    * no eval-side shuffle. At 100 TB the train shingle stream is the scan
+    * itself; nothing scales with corpus × benchmark.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    minOverlap: Int): DataFrame = {
+    val evalSh = Dedup.shingles3(eval).select("shingle").distinct()
+    Dedup.shingles3(train)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("shingle")).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
+
+  /** SQL mirror of [[decontaminate]] with the eval set = doc_id % 97 = 0
+    * (the gate's deterministic split). `shingles3Sql`'s `sh` CTE is
+    * already per-doc distinct.
+    */
+  def decontaminateSql(minOverlap: Int): String =
+    s"""WITH ${Dedup.shingles3Sql},
+       |eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+       |SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_overlap
+       |FROM sh s JOIN eval_sh e USING (shingle)
+       |WHERE s.doc_id % 97 <> 0
+       |GROUP BY 1 HAVING COUNT(DISTINCT s.shingle) >= $minOverlap
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- stratified sampling
+
+  /** Deterministic stratified sampling: keep a document iff the first 32
+    * bits of md5(doc_id) fall below its stratum's rate — reproducible
+    * across runs/engines (no RNG state), stable under corpus growth (a
+    * doc's fate never depends on other docs), and exactly the mixing
+    * primitive a training pipeline uses to reweight sources.
+    *
+    * Purely map-side: no shuffle at all; the sample streams out of the
+    * scan. Rates are per-`strataCol` value with a default for the rest.
+    */
+  def sampleStratified(docs: DataFrame, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val thr = rates.foldLeft(lit((defaultRate * 4294967296L).toLong)) {
+      case (acc, (v, r)) =>
+        when(col(strataCol) === v, lit((r * 4294967296L).toLong)).otherwise(acc)
+    }
+    docs.where(u < thr)
+  }
+
+  /** SQL mirror of [[sampleStratified]] over `documents`. */
+  def sampleStratifiedSql(strataCol: String, rates: Map[String, Double],
+                          defaultRate: Double, selectCols: String): String = {
+    val cases = rates.toSeq.sortBy(_._1).map { case (v, r) =>
+      s"WHEN $strataCol = '$v' THEN ${(r * 4294967296L).toLong}"
+    }.mkString(" ")
+    s"""SELECT $selectCols FROM documents
+       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      < CASE $cases ELSE ${(defaultRate * 4294967296L).toLong} END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- per-stratum top-k
+
+  /** Keep the k highest-quality documents per stratum (quality from
+    * [[TextOps.withQuality]]; ties broken on doc_id — deterministic).
+    *
+    * Expressed as a rank-filtered window so Catalyst's
+    * InferWindowGroupLimit rewrites it to a per-partition group limit:
+    * each task keeps only its local top-k per stratum BEFORE the
+    * exchange, so the shuffle carries O(partitions × k) rows per stratum,
+    * not the stratum's full row set — the two-phase top-k shape by
+    * optimizer rewrite rather than by hand (asserted in PlanSpec).
+    */
+  def topkByQuality(docs: DataFrame, strataCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("quality").desc, col("doc_id"))
+    TextOps.withQuality(docs)
+      .select(col(strataCol), col("doc_id"), col("quality"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** SQL mirror of [[topkByQuality]] by lang over `documents`; the quality
+    * subexpression mirrors [[TextOps.qualitySql]].
+    */
+  def topkByQualitySql(k: Int): String = {
+    val stops = TextOps.Stopwords.map(s =>
+      s"CAST(len(list_filter(w, x -> x = '$s')) AS DOUBLE)").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT lang, doc_id,
+       |    0.4*(($stops)/nw) +
+       |    0.3*(1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text)) +
+       |    0.3*LEAST(((CAST(length(text) AS DOUBLE) - (nw - 1))/nw)/10.0, 1.0) AS quality
+       |  FROM (SELECT lang, doc_id, text, string_split(trim(text), ' ') AS w,
+       |               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS nw
+       |        FROM documents))
+       |SELECT lang, doc_id, quality, rank FROM (
+       |  SELECT lang, doc_id, quality,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |                            ORDER BY quality DESC, doc_id) AS rank
+       |  FROM q)
+       |WHERE rank <= $k ORDER BY lang, rank""".stripMargin
+  }
+}

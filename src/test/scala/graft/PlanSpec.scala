@@ -101,6 +101,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("spark.graft.dql.percentile.salted.autoRows")
   }
 
+  test("per-stratum top-k rewrites to a window group limit; decon broadcasts") {
+    // the rank-filtered window must trigger InferWindowGroupLimit: each
+    // task keeps its local top-k BEFORE the exchange, so the shuffle
+    // carries O(partitions × k) rows per stratum, not the full stratum
+    val topk = planOf(entry.PipelineQueries.queries("curate_topk")(spark, dir))
+    assert(topk.contains("WindowGroupLimit"), topk.take(3000))
+    // the benchmark shingle set broadcasts; the train side must not
+    // shuffle for the join
+    val decon = planOf(entry.PipelineQueries.queries("decon_ngram")(spark, dir))
+    assert(decon.contains("BroadcastHashJoin"), decon.take(3000))
+  }
+
   test("no pairwise operator plans an unblocked Cartesian product") {
     // every blocked-pair pipeline must join on its block key — a
     // CartesianProduct node means the blocking regressed to all-pairs.
