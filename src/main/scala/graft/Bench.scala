@@ -32,7 +32,7 @@ object Bench {
     "dedup_ngram", "dedup_embed", "dedup_canonical", "corpus_decisions",
     "sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh", "text_fingerprint",
     "text_langid", "text_quality", "text_tokens", "mm_decode",
-    "asof_series", "range_clicks")
+    "asof_series", "range_clicks", "decon_ngram", "curate_topk")
 
   private def r3(v: Double): String = f"$v%.3f"
 

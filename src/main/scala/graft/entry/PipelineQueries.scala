@@ -112,6 +112,10 @@ object PipelineQueries extends QueryProvider {
     "curate_topk" -> ((s, d) =>
       Curation.topkByQuality(docs(s, d), "lang", 10)
         .orderBy("lang", "rank")),
+    // token-budget sequence packing (contiguous chunk index per source)
+    "pack_tokens" -> ((s, d) =>
+      Curation.packTokenBudget(docs(s, d), 4096)
+        .orderBy("source", "doc_id")),
     "mm_decode" -> ((s, d) =>
       Multimodal.decodeMeta(s, Multimodal.asMedia(docs(s, d)))
         .toDF().orderBy("doc_id")),
@@ -175,6 +179,7 @@ object PipelineQueries extends QueryProvider {
     "sample_stratified" -> Curation.sampleStratifiedSql("lang", SampleRates,
       0.2, "doc_id, lang, source"),
     "curate_topk" -> Curation.topkByQualitySql(10),
+    "pack_tokens" -> Curation.packTokenBudgetSql(4096),
     "mm_decode" -> Multimodal.decodeMetaSql,
     "mm_frames" -> Multimodal.frameSampleSql,
     "corpus_decisions" -> Corpus.decisionsSql(0.5, 0.46),

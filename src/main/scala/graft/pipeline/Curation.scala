@@ -105,6 +105,41 @@ object Curation {
       .where(col("rank") <= k)
   }
 
+  // ------------------------------------------------ token-budget packing
+
+  /** Contiguous token-budget chunking — the deterministic index-assignment
+    * step of sequence packing: documents are laid out in doc_id order
+    * within each `source` stream and assigned chunk
+    * floor(tokens_before_doc / budget), so consecutive docs share a chunk
+    * until the running token count crosses the budget.
+    *
+    * Scale shape: one window partitioned by `source` — streams pack
+    * independently and in parallel; no global ordering exists anywhere in
+    * the plan (a single global cumsum would serialize — deliberately
+    * avoided). The within-partition sort is the scan order under the
+    * production layout's in-file sort.
+    */
+  def packTokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .withColumn("chunk_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+  }
+
+  /** SQL mirror of [[packTokenBudget]] over `documents`. */
+  def packTokenBudgetSql(budget: Long): String =
+    s"""SELECT source, doc_id,
+       |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(FLOOR((SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+       |         OVER (PARTITION BY source ORDER BY doc_id
+       |               ROWS UNBOUNDED PRECEDING)
+       |       - CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+       |      / $budget) AS BIGINT) AS chunk_id
+       |FROM documents ORDER BY source, doc_id""".stripMargin
+
   /** SQL mirror of [[topkByQuality]] by lang over `documents`; the quality
     * subexpression mirrors [[TextOps.qualitySql]].
     */
