@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic properties of the curation operators (the hash gates prove
+  * engine parity; these pin the operator CONTRACTS on adversarial
+  * fixtures).
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf(rows: Seq[(Long, String, String, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("decontaminate flags exactly the docs sharing >= k distinct shingles") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docsDf(Seq(
+      (1L, evalDoc, "en", "s0"),                       // exact copy of eval
+      (2L, "alpha beta gamma delta unrelated words here", "en", "s0"), // 2 shared
+      (3L, "completely different content with no overlap at all", "en", "s0"),
+      (97L, evalDoc, "en", "s0")))                     // the eval doc
+    val train = docs.where(col("doc_id") =!= 97L)
+    val eval = docs.where(col("doc_id") === 97L)
+    val flagged = Curation.decontaminate(train, eval, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares all 6 shingles; doc 2 shares exactly 2 (< 3); doc 3 none
+    assert(flagged == Map(1L -> 6L))
+    val flaggedAt2 = Curation.decontaminate(train, eval, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flaggedAt2 == Map(1L -> 6L, 2L -> 2L))
+  }
+
+  test("stratified sample is deterministic and monotone in the rate") {
+    val docs = docsDf((1L to 400L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "en" else "de", "s0")))
+    def ids(rates: Map[String, Double]) =
+      Curation.sampleStratified(docs, "lang", rates, 0.0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = ids(Map("en" -> 0.5))
+    assert(ids(Map("en" -> 0.5)) == half, "same rates must resample identically")
+    assert(half.forall(_ % 2 == 0), "default rate 0 must exclude the other stratum")
+    val bigger = ids(Map("en" -> 0.8))
+    assert(half.subsetOf(bigger), "raising a rate may only ADD documents")
+    // the md5 threshold tracks the rate (binomial mean 100 of 200)
+    assert(half.size > 60 && half.size < 140, s"got ${half.size} of 200")
+  }
+
+  test("token packing: chunks are contiguous and respect the budget") {
+    val docs = docsDf((1L to 50L).map { i =>
+      val words = Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")
+      (i, words, "en", if (i <= 25) "a" else "b")
+    })
+    val packed = Curation.packTokenBudget(docs, budget = 10)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (src <- Seq("a", "b")) {
+      val rows = packed.filter(_._1 == src)
+      // chunk ids non-decreasing in doc order, starting at 0
+      assert(rows.head._4 == 0L)
+      assert(rows.sliding(2).forall { case Array(p, n) => n._4 >= p._4 })
+      // a doc is in chunk c iff the tokens BEFORE it total in [c*B, (c+1)*B)
+      var cum = 0L
+      rows.foreach { case (_, _, n, c) =>
+        assert(c == cum / 10, s"doc with $cum tokens before it in chunk $c")
+        cum += n
+      }
+    }
+  }
+
+  test("per-stratum top-k keeps exactly k best with deterministic ties") {
+    val docs = docsDf((1L to 30L).map(i =>
+      (i, "same text for every doc", if (i <= 15) "en" else "de", "s0")))
+    // identical quality everywhere → ties broken by doc_id ascending
+    val kept = Curation.topkByQuality(docs, "lang", 4)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.count(_._1 == "en") == 4 && kept.count(_._1 == "de") == 4)
+    assert(kept.filter(_._1 == "en").map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(kept.filter(_._1 == "de").map(_._2).sorted.toSeq == Seq(16L, 17L, 18L, 19L))
+  }
+}
