@@ -263,8 +263,24 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         case "median" => kth(ints, 0.5).cast("double")
         case "percentile" => kth(ints, pOpt.get).cast("double")
       }
-      groupWindow(in, w).agg(agg.as("value"),
-        avg(col("confidence")).as("confidence"))
+      // the EXACT hist quantile is the same holistic collect-and-sort as
+      // the plain percentile, so it salts under the same plan-time bound
+      // (see the RAggr salted case). The HDR sketch path never salts: its
+      // aggregate is fixed-size and mergeable — map-side partials already
+      // spread a hot window, which is the point of the sketch.
+      val saltHist = !useHdr && (name == "median" || name == "percentile") &&
+        (saltedPercentile || w / math.max(child.resMs, 1L) >= saltedAutoRows)
+      if (saltHist) {
+        val p = if (name == "median") 0.5 else pOpt.get
+        val keyed = in.select(col("metric") +: store.tagCols.map(col) :+
+          Exact.wstart(col("ts_ms"), w).as("ts_ms") :+
+          col("ts_ms").as("__ts") :+ ints.as("value") :+ col("confidence"): _*)
+        graft.core.Skew.saltedKthWindow(keyed,
+          Seq("metric") ++ store.tagCols :+ "ts_ms", p, saltCount)
+          .withColumn("value", col("value").cast("double"))
+      } else
+        groupWindow(in, w).agg(agg.as("value"),
+          avg(col("confidence")).as("confidence"))
 
     case RTrans("derivate", _, child) =>
       Trans.derivate(compilePlan(child, startMs, endMs, dense))

@@ -77,6 +77,9 @@ object DqlQueries extends QueryProvider {
     // construction, whatever the shuffle shape)
     "dql_percentile_auto" ->
       s"SELECT percentile('purchase'.'3' BUCKET 'testdata', 0.9, 14 d) BETWEEN $T0 AND $T1",
+    // the exact hist quantile salts under the same plan-time bound
+    "dql_hist_auto" ->
+      s"SELECT percentile(histogram('purchase'.'3' BUCKET 'testdata', 1000, 3, 14 d), 0.9) BETWEEN $T0 AND $T1",
     // combinator confidence propagation: the sum of two gap-filled series
     // carries the MEAN of its children's confidence at each point
     "conf_comb" ->
@@ -239,6 +242,12 @@ object DqlQueries extends QueryProvider {
     "dql_percentile_auto" -> winAgg("dql_percentile_auto",
       "metric = 'purchase.3'", 14 * Day,
       "list_sort(list(value))[GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))]",
+      T0, T1),
+    "dql_hist_auto" -> winAgg("dql_hist_auto",
+      "metric = 'purchase.3' AND CAST(ROUND(value, 0) AS BIGINT) BETWEEN 0 AND 1000",
+      14 * Day,
+      "CAST(list_sort(list(CAST(ROUND(value, 0) AS BIGINT)))" +
+        "[GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))] AS DOUBLE)",
       T0, T1),
     // hdr recording mirror: out-of-range points (round(v) outside
     // [0, htv]) are DROPPED before aggregation, exactly as the Spark

@@ -91,6 +91,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val auto = planOf(
       entry.DqlQueries.queries("dql_percentile_auto")(spark, dir))
     assert(auto.contains("__salt"), auto.take(3000))
+    // the exact hist quantile salts under the same bound; the short-window
+    // hist form stays single-phase
+    val hist = planOf(entry.DqlQueries.queries("dql_hist_auto")(spark, dir))
+    assert(hist.contains("__salt"), hist.take(3000))
+    assert(!planOf(entry.DqlQueries.queries("dql_hist")(spark, dir))
+      .contains("__salt"))
     // the same query under a raised threshold stays single-phase
     spark.conf.set("spark.graft.dql.percentile.salted.autoRows", "10000000")
     try {
