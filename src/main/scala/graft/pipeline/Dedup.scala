@@ -458,22 +458,25 @@ object Dedup {
         .groupBy(col("src")).agg(min("label").as("nlabel"))
       val relaxed = labels
         .join(neighborMin, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer jumping: follow the label's own label (path halving) —
       // together with the relax step this converges in O(log diameter)
       // rounds instead of O(diameter), i.e. O(log) shuffle rounds on a
-      // 100 TB pair set; the fixpoint (component minimum) is unchanged
+      // 100 TB pair set; the fixpoint (component minimum) is unchanged.
+      // The `changed` flag is baked into the checkpointed frame so the
+      // convergence check is a cached scan + count — no join with the
+      // previous labels, one fewer shuffle per round.
       val updated = relaxed
         .join(relaxed.select(col("doc_id").as("pid"), col("label").as("plabel")),
           col("label") === col("pid"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("plabel"), col("label")))
+            =!= col("prev")).as("changed"))
         .localCheckpoint(true)
-      val changes = updated.withColumnRenamed("label", "l2")
-        .join(labels, "doc_id")
-        .where(col("l2") =!= col("label")).count()
-      labels = updated
+      val changes = updated.where(col("changed")).count()
+      labels = updated.drop("changed")
       converged = changes == 0
       iter += 1
     }
