@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Totality fuzz for the streaming DQL compiler: over generated
+  * well-typed queries (the reference's eqc shapes, [[graft.dql.DqlGen]]),
+  * `StreamingDql.compile` must either produce a streaming frame with the
+  * contract columns or reject with one of its TYPED errors — never a
+  * MatchError/ClassCastException from an unhandled plan shape. This is
+  * the streaming analog of CompileSpec's "generated queries analyze".
+  */
+class StreamingDqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming compile is total over generated queries: frame or typed error") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    var compiled = 0
+    var rejected = 0
+    var i = 0
+    while (compiled + rejected < 120 && i < 400) {
+      val params = Gen.Parameters.default.withSize(1 + i % 30)
+      graft.dql.DqlGen.query(params, Seed(i.toLong)).foreach { q0 =>
+        // bias half the runs toward the streamable shape (single selector,
+        // no shift, no limit) so the SUCCESS path gets real coverage; the
+        // other half keeps the raw generator exercising every rejection
+        val q = if (i % 2 == 0) q0
+          else q0.copy(selectors = Seq(q0.selectors.head.copy(shift = None)),
+            limit = None)
+        val text = graft.dql.Unparse(q)
+        try {
+          val df = StreamingDql.compile(in.toDF(), text, "10 seconds")
+          assert(df.isStreaming, s"non-streaming result for: $text")
+          assert(df.columns.toSeq == Seq("metric", "ws", "value"),
+            s"contract columns broken for: $text")
+          compiled += 1
+        } catch {
+          // the typed rejections are the contract; anything else is a bug
+          case _: StreamingDql.Unstreamable => rejected += 1
+          case _: graft.dql.Resolver.ResolveError => rejected += 1
+          case e: Throwable =>
+            fail(s"unexpected ${e.getClass.getSimpleName} for: $text", e)
+        }
+      }
+      i += 1
+    }
+    info(s"compiled=$compiled rejected=$rejected")
+    assert(compiled + rejected >= 100)
+    assert(compiled > 0, "generator never produced a streamable query — " +
+      "the fuzz would be vacuous")
+  }
+}
