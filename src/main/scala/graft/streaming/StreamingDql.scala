@@ -20,6 +20,8 @@ import graft.ops.{Aggrs, Trans}
   * Scope (the streamable subset, enforced with clear errors):
   *   - leaf scans (exact and glob paths, lookup prefixes) over the stream
   *   - every §2.2 windowed aggregation (they are all expression aggregates)
+  *   - the §2.7 fused histogram reductions (exact form; int-round + HDR
+  *     out-of-range drop, identical to the batch compile)
   *   - pointwise transforms/arithmetic ABOVE an aggregation
   *   - combinators over SAME-window aggregation children, fused into one
   *     stateful operator (per-child filtered aggregates in a single
@@ -75,6 +77,27 @@ object StreamingDql {
         .agg(agg.as("value"))
         .select(col("metric"), unix_millis(col("w.start")).as("ws"),
           col("value"))
+    case RHistFn(name, pOpt, w, htv, _, child) =>
+      // the fused hist reductions are expression aggregates like §2.2, so
+      // they stream: int-round, DROP out-of-range (the reference's HDR
+      // recording semantics, same as the batch compile), aggregate per
+      // window. Always the exact reduction — the batch-only hdr flag is
+      // ignored here (a sketch would need its own merge state).
+      val leafed = leaf(child, base)
+      val ints = round(col("value"), 0).cast("long")
+      val inRange = leafed.where(ints >= 0L && ints <= htv)
+      val aggName = if (name == "mean") "avg" else name
+      val agg0 = Aggrs.spark(aggName, pOpt)(ints, unix_millis(col("ts")))
+      val agg = name match {
+        case "mean" | "stddev" => agg0
+        case _                 => agg0.cast("double")
+      }
+      inRange
+        .groupBy(window(col("ts"), s"$w milliseconds").as("w"), col("metric"))
+        .agg(agg.as("value"))
+        .select(col("metric"), unix_millis(col("w.start")).as("ws"),
+          col("value"))
+
     case RTrans("derivate", _, _) =>
       throw Unstreamable(
         "derivate needs an ordered per-series scan — use stateful ops")

@@ -170,4 +170,14 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"sum('error'.'1' BUCKET 'testdata', 1 m)) BETWEEN 0 AND $EndMs",
       "eq_quot_sums")
   }
+
+  test("histogram percentile with out-of-range drop: stream ≡ batch") {
+    // htv=5 bites: replay values round to 0..10, so both sides must DROP
+    // the same rows before the discrete kth — divergent drop semantics
+    // would produce different quantiles, not just different row counts
+    assertEquivalent(
+      s"SELECT percentile(histogram('purchase'.'1' BUCKET 'testdata', 5, 3, 1 m), 0.9) " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_hist_p90")
+  }
 }
