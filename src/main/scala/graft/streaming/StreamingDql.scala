@@ -19,6 +19,8 @@ import graft.ops.{Aggrs, Trans}
   *
   * Scope (the streamable subset, enforced with clear errors):
   *   - leaf scans (exact and glob paths, lookup prefixes) over the stream
+  *   - tag WHERE filters and top-level GROUP BY $tag USING fun — on the
+  *     stream the tags ARE event columns, so neither needs the tag index
   *   - every §2.2 windowed aggregation (they are all expression aggregates)
   *   - the §2.7 fused histogram reductions (exact form; int-round + HDR
   *     out-of-range drop, identical to the batch compile)
@@ -77,6 +79,48 @@ object StreamingDql {
         .agg(agg.as("value"))
         .select(col("metric"), unix_millis(col("w.start")).as("ws"),
           col("value"))
+    case RLookup(_, path, where, gb, Some(gf), resMs) if gb.nonEmpty =>
+      // GROUP BY $tag USING fun at the top level: the tags are event
+      // columns on the stream, so the group is one windowed groupBy at the
+      // series resolution — per-slot combination across the group's member
+      // series, mirroring the batch RLookup.groupBy (per-ts_ms groupBy on
+      // the tag columns). Non-commutative funs fold member values in
+      // lexicographic metric order, the batch's pinned order.
+      val cols = gb.map { case (ns, key) =>
+        tagCol(key).getOrElse(
+          throw Unstreamable(s"unknown stream tag $ns:$key"))
+      }
+      val cond = path.map(pathCond(_, exact = false)).getOrElse(lit(true)) &&
+        where.map(tagCond).getOrElse(lit(true))
+      val foldOps = Map(
+        "diff"     -> "acc - x",
+        "product"  -> "acc * x",
+        "quotient" -> "CASE WHEN x = CAST(0 AS DOUBLE) THEN acc ELSE acc / x END")
+      val isFold = foldOps.contains(gf)
+      val aggCol = gf match {
+        case "sum" => graft.core.Exact.dsum(col("value"))
+        case "avg" => graft.core.Exact.davg(col("value"))
+        case "min" => min(col("value"))
+        case "max" => max(col("value"))
+        case _ if isFold =>
+          expr("transform(array_sort(collect_list(struct(metric, value)))," +
+            " x -> x.value)")
+        case other => throw Unstreamable(s"GROUP BY USING $other not supported")
+      }
+      val grouped = base.where(cond)
+        .groupBy(window(col("ts"), s"$resMs milliseconds").as("w") +:
+          cols.zipWithIndex.map { case (c, i) => c.as(s"g$i") }: _*)
+        .agg(aggCol.as(if (isFold) "vals" else "value"))
+      val valued =
+        if (!isFold) grouped
+        else grouped.withColumn("value",
+          expr(s"aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), " +
+            s"element_at(vals, 1), (acc, x) -> ${foldOps(gf)})")).drop("vals")
+      valued.select(
+        concat_ws(".", gb.indices.map(i => col(s"g$i").cast("string")): _*)
+          .as("metric"),
+        unix_millis(col("w.start")).as("ws"), col("value"))
+
     case RHistFn(name, pOpt, w, htv, _, child) =>
       // the fused hist reductions are expression aggregates like §2.2, so
       // they stream: int-round, DROP out-of-range (the reference's HDR
@@ -171,9 +215,10 @@ object StreamingDql {
   private def leafCondValue(p: RExpr): (Column, Column) = p match {
     case RScan(_, path, _) => (pathCond(path, exact = true), col("value"))
     case RLookup(_, path, where, gb, _, _) =>
-      if (gb.nonEmpty || where.nonEmpty)
-        throw Unstreamable("tag GROUP BY / WHERE need the tag index — batch only")
-      (path.map(pathCond(_, exact = false)).getOrElse(lit(true)), col("value"))
+      if (gb.nonEmpty)
+        throw Unstreamable("GROUP BY tag under a combinator child — batch only")
+      (path.map(pathCond(_, exact = false)).getOrElse(lit(true)) &&
+        where.map(tagCond).getOrElse(lit(true)), col("value"))
     case RTrans(name, c, child) =>
       if (name == "derivate" || name == "confidence")
         throw Unstreamable(s"$name is not a row-local transform")
@@ -188,11 +233,10 @@ object StreamingDql {
     case RScan(_, path, _)                 => base.where(pathCond(path, exact = true))
     case RLookup(_, path, where, gb, _, _) =>
       if (gb.nonEmpty)
-        throw Unstreamable("GROUP BY tag: group keys change the output key" +
-          " — use the batch compiler or group post-sink")
-      if (where.nonEmpty)
-        throw Unstreamable("tag WHERE needs the tag index — batch only")
-      base.where(path.map(pathCond(_, exact = false)).getOrElse(lit(true)))
+        throw Unstreamable("GROUP BY tag under an aggregation: group keys " +
+          "change the output key — use the batch compiler or group post-sink")
+      base.where(path.map(pathCond(_, exact = false)).getOrElse(lit(true)) &&
+        where.map(tagCond).getOrElse(lit(true)))
     case RTrans(name, c, child) =>
       // pre-aggregation pointwise transform: fine, row-local
       if (name == "derivate" || name == "confidence")
@@ -200,6 +244,24 @@ object StreamingDql {
       else leaf(child, base).withColumn("value", Trans.spark(name, c)(col("value")))
     case other =>
       throw Unstreamable(s"not a streamable leaf: $other")
+  }
+
+  /** On the stream the tags ARE event columns, so tag predicates need no
+    * index: `type` → event_type, `user` → user_id (the series-key mapping
+    * of the batch TestdataStore). Unknown tags reproduce the batch
+    * semantics for missing tag columns — `=` never matches, `!=` always.
+    */
+  private def tagCol(key: String): Option[Column] = key match {
+    case "type" => Some(col("event_type"))
+    case "user" => Some(col("user_id").cast("string"))
+    case _      => None
+  }
+
+  private def tagCond(f: Ast.TagFilter): Column = f match {
+    case Ast.TagEq(_, key, v)  => tagCol(key).map(_ === v).getOrElse(lit(false))
+    case Ast.TagNeq(_, key, v) => tagCol(key).map(_ =!= v).getOrElse(lit(true))
+    case Ast.TagAnd(a, b)      => tagCond(a) && tagCond(b)
+    case Ast.TagOr(a, b)       => tagCond(a) || tagCond(b)
   }
 
   private def pathCond(path: Seq[String], exact: Boolean): Column = {

@@ -171,6 +171,32 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "eq_quot_sums")
   }
 
+  test("tag WHERE filter under the aggregation: stream ≡ batch") {
+    // on the stream the tags ARE event columns, so the WHERE needs no tag
+    // index — it must select exactly the series the batch index answers
+    assertEquivalent(
+      s"SELECT avg('purchase' FROM 'testdata' WHERE 'graft':'user' = '1', 1 m) " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_where_avg")
+  }
+
+  test("top-level GROUP BY tag USING sum: stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT 'purchase' FROM 'testdata' GROUP BY $$'graft':'user' USING sum " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_group_sum")
+  }
+
+  test("GROUP BY with WHERE and non-commutative USING diff: stream ≡ batch") {
+    // diff folds the group's member values in lexicographic metric order —
+    // the stream must reproduce the batch's pinned fold order exactly
+    assertEquivalent(
+      s"SELECT 'purchase' FROM 'testdata' WHERE 'graft':'user' = '1' OR " +
+        s"'graft':'user' = '2' GROUP BY $$'graft':'type' USING diff " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_group_diff")
+  }
+
   test("histogram percentile with out-of-range drop: stream ≡ batch") {
     // htv=5 bites: replay values round to 0..10, so both sides must DROP
     // the same rows before the discrete kth — divergent drop semantics
