@@ -295,8 +295,11 @@ object Dedup {
     * WWW'07): the 64-bit fingerprint splits into 6 chunks, and each of the
     * C(6,3)=20 3-chunk combinations is one ~32-bit block key. Any pair at
     * Hamming ≤ 3 leaves 3 chunks untouched, so it shares at least one key
-    * (guaranteed detection; probabilistic above, ranked by full 64-bit
-    * Hamming ≤ maxHamming).
+    * (guaranteed detection). Above 3 detection is PROBABILISTIC and weak —
+    * measured recall 0.11 over the 4 ≤ h ≤ 8 band on the test corpus
+    * (SimhashRecallSpec) — because 4+ flips usually touch every 3-chunk
+    * combo; the scheme is built for small radii. Candidates that do
+    * collide are still ranked by full 64-bit Hamming ≤ maxHamming.
     *
     * Scale note: this replaces both earlier schemes deliberately — a single
     * `fp >> 16` key concentrates near-dup clusters into few quadratic
