@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling main: times one pipeline query cold + steady with the
+  * bench's cache hygiene (blocking transient release between runs).
+  * `runMain graft.Prof [sfDir] [query ...]`
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else Seq("dedup_ngram", "dedup_minhash")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (name <- names) {
+      val q = SparkEntry.queries(name)
+      for (i <- 0 until 3) {
+        graft.core.Caches.releaseTransient(spark, blocking = true)
+        val t0 = System.nanoTime()
+        val n = q(spark, sfDir).count()
+        println(f"[prof] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}

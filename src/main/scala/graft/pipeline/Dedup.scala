@@ -206,22 +206,22 @@ object Dedup {
     val cand = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    // set semantics (distinct) applied AFTER the candidate prune: the
-    // deduplicated shuffle touches only candidate docs' shingles
+    // One shingle-SET row per candidate doc (collect_set = the exact set
+    // semantics), so the pair verify is two doc_id-keyed joins plus a
+    // codegen'd array_intersect — NOT a join on exploded (doc, shingle)
+    // rows, whose pair⋈shingles intermediate is |pairs|×|shingles/doc|
+    // rows re-shuffled by shingle. One row per pair end to end; array
+    // size is bounded by single-document length, never corpus size.
     val shp = sh.join(broadcast(cand), Seq("doc_id"), "left_semi")
-      .distinct()
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = pairs
+    val verified = pairs
       .join(shp.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shp.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    val verified = inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .join(shp.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("i", size(array_intersect(col("sa.ss"), col("sb.ss"))))
       .select(col("doc_a"), col("doc_b"),
-        (col("i").cast("double") / (col("za.sz") + col("zb.sz") - col("i")))
+        (col("i").cast("double") /
+          (size(col("sa.ss")) + size(col("sb.ss")) - col("i")))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
     (verified, shp)
