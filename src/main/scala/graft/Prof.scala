@@ -18,8 +18,12 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // direct subtree probes not in the gate surface
+    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "simhash_fp" -> ((s, d) =>
+        graft.pipeline.Dedup.simhash(graft.core.Tables(s, d, "documents"))))
     for (name <- names) {
-      val q = SparkEntry.queries(name)
+      val q = extra.getOrElse(name, SparkEntry.queries(name))
       for (i <- 0 until 3) {
         graft.core.Caches.releaseTransient(spark, blocking = true)
         val t0 = System.nanoTime()
