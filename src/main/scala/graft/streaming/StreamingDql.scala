@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.dql.{Ast, Parser, Resolver}
 import graft.dql.Resolver._
 import graft.ops.{Aggrs, Trans}
@@ -28,9 +29,14 @@ import graft.ops.{Aggrs, Trans}
   *   - combinators over SAME-window aggregation children, fused into one
   *     stateful operator (per-child filtered aggregates in a single
   *     windowed groupBy — not a union of streaming aggregations)
-  *   - NOT streamable: derivate (needs an ordered per-series scan — use
-  *     [[SeriesStream.detectGaps]]-style stateful ops), combinators over
-  *     differently-windowed children, SHIFT, TOP/BOTTOM (global sorts).
+  *   - derivate ABOVE an aggregation: keyed state over closed windows
+  *     (flatMapGroupsWithState), so the composed query runs append-mode.
+  *     Caveat: Catalyst pushes selector filters below the watermark node,
+  *     so only MATCHING events advance the watermark — an idle series'
+  *     last windows stay open until its next event arrives.
+  *   - NOT streamable: derivate below an aggregation (needs the ordered
+  *     per-series raw scan), combinators over differently-windowed
+  *     children, SHIFT, TOP/BOTTOM (global sorts).
   *
   * The query's timeframe is ignored — a stream is "from now on"; the
   * window width comes from the aggregation argument as in batch.
@@ -38,6 +44,36 @@ import graft.ops.{Aggrs, Trans}
 object StreamingDql {
 
   final case class Unstreamable(msg: String) extends RuntimeException(msg)
+
+  /** keyed derivate state: the last closed window per metric; `first` marks
+    * it as the still-unemitted head point awaiting its backfill difference
+    */
+  final case class DerivState(lastWs: Long, lastVal: Double, first: Boolean)
+
+  /** per-metric derivate step over closed windows (sorted in-batch; across
+    * batches the watermark closes windows in time order): each new window
+    * emits v − prev, and the held-back head point is released alongside its
+    * successor with the same value (v'(0)=v'(1))
+    */
+  private def derivateGroup(
+      metric: String, rows: Iterator[(String, Long, Double)],
+      state: GroupState[DerivState]): Iterator[(String, Long, Double)] = {
+    val out = Seq.newBuilder[(String, Long, Double)]
+    var st = state.getOption
+    for ((_, ws, v) <- rows.toSeq.sortBy(_._2)) {
+      st match {
+        case None =>
+          st = Some(DerivState(ws, v, first = true))
+        case Some(DerivState(_, pv, isFirst)) =>
+          val d = v - pv
+          if (isFirst) out += ((metric, st.get.lastWs, d))
+          out += ((metric, ws, d))
+          st = Some(DerivState(ws, v, first = false))
+      }
+    }
+    st.foreach(state.update)
+    out.result().iterator
+  }
 
   /** @param stream streaming frame with (ts: timestamp, event_type,
     *               user_id, value) — the raw event shape; the series key
@@ -142,9 +178,26 @@ object StreamingDql {
         .select(col("metric"), unix_millis(col("w.start")).as("ws"),
           col("value"))
 
-    case RTrans("derivate", _, _) =>
-      throw Unstreamable(
-        "derivate needs an ordered per-series scan — use stateful ops")
+    case RTrans("derivate", _, child) =>
+      // derivate ABOVE the aggregation: v'(w) = v(w) − v(prev present w)
+      // per metric, first point backfilled with the second difference
+      // (v'(0)=v'(1), the batch Trans.derivate semantics). The previous
+      // window's value is carried in keyed state (flatMapGroupsWithState);
+      // the child aggregation must emit CLOSED windows for the diffs to be
+      // final, so the composed query runs in append mode — Spark's
+      // multi-stateful-operator support (watermark-propagated) handles the
+      // agg → stateful chain. The first window is held back until its
+      // successor closes, exactly the batch backfill.
+      val enc = Encoders.tuple(Encoders.STRING,
+        Encoders.scalaLong, Encoders.scalaDouble)
+      val aggd = aggregated(child, base)
+        .select(col("metric"), col("ws"), col("value").cast("double"))
+        .as[(String, Long, Double)](enc)
+      aggd.groupByKey(_._1)(Encoders.STRING)
+        .flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          derivateGroup)(Encoders.product[DerivState], enc)
+        .toDF("metric", "ws", "value")
     case RTrans("confidence", _, _) =>
       throw Unstreamable("confidence channel is batch-only")
     case RTrans(name, c, child) =>

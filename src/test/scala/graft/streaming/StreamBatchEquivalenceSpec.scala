@@ -91,17 +91,28 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSet
   }
 
-  private def streamRows(dql: String,
-                         name: String): Set[(String, Long, Option[Double])] = {
+  private def streamRows(dql: String, name: String,
+                         append: Boolean = false): Set[(String, Long, Option[Double])] = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val in = MemoryStream[SeriesStream.Ev]
-    val out = StreamingDql.compile(in.toDF(), dql, "30 seconds")
+    val out = StreamingDql.compile(in.toDF(), dql,
+      if (append) "0 seconds" else "30 seconds")
     val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
+      .outputMode(if (append) "append" else "update").start()
     try {
       in.addData(replay: _*)
+      if (append)
+        // sentinel past the replay range: advances the event-time watermark
+        // so every in-range window CLOSES (append emits closed windows
+        // only). It must MATCH the selector — Catalyst pushes the metric
+        // filter below the EventTimeWatermark node, so only selected rows
+        // advance the watermark (an idle series never flushes: standard
+        // Spark semantics). Its own window starts at EndMs + 60s and never
+        // closes; the comparison is bounded to ws < EndMs anyway.
+        in.addData(SeriesStream.Ev(
+          new Timestamp(EndMs + 60000), "purchase", 1L, 0.0))
       q.processAllAvailable()
       spark.sql(s"SELECT metric, ws, CAST(value AS DOUBLE) AS v FROM $name")
         .collect()
@@ -118,9 +129,12 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     * data must match exactly, and the stream must emit no window the
     * batch side doesn't have.
     */
-  private def assertEquivalent(dql: String, name: String): Unit = {
+  private def assertEquivalent(dql: String, name: String,
+                               append: Boolean = false): Unit = {
     val b = batchRows(dql)
-    val st = streamRows(dql, name)
+    // the stream has no timeframe clause, so compare only the batch
+    // query's range (the append sentinel sits past it by construction)
+    val st = streamRows(dql, name, append).filter(_._2 < EndMs)
     assert(st.nonEmpty, s"stream produced nothing for: $dql")
     val bKeys = b.map(r => (r._1, r._2))
     val missing = st.filterNot(r => bKeys.contains((r._1, r._2)))
@@ -195,6 +209,16 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"'graft':'user' = '2' GROUP BY $$'graft':'type' USING diff " +
         s"BETWEEN 0 AND $EndMs",
       "eq_group_diff")
+  }
+
+  test("stateful derivate above the aggregation: stream ≡ batch") {
+    // v'(w) = v(w) − v(prev present w), head point backfilled with the
+    // second difference — keyed state over CLOSED windows, so this runs
+    // append-mode with a watermark sentinel flushing the tail
+    assertEquivalent(
+      s"SELECT derivate(avg('purchase'.'1' BUCKET 'testdata', 1 m)) " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_derivate", append = true)
   }
 
   test("histogram percentile with out-of-range drop: stream ≡ batch") {
