@@ -22,7 +22,10 @@ import graft.ops.{Aggrs, Trans}
   *   - leaf scans (exact and glob paths, lookup prefixes) over the stream
   *   - tag WHERE filters and top-level GROUP BY $tag USING fun — on the
   *     stream the tags ARE event columns, so neither needs the tag index
-  *   - every §2.2 windowed aggregation (they are all expression aggregates)
+  *   - every §2.2 windowed aggregation (they are all expression aggregates),
+  *     including the six threshold `*_conf` forms: the stream never
+  *     gap-fills, so each window synthesizes its {0,1} presence array from
+  *     the collected slot set and mirrors the batch aggregate over it
   *   - the §2.7 fused histogram reductions (exact form; int-round + HDR
   *     out-of-range drop, identical to the batch compile)
   *   - pointwise transforms/arithmetic ABOVE an aggregation
@@ -102,14 +105,33 @@ object StreamingDql {
     * needs the stateful agg to bound the unbounded input)
     */
   private def aggregated(p: RExpr, base: DataFrame): DataFrame = p match {
+    case RAggr(name, c, w, child) if name.endsWith("_conf") =>
+      // _conf aggregates run the base aggregate on the CONFIDENCE channel,
+      // which on the dense batch spine is slot-presence: 1.0 where the
+      // series has a point, 0.0 on gap-filled empties. The stream never
+      // materializes a spine — instead each window collects its present
+      // slot set and synthesizes the {0,1} confidence array of all
+      // window/res slots, over which every base aggregate has an exact
+      // array-expression mirror (same double arithmetic as Aggrs/Exact).
+      val res = child.resMs
+      if (w % res != 0 || w <= 0)
+        throw Unstreamable(
+          s"confidence window $w ms must be a positive multiple of the " +
+            s"$res ms stream resolution")
+      val slots = w / res
+      val leafed = leaf(child, base)
+      val ca = s"transform(sequence(0, ${slots - 1}), i -> " +
+        s"IF(array_contains(pset, unix_millis(w.start) div $res + i), " +
+        s"1.0D, 0.0D))"
+      leafed
+        .groupBy(window(col("ts"), s"$w milliseconds").as("w"), col("metric"))
+        .agg(collect_set(expr(s"unix_millis(ts) div $res")).as("pset"))
+        .select(col("metric"), unix_millis(col("w.start")).as("ws"),
+          confAggExpr(name.stripSuffix("_conf"), c, slots, ca).as("value"))
+
     case RAggr(name, c, w, child) =>
       val leafed = leaf(child, base)
-      val (baseName, channel) =
-        if (name.endsWith("_conf"))
-          throw Unstreamable(
-            "_conf aggregates need the densified confidence channel — batch only")
-        else (name, col("value"))
-      val agg = Aggrs.spark(baseName, c)(channel, unix_millis(col("ts")))
+      val agg = Aggrs.spark(name, c)(col("value"), unix_millis(col("ts")))
       leafed
         .groupBy(window(col("ts"), s"$w milliseconds").as("w"), col("metric"))
         .agg(agg.as("value"))
@@ -297,6 +319,33 @@ object StreamingDql {
       else leaf(child, base).withColumn("value", Trans.spark(name, c)(col("value")))
     case other =>
       throw Unstreamable(s"not a streamable leaf: $other")
+  }
+
+  /** Base aggregate over the synthesized per-window confidence array `ca`
+    * (a SQL expression producing array<double> of exactly `slots` {0,1}
+    * entries in slot-time order). The grammar registers exactly the
+    * reference's six threshold forms (Resolver.scala: count/first/last ×
+    * above/below); each mirror reproduces the batch expression on the
+    * dense spine — counts stay BIGINT like `count(when(...))`, first/last
+    * read the array in slot-time order like `min_by/max_by` over ts, and
+    * an empty qualifying set yields NULL like the batch arg-min/arg-max.
+    */
+  private def confAggExpr(name: String, c: Option[Double], slots: Long,
+                          ca: String): Column = {
+    def filt(cmp: String) = s"filter($ca, x -> x $cmp ${c.get}D)"
+    def endOr(f: String, at: Int) =
+      s"IF(size($f) > 0, element_at($f, $at), CAST(NULL AS DOUBLE))"
+    name match {
+      case "count_above" =>
+        expr(s"CAST(size(${filt(">")}) AS BIGINT)")
+      case "count_below" =>
+        expr(s"CAST(size(${filt("<")}) AS BIGINT)")
+      case "first_above" => expr(endOr(filt(">"), 1))
+      case "first_below" => expr(endOr(filt("<"), 1))
+      case "last_above"  => expr(endOr(filt(">"), -1))
+      case "last_below"  => expr(endOr(filt("<"), -1))
+      case other => throw Unstreamable(s"${other}_conf is not streamable")
+    }
   }
 
   /** On the stream the tags ARE event columns, so tag predicates need no

@@ -85,7 +85,8 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     val store = new ReplayStore(replay.toDF())
     graft.dql.Compiler.run(spark, store, EndMs, dql)
-      .select("metric", "ts_ms", "value").collect()
+      .select(col("metric"), col("ts_ms"), col("value").cast("double"))
+      .collect()
       .map(r => (r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2))))
       .toSet
@@ -209,6 +210,29 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"'graft':'user' = '2' GROUP BY $$'graft':'type' USING diff " +
         s"BETWEEN 0 AND $EndMs",
       "eq_group_diff")
+  }
+
+  test("count_above_conf: synthesized presence channel ≡ dense spine") {
+    // the stream never gap-fills; its per-window {0,1} confidence array
+    // must agree with the batch's densified confidence channel
+    assertEquivalent(
+      s"SELECT count_above_conf('purchase'.'1' BUCKET 'testdata', 0.5, 1 m) " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_conf_count")
+  }
+
+  test("last_above_conf (last present slot's confidence): stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT last_above_conf('purchase'.'1' BUCKET 'testdata', 0.5, 1 m) " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_conf_last_above")
+  }
+
+  test("first_below_conf (first gap slot in time order): stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT first_below_conf('purchase'.'1' BUCKET 'testdata', 0.5, 1 m) " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_conf_first_below")
   }
 
   test("stateful derivate above the aggregation: stream ≡ batch") {
