@@ -24,6 +24,8 @@ object Prof {
         graft.pipeline.Dedup.simhash(graft.core.Tables(s, d, "documents"))))
     for (name <- names) {
       val q = extra.getOrElse(name, SparkEntry.queries(name))
+      if (sys.env.contains("PROF_EXPLAIN"))
+        q(spark, sfDir).explain("formatted")
       for (i <- 0 until 3) {
         graft.core.Caches.releaseTransient(spark, blocking = true)
         val t0 = System.nanoTime()

@@ -202,6 +202,16 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "eq_group_sum")
   }
 
+  test("GROUP BY tag USING avg (decimal-exact mean): stream ≡ batch") {
+    // avg divides the decimal-exact sum by the PRESENT member count per
+    // slot — the stream's divisor is its window event count, which must
+    // coincide under the one-point-per-(series, slot) replay model
+    assertEquivalent(
+      s"SELECT 'purchase' FROM 'testdata' GROUP BY $$'graft':'type' USING avg " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_group_avg")
+  }
+
   test("GROUP BY with WHERE and non-commutative USING diff: stream ≡ batch") {
     // diff folds the group's member values in lexicographic metric order —
     // the stream must reproduce the batch's pinned fold order exactly
