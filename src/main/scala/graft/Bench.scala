@@ -122,7 +122,13 @@ object Bench {
       val t1 = System.nanoTime()
       val r2 =
         try { runOnce(name); (System.nanoTime() - t1) / 1e9 }
-        catch { case _: Throwable => 0.0 } // failure already reported above
+        catch { case t: Throwable =>
+          // run 1 may have succeeded and only run 2 failed (flaky query):
+          // report it and emit a -1.0 sentinel, never a flattering 0.0
+          System.err.println(
+            s"[bench] run 2 FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+          -1.0
+        }
       name -> ((c1, e1, r2))
     }
     // note: the memoized series table (SeriesOps) is shared across queries

@@ -15,10 +15,35 @@ import org.apache.spark.sql.DataFrame
   * large layout (row groups ≫ cores) it is a no-op and adds no shuffle.
   * Place it between the scan's filters and the heavy compute so pushdown
   * is unaffected and the exchange carries already-filtered rows.
+  *
+  * widen must sit directly above a scan: counting the input splits goes
+  * through `df.rdd`, which physically plans the frame and — if the plan
+  * contained an exchange or a subquery — would EXECUTE those upstream
+  * stages on the spot (AQE materializes query stages when the RDD is
+  * requested). Guarded, not just documented: a plan with an exchange or
+  * subquery is returned unchanged (its shuffle already sets downstream
+  * parallelism), so `df.rdd` is only ever consulted on exchange-free
+  * scan plans, where building the RDD lineage runs nothing.
   */
 object Parallel {
   def widen(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // planning only, never executes. Exchanges are inserted during
+    // executedPlan preparation (EnsureRequirements), and under AQE the
+    // adaptive wrapper is only installed when the plan HAS exchanges or
+    // subqueries — so the wrapper's presence is itself the signal.
+    val plan = df.queryExecution.executedPlan
+    val unsafe =
+      plan.isInstanceOf[
+        org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] ||
+      plan.exists {
+        case _: org.apache.spark.sql.execution.exchange.Exchange => true
+        case p => p.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      }
+    if (unsafe) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
   }
 }
