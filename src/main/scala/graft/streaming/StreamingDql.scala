@@ -41,6 +41,23 @@ import graft.ops.{Aggrs, Trans}
   *     per-series raw scan), combinators over differently-windowed
   *     children, SHIFT, TOP/BOTTOM (global sorts).
   *
+  * Slot collapse (the batch series model, on by default): the batch
+  * engine never aggregates raw events — its leaf first collapses them to
+  * one value per (series, 1-resolution slot) via the decimal-exact mean
+  * (core/SeriesOps, `Exact.davg`), and every aggregation, transform,
+  * GROUP BY combine and histogram operates on SLOT values. The stream
+  * mirrors that with a chained first-stage streaming aggregation per
+  * (metric, slot) before everything else, so a series emitting several
+  * events inside one resolution tick gets the identical value batch
+  * computes. The chain means ≥2 stateful operators, which Structured
+  * Streaming supports in APPEND output mode only (results emit when the
+  * watermark closes a window). Set `spark.graft.streaming.slotExact` to
+  * false to drop the collapse stage and regain single-operator update
+  * mode — exact only under at most one event per (series, resolution
+  * tick). The `*_conf` forms never need the collapse: slot PRESENCE is
+  * unaffected by within-slot duplicates, so they stay single-stage and
+  * update-capable either way.
+  *
   * The query's timeframe is ignored — a stream is "from now on"; the
   * window width comes from the aggregation argument as in batch.
   */
@@ -56,11 +73,24 @@ object StreamingDql {
   /** per-metric derivate step over closed windows (sorted in-batch; across
     * batches the watermark closes windows in time order): each new window
     * emits v − prev, and the held-back head point is released alongside its
-    * successor with the same value (v'(0)=v'(1))
+    * successor with the same value (v'(0)=v'(1)).
+    *
+    * State is evicted on event-time timeout once a metric has been idle
+    * past `idleMs` (`spark.graft.streaming.derivate.idleTimeoutMs`) — one
+    * DerivState per metric would otherwise accumulate forever on an
+    * unbounded-cardinality key space. Trade-off, stated: a series that
+    * RESUMES after the idle horizon restarts its chain (head-point
+    * backfill again) instead of diffing across the gap as batch would;
+    * size the horizon to the longest expected series gap, or set ≤ 0 to
+    * keep state forever.
     */
-  private def derivateGroup(
+  private def derivateGroup(idleMs: Long)(
       metric: String, rows: Iterator[(String, Long, Double)],
       state: GroupState[DerivState]): Iterator[(String, Long, Double)] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val out = Seq.newBuilder[(String, Long, Double)]
     var st = state.getOption
     for ((_, ws, v) <- rows.toSeq.sortBy(_._2)) {
@@ -74,7 +104,14 @@ object StreamingDql {
           st = Some(DerivState(ws, v, first = false))
       }
     }
-    st.foreach(state.update)
+    st.foreach { s =>
+      state.update(s)
+      if (idleMs > 0)
+        // the timeout must sit past the current watermark or Spark rejects
+        // it; a very-late group's horizon degrades to watermark + 1 ms
+        state.setTimeoutTimestamp(
+          math.max(s.lastWs + idleMs, state.getCurrentWatermarkMs() + 1))
+    }
     out.result().iterator
   }
 
@@ -101,6 +138,29 @@ object StreamingDql {
     aggregated(plan, base)
   }
 
+  /** true unless `spark.graft.streaming.slotExact` is set to false */
+  private def slotExact(df: DataFrame): Boolean =
+    df.sparkSession.conf
+      .getOption("spark.graft.streaming.slotExact").forall(_.toBoolean)
+
+  /** The batch series model as a chained first-stage streaming
+    * aggregation: one decimal-exact mean per (metric, resolution slot) —
+    * the stream-side `SeriesOps.series` derivation. The slot's event time
+    * is re-derived with `window_time` (slot end − 1 µs, inside the slot,
+    * so downstream window assignment is unchanged — aggregation windows
+    * are multiples of the resolution, both epoch-aligned). event_type and
+    * user_id ride along as group keys (functionally determined by metric)
+    * because tag predicates and GROUP BY keys read them at slot level.
+    */
+  private def slotCollapse(df: DataFrame, resMs: Long): DataFrame =
+    if (!slotExact(df)) df
+    else df
+      .groupBy(window(col("ts"), s"$resMs milliseconds").as("sw"),
+        col("metric"), col("event_type"), col("user_id"))
+      .agg(graft.core.Exact.davg(col("value")).as("value"))
+      .select(window_time(col("sw")).as("ts"), col("metric"),
+        col("event_type"), col("user_id"), col("value"))
+
   /** compile the plan; the result is always post-aggregation (streaming
     * needs the stateful agg to bound the unbounded input)
     */
@@ -113,13 +173,16 @@ object StreamingDql {
       // slot set and synthesizes the {0,1} confidence array of all
       // window/res slots, over which every base aggregate has an exact
       // array-expression mirror (same double arithmetic as Aggrs/Exact).
+      // No slot collapse here: presence is unaffected by within-slot
+      // duplicates (collect_set), so the single-stage shape is already
+      // exact and stays update-mode-capable.
       val res = child.resMs
       if (w % res != 0 || w <= 0)
         throw Unstreamable(
           s"confidence window $w ms must be a positive multiple of the " +
             s"$res ms stream resolution")
       val slots = w / res
-      val leafed = leaf(child, base)
+      val leafed = base.where(leafCondValue(child)._1)
       val ca = s"transform(sequence(0, ${slots - 1}), i -> " +
         s"IF(array_contains(pset, unix_millis(w.start) div $res + i), " +
         s"1.0D, 0.0D))"
@@ -165,7 +228,13 @@ object StreamingDql {
             " x -> x.value)")
         case other => throw Unstreamable(s"GROUP BY USING $other not supported")
       }
-      val grouped = base.where(cond)
+      // collapse to one value per (series, slot) FIRST — the batch RLookup
+      // groupBy combines member series' SLOT values (its leaf is the
+      // davg-collapsed series frame), so the cross-series combine here
+      // must see the same: without the collapse a series emitting >1
+      // event in one resolution tick would contribute duplicate fold
+      // entries and inflate avg's divisor
+      val grouped = slotCollapse(base.where(cond), resMs)
         .groupBy(window(col("ts"), s"$resMs milliseconds").as("w") +:
           cols.zipWithIndex.map { case (c, i) => c.as(s"g$i") }: _*)
         .agg(aggCol.as(if (isFold) "vals" else "value"))
@@ -212,13 +281,21 @@ object StreamingDql {
       // successor closes, exactly the batch backfill.
       val enc = Encoders.tuple(Encoders.STRING,
         Encoders.scalaLong, Encoders.scalaDouble)
+      // idle-eviction horizon for the per-metric state (see derivateGroup);
+      // default 30 days, ≤ 0 keeps state forever
+      val idleMs = base.sparkSession.conf
+        .getOption("spark.graft.streaming.derivate.idleTimeoutMs")
+        .map(_.toLong).getOrElse(30L * 24 * 3600 * 1000)
+      val timeout =
+        if (idleMs > 0) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout()
       val aggd = aggregated(child, base)
         .select(col("metric"), col("ws"), col("value").cast("double"))
         .as[(String, Long, Double)](enc)
       aggd.groupByKey(_._1)(Encoders.STRING)
         .flatMapGroupsWithState(
-          OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-          derivateGroup)(Encoders.product[DerivState], enc)
+          OutputMode.Append(), timeout)(
+          derivateGroup(idleMs))(Encoders.product[DerivState], enc)
         .toDF("metric", "ws", "value")
     case RTrans("confidence", _, _) =>
       throw Unstreamable("confidence channel is batch-only")
@@ -244,6 +321,10 @@ object StreamingDql {
       if (ws.length != 1)
         throw Unstreamable("resolution_conflict: streaming combinator " +
           s"children must share one window, got ${ws.mkString(", ")} ms")
+      val res = aggrs.map(_.child.resMs).distinct
+      if (res.length != 1)
+        throw Unstreamable("resolution_conflict: streaming combinator " +
+          s"children must share one resolution, got ${res.mkString(", ")} ms")
       val condVals = aggrs.map(a => leafCondValue(a.child))
       val anyCond = condVals.map(_._1).reduce(_ || _)
       val cvs = aggrs.zip(condVals).zipWithIndex.map {
@@ -251,7 +332,10 @@ object StreamingDql {
           Aggrs.spark(a.name, a.const)(when(cond, v),
             when(cond, unix_millis(col("ts")))).as(s"c$i")
       }
-      val piv = base.where(anyCond)
+      // one shared slot collapse under the fused groupBy: per-child
+      // conditions and transforms only read metric/tag columns and the
+      // slot value, so they evaluate identically on slot rows
+      val piv = slotCollapse(base.where(anyCond), res.head)
         .groupBy(window(col("ts"), s"${ws.head} milliseconds").as("w"))
         .agg(cvs.head, cvs.tail: _*)
       val cols = aggrs.indices.map(i => col(s"c$i"))
@@ -291,7 +375,8 @@ object StreamingDql {
     case RScan(_, path, _) => (pathCond(path, exact = true), col("value"))
     case RLookup(_, path, where, gb, _, _) =>
       if (gb.nonEmpty)
-        throw Unstreamable("GROUP BY tag under a combinator child — batch only")
+        throw Unstreamable("GROUP BY tag under an aggregation: group keys " +
+          "change the output key — use the batch compiler or group post-sink")
       (path.map(pathCond(_, exact = false)).getOrElse(lit(true)) &&
         where.map(tagCond).getOrElse(lit(true)), col("value"))
     case RTrans(name, c, child) =>
@@ -303,22 +388,16 @@ object StreamingDql {
       throw Unstreamable(s"not a streamable leaf: $other")
   }
 
-  /** leaf: filter the stream down to the selected series */
-  private def leaf(p: RExpr, base: DataFrame): DataFrame = p match {
-    case RScan(_, path, _)                 => base.where(pathCond(path, exact = true))
-    case RLookup(_, path, where, gb, _, _) =>
-      if (gb.nonEmpty)
-        throw Unstreamable("GROUP BY tag under an aggregation: group keys " +
-          "change the output key — use the batch compiler or group post-sink")
-      base.where(path.map(pathCond(_, exact = false)).getOrElse(lit(true)) &&
-        where.map(tagCond).getOrElse(lit(true)))
-    case RTrans(name, c, child) =>
-      // pre-aggregation pointwise transform: fine, row-local
-      if (name == "derivate" || name == "confidence")
-        throw Unstreamable(s"$name is not a row-local transform")
-      else leaf(child, base).withColumn("value", Trans.spark(name, c)(col("value")))
-    case other =>
-      throw Unstreamable(s"not a streamable leaf: $other")
+  /** leaf: filter the stream down to the selected series, collapse to one
+    * value per (metric, slot), THEN apply the pointwise transforms — the
+    * batch order, where transforms below an aggregation see slot values
+    * (`abs(mean(slot))`, not `mean(abs(event))`). The filter runs on raw
+    * events (it only reads metric/tag columns, constant per series, so
+    * filtering before the collapse is equivalent and prunes its state).
+    */
+  private def leaf(p: RExpr, base: DataFrame): DataFrame = {
+    val (cond, v) = leafCondValue(p)
+    slotCollapse(base.where(cond), p.resMs).withColumn("value", v)
   }
 
   /** Base aggregate over the synthesized per-window confidence array `ca`
