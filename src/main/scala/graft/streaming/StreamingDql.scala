@@ -78,29 +78,35 @@ object StreamingDql {
     * State is evicted on event-time timeout once a metric has been idle
     * past `idleMs` (`spark.graft.streaming.derivate.idleTimeoutMs`) — one
     * DerivState per metric would otherwise accumulate forever on an
-    * unbounded-cardinality key space. Trade-off, stated: a series that
-    * RESUMES after the idle horizon restarts its chain (head-point
-    * backfill again) instead of diffing across the gap as batch would;
-    * size the horizon to the longest expected series gap, or set ≤ 0 to
-    * keep state forever.
+    * unbounded-cardinality key space. A group whose head point is still
+    * held back when the timeout fires (exactly one window, then idle)
+    * emits that head with a NULL value before eviction — the batch result
+    * for a single-point series (no difference exists on either side) — so
+    * the point is reported, not silently dropped. Trade-off, stated: a
+    * series that RESUMES after the idle horizon restarts its chain
+    * (head-point backfill again) instead of diffing across the gap as
+    * batch would; size the horizon to the longest expected series gap, or
+    * set ≤ 0 to keep state forever.
     */
   private def derivateGroup(idleMs: Long)(
-      metric: String, rows: Iterator[(String, Long, Double)],
-      state: GroupState[DerivState]): Iterator[(String, Long, Double)] = {
+      metric: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+      state: GroupState[DerivState]): Iterator[(String, Long, Option[Double])] = {
     if (state.hasTimedOut) {
+      val pending = state.getOption.filter(_.first)
+        .map(s => (metric, s.lastWs, Option.empty[Double]))
       state.remove()
-      return Iterator.empty
+      return pending.iterator
     }
-    val out = Seq.newBuilder[(String, Long, Double)]
+    val out = Seq.newBuilder[(String, Long, Option[Double])]
     var st = state.getOption
-    for ((_, ws, v) <- rows.toSeq.sortBy(_._2)) {
+    for ((_, ws, v, _) <- rows.toSeq.sortBy(_._2)) {
       st match {
         case None =>
           st = Some(DerivState(ws, v, first = true))
         case Some(DerivState(_, pv, isFirst)) =>
           val d = v - pv
-          if (isFirst) out += ((metric, st.get.lastWs, d))
-          out += ((metric, ws, d))
+          if (isFirst) out += ((metric, st.get.lastWs, Some(d)))
+          out += ((metric, ws, Some(d)))
           st = Some(DerivState(ws, v, first = false))
       }
     }
@@ -135,20 +141,34 @@ object StreamingDql {
       .withWatermark("ts", watermark)
       .withColumn("metric",
         concat_ws(".", col("event_type"), col("user_id")))
-    aggregated(plan, base)
+    // internal plumbing: every aggregated branch also emits `wt`, the
+    // window's event-time carrier (window_time keeps the watermark
+    // metadata, which stateful consumers above the aggregation — the
+    // derivate timeout — must see); it is not part of the public contract
+    aggregated(plan, base).select(col("metric"), col("ws"), col("value"))
   }
 
   /** true unless `spark.graft.streaming.slotExact` is set to false */
   private def slotExact(df: DataFrame): Boolean =
     df.sparkSession.conf
-      .getOption("spark.graft.streaming.slotExact").forall(_.toBoolean)
+      .getOption("spark.graft.streaming.slotExact").forall { raw =>
+        raw.trim.toLowerCase match {
+          case "true"  => true
+          case "false" => false
+          case _ => throw Unstreamable(
+            s"spark.graft.streaming.slotExact must be true or false, got '$raw'")
+        }
+      }
 
   /** The batch series model as a chained first-stage streaming
     * aggregation: one decimal-exact mean per (metric, resolution slot) —
-    * the stream-side `SeriesOps.series` derivation. The slot's event time
-    * is re-derived with `window_time` (slot end − 1 µs, inside the slot,
-    * so downstream window assignment is unchanged — aggregation windows
-    * are multiples of the resolution, both epoch-aligned). event_type and
+    * the stream-side `SeriesOps.series` derivation. The slot's window
+    * struct `sw` is KEPT (not re-derived as a timestamp): chaining a
+    * second stateful aggregation is supported only in the
+    * window-on-window form — `window(col("sw"), …)` on the struct — which
+    * preserves the event-time/watermark lineage (SPARK-40925); deriving a
+    * fresh timestamp with `window_time` trips Spark's global-watermark
+    * correctness check and the query is rejected at start. event_type and
     * user_id ride along as group keys (functionally determined by metric)
     * because tag predicates and GROUP BY keys read them at slot level.
     */
@@ -158,8 +178,32 @@ object StreamingDql {
       .groupBy(window(col("ts"), s"$resMs milliseconds").as("sw"),
         col("metric"), col("event_type"), col("user_id"))
       .agg(graft.core.Exact.davg(col("value")).as("value"))
-      .select(window_time(col("sw")).as("ts"), col("metric"),
-        col("event_type"), col("user_id"), col("value"))
+
+  /** Downstream of [[slotCollapse]] the event-time column is the slot
+    * window struct `sw`; without the collapse it is the raw `ts`. The
+    * window-assignment helper also guards the straddle case: a slot is
+    * assigned to its containing aggregation window via `window_time` (slot
+    * end − 1 µs) while batch assigns by slot START, so the two agree only
+    * when the aggregation window is a multiple of the resolution (both
+    * epoch-aligned ⇒ no slot straddles a window edge).
+    */
+  private def timeWindow(df: DataFrame, wMs: Long, resMs: Long): Column =
+    if (!df.columns.contains("sw")) window(col("ts"), s"$wMs milliseconds")
+    else {
+      if (wMs % resMs != 0)
+        throw Unstreamable(
+          s"slot-exact streaming needs the $wMs ms window to be a multiple " +
+            s"of the $resMs ms resolution (set " +
+            "spark.graft.streaming.slotExact=false to aggregate raw events)")
+      window(col("sw"), s"$wMs milliseconds")
+    }
+
+  /** in-window time-order key for the first/last aggregates: slot time
+    * after the collapse (monotonic in slot order), raw event time without
+    */
+  private def orderTs(df: DataFrame): Column =
+    if (df.columns.contains("sw")) unix_millis(window_time(col("sw")))
+    else unix_millis(col("ts"))
 
   /** compile the plan; the result is always post-aggregation (streaming
     * needs the stateful agg to bound the unbounded input)
@@ -182,6 +226,27 @@ object StreamingDql {
           s"confidence window $w ms must be a positive multiple of the " +
             s"$res ms stream resolution")
       val slots = w / res
+      // state bound: the per-window present-slot set (collect_set below)
+      // and the synthesized {0,1} array are O(window/resolution) in ONE
+      // state/output row — fine at typical ratios (a 1 m window at 1 s
+      // resolution is 60 entries) but a 14 d window at 1 s resolution
+      // would put 1.2 M entries in a single row. Refuse past a documented
+      // cap instead of degrading unbounded
+      // (`spark.graft.streaming.conf.maxSlots`, default 100 000).
+      val maxSlots = base.sparkSession.conf
+        .getOption("spark.graft.streaming.conf.maxSlots")
+        .map { raw =>
+          try raw.trim.toLong
+          catch { case _: NumberFormatException => throw Unstreamable(
+            "spark.graft.streaming.conf.maxSlots must be a slot count, " +
+              s"got '$raw'") }
+        }.getOrElse(100000L)
+      if (slots > maxSlots)
+        throw Unstreamable(
+          s"${name}: $slots slots per window ($w ms / $res ms) exceeds the " +
+            s"per-row state bound of $maxSlots " +
+            "(spark.graft.streaming.conf.maxSlots) — widen the resolution " +
+            "or raise the bound")
       val leafed = base.where(leafCondValue(child)._1)
       val ca = s"transform(sequence(0, ${slots - 1}), i -> " +
         s"IF(array_contains(pset, unix_millis(w.start) div $res + i), " +
@@ -190,16 +255,17 @@ object StreamingDql {
         .groupBy(window(col("ts"), s"$w milliseconds").as("w"), col("metric"))
         .agg(collect_set(expr(s"unix_millis(ts) div $res")).as("pset"))
         .select(col("metric"), unix_millis(col("w.start")).as("ws"),
-          confAggExpr(name.stripSuffix("_conf"), c, slots, ca).as("value"))
+          confAggExpr(name.stripSuffix("_conf"), c, slots, ca).as("value"),
+          window_time(col("w")).as("wt"))
 
     case RAggr(name, c, w, child) =>
       val leafed = leaf(child, base)
-      val agg = Aggrs.spark(name, c)(col("value"), unix_millis(col("ts")))
+      val agg = Aggrs.spark(name, c)(col("value"), orderTs(leafed))
       leafed
-        .groupBy(window(col("ts"), s"$w milliseconds").as("w"), col("metric"))
+        .groupBy(timeWindow(leafed, w, child.resMs).as("w"), col("metric"))
         .agg(agg.as("value"))
         .select(col("metric"), unix_millis(col("w.start")).as("ws"),
-          col("value"))
+          col("value"), window_time(col("w")).as("wt"))
     case RLookup(_, path, where, gb, Some(gf), resMs) if gb.nonEmpty =>
       // GROUP BY $tag USING fun at the top level: the tags are event
       // columns on the stream, so the group is one windowed groupBy at the
@@ -234,8 +300,9 @@ object StreamingDql {
       // must see the same: without the collapse a series emitting >1
       // event in one resolution tick would contribute duplicate fold
       // entries and inflate avg's divisor
-      val grouped = slotCollapse(base.where(cond), resMs)
-        .groupBy(window(col("ts"), s"$resMs milliseconds").as("w") +:
+      val collapsed = slotCollapse(base.where(cond), resMs)
+      val grouped = collapsed
+        .groupBy(timeWindow(collapsed, resMs, resMs).as("w") +:
           cols.zipWithIndex.map { case (c, i) => c.as(s"g$i") }: _*)
         .agg(aggCol.as(if (isFold) "vals" else "value"))
       val valued =
@@ -246,7 +313,8 @@ object StreamingDql {
       valued.select(
         concat_ws(".", gb.indices.map(i => col(s"g$i").cast("string")): _*)
           .as("metric"),
-        unix_millis(col("w.start")).as("ws"), col("value"))
+        unix_millis(col("w.start")).as("ws"), col("value"),
+        window_time(col("w")).as("wt"))
 
     case RHistFn(name, pOpt, w, htv, _, child) =>
       // the fused hist reductions are expression aggregates like §2.2, so
@@ -258,16 +326,16 @@ object StreamingDql {
       val ints = round(col("value"), 0).cast("long")
       val inRange = leafed.where(ints >= 0L && ints <= htv)
       val aggName = if (name == "mean") "avg" else name
-      val agg0 = Aggrs.spark(aggName, pOpt)(ints, unix_millis(col("ts")))
+      val agg0 = Aggrs.spark(aggName, pOpt)(ints, orderTs(inRange))
       val agg = name match {
         case "mean" | "stddev" => agg0
         case _                 => agg0.cast("double")
       }
       inRange
-        .groupBy(window(col("ts"), s"$w milliseconds").as("w"), col("metric"))
+        .groupBy(timeWindow(inRange, w, child.resMs).as("w"), col("metric"))
         .agg(agg.as("value"))
         .select(col("metric"), unix_millis(col("w.start")).as("ws"),
-          col("value"))
+          col("value"), window_time(col("w")).as("wt"))
 
     case RTrans("derivate", _, child) =>
       // derivate ABOVE the aggregation: v'(w) = v(w) − v(prev present w)
@@ -279,24 +347,47 @@ object StreamingDql {
       // multi-stateful-operator support (watermark-propagated) handles the
       // agg → stateful chain. The first window is held back until its
       // successor closes, exactly the batch backfill.
-      val enc = Encoders.tuple(Encoders.STRING,
-        Encoders.scalaLong, Encoders.scalaDouble)
+      val enc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaDouble, Encoders.TIMESTAMP)
+      val outEnc = Encoders.product[(String, Long, Option[Double])]
       // idle-eviction horizon for the per-metric state (see derivateGroup);
       // default 30 days, ≤ 0 keeps state forever
       val idleMs = base.sparkSession.conf
         .getOption("spark.graft.streaming.derivate.idleTimeoutMs")
-        .map(_.toLong).getOrElse(30L * 24 * 3600 * 1000)
+        .map { raw =>
+          try raw.trim.toLong
+          catch { case _: NumberFormatException => throw Unstreamable(
+            "spark.graft.streaming.derivate.idleTimeoutMs must be a " +
+              s"millisecond count, got '$raw'") }
+        }.getOrElse(30L * 24 * 3600 * 1000)
+      val aggd0 = aggregated(child, base)
+      // the event-time timeout needs a watermark-tagged column on the
+      // state operator's input — `wt` (window_time of the child window)
+      // carries it through the aggregation. A derivate-over-derivate child
+      // has already been through flatMapGroupsWithState, whose output
+      // cannot carry event time; eviction is impossible there, so refuse
+      // rather than silently accumulate unbounded state.
+      val hasWm = aggd0.queryExecution.analyzed.output.exists(a =>
+        a.name == "wt" && a.metadata.contains("spark.watermarkDelayMs"))
+      if (idleMs > 0 && !hasWm)
+        throw Unstreamable(
+          "derivate idle eviction needs an event-time input (nested " +
+            "derivate loses it) — set " +
+            "spark.graft.streaming.derivate.idleTimeoutMs <= 0 to run " +
+            "with unbounded per-series state")
       val timeout =
         if (idleMs > 0) GroupStateTimeout.EventTimeTimeout()
         else GroupStateTimeout.NoTimeout()
-      val aggd = aggregated(child, base)
-        .select(col("metric"), col("ws"), col("value").cast("double"))
-        .as[(String, Long, Double)](enc)
+      val aggd = aggd0
+        .select(col("metric"), col("ws"), col("value").cast("double"),
+          col("wt"))
+        .as[(String, Long, Double, java.sql.Timestamp)](enc)
       aggd.groupByKey(_._1)(Encoders.STRING)
         .flatMapGroupsWithState(
           OutputMode.Append(), timeout)(
-          derivateGroup(idleMs))(Encoders.product[DerivState], enc)
+          derivateGroup(idleMs))(Encoders.product[DerivState], outEnc)
         .toDF("metric", "ws", "value")
+        .withColumn("wt", lit(null).cast("timestamp"))
     case RTrans("confidence", _, _) =>
       throw Unstreamable("confidence channel is batch-only")
     case RTrans(name, c, child) =>
@@ -327,16 +418,17 @@ object StreamingDql {
           s"children must share one resolution, got ${res.mkString(", ")} ms")
       val condVals = aggrs.map(a => leafCondValue(a.child))
       val anyCond = condVals.map(_._1).reduce(_ || _)
-      val cvs = aggrs.zip(condVals).zipWithIndex.map {
-        case ((a, (cond, v)), i) =>
-          Aggrs.spark(a.name, a.const)(when(cond, v),
-            when(cond, unix_millis(col("ts")))).as(s"c$i")
-      }
       // one shared slot collapse under the fused groupBy: per-child
       // conditions and transforms only read metric/tag columns and the
       // slot value, so they evaluate identically on slot rows
-      val piv = slotCollapse(base.where(anyCond), res.head)
-        .groupBy(window(col("ts"), s"${ws.head} milliseconds").as("w"))
+      val collapsed = slotCollapse(base.where(anyCond), res.head)
+      val cvs = aggrs.zip(condVals).zipWithIndex.map {
+        case ((a, (cond, v)), i) =>
+          Aggrs.spark(a.name, a.const)(when(cond, v),
+            when(cond, orderTs(collapsed))).as(s"c$i")
+      }
+      val piv = collapsed
+        .groupBy(timeWindow(collapsed, ws.head, res.head).as("w"))
         .agg(cvs.head, cvs.tail: _*)
       val cols = aggrs.indices.map(i => col(s"c$i"))
       // null children (no data in window) skip for the commutative funs —
@@ -360,7 +452,8 @@ object StreamingDql {
           when(c === 0.0, a).otherwise(a / c))
       }
       piv.select(lit(name).as("metric"),
-        unix_millis(col("w.start")).as("ws"), folded.as("value"))
+        unix_millis(col("w.start")).as("ws"), folded.as("value"),
+        window_time(col("w")).as("wt"))
 
     case other =>
       throw Unstreamable(

@@ -19,13 +19,18 @@ import java.sql.Timestamp
   * the streaming path mirrors that shape; this spec pins its results to
   * the one-shot batch semantics.
   *
-  * Exactness: the replay holds one point per (series, second) — the
-  * reference's data model, where a series has at most one value per
-  * resolution tick — and values with two decimal digits, so the batch
-  * side's slot derivation (`Exact.davg` over a single decimal-exact
-  * value) is the identity and both sides aggregate the identical inputs
-  * with the identical aggregate expressions. The comparison is therefore
-  * EXACT double equality, no tolerance.
+  * Exactness: the replay is MULTI-EVENT — some (series, second) slots
+  * carry 2–3 events — and values have two decimal digits. The batch leaf
+  * collapses each slot to its decimal-exact mean (`Exact.davg`) before
+  * any aggregation; the stream mirrors that with its chained slot-collapse
+  * stage (default `slotExact=true`), so both sides aggregate the
+  * identical slot values with the identical aggregate expressions and the
+  * comparison is EXACT double equality, no tolerance. The chained plan
+  * emits on window close, so the collapse shapes run in APPEND mode with
+  * watermark sentinels flushing the tail; the single-stage `*_conf`
+  * shapes (presence is collapse-invariant) stay in update mode. A guard
+  * test below asserts the collapse is LOAD-BEARING: with
+  * `slotExact=false` the same replay diverges from batch.
   */
 class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
@@ -44,15 +49,21 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val EndMs = 600000L // 10 minutes of replay, [0, 600000)
 
-  /** deterministic sparse replay: 3 series, one point per occupied second
-    * (~75% density so windows contain gaps), 2-decimal-digit values
+  /** deterministic sparse replay: 3 series, ~75% of seconds occupied (so
+    * windows contain gaps), 2-decimal-digit values — and every 5th
+    * occupied second carries a second event, every 20th a third, so the
+    * slot derivation (one davg value per (series, second)) is a REAL
+    * collapse, not the identity: raw-event window aggregates diverge from
+    * the batch series model on this fixture (see the slotExact=false
+    * guard test).
     */
   private lazy val replay: Seq[SeriesStream.Ev] = for {
     (t, u) <- Seq(("purchase", 1L), ("purchase", 2L), ("error", 1L))
     sec <- 0L until (EndMs / 1000)
     if (sec * 2654435761L + u * 40503L + t.length * 97L) % 4 != 0
+    dup <- 0 to (if (sec % 20 == 3) 2 else if (sec % 5 == 0) 1 else 0)
   } yield SeriesStream.Ev(new Timestamp(sec * 1000), t, u,
-    ((sec * 31 + u * 7 + t.length) % 1000) / 100.0)
+    ((sec * 31 + u * 7 + t.length + dup * 13) % 1000) / 100.0)
 
   /** the batch compiler's storage seam bound to the replayed events —
     * the same derivation as SeriesOps.buildSeries, over the same rows the
@@ -93,27 +104,35 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def streamRows(dql: String, name: String,
-                         append: Boolean = false): Set[(String, Long, Option[Double])] = {
+                         append: Boolean = false,
+                         slotExact: Boolean = true): Set[(String, Long, Option[Double])] = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    if (!slotExact)
+      spark.conf.set("spark.graft.streaming.slotExact", "false")
     val in = MemoryStream[SeriesStream.Ev]
-    val out = StreamingDql.compile(in.toDF(), dql,
-      if (append) "0 seconds" else "30 seconds")
+    val out =
+      try StreamingDql.compile(in.toDF(), dql,
+        if (append) "0 seconds" else "30 seconds")
+      finally spark.conf.unset("spark.graft.streaming.slotExact")
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(if (append) "append" else "update").start()
     try {
       in.addData(replay: _*)
       if (append)
-        // sentinel past the replay range: advances the event-time watermark
+        // sentinels past the replay range: advance the event-time watermark
         // so every in-range window CLOSES (append emits closed windows
-        // only). It must MATCH the selector — Catalyst pushes the metric
-        // filter below the EventTimeWatermark node, so only selected rows
-        // advance the watermark (an idle series never flushes: standard
-        // Spark semantics). Its own window starts at EndMs + 60s and never
-        // closes; the comparison is bounded to ws < EndMs anyway.
-        in.addData(SeriesStream.Ev(
-          new Timestamp(EndMs + 60000), "purchase", 1L, 0.0))
+        // only). One per replay series — a sentinel must MATCH the query's
+        // selector to count: Catalyst pushes the metric filter below the
+        // EventTimeWatermark node, so only selected rows advance the
+        // watermark (an idle series never flushes: standard Spark
+        // semantics). Their own windows start at EndMs + 60s and never
+        // close; the comparison is bounded to ws < EndMs anyway.
+        in.addData(
+          SeriesStream.Ev(new Timestamp(EndMs + 60000), "purchase", 1L, 0.0),
+          SeriesStream.Ev(new Timestamp(EndMs + 60000), "purchase", 2L, 0.0),
+          SeriesStream.Ev(new Timestamp(EndMs + 60000), "error", 1L, 0.0))
       q.processAllAvailable()
       spark.sql(s"SELECT metric, ws, CAST(value AS DOUBLE) AS v FROM $name")
         .collect()
@@ -157,33 +176,33 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("windowed avg over a glob selector: stream ≡ batch") {
     assertEquivalent(
       s"SELECT avg('purchase'.* BUCKET 'testdata', 1 m) BETWEEN 0 AND $EndMs",
-      "eq_avg_glob")
+      "eq_avg_glob", append = true)
   }
 
   test("transform below the aggregation (divide, then sum): stream ≡ batch") {
     assertEquivalent(
       s"SELECT sum(divide('purchase'.'1' BUCKET 'testdata', 2), 30 s) BETWEEN 0 AND $EndMs",
-      "eq_sum_divide")
+      "eq_sum_divide", append = true)
   }
 
   test("transform above the aggregation (add on the agg stream): stream ≡ batch") {
     assertEquivalent(
       s"SELECT add(max('error'.'1' BUCKET 'testdata', 1 m), 100) BETWEEN 0 AND $EndMs",
-      "eq_add_max")
+      "eq_add_max", append = true)
   }
 
   test("fused same-window combinator (diff of sums): stream ≡ batch") {
     assertEquivalent(
       s"SELECT diff(sum('purchase'.'1' BUCKET 'testdata', 1 m), " +
         s"sum('purchase'.'2' BUCKET 'testdata', 1 m)) BETWEEN 0 AND $EndMs",
-      "eq_diff_sums")
+      "eq_diff_sums", append = true)
   }
 
   test("fused non-commutative combinator (quotient): stream ≡ batch") {
     assertEquivalent(
       s"SELECT quotient(sum('purchase'.'1' BUCKET 'testdata', 1 m), " +
         s"sum('error'.'1' BUCKET 'testdata', 1 m)) BETWEEN 0 AND $EndMs",
-      "eq_quot_sums")
+      "eq_quot_sums", append = true)
   }
 
   test("tag WHERE filter under the aggregation: stream ≡ batch") {
@@ -192,14 +211,14 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertEquivalent(
       s"SELECT avg('purchase' FROM 'testdata' WHERE 'graft':'user' = '1', 1 m) " +
         s"BETWEEN 0 AND $EndMs",
-      "eq_where_avg")
+      "eq_where_avg", append = true)
   }
 
   test("top-level GROUP BY tag USING sum: stream ≡ batch") {
     assertEquivalent(
       s"SELECT 'purchase' FROM 'testdata' GROUP BY $$'graft':'user' USING sum " +
         s"BETWEEN 0 AND $EndMs",
-      "eq_group_sum")
+      "eq_group_sum", append = true)
   }
 
   test("GROUP BY tag USING avg (decimal-exact mean): stream ≡ batch") {
@@ -209,7 +228,7 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertEquivalent(
       s"SELECT 'purchase' FROM 'testdata' GROUP BY $$'graft':'type' USING avg " +
         s"BETWEEN 0 AND $EndMs",
-      "eq_group_avg")
+      "eq_group_avg", append = true)
   }
 
   test("GROUP BY with WHERE and non-commutative USING diff: stream ≡ batch") {
@@ -219,7 +238,7 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT 'purchase' FROM 'testdata' WHERE 'graft':'user' = '1' OR " +
         s"'graft':'user' = '2' GROUP BY $$'graft':'type' USING diff " +
         s"BETWEEN 0 AND $EndMs",
-      "eq_group_diff")
+      "eq_group_diff", append = true)
   }
 
   test("count_above_conf: synthesized presence channel ≡ dense spine") {
@@ -262,6 +281,24 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertEquivalent(
       s"SELECT percentile(histogram('purchase'.'1' BUCKET 'testdata', 5, 3, 1 m), 0.9) " +
         s"BETWEEN 0 AND $EndMs",
-      "eq_hist_p90")
+      "eq_hist_p90", append = true)
+  }
+
+  test("the slot collapse is load-bearing: slotExact=false diverges on this replay") {
+    // guard against the equivalence suite going vacuous: with the collapse
+    // stage dropped, the stream aggregates RAW events — on the multi-event
+    // replay a slot holding 2–3 events contributes every event to the
+    // window aggregate instead of its slot mean, so the windowed avg MUST
+    // differ from batch somewhere. If this ever passes with slotExact
+    // false, the fixture no longer exercises the collapse.
+    val dql =
+      s"SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m) BETWEEN 0 AND $EndMs"
+    val b = batchRows(dql).map(r => (r._1, r._2) -> r._3).toMap
+    val st = streamRows(dql, "eq_raw_divergence", slotExact = false)
+      .filter(_._2 < EndMs)
+    val diverged = st.exists(r => b.get((r._1, r._2)).exists(_ != r._3))
+    assert(diverged,
+      "raw-event streaming agreed with the batch series model on a " +
+        "multi-event replay — the slot collapse would be untestable here")
   }
 }

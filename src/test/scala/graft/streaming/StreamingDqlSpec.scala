@@ -26,23 +26,35 @@ class StreamingDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
                  v: Double = 10.0) =
     SeriesStream.Ev(new Timestamp(sec * 1000), t, u, v)
 
+  /** run `dql` over one replayed batch. Update mode supports a single
+    * stateful operator only, so these shapes pin `slotExact=false` (raw
+    * events are one-per-slot in every fixture here, where the collapse is
+    * the identity anyway); the slot-exact chained path is exercised by the
+    * append-mode tests below and by StreamBatchEquivalenceSpec.
+    */
   private def run(dql: String, data: Seq[SeriesStream.Ev],
-                  name: String): Array[(String, Long, Double)] = {
-    val s = spark
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val in = MemoryStream[SeriesStream.Ev]
-    val out = StreamingDql.compile(in.toDF(), dql, "30 seconds")
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
-    in.addData(data: _*)
-    q.processAllAvailable()
-    val rows = spark.sql(s"SELECT metric, ws, CAST(value AS DOUBLE) AS value FROM $name " +
-      "ORDER BY metric, ws").collect()
-      .map(r => (r.getString(0), r.getLong(1),
-        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
-    q.stop()
-    rows
+                  name: String): Array[(String, Long, Double)] =
+    withConf("spark.graft.streaming.slotExact", "false") {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = MemoryStream[SeriesStream.Ev]
+      val out = StreamingDql.compile(in.toDF(), dql, "30 seconds")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val rows = spark.sql(s"SELECT metric, ws, CAST(value AS DOUBLE) AS value FROM $name " +
+        "ORDER BY metric, ws").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      q.stop()
+      rows
+    }
+
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    spark.conf.set(key, value)
+    try body finally spark.conf.unset(key)
   }
 
   test("windowed avg of a glob selector runs as a stream") {
@@ -82,16 +94,20 @@ class StreamingDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals(0L) == 0.25)
     assert(vals(60000L).isNaN) // null divisor propagates (batch pivot parity)
     // the plan has exactly ONE stateful aggregate (fused), not a union of
-    // streaming aggregations
+    // streaming aggregations — plus the slot-collapse stage when the
+    // default slot-exact mode is on (and only then)
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val in = MemoryStream[SeriesStream.Ev]
-    val plan = StreamingDql.compile(in.toDF(),
+    def planOf(): String = StreamingDql.compile(in.toDF(),
       "SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m) + " +
         "avg('purchase'.'2' BUCKET 'testdata', 1 m) LAST 1 h",
       "30 seconds").queryExecution.analyzed.toString()
-    assert("Aggregate".r.findAllIn(plan).size == 1, plan.take(2000))
+    val fused = withConf("spark.graft.streaming.slotExact", "false")(planOf())
+    assert("Aggregate".r.findAllIn(fused).size == 1, fused.take(2000))
+    val chained = planOf() // default: slot collapse below the fused agg
+    assert("Aggregate".r.findAllIn(chained).size == 2, chained.take(2000))
   }
 
   test("sum combinator skips absent children like the batch union") {
@@ -102,6 +118,116 @@ class StreamingDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sdql_comb_sum")
     val vals = rows.map(r => r._2 -> r._3).toMap
     assert(vals == Map(0L -> 10.0, 60000L -> 5.0)) // w60: only child 1 present
+  }
+
+  test("slot collapse: multi-event slots aggregate as the batch series model (append)") {
+    // two events land in slot [0 s, 1 s): the batch leaf collapses them to
+    // their decimal-exact mean (1+3)/2 = 2 before the window aggregation,
+    // so the 1 m window avg is (2 + 6) / 2 = 4 — NOT the raw-event mean
+    // (1+3+6)/3 ≈ 3.33. The chained plan emits on window close (append),
+    // flushed by a sentinel past the window.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = StreamingDql.compile(in.toDF(),
+      "SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m) LAST 1 h",
+      "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sdql_slots")
+      .outputMode("append").start()
+    in.addData(ev(0, v = 1), ev(0, v = 3), ev(10, v = 6))
+    in.addData(ev(200, v = 0)) // sentinel: closes [0, 60 s)
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT metric, ws, CAST(value AS DOUBLE) FROM sdql_slots WHERE ws < 60000")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.toSeq == Seq(("purchase.1", 0L, 4.0)))
+  }
+
+  test("derivate idle timeout: held-back head emits as NULL, resume restarts the chain") {
+    // purchase.1 goes idle after ONE closed window (head still held back),
+    // then resumes past the idle horizon; purchase.2 keeps the watermark
+    // moving (glob selector: both series pass the pushed filter). Expected
+    // for purchase.1: the timed-out head emits with NULL (batch's result
+    // for a single-point series), and the resumed chain restarts with the
+    // head-point backfill — (240 s, 20.0) and (360 s, 20.0).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    withConf("spark.graft.streaming.derivate.idleTimeoutMs", "120000") {
+      val in = MemoryStream[SeriesStream.Ev]
+      val out = StreamingDql.compile(in.toDF(),
+        "SELECT derivate(avg('purchase'.* BUCKET 'testdata', 1 m)) LAST 1 h",
+        "0 seconds")
+      val q = out.writeStream.format("memory").queryName("sdql_idle")
+        .outputMode("append").start()
+      def feed(evs: SeriesStream.Ev*): Unit = {
+        in.addData(evs: _*); q.processAllAvailable()
+      }
+      feed(ev(0, v = 10), ev(0, u = 2, v = 1), ev(70, u = 2, v = 2))
+      feed(ev(130, u = 2, v = 3))  // closes [0,60): p1 head held back
+      feed(ev(200, u = 2, v = 4))  // watermark 200 s > head 0 s + 120 s: evict p1
+      feed(ev(260, v = 50), ev(260, u = 2, v = 5)) // p1 resumes past horizon
+      feed(ev(400, v = 70), ev(400, u = 2, v = 6))
+      feed(ev(640, u = 2, v = 8))  // closes p1's [360,420) resume window
+      val p1 = spark.sql(
+        "SELECT ws, CAST(value AS DOUBLE) FROM sdql_idle " +
+          "WHERE metric = 'purchase.1' ORDER BY ws").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      q.stop()
+      assert(p1.toSeq == Seq(
+        (0L, None),                 // timed-out head: reported, value NULL
+        (240000L, Some(20.0)),      // restarted chain: backfilled head
+        (360000L, Some(20.0))))     // 70 − 50
+    }
+  }
+
+  test("malformed streaming confs fail with typed errors naming the conf") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val avg = "SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m) LAST 1 h"
+    withConf("spark.graft.streaming.slotExact", " False ") {
+      // trimmed + case-insensitive parse still accepts it
+      StreamingDql.compile(in.toDF(), avg, "30 seconds")
+    }
+    val e1 = intercept[StreamingDql.Unstreamable] {
+      withConf("spark.graft.streaming.slotExact", "bogus") {
+        StreamingDql.compile(in.toDF(), avg, "30 seconds")
+      }
+    }
+    assert(e1.getMessage.contains("spark.graft.streaming.slotExact"))
+    val e2 = intercept[StreamingDql.Unstreamable] {
+      withConf("spark.graft.streaming.derivate.idleTimeoutMs", "soon") {
+        StreamingDql.compile(in.toDF(),
+          "SELECT derivate(avg('purchase'.'1' BUCKET 'testdata', 1 m)) LAST 1 h",
+          "30 seconds")
+      }
+    }
+    assert(e2.getMessage.contains("idleTimeoutMs"))
+  }
+
+  test("confidence slot-set state is bounded: oversized window/res ratio refused") {
+    // 14 d window at the 1 s stream resolution = 1 209 600 slots in ONE
+    // state row — past the documented cap, refused at compile time
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val e = intercept[StreamingDql.Unstreamable] {
+      StreamingDql.compile(in.toDF(),
+        "SELECT count_above_conf('purchase'.'1' BUCKET 'testdata', 0.5, 14 d) LAST 30 d",
+        "30 seconds")
+    }
+    assert(e.getMessage.contains("maxSlots"))
+    // and a raised cap admits the same shape
+    withConf("spark.graft.streaming.conf.maxSlots", "2000000") {
+      StreamingDql.compile(in.toDF(),
+        "SELECT count_above_conf('purchase'.'1' BUCKET 'testdata', 0.5, 14 d) LAST 30 d",
+        "30 seconds")
+    }
   }
 
   test("unstreamable shapes fail with clear errors") {
