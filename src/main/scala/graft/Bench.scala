@@ -100,6 +100,17 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // sanctioned artifacts must be RESIDENT when a timed consumer runs —
+    // round 6's corpus_decisions headline (7 s vs 1.2 s steady) was a
+    // partial pair-set eviction rebuilt inside the timed region. Re-force
+    // (uncounted, before the clock starts) and make it visible.
+    def pinSanctioned(at: String): Unit = {
+      val reforced = graft.core.Caches.ensureSanctionedResident(spark)
+      if (reforced.nonEmpty)
+        System.err.println(
+          s"[bench] re-materialized evicted sanctioned artifact(s) before " +
+            s"$at: ${reforced.mkString("; ")}")
+    }
     // per query: [compile_s, exec_s, second_run_s]. Transient pins are
     // released BLOCKING before each run — the round-4 regression was async
     // eviction from the dedup family's pins billed to the next family —
@@ -108,6 +119,7 @@ object Bench {
     // variance from first-run cost. The contract headline stays first-run.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       graft.core.Caches.releaseTransient(spark, blocking = true)
+      pinSanctioned(name)
       val t0 = System.nanoTime()
       val (c1, e1) =
         try runOnce(name)
@@ -119,12 +131,15 @@ object Bench {
           (dt, 0.0)
         }
       graft.core.Caches.releaseTransient(spark, blocking = true)
+      pinSanctioned(s"$name(run2)")
       val t1 = System.nanoTime()
       val r2 =
         try { runOnce(name); (System.nanoTime() - t1) / 1e9 }
         catch { case t: Throwable =>
           // run 1 may have succeeded and only run 2 failed (flaky query):
-          // report it and emit a -1.0 sentinel, never a flattering 0.0
+          // mark the query failed (a flaky run is not green) and emit a
+          // -1.0 sentinel in the detail, never a flattering 0.0
+          failed += s"$name(run2)"
           System.err.println(
             s"[bench] run 2 FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
           -1.0
@@ -135,10 +150,20 @@ object Bench {
     // by design — it models the materialized storage layer (core/Layout),
     // which production queries read instead of re-deriving
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = results.map { case (k, (c, e, r2)) =>
-      "\"" + k + "\":[" + r3(c) + "," + r3(e) + "," + r3(r2) + "]"
-    }.mkString("{", ",", "}")
-    println(s"""{"detail":$detail,"failed":$failedJson,"sf":"$sfDir"}""")
+    // the driver captures only a bounded tail of stdout: ONE detail line
+    // with ~115 triples overflowed it in round 6 and lost the first half
+    // of the alphabet. Chunk the detail per family (prefix before '_') so
+    // every line lands inside the window; parsers keyed on the contract
+    // shape skip each (no "metric" key), and the failed list gets its own
+    // line for the same reason.
+    results.groupBy { case (k, _) => k.takeWhile(_ != '_') }.toSeq
+      .sortBy(_._1).foreach { case (family, rs) =>
+        val part = rs.map { case (k, (c, e, r2)) =>
+          "\"" + k + "\":[" + r3(c) + "," + r3(e) + "," + r3(r2) + "]"
+        }.mkString("{", ",", "}")
+        println(s"""{"detail":$part,"family":"$family","sf":"$sfDir"}""")
+      }
+    println(s"""{"failed":$failedJson,"sf":"$sfDir"}""")
 
     val byName = results.map { case (k, (c, e, _)) => k -> (c + e) }.toMap
     val qs = Headline.filter(byName.contains)

@@ -11,7 +11,7 @@ object SparkEntry {
   private val providers: Seq[QueryProvider] =
     Seq(TpchQueries, AggrQueries, TransQueries, CombQueries, GroupQueries,
       LimitQueries, EventQueries, HistQueries, PipelineQueries, DqlQueries,
-      JoinQueries)
+      JoinQueries, StreamQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * hourly mean of every series (the reference's bread-and-butter

@@ -83,6 +83,38 @@ object Caches {
     out.result()
   }
 
+  /** Residency pin for the bench: sanctioned artifacts model materialized
+    * storage, so a timed consumer must READ them, never rebuild them — but
+    * the block manager can partially evict even MEMORY_AND_DISK blocks
+    * under churn (measured in round 6: `corpus_decisions` billed a pair-set
+    * rebuild, 7 s vs 1.2 s steady). This re-materializes every sanctioned
+    * artifact of `spark` whose cached RDD is missing blocks and returns
+    * the names it re-forced (empty = all resident); callers run it OUTSIDE
+    * the timed region and log any non-empty result.
+    */
+  def ensureSanctionedResident(spark: SparkSession): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    sanctionedDfs.forEach { df =>
+      if (df.sparkSession eq spark) {
+        val builders = df.queryExecution.withCachedData.collect {
+          case r: InMemoryRelation => r.cacheBuilder
+        }
+        val stale = builders.exists { b =>
+          !b.isCachedColumnBuffersLoaded || {
+            val id = b.cachedColumnBuffers.id
+            !spark.sparkContext.getRDDStorageInfo.find(_.id == id)
+              .exists(i => i.numCachedPartitions == i.numPartitions)
+          }
+        }
+        if (stale) {
+          df.count() // repopulates only the missing partitions
+          out ++= builders.map(_.cachedName).distinct
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Measurement-integrity check for the bench: the cached relations in
     * `df`'s plan whose column buffers are ALREADY materialized but are not
     * in `allowed`. A hit means a timed run would read a warm cache some
