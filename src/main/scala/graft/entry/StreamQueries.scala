@@ -5,13 +5,18 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Exact, SeriesOps}
-import graft.streaming.StreamingDql
+import graft.streaming.{DocStream, StreamingDql}
 
-/** Correctness gates for the streaming DQL engine (SURVEY §2.10 /
-  * StreamingDql): the events table replayed through Spark's FILE streaming
-  * source — the production ingestion shape, no driver-side collect — with
-  * the same DQL text the batch compiler runs, checked against a DuckDB
-  * oracle over the same parquet.
+/** Correctness gates for the streaming engines (SURVEY §2.10 /
+  * StreamingDql, DocStream): the events/documents tables replayed through
+  * Spark's FILE streaming source — the production ingestion shape, no
+  * driver-side collect — with the same DQL text the batch compiler runs,
+  * checked against a DuckDB oracle over the same parquet.
+  *
+  * One gate per streaming operator family, so a regression anywhere in the
+  * streaming surface (r6: the whole surface failed at query start) is
+  * caught by the driver's CORRECTNESS run, not only by the ScalaTest
+  * suites:
   *
   *   - `stream_avg`: single-stage path (`slotExact=false`, update mode) —
   *     windowed decimal-exact avg over raw events.
@@ -22,17 +27,53 @@ import graft.streaming.StreamingDql
   *     advances the watermark past every real window; the sentinel's own
   *     (never-closing) window is excluded by the `ws < SentinelMs` bound
   *     on both sides.
+  *   - `stream_group_avg`: GROUP BY $tag USING fun — per-slot cross-series
+  *     combine (window = resolution), slot-exact chained, append.
+  *   - `stream_comb_diff`: fused same-window combinator (per-child filtered
+  *     aggregates in ONE stateful operator) over an order-sensitive fold.
+  *   - `stream_conf_count`: the `*_conf` confidence-channel family —
+  *     per-window present-slot set synthesized to the batch {0,1}
+  *     confidence array (single-stage, update mode: presence needs no
+  *     collapse).
+  *   - `stream_derivate`: keyed state ABOVE the aggregation
+  *     (flatMapGroupsWithState) — per-metric diffs over closed windows
+  *     with the batch head backfill (v'(0)=v'(1)). Safe against the
+  *     sentinel because every purchase series in the testdata carries ≥2
+  *     occupied windows (head backfill always binds to a real successor;
+  *     the sentinel's own diff lands at SentinelMs and is excluded).
+  *   - `stream_dedup`: DocStream exact dedup —
+  *     `dropDuplicatesWithinWatermark` on the text hash over a document
+  *     stream; the gate output is the kept hash SET (first-occurrence
+  *     row choice within a replay batch is order-dependent, the set is
+  *     not).
   *
-  * These gates exist so a streaming regression (r6: the whole surface
-  * failed at query start) is caught by the driver's CORRECTNESS run, not
-  * only by the ScalaTest suites.
+  * Replay tuning, correctness-neutral: `spark.sql.shuffle.partitions` is
+  * captured at streaming-query start and fixes the state-store partition
+  * count for the query's lifetime. The session default (32, sized for the
+  * batch gates) would spin 32 state stores per stateful operator — pure
+  * machinery for a bounded replay, ~40% of gate wall-clock. The runner
+  * pins 8 for the replay and restores the session value after; production
+  * streams size this to their cluster instead.
   */
 object StreamQueries extends QueryProvider {
   /** 2100-01-01 UTC — far past any driver-generated event */
   private val SentinelMs = 4102444800000L
   private val WinMs = 60000L
-  private val Dql = "SELECT avg('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h"
   private val runSeq = new AtomicInteger(0)
+
+  private val AvgDql =
+    "SELECT avg('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h"
+  private val GroupDql =
+    "SELECT 'purchase' FROM 'testdata' GROUP BY $'graft':'type' USING avg " +
+      "LAST 1 h"
+  private val CombDql =
+    "SELECT diff(sum('purchase'.* BUCKET 'testdata', 1 m), " +
+      "avg('purchase'.* BUCKET 'testdata', 1 m)) LAST 1 h"
+  private val ConfDql =
+    "SELECT count_above_conf('purchase'.'1' BUCKET 'testdata', 0.5, 1 m) " +
+      "LAST 1 h"
+  private val DerivDql =
+    "SELECT derivate(avg('purchase'.* BUCKET 'testdata', 1 m)) LAST 1 h"
 
   /** Staging dir for the file source: a copy of `events.parquet` plus the
     * one-row sentinel file. Built once per input dir and reused (contents
@@ -51,7 +92,7 @@ object StreamQueries extends QueryProvider {
     if (!Files.exists(sentinel)) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val build = staged.resolve("_sentinel_build")
-      // one 'purchase' event (matches the gate selector — only selected
+      // one 'purchase' event (matches the gate selectors — only selected
       // rows advance the watermark) at SentinelMs, schema-shaped by an
       // arbitrary real row; ts is written as plain int64 nanos, which the
       // stream's long-typed schema reads uniformly with the real file
@@ -71,11 +112,46 @@ object StreamQueries extends QueryProvider {
     staged.toString
   }
 
-  /** Run the gate DQL over the staged replay; returns the finished result
+  /** Staging dir for the document stream: a copy of `documents.parquet`
+    * (no sentinel — the dedup gate is a stateful FILTER, not a windowed
+    * aggregation; rows emit as they arrive, nothing waits on the
+    * watermark).
+    */
+  private def stagedDocsDir(dir: String): String = synchronized {
+    val staged = Paths.get("/tmp",
+      "graft-stream-docs-" + Integer.toHexString(dir.hashCode))
+    val docs = staged.resolve("documents.parquet")
+    if (!Files.exists(docs)) {
+      Files.createDirectories(staged)
+      Files.copy(Paths.get(dir, "documents.parquet"), docs,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    staged.toString
+  }
+
+  /** Start `out` against the memory sink, drain the replay, return the
+    * finished table. Pins the replay state-store partitioning (see class
+    * doc) for the duration of query START only — the captured value rides
+    * with the query; the session conf is restored before returning.
+    */
+  private def drain(s: SparkSession, out: DataFrame, mode: String)
+      : DataFrame = {
+    val name = s"graft_stream_gate_${runSeq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** Run a gate DQL over the staged replay; returns the finished result
     * as a batch frame (metric, ws, value) bounded to real windows.
     */
-  private def runStream(s: SparkSession, dir: String,
-                        slotExact: Boolean): DataFrame = {
+  private def runDql(s: SparkSession, dir: String, dql: String,
+                     mode: String, slotExact: Boolean = true): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sch = s.read.parquet(s"$staged/events.parquet").schema
@@ -84,19 +160,37 @@ object StreamQueries extends QueryProvider {
         col("event_type"), col("user_id"), col("value"))
     if (!slotExact) s.conf.set("spark.graft.streaming.slotExact", "false")
     val out =
-      try StreamingDql.compile(stream, Dql, "0 seconds")
+      try StreamingDql.compile(stream, dql, "0 seconds")
       finally s.conf.unset("spark.graft.streaming.slotExact")
-    val name = s"graft_stream_gate_${runSeq.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(if (slotExact) "append" else "update").start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name).where(col("ws") < SentinelMs)
+    drain(s, out, mode).where(col("ws") < SentinelMs)
       .select("metric", "ws", "value")
   }
 
+  /** The DocStream exact-dedup gate: replay `documents` with a synthetic
+    * event time (doc_id seconds — deterministic, no ts column in the
+    * table), dedup on the text hash, return the kept hash set.
+    */
+  private def runDedup(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDocsDir(dir)
+    val sch = s.read.parquet(s"$staged/documents.parquet").schema
+    // +1 day: an event time of exactly epoch 0 (doc_id 0) sits ON the
+    // operator's initial watermark value and is filtered as late — any
+    // positive offset clears the boundary
+    val docs = s.readStream.schema(sch).parquet(staged)
+      .withColumn("ts", timestamp_millis((col("doc_id") + 86400L) * 1000L))
+    val out = DocStream.dedupExact(docs, "1 minute").select("text_hash")
+    drain(s, out, "append").distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_avg" -> ((s, d) => runStream(s, d, slotExact = false)),
-    "stream_avg_slots" -> ((s, d) => runStream(s, d, slotExact = true)))
+    "stream_avg" -> ((s, d) =>
+      runDql(s, d, AvgDql, "update", slotExact = false)),
+    "stream_avg_slots" -> ((s, d) => runDql(s, d, AvgDql, "append")),
+    "stream_group_avg" -> ((s, d) => runDql(s, d, GroupDql, "append")),
+    "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
+    "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
+    "stream_derivate" -> ((s, d) => runDql(s, d, DerivDql, "append")),
+    "stream_dedup" -> ((s, d) => runDedup(s, d)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -113,5 +207,50 @@ object StreamQueries extends QueryProvider {
          |SELECT metric, ${Exact.wstartSql("ts_ms", WinMs)} AS ws,
          |       ${Exact.davgSql("value")} AS value
          |FROM series WHERE mtype = 'purchase'
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin,
+    // GROUP BY $'type' USING avg: per-slot davg across the group's member
+    // series (group window = resolution), metric = the tag value
+    "stream_group_avg" ->
+      s"""WITH series AS (${SeriesOps.seriesSql})
+         |SELECT mtype AS metric, ts_ms AS ws,
+         |       ${Exact.davgSql("value")} AS value
+         |FROM series WHERE mtype = 'purchase'
+         |GROUP BY 1, 2""".stripMargin,
+    // fused diff(sum, avg) over the slot values of all purchase series per
+    // 1 m window; both children share the selector so neither is null
+    "stream_comb_diff" ->
+      s"""WITH series AS (${SeriesOps.seriesSql}),
+         |w AS (SELECT ${Exact.wstartSql("ts_ms", WinMs)} AS ws,
+         |             ${Exact.dsumSql("value")} AS c0,
+         |             ${Exact.davgSql("value")} AS c1
+         |      FROM series WHERE mtype = 'purchase' GROUP BY 1)
+         |SELECT 'diff' AS metric, ws, c0 - c1 AS value FROM w""".stripMargin,
+    // count_above_conf 0.5: presence is {0,1} per slot, so the count of
+    // qualifying slots is the count of PRESENT slots in the window
+    "stream_conf_count" ->
+      s"""WITH series AS (${SeriesOps.seriesSql})
+         |SELECT metric, ${Exact.wstartSql("ts_ms", WinMs)} AS ws,
+         |       CAST(COUNT(*) AS BIGINT) AS value
+         |FROM series WHERE mtype = 'purchase' AND muser = 1
+         |GROUP BY 1, 2""".stripMargin,
+    // derivate over the windowed avg: diff to the previous PRESENT window
+    // per metric; the head point carries its successor's diff
+    // (v'(0)=v'(1)), a single-window series yields NULL
+    "stream_derivate" ->
+      s"""WITH series AS (${SeriesOps.seriesSql}),
+         |w AS (SELECT metric, ${Exact.wstartSql("ts_ms", WinMs)} AS ws,
+         |             ${Exact.davgSql("value")} AS value
+         |      FROM series WHERE mtype = 'purchase' GROUP BY 1, 2),
+         |d AS (SELECT metric, ws,
+         |             value - lag(value) OVER
+         |               (PARTITION BY metric ORDER BY ws) AS dv
+         |      FROM w)
+         |SELECT metric, ws,
+         |       COALESCE(dv, lead(dv) OVER
+         |         (PARTITION BY metric ORDER BY ws)) AS value
+         |FROM d""".stripMargin,
+    // exact streaming dedup keeps one row per distinct text hash; the SET
+    // of kept hashes is deterministic (which duplicate wins is not)
+    "stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS text_hash FROM documents")
 }
