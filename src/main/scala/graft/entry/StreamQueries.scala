@@ -41,6 +41,9 @@ import graft.streaming.{DocStream, StreamingDql}
   *     sentinel because every purchase series in the testdata carries ≥2
   *     occupied windows (head backfill always binds to a real successor;
   *     the sentinel's own diff lands at SentinelMs and is excluded).
+  *   - `stream_multi`: the fused multi-selector funnel (dqe_funnel merge)
+  *     — per-selector filtered aggregates in one stateful operator,
+  *     unpivoted under the batch default names (unparsed selector text).
   *   - `stream_dedup`: DocStream exact dedup —
   *     `dropDuplicatesWithinWatermark` on the text hash over a document
   *     stream; the gate output is the kept hash SET (first-occurrence
@@ -74,6 +77,14 @@ object StreamQueries extends QueryProvider {
       "LAST 1 h"
   private val DerivDql =
     "SELECT derivate(avg('purchase'.* BUCKET 'testdata', 1 m)) LAST 1 h"
+  private val MultiDql =
+    "SELECT avg('purchase'.* BUCKET 'testdata', 1 m), " +
+      "max('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h"
+
+  /** the batch naming contract: default output name = unparsed selector */
+  private def selectorNames(dql: String): Seq[String] =
+    graft.dql.Parser.parse(dql).selectors
+      .map(sel => graft.dql.Unparse.expr(sel.expr))
 
   /** Staging dir for the file source: a copy of `events.parquet` plus the
     * one-row sentinel file. Built once per input dir and reused (contents
@@ -151,7 +162,8 @@ object StreamQueries extends QueryProvider {
     * as a batch frame (metric, ws, value) bounded to real windows.
     */
   private def runDql(s: SparkSession, dir: String, dql: String,
-                     mode: String, slotExact: Boolean = true): DataFrame = {
+                     mode: String, slotExact: Boolean = true,
+                     withName: Boolean = false): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sch = s.read.parquet(s"$staged/events.parquet").schema
@@ -162,8 +174,10 @@ object StreamQueries extends QueryProvider {
     val out =
       try StreamingDql.compile(stream, dql, "0 seconds")
       finally s.conf.unset("spark.graft.streaming.slotExact")
+    val cols = (if (withName) Seq("name") else Nil) ++
+      Seq("metric", "ws", "value")
     drain(s, out, mode).where(col("ws") < SentinelMs)
-      .select("metric", "ws", "value")
+      .select(cols.head, cols.tail: _*)
   }
 
   /** The DocStream exact-dedup gate: replay `documents` with a synthetic
@@ -190,6 +204,8 @@ object StreamQueries extends QueryProvider {
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
     "stream_derivate" -> ((s, d) => runDql(s, d, DerivDql, "append")),
+    "stream_multi" -> ((s, d) =>
+      runDql(s, d, MultiDql, "append", withName = true)),
     "stream_dedup" -> ((s, d) => runDedup(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -249,6 +265,18 @@ object StreamQueries extends QueryProvider {
          |       COALESCE(dv, lead(dv) OVER
          |         (PARTITION BY metric ORDER BY ws)) AS value
          |FROM d""".stripMargin,
+    // fused multi-selector funnel: one row per selector per (metric,
+    // window), each under its batch default name (unparsed selector text)
+    "stream_multi" -> {
+      val Seq(nAvg, nMax) = selectorNames(MultiDql).map(_.replace("'", "''"))
+      s"""WITH series AS (${SeriesOps.seriesSql}),
+         |w AS (SELECT metric, ${Exact.wstartSql("ts_ms", WinMs)} AS ws,
+         |             ${Exact.davgSql("value")} AS vavg, MAX(value) AS vmax
+         |      FROM series WHERE mtype = 'purchase' GROUP BY 1, 2)
+         |SELECT '$nAvg' AS name, metric, ws, vavg AS value FROM w
+         |UNION ALL
+         |SELECT '$nMax' AS name, metric, ws, vmax AS value FROM w""".stripMargin
+    },
     // exact streaming dedup keeps one row per distinct text hash; the SET
     // of kept hashes is deterministic (which duplicate wins is not)
     "stream_dedup" ->

@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.dql.{Ast, Parser, Resolver}
+import graft.dql.{Ast, Parser, Resolver, Unparse}
+import graft.dql.Ast.{MNum, MStr, NLit, NPos, NTag}
 import graft.dql.Resolver._
 import graft.ops.{Aggrs, Trans}
 
@@ -37,6 +38,13 @@ import graft.ops.{Aggrs, Trans}
   *     Caveat: Catalyst pushes selector filters below the watermark node,
   *     so only MATCHING events advance the watermark — an idle series'
   *     last windows stay open until its next event arrives.
+  *   - multi-selector queries (the `dqe_funnel` merge): same-window
+  *     aggregation selectors FUSE into one stateful operator (per-selector
+  *     filtered aggregates + unpivot — see [[fusedFunnel]]; never a union
+  *     of streaming aggregations, which Spark runs incorrectly)
+  *   - AS / `$N` pvar / `$ns:tag` dvar naming and METADATA {…} — the
+  *     batch output-naming contract, as a projection on the aggregated
+  *     stream (see [[named]])
   *   - NOT streamable: derivate below an aggregation (needs the ordered
   *     per-series raw scan), combinators over differently-windowed
   *     children, SHIFT, TOP/BOTTOM (global sorts).
@@ -126,26 +134,168 @@ object StreamingDql {
     *               is `event_type.user_id` as in the batch series model
     * @param dql    DQL text (same grammar as the batch compiler)
     * @param watermark late-data bound, e.g. "10 seconds"
-    * @return streaming frame (metric, ws, value) — ws = window start ms
+    * @return streaming frame (name, metric, ws, value[, metadata]) —
+    *         ws = window start ms; `name`/`metadata` follow the batch
+    *         naming contract (default name = unparsed selector text)
     */
   def compile(stream: DataFrame, dql: String, watermark: String): DataFrame = {
     val q = Parser.parse(dql)
-    if (q.selectors.length != 1)
-      throw Unstreamable("streaming DQL supports exactly one selector")
     if (q.limit.nonEmpty)
       throw Unstreamable("TOP/BOTTOM is a global sort — not streamable")
-    if (q.selectors.head.shift.nonEmpty)
-      throw Unstreamable("SHIFT BY is not streamable")
-    val plan = Resolver.resolve(q.selectors.head.expr, q.aliases, _ => 1000L)
     val base = stream
       .withWatermark("ts", watermark)
       .withColumn("metric",
         concat_ws(".", col("event_type"), col("user_id")))
-    // internal plumbing: every aggregated branch also emits `wt`, the
-    // window's event-time carrier (window_time keeps the watermark
-    // metadata, which stateful consumers above the aggregation — the
-    // derivate timeout — must see); it is not part of the public contract
-    aggregated(plan, base).select(col("metric"), col("ws"), col("value"))
+    val withMeta = q.selectors.exists(_.metadata.nonEmpty)
+    val cols = Seq("name", "metric", "ws", "value") ++
+      (if (withMeta) Seq("metadata") else Nil)
+    val out =
+      if (q.selectors.length == 1) {
+        val sel = q.selectors.head
+        if (sel.shift.nonEmpty)
+          throw Unstreamable("SHIFT BY is not streamable")
+        val plan = Resolver.resolve(sel.expr, q.aliases, _ => 1000L)
+        // internal plumbing: every aggregated branch also emits `wt`, the
+        // window's event-time carrier (window_time keeps the watermark
+        // metadata, which stateful consumers above the aggregation — the
+        // derivate timeout — must see); it is not part of the public
+        // contract
+        named(aggregated(plan, base), sel, withMeta)
+      } else fusedFunnel(q, base, withMeta)
+    out.select(cols.head, cols.tail: _*)
+  }
+
+  /** The batch multi-selector merge (`dqe_funnel`) FUSED into one stateful
+    * operator: each selector becomes a filtered aggregate inside a single
+    * (window, metric) groupBy, then an unpivot (`stack`) restores one row
+    * per selector with its own naming. NOT a union of per-selector
+    * streaming aggregations — a union of chained stateful branches is the
+    * one multi-stateful shape Spark does not run correctly (one branch's
+    * state silently starves; observed on 4.1: union of two slot-collapse
+    * chains emits only the first branch), and the fused form is cheaper
+    * anyway: one state row per (window, metric) for ALL selectors.
+    *
+    * Fusable selector shapes: pointwise transforms over a non-conf §2.2
+    * aggregation, every selector sharing one window and one resolution
+    * (the batch funnel itself requires equal resolutions). Each selector's
+    * rows are restricted to the series matching ITS leaf via a per-selector
+    * presence aggregate — a window where the series has points but none
+    * qualify for a threshold aggregate still emits its batch NULL, while a
+    * series the selector never matched emits nothing, exactly the batch
+    * union's row set.
+    */
+  private def fusedFunnel(q: Ast.Query, base: DataFrame,
+                          withMeta: Boolean): DataFrame = {
+    val sels = q.selectors
+    sels.foreach { sel =>
+      if (sel.shift.nonEmpty) throw Unstreamable("SHIFT BY is not streamable")
+    }
+    val plans = sels.map(sel => Resolver.resolve(sel.expr, q.aliases, _ => 1000L))
+    // peel the pointwise transforms above each aggregation; acc ends up
+    // innermost-first, so a left fold re-applies them in batch order
+    def peel(p: RExpr, acc: List[(String, Option[Double])])
+        : (List[(String, Option[Double])], RAggr) = p match {
+      case RTrans(n, c, child) if n != "derivate" && n != "confidence" =>
+        peel(child, (n, c) :: acc)
+      case a: RAggr if !a.name.endsWith("_conf") => (acc, a)
+      case other => throw Unstreamable(
+        "a multi-selector stream fuses same-window aggregations into one " +
+          s"stateful operator; selector shape is not fusable: $other — " +
+          "run separate streams for mixed shapes")
+    }
+    val peeled = plans.map(peel(_, Nil))
+    val aggrs = peeled.map(_._2)
+    val ws = aggrs.map(_.windowMs).distinct
+    if (ws.length != 1)
+      throw Unstreamable("resolution_conflict: multi-selector streams " +
+        s"must share one window, got ${ws.mkString(", ")} ms")
+    val res = aggrs.map(_.child.resMs).distinct
+    if (res.length != 1)
+      throw Unstreamable("resolution_conflict: multi-selector streams " +
+        s"must share one resolution, got ${res.mkString(", ")} ms")
+    val condVals = aggrs.map(a => leafCondValue(a.child))
+    val anyCond = condVals.map(_._1).reduce(_ || _)
+    val collapsed = slotCollapse(base.where(anyCond), res.head)
+    val aggCols = aggrs.zip(condVals).zipWithIndex.flatMap {
+      case ((a, (cond, v)), i) =>
+        Seq(
+          Aggrs.spark(a.name, a.const)(when(cond, v),
+            when(cond, orderTs(collapsed))).as(s"c$i"),
+          (count(when(cond, 1)) > 0).as(s"p$i"))
+    }
+    val piv = collapsed
+      .groupBy(timeWindow(collapsed, ws.head, res.head).as("w"), col("metric"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // per-selector transforms above the aggregation are projections on the
+    // selector's own column
+    val proj = peeled.zipWithIndex.foldLeft(piv) {
+      case (df, ((trans, _), i)) =>
+        df.withColumn(s"v$i",
+          trans.foldLeft(col(s"c$i")) { case (c, (n, k)) =>
+            Trans.spark(n, k)(c) })
+    }
+    // the batch union coerces mixed value types (a count's BIGINT beside
+    // an avg's DOUBLE) to the common type; stack() requires it explicitly
+    val vTypes = sels.indices.map(i => proj.schema(s"v$i").dataType).distinct
+    val vExpr: Int => String =
+      if (vTypes.length == 1) i => s"v$i"
+      else i => s"CAST(v$i AS DOUBLE)"
+    val stacked = proj.selectExpr("w", "metric",
+      s"stack(${sels.length}, " +
+        sels.indices.map(i => s"$i, ${vExpr(i)}, p$i").mkString(", ") +
+        ") as (sidx, value, present)")
+      .where(col("present"))
+    def perSel(f: Ast.Selector => Column): Column =
+      coalesce(sels.zipWithIndex.map { case (sel, i) =>
+        when(col("sidx") === i, f(sel)) }: _*)
+    val outCols =
+      Seq(perSel(nameExpr).as("name"), col("metric"),
+        unix_millis(col("w.start")).as("ws"), col("value")) ++
+      (if (withMeta) Seq(perSel(sel => lit(metaJson(sel))).as("metadata"))
+       else Nil)
+    stacked.select(outCols: _*)
+  }
+
+  /** The batch naming contract (Compiler.named, reference
+    * `src/dql_flatten.erl:19`) on the stream: default output name is the
+    * unparsed selector text; `AS` parts substitute literals, `$N` the N-th
+    * metric path segment, `$ns:tag` the tag value — which on the stream is
+    * read back out of the series key (`type.user`, see [[tagCol]]);
+    * unknown tags name as empty, the batch missing-tag behavior.
+    * METADATA {…} attaches the same constant JSON rendering batch emits.
+    */
+  private def nameExpr(sel: Ast.Selector): Column = {
+    def seg(n: Int) = element_at(split(col("metric"), "\\."), n)
+    sel.name match {
+      case None => lit(Unparse.expr(sel.expr))
+      case Some(parts) =>
+        concat_ws(".", parts.map {
+          case NLit(s) => lit(s): Column
+          case NPos(n) => seg(n)
+          case NTag(_, key) => key match {
+            case "type" => seg(1)
+            case "user" => seg(2)
+            case _      => lit("")
+          }
+        }: _*)
+    }
+  }
+
+  private def metaJson(sel: Ast.Selector): String =
+    sel.metadata.map { case (k, v) =>
+      val vs = v match {
+        case MStr(s)        => "\"" + s + "\""
+        case MNum(n, true)  => n.toLong.toString
+        case MNum(n, false) => n.toString
+      }
+      "\"" + k + "\": " + vs
+    }.mkString("{", ", ", "}")
+
+  private def named(df: DataFrame, sel: Ast.Selector,
+                    withMeta: Boolean): DataFrame = {
+    val base = df.withColumn("name", nameExpr(sel))
+    if (!withMeta) base
+    else base.withColumn("metadata", lit(metaJson(sel)))
   }
 
   /** true unless `spark.graft.streaming.slotExact` is set to false */

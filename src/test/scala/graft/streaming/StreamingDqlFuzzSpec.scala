@@ -47,7 +47,9 @@ class StreamingDqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         try {
           val df = StreamingDql.compile(in.toDF(), text, "10 seconds")
           assert(df.isStreaming, s"non-streaming result for: $text")
-          assert(df.columns.toSeq == Seq("metric", "ws", "value"),
+          val cols = df.columns.toSeq
+          assert(cols == Seq("name", "metric", "ws", "value") ||
+            cols == Seq("name", "metric", "ws", "value", "metadata"),
             s"contract columns broken for: $text")
           compiled += 1
         } catch {

@@ -183,6 +183,88 @@ class StreamingDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AS naming, dvar/pvar substitution and METADATA follow the batch contract") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    withConf("spark.graft.streaming.slotExact", "false") {
+      val dql = "SELECT avg('purchase'.* BUCKET 'testdata', 1 m) " +
+        "AS 'rate'.$1.$'graft':'user' METADATA {'team': 'infra'} LAST 1 h"
+      val in = MemoryStream[SeriesStream.Ev]
+      val out = StreamingDql.compile(in.toDF(), dql, "30 seconds")
+      val q = out.writeStream.format("memory").queryName("sdql_name")
+        .outputMode("update").start()
+      in.addData(ev(0, v = 1), ev(10, u = 2, v = 3))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT name, metric, metadata FROM sdql_name ORDER BY metric")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      q.stop()
+      assert(rows.toSeq == Seq(
+        ("rate.purchase.1", "purchase.1", "{\"team\": \"infra\"}"),
+        ("rate.purchase.2", "purchase.2", "{\"team\": \"infra\"}")))
+
+      // default name = unparsed selector text, exactly as batch
+      val plain = "SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m) LAST 1 h"
+      val in2 = MemoryStream[SeriesStream.Ev]
+      val out2 = StreamingDql.compile(in2.toDF(), plain, "30 seconds")
+      val q2 = out2.writeStream.format("memory").queryName("sdql_name_dflt")
+        .outputMode("update").start()
+      in2.addData(ev(0, v = 1))
+      q2.processAllAvailable()
+      val names = spark.sql("SELECT DISTINCT name FROM sdql_name_dflt")
+        .collect().map(_.getString(0))
+      q2.stop()
+      val expect = graft.dql.Unparse.expr(
+        graft.dql.Parser.parse(plain).selectors.head.expr)
+      assert(names.toSeq == Seq(expect))
+    }
+  }
+
+  test("multi-selector funnel fuses into one stateful operator (append)") {
+    // the batch dqe_funnel semantics: per-selector results merged; on the
+    // stream every selector is a filtered aggregate in ONE windowed
+    // groupBy (a union of streaming aggregations silently starves a
+    // branch — the fused plan is also one state row per window+metric)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dql = "SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m), " +
+      "max('purchase'.'1' BUCKET 'testdata', 1 m) LAST 1 h"
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = StreamingDql.compile(in.toDF(), dql, "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sdql_multi")
+      .outputMode("append").start()
+    in.addData(ev(0, v = 1), ev(10, v = 3), ev(20, v = 8))
+    in.addData(ev(200, v = 0)) // sentinel: closes [0, 60 s) on both branches
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT name, ws, CAST(value AS DOUBLE) FROM sdql_multi " +
+        "WHERE ws < 60000 ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    val q0 = graft.dql.Parser.parse(dql)
+    val Seq(nAvg, nMax) = q0.selectors.map(sel =>
+      graft.dql.Unparse.expr(sel.expr))
+    assert(rows.toSeq.sortBy(_._1) == Seq(
+      (nAvg, 0L, 4.0), (nMax, 0L, 8.0)).sortBy(_._1))
+  }
+
+  test("multi-selector funnel: update-capable single-stage, mixed types, per-selector rows") {
+    // without the slot collapse the fused funnel is ONE stateful operator,
+    // so unlike a union of aggregations it still runs update mode. The two
+    // selectors match DISJOINT series (each metric only gets its own
+    // selector's rows) and mix a DOUBLE avg with a BIGINT count — the
+    // stack coerces to the union's common type like the batch merge.
+    val rows = run(
+      "SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m), " +
+        "count_above('purchase'.'2' BUCKET 'testdata', 5, 1 m) LAST 1 h",
+      Seq(ev(0, v = 2), ev(10, v = 4),
+        ev(5, u = 2, v = 7), ev(20, u = 2, v = 3)), "sdql_multi_upd")
+    assert(rows.toSeq == Seq(
+      ("purchase.1", 0L, 3.0), ("purchase.2", 0L, 1.0)))
+  }
+
   test("malformed streaming confs fail with typed errors naming the conf") {
     val s = spark
     import s.implicits._
@@ -245,6 +327,22 @@ class StreamingDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[StreamingDql.Unstreamable] {
       StreamingDql.compile(in.toDF(),
         "SELECT avg('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h TOP 2 BY avg()",
+        "30 seconds")
+    }
+    intercept[StreamingDql.Unstreamable] {
+      // multi-selector funnels fuse same-window aggregations; a keyed-state
+      // selector (derivate) cannot join the fused operator
+      StreamingDql.compile(in.toDF(),
+        "SELECT derivate(avg('purchase'.'1' BUCKET 'testdata', 1 m)), " +
+          "avg('purchase'.'2' BUCKET 'testdata', 1 m) LAST 1 h",
+        "30 seconds")
+    }
+    intercept[StreamingDql.Unstreamable] {
+      // and the fused window must be shared (the batch funnel's own
+      // resolution_conflict)
+      StreamingDql.compile(in.toDF(),
+        "SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m), " +
+          "avg('purchase'.'2' BUCKET 'testdata', 2 m) LAST 1 h",
         "30 seconds")
     }
   }
