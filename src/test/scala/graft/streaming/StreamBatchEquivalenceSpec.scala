@@ -284,6 +284,51 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "eq_hist_p90", append = true)
   }
 
+  test("multi-selector funnel with AS naming: stream ≡ batch incl. the name channel") {
+    // the fused funnel (per-selector filtered aggregates + unpivot) must
+    // reproduce the batch union's EXACT row set — per-selector rows under
+    // the batch naming contract: an AS pvar name on the first selector,
+    // the default unparsed-selector name on the second
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dql = s"SELECT avg('purchase'.* BUCKET 'testdata', 1 m) AS 'a'.$$2, " +
+      s"max('purchase'.* BUCKET 'testdata', 1 m) BETWEEN 0 AND $EndMs"
+    val store = new ReplayStore(replay.toDF())
+    val b = graft.dql.Compiler.run(spark, store, EndMs, dql)
+      .select(col("name"), col("metric"), col("ts_ms"),
+        col("value").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSet
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = StreamingDql.compile(in.toDF(), dql, "0 seconds")
+    val q = out.writeStream.format("memory").queryName("eq_multi")
+      .outputMode("append").start()
+    val st = try {
+      in.addData(replay: _*)
+      in.addData(
+        SeriesStream.Ev(new Timestamp(EndMs + 60000), "purchase", 1L, 0.0),
+        SeriesStream.Ev(new Timestamp(EndMs + 60000), "purchase", 2L, 0.0))
+      q.processAllAvailable()
+      spark.sql(
+        "SELECT name, metric, ws, CAST(value AS DOUBLE) AS v FROM eq_multi")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toSet.filter(_._3 < EndMs)
+    } finally q.stop()
+    assert(st.nonEmpty, "stream produced nothing for the fused funnel")
+    // non-conf aggregations densify nothing on the batch side, so the row
+    // sets must agree EXACTLY — names, metrics, windows, values
+    assert(st == b, {
+      val onlySt = st -- b
+      val onlyB = b -- st
+      s"stream-only=${onlySt.take(5)} batch-only=${onlyB.take(5)}"
+    })
+  }
+
   test("the slot collapse is load-bearing: slotExact=false diverges on this replay") {
     // guard against the equivalence suite going vacuous: with the collapse
     // stage dropped, the stream aggregates RAW events — on the multi-event
