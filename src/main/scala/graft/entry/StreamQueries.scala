@@ -49,6 +49,9 @@ import graft.streaming.{DocStream, StreamingDql}
   *     stream; the gate output is the kept hash SET (first-occurrence
   *     row choice within a replay batch is order-dependent, the set is
   *     not).
+  *   - `stream_neardup`: DocStream stream-static near-dup — the replay
+  *     probed against the corpus band index; flags exactly the batch
+  *     minhash pair set (both directions), oracle = the batch pairs SQL.
   *
   * Replay tuning, correctness-neutral: `spark.sql.shuffle.partitions` is
   * captured at streaming-query start and fixes the state-store partition
@@ -180,20 +183,39 @@ object StreamQueries extends QueryProvider {
       .select(cols.head, cols.tail: _*)
   }
 
-  /** The DocStream exact-dedup gate: replay `documents` with a synthetic
-    * event time (doc_id seconds — deterministic, no ts column in the
-    * table), dedup on the text hash, return the kept hash set.
+  /** document replay stream with a synthetic event time (doc_id seconds —
+    * deterministic, no ts column in the table). +1 day: an event time of
+    * exactly epoch 0 (doc_id 0) sits ON the operator's initial watermark
+    * value and is filtered as late — any positive offset clears the
+    * boundary.
     */
-  private def runDedup(s: SparkSession, dir: String): DataFrame = {
+  private def docStream(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDocsDir(dir)
     val sch = s.read.parquet(s"$staged/documents.parquet").schema
-    // +1 day: an event time of exactly epoch 0 (doc_id 0) sits ON the
-    // operator's initial watermark value and is filtered as late — any
-    // positive offset clears the boundary
-    val docs = s.readStream.schema(sch).parquet(staged)
+    s.readStream.schema(sch).parquet(staged)
       .withColumn("ts", timestamp_millis((col("doc_id") + 86400L) * 1000L))
-    val out = DocStream.dedupExact(docs, "1 minute").select("text_hash")
+  }
+
+  /** The DocStream exact-dedup gate: dedup the replay on the text hash,
+    * return the kept hash set.
+    */
+  private def runDedup(s: SparkSession, dir: String): DataFrame = {
+    val out = DocStream.dedupExact(docStream(s, dir), "1 minute")
+      .select("text_hash")
     drain(s, out, "append").distinct()
+  }
+
+  /** The stream-static near-dup gate: the document replay probed against
+    * the band index of the SAME corpus — every flagged (probe, corpus)
+    * pair must therefore be a batch minhash pair, in both directions
+    * (self-matches are excluded by the operator).
+    */
+  private def runNearDup(s: SparkSession, dir: String): DataFrame = {
+    val index = graft.pipeline.Dedup.bandIndex(
+      graft.core.Tables(s, dir, "documents"))
+    val out = DocStream.nearDupAgainstIndex(docStream(s, dir), index,
+      0.5, "1 minute").select("doc_id", "match_id", "jaccard")
+    drain(s, out, "append")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -206,7 +228,8 @@ object StreamQueries extends QueryProvider {
     "stream_derivate" -> ((s, d) => runDql(s, d, DerivDql, "append")),
     "stream_multi" -> ((s, d) =>
       runDql(s, d, MultiDql, "append", withName = true)),
-    "stream_dedup" -> ((s, d) => runDedup(s, d)))
+    "stream_dedup" -> ((s, d) => runDedup(s, d)),
+    "stream_neardup" -> ((s, d) => runNearDup(s, d)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -280,5 +303,14 @@ object StreamQueries extends QueryProvider {
     // exact streaming dedup keeps one row per distinct text hash; the SET
     // of kept hashes is deterministic (which duplicate wins is not)
     "stream_dedup" ->
-      "SELECT DISTINCT md5(text) AS text_hash FROM documents")
+      "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    // replaying the corpus against its own band index flags the batch
+    // minhash pair set, both directions
+    "stream_neardup" ->
+      s"""SELECT doc_id, match_id, jaccard FROM (
+         |  SELECT doc_a AS doc_id, doc_b AS match_id, jaccard
+         |  FROM (${graft.pipeline.Dedup.minhashPairsSql(0.5)})
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id, doc_a AS match_id, jaccard
+         |  FROM (${graft.pipeline.Dedup.minhashPairsSql(0.5)}))""".stripMargin)
 }

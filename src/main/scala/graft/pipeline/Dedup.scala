@@ -122,6 +122,33 @@ object Dedup {
   def ngramSignatureForProfile(docs: DataFrame): DataFrame =
     signature(shingles2(docs))
 
+  /** The static near-dup INDEX for a corpus: one row per (doc, band) with
+    * the banded minhash key and the doc's distinct shingle set —
+    * everything [[graft.streaming.DocStream.nearDupAgainstIndex]] needs to
+    * flag an incoming document against the corpus with one equi-join and a
+    * row-local exact-Jaccard verify. Same signature derivation as
+    * [[minhashPairs]], so a probe with the row-local streaming signature
+    * lands in exactly the buckets the batch dedup would.
+    *
+    * Scale note: Bands rows per corpus doc, each carrying the shingle-set
+    * array (bounded by single-document length). In production this is a
+    * materialized table partitioned/bucketed by (band_idx, bh) so the
+    * per-micro-batch stream-static join prunes to the probed buckets.
+    */
+  def bandIndex(docs: DataFrame): DataFrame = {
+    val sh = shingles3(docs)
+    val sig = signature(sh)
+    val bandCols = (0 until Bands).map(b =>
+      md5(concat((0 until Channels).map(c => col(s"mh${b}_$c")): _*))
+        .as(s"band$b"))
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val stackExpr = (0 until Bands).map(b => s"$b, band$b").mkString(", ")
+    val melted = banded.selectExpr("doc_id",
+      s"stack($Bands, $stackExpr) as (band_idx, bh)")
+    val sets = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("ss"))
+    melted.join(sets, Seq("doc_id"))
+  }
+
   /** Returns (candidate pairs, melted band-key pin). Both frames are
     * persisted; callers hand both to [[Persist.handoff]]'s release list.
     */

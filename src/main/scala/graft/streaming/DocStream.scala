@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   *     re-implementation, which is the point of building operators as
   *     `DataFrame => DataFrame` transforms
   *
-  * Pairwise families (MinHash/SimHash/n-gram) need cross-row joins over
-  * the accumulating corpus — stream-static joins against a periodically
-  * refreshed batch index, deliberately not stream-stream.
+  *   - MinHash near-dup vs corpus: [[nearDupAgainstIndex]] — row-local
+  *     banded signature on the stream, stream-static join against the
+  *     batch [[graft.pipeline.Dedup.bandIndex]], exact-Jaccard verify.
+  *     Pairwise families run against a periodically refreshed batch
+  *     index, deliberately never stream-stream over the accumulating
+  *     corpus (unbounded state).
   */
 object DocStream {
 
@@ -35,4 +38,72 @@ object DocStream {
     */
   def curate(docs: DataFrame, watermark: String): DataFrame =
     graft.pipeline.TextOps.withQuality(dedupExact(docs, watermark))
+
+  /** NEAR-duplicate detection for a document firehose against a static
+    * corpus index ([[graft.pipeline.Dedup.bandIndex]]) — the production
+    * posture for pairwise dedup on a stream: the pairwise join runs
+    * against a batch-refreshed artifact, never stream-stream over the
+    * accumulating corpus (unbounded state).
+    *
+    * The stream side is completely NARROW: a single document's banded
+    * minhash signature is a row-local array fold — shingles →
+    * `Seeds` md5s per shingle → per-(seed, channel) minima → `Bands` band
+    * keys — bit-identical to the batch signature over the same text (the
+    * batch form aggregates exploded shingle rows because it signs the
+    * whole corpus at once; one incoming doc's fold fits in its row).
+    * Candidates come from the (band_idx, bh) equi-join against the index;
+    * each is verified row-locally with the exact distinct-shingle Jaccard
+    * (the index row carries the candidate's set). A candidate pair
+    * colliding in several bands would flag multiple times —
+    * `dropDuplicatesWithinWatermark` on (doc_id, match_id) bounds that
+    * dedup state by the watermark, not the corpus.
+    *
+    * Returns (ts, doc_id, match_id, jaccard): one row per flagged pair at
+    * true Jaccard ≥ threshold. Exactly the pairs the batch
+    * [[graft.pipeline.Dedup.minhashPairs]] emits for the same (doc,
+    * corpus) at the same threshold — gate-verified both ways.
+    *
+    * @param docs  streaming frame (ts: timestamp, doc_id, text)
+    * @param index batch frame from [[graft.pipeline.Dedup.bandIndex]]
+    */
+  def nearDupAgainstIndex(docs: DataFrame, index: DataFrame,
+                          threshold: Double, watermark: String): DataFrame = {
+    import graft.pipeline.Dedup.{Bands, Channels, Seeds}
+    val withSh = docs.withWatermark("ts", watermark)
+      .withColumn("w", split(trim(col("text")), " "))
+      .where(size(col("w")) >= 3)
+      .withColumn("sh", expr("transform(sequence(0, size(w)-3), " +
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+    val withH = (0 until Seeds).foldLeft(withSh) { (df, s) =>
+      df.withColumn(s"h$s",
+        expr(s"transform(sh, x -> md5(concat_ws('|', '$s', x)))"))
+    }
+    val mhs = for (s <- 0 until Seeds; c <- 0 until Channels) yield (s, c)
+    val withMh = mhs.foldLeft(withH) { case (df, (s, c)) =>
+      df.withColumn(s"mh${s}_$c",
+        expr(s"array_min(transform(h$s, h -> substring(h, ${c * 8 + 1}, 8)))"))
+    }
+    val withBands = (0 until Bands).foldLeft(withMh) { (df, b) =>
+      df.withColumn(s"band$b",
+        md5(concat((0 until Channels).map(c => col(s"mh${b}_$c")): _*)))
+    }
+    val probes = withBands.select(col("ts"), col("doc_id"),
+        array_distinct(col("sh")).as("ss"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band_idx"), col(s"band$b").as("bh"))): _*))
+          .as("band"))
+      .select(col("ts"), col("doc_id"), col("ss"),
+        col("band.band_idx").as("band_idx"), col("band.bh").as("bh"))
+    probes
+      .join(index.select(col("band_idx"), col("bh"),
+        col("doc_id").as("match_id"), col("ss").as("mss")),
+        Seq("band_idx", "bh"))
+      .where(col("doc_id") =!= col("match_id"))
+      .withColumn("i", size(array_intersect(col("ss"), col("mss"))))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("ss")) + size(col("mss")) - col("i")))
+      .where(col("jaccard") >= threshold)
+      .select(col("ts"), col("doc_id"), col("match_id"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("doc_id", "match_id")
+  }
 }

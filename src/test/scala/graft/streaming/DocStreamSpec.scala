@@ -47,6 +47,47 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("stream near-dup vs static index flags exactly the batch pair set") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // corpus: two unrelated docs; probes: a near-dup of doc 10 (differs in
+    // the last word → 5 of 7 distinct shingles shared, J = 5/7) and an
+    // unrelated doc. All md5-deterministic: the band collision for the
+    // near-dup and the non-collision for the unrelated probe are fixed
+    // properties of these strings.
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tA2 = "alpha beta gamma delta epsilon zeta eta lambda"
+    val tB = "one two three four five six seven eight"
+    val tC = "purple monkey dishwasher runs fast tonight again forever"
+    val corpus = Seq((10L, tA), (11L, tB)).toDF("doc_id", "text")
+    val index = graft.pipeline.Dedup.bandIndex(corpus)
+    val in = MemoryStream[Doc]
+    val out = DocStream.nearDupAgainstIndex(in.toDF(), index, 0.5, "1 minute")
+    val q = out.writeStream.format("memory").queryName("sneardup")
+      .outputMode("append").start()
+    in.addData(doc(1000, 20, tA2), doc(1001, 21, tC))
+    q.processAllAvailable()
+    val st = spark.sql(
+      "SELECT doc_id, match_id, jaccard FROM sneardup").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    q.stop()
+    // the batch pair set over corpus ∪ probes, restricted to cross
+    // (probe, corpus) pairs — the only pairs the stream-static join sees
+    val all = Seq((10L, tA), (11L, tB), (20L, tA2), (21L, tC))
+      .toDF("doc_id", "text")
+    val b = graft.pipeline.Dedup.minhashPairs(all, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, bb, _) => (a < 20) != (bb < 20) }
+      .toSet
+    assert(st == b, s"stream=$st batch=$b")
+    assert(st.nonEmpty, "fixture no longer produces a band collision — " +
+      "the equivalence would be vacuous")
+    assert(st.map(p => (p._1, p._2)) == Set((10L, 20L)))
+  }
+
   test("curate: dedup + the batch quality expressions, no extra shuffle") {
     val s = spark
     import s.implicits._
