@@ -52,6 +52,9 @@ import graft.streaming.{DocStream, StreamingDql}
   *   - `stream_neardup`: DocStream stream-static near-dup — the replay
   *     probed against the corpus band index; flags exactly the batch
   *     minhash pair set (both directions), oracle = the batch pairs SQL.
+  *   - `stream_decon`: DocStream stateless decontamination — the train
+  *     split flagged against the eval split's broadcast shingle set,
+  *     oracle = the batch decon_ngram SQL.
   *
   * Replay tuning, correctness-neutral: `spark.sql.shuffle.partitions` is
   * captured at streaming-query start and fixes the state-store partition
@@ -218,6 +221,18 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append")
   }
 
+  /** Streaming decontamination gate: the replay's train split (doc_id %
+    * 97 ≠ 0) probed against the eval split's broadcast shingle set —
+    * the batch `decon_ngram` semantics on the stream (same oracle).
+    */
+  private def runDecon(s: SparkSession, dir: String): DataFrame = {
+    val eval = graft.core.Tables(s, dir, "documents")
+      .where(col("doc_id") % 97 === 0)
+    val out = DocStream.decontaminate(
+      docStream(s, dir).where(col("doc_id") % 97 =!= 0), eval, 3)
+    drain(s, out, "append")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
@@ -229,7 +244,8 @@ object StreamQueries extends QueryProvider {
     "stream_multi" -> ((s, d) =>
       runDql(s, d, MultiDql, "append", withName = true)),
     "stream_dedup" -> ((s, d) => runDedup(s, d)),
-    "stream_neardup" -> ((s, d) => runNearDup(s, d)))
+    "stream_neardup" -> ((s, d) => runNearDup(s, d)),
+    "stream_decon" -> ((s, d) => runDecon(s, d)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -304,6 +320,9 @@ object StreamQueries extends QueryProvider {
     // of kept hashes is deterministic (which duplicate wins is not)
     "stream_dedup" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    // streaming decontamination of the train split against the eval
+    // split: the batch decon_ngram semantics, so the batch oracle applies
+    "stream_decon" -> graft.pipeline.Curation.decontaminateSql(3),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->

@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   *     re-implementation, which is the point of building operators as
   *     `DataFrame => DataFrame` transforms
   *
+  *   - benchmark decontamination: [[decontaminate]] — stateless flagging
+  *     of incoming docs overlapping the (broadcast) eval shingle set
   *   - MinHash near-dup vs corpus: [[nearDupAgainstIndex]] — row-local
   *     banded signature on the stream, stream-static join against the
   *     batch [[graft.pipeline.Dedup.bandIndex]], exact-Jaccard verify.
@@ -66,14 +68,20 @@ object DocStream {
     * @param docs  streaming frame (ts: timestamp, doc_id, text)
     * @param index batch frame from [[graft.pipeline.Dedup.bandIndex]]
     */
-  def nearDupAgainstIndex(docs: DataFrame, index: DataFrame,
-                          threshold: Double, watermark: String): DataFrame = {
-    import graft.pipeline.Dedup.{Bands, Channels, Seeds}
-    val withSh = docs.withWatermark("ts", watermark)
-      .withColumn("w", split(trim(col("text")), " "))
+  /** row-local 3-word shingle array (`sh`) — the per-document equivalent
+    * of the batch exploded [[graft.pipeline.Dedup.shingles3]] rows; docs
+    * shorter than one shingle are dropped on both sides
+    */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(trim(col("text")), " "))
       .where(size(col("w")) >= 3)
       .withColumn("sh", expr("transform(sequence(0, size(w)-3), " +
         "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+
+  def nearDupAgainstIndex(docs: DataFrame, index: DataFrame,
+                          threshold: Double, watermark: String): DataFrame = {
+    import graft.pipeline.Dedup.{Bands, Channels, Seeds}
+    val withSh = withShingles(docs.withWatermark("ts", watermark))
     val withH = (0 until Seeds).foldLeft(withSh) { (df, s) =>
       df.withColumn(s"h$s",
         expr(s"transform(sh, x -> md5(concat_ws('|', '$s', x)))"))
@@ -105,5 +113,33 @@ object DocStream {
       .where(col("jaccard") >= threshold)
       .select(col("ts"), col("doc_id"), col("match_id"), col("jaccard"))
       .dropDuplicatesWithinWatermark("doc_id", "match_id")
+  }
+
+  /** Streaming benchmark DECONTAMINATION: flag incoming documents sharing
+    * ≥ `minOverlap` distinct 3-word shingles with the eval corpus — the
+    * batch [[graft.pipeline.Curation.decontaminate]] semantics, in flight.
+    *
+    * Entirely STATELESS: the eval side collapses to one broadcast row
+    * holding its distinct shingle set, and the per-doc overlap is
+    * `size(array_intersect(distinct doc shingles, eval set))` — a narrow
+    * projection, no watermark, no state store. The single-array form
+    * carries the same total payload the batch broadcast hash join ships
+    * (the distinct eval shingles), just undivided; benchmark suites are
+    * small by construction — a contamination source too big to broadcast
+    * should be run as the batch operator over accumulated data instead.
+    *
+    * Returns (doc_id, n_overlap) for flagged documents, the batch output.
+    */
+  def decontaminate(docs: DataFrame, eval: DataFrame,
+                    minOverlap: Int): DataFrame = {
+    val evalSet = graft.pipeline.Dedup.shingles3(eval)
+      .agg(collect_set(col("shingle")).as("eval_sh"))
+    withShingles(docs)
+      .crossJoin(broadcast(evalSet))
+      .withColumn("n_overlap",
+        size(array_intersect(array_distinct(col("sh")), col("eval_sh")))
+          .cast("long"))
+      .where(col("n_overlap") >= minOverlap)
+      .select(col("doc_id"), col("n_overlap"))
   }
 }

@@ -88,6 +88,35 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.map(p => (p._1, p._2)) == Set((10L, 20L)))
   }
 
+  test("streaming decontamination matches the batch operator, stateless") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // doc 1 shares 4 distinct shingles with the eval text, doc 2 shares
+    // none, doc 3 shares exactly 2 (below the minOverlap=3 bar)
+    val d1 = "a quick brown fox jumps over me" // shares 4 of its shingles
+    val d2 = "entirely different words here now"
+    val d3 = "the quick brown fox sleeps soundly today"
+    val in = MemoryStream[Doc]
+    val out = DocStream.decontaminate(in.toDF(), eval, 3)
+    val q = out.writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    in.addData(doc(1000, 1, d1), doc(1001, 2, d2), doc(1002, 3, d3))
+    q.processAllAvailable()
+    val st = spark.sql("SELECT doc_id, n_overlap FROM sdecon")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // no state store anywhere: the operator is a narrow projection
+    assert(q.lastProgress.stateOperators.isEmpty)
+    val b = graft.pipeline.Curation.decontaminate(
+      Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"), eval, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(st == b, s"stream=$st batch=$b")
+    assert(st.map(_._1) == Set(1L))
+  }
+
   test("curate: dedup + the batch quality expressions, no extra shuffle") {
     val s = spark
     import s.implicits._
