@@ -250,6 +250,17 @@ class StreamingDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       (nAvg, 0L, 4.0), (nMax, 0L, 8.0)).sortBy(_._1))
   }
 
+  test("multi-selector funnel applies per-selector transforms above the fused agg") {
+    // transforms above each aggregation are peeled and re-applied to the
+    // selector's OWN unpivoted column: add(+100) must touch only the sum
+    // selector, min(5) (clamp) only the max selector
+    val rows = run(
+      "SELECT add(sum('purchase'.'1' BUCKET 'testdata', 1 m), 100), " +
+        "min(max('purchase'.'1' BUCKET 'testdata', 1 m), 5) LAST 1 h",
+      Seq(ev(0, v = 1), ev(10, v = 3), ev(20, v = 8)), "sdql_multi_trans")
+    assert(rows.toSeq.map(_._3).sorted == Seq(5.0, 112.0))
+  }
+
   test("multi-selector funnel: update-capable single-stage, mixed types, per-selector rows") {
     // without the slot collapse the fused funnel is ONE stateful operator,
     // so unlike a union of aggregations it still runs update mode. The two
