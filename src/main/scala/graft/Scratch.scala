@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * post-warmup = the Bench shape). Session-cold numbers are dominated by
   * per-plan codegen/JIT at test scale — profile both.
   *
-  * Current investigation: sf1 scale rehearsal (VERDICT r4 #4) — a 10×
-  * corpus (50k docs) synthesized from the sf0.1 documents table by
-  * interleaving a copy-specific token every 3rd word (cross-copy bigram
-  * Jaccard collapses, intra-copy near-dup structure is preserved), then:
-  * block-occupancy stats for simhash combination blocking and ngram band
-  * keys, and timed dedup-family runs against the 5 s envelope.
+  * Current investigation: sf1 scale rehearsal for the STREAMING document
+  * operators (round 7): a 10× corpus (50k docs, synthesized from the
+  * sf0.1 documents table by interleaving a copy-specific token every 3rd
+  * word — cross-copy bigram Jaccard collapses, intra-copy near-dup
+  * structure is preserved), then: band-index build at sf1, and timed
+  * streaming replays of near-dup-vs-index, decontamination, and exact
+  * dedup over the full 10× corpus through the file source.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -54,53 +55,36 @@ object Scratch {
     val docs = spark.read.parquet(s"$out/documents.parquet")
     println(s"[scratch] sf1 corpus docs=${docs.count()}")
 
-    // ---- block occupancy: the n/2^32 uniformity claim ----
-    def occupancy(name: String, blocks: org.apache.spark.sql.DataFrame,
-                  keyCols: Seq[String]): Unit = {
-      val sizes = blocks.groupBy(keyCols.map(col): _*).count()
-      val row = sizes.agg(
-        count(lit(1)).as("buckets"), max("count").as("max_occ"),
-        avg("count").as("mean_occ"),
-        sum((col("count") * (col("count") - 1) / 2).cast("long"))
-          .as("cand_pairs")).collect()(0)
-      println(f"[scratch] occupancy $name: buckets=${row.getLong(0)} " +
-        f"max=${row.getLong(1)} mean=${row.getDouble(2)}%.3f " +
-        f"pairs=${row.getLong(3)}")
-      release()
+    // ---- band index at sf1: build + persist (the materialized artifact) ----
+    val index = t("bandIndex build+persist sf1") {
+      val ix = graft.pipeline.Dedup.bandIndex(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ix.count()
+      ix
     }
-    occupancy("simhash-blocks sf0.1-baseline",
-      graft.pipeline.Dedup.simhashBlocksForProfile(docs01),
-      Seq("band_idx", "bv"))
-    occupancy("ngram-bands sf0.1-baseline",
-      graft.pipeline.Dedup.ngramMeltedForProfile(docs01),
-      Seq("band_idx", "bh"))
-    occupancy("simhash-combination-blocks",
-      graft.pipeline.Dedup.simhashBlocksForProfile(docs),
-      Seq("band_idx", "bv"))
-    occupancy("ngram-band-keys",
-      graft.pipeline.Dedup.ngramMeltedForProfile(docs),
-      Seq("band_idx", "bh"))
 
-    // ---- timed dedup family at sf1 (2 runs: first + steady) ----
+    // ---- streaming replays over the full 10× corpus (file source) ----
+    val sch = docs.schema
+    def stream() = spark.readStream.schema(sch)
+      .parquet(s"$out/documents.parquet")
+      .withColumn("ts", timestamp_millis((col("doc_id") + 86400L) * 1000L))
+    def drain(name: String, outDf: org.apache.spark.sql.DataFrame): Unit = {
+      val q = outDf.writeStream.format("noop")
+        .option("checkpointLocation", s"$out/ckpt-$name-${System.nanoTime()}")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    val eval = docs.where(col("doc_id") % 97 === 0)
     for (run <- 1 to 2) {
-      release()
-      t(s"run$run simhashPairs sf1")(
-        graft.pipeline.Dedup.simhashPairs(docs, 8).orderBy("doc_a", "doc_b")
-          .write.format("noop").mode("overwrite").save())
-      release()
-      t(s"run$run ngramJaccardPairs sf1")(
-        graft.pipeline.Dedup.ngramJaccardPairs(docs, 0.3)
-          .orderBy("doc_a", "doc_b")
-          .write.format("noop").mode("overwrite").save())
-      release()
-      t(s"run$run minhashPairs sf1")(
-        graft.pipeline.Dedup.minhashPairs(docs, 0.5).orderBy("doc_a", "doc_b")
-          .write.format("noop").mode("overwrite").save())
-      release()
-      t(s"run$run exact sf1")(
-        graft.pipeline.Dedup.exact(docs)
-          .write.format("noop").mode("overwrite").save())
-      release()
+      t(s"run$run stream nearDupAgainstIndex sf1")(
+        drain("neardup", graft.streaming.DocStream.nearDupAgainstIndex(
+          stream(), index, 0.5, "1 minute")))
+      t(s"run$run stream decontaminate sf1")(
+        drain("decon", graft.streaming.DocStream.decontaminate(
+          stream().where(col("doc_id") % 97 =!= 0), eval, 3)))
+      t(s"run$run stream dedupExact sf1")(
+        drain("dedup", graft.streaming.DocStream.dedupExact(
+          stream(), "1 minute")))
     }
     spark.stop()
   }
