@@ -12,14 +12,16 @@ import org.apache.spark.sql.SparkSession
   * under-measure narrow transforms).
   *
   * Output-size note: the driver captures a bounded tail of the run's
-  * output, so the contract line must stay small enough to land fully
+  * output, so every printed line must stay small enough to land fully
   * inside it (round 1's single line with all ~95 per-query timings
-  * overflowed the window and failed to parse). The full per-query map is
-  * printed FIRST on its own `{"detail":…}` line (no "metric" key, so any
-  * parser keyed on the contract shape skips it); each detail value is
-  * `[compile_s, exec_s, second_run_s]` (see the timed loop below); the
-  * compact contract line — total over ALL queries + a fixed headline
-  * subset, first-run seconds — prints LAST.
+  * overflowed the window and failed to parse; round 6's one detail line
+  * with ~115 triples overflowed it again). The full per-query map is
+  * printed FIRST, chunked as one `{"detail":…,"family":…}` line per
+  * query family plus a separate `{"failed":…}` line (none carry a
+  * "metric" key, so any parser keyed on the contract shape skips them);
+  * each detail value is `[compile_s, exec_s, second_run_s]` (see the
+  * timed loop below); the compact contract line — total over ALL queries
+  * + a fixed headline subset, first-run seconds — prints LAST.
   */
 object Bench {
 

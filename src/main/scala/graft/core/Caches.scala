@@ -99,16 +99,19 @@ object Caches {
         val builders = df.queryExecution.withCachedData.collect {
           case r: InMemoryRelation => r.cacheBuilder
         }
-        val stale = builders.exists { b =>
+        val stale = builders.filter { b =>
           !b.isCachedColumnBuffersLoaded || {
             val id = b.cachedColumnBuffers.id
             !spark.sparkContext.getRDDStorageInfo.find(_.id == id)
               .exists(i => i.numCachedPartitions == i.numPartitions)
           }
         }
-        if (stale) {
+        if (stale.nonEmpty) {
           df.count() // repopulates only the missing partitions
-          out ++= builders.map(_.cachedName).distinct
+          // report only the builders that were actually missing blocks —
+          // naming fully-resident siblings would misdirect an eviction
+          // investigation
+          out ++= stale.map(_.cachedName).distinct
         }
       }
     }

@@ -98,17 +98,36 @@ object StreamQueries extends QueryProvider {
     * one-row sentinel file. Built once per input dir and reused (contents
     * are deterministic functions of the input).
     */
+  /** collision-free, filename-safe key for a source dir (String.hashCode
+    * collisions would cross-wire two scale factors' staged replays)
+    */
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
+  /** Copy `src` to `dst` unless an up-to-date copy is already staged —
+    * same size AND at least as new as the source. A driver that
+    * regenerates the testdata (or a copy that died halfway) must not be
+    * masked by a stale /tmp survivor from an earlier process.
+    */
+  private def stageCopy(src: java.nio.file.Path,
+                        dst: java.nio.file.Path): Boolean = {
+    val fresh = Files.exists(dst) && Files.size(dst) == Files.size(src) &&
+      !Files.getLastModifiedTime(dst).toInstant
+        .isBefore(Files.getLastModifiedTime(src).toInstant)
+    if (!fresh) {
+      Files.createDirectories(dst.getParent)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+    !fresh
+  }
+
   private def stagedDir(s: SparkSession, dir: String): String = synchronized {
-    val staged = Paths.get("/tmp",
-      "graft-stream-src-" + Integer.toHexString(dir.hashCode))
+    val staged = Paths.get("/tmp", "graft-stream-src-" + dirKey(dir))
     val events = staged.resolve("events.parquet")
     val sentinel = staged.resolve("zz-sentinel.parquet")
-    if (!Files.exists(events)) {
-      Files.createDirectories(staged)
-      Files.copy(Paths.get(dir, "events.parquet"), events,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    if (!Files.exists(sentinel)) {
+    val copied = stageCopy(Paths.get(dir, "events.parquet"), events)
+    if (copied || !Files.exists(sentinel)) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val build = staged.resolve("_sentinel_build")
       // one 'purchase' event (matches the gate selectors — only selected
@@ -121,11 +140,15 @@ object StreamQueries extends QueryProvider {
         .withColumn("user_id", lit(0L))
         .withColumn("value", lit(0.0))
         .coalesce(1).write.mode("overwrite").parquet(build.toString)
-      val part = Files.list(build).filter(_.getFileName.toString
-        .startsWith("part-")).findFirst().get()
+      val ls = Files.list(build)
+      val part =
+        try ls.filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally ls.close()
       Files.move(part, sentinel, StandardCopyOption.REPLACE_EXISTING)
-      val rest = Files.list(build).iterator()
-      while (rest.hasNext) Files.delete(rest.next())
+      val rest = Files.list(build)
+      try rest.iterator().forEachRemaining(Files.delete(_))
+      finally rest.close()
       Files.delete(build)
     }
     staged.toString
@@ -137,14 +160,9 @@ object StreamQueries extends QueryProvider {
     * watermark).
     */
   private def stagedDocsDir(dir: String): String = synchronized {
-    val staged = Paths.get("/tmp",
-      "graft-stream-docs-" + Integer.toHexString(dir.hashCode))
-    val docs = staged.resolve("documents.parquet")
-    if (!Files.exists(docs)) {
-      Files.createDirectories(staged)
-      Files.copy(Paths.get(dir, "documents.parquet"), docs,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    val staged = Paths.get("/tmp", "graft-stream-docs-" + dirKey(dir))
+    stageCopy(Paths.get(dir, "documents.parquet"),
+      staged.resolve("documents.parquet"))
     staged.toString
   }
 
@@ -153,8 +171,20 @@ object StreamQueries extends QueryProvider {
     * doc) for the duration of query START only — the captured value rides
     * with the query; the session conf is restored before returning.
     */
+  private val liveTables =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   private def drain(s: SparkSession, out: DataFrame, mode: String)
       : DataFrame = {
+    // earlier gate runs' results have been consumed by the caller by the
+    // time the next gate builds (Verify writes each to parquet, Bench
+    // noop-saves each, before moving on) — drop their memory-sink tables
+    // so driver-side retention doesn't grow with the number of gate runs
+    var prev = liveTables.poll()
+    while (prev != null) {
+      s.catalog.dropTempView(prev)
+      prev = liveTables.poll()
+    }
     val name = s"graft_stream_gate_${runSeq.incrementAndGet()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -163,6 +193,7 @@ object StreamQueries extends QueryProvider {
         .outputMode(mode).start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.processAllAvailable() finally q.stop()
+    liveTables.add(name)
     s.table(name)
   }
 

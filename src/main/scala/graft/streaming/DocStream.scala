@@ -148,10 +148,15 @@ object DocStream {
       .collect().map(_.getString(0)).toSet
     val b = docs.sparkSession.sparkContext.broadcast(evalSh)
     val overlap = udf((text: String) => {
-      val w = text.trim.split(" ", -1)
-      if (w.length < 3) 0L
-      else w.sliding(3).map(_.mkString(" ")).toSet
-        .count(b.value.contains).toLong
+      // null text flags nothing, like the batch join over empty shingles
+      // (reference-typed UDF args receive the null, they are not skipped)
+      if (text == null) 0L
+      else {
+        val w = text.trim.split(" ", -1)
+        if (w.length < 3) 0L
+        else w.sliding(3).map(_.mkString(" ")).toSet
+          .count(b.value.contains).toLong
+      }
     })
     docs.withColumn("n_overlap", overlap(col("text")))
       .where(col("n_overlap") >= minOverlap)
