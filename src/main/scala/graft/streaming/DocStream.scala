@@ -79,9 +79,20 @@ object DocStream {
         "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
 
   def nearDupAgainstIndex(docs: DataFrame, index: DataFrame,
-                          threshold: Double, watermark: String): DataFrame = {
+                          threshold: Double, watermark: String): DataFrame =
+    nearDupCandidates(docs.withWatermark("ts", watermark), index, threshold)
+      .dropDuplicatesWithinWatermark("doc_id", "match_id")
+
+  /** the stateless core of [[nearDupAgainstIndex]]: row-local banded
+    * signature + index probe + exact-Jaccard verify, WITHOUT the pair
+    * dedup (a pair colliding in several bands repeats). Runs on batch
+    * frames too — which is how the row-local signature's bit-parity with
+    * the batch derivation is property-tested (RowLocalParitySpec).
+    */
+  def nearDupCandidates(docs: DataFrame, index: DataFrame,
+                        threshold: Double): DataFrame = {
     import graft.pipeline.Dedup.{Bands, Channels, Seeds}
-    val withSh = withShingles(docs.withWatermark("ts", watermark))
+    val withSh = withShingles(docs)
     val withH = (0 until Seeds).foldLeft(withSh) { (df, s) =>
       df.withColumn(s"h$s",
         expr(s"transform(sh, x -> md5(concat_ws('|', '$s', x)))"))
@@ -112,7 +123,6 @@ object DocStream {
         (size(col("ss")) + size(col("mss")) - col("i")))
       .where(col("jaccard") >= threshold)
       .select(col("ts"), col("doc_id"), col("match_id"), col("jaccard"))
-      .dropDuplicatesWithinWatermark("doc_id", "match_id")
   }
 
   /** Streaming benchmark DECONTAMINATION: flag incoming documents sharing
