@@ -72,8 +72,10 @@ object Bench {
     warm("dedup_simhash")(force(SparkEntry.queries("dedup_simhash")(spark, sfDir)))
     // warms the sanctioned near-dup band index (a materialized artifact
     // production firehoses probe — its build is provisioning, not probe
-    // cost) plus the streaming machinery's first-run JIT
+    // cost), the staged replay copies for both source tables, and the
+    // streaming machinery's first-run JIT
     warm("stream_neardup")(force(SparkEntry.queries("stream_neardup")(spark, sfDir)))
+    warm("stream_avg")(force(SparkEntry.queries("stream_avg")(spark, sfDir)))
 
     // measurement integrity: Spark's CacheManager substitutes cached plans
     // by canonical equality, so anything the warmup left materialized —
