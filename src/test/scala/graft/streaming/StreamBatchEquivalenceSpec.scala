@@ -105,21 +105,37 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def streamRows(dql: String, name: String,
                          append: Boolean = false,
-                         slotExact: Boolean = true): Set[(String, Long, Option[Double])] = {
+                         slotExact: Boolean = true,
+                         chunks: Int = 1): Set[(String, Long, Option[Double])] = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     if (!slotExact)
       spark.conf.set("spark.graft.streaming.slotExact", "false")
     val in = MemoryStream[SeriesStream.Ev]
+    // chunked replays drive MULTIPLE micro-batches (state carried across
+    // batch boundaries, windows closing incrementally as the watermark
+    // advances chunk by chunk). The feed must then be TIME-ordered — the
+    // raw fixture is series-major, and a later chunk's whole series would
+    // arrive behind the watermark and be dropped as late (correct stream
+    // semantics, but not the batch row set). A 1 s delay (not 0) keeps
+    // boundary events sharing the watermark timestamp unambiguously live.
     val out =
       try StreamingDql.compile(in.toDF(), dql,
-        if (append) "0 seconds" else "30 seconds")
+        if (chunks > 1) "1 second"
+        else if (append) "0 seconds" else "30 seconds")
       finally spark.conf.unset("spark.graft.streaming.slotExact")
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(if (append) "append" else "update").start()
     try {
-      in.addData(replay: _*)
+      if (chunks > 1) {
+        val sorted = replay.sortBy(_.ts.getTime)
+        sorted.grouped(math.max(1, (sorted.size + chunks - 1) / chunks))
+          .foreach { chunk =>
+            in.addData(chunk: _*)
+            q.processAllAvailable()
+          }
+      } else in.addData(replay: _*)
       if (append)
         // sentinels past the replay range: advance the event-time watermark
         // so every in-range window CLOSES (append emits closed windows
@@ -150,11 +166,13 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     * batch side doesn't have.
     */
   private def assertEquivalent(dql: String, name: String,
-                               append: Boolean = false): Unit = {
+                               append: Boolean = false,
+                               chunks: Int = 1): Unit = {
     val b = batchRows(dql)
     // the stream has no timeframe clause, so compare only the batch
     // query's range (the append sentinel sits past it by construction)
-    val st = streamRows(dql, name, append).filter(_._2 < EndMs)
+    val st = streamRows(dql, name, append, chunks = chunks)
+      .filter(_._2 < EndMs)
     assert(st.nonEmpty, s"stream produced nothing for: $dql")
     val bKeys = b.map(r => (r._1, r._2))
     val missing = st.filterNot(r => bKeys.contains((r._1, r._2)))
@@ -282,6 +300,36 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT percentile(histogram('purchase'.'1' BUCKET 'testdata', 5, 3, 1 m), 0.9) " +
         s"BETWEEN 0 AND $EndMs",
       "eq_hist_p90", append = true)
+  }
+
+  test("multi-batch replay: windowed avg ≡ batch with state carried across micro-batches") {
+    // the single-batch shapes above prove the SEMANTICS; these prove the
+    // STATE MACHINE — the same replay split over 6 time-ordered
+    // micro-batches, so windows straddle batch boundaries, partial
+    // aggregates live in the state store between triggers, and the
+    // watermark advances incrementally (closing early windows while later
+    // ones are still filling)
+    assertEquivalent(
+      s"SELECT avg('purchase'.* BUCKET 'testdata', 1 m) BETWEEN 0 AND $EndMs",
+      "eq_mb_avg", append = true, chunks = 6)
+  }
+
+  test("multi-batch replay: GROUP BY USING sum ≡ batch across micro-batches") {
+    assertEquivalent(
+      s"SELECT 'purchase' FROM 'testdata' GROUP BY $$'graft':'user' USING sum " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_mb_group", append = true, chunks = 6)
+  }
+
+  test("multi-batch replay: derivate's keyed state diffs across micro-batches") {
+    // the FMGWS chain must produce identical diffs whether a metric's
+    // consecutive windows close in one trigger or several — the head
+    // backfill especially (held in state until its successor closes,
+    // possibly batches later)
+    assertEquivalent(
+      s"SELECT derivate(avg('purchase'.'1' BUCKET 'testdata', 1 m)) " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_mb_derivate", append = true, chunks = 6)
   }
 
   test("multi-selector funnel with AS naming: stream ≡ batch incl. the name channel") {
