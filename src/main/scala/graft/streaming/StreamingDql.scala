@@ -142,6 +142,7 @@ object StreamingDql {
     val q = Parser.parse(dql)
     if (q.limit.nonEmpty)
       throw Unstreamable("TOP/BOTTOM is a global sort — not streamable")
+    val resMs = resolutionMs(stream)
     val base = stream
       .withWatermark("ts", watermark)
       .withColumn("metric",
@@ -154,7 +155,7 @@ object StreamingDql {
         val sel = q.selectors.head
         if (sel.shift.nonEmpty)
           throw Unstreamable("SHIFT BY is not streamable")
-        val plan = Resolver.resolve(sel.expr, q.aliases, _ => 1000L)
+        val plan = Resolver.resolve(sel.expr, q.aliases, _ => resMs)
         // internal plumbing: every aggregated branch also emits `wt`, the
         // window's event-time carrier (window_time keeps the watermark
         // metadata, which stateful consumers above the aggregation — the
@@ -190,7 +191,8 @@ object StreamingDql {
     sels.foreach { sel =>
       if (sel.shift.nonEmpty) throw Unstreamable("SHIFT BY is not streamable")
     }
-    val plans = sels.map(sel => Resolver.resolve(sel.expr, q.aliases, _ => 1000L))
+    val resMs0 = resolutionMs(base)
+    val plans = sels.map(sel => Resolver.resolve(sel.expr, q.aliases, _ => resMs0))
     // peel the pointwise transforms above each aggregation; acc ends up
     // innermost-first, so a left fold re-applies them in batch order
     def peel(p: RExpr, acc: List[(String, Option[Double])])
@@ -297,6 +299,27 @@ object StreamingDql {
     if (!withMeta) base
     else base.withColumn("metadata", lit(metaJson(sel)))
   }
+
+  /** The stream's native slot resolution: every incoming series collapses
+    * to one value per this many milliseconds (the batch model's per-bucket
+    * resolution; the testdata bucket is 1 s, the default). Streams at a
+    * different native cadence set `spark.graft.streaming.resolutionMs`;
+    * aggregation windows must be a multiple of it in slot-exact mode
+    * ([[timeWindow]]'s straddle guard).
+    */
+  private def resolutionMs(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.streaming.resolutionMs")
+      .map { raw =>
+        val v =
+          try raw.trim.toLong
+          catch { case _: NumberFormatException => throw Unstreamable(
+            "spark.graft.streaming.resolutionMs must be a positive " +
+              s"millisecond count, got '$raw'") }
+        if (v <= 0) throw Unstreamable(
+          "spark.graft.streaming.resolutionMs must be a positive " +
+            s"millisecond count, got '$raw'")
+        v
+      }.getOrElse(1000L)
 
   /** true unless `spark.graft.streaming.slotExact` is set to false */
   private def slotExact(df: DataFrame): Boolean =

@@ -145,6 +145,41 @@ class StreamingDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(("purchase.1", 0L, 4.0)))
   }
 
+  test("stream resolution is configurable: the slot collapse runs at the set cadence") {
+    // at a 2 s resolution, events at sec 0 and sec 1 share ONE slot
+    // (davg (1+3)/2 = 2) and sec 2 its own (6) → window avg (2+6)/2 = 4;
+    // the 1 s default would yield (1+3+6)/3 instead. Malformed values
+    // fail with a typed error naming the conf.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    withConf("spark.graft.streaming.resolutionMs", "2000") {
+      val in = MemoryStream[SeriesStream.Ev]
+      val out = StreamingDql.compile(in.toDF(),
+        "SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m) LAST 1 h",
+        "0 seconds")
+      val q = out.writeStream.format("memory").queryName("sdql_res")
+        .outputMode("append").start()
+      in.addData(ev(0, v = 1), ev(1, v = 3), ev(2, v = 6))
+      in.addData(ev(200, v = 0)) // sentinel: closes [0, 60 s)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT ws, CAST(value AS DOUBLE) FROM sdql_res WHERE ws < 60000")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      q.stop()
+      assert(rows.toSeq == Seq((0L, 4.0)))
+    }
+    val e = intercept[StreamingDql.Unstreamable] {
+      withConf("spark.graft.streaming.resolutionMs", "soonish") {
+        val in2 = MemoryStream[SeriesStream.Ev]
+        StreamingDql.compile(in2.toDF(),
+          "SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m) LAST 1 h",
+          "0 seconds")
+      }
+    }
+    assert(e.getMessage.contains("resolutionMs"))
+  }
+
   test("derivate idle timeout: held-back head emits as NULL, resume restarts the chain") {
     // purchase.1 goes idle after ONE closed window (head still held back),
     // then resumes past the idle horizon; purchase.2 keeps the watermark
