@@ -41,6 +41,9 @@ import graft.streaming.{DocStream, StreamingDql}
   *     sentinel because every purchase series in the testdata carries ≥2
   *     occupied windows (head backfill always binds to a real successor;
   *     the sentinel's own diff lands at SentinelMs and is excluded).
+  *   - `stream_hist`: the fused §2.7 histogram reduction — int-round +
+  *     out-of-range drop + discrete p90 per window (htv chosen so the
+  *     drop path bites on real values).
   *   - `stream_multi`: the fused multi-selector funnel (dqe_funnel merge)
   *     — per-selector filtered aggregates in one stateful operator,
   *     unpivoted under the batch default names (unparsed selector text).
@@ -85,6 +88,9 @@ object StreamQueries extends QueryProvider {
       "LAST 1 h"
   private val DerivDql =
     "SELECT derivate(avg('purchase'.* BUCKET 'testdata', 1 m)) LAST 1 h"
+  private val HistDql =
+    "SELECT percentile(histogram('purchase'.* BUCKET 'testdata', 100, 3, " +
+      "1 m), 0.9) LAST 1 h"
   private val MultiDql =
     "SELECT avg('purchase'.* BUCKET 'testdata', 1 m), " +
       "max('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h"
@@ -300,6 +306,7 @@ object StreamQueries extends QueryProvider {
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
     "stream_derivate" -> ((s, d) => runDql(s, d, DerivDql, "append")),
+    "stream_hist" -> ((s, d) => runDql(s, d, HistDql, "append")),
     "stream_multi" -> ((s, d) =>
       runDql(s, d, MultiDql, "append", withName = true)),
     "stream_dedup" -> ((s, d) => runDedup(s, d)),
@@ -364,6 +371,18 @@ object StreamQueries extends QueryProvider {
          |       COALESCE(dv, lead(dv) OVER
          |         (PARTITION BY metric ORDER BY ws)) AS value
          |FROM d""".stripMargin,
+    // fused §2.7 histogram reduction: int-round, DROP outside [0, htv]
+    // (htv=100 bites — slot values reach ~185), discrete p90 per window
+    "stream_hist" ->
+      s"""WITH series AS (${SeriesOps.seriesSql})
+         |SELECT metric, ${Exact.wstartSql("ts_ms", WinMs)} AS ws,
+         |       CAST(list_sort(list(CAST(ROUND(value, 0) AS BIGINT)))
+         |         [GREATEST(1, CAST(CEIL(0.9 * COUNT(value)) AS BIGINT))]
+         |         AS DOUBLE) AS value
+         |FROM series
+         |WHERE mtype = 'purchase'
+         |  AND CAST(ROUND(value, 0) AS BIGINT) BETWEEN 0 AND 100
+         |GROUP BY 1, 2""".stripMargin,
     // fused multi-selector funnel: one row per selector per (metric,
     // window), each under its batch default name (unparsed selector text)
     "stream_multi" -> {
