@@ -60,6 +60,10 @@ import graft.streaming.{DocStream, StreamingDql}
   *     oracle = the batch decon_ngram SQL.
   *   - `stream_quality`: the batch text-quality operator unchanged on
   *     the stream (narrow projection), oracle = the batch SQL verbatim.
+  *   - `stream_sim`: SimStream online ANN — the embeddings replay
+  *     searched against the packed IVF index (stateless row-local
+  *     top-k), oracle = the batch `sim_topk_ivf` SQL with the same
+  *     parameters.
   *
   * Replay tuning, correctness-neutral: `spark.sql.shuffle.partitions` is
   * captured at streaming-query start and fixes the state-store partition
@@ -290,6 +294,48 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append")
   }
 
+  /** Staging dir for the embedding query stream (same contract as
+    * [[stagedDocsDir]]).
+    */
+  private def stagedEmbDir(dir: String): String = synchronized {
+    val staged = Paths.get("/tmp", "graft-stream-emb-" + dirKey(dir))
+    stageCopy(Paths.get(dir, "embeddings.parquet"),
+      staged.resolve("embeddings.parquet"))
+    staged.toString
+  }
+
+  /** The packed IVF index (+ centroid row), memoized + sanctioned per
+    * (session, dir) — the materialized artifact an online-retrieval
+    * service probes.
+    */
+  private val simIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def simIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    simIndexCache.computeIfAbsent((s, dir), { _ =>
+      val (packed, cents) = graft.streaming.SimStream.ivfIndex(
+        graft.core.Tables(s, dir, "embeddings"), nCells = 8)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (graft.core.Caches.sanction(packed.persist(lvl)),
+        graft.core.Caches.sanction(cents.persist(lvl)))
+    })
+
+  /** Online ANN gate: the embeddings replay filtered to the batch
+    * `sim_topk_ivf` query set, searched against the packed index of the
+    * same corpus — results must match the batch IVF search, so the batch
+    * DuckDB oracle applies with the same parameters.
+    */
+  private def runSim(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val queries = s.readStream.schema(sch).parquet(staged)
+      .where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding")
+    val (packed, cents) = simIndex(s, dir)
+    val out = graft.streaming.SimStream.topKAgainstIvfIndex(
+      queries, packed, cents, k = 5)
+    drain(s, out, "append")
+  }
+
   /** The batch text-quality operator UNCHANGED on the stream: TextOps
     * transforms are `DataFrame => DataFrame` projections, so the same
     * code path serves both engines — this gate pins that claim in the
@@ -312,7 +358,8 @@ object StreamQueries extends QueryProvider {
     "stream_dedup" -> ((s, d) => runDedup(s, d)),
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
-    "stream_quality" -> ((s, d) => runQuality(s, d)))
+    "stream_quality" -> ((s, d) => runQuality(s, d)),
+    "stream_sim" -> ((s, d) => runSim(s, d)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -405,6 +452,10 @@ object StreamQueries extends QueryProvider {
     // the batch text-quality operator runs unchanged on the stream, so
     // the batch oracle applies verbatim
     "stream_quality" -> graft.pipeline.TextOps.qualitySql,
+    // the packed-index online ANN must reproduce the batch IVF search —
+    // same corpus, same query set, same parameters, same oracle
+    "stream_sim" -> graft.pipeline.Similarity.ivfTopKSql(8, 64, 5,
+      "10, 11, 12"),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->

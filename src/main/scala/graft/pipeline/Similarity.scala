@@ -73,24 +73,37 @@ object Similarity {
     * nearest-centroid argmin break on centroid id, so the index is
     * deterministic and engine-comparable.
     */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, nCells: Int, dim: Int,
-              k: Int): DataFrame = {
-    val cents = emb.where(col("vec_id") < nCells)
+  /** The coarse quantizer's centroid table (cid, cvec, cnrm) — shared by
+    * the batch search and the streaming packed index
+    * ([[graft.streaming.SimStream]]).
+    */
+  def ivfCents(emb: DataFrame, nCells: Int): DataFrame =
+    emb.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
         VectorOps.norm(col("embedding")).as("cnrm"))
-    def assign(df: DataFrame): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          VectorOps.dot(col("embedding"), col("cvec")) /
-            (col("nrm") * col("cnrm")))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cid").asc)
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(df.columns.map(col) :+ col("cid").as("cell"): _*)
-    }
+
+  /** Corpus cell assignment (vec_id, embedding, nrm, cell): every vector
+    * to its max-cosine centroid, ties on centroid id — deterministic and
+    * engine-comparable. Shared by [[ivfTopK]] and the streaming index.
+    */
+  def ivfCells(emb: DataFrame, nCells: Int): DataFrame = {
+    val cents = ivfCents(emb, nCells)
     val prepped = emb.select(col("vec_id"), col("embedding"),
       VectorOps.norm(col("embedding")).as("nrm"))
-    val cells = assign(prepped)
+    val scored = prepped.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorOps.dot(col("embedding"), col("cvec")) /
+          (col("nrm") * col("cnrm")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid").as("cell"))
+  }
+
+  def ivfTopK(emb: DataFrame, queries: DataFrame, nCells: Int, dim: Int,
+              k: Int): DataFrame = {
+    val cells = ivfCells(emb, nCells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qcells = cells.join(
       broadcast(queries.select(col("vec_id").as("qid"))),

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Similarity, VectorOps}
+
+/** Online ANN retrieval: a QUERY-EMBEDDING stream searched against the
+  * static IVF index of a corpus — the similarity-search analog of
+  * [[DocStream.nearDupAgainstIndex]]'s posture (the pairwise side is a
+  * batch-refreshed materialized artifact, never stream-stream).
+  *
+  * Entirely STATELESS on the stream side. The index packs one row per
+  * IVF cell (the cell's members as an array), so a query's whole search
+  * is: one row-local centroid argmax (an `aggregate` fold over the
+  * broadcast centroid array — nCells entries), ONE equi-join on the cell
+  * id, then score + sort + slice INSIDE the joined row. No per-query
+  * state, no window, no watermark; results stream out as queries arrive.
+  * Every numeric step reuses the batch kernels ([[VectorOps.dot]]'s
+  * fixed-point dot, the same cosine), and the tie-breaks (centroid id on
+  * the assignment argmax; (cos DESC, vec_id ASC) on the ranking) are the
+  * batch [[Similarity.ivfTopK]] orders, so stream and batch agree
+  * bit-for-bit on the same (corpus, query) — property-tested
+  * (SimStreamSpec) and gate-verified against the batch DuckDB oracle.
+  *
+  * Scale note: a packed cell row holds ~corpus/nCells vectors; nCells
+  * grows with the corpus (the usual √n rule), keeping cell rows bounded
+  * while the cell id stays the partition key of the inverted-file
+  * layout. A corpus whose cells outgrow a row should probe with the
+  * exploded-index + windowed-top-k form instead; at that size the
+  * per-query candidate state, not this plan, is the limiting design.
+  */
+object SimStream {
+
+  /** The packed search index: (cell, cands: array<struct<vec_id,
+    * embedding, nrm>>) — members ordered by vec_id — plus the one-row
+    * centroid array (cid-ordered). Both are batch artifacts; persist and
+    * refresh them with the corpus.
+    */
+  def ivfIndex(emb: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
+    val packed = Similarity.ivfCells(emb, nCells)
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
+    val cents = Similarity.ivfCents(emb, nCells)
+      .agg(sort_array(collect_list(
+        struct(col("cid"), col("cvec"), col("cnrm")))).as("cents"))
+    (packed, cents)
+  }
+
+  /** Top-k cosine neighbors per query against the packed index.
+    *
+    * @param queries streaming frame (vec_id, embedding) — extra columns
+    *                (e.g. an event time) pass through untouched
+    * @return one row per (query, neighbor): (query_id, vec_id, cos, rank)
+    *         plus the query's passthrough columns
+    */
+  def topKAgainstIvfIndex(queries: DataFrame, packed: DataFrame,
+                          cents: DataFrame, k: Int): DataFrame = {
+    val passthrough = queries.columns.filterNot(
+      Set("vec_id", "embedding")).toSeq
+    val qn = queries
+      .withColumn("qnrm", VectorOps.norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+    def ccos(c: Column) =
+      VectorOps.dot(col("embedding"), c.getField("cvec")) /
+        (col("qnrm") * c.getField("cnrm"))
+    // row-local centroid argmax over the cid-ORDERED array: the
+    // strictly-greater fold keeps the smallest cid on ties — exactly the
+    // batch window's (ccos DESC, cid ASC) row_number() = 1
+    val best = aggregate(
+      col("cents"),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
+      (acc, c) => when(ccos(c) > acc.getField("s"),
+        struct(ccos(c).as("s"), c.getField("cid").as("cid")))
+        .otherwise(acc))
+    val assigned = qn
+      .withColumn("qcell", best.getField("cid")).drop("cents")
+    val joined = assigned.join(packed, col("qcell") === col("cell"))
+    def qcos(c: Column) =
+      VectorOps.dot(col("embedding"), c.getField("embedding")) /
+        (col("qnrm") * c.getField("nrm"))
+    // score the cell's members (self excluded), then sort by the struct
+    // (−cos, vec_id) — ascending struct order = cos DESC, vec_id ASC, the
+    // batch ranking order — and keep the first k
+    val scored = transform(
+      filter(col("cands"), c => c.getField("vec_id") =!= col("vec_id")),
+      c => struct((-qcos(c)).as("nc"), c.getField("vec_id").as("vid"),
+        qcos(c).as("cos")))
+    val top = slice(array_sort(scored), 1, k)
+    joined
+      .select(passthrough.map(col) ++
+        Seq(col("vec_id").as("query_id"), posexplode(top)): _*)
+      .select(passthrough.map(col) ++ Seq(col("query_id"),
+        col("col.vid").as("vec_id"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rank")): _*)
+  }
+}
