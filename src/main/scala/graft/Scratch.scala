@@ -86,6 +86,40 @@ object Scratch {
         drain("dedup", graft.streaming.DocStream.dedupExact(
           stream(), "1 minute")))
     }
+
+    // ---- online ANN at 10×: 50 k vectors, √n-scaled cell count ----
+    // deterministic 10× embeddings: per-copy sign flip of one rotating
+    // coordinate (keeps norms, spreads copies across cells)
+    val emb01 = graft.core.Tables(spark, sfDir, "embeddings")
+    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
+      val copies = (0 until 10).map { k =>
+        if (k == 0) emb01
+        else emb01
+          .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+          .withColumn("embedding", expr(
+            s"transform(embedding, (x, i) -> IF(i % 10 = $k - 1, -x, x))"))
+      }
+      copies.reduce(_ unionByName _).repartition(8)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    val emb10 = spark.read.parquet(s"$out/embeddings.parquet")
+    println(s"[scratch] sf1 vectors=${emb10.count()}")
+    val (packed, centsRow) = t("simIndex build+persist sf1 (nCells=224)") {
+      val (p, c) = graft.streaming.SimStream.ivfIndex(emb10, nCells = 224)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pp = p.persist(lvl); val cp = c.persist(lvl)
+      pp.count(); cp.count()
+      (pp, cp)
+    }
+    val qsch = emb10.schema
+    for (run <- 1 to 2) {
+      t(s"run$run stream ANN 10pct-queries sf1")(
+        drain(s"sim$run", graft.streaming.SimStream.topKAgainstIvfIndex(
+          spark.readStream.schema(qsch).parquet(s"$out/embeddings.parquet")
+            .where(col("vec_id") % 10 === 0)
+            .select("vec_id", "embedding"),
+          packed, centsRow, k = 5)))
+    }
     spark.stop()
   }
 }
