@@ -129,24 +129,36 @@ object StreamingDql {
     out.result().iterator
   }
 
-  /** @param stream streaming frame with (ts: timestamp, event_type,
-    *               user_id, value) — the raw event shape; the series key
-    *               is `event_type.user_id` as in the batch series model
+  /** @param stream streaming frame in the shape the `store` binding
+    *               declares (default [[TestdataStreamStore]]: ts,
+    *               event_type, user_id, value — series key
+    *               `event_type.user_id` as in the batch series model)
     * @param dql    DQL text (same grammar as the batch compiler)
     * @param watermark late-data bound, e.g. "10 seconds"
+    * @param store  stream-side storage seam (event-time/value columns,
+    *               series-key layout, tag map) — the streaming mirror of
+    *               the batch SeriesStore
     * @return streaming frame (name, metric, ws, value[, metadata]) —
     *         ws = window start ms; `name`/`metadata` follow the batch
     *         naming contract (default name = unparsed selector text)
     */
-  def compile(stream: DataFrame, dql: String, watermark: String): DataFrame = {
+  def compile(stream: DataFrame, dql: String, watermark: String,
+              store: StreamStore = TestdataStreamStore): DataFrame = {
     val q = Parser.parse(dql)
     if (q.limit.nonEmpty)
       throw Unstreamable("TOP/BOTTOM is a global sort — not streamable")
     val resMs = resolutionMs(stream)
+    // normalize the bound stream to the compiler's internal frame:
+    // (ts, value, <carried tag/key cols>, metric). Everything downstream
+    // reads only these, so the physical schema lives entirely in `store`.
+    val carried = (store.keyCols ++ store.tagColumns).distinct
     val base = stream
+      .select(col(store.tsCol).as("ts") +:
+        col(store.valueCol).cast("double").as("value") +:
+        carried.map(col): _*)
       .withWatermark("ts", watermark)
       .withColumn("metric",
-        concat_ws(".", col("event_type"), col("user_id")))
+        concat_ws(".", store.keyCols.map(c => col(c).cast("string")): _*))
     val withMeta = q.selectors.exists(_.metadata.nonEmpty)
     val cols = Seq("name", "metric", "ws", "value") ++
       (if (withMeta) Seq("metadata") else Nil)
@@ -161,8 +173,8 @@ object StreamingDql {
         // metadata, which stateful consumers above the aggregation — the
         // derivate timeout — must see); it is not part of the public
         // contract
-        named(aggregated(plan, base), sel, withMeta)
-      } else fusedFunnel(q, base, withMeta)
+        named(aggregated(plan, base, store), sel, withMeta, store)
+      } else fusedFunnel(q, base, withMeta, store)
     out.select(cols.head, cols.tail: _*)
   }
 
@@ -176,17 +188,29 @@ object StreamingDql {
     * chains emits only the first branch), and the fused form is cheaper
     * anyway: one state row per (window, metric) for ALL selectors.
     *
-    * Fusable selector shapes: pointwise transforms over a non-conf §2.2
-    * aggregation, every selector sharing one window and one resolution
-    * (the batch funnel itself requires equal resolutions). Each selector's
-    * rows are restricted to the series matching ITS leaf via a per-selector
+    * Fusable selector shapes: pointwise transforms over any §2.2
+    * aggregation — including the six threshold `*_conf` forms — every
+    * selector sharing one window and one resolution (the batch funnel
+    * itself requires equal resolutions). Each selector's rows are
+    * restricted to the series matching ITS leaf via a per-selector
     * presence aggregate — a window where the series has points but none
     * qualify for a threshold aggregate still emits its batch NULL, while a
     * series the selector never matched emits nothing, exactly the batch
     * union's row set.
+    *
+    * Conf selectors fuse because presence is COLLAPSE-INVARIANT: a
+    * `*_conf` selector's per-window present-slot set is the same whether
+    * collected from raw events or from the collapsed slot rows (each
+    * present slot appears at least once either way), so its
+    * `collect_set(slot id)` rides in the same fused groupBy the value
+    * selectors use, and the {0,1} presence array + threshold mirror
+    * (confAggExpr) become post-aggregation projections on the set column.
+    * The fused mixed plan inherits the value selectors' chained
+    * append-mode shape; a funnel of ONLY conf selectors skips the
+    * collapse stage (update-capable), like the single-selector conf path.
     */
   private def fusedFunnel(q: Ast.Query, base: DataFrame,
-                          withMeta: Boolean): DataFrame = {
+                          withMeta: Boolean, store: StreamStore): DataFrame = {
     val sels = q.selectors
     sels.foreach { sel =>
       if (sel.shift.nonEmpty) throw Unstreamable("SHIFT BY is not streamable")
@@ -199,7 +223,7 @@ object StreamingDql {
         : (List[(String, Option[Double])], RAggr) = p match {
       case RTrans(n, c, child) if n != "derivate" && n != "confidence" =>
         peel(child, (n, c) :: acc)
-      case a: RAggr if !a.name.endsWith("_conf") => (acc, a)
+      case a: RAggr => (acc, a)
       case other => throw Unstreamable(
         "a multi-selector stream fuses same-window aggregations into one " +
           s"stateful operator; selector shape is not fusable: $other — " +
@@ -215,19 +239,54 @@ object StreamingDql {
     if (res.length != 1)
       throw Unstreamable("resolution_conflict: multi-selector streams " +
         s"must share one resolution, got ${res.mkString(", ")} ms")
-    val condVals = aggrs.map(a => leafCondValue(a.child))
+    val isConf = aggrs.map(_.name.endsWith("_conf"))
+    // conf selectors share the single-selector path's window/state checks
+    aggrs.zip(isConf).collectFirst { case (a, true) => a }
+      .foreach(a => confSlots(base, a.name, ws.head, res.head))
+    val condVals = aggrs.map(a => leafCondValue(a.child, store))
     val anyCond = condVals.map(_._1).reduce(_ || _)
-    val collapsed = slotCollapse(base.where(anyCond), res.head)
+    // an all-conf funnel needs no slot collapse (presence is
+    // collapse-invariant), keeping the single-stateful update-capable
+    // shape of the single-selector conf path
+    val collapsed =
+      if (isConf.forall(identity)) base.where(anyCond)
+      else slotCollapse(base.where(anyCond), res.head, store)
+    // present-slot id on whichever frame the fused groupBy reads: the
+    // collapse keeps the slot window struct `sw` (slot start IS the id
+    // base); without it the raw event time addresses the slot
+    val sidSql =
+      if (collapsed.columns.contains("sw"))
+        s"unix_millis(sw.start) div ${res.head}"
+      else s"unix_millis(ts) div ${res.head}"
     val aggCols = aggrs.zip(condVals).zipWithIndex.flatMap {
+      case ((a, (cond, _)), i) if a.name.endsWith("_conf") =>
+        // conf selector: collect ITS present-slot set (when() nulls out
+        // non-matching rows; collect_set drops them) — the value itself is
+        // a post-aggregation projection over the set (see below)
+        Seq(collect_set(when(cond, expr(sidSql))).as(s"set$i"),
+          (count(when(cond, 1)) > 0).as(s"p$i"))
       case ((a, (cond, v)), i) =>
         Seq(
           Aggrs.spark(a.name, a.const)(when(cond, v),
             when(cond, orderTs(collapsed))).as(s"c$i"),
           (count(when(cond, 1)) > 0).as(s"p$i"))
     }
-    val piv = collapsed
+    val piv0 = collapsed
       .groupBy(timeWindow(collapsed, ws.head, res.head).as("w"), col("metric"))
       .agg(aggCols.head, aggCols.tail: _*)
+    // conf values: synthesize each selector's {0,1} presence array from
+    // its slot set and run the batch aggregate mirror — stateless
+    // projections on the aggregated stream
+    val piv = aggrs.zipWithIndex.foldLeft(piv0) {
+      case (df, (a, i)) if a.name.endsWith("_conf") =>
+        val slots = ws.head / res.head
+        val ca = s"transform(sequence(0, ${slots - 1}), j -> " +
+          s"IF(array_contains(set$i, unix_millis(w.start) div ${res.head} + j), " +
+          s"1.0D, 0.0D))"
+        df.withColumn(s"c$i",
+          confAggExpr(a.name.stripSuffix("_conf"), a.const, slots, ca))
+      case (df, _) => df
+    }
     // per-selector transforms above the aggregation are projections on the
     // selector's own column
     val proj = peeled.zipWithIndex.foldLeft(piv) {
@@ -251,7 +310,7 @@ object StreamingDql {
       coalesce(sels.zipWithIndex.map { case (sel, i) =>
         when(col("sidx") === i, f(sel)) }: _*)
     val outCols =
-      Seq(perSel(nameExpr).as("name"), col("metric"),
+      Seq(perSel(nameExpr(_, store)).as("name"), col("metric"),
         unix_millis(col("w.start")).as("ws"), col("value")) ++
       (if (withMeta) Seq(perSel(sel => lit(metaJson(sel))).as("metadata"))
        else Nil)
@@ -262,11 +321,13 @@ object StreamingDql {
     * `src/dql_flatten.erl:19`) on the stream: default output name is the
     * unparsed selector text; `AS` parts substitute literals, `$N` the N-th
     * metric path segment, `$ns:tag` the tag value — which on the stream is
-    * read back out of the series key (`type.user`, see [[tagCol]]);
-    * unknown tags name as empty, the batch missing-tag behavior.
+    * read back out of the series key at the segment position the store's
+    * tag map binds it to (naming runs post-aggregation, where only the
+    * metric key survives); a tag not backed by a key segment names as
+    * empty, the batch missing-tag behavior.
     * METADATA {…} attaches the same constant JSON rendering batch emits.
     */
-  private def nameExpr(sel: Ast.Selector): Column = {
+  private def nameExpr(sel: Ast.Selector, store: StreamStore): Column = {
     def seg(n: Int) = element_at(split(col("metric"), "\\."), n)
     sel.name match {
       case None => lit(Unparse.expr(sel.expr))
@@ -274,11 +335,9 @@ object StreamingDql {
         concat_ws(".", parts.map {
           case NLit(s) => lit(s): Column
           case NPos(n) => seg(n)
-          case NTag(_, key) => key match {
-            case "type" => seg(1)
-            case "user" => seg(2)
-            case _      => lit("")
-          }
+          case NTag(ns, key) =>
+            store.tagCol(ns, key).map(store.keyCols.indexOf).filter(_ >= 0)
+              .map(i => seg(i + 1)).getOrElse(lit(""))
         }: _*)
     }
   }
@@ -294,8 +353,8 @@ object StreamingDql {
     }.mkString("{", ", ", "}")
 
   private def named(df: DataFrame, sel: Ast.Selector,
-                    withMeta: Boolean): DataFrame = {
-    val base = df.withColumn("name", nameExpr(sel))
+                    withMeta: Boolean, store: StreamStore): DataFrame = {
+    val base = df.withColumn("name", nameExpr(sel, store))
     if (!withMeta) base
     else base.withColumn("metadata", lit(metaJson(sel)))
   }
@@ -341,15 +400,18 @@ object StreamingDql {
     * window-on-window form — `window(col("sw"), …)` on the struct — which
     * preserves the event-time/watermark lineage (SPARK-40925); deriving a
     * fresh timestamp with `window_time` trips Spark's global-watermark
-    * correctness check and the query is rejected at start. event_type and
-    * user_id ride along as group keys (functionally determined by metric)
-    * because tag predicates and GROUP BY keys read them at slot level.
+    * correctness check and the query is rejected at start. The store's
+    * key/tag columns ride along as group keys (functionally determined by
+    * metric, a StreamStore contract) because tag predicates and GROUP BY
+    * keys read them at slot level.
     */
-  private def slotCollapse(df: DataFrame, resMs: Long): DataFrame =
+  private def slotCollapse(df: DataFrame, resMs: Long,
+                           store: StreamStore): DataFrame =
     if (!slotExact(df)) df
     else df
-      .groupBy(window(col("ts"), s"$resMs milliseconds").as("sw"),
-        col("metric"), col("event_type"), col("user_id"))
+      .groupBy(window(col("ts"), s"$resMs milliseconds").as("sw") +:
+        col("metric") +:
+        (store.keyCols ++ store.tagColumns).distinct.map(col): _*)
       .agg(graft.core.Exact.davg(col("value")).as("value"))
 
   /** Downstream of [[slotCollapse]] the event-time column is the slot
@@ -381,7 +443,8 @@ object StreamingDql {
   /** compile the plan; the result is always post-aggregation (streaming
     * needs the stateful agg to bound the unbounded input)
     */
-  private def aggregated(p: RExpr, base: DataFrame): DataFrame = p match {
+  private def aggregated(p: RExpr, base: DataFrame,
+                         store: StreamStore): DataFrame = p match {
     case RAggr(name, c, w, child) if name.endsWith("_conf") =>
       // _conf aggregates run the base aggregate on the CONFIDENCE channel,
       // which on the dense batch spine is slot-presence: 1.0 where the
@@ -394,33 +457,8 @@ object StreamingDql {
       // duplicates (collect_set), so the single-stage shape is already
       // exact and stays update-mode-capable.
       val res = child.resMs
-      if (w % res != 0 || w <= 0)
-        throw Unstreamable(
-          s"confidence window $w ms must be a positive multiple of the " +
-            s"$res ms stream resolution")
-      val slots = w / res
-      // state bound: the per-window present-slot set (collect_set below)
-      // and the synthesized {0,1} array are O(window/resolution) in ONE
-      // state/output row — fine at typical ratios (a 1 m window at 1 s
-      // resolution is 60 entries) but a 14 d window at 1 s resolution
-      // would put 1.2 M entries in a single row. Refuse past a documented
-      // cap instead of degrading unbounded
-      // (`spark.graft.streaming.conf.maxSlots`, default 100 000).
-      val maxSlots = base.sparkSession.conf
-        .getOption("spark.graft.streaming.conf.maxSlots")
-        .map { raw =>
-          try raw.trim.toLong
-          catch { case _: NumberFormatException => throw Unstreamable(
-            "spark.graft.streaming.conf.maxSlots must be a slot count, " +
-              s"got '$raw'") }
-        }.getOrElse(100000L)
-      if (slots > maxSlots)
-        throw Unstreamable(
-          s"${name}: $slots slots per window ($w ms / $res ms) exceeds the " +
-            s"per-row state bound of $maxSlots " +
-            "(spark.graft.streaming.conf.maxSlots) — widen the resolution " +
-            "or raise the bound")
-      val leafed = base.where(leafCondValue(child)._1)
+      val slots = confSlots(base, name, w, res)
+      val leafed = base.where(leafCondValue(child, store)._1)
       val ca = s"transform(sequence(0, ${slots - 1}), i -> " +
         s"IF(array_contains(pset, unix_millis(w.start) div $res + i), " +
         s"1.0D, 0.0D))"
@@ -432,7 +470,7 @@ object StreamingDql {
           window_time(col("w")).as("wt"))
 
     case RAggr(name, c, w, child) =>
-      val leafed = leaf(child, base)
+      val leafed = leaf(child, base, store)
       val agg = Aggrs.spark(name, c)(col("value"), orderTs(leafed))
       leafed
         .groupBy(timeWindow(leafed, w, child.resMs).as("w"), col("metric"))
@@ -447,11 +485,11 @@ object StreamingDql {
       // the tag columns). Non-commutative funs fold member values in
       // lexicographic metric order, the batch's pinned order.
       val cols = gb.map { case (ns, key) =>
-        tagCol(key).getOrElse(
+        tagCol(store, ns, key).getOrElse(
           throw Unstreamable(s"unknown stream tag $ns:$key"))
       }
       val cond = path.map(pathCond(_, exact = false)).getOrElse(lit(true)) &&
-        where.map(tagCond).getOrElse(lit(true))
+        where.map(tagCond(_, store)).getOrElse(lit(true))
       val foldOps = Map(
         "diff"     -> "acc - x",
         "product"  -> "acc * x",
@@ -473,7 +511,7 @@ object StreamingDql {
       // must see the same: without the collapse a series emitting >1
       // event in one resolution tick would contribute duplicate fold
       // entries and inflate avg's divisor
-      val collapsed = slotCollapse(base.where(cond), resMs)
+      val collapsed = slotCollapse(base.where(cond), resMs, store)
       val grouped = collapsed
         .groupBy(timeWindow(collapsed, resMs, resMs).as("w") +:
           cols.zipWithIndex.map { case (c, i) => c.as(s"g$i") }: _*)
@@ -489,20 +527,31 @@ object StreamingDql {
         unix_millis(col("w.start")).as("ws"), col("value"),
         window_time(col("w")).as("wt"))
 
-    case RHistFn(name, pOpt, w, htv, _, child) =>
+    case RHistFn(name, pOpt, w, htv, sf, child) =>
       // the fused hist reductions are expression aggregates like §2.2, so
       // they stream: int-round, DROP out-of-range (the reference's HDR
       // recording semantics, same as the batch compile), aggregate per
-      // window. Always the exact reduction — the batch-only hdr flag is
-      // ignored here (a sketch would need its own merge state).
-      val leafed = leaf(child, base)
+      // window. `spark.graft.dql.histogram.hdr=true` routes the quantiles
+      // through the same mergeable HDR sketch Aggregator the batch uses
+      // (expr/HdrHistogram): its partial buffer is the streaming
+      // aggregation's state — fixed-size per (window, metric), merged
+      // across micro-batches like any partial aggregate — so the flag
+      // means the same algorithm on both engines.
+      val useHdr = base.sparkSession.conf
+        .getOption("spark.graft.dql.histogram.hdr").contains("true")
+      val leafed = leaf(child, base, store)
       val ints = round(col("value"), 0).cast("long")
       val inRange = leafed.where(ints >= 0L && ints <= htv)
-      val aggName = if (name == "mean") "avg" else name
-      val agg0 = Aggrs.spark(aggName, pOpt)(ints, orderTs(inRange))
       val agg = name match {
-        case "mean" | "stddev" => agg0
-        case _                 => agg0.cast("double")
+        case "median" if useHdr =>
+          graft.expr.HdrHistogram.hdrPercentile(sf, 0.5)(ints)
+        case "percentile" if useHdr =>
+          graft.expr.HdrHistogram.hdrPercentile(sf, pOpt.get)(ints)
+        case "mean" | "stddev" =>
+          Aggrs.spark(if (name == "mean") "avg" else name, pOpt)(
+            ints, orderTs(inRange))
+        case _ =>
+          Aggrs.spark(name, pOpt)(ints, orderTs(inRange)).cast("double")
       }
       inRange
         .groupBy(timeWindow(inRange, w, child.resMs).as("w"), col("metric"))
@@ -533,7 +582,7 @@ object StreamingDql {
             "spark.graft.streaming.derivate.idleTimeoutMs must be a " +
               s"millisecond count, got '$raw'") }
         }.getOrElse(30L * 24 * 3600 * 1000)
-      val aggd0 = aggregated(child, base)
+      val aggd0 = aggregated(child, base, store)
       // the event-time timeout needs a watermark-tagged column on the
       // state operator's input — `wt` (window_time of the child window)
       // carries it through the aggregation. A derivate-over-derivate child
@@ -564,7 +613,7 @@ object StreamingDql {
     case RTrans("confidence", _, _) =>
       throw Unstreamable("confidence channel is batch-only")
     case RTrans(name, c, child) =>
-      aggregated(child, base)
+      aggregated(child, base, store)
         .withColumn("value", Trans.spark(name, c)(col("value")))
 
     case RComb(name, children) =>
@@ -589,12 +638,12 @@ object StreamingDql {
       if (res.length != 1)
         throw Unstreamable("resolution_conflict: streaming combinator " +
           s"children must share one resolution, got ${res.mkString(", ")} ms")
-      val condVals = aggrs.map(a => leafCondValue(a.child))
+      val condVals = aggrs.map(a => leafCondValue(a.child, store))
       val anyCond = condVals.map(_._1).reduce(_ || _)
       // one shared slot collapse under the fused groupBy: per-child
       // conditions and transforms only read metric/tag columns and the
       // slot value, so they evaluate identically on slot rows
-      val collapsed = slotCollapse(base.where(anyCond), res.head)
+      val collapsed = slotCollapse(base.where(anyCond), res.head, store)
       val cvs = aggrs.zip(condVals).zipWithIndex.map {
         case ((a, (cond, v)), i) =>
           Aggrs.spark(a.name, a.const)(when(cond, v),
@@ -637,22 +686,23 @@ object StreamingDql {
     * combinator path, where filtering must happen inside the aggregate
     * (per child), not on the rows (shared by all children).
     */
-  private def leafCondValue(p: RExpr): (Column, Column) = p match {
-    case RScan(_, path, _) => (pathCond(path, exact = true), col("value"))
-    case RLookup(_, path, where, gb, _, _) =>
-      if (gb.nonEmpty)
-        throw Unstreamable("GROUP BY tag under an aggregation: group keys " +
-          "change the output key — use the batch compiler or group post-sink")
-      (path.map(pathCond(_, exact = false)).getOrElse(lit(true)) &&
-        where.map(tagCond).getOrElse(lit(true)), col("value"))
-    case RTrans(name, c, child) =>
-      if (name == "derivate" || name == "confidence")
-        throw Unstreamable(s"$name is not a row-local transform")
-      val (cond, v) = leafCondValue(child)
-      (cond, Trans.spark(name, c)(v))
-    case other =>
-      throw Unstreamable(s"not a streamable leaf: $other")
-  }
+  private def leafCondValue(p: RExpr, store: StreamStore): (Column, Column) =
+    p match {
+      case RScan(_, path, _) => (pathCond(path, exact = true), col("value"))
+      case RLookup(_, path, where, gb, _, _) =>
+        if (gb.nonEmpty)
+          throw Unstreamable("GROUP BY tag under an aggregation: group keys " +
+            "change the output key — use the batch compiler or group post-sink")
+        (path.map(pathCond(_, exact = false)).getOrElse(lit(true)) &&
+          where.map(tagCond(_, store)).getOrElse(lit(true)), col("value"))
+      case RTrans(name, c, child) =>
+        if (name == "derivate" || name == "confidence")
+          throw Unstreamable(s"$name is not a row-local transform")
+        val (cond, v) = leafCondValue(child, store)
+        (cond, Trans.spark(name, c)(v))
+      case other =>
+        throw Unstreamable(s"not a streamable leaf: $other")
+    }
 
   /** leaf: filter the stream down to the selected series, collapse to one
     * value per (metric, slot), THEN apply the pointwise transforms — the
@@ -661,9 +711,42 @@ object StreamingDql {
     * events (it only reads metric/tag columns, constant per series, so
     * filtering before the collapse is equivalent and prunes its state).
     */
-  private def leaf(p: RExpr, base: DataFrame): DataFrame = {
-    val (cond, v) = leafCondValue(p)
-    slotCollapse(base.where(cond), p.resMs).withColumn("value", v)
+  private def leaf(p: RExpr, base: DataFrame, store: StreamStore): DataFrame = {
+    val (cond, v) = leafCondValue(p, store)
+    slotCollapse(base.where(cond), p.resMs, store).withColumn("value", v)
+  }
+
+  /** Validate a conf window/resolution pair and return the per-window slot
+    * count. State bound: the per-window present-slot set (collect_set) and
+    * the synthesized {0,1} array are O(window/resolution) in ONE
+    * state/output row — fine at typical ratios (a 1 m window at 1 s
+    * resolution is 60 entries) but a 14 d window at 1 s resolution would
+    * put 1.2 M entries in a single row. Refuse past a documented cap
+    * instead of degrading unbounded
+    * (`spark.graft.streaming.conf.maxSlots`, default 100 000).
+    */
+  private def confSlots(df: DataFrame, name: String, w: Long,
+                        res: Long): Long = {
+    if (w % res != 0 || w <= 0)
+      throw Unstreamable(
+        s"confidence window $w ms must be a positive multiple of the " +
+          s"$res ms stream resolution")
+    val slots = w / res
+    val maxSlots = df.sparkSession.conf
+      .getOption("spark.graft.streaming.conf.maxSlots")
+      .map { raw =>
+        try raw.trim.toLong
+        catch { case _: NumberFormatException => throw Unstreamable(
+          "spark.graft.streaming.conf.maxSlots must be a slot count, " +
+            s"got '$raw'") }
+      }.getOrElse(100000L)
+    if (slots > maxSlots)
+      throw Unstreamable(
+        s"${name}: $slots slots per window ($w ms / $res ms) exceeds the " +
+          s"per-row state bound of $maxSlots " +
+          "(spark.graft.streaming.conf.maxSlots) — widen the resolution " +
+          "or raise the bound")
+    slots
   }
 
   /** Base aggregate over the synthesized per-window confidence array `ca`
@@ -694,21 +777,21 @@ object StreamingDql {
   }
 
   /** On the stream the tags ARE event columns, so tag predicates need no
-    * index: `type` → event_type, `user` → user_id (the series-key mapping
-    * of the batch TestdataStore). Unknown tags reproduce the batch
-    * semantics for missing tag columns — `=` never matches, `!=` always.
+    * index: the store's tag map names the physical column (string-compared,
+    * the DQL tag-value type). Unknown tags reproduce the batch semantics
+    * for missing tag columns — `=` never matches, `!=` always.
     */
-  private def tagCol(key: String): Option[Column] = key match {
-    case "type" => Some(col("event_type"))
-    case "user" => Some(col("user_id").cast("string"))
-    case _      => None
-  }
+  private def tagCol(store: StreamStore, ns: String,
+                     key: String): Option[Column] =
+    store.tagCol(ns, key).map(n => col(n).cast("string"))
 
-  private def tagCond(f: Ast.TagFilter): Column = f match {
-    case Ast.TagEq(_, key, v)  => tagCol(key).map(_ === v).getOrElse(lit(false))
-    case Ast.TagNeq(_, key, v) => tagCol(key).map(_ =!= v).getOrElse(lit(true))
-    case Ast.TagAnd(a, b)      => tagCond(a) && tagCond(b)
-    case Ast.TagOr(a, b)       => tagCond(a) || tagCond(b)
+  private def tagCond(f: Ast.TagFilter, store: StreamStore): Column = f match {
+    case Ast.TagEq(ns, key, v) =>
+      tagCol(store, ns, key).map(_ === v).getOrElse(lit(false))
+    case Ast.TagNeq(ns, key, v) =>
+      tagCol(store, ns, key).map(_ =!= v).getOrElse(lit(true))
+    case Ast.TagAnd(a, b) => tagCond(a, store) && tagCond(b, store)
+    case Ast.TagOr(a, b)  => tagCond(a, store) || tagCond(b, store)
   }
 
   private def pathCond(path: Seq[String], exact: Boolean): Column = {
