@@ -66,12 +66,17 @@ object SimStream {
         (col("qnrm") * c.getField("cnrm"))
     // row-local centroid argmax over the cid-ORDERED array: the
     // strictly-greater fold keeps the smallest cid on ties — exactly the
-    // batch window's (ccos DESC, cid ASC) row_number() = 1
+    // batch window's (ccos DESC, cid ASC) row_number() = 1. Two passes:
+    // Catalyst does not CSE inside lambda bodies, so scoring in its own
+    // transform() first means each centroid pays the O(dim) dot kernel
+    // ONCE (a fold comparing ccos(c) inline would evaluate it twice per
+    // step — measured ~2× on the kernel-bound portion)
+    val scoredCents = transform(col("cents"),
+      c => struct(ccos(c).as("s"), c.getField("cid").as("cid")))
     val best = aggregate(
-      col("cents"),
+      scoredCents,
       struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
-      (acc, c) => when(ccos(c) > acc.getField("s"),
-        struct(ccos(c).as("s"), c.getField("cid").as("cid")))
+      (acc, c) => when(c.getField("s") > acc.getField("s"), c)
         .otherwise(acc))
     val assigned = qn
       .withColumn("qcell", best.getField("cid")).drop("cents")
@@ -81,11 +86,16 @@ object SimStream {
         (col("qnrm") * c.getField("nrm"))
     // score the cell's members (self excluded), then sort by the struct
     // (−cos, vec_id) — ascending struct order = cos DESC, vec_id ASC, the
-    // batch ranking order — and keep the first k
-    val scored = transform(
+    // batch ranking order — and keep the first k. Same two-pass shape as
+    // the centroid argmax: score once per candidate, then a second
+    // transform derives the sort key from the already-computed cosine
+    // (inlining qcos twice in one struct would run the dot kernel twice)
+    val scored0 = transform(
       filter(col("cands"), c => c.getField("vec_id") =!= col("vec_id")),
-      c => struct((-qcos(c)).as("nc"), c.getField("vec_id").as("vid"),
-        qcos(c).as("cos")))
+      c => struct(qcos(c).as("cos"), c.getField("vec_id").as("vid")))
+    val scored = transform(scored0,
+      s => struct((-s.getField("cos")).as("nc"), s.getField("vid").as("vid"),
+        s.getField("cos").as("cos")))
     val top = slice(array_sort(scored), 1, k)
     joined
       .select(passthrough.map(col) ++
