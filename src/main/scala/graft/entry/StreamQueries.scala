@@ -98,6 +98,9 @@ object StreamQueries extends QueryProvider {
   private val MultiDql =
     "SELECT avg('purchase'.* BUCKET 'testdata', 1 m), " +
       "max('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h"
+  private val MultiConfDql =
+    "SELECT avg('purchase'.* BUCKET 'testdata', 1 m), " +
+      "count_above_conf('purchase'.* BUCKET 'testdata', 0.5, 1 m) LAST 1 h"
 
   /** the batch naming contract: default output name = unparsed selector */
   private def selectorNames(dql: String): Seq[String] =
@@ -355,6 +358,8 @@ object StreamQueries extends QueryProvider {
     "stream_hist" -> ((s, d) => runDql(s, d, HistDql, "append")),
     "stream_multi" -> ((s, d) =>
       runDql(s, d, MultiDql, "append", withName = true)),
+    "stream_multi_conf" -> ((s, d) =>
+      runDql(s, d, MultiConfDql, "append", withName = true)),
     "stream_dedup" -> ((s, d) => runDedup(s, d)),
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
@@ -441,6 +446,22 @@ object StreamQueries extends QueryProvider {
          |SELECT '$nAvg' AS name, metric, ws, vavg AS value FROM w
          |UNION ALL
          |SELECT '$nMax' AS name, metric, ws, vmax AS value FROM w""".stripMargin
+    },
+    // mixed conf/value funnel: the avg selector aggregates slot values,
+    // the conf selector counts PRESENT slots (presence {0,1} > 0.5 ⇔ the
+    // slot exists in the series CTE); the stream's stack() coerces the
+    // BIGINT count to the union's common DOUBLE, so the oracle casts too
+    "stream_multi_conf" -> {
+      val Seq(nAvg, nCnt) =
+        selectorNames(MultiConfDql).map(_.replace("'", "''"))
+      s"""WITH series AS (${SeriesOps.seriesSql}),
+         |w AS (SELECT metric, ${Exact.wstartSql("ts_ms", WinMs)} AS ws,
+         |             ${Exact.davgSql("value")} AS vavg,
+         |             CAST(COUNT(*) AS DOUBLE) AS vcnt
+         |      FROM series WHERE mtype = 'purchase' GROUP BY 1, 2)
+         |SELECT '$nAvg' AS name, metric, ws, vavg AS value FROM w
+         |UNION ALL
+         |SELECT '$nCnt' AS name, metric, ws, vcnt AS value FROM w""".stripMargin
     },
     // exact streaming dedup keeps one row per distinct text hash; the SET
     // of kept hashes is deterministic (which duplicate wins is not)

@@ -302,6 +302,28 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "eq_hist_p90", append = true)
   }
 
+  test("histogram percentile under the HDR flag: sketch streams, stream ≡ batch") {
+    // spark.graft.dql.histogram.hdr=true must mean the SAME algorithm on
+    // both engines (the r7 seam: the stream silently ran the exact
+    // reduction while batch ran the sketch). The sketch Aggregator's
+    // partial buffer is the streaming aggregation state, merged across
+    // micro-batches like any partial aggregate; quantiles come out at the
+    // bucket's highest equivalent value, identical on both sides.
+    spark.conf.set("spark.graft.dql.histogram.hdr", "true")
+    try {
+      assertEquivalent(
+        s"SELECT percentile(histogram('purchase'.'1' BUCKET 'testdata', 10, 2, 1 m), 0.9) " +
+          s"BETWEEN 0 AND $EndMs",
+        "eq_hist_hdr_p90", append = true)
+      // and across micro-batch boundaries (sketch buffers live in the
+      // state store between triggers)
+      assertEquivalent(
+        s"SELECT median(histogram('purchase'.'1' BUCKET 'testdata', 10, 2, 1 m)) " +
+          s"BETWEEN 0 AND $EndMs",
+        "eq_hist_hdr_med", append = true, chunks = 6)
+    } finally spark.conf.unset("spark.graft.dql.histogram.hdr")
+  }
+
   test("multi-batch replay: windowed avg ≡ batch with state carried across micro-batches") {
     // the single-batch shapes above prove the SEMANTICS; these prove the
     // STATE MACHINE — the same replay split over 6 time-ordered
@@ -370,6 +392,98 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.nonEmpty, "stream produced nothing for the fused funnel")
     // non-conf aggregations densify nothing on the batch side, so the row
     // sets must agree EXACTLY — names, metrics, windows, values
+    assert(st == b, {
+      val onlySt = st -- b
+      val onlyB = b -- st
+      s"stream-only=${onlySt.take(5)} batch-only=${onlyB.take(5)}"
+    })
+  }
+
+  test("mixed conf/value funnel: conf selector fuses as a filtered slot-set aggregate") {
+    // an avg (needs the slot collapse) beside a count_above_conf (presence
+    // only) in ONE fused stateful operator — the r7 seam refused this
+    // shape. Presence is collapse-invariant, so the conf selector's
+    // collect_set rides the collapsed frame and its threshold mirror
+    // becomes a projection; per-selector rows must still match the batch
+    // union exactly (the funnel-shaped comparison below includes names).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dql = s"SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m), " +
+      s"count_above_conf('purchase'.'1' BUCKET 'testdata', 0.5, 1 m) " +
+      s"BETWEEN 0 AND $EndMs"
+    val store = new ReplayStore(replay.toDF())
+    val b = graft.dql.Compiler.run(spark, store, EndMs, dql)
+      .select(col("name"), col("metric"), col("ts_ms"),
+        col("value").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSet
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = StreamingDql.compile(in.toDF(), dql, "0 seconds")
+    val q = out.writeStream.format("memory").queryName("eq_multi_conf")
+      .outputMode("append").start()
+    val st = try {
+      in.addData(replay: _*)
+      in.addData(
+        SeriesStream.Ev(new Timestamp(EndMs + 60000), "purchase", 1L, 0.0))
+      q.processAllAvailable()
+      spark.sql(
+        "SELECT name, metric, ws, CAST(value AS DOUBLE) AS v FROM eq_multi_conf")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toSet.filter(_._3 < EndMs)
+    } finally q.stop()
+    assert(st.nonEmpty, "stream produced nothing for the mixed conf funnel")
+    // the batch side densifies only windows inside the queried range for
+    // the SELECTED series, and purchase.1 has events in every 1 m window
+    // of this replay — so the row sets must agree exactly
+    assert(st == b, {
+      val onlySt = st -- b
+      val onlyB = b -- st
+      s"stream-only=${onlySt.take(5)} batch-only=${onlyB.take(5)}"
+    })
+  }
+
+  test("all-conf funnel stays single-stage: two conf selectors fuse update-capably") {
+    // no value selector ⇒ no collapse stage ⇒ ONE stateful operator —
+    // assert both the plan shape and batch agreement (rows keyed by NAME:
+    // both selectors share the series metric, the name channel is the
+    // per-selector discriminator, as in the batch union)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dql = s"SELECT count_above_conf('purchase'.'1' BUCKET 'testdata', 0.5, 1 m), " +
+      s"count_below_conf('purchase'.'1' BUCKET 'testdata', 0.5, 1 m) " +
+      s"BETWEEN 0 AND $EndMs"
+    val in = MemoryStream[SeriesStream.Ev]
+    val plan = StreamingDql.compile(in.toDF(), dql, "30 seconds")
+      .queryExecution.analyzed.toString()
+    assert("Aggregate".r.findAllIn(plan).size == 1, plan.take(2000))
+    val store = new ReplayStore(replay.toDF())
+    val b = graft.dql.Compiler.run(spark, store, EndMs, dql)
+      .select(col("name"), col("ts_ms"), col("value").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    val in2 = MemoryStream[SeriesStream.Ev]
+    val out = StreamingDql.compile(in2.toDF(), dql, "30 seconds")
+    val q = out.writeStream.format("memory").queryName("eq_conf_funnel")
+      .outputMode("update").start()
+    val st = try {
+      in2.addData(replay: _*)
+      q.processAllAvailable()
+      spark.sql(
+        "SELECT name, ws, CAST(value AS DOUBLE) AS v FROM eq_conf_funnel")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSet.filter(_._2 < EndMs)
+    } finally q.stop()
+    assert(st.nonEmpty, "stream produced nothing for the all-conf funnel")
     assert(st == b, {
       val onlySt = st -- b
       val onlyB = b -- st
