@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * post-warmup = the Bench shape). Session-cold numbers are dominated by
   * per-plan codegen/JIT at test scale — profile both.
   *
-  * Current investigation: sf1 scale rehearsal for the STREAMING document
-  * operators (round 7): a 10× corpus (50k docs, synthesized from the
-  * sf0.1 documents table by interleaving a copy-specific token every 3rd
-  * word — cross-copy bigram Jaccard collapses, intra-copy near-dup
-  * structure is preserved), then: band-index build at sf1, and timed
-  * streaming replays of near-dup-vs-index, decontamination, and exact
-  * dedup over the full 10× corpus through the file source.
+  * Current investigation (round 8): sf1 rehearsal of the STREAMING DQL
+  * surface — the stateful half (slot collapse, fused funnel, derivate
+  * keyed state) that round 7 rehearsed only for the doc/ANN operators.
+  * A 10× events replay with 10× SERIES CARDINALITY (state scales with
+  * keys, not rows: each copy shifts user_id, so the slot-collapse and
+  * window state stores hold 10× the groups), fed through the file source
+  * in 8 micro-batches (state carried across triggers), reporting rows/s
+  * and per-operator state-store rows/bytes from StreamingQueryProgress.
+  * Plus a re-timing of the online-ANN replay after the one-dot-per-
+  * candidate kernel fix (SimStream two-pass transform).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -24,6 +27,7 @@ object Scratch {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,63 +37,106 @@ object Scratch {
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs -> $r")
       r
     }
-    def release(): Unit =
-      graft.core.Caches.releaseTransient(spark, blocking = true)
+    // `sbt "runMain graft.Scratch <sfDir> ann"` → ANN block only (used for
+    // the kernel A/B, where the DQL replays are 3 min of noise)
+    val annOnly = args.contains("ann")
 
-    // ---- synthesize the 10× corpus (written once, reused) ----
-    val docs01 = graft.core.Tables(spark, sfDir, "documents")
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    // ---- synthesize the 10×-cardinality events replay (written once) ----
+    // copies shift user_id (10× series), keep ts: same window count,
+    // 10× state keys — the dimension streaming state actually scales in.
+    // The replay must be TIME-ORDERED across micro-batches (the file
+    // source replays oldest-mtime first; a random file split would let
+    // batch 1 advance the watermark to max ts and drop everything after
+    // as late): 8 time-range slices, one file each, mtimes forced
+    // ascending.
+    val ev01 = graft.core.Tables(spark, sfDir, "events")
+      .select(timestamp_millis(expr("ts DIV 1000000")).as("ts"),
+        col("event_type"), col("user_id"), col("value"))
+    if (!new java.io.File(s"$out/events.parquet").exists()) {
       val copies = (0 until 10).map { k =>
-        if (k == 0) docs01
-        else docs01
-          .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
-          .withColumn("text", expr(
-            s"""concat_ws(' ', flatten(transform(
-               |  split(trim(text), ' '),
-               |  (w, i) -> CASE WHEN i % 3 = 2 THEN array(w, 'rk$k')
-               |            ELSE array(w) END)))""".stripMargin))
+        if (k == 0) ev01
+        else ev01.withColumn("user_id", col("user_id") + lit(k * 1000000L))
       }
-      copies.reduce(_ unionByName _).repartition(8)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val all = copies.reduce(_ unionByName _).cache()
+      val Array(lo, hi) = all.agg(
+        unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = (hi - lo + 8) / 8
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$out/events.parquet"))
+      for (k <- 0 until 8) {
+        val s0 = lo + k * span; val s1 = lo + (k + 1) * span
+        all.where(unix_millis(col("ts")) >= s0 &&
+            (unix_millis(col("ts")) < s1 || lit(k == 7)))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/_slice")
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/_slice"))
+        val part = try ls.filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst().get() finally ls.close()
+        val dst = java.nio.file.Paths.get(s"$out/events.parquet/slice-$k.parquet")
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      }
+      all.unpersist()
     }
-    val docs = spark.read.parquet(s"$out/documents.parquet")
-    println(s"[scratch] sf1 corpus docs=${docs.count()}")
+    val ev10 = spark.read.parquet(s"$out/events.parquet")
+    val nEvents = ev10.count()
+    val nSeries = ev10.select("event_type", "user_id").distinct().count()
+    println(s"[scratch] sf1 events=$nEvents series=$nSeries")
 
-    // ---- band index at sf1: build + persist (the materialized artifact) ----
-    val index = t("bandIndex build+persist sf1") {
-      val ix = graft.pipeline.Dedup.bandIndex(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ix.count()
-      ix
-    }
-
-    // ---- streaming replays over the full 10× corpus (file source) ----
-    val sch = docs.schema
+    val sch = ev10.schema
     def stream() = spark.readStream.schema(sch)
-      .parquet(s"$out/documents.parquet")
-      .withColumn("ts", timestamp_millis((col("doc_id") + 86400L) * 1000L))
-    def drain(name: String, outDf: org.apache.spark.sql.DataFrame): Unit = {
+      .option("maxFilesPerTrigger", "1") // 8 slices → 8 micro-batches
+      .parquet(s"$out/events.parquet")
+
+    /** drain a DQL replay through the noop sink; report wall, rows/s, any
+      * late-dropped rows (must be 0 on the ordered replay) and the PEAK
+      * state-store footprint across micro-batches (the tail batch's
+      * lastProgress is post-eviction — the watermark has already closed
+      * earlier windows, which is the bounded-state design working)
+      */
+    def drainDql(name: String, dql: String): Unit = {
+      val outDf = graft.streaming.StreamingDql.compile(stream(), dql,
+        "1 second")
+      val t0 = System.nanoTime()
       val q = outDf.writeStream.format("noop")
         .option("checkpointLocation", s"$out/ckpt-$name-${System.nanoTime()}")
         .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
-    }
-    val eval = docs.where(col("doc_id") % 97 === 0)
-    for (run <- 1 to 2) {
-      t(s"run$run stream nearDupAgainstIndex sf1")(
-        drain("neardup", graft.streaming.DocStream.nearDupAgainstIndex(
-          stream(), index, 0.5, "1 minute")))
-      t(s"run$run stream decontaminate sf1")(
-        drain("decon", graft.streaming.DocStream.decontaminate(
-          stream().where(col("doc_id") % 97 =!= 0), eval, 3)))
-      t(s"run$run stream dedupExact sf1")(
-        drain("dedup", graft.streaming.DocStream.dedupExact(
-          stream(), "1 minute")))
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress
+      def stateSum(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+        progs.map(_.stateOperators.map(f).sum).max
+      val peakRows = stateSum(_.numRowsTotal)
+      val peakMb = stateSum(_.memoryUsedBytes) / 1e6
+      val dropped = progs.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      val nOps = progs.lastOption.map(_.stateOperators.length).getOrElse(0)
+      q.stop()
+      println(f"[scratch] $name: $secs%.2fs ${nEvents / secs}%.0f rows/s " +
+        f"stateOps=$nOps peakStateRows=$peakRows peakStateMem=$peakMb%.1fMB " +
+        f"lateDropped=$dropped")
     }
 
-    // ---- online ANN at 10×: 50 k vectors, √n-scaled cell count ----
-    // deterministic 10× embeddings: per-copy sign flip of one rotating
-    // coordinate (keeps norms, spreads copies across cells)
+    for (run <- 1 to 2; if !annOnly) {
+      // slot collapse + windowed agg: 2 stateful ops, state ∝ series
+      drainDql(s"run$run dql avg_slots 10x",
+        "SELECT avg('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h")
+      // fused funnel: the same 2 stateful ops for BOTH selectors
+      drainDql(s"run$run dql fused multi 10x",
+        "SELECT avg('purchase'.* BUCKET 'testdata', 1 m), " +
+          "max('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h")
+      // mixed conf/value funnel (round 8): conf slot-set beside the avg
+      drainDql(s"run$run dql multi_conf 10x",
+        "SELECT avg('purchase'.* BUCKET 'testdata', 1 m), " +
+          "count_above_conf('purchase'.* BUCKET 'testdata', 0.5, 1 m) LAST 1 h")
+      // derivate: collapse + window agg + FMGWS keyed state (3 stateful)
+      drainDql(s"run$run dql derivate 10x",
+        "SELECT derivate(avg('purchase'.* BUCKET 'testdata', 1 m)) LAST 1 h")
+    }
+
+    // ---- online ANN at 10×: re-time after the kernel fix ----
     val emb01 = graft.core.Tables(spark, sfDir, "embeddings")
     if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
       val copies = (0 until 10).map { k =>
@@ -112,14 +159,23 @@ object Scratch {
       (pp, cp)
     }
     val qsch = emb10.schema
-    for (run <- 1 to 2) {
-      t(s"run$run stream ANN 10pct-queries sf1")(
-        drain(s"sim$run", graft.streaming.SimStream.topKAgainstIvfIndex(
-          spark.readStream.schema(qsch).parquet(s"$out/embeddings.parquet")
-            .where(col("vec_id") % 10 === 0)
-            .select("vec_id", "embedding"),
-          packed, centsRow, k = 5)))
+    def drainSim(name: String, mod: Int): Unit = {
+      val q = graft.streaming.SimStream.topKAgainstIvfIndex(
+        spark.readStream.schema(qsch).parquet(s"$out/embeddings.parquet")
+          .where(col("vec_id") % mod === 0)
+          .select("vec_id", "embedding"),
+        packed, centsRow, k = 5)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$out/ckpt-$name-${System.nanoTime()}")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
     }
+    for (run <- 1 to 2)
+      t(s"run$run stream ANN 10pct-queries sf1")(drainSim(s"sim$run", 10))
+    // kernel-bound shape for the one-dot-per-candidate A/B: ALL 20 k
+    // vectors as queries, so the per-candidate cosine dominates the replay
+    for (run <- 1 to 3)
+      t(s"run$run stream ANN allq sf1")(drainSim(s"simall$run", 1))
     spark.stop()
   }
 }

@@ -183,6 +183,14 @@ object StreamQueries extends QueryProvider {
     * finished table. Pins the replay state-store partitioning (see class
     * doc) for the duration of query START only — the captured value rides
     * with the query; the session conf is restored before returning.
+    *
+    * GATE-HARNESS SHAPE, not a production pattern: the memory sink
+    * retains every result row on the driver, which is exactly right for a
+    * bounded replay whose rows the oracle compare reads back (and prior
+    * tables are dropped above), and exactly wrong for an unbounded
+    * stream — production pipelines write the `noop`/file/Kafka sinks
+    * (see Scratch's rehearsal drains). Don't copy this into a real
+    * pipeline.
     */
   private val liveTables =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
