@@ -84,6 +84,28 @@ object PipelineQueries extends QueryProvider {
       Similarity.lshMultiProbeTopK(e, e.where(col("vec_id") < 5), bits = 6,
         dim = Dim, k = 5).orderBy("query_id", "rank")
     }),
+    // incremental IVF maintenance: base index over the first 60 vectors,
+    // the rest appended against the FROZEN quantizer — search results
+    // must equal the full-corpus IVF search (same oracle as sim_topk_ivf:
+    // the centroid set is the first nCells ids, identical either way)
+    "sim_topk_ivf_append" -> ((s, d) => {
+      val e = emb(s, d)
+      val split = 60L
+      val cents = Similarity.ivfCents(e.where(col("vec_id") < split), 8)
+      val centsRow = cents.agg(
+        org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct(
+              col("cid"), col("cvec"), col("cnrm")))).as("cents"))
+      val (packedBase, _) = graft.streaming.SimStream.ivfIndex(
+        e.where(col("vec_id") < split), nCells = 8)
+      val appended = graft.streaming.SimStream.ivfIndexAppend(packedBase,
+        Similarity.ivfAssign(e.where(col("vec_id") >= split), cents))
+      graft.streaming.SimStream.topKAgainstIvfIndex(
+        e.where(col("vec_id").isin(10L, 11L, 12L))
+          .select("vec_id", "embedding"),
+        appended, centsRow, k = 5).orderBy("query_id", "rank")
+    }),
     "sim_topk_ivf_trained" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfTrainedTopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
@@ -167,6 +189,9 @@ object PipelineQueries extends QueryProvider {
     "sim_topk_lsh" -> Similarity.lshTopKSql(6, Dim, 5,
       "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     "sim_topk_ivf" -> Similarity.ivfTopKSql(8, Dim, 5, "10, 11, 12"),
+    // append ≡ rebuild (IvfAppendSpec), so the full-corpus IVF oracle
+    // applies to the incrementally-maintained index unchanged
+    "sim_topk_ivf_append" -> Similarity.ivfTopKSql(8, Dim, 5, "10, 11, 12"),
     "sim_topk_multiprobe" -> Similarity.lshMultiProbeTopKSql(6, Dim, 5,
       "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     "sim_topk_ivf_trained" -> Similarity.ivfTrainedTopKSql(8, Dim, 5,

@@ -82,12 +82,16 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
         VectorOps.norm(col("embedding")).as("cnrm"))
 
-  /** Corpus cell assignment (vec_id, embedding, nrm, cell): every vector
-    * to its max-cosine centroid, ties on centroid id — deterministic and
-    * engine-comparable. Shared by [[ivfTopK]] and the streaming index.
+  /** Assign vectors to their max-cosine centroid in an EXISTING centroid
+    * table (cid, cvec, cnrm), ties on centroid id — deterministic and
+    * engine-comparable. This is also the incremental-maintenance entry
+    * point: a refresh batch of NEW vectors assigned against the frozen
+    * quantizer produces exactly the rows a full rebuild with the same
+    * centroids would (IvfAppendSpec), so an index stays append-only
+    * between coarse-quantizer retrains — at 100 TB the retrain is the
+    * expensive rare event, the append is one broadcast join per batch.
     */
-  def ivfCells(emb: DataFrame, nCells: Int): DataFrame = {
-    val cents = ivfCents(emb, nCells)
+  def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val prepped = emb.select(col("vec_id"), col("embedding"),
       VectorOps.norm(col("embedding")).as("nrm"))
     val scored = prepped.crossJoin(broadcast(cents))
@@ -100,6 +104,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cid").as("cell"))
   }
+
+  /** Corpus cell assignment (vec_id, embedding, nrm, cell): every vector
+    * to its max-cosine centroid, ties on centroid id — deterministic and
+    * engine-comparable. Shared by [[ivfTopK]] and the streaming index.
+    */
+  def ivfCells(emb: DataFrame, nCells: Int): DataFrame =
+    ivfAssign(emb, ivfCents(emb, nCells))
 
   def ivfTopK(emb: DataFrame, queries: DataFrame, nCells: Int, dim: Int,
               k: Int): DataFrame = {

@@ -47,6 +47,28 @@ object SimStream {
     (packed, cents)
   }
 
+  /** Incremental index refresh: fold a batch of NEWLY-ASSIGNED vectors
+    * (rows from [[Similarity.ivfAssign]] against the index's OWN frozen
+    * centroid table) into the packed index — union each cell's members
+    * and restore the vec_id order the row-local search relies on. A
+    * full-outer merge, so both brand-new cells (no base row) and
+    * untouched cells (no delta row) come through; the result is
+    * bit-identical to repacking the whole corpus against the same
+    * centroids (IvfAppendSpec). This is the refresh path a production
+    * index runs between coarse-quantizer retrains: one shuffle on the
+    * cell id per refresh batch, never a recluster of the corpus.
+    */
+  def ivfIndexAppend(packed: DataFrame, assigned: DataFrame): DataFrame = {
+    val delta = assigned.groupBy(col("cell"))
+      .agg(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nrm"))).as("dcands"))
+    packed.join(delta, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        sort_array(when(col("cands").isNull, col("dcands"))
+          .when(col("dcands").isNull, col("cands"))
+          .otherwise(concat(col("cands"), col("dcands")))).as("cands"))
+  }
+
   /** Top-k cosine neighbors per query against the packed index.
     *
     * @param queries streaming frame (vec_id, embedding) — extra columns
