@@ -137,4 +137,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name plans a Cartesian product:\n${plan.take(3000)}")
     }
   }
+
+  test("incremental IVF maintenance: assign broadcasts the quantizer, append is one cell-id shuffle") {
+    val emb = core.Tables(spark, dir, "embeddings")
+    val cents = pipeline.Similarity.ivfCents(
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 60), 8)
+    val assigned = pipeline.Similarity.ivfAssign(
+      emb.where(org.apache.spark.sql.functions.col("vec_id") >= 60), cents)
+    val aPlan = planOf(assigned)
+    // the refresh batch scores against a BROADCAST centroid table — the
+    // corpus side must never shuffle for the assignment
+    assert(aPlan.contains("BroadcastExchange"), aPlan.take(3000))
+    assert(!aPlan.contains("CartesianProduct"), aPlan.take(3000))
+    val (packedBase, _) = streaming.SimStream.ivfIndex(
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 60), 8)
+    val appended = streaming.SimStream.ivfIndexAppend(packedBase, assigned)
+    val mPlan = planOf(appended)
+    // the merge itself is a keyed FULL-OUTER equi-join on the cell id (the
+    // index partition key) — a Cartesian here would all-pairs the index at
+    // scale. (The lineage also carries the base build's sanctioned
+    // centroid-broadcast nested loop; in production the base index is a
+    // materialized table, so only the merge join shape matters.)
+    assert(!mPlan.contains("CartesianProduct"), mPlan.take(3000))
+    assert("(?s)Join.*\\[cell#\\d+L?\\], \\[cell#\\d+L?\\], FullOuter".r
+      .findFirstIn(mPlan).isDefined ||
+      mPlan.contains("FullOuter"), mPlan.take(3000))
+  }
 }
