@@ -111,6 +111,12 @@ object PipelineQueries extends QueryProvider {
       Similarity.ivfTrainedTopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
         nCells = 8, dim = Dim, k = 5).orderBy("query_id", "rank")
     }),
+    // the IVF recall knob: each query searches its 3 nearest cells
+    "sim_topk_ivf_probe" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopKProbed(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, dim = Dim, k = 5, nProbe = 3).orderBy("query_id", "rank")
+    }),
     "text_tokens" -> ((s, d) =>
       TextOps.tokens(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
@@ -195,6 +201,8 @@ object PipelineQueries extends QueryProvider {
     "sim_topk_multiprobe" -> Similarity.lshMultiProbeTopKSql(6, Dim, 5,
       "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     "sim_topk_ivf_trained" -> Similarity.ivfTrainedTopKSql(8, Dim, 5,
+      "10, 11, 12"),
+    "sim_topk_ivf_probe" -> Similarity.ivfTopKProbedSql(8, Dim, 5, 3,
       "10, 11, 12"),
     "text_tokens" -> TextOps.tokensSql,
     "text_quality" -> TextOps.qualitySql,

@@ -335,15 +335,19 @@ object StreamQueries extends QueryProvider {
     * same corpus — results must match the batch IVF search, so the batch
     * DuckDB oracle applies with the same parameters.
     */
-  private def runSim(s: SparkSession, dir: String): DataFrame = {
+  private def runSim(s: SparkSession, dir: String,
+                     nProbe: Int = 1): DataFrame = {
     val staged = stagedEmbDir(dir)
     val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
     val (packed, cents) = simIndex(s, dir)
-    val out = graft.streaming.SimStream.topKAgainstIvfIndex(
-      queries, packed, cents, k = 5)
+    val out =
+      if (nProbe == 1) graft.streaming.SimStream.topKAgainstIvfIndex(
+        queries, packed, cents, k = 5)
+      else graft.streaming.SimStream.topKAgainstIvfIndexProbed(
+        queries, packed, cents, k = 5, nProbe = nProbe)
     drain(s, out, "append")
   }
 
@@ -372,7 +376,8 @@ object StreamQueries extends QueryProvider {
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
-    "stream_sim" -> ((s, d) => runSim(s, d)))
+    "stream_sim" -> ((s, d) => runSim(s, d)),
+    "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -485,6 +490,9 @@ object StreamQueries extends QueryProvider {
     // same corpus, same query set, same parameters, same oracle
     "stream_sim" -> graft.pipeline.Similarity.ivfTopKSql(8, 64, 5,
       "10, 11, 12"),
+    // multi-probe online ANN ≡ the batch nProbe=3 search
+    "stream_sim_probe" -> graft.pipeline.Similarity.ivfTopKProbedSql(
+      8, 64, 5, 3, "10, 11, 12"),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->

@@ -133,6 +133,76 @@ object Similarity {
     Persist.handoff(out, cells)
   }
 
+  /** IVF with nProbe > 1 — the standard IVF recall knob: each query
+    * searches its nProbe nearest cells instead of one. Probe selection is
+    * the same deterministic (ccos DESC, cid ASC) ranking as the nProbe=1
+    * assignment, so nProbe=1 reproduces [[ivfTopK]] exactly; every corpus
+    * vector lives in exactly one cell and probes are distinct, so no
+    * candidate dedup is needed. Cost scales linearly in nProbe while the
+    * probe set stays a broadcast (queries × nProbe rows); recall climbs
+    * steeply because a near neighbor just across a Voronoi edge — the
+    * single-cell miss mode — is found in the second probe.
+    */
+  def ivfTopKProbed(emb: DataFrame, queries: DataFrame, nCells: Int,
+                    dim: Int, k: Int, nProbe: Int): DataFrame = {
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = ivfCents(emb, nCells)
+    val qemb = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qvec"))
+      .withColumn("qnrm", VectorOps.norm(col("qvec")))
+    val qscored = qemb.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorOps.dot(col("qvec"), col("cvec")) /
+          (col("qnrm") * col("cnrm")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = qscored.withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nProbe)
+      .select(col("q_id"), col("qvec"), col("qnrm"), col("cid").as("qcell"))
+    val scored = cells.as("t").join(broadcast(probes),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        (VectorOps.dot(col("qvec"), col("t.embedding")) /
+          (col("qnrm") * col("t.nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    Persist.handoff(out, cells)
+  }
+
+  def ivfTopKProbedSql(nCells: Int, dim: Int, k: Int, nProbe: Int,
+                       queryIds: String): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+       |               WHERE vec_id < $nCells),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id IN ($queryIds))
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} AS cos
+       |  FROM assigned t JOIN qprobe q ON q.cell = t.cell AND q.vec_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def ivfTopKSql(nCells: Int, dim: Int, k: Int, queryIds: String): String = {
     val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
     s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings

@@ -69,6 +69,72 @@ object SimStream {
           .otherwise(concat(col("cands"), col("dcands")))).as("cands"))
   }
 
+  /** Top-k cosine neighbors per query against the packed index, probing
+    * the query's `nProbe` nearest cells — STILL stateless: the probe
+    * cells come out of the same row-local centroid scoring (top-nProbe
+    * slice instead of argmax), and each probe is its own stream-static
+    * equi-join adding one more packed cell row per query, concatenated
+    * row-locally before the single score/sort/slice. nProbe joins instead
+    * of a per-query explode + windowed re-aggregation keeps the plan free
+    * of stateful operators, which is the point of the packed layout.
+    * Ranking ties and probe-selection ties are the batch
+    * [[Similarity.ivfTopKProbed]] orders, so stream ≡ batch bit-for-bit
+    * (SimStreamProbedSpec); nProbe=1 reproduces [[topKAgainstIvfIndex]].
+    */
+  def topKAgainstIvfIndexProbed(queries: DataFrame, packed: DataFrame,
+                                cents: DataFrame, k: Int,
+                                nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val passthrough = queries.columns.filterNot(
+      Set("vec_id", "embedding")).toSeq
+    val qn = queries
+      .withColumn("qnrm", VectorOps.norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+    def ccos(c: Column) =
+      VectorOps.dot(col("embedding"), c.getField("cvec")) /
+        (col("qnrm") * c.getField("cnrm"))
+    // top-nProbe cells row-locally: score once per centroid (two-pass, as
+    // in the argmax), sort by (−ccos, cid) — the batch probe ranking —
+    // and slice. Missing cells (beyond the distinct assigned set) simply
+    // fail their probe join below.
+    val scoredCents = transform(col("cents"),
+      c => struct(ccos(c).as("s"), c.getField("cid").as("cid")))
+    val probeCells = transform(
+      slice(array_sort(transform(scoredCents,
+        s => struct((-s.getField("s")).as("ns"), s.getField("cid").as("cid")))),
+        1, nProbe),
+      x => x.getField("cid"))
+    val assigned = qn.withColumn("pcells", probeCells).drop("cents")
+    // one LEFT equi-join per probe: a probe whose cell has no packed row
+    // (possible when nProbe exceeds the occupied-cell count) contributes
+    // null, filtered out of the row-local concat
+    val joined = (0 until nProbe).foldLeft(assigned) { (df, i) =>
+      df.join(packed.select(col("cell").as(s"cell$i"),
+          col("cands").as(s"cands$i")),
+        element_at(col("pcells"), i + 1) === col(s"cell$i"), "left_outer")
+        .drop(s"cell$i")
+    }
+    val allCands = flatten(filter(
+      array((0 until nProbe).map(i => col(s"cands$i")): _*),
+      a => a.isNotNull))
+    def qcos(c: Column) =
+      VectorOps.dot(col("embedding"), c.getField("embedding")) /
+        (col("qnrm") * c.getField("nrm"))
+    val scored0 = transform(
+      filter(allCands, c => c.getField("vec_id") =!= col("vec_id")),
+      c => struct(qcos(c).as("cos"), c.getField("vec_id").as("vid")))
+    val scored = transform(scored0,
+      s => struct((-s.getField("cos")).as("nc"), s.getField("vid").as("vid"),
+        s.getField("cos").as("cos")))
+    val top = slice(array_sort(scored), 1, k)
+    joined
+      .select(passthrough.map(col) ++
+        Seq(col("vec_id").as("query_id"), posexplode(top)): _*)
+      .select(passthrough.map(col) ++ Seq(col("query_id"),
+        col("col.vid").as("vec_id"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rank")): _*)
+  }
+
   /** Top-k cosine neighbors per query against the packed index.
     *
     * @param queries streaming frame (vec_id, embedding) — extra columns
