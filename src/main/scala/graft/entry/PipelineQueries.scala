@@ -117,6 +117,12 @@ object PipelineQueries extends QueryProvider {
       Similarity.ivfTopKProbed(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
         nCells = 8, dim = Dim, k = 5, nProbe = 3).orderBy("query_id", "rank")
     }),
+    // int8-quantized index scoring + full-precision rerank of the top 15
+    "sim_topk_ivf_sq8" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfSq8TopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, dim = Dim, k = 5, rerank = 15).orderBy("query_id", "rank")
+    }),
     "text_tokens" -> ((s, d) =>
       TextOps.tokens(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
@@ -203,6 +209,8 @@ object PipelineQueries extends QueryProvider {
     "sim_topk_ivf_trained" -> Similarity.ivfTrainedTopKSql(8, Dim, 5,
       "10, 11, 12"),
     "sim_topk_ivf_probe" -> Similarity.ivfTopKProbedSql(8, Dim, 5, 3,
+      "10, 11, 12"),
+    "sim_topk_ivf_sq8" -> Similarity.ivfSq8TopKSql(8, Dim, 5, 15,
       "10, 11, 12"),
     "text_tokens" -> TextOps.tokensSql,
     "text_quality" -> TextOps.qualitySql,

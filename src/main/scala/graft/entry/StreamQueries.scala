@@ -330,6 +330,34 @@ object StreamQueries extends QueryProvider {
         graft.core.Caches.sanction(cents.persist(lvl)))
     })
 
+  private val sq8IndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def sq8Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    sq8IndexCache.computeIfAbsent((s, dir), { _ =>
+      val (packed, cents) = graft.streaming.SimStream.sq8Index(
+        graft.core.Tables(s, dir, "embeddings"), nCells = 8)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (graft.core.Caches.sanction(packed.persist(lvl)),
+        graft.core.Caches.sanction(cents.persist(lvl)))
+    })
+
+  /** Online quantized ANN gate: same replay, searched against the SQ8
+    * packed index — results must match the batch quantized-only ranking
+    * ([[graft.pipeline.Similarity.ivfSq8QuantTopK]]), whose SQL is the
+    * oracle.
+    */
+  private def runSimSq8(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val queries = s.readStream.schema(sch).parquet(staged)
+      .where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding")
+    val (packed, cents) = sq8Index(s, dir)
+    val out = graft.streaming.SimStream.topKAgainstSq8Index(
+      queries, packed, cents, k = 5)
+    drain(s, out, "append")
+  }
+
   /** Online ANN gate: the embeddings replay filtered to the batch
     * `sim_topk_ivf` query set, searched against the packed index of the
     * same corpus — results must match the batch IVF search, so the batch
@@ -377,7 +405,8 @@ object StreamQueries extends QueryProvider {
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
     "stream_sim" -> ((s, d) => runSim(s, d)),
-    "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)))
+    "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)),
+    "stream_sim_sq8" -> ((s, d) => runSimSq8(s, d)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -493,6 +522,9 @@ object StreamQueries extends QueryProvider {
     // multi-probe online ANN ≡ the batch nProbe=3 search
     "stream_sim_probe" -> graft.pipeline.Similarity.ivfTopKProbedSql(
       8, 64, 5, 3, "10, 11, 12"),
+    // quantized online ANN ≡ the batch quantized-only ranking
+    "stream_sim_sq8" -> graft.pipeline.Similarity.ivfSq8QuantTopKSql(
+      8, 64, 5, "10, 11, 12"),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->

@@ -172,6 +172,202 @@ object Similarity {
     Persist.handoff(out, cells)
   }
 
+  /** Per-vector int8 scalar quantization of an assigned-cell table
+    * (vec_id, embedding, cell, …): each vector stores its own (lo, step)
+    * linear grid and a 1-byte code per dimension — 4× less index memory
+    * than float32, which is THE resident-index constraint at 100 TB
+    * (the full-precision corpus stays in cold storage for reranking).
+    * Deterministic and engine-comparable: codes are half-up-rounded grid
+    * positions, reconstruction is `lo + code*step` in exact double
+    * arithmetic, so the DuckDB oracle rebuilds bit-identical values.
+    * Constant vectors (range 0) code to grid position 0 everywhere and
+    * reconstruct to `lo` exactly.
+    */
+  def sq8Quantize(assigned: DataFrame): DataFrame = {
+    val lo = array_min(col("embedding")).cast("double")
+    val rng = array_max(col("embedding")).cast("double") - lo
+    val base = assigned.withColumn("lo", lo).withColumn("rng", rng)
+      .withColumn("step", col("rng") / 255d)
+    val code = transform(col("embedding"), v =>
+      when(col("rng") === 0d, lit(-128).cast("byte"))
+        .otherwise((round((v.cast("double") - col("lo")) / col("rng") * 255)
+          - 128).cast("byte")))
+    val coded = base.withColumn("code", code)
+    val dq = VectorOps.sq8Dequant(col("code"), col("lo"), col("step"))
+    coded.withColumn("dnrm", sqrt(VectorOps.dot(dq, dq)))
+      .select(col("vec_id"), col("cell"), col("lo"), col("step"),
+        col("code"), col("dnrm"))
+  }
+
+  /** IVF search over the scalar-quantized index with full-precision
+    * rerank: candidates in the query's cell are scored against the
+    * DEQUANTIZED codes (asymmetric — the query stays float32), the top
+    * `rerank` survivors are re-scored with the exact kernel against the
+    * full-precision embeddings, and the final top-k ranks by exact
+    * cosine. `rerank` at least the cell size makes the output identical
+    * to [[ivfTopK]] by construction (the shortlist is the whole cell);
+    * `rerank` ≈ 3k keeps it near-identical at a fraction of the exact
+    * scoring (Sq8Spec measures the match rate). At 100 TB the quantized
+    * index is the resident artifact (4× smaller), the rerank join is a
+    * broadcast of queries × rerank ids against the cold full-precision
+    * table — an equi-join on vec_id, never a second cell scan.
+    */
+  def ivfSq8TopK(emb: DataFrame, queries: DataFrame, nCells: Int,
+                 dim: Int, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = sq8Quantize(cells)
+    val qcells = cells.join(
+      broadcast(queries.select(col("vec_id").as("qid"))),
+      col("vec_id") === col("qid"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"), col("cell").as("qcell"))
+    val dq = VectorOps.sq8Dequant(col("code"), col("lo"), col("step"))
+    val qscored = idx.as("t").join(broadcast(qcells),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .select(col("q_id"), col("qvec"), col("qnrm"),
+        col("t.vec_id").as("vec_id"),
+        (VectorOps.dot(col("qvec"), dq) /
+          (col("qnrm") * col("dnrm"))).as("qcos"))
+    val ws = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val shortlist = qscored.withColumn("srn", row_number().over(ws))
+      .where(col("srn") <= rerank)
+      .select(col("q_id"), col("qvec"), col("qnrm"), col("vec_id"))
+    val full = emb.select(col("vec_id").as("t_id"),
+      col("embedding").as("tvec"),
+      VectorOps.norm(col("embedding")).as("tnrm"))
+    val rescored = full.join(broadcast(shortlist),
+        col("t_id") === col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id"),
+        (VectorOps.dot(col("qvec"), col("tvec")) /
+          (col("qnrm") * col("tnrm"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    Persist.handoff(out, cells)
+  }
+
+  /** Quantized-only IVF ranking — what a memory-constrained resident
+    * index answers BY ITSELF, before any full-precision rerank: ranks by
+    * the asymmetric quantized cosine (float query × dequantized int8
+    * corpus). This is the streaming posture
+    * ([[graft.streaming.SimStream.topKAgainstSq8Index]] — a stateless
+    * stream cannot re-sort after a rerank join), and its batch twin here
+    * is the parity/oracle anchor for that path.
+    */
+  def ivfSq8QuantTopK(emb: DataFrame, queries: DataFrame, nCells: Int,
+                      dim: Int, k: Int): DataFrame = {
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = sq8Quantize(cells)
+    val qcells = cells.join(
+      broadcast(queries.select(col("vec_id").as("qid"))),
+      col("vec_id") === col("qid"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"), col("cell").as("qcell"))
+    val dq = VectorOps.sq8Dequant(col("code"), col("lo"), col("step"))
+    val scored = idx.as("t").join(broadcast(qcells),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        (VectorOps.dot(col("qvec"), dq) /
+          (col("qnrm") * col("dnrm"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    Persist.handoff(out, cells)
+  }
+
+  def ivfSq8QuantTopKSql(nCells: Int, dim: Int, k: Int,
+                         queryIds: String): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+       |               WHERE vec_id < $nCells),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |quant AS (
+       |  SELECT vec_id, cell, lo, step,
+       |         [${VectorOps.sq8CodeSql("embedding[i]", "lo", "rng")}
+       |          for i in range(1, ${dim + 1})] AS code0
+       |  FROM (SELECT vec_id, cell, embedding,
+       |               CAST(list_min(embedding) AS DOUBLE) AS lo,
+       |               CAST(list_max(embedding) AS DOUBLE) -
+       |                 CAST(list_min(embedding) AS DOUBLE) AS rng,
+       |               (CAST(list_max(embedding) AS DOUBLE) -
+       |                 CAST(list_min(embedding) AS DOUBLE))/255 AS step
+       |        FROM assigned)),
+       |qcells AS (SELECT vec_id AS q_id, embedding AS qvec, cell AS qcell
+       |           FROM assigned WHERE vec_id IN ($queryIds)),
+       |scored AS (
+       |  SELECT q.q_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.sq8DotSql("q.qvec", "t.lo", "t.code0", "t.step", dim)} /
+       |           (${VectorOps.normSql("q.qvec", dim)} *
+       |            ${VectorOps.sq8NormSql("t.lo", "t.code0", "t.step", dim)}) AS cos
+       |  FROM quant t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  def ivfSq8TopKSql(nCells: Int, dim: Int, k: Int, rerank: Int,
+                    queryIds: String): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+       |               WHERE vec_id < $nCells),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |quant AS (
+       |  SELECT vec_id, cell, lo, step,
+       |         [${VectorOps.sq8CodeSql("embedding[i]", "lo", "rng")}
+       |          for i in range(1, ${dim + 1})] AS code0
+       |  FROM (SELECT vec_id, cell, embedding,
+       |               CAST(list_min(embedding) AS DOUBLE) AS lo,
+       |               CAST(list_max(embedding) AS DOUBLE) -
+       |                 CAST(list_min(embedding) AS DOUBLE) AS rng,
+       |               (CAST(list_max(embedding) AS DOUBLE) -
+       |                 CAST(list_min(embedding) AS DOUBLE))/255 AS step
+       |        FROM assigned)),
+       |qcells AS (SELECT vec_id AS q_id, embedding AS qvec, cell AS qcell
+       |           FROM assigned WHERE vec_id IN ($queryIds)),
+       |qscored AS (
+       |  SELECT q.q_id, q.qvec, t.vec_id,
+       |         ${VectorOps.sq8DotSql("q.qvec", "t.lo", "t.code0", "t.step", dim)} /
+       |           (${VectorOps.normSql("q.qvec", dim)} *
+       |            ${VectorOps.sq8NormSql("t.lo", "t.code0", "t.step", dim)}) AS qcos
+       |  FROM quant t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |shortlist AS (
+       |  SELECT q_id, qvec, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY qcos DESC, vec_id) AS srn FROM qscored)
+       |  WHERE srn <= $rerank),
+       |rescored AS (
+       |  SELECT s.q_id AS query_id, s.vec_id,
+       |         ${VectorOps.cosineSql("s.qvec", "e.embedding", dim)} AS cos
+       |  FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM rescored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def ivfTopKProbedSql(nCells: Int, dim: Int, k: Int, nProbe: Int,
                        queryIds: String): String = {
     val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)

@@ -38,6 +38,39 @@ object VectorOps {
   def cosineSql(a: String, b: String, dim: Int): String =
     s"${dotSql(a, b, dim)} / (${normSql(a, dim)} * ${normSql(b, dim)})"
 
+  /** Dequantize per-vector int8 scalar-quantized codes back to doubles:
+    * `lo + (code + 128) * step`. The +128 undoes the storage offset that
+    * fits the [0, 255] code range into a signed byte — the offset is pure
+    * storage, the reconstructed values are identical to the unshifted
+    * form, which is what [[sq8DequantSql]] mirrors. Result is an
+    * `array<double>` accepted directly by the fixed-point [[dot]].
+    */
+  def sq8Dequant(code: Column, lo: Column, step: Column): Column =
+    transform(code, c => lo + (c.cast("double") + lit(128d)) * step)
+
+  /** DuckDB mirrors for the SQ8 path. `code0` is the UNSHIFTED [0, 255]
+    * code (see [[sq8Dequant]] — bit-identical reconstruction): element i
+    * of the code list built by [[sq8CodeSql]].
+    */
+  def sq8CodeSql(v: String, lo: String, rng: String): String =
+    s"(CASE WHEN $rng = 0 THEN 0 ELSE CAST(ROUND((CAST($v AS DOUBLE) - $lo)/$rng*255, 0) AS INTEGER) END)"
+  def sq8DequantSql(lo: String, code0: String, step: String): String =
+    s"($lo + CAST($code0 AS DOUBLE) * $step)"
+  /** Fixed-point dot of a float query against a dequantized SQ8 vector —
+    * same scaled-long fold as [[dotSql]], corpus side reconstructed
+    * per-term.
+    */
+  def sq8DotSql(q: String, lo: String, code0: String, step: String,
+                dim: Int): String =
+    s"CAST(CAST(list_sum([CAST(ROUND(CAST($q[i] AS DOUBLE)*${sq8DequantSql(lo, s"$code0[i]", step)}*1e15, 0) AS BIGINT) " +
+      s"for i in range(1, ${dim + 1})]) AS BIGINT) AS DOUBLE)/1e15"
+  def sq8NormSql(lo: String, code0: String, step: String,
+                 dim: Int): String = {
+    val d = sq8DequantSql(lo, s"$code0[i]", step)
+    s"SQRT(CAST(CAST(list_sum([CAST(ROUND($d*$d*1e15, 0) AS BIGINT) " +
+      s"for i in range(1, ${dim + 1})]) AS BIGINT) AS DOUBLE)/1e15)"
+  }
+
   /** Deterministic pseudo-random hyperplane component for LSH bit `j`,
     * dimension `d` (1-based): the first hex digit of md5("j_d") mapped to
     * [-7.5, 7.5]. Same construction in [[hyperplaneSql]].

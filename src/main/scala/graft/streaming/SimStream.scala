@@ -47,6 +47,78 @@ object SimStream {
     (packed, cents)
   }
 
+  /** The scalar-quantized packed index: (cell, cands:
+    * array<struct<vec_id, lo, step, code, dnrm>>) — int8 codes instead of
+    * float32 embeddings, 4× less resident memory, which is the binding
+    * constraint for the ALWAYS-LOADED streaming index (the batch engine
+    * can spill its index; the online path cannot). Same one-row centroid
+    * array as [[ivfIndex]].
+    */
+  def sq8Index(emb: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
+    val packed = Similarity.sq8Quantize(Similarity.ivfCells(emb, nCells))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("lo"), col("step"), col("code"),
+          col("dnrm")))).as("cands"))
+    val cents = Similarity.ivfCents(emb, nCells)
+      .agg(sort_array(collect_list(
+        struct(col("cid"), col("cvec"), col("cnrm")))).as("cents"))
+    (packed, cents)
+  }
+
+  /** Top-k QUANTIZED cosine neighbors per query against the packed SQ8
+    * index — the same stateless single-join shape as
+    * [[topKAgainstIvfIndex]], with each candidate scored asymmetrically
+    * (float query × dequantized int8 member, the batch
+    * [[Similarity.ivfSq8QuantTopK]] kernel and tie-breaks, so stream ≡
+    * batch bit-for-bit — SimStreamSq8Spec). No rerank stage on the
+    * stream: a stateless plan cannot re-sort after a second join, so the
+    * quantized ranking IS the online answer; pipe the result into the
+    * batch [[Similarity.ivfSq8TopK]] rerank when exact cosines matter.
+    */
+  def topKAgainstSq8Index(queries: DataFrame, packed: DataFrame,
+                          cents: DataFrame, k: Int): DataFrame = {
+    val passthrough = queries.columns.filterNot(
+      Set("vec_id", "embedding")).toSeq
+    val qn = queries
+      .withColumn("qnrm", VectorOps.norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+    def ccos(c: Column) =
+      VectorOps.dot(col("embedding"), c.getField("cvec")) /
+        (col("qnrm") * c.getField("cnrm"))
+    val scoredCents = transform(col("cents"),
+      c => struct(ccos(c).as("s"), c.getField("cid").as("cid")))
+    val best = aggregate(
+      scoredCents,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
+      (acc, c) => when(c.getField("s") > acc.getField("s"), c)
+        .otherwise(acc))
+    val assigned = qn
+      .withColumn("qcell", best.getField("cid")).drop("cents")
+    val joined = assigned.join(packed, col("qcell") === col("cell"))
+    // asymmetric quantized cosine: dequantize the member's codes
+    // row-locally (lo + (code+128)*step — see VectorOps.sq8Dequant) and
+    // run the same fixed-point dot; dnrm was precomputed at pack time
+    def dqArr(c: Column) = transform(c.getField("code"), b =>
+      c.getField("lo") + (b.cast("double") + lit(128d)) * c.getField("step"))
+    def qcos(c: Column) =
+      VectorOps.dot(col("embedding"), dqArr(c)) /
+        (col("qnrm") * c.getField("dnrm"))
+    val scored0 = transform(
+      filter(col("cands"), c => c.getField("vec_id") =!= col("vec_id")),
+      c => struct(qcos(c).as("cos"), c.getField("vec_id").as("vid")))
+    val scored = transform(scored0,
+      s => struct((-s.getField("cos")).as("nc"), s.getField("vid").as("vid"),
+        s.getField("cos").as("cos")))
+    val top = slice(array_sort(scored), 1, k)
+    joined
+      .select(passthrough.map(col) ++
+        Seq(col("vec_id").as("query_id"), posexplode(top)): _*)
+      .select(passthrough.map(col) ++ Seq(col("query_id"),
+        col("col.vid").as("vec_id"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rank")): _*)
+  }
+
   /** Incremental index refresh: fold a batch of NEWLY-ASSIGNED vectors
     * (rows from [[Similarity.ivfAssign]] against the index's OWN frozen
     * centroid table) into the packed index — union each cell's members
