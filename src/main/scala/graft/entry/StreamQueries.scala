@@ -387,6 +387,19 @@ object StreamQueries extends QueryProvider {
   private def runQuality(s: SparkSession, dir: String): DataFrame =
     drain(s, graft.pipeline.TextOps.quality(docStream(s, dir)), "append")
 
+  /** Streaming curation-sampling gate: [[graft.pipeline.Curation
+    * .sampleStratified]] is a deterministic per-row filter (md5 threshold
+    * keyed on doc_id), so the batch operator runs on the stream verbatim
+    * — stateless, no watermark, admission decided the moment a document
+    * arrives. Same rates as the batch `sample_stratified` gate, same
+    * oracle.
+    */
+  private def runSample(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.Curation.sampleStratified(
+        docStream(s, dir), "lang",
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1), 0.2)
+      .select("doc_id", "lang", "source"), "append")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
@@ -404,6 +417,7 @@ object StreamQueries extends QueryProvider {
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
+    "stream_sample" -> ((s, d) => runSample(s, d)),
     "stream_sim" -> ((s, d) => runSim(s, d)),
     "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)),
     "stream_sim_sq8" -> ((s, d) => runSimSq8(s, d)))
@@ -515,6 +529,10 @@ object StreamQueries extends QueryProvider {
     // the batch text-quality operator runs unchanged on the stream, so
     // the batch oracle applies verbatim
     "stream_quality" -> graft.pipeline.TextOps.qualitySql,
+    // the batch stratified-sampling operator verbatim on the stream
+    "stream_sample" -> graft.pipeline.Curation.sampleStratifiedSql("lang",
+      Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1), 0.2,
+      "doc_id, lang, source"),
     // the packed-index online ANN must reproduce the batch IVF search —
     // same corpus, same query set, same parameters, same oracle
     "stream_sim" -> graft.pipeline.Similarity.ivfTopKSql(8, 64, 5,

@@ -130,16 +130,38 @@ object SimStream {
     * index runs between coarse-quantizer retrains: one shuffle on the
     * cell id per refresh batch, never a recluster of the corpus.
     */
-  def ivfIndexAppend(packed: DataFrame, assigned: DataFrame): DataFrame = {
-    val delta = assigned.groupBy(col("cell"))
+  def ivfIndexAppend(packed: DataFrame, assigned: DataFrame): DataFrame =
+    mergePacked(packed, assigned.groupBy(col("cell"))
       .agg(collect_list(
-        struct(col("vec_id"), col("embedding"), col("nrm"))).as("dcands"))
+        struct(col("vec_id"), col("embedding"), col("nrm"))).as("dcands")))
+
+  /** [[ivfIndexAppend]] for the quantized index: quantize the
+    * newly-assigned batch (per-vector grids depend on nothing but the
+    * vector itself, so the delta's codes are bit-identical to what a full
+    * repack would produce) and fold it in with the same full-outer cell
+    * merge. The resident int8 artifact gets the same append-only refresh
+    * cadence as the float index (Sq8AppendSpec: append ≡ repack; search
+    * parity over the appended index).
+    */
+  def sq8IndexAppend(packed: DataFrame, assigned: DataFrame): DataFrame =
+    mergePacked(packed, Similarity.sq8Quantize(assigned)
+      .groupBy(col("cell"))
+      .agg(collect_list(
+        struct(col("vec_id"), col("lo"), col("step"), col("code"),
+          col("dnrm"))).as("dcands")))
+
+  /** Full-outer keyed merge of a packed index with a per-cell delta:
+    * union each cell's members and restore the vec_id order the
+    * row-local search relies on; brand-new cells (no base row) and
+    * untouched cells (no delta row) both come through. One shuffle on
+    * the cell id — the index partition key — per refresh batch.
+    */
+  private def mergePacked(packed: DataFrame, delta: DataFrame): DataFrame =
     packed.join(delta, Seq("cell"), "full_outer")
       .select(col("cell"),
         sort_array(when(col("cands").isNull, col("dcands"))
           .when(col("dcands").isNull, col("cands"))
           .otherwise(concat(col("cands"), col("dcands")))).as("cands"))
-  }
 
   /** Top-k cosine neighbors per query against the packed index, probing
     * the query's `nProbe` nearest cells — STILL stateless: the probe

@@ -163,4 +163,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .findFirstIn(mPlan).isDefined ||
       mPlan.contains("FullOuter"), mPlan.take(3000))
   }
+
+  test("sq8 search plans: no Cartesian anywhere, rerank joins broadcast") {
+    val emb = core.Tables(spark, dir, "embeddings")
+    val queries = emb.where(
+      org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select("vec_id", "embedding")
+    // quantized + rerank: candidate scoring joins on the cell id, the
+    // rerank shortlist broadcasts against the full-precision table — a
+    // Cartesian in either stage would all-pairs the corpus at scale
+    val sq8 = planOf(pipeline.Similarity.ivfSq8TopK(
+      emb, queries, 8, 64, k = 5, rerank = 15))
+    assert(!sq8.contains("CartesianProduct"), sq8.take(3000))
+    assert(sq8.contains("BroadcastExchange"), sq8.take(3000))
+    val quant = planOf(pipeline.Similarity.ivfSq8QuantTopK(
+      emb, queries, 8, 64, k = 5))
+    assert(!quant.contains("CartesianProduct"), quant.take(3000))
+    // the sq8 append merge keeps the keyed full-outer shape
+    val cents = pipeline.Similarity.ivfCents(
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 60), 8)
+    val (packedBase, _) = streaming.SimStream.sq8Index(
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 60), 8)
+    val appended = streaming.SimStream.sq8IndexAppend(packedBase,
+      pipeline.Similarity.ivfAssign(
+        emb.where(org.apache.spark.sql.functions.col("vec_id") >= 60),
+        cents))
+    val mPlan = planOf(appended)
+    assert(!mPlan.contains("CartesianProduct"), mPlan.take(3000))
+    assert(mPlan.contains("FullOuter"), mPlan.take(3000))
+  }
 }
