@@ -176,6 +176,34 @@ object Scratch {
     // vectors as queries, so the per-candidate cosine dominates the replay
     for (run <- 1 to 3)
       t(s"run$run stream ANN allq sf1")(drainSim(s"simall$run", 1))
+
+    // ---- sq8 index: measured residency vs the float index + replay ----
+    val (packedQ, centsQ) = t("sq8Index build+persist sf1 (nCells=224)") {
+      val (p, c) = graft.streaming.SimStream.sq8Index(emb10, nCells = 224)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pp = p.persist(lvl); val cp = c.persist(lvl)
+      pp.count(); cp.count()
+      (pp, cp)
+    }
+    // both packed indexes are now cached — the storage listing is the
+    // residency evidence (float rows vs int8 rows over the same corpus)
+    for (info <- spark.sparkContext.getRDDStorageInfo)
+      println(f"[scratch] cached id=${info.id} mem=${
+        info.memSize / 1048576.0}%.1f MB disk=${
+        info.diskSize / 1048576.0}%.1f MB name=${info.name}")
+    def drainSimSq8(name: String, mod: Int): Unit = {
+      val q = graft.streaming.SimStream.topKAgainstSq8Index(
+        spark.readStream.schema(qsch).parquet(s"$out/embeddings.parquet")
+          .where(col("vec_id") % mod === 0)
+          .select("vec_id", "embedding"),
+        packedQ, centsQ, k = 5)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$out/ckpt-$name-${System.nanoTime()}")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    for (run <- 1 to 2)
+      t(s"run$run stream sq8 ANN 10pct-queries sf1")(drainSimSq8(s"sq8$run", 10))
     spark.stop()
   }
 }

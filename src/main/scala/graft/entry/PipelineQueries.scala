@@ -146,6 +146,10 @@ object PipelineQueries extends QueryProvider {
     "curate_topk" -> ((s, d) =>
       Curation.topkByQuality(docs(s, d), "lang", 10)
         .orderBy("lang", "rank")),
+    // diversity-aware sampling: 10 hash-first docs per embedding cluster
+    "sample_by_cluster" -> ((s, d) =>
+      Curation.sampleByCluster(docs(s, d), emb(s, d), nCells = 8,
+        perCell = 10).orderBy("cell", "rank")),
     // token-budget sequence packing (contiguous chunk index per source)
     "pack_tokens" -> ((s, d) =>
       Curation.packTokenBudget(docs(s, d), 4096)
@@ -219,6 +223,7 @@ object PipelineQueries extends QueryProvider {
     "decon_ngram" -> Curation.decontaminateSql(3),
     "sample_stratified" -> Curation.sampleStratifiedSql("lang", SampleRates,
       0.2, "doc_id, lang, source"),
+    "sample_by_cluster" -> Curation.sampleByClusterSql(8, Dim, 10),
     "curate_topk" -> Curation.topkByQualitySql(10),
     "pack_tokens" -> Curation.packTokenBudgetSql(4096),
     "mm_decode" -> Multimodal.decodeMetaSql,

@@ -105,6 +105,60 @@ object Curation {
       .where(col("rank") <= k)
   }
 
+  /** Cluster-balanced sampling — diversity-aware curation: instead of a
+    * metadata stratum (language, source), strata are EMBEDDING clusters
+    * (the frozen first-`nCells` coarse quantizer from the ANN path,
+    * [[Similarity.ivfAssign]]), and each cluster keeps exactly its
+    * `perCell` hash-first documents. Balancing on content clusters is the
+    * standard counter to topic collapse in web corpora: a dominant near-
+    * duplicate topic (one giant cell) contributes `perCell` docs, the
+    * same as a rare one. Selection within a cell orders by the SAME
+    * md5(doc_id) uniform hash as [[sampleStratified]] (ties impossible —
+    * doc_id breaks), so the draw is uniform-at-random yet deterministic
+    * and engine-reproducible.
+    *
+    * Scale shape: centroid assignment is the broadcast-quantizer join
+    * ([[Similarity.ivfAssign]] — corpus never shuffles for it), the
+    * doc↔embedding bridge is an equi-join on the id, and the rank filter
+    * is window-group-limited (each task keeps its local `perCell` before
+    * the exchange — PlanSpec-asserted, same rewrite as [[topkByQuality]]).
+    */
+  def sampleByCluster(docs: DataFrame, emb: DataFrame, nCells: Int,
+                      perCell: Int): DataFrame = {
+    val assigned = Similarity.ivfAssign(emb, Similarity.ivfCents(emb, nCells))
+      .select(col("vec_id"), col("cell"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("cell")).orderBy(u.asc, col("doc_id").asc)
+    docs.join(assigned, docs("doc_id") === assigned("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("cell"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= perCell)
+  }
+
+  /** SQL mirror of [[sampleByCluster]] over `documents` × `embeddings`. */
+  def sampleByClusterSql(nCells: Int, dim: Int, perCell: Int): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+       |               WHERE vec_id < $nCells),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |ranked AS (
+       |  SELECT d.doc_id, d.lang, d.source, a.cell,
+       |         ROW_NUMBER() OVER (PARTITION BY a.cell
+       |           ORDER BY CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+       |                    d.doc_id) AS rank
+       |  FROM documents d JOIN assigned a ON d.doc_id = a.vec_id)
+       |SELECT doc_id, lang, source, cell, rank FROM ranked
+       |WHERE rank <= $perCell
+       |ORDER BY cell, rank""".stripMargin
+  }
+
   // ------------------------------------------------ token-budget packing
 
   /** Contiguous token-budget chunking — the deterministic index-assignment

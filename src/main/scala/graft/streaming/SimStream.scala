@@ -201,11 +201,15 @@ object SimStream {
     val assigned = qn.withColumn("pcells", probeCells).drop("cents")
     // one LEFT equi-join per probe: a probe whose cell has no packed row
     // (possible when nProbe exceeds the occupied-cell count) contributes
-    // null, filtered out of the row-local concat
+    // null, filtered out of the row-local concat. `get` (0-based) rather
+    // than `element_at`: when nProbe exceeds the CENTROID count, pcells
+    // is shorter than nProbe, and under ANSI mode (Spark 4 default)
+    // element_at throws on the out-of-bounds slot where get yields null —
+    // a null probe key matches nothing, which is the wanted semantics
     val joined = (0 until nProbe).foldLeft(assigned) { (df, i) =>
       df.join(packed.select(col("cell").as(s"cell$i"),
           col("cands").as(s"cands$i")),
-        element_at(col("pcells"), i + 1) === col(s"cell$i"), "left_outer")
+        get(col("pcells"), lit(i)) === col(s"cell$i"), "left_outer")
         .drop(s"cell$i")
     }
     val allCands = flatten(filter(

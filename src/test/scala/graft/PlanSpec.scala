@@ -117,6 +117,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shuffle for the join
     val decon = planOf(entry.PipelineQueries.queries("decon_ngram")(spark, dir))
     assert(decon.contains("BroadcastHashJoin"), decon.take(3000))
+    // cluster-balanced sampling keeps the same two-phase rank shape, and
+    // its quantizer assignment must broadcast (never shuffle the corpus)
+    val clu = planOf(
+      entry.PipelineQueries.queries("sample_by_cluster")(spark, dir))
+    assert(clu.contains("WindowGroupLimit"), clu.take(3000))
+    assert(!clu.contains("CartesianProduct"), clu.take(3000))
   }
 
   test("no pairwise operator plans an unblocked Cartesian product") {

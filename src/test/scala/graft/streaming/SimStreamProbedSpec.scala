@@ -84,6 +84,18 @@ class SimStreamProbedSpec extends AnyFunSuite with BeforeAndAfterAll {
       "probe selection is broken or the fixture stopped exercising it")
   }
 
+  test("nProbe past the centroid count degrades to probing every cell") {
+    // pcells is capped at the centroid count; the extra probe joins must
+    // contribute nothing (null probe key), not throw under ANSI mode
+    val (emb, packed, cents) = fixture()
+    val queries = emb.where(col("vec_id") < 20).select("vec_id", "embedding")
+    val over = rows(SimStream.topKAgainstIvfIndexProbed(
+      queries, packed, cents, k = 5, nProbe = NCells + 4))
+    val all = rows(SimStream.topKAgainstIvfIndexProbed(
+      queries, packed, cents, k = 5, nProbe = NCells))
+    assert(over.nonEmpty && over == all)
+  }
+
   test("probed search runs as a stateless stream") {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
