@@ -387,6 +387,17 @@ object StreamQueries extends QueryProvider {
   private def runQuality(s: SparkSession, dir: String): DataFrame =
     drain(s, graft.pipeline.TextOps.quality(docStream(s, dir)), "append")
 
+  /** The online admission capstone: per-arriving-document verdicts
+    * (dup / low_quality / kept) with a deterministic first-arrival dedup
+    * leg — the streaming analog of the batch `corpus_decisions` gate
+    * (near-dup canonicalization there; watermark-bounded exact-dup
+    * state here, with the same quality operator and threshold).
+    */
+  private def runDecisions(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.streaming.DocStream.decisions(
+      docStream(s, dir), "1 minute", retainMs = 60000L,
+      qualityThreshold = 0.46), "append")
+
   /** Streaming curation-sampling gate: [[graft.pipeline.Curation
     * .sampleStratified]] is a deterministic per-row filter (md5 threshold
     * keyed on doc_id), so the batch operator runs on the stream verbatim
@@ -418,6 +429,7 @@ object StreamQueries extends QueryProvider {
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
     "stream_sample" -> ((s, d) => runSample(s, d)),
+    "stream_decisions" -> ((s, d) => runDecisions(s, d)),
     "stream_sim" -> ((s, d) => runSim(s, d)),
     "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)),
     "stream_sim_sq8" -> ((s, d) => runSimSq8(s, d)))
@@ -533,6 +545,8 @@ object StreamQueries extends QueryProvider {
     "stream_sample" -> graft.pipeline.Curation.sampleStratifiedSql("lang",
       Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1), 0.2,
       "doc_id, lang, source"),
+    // per-document online verdicts: first-arrival dup + quality floor
+    "stream_decisions" -> graft.pipeline.Corpus.streamDecisionsSql(0.46),
     // the packed-index online ANN must reproduce the batch IVF search —
     // same corpus, same query set, same parameters, same oracle
     "stream_sim" -> graft.pipeline.Similarity.ivfTopKSql(8, 64, 5,

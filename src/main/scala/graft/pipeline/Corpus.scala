@@ -64,4 +64,37 @@ object Corpus {
        |JOIN q ON q.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Oracle for the STREAMING capstone
+    * ([[graft.streaming.DocStream.decisions]]): dup = not the first
+    * arrival of the text hash in (ts, doc_id) order — the gate replay
+    * synthesizes ts from doc_id, so arrival order IS doc_id order — and
+    * quality judges only the first copy. Same quality formula and
+    * precedence as [[decisionsSql]].
+    */
+  def streamDecisionsSql(qualityThreshold: Double): String = {
+    val stops = TextOps.Stopwords.map(s =>
+      s"CAST(len(list_filter(w, x -> x = '$s')) AS DOUBLE)").mkString(" + ")
+    s"""WITH arrival AS (
+       |  SELECT doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |           ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    0.4*(($stops)/nw) +
+       |    0.3*(1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text)) +
+       |    0.3*LEAST(((CAST(length(text) AS DOUBLE) - (nw - 1))/nw)/10.0, 1.0) AS quality
+       |  FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w,
+       |               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS nw
+       |        FROM documents))
+       |SELECT d.doc_id,
+       |  CASE WHEN a.rn > 1 THEN 'dup'
+       |       WHEN q.quality < $qualityThreshold THEN 'low_quality'
+       |       ELSE 'kept' END AS decision
+       |FROM documents d
+       |JOIN arrival a ON a.doc_id = d.doc_id
+       |JOIN q ON q.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -41,6 +41,72 @@ object DocStream {
   def curate(docs: DataFrame, watermark: String): DataFrame =
     graft.pipeline.TextOps.withQuality(dedupExact(docs, watermark))
 
+  // not `private`: Catalyst's generated (de)serializers access these from
+  // synthesized classes outside this object
+  case class DocIn(text_hash: String, ts: java.sql.Timestamp,
+                   doc_id: Long, quality: Double)
+  case class DecOut(doc_id: Long, decision: String)
+  /** keyed state for [[decisions]]: the hash's earliest arrival */
+  case class SeenHash(firstTsMs: Long, firstDocId: Long)
+
+  /** The ONLINE admission capstone — the streaming analog of the batch
+    * [[graft.pipeline.Corpus.decisions]]: every arriving document gets a
+    * verdict the moment it clears the watermark — 'dup' (an exact
+    * duplicate of an earlier arrival), 'low_quality' (same operator and
+    * threshold as the batch gate), or 'kept'. Precedence mirrors the
+    * batch: dup wins, and the FIRST arrival claims the hash whatever its
+    * quality (membership decides dup-ness, quality judges only the
+    * canonical copy).
+    *
+    * Unlike [[dedupExact]] (which emits the kept SET and lets
+    * `dropDuplicatesWithinWatermark` pick an arbitrary row inside a
+    * micro-batch), per-document verdicts need a DETERMINISTIC first
+    * arrival, so the dedup leg is keyed state over the text hash with
+    * in-batch arrivals sorted by (ts, doc_id) — the oracle's
+    * `ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY ts, doc_id)`
+    * order. State is one small row per hash with event-time eviction
+    * after `retainMs` past the hash's last sighting (the
+    * within-watermark contract, same bound as the dedupExact state), so
+    * state size tracks the active hash set, never the corpus.
+    */
+  def decisions(docs: DataFrame, watermark: String, retainMs: Long,
+                qualityThreshold: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val hashed = graft.pipeline.TextOps.withQuality(docs)
+      .withWatermark("ts", watermark)
+      .select(md5(col("text")).as("text_hash"), col("ts"), col("doc_id"),
+        col("quality"))
+      .as[DocIn](Encoders.product[DocIn])
+    def decide(key: String, rows: Iterator[DocIn],
+               state: GroupState[SeenHash]): Iterator[DecOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
+        var seen = state.getOption.isDefined
+        val out = sorted.map { r =>
+          val d =
+            if (seen) "dup"
+            else if (r.quality < qualityThreshold) "low_quality"
+            else "kept"
+          if (!seen) {
+            state.update(SeenHash(r.ts.getTime, r.doc_id)); seen = true
+          }
+          DecOut(r.doc_id, d)
+        }
+        // maxTs + retainMs is always ahead of the watermark (the
+        // watermark trails maxTs by the delay; retainMs >= that delay)
+        state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + retainMs)
+        out.iterator
+      }
+    }
+    hashed.groupByKey(_.text_hash)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(decide)(
+        Encoders.product[SeenHash], Encoders.product[DecOut])
+      .toDF("doc_id", "decision")
+  }
+
   /** NEAR-duplicate detection for a document firehose against a static
     * corpus index ([[graft.pipeline.Dedup.bandIndex]]) — the production
     * posture for pairwise dedup on a stream: the pairwise join runs
