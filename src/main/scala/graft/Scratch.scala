@@ -38,8 +38,82 @@ object Scratch {
       r
     }
     // `sbt "runMain graft.Scratch <sfDir> ann"` → ANN block only (used for
-    // the kernel A/B, where the DQL replays are 3 min of noise)
+    // the kernel A/B, where the DQL replays are 3 min of noise);
+    // `... docs` → the decisions-capstone dup-heavy replay only
     val annOnly = args.contains("ann")
+    val docsOnly = args.contains("docs")
+
+    // ---- round-8: decisions capstone at 10×, DUP-HEAVY ----
+    // 10 interleaved copies of every document 1 ms apart (unique doc_id,
+    // same text) → ≥90% dup verdicts and a state store holding the whole
+    // ACTIVE hash set at once (nothing evicts inside a 1 ms burst) — the
+    // worst realistic shape for the first-arrival state.
+    if (docsOnly) {
+      val d01 = graft.core.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      if (!new java.io.File(s"$out/docs10.parquet").exists()) {
+        val copies = (0 until 10).map { k =>
+          d01.select((col("doc_id") * 16 + lit(k)).as("doc_id"),
+            timestamp_millis(col("doc_id") * 1000L + lit(k)).as("ts"),
+            col("text"))
+        }
+        val all = copies.reduce(_ unionByName _).cache()
+        val Array(lo, hi) = all.agg(
+          unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        val span = (hi - lo + 8) / 8
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$out/docs10.parquet"))
+        for (k <- 0 until 8) {
+          val s0 = lo + k * span; val s1 = lo + (k + 1) * span
+          all.where(unix_millis(col("ts")) >= s0 &&
+              (unix_millis(col("ts")) < s1 || lit(k == 7)))
+            .coalesce(1).write.mode("overwrite").parquet(s"$out/_dslice")
+          val ls = java.nio.file.Files.list(
+            java.nio.file.Paths.get(s"$out/_dslice"))
+          val part = try ls.filter(_.getFileName.toString.startsWith("part-"))
+            .findFirst().get() finally ls.close()
+          val dst = java.nio.file.Paths.get(
+            s"$out/docs10.parquet/slice-$k.parquet")
+          java.nio.file.Files.move(part, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1000000000000L + k * 60000L))
+        }
+        all.unpersist()
+      }
+      val docs10 = spark.read.parquet(s"$out/docs10.parquet")
+      val nDocs = docs10.count()
+      println(s"[scratch] docs10 rows=$nDocs")
+      def drainDecisions(name: String): Unit = {
+        val src = spark.readStream.schema(docs10.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$out/docs10.parquet")
+          .repartition(8)
+        val outDf = graft.streaming.DocStream.decisions(
+          src, "1 second", retainMs = 60000L, qualityThreshold = 0.46)
+        val t0 = System.nanoTime()
+        val q = outDf.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress
+        val peakRows = progs.map(_.stateOperators.map(_.numRowsTotal).sum).max
+        val peakMb = progs.map(
+          _.stateOperators.map(_.memoryUsedBytes).sum).max / 1e6
+        val dropped = progs.flatMap(_.stateOperators)
+          .map(_.numRowsDroppedByWatermark).sum
+        q.stop()
+        val counts = spark.table(name).groupBy("decision").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap.toSeq.sorted
+        spark.catalog.dropTempView(name)
+        println(f"[scratch] $name: $secs%.2fs ${nDocs / secs}%.0f rows/s " +
+          f"peakStateRows=$peakRows peakStateMem=$peakMb%.1fMB " +
+          f"lateDropped=$dropped verdicts=$counts")
+      }
+      for (run <- 1 to 2) drainDecisions(s"dec$run")
+      spark.stop(); return
+    }
 
     // ---- synthesize the 10×-cardinality events replay (written once) ----
     // copies shift user_id (10× series), keep ts: same window count,
