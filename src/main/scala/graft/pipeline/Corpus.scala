@@ -41,20 +41,11 @@ object Corpus {
 
   def decisionsSql(jaccardThreshold: Double,
                    qualityThreshold: Double): String = {
-    // quality expression inlined from TextOps.qualitySql's formula
-    val stops = TextOps.Stopwords.map(s =>
-      s"CAST(len(list_filter(w, x -> x = '$s')) AS DOUBLE)").mkString(" + ")
     s"""WITH canon AS (
        |  SELECT * FROM (${Dedup.canonicalizeSql(Dedup.minhashPairsSql(jaccardThreshold))})),
        |dups AS (SELECT doc_id FROM canon WHERE doc_id <> canonical_id),
        |q AS (
-       |  SELECT doc_id,
-       |    0.4*(($stops)/nw) +
-       |    0.3*(1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text)) +
-       |    0.3*LEAST(((CAST(length(text) AS DOUBLE) - (nw - 1))/nw)/10.0, 1.0) AS quality
-       |  FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w,
-       |               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS nw
-       |        FROM documents))
+       |  ${TextOps.qualityScoreSubquerySql})
        |SELECT d.doc_id,
        |  CASE WHEN dup.doc_id IS NOT NULL THEN 'dup'
        |       WHEN q.quality < $qualityThreshold THEN 'low_quality'
@@ -73,21 +64,13 @@ object Corpus {
     * precedence as [[decisionsSql]].
     */
   def streamDecisionsSql(qualityThreshold: Double): String = {
-    val stops = TextOps.Stopwords.map(s =>
-      s"CAST(len(list_filter(w, x -> x = '$s')) AS DOUBLE)").mkString(" + ")
     s"""WITH arrival AS (
        |  SELECT doc_id,
        |         ROW_NUMBER() OVER (PARTITION BY md5(text)
        |           ORDER BY doc_id) AS rn
        |  FROM documents),
        |q AS (
-       |  SELECT doc_id,
-       |    0.4*(($stops)/nw) +
-       |    0.3*(1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text)) +
-       |    0.3*LEAST(((CAST(length(text) AS DOUBLE) - (nw - 1))/nw)/10.0, 1.0) AS quality
-       |  FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w,
-       |               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS nw
-       |        FROM documents))
+       |  ${TextOps.qualityScoreSubquerySql})
        |SELECT d.doc_id,
        |  CASE WHEN a.rn > 1 THEN 'dup'
        |       WHEN q.quality < $qualityThreshold THEN 'low_quality'

@@ -60,11 +60,19 @@ object Curation {
     * Purely map-side: no shuffle at all; the sample streams out of the
     * scan. Rates are per-`strataCol` value with a default for the rest.
     */
+  /** First 32 bits of md5(doc_id) as a uniform [0, 2^32) draw — THE
+    * sampling hash: [[sampleStratified]] thresholds it,
+    * [[sampleByCluster]] orders by it. Single-sourced so the documented
+    * cross-operator consistency (and the DuckDB mirrors') cannot drift.
+    */
+  private def uniformHash: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+
   def sampleStratified(docs: DataFrame, strataCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val u = uniformHash
     val thr = rates.foldLeft(lit((defaultRate * 4294967296L).toLong)) {
       case (acc, (v, r)) =>
         when(col(strataCol) === v, lit((r * 4294967296L).toLong)).otherwise(acc)
@@ -127,27 +135,20 @@ object Curation {
                       perCell: Int): DataFrame = {
     val assigned = Similarity.ivfAssign(emb, Similarity.ivfCents(emb, nCells))
       .select(col("vec_id"), col("cell"))
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    val w = Window.partitionBy(col("cell")).orderBy(u.asc, col("doc_id").asc)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(uniformHash.asc, col("doc_id").asc)
     docs.join(assigned, docs("doc_id") === assigned("vec_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("cell"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= perCell)
   }
 
-  /** SQL mirror of [[sampleByCluster]] over `documents` × `embeddings`. */
+  /** SQL mirror of [[sampleByCluster]] over `documents` × `embeddings` —
+    * the assignment CTEs come from [[Similarity.assignedCteSql]], the
+    * same prefix every IVF-family oracle opens with.
+    */
   def sampleByClusterSql(nCells: Int, dim: Int, perCell: Int): String = {
-    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
-       |               WHERE vec_id < $nCells),
-       |assigned AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, c.cid AS cell,
-       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |             ORDER BY $cos DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cents c)
-       |  WHERE rn = 1),
+    s"""WITH ${Similarity.assignedCteSql(nCells, dim)},
        |ranked AS (
        |  SELECT d.doc_id, d.lang, d.source, a.cell,
        |         ROW_NUMBER() OVER (PARTITION BY a.cell

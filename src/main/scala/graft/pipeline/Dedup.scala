@@ -546,8 +546,9 @@ object Dedup {
     val out = b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        (VectorOps.dot(col("x.embedding"), col("y.embedding")) /
-          (col("x.nrm") * col("y.nrm"))).as("cos"))
+        VectorOps.cosineOf(
+          VectorOps.dot(col("x.embedding"), col("y.embedding")),
+          col("x.nrm"), col("y.nrm")).as("cos"))
       .where(col("cos") >= threshold)
     Persist.handoff(out, b)
   }

@@ -26,8 +26,8 @@ object Similarity {
     val scored = t.as("t").join(broadcast(q.as("q")),
         col("q.vec_id") =!= col("t.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        (VectorOps.dot(col("q.embedding"), col("t.embedding")) /
-          (col("q.nrm") * col("t.nrm"))).as("cos"))
+        VectorOps.cosineOf(VectorOps.dot(col("q.embedding"), col("t.embedding")),
+          col("q.nrm"), col("t.nrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -57,8 +57,8 @@ object Similarity {
     val scored = bucketed.as("t").join(broadcast(qb.as("q")),
         col("q.bkt") === col("t.bkt") && col("q.vec_id") =!= col("t.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        (VectorOps.dot(col("q.embedding"), col("t.embedding")) /
-          (col("q.nrm") * col("t.nrm"))).as("cos"))
+        VectorOps.cosineOf(VectorOps.dot(col("q.embedding"), col("t.embedding")),
+          col("q.nrm"), col("t.nrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -96,8 +96,8 @@ object Similarity {
       VectorOps.norm(col("embedding")).as("nrm"))
     val scored = prepped.crossJoin(broadcast(cents))
       .withColumn("ccos",
-        VectorOps.dot(col("embedding"), col("cvec")) /
-          (col("nrm") * col("cnrm")))
+        VectorOps.cosineOf(VectorOps.dot(col("embedding"), col("cvec")),
+          col("nrm"), col("cnrm")))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
@@ -124,8 +124,8 @@ object Similarity {
     val scored = cells.as("t").join(broadcast(qcells),
         col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
       .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        (VectorOps.dot(col("qvec"), col("t.embedding")) /
-          (col("qnrm") * col("t.nrm"))).as("cos"))
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("t.embedding")),
+          col("qnrm"), col("t.nrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     val out = scored.withColumn("rank", row_number().over(w))
@@ -153,8 +153,8 @@ object Similarity {
       .withColumn("qnrm", VectorOps.norm(col("qvec")))
     val qscored = qemb.crossJoin(broadcast(cents))
       .withColumn("ccos",
-        VectorOps.dot(col("qvec"), col("cvec")) /
-          (col("qnrm") * col("cnrm")))
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")))
     val wp = Window.partitionBy("q_id")
       .orderBy(col("ccos").desc, col("cid").asc)
     val probes = qscored.withColumn("rn", row_number().over(wp))
@@ -163,8 +163,8 @@ object Similarity {
     val scored = cells.as("t").join(broadcast(probes),
         col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
       .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        (VectorOps.dot(col("qvec"), col("t.embedding")) /
-          (col("qnrm") * col("t.nrm"))).as("cos"))
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("t.embedding")),
+          col("qnrm"), col("t.nrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     val out = scored.withColumn("rank", row_number().over(w))
@@ -212,9 +212,14 @@ object Similarity {
     * broadcast of queries × rerank ids against the cold full-precision
     * table — an equi-join on vec_id, never a second cell scan.
     */
-  def ivfSq8TopK(emb: DataFrame, queries: DataFrame, nCells: Int,
-                 dim: Int, k: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+  /** Shared first stage of both SQ8 searches: persisted cells, the
+    * quantized index, the broadcast query rows, and the asymmetric
+    * quantized score per in-cell candidate — returns the scored frame
+    * (q_id, qvec, qnrm, vec_id, qcos) plus the cells handle for
+    * [[Persist.handoff]].
+    */
+  private def sq8Scored(emb: DataFrame, queries: DataFrame,
+                        nCells: Int): (DataFrame, DataFrame) = {
     val cells = ivfCells(emb, nCells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = sq8Quantize(cells)
@@ -224,12 +229,19 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
         col("nrm").as("qnrm"), col("cell").as("qcell"))
     val dq = VectorOps.sq8Dequant(col("code"), col("lo"), col("step"))
-    val qscored = idx.as("t").join(broadcast(qcells),
+    val scored = idx.as("t").join(broadcast(qcells),
         col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
       .select(col("q_id"), col("qvec"), col("qnrm"),
         col("t.vec_id").as("vec_id"),
-        (VectorOps.dot(col("qvec"), dq) /
-          (col("qnrm") * col("dnrm"))).as("qcos"))
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), dq),
+          col("qnrm"), col("dnrm")).as("qcos"))
+    (scored, cells)
+  }
+
+  def ivfSq8TopK(emb: DataFrame, queries: DataFrame, nCells: Int,
+                 dim: Int, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val (qscored, cells) = sq8Scored(emb, queries, nCells)
     val ws = Window.partitionBy("q_id")
       .orderBy(col("qcos").desc, col("vec_id").asc)
     val shortlist = qscored.withColumn("srn", row_number().over(ws))
@@ -241,8 +253,8 @@ object Similarity {
     val rescored = full.join(broadcast(shortlist),
         col("t_id") === col("vec_id"))
       .select(col("q_id").as("query_id"), col("vec_id"),
-        (VectorOps.dot(col("qvec"), col("tvec")) /
-          (col("qnrm") * col("tnrm"))).as("cos"))
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("tvec")),
+          col("qnrm"), col("tnrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     val out = rescored.withColumn("rank", row_number().over(w))
@@ -260,31 +272,25 @@ object Similarity {
     */
   def ivfSq8QuantTopK(emb: DataFrame, queries: DataFrame, nCells: Int,
                       dim: Int, k: Int): DataFrame = {
-    val cells = ivfCells(emb, nCells)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idx = sq8Quantize(cells)
-    val qcells = cells.join(
-      broadcast(queries.select(col("vec_id").as("qid"))),
-      col("vec_id") === col("qid"))
-      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
-        col("nrm").as("qnrm"), col("cell").as("qcell"))
-    val dq = VectorOps.sq8Dequant(col("code"), col("lo"), col("step"))
-    val scored = idx.as("t").join(broadcast(qcells),
-        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
-      .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        (VectorOps.dot(col("qvec"), dq) /
-          (col("qnrm") * col("dnrm"))).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
+    val (scored, cells) = sq8Scored(emb, queries, nCells)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("vec_id").asc)
     val out = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("vec_id"),
+        col("qcos").as("cos"), col("rank"))
     Persist.handoff(out, cells)
   }
 
-  def ivfSq8QuantTopKSql(nCells: Int, dim: Int, k: Int,
-                         queryIds: String): String = {
+  /** Shared oracle prefix: the deterministic first-`nCells` coarse
+    * quantizer (`cents`) and the full-corpus nearest-centroid assignment
+    * (`assigned`) — every IVF-family oracle opens with these two CTEs,
+    * single-sourced so the assignment convention (fixed-point cosine,
+    * (cos DESC, cid ASC) tie-break) cannot drift per-oracle.
+    */
+  def assignedCteSql(nCells: Int, dim: Int): String = {
     val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
+    s"""cents AS (SELECT vec_id AS cid, embedding FROM embeddings
        |               WHERE vec_id < $nCells),
        |assigned AS (
        |  SELECT vec_id, embedding, cell FROM (
@@ -292,8 +298,14 @@ object Similarity {
        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |             ORDER BY $cos DESC, c.cid) AS rn
        |    FROM embeddings e CROSS JOIN cents c)
-       |  WHERE rn = 1),
-       |quant AS (
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** The per-vector SQ8 quantization CTE (`quant`) over `assigned` —
+    * the DuckDB mirror of [[sq8Quantize]], shared by the quantized
+    * oracles. */
+  def sq8QuantCteSql(dim: Int): String =
+    s"""quant AS (
        |  SELECT vec_id, cell, lo, step,
        |         [${VectorOps.sq8CodeSql("embedding[i]", "lo", "rng")}
        |          for i in range(1, ${dim + 1})] AS code0
@@ -303,14 +315,23 @@ object Similarity {
        |                 CAST(list_min(embedding) AS DOUBLE) AS rng,
        |               (CAST(list_max(embedding) AS DOUBLE) -
        |                 CAST(list_min(embedding) AS DOUBLE))/255 AS step
-       |        FROM assigned)),
+       |        FROM assigned))""".stripMargin
+
+  /** the asymmetric quantized cosine (float query q × dequantized t) */
+  private def sq8CosSql(dim: Int): String =
+    s"${VectorOps.sq8DotSql("q.qvec", "t.lo", "t.code0", "t.step", dim)} / " +
+      s"(${VectorOps.normSql("q.qvec", dim)} * " +
+      s"${VectorOps.sq8NormSql("t.lo", "t.code0", "t.step", dim)})"
+
+  def ivfSq8QuantTopKSql(nCells: Int, dim: Int, k: Int,
+                         queryIds: String): String =
+    s"""WITH ${assignedCteSql(nCells, dim)},
+       |${sq8QuantCteSql(dim)},
        |qcells AS (SELECT vec_id AS q_id, embedding AS qvec, cell AS qcell
        |           FROM assigned WHERE vec_id IN ($queryIds)),
        |scored AS (
        |  SELECT q.q_id AS query_id, t.vec_id AS vec_id,
-       |         ${VectorOps.sq8DotSql("q.qvec", "t.lo", "t.code0", "t.step", dim)} /
-       |           (${VectorOps.normSql("q.qvec", dim)} *
-       |            ${VectorOps.sq8NormSql("t.lo", "t.code0", "t.step", dim)}) AS cos
+       |         ${sq8CosSql(dim)} AS cos
        |  FROM quant t JOIN qcells q
        |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
        |ranked AS (SELECT *, ROW_NUMBER() OVER
@@ -318,38 +339,16 @@ object Similarity {
        |           FROM scored)
        |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   def ivfSq8TopKSql(nCells: Int, dim: Int, k: Int, rerank: Int,
-                    queryIds: String): String = {
-    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
-       |               WHERE vec_id < $nCells),
-       |assigned AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.cid AS cell,
-       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |             ORDER BY $cos DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cents c)
-       |  WHERE rn = 1),
-       |quant AS (
-       |  SELECT vec_id, cell, lo, step,
-       |         [${VectorOps.sq8CodeSql("embedding[i]", "lo", "rng")}
-       |          for i in range(1, ${dim + 1})] AS code0
-       |  FROM (SELECT vec_id, cell, embedding,
-       |               CAST(list_min(embedding) AS DOUBLE) AS lo,
-       |               CAST(list_max(embedding) AS DOUBLE) -
-       |                 CAST(list_min(embedding) AS DOUBLE) AS rng,
-       |               (CAST(list_max(embedding) AS DOUBLE) -
-       |                 CAST(list_min(embedding) AS DOUBLE))/255 AS step
-       |        FROM assigned)),
+                    queryIds: String): String =
+    s"""WITH ${assignedCteSql(nCells, dim)},
+       |${sq8QuantCteSql(dim)},
        |qcells AS (SELECT vec_id AS q_id, embedding AS qvec, cell AS qcell
        |           FROM assigned WHERE vec_id IN ($queryIds)),
        |qscored AS (
        |  SELECT q.q_id, q.qvec, t.vec_id,
-       |         ${VectorOps.sq8DotSql("q.qvec", "t.lo", "t.code0", "t.step", dim)} /
-       |           (${VectorOps.normSql("q.qvec", dim)} *
-       |            ${VectorOps.sq8NormSql("t.lo", "t.code0", "t.step", dim)}) AS qcos
+       |         ${sq8CosSql(dim)} AS qcos
        |  FROM quant t JOIN qcells q
        |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
        |shortlist AS (
@@ -366,20 +365,11 @@ object Similarity {
        |           FROM rescored)
        |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   def ivfTopKProbedSql(nCells: Int, dim: Int, k: Int, nProbe: Int,
                        queryIds: String): String = {
     val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
-       |               WHERE vec_id < $nCells),
-       |assigned AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.cid AS cell,
-       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |             ORDER BY $cos DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cents c)
-       |  WHERE rn = 1),
+    s"""WITH ${assignedCteSql(nCells, dim)},
        |qprobe AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cid AS cell,
@@ -399,17 +389,8 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  def ivfTopKSql(nCells: Int, dim: Int, k: Int, queryIds: String): String = {
-    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings
-       |               WHERE vec_id < $nCells),
-       |assigned AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.cid AS cell,
-       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |             ORDER BY $cos DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cents c)
-       |  WHERE rn = 1),
+  def ivfTopKSql(nCells: Int, dim: Int, k: Int, queryIds: String): String =
+    s"""WITH ${assignedCteSql(nCells, dim)},
        |q AS (SELECT * FROM assigned WHERE vec_id IN ($queryIds)),
        |scored AS (
        |  SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
@@ -420,7 +401,6 @@ object Similarity {
        |           FROM scored)
        |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   /** Multi-probe LSH top-k: candidates come from the query's own bucket
     * PLUS every 1-bit-flip neighbor bucket (bits+1 probes). Recall rises
@@ -441,8 +421,8 @@ object Similarity {
     val scored = bucketed.as("t").join(broadcast(probes.as("q")),
         col("q.probe") === col("t.bkt") && col("q.vec_id") =!= col("t.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        (VectorOps.dot(col("q.embedding"), col("t.embedding")) /
-          (col("q.nrm") * col("t.nrm"))).as("cos"))
+        VectorOps.cosineOf(VectorOps.dot(col("q.embedding"), col("t.embedding")),
+          col("q.nrm"), col("t.nrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -495,8 +475,8 @@ object Similarity {
     def assign(cents: DataFrame): DataFrame = {
       val scored = prepped.crossJoin(broadcast(cents))
         .withColumn("ccos",
-          VectorOps.dot(col("embedding"), col("cvec")) /
-            (col("nrm") * col("cnrm")))
+          VectorOps.cosineOf(VectorOps.dot(col("embedding"), col("cvec")),
+            col("nrm"), col("cnrm")))
       val w = Window.partitionBy("vec_id")
         .orderBy(col("ccos").desc, col("cid").asc)
       scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
@@ -526,8 +506,8 @@ object Similarity {
     val scored = cells.as("t").join(broadcast(qcells),
         col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
       .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        (VectorOps.dot(col("qvec"), col("t.embedding")) /
-          (col("qnrm") * col("t.nrm"))).as("cos"))
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("t.embedding")),
+          col("qnrm"), col("t.nrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     val out = scored.withColumn("rank", row_number().over(w))

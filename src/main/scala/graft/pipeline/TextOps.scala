@@ -75,6 +75,23 @@ object TextOps {
        |      FROM documents) ORDER BY doc_id""".stripMargin
   }
 
+  /** The (doc_id, quality) scoring subquery shared by every SQL oracle
+    * that thresholds quality ([[graft.pipeline.Corpus]]'s batch and
+    * streaming decisions) — single-sourced so the DuckDB mirror of
+    * [[withQuality]]'s formula cannot drift per-consumer.
+    */
+  val qualityScoreSubquerySql: String = {
+    val stops = Stopwords.map(s =>
+      s"CAST(len(list_filter(w, x -> x = '$s')) AS DOUBLE)").mkString(" + ")
+    s"""SELECT doc_id,
+       |    0.4*(($stops)/nw) +
+       |    0.3*(1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text)) +
+       |    0.3*LEAST(((CAST(length(text) AS DOUBLE) - (nw - 1))/nw)/10.0, 1.0) AS quality
+       |  FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w,
+       |               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS nw
+       |        FROM documents)""".stripMargin
+  }
+
   // ------------------------------------------------------------- langid
 
   /** stopword-profile language ID (n-gram heuristic): score each language

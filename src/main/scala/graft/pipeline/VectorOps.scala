@@ -28,7 +28,22 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    cosineOf(dot(a, b), norm(a), norm(b))
+
+  /** TOTAL cosine from a precomputed dot and norms: a zero-norm vector
+    * (all-zero embedding) must yield IEEE 0/0 = NaN, not an ANSI
+    * DIVIDE_BY_ZERO error killing the whole job (Spark 4 runs ANSI by
+    * default; one bad vector in a 100 TB corpus must not abort the
+    * scan). NaN then follows the engines' native NaN-largest sort order,
+    * and DuckDB reaches the same NaN through its plain IEEE division —
+    * oracles agree with no SQL change. Every similarity kernel funnels
+    * its division through here (ZeroVectorParitySpec).
+    */
+  def cosineOf(dotv: Column, n1: Column, n2: Column): Column = {
+    val den = n1 * n2
+    when(den === 0d, lit(Double.NaN)).otherwise(dotv / den)
+  }
 
   /** DuckDB mirrors (dim = array length; DuckDB lists are 1-based). */
   def dotSql(a: String, b: String, dim: Int): String =

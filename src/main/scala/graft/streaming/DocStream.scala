@@ -73,6 +73,10 @@ object DocStream {
                 qualityThreshold: Double): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.Encoders
+    require(retainMs > 0,
+      s"retainMs must be positive (got $retainMs) — the dup state is " +
+        "event-time-evicted, and a non-positive retention would place " +
+        "every timeout at or below the watermark")
     val hashed = graft.pipeline.TextOps.withQuality(docs)
       .withWatermark("ts", watermark)
       .select(md5(col("text")).as("text_hash"), col("ts"), col("doc_id"),
@@ -94,9 +98,14 @@ object DocStream {
           }
           DecOut(r.doc_id, d)
         }
-        // maxTs + retainMs is always ahead of the watermark (the
-        // watermark trails maxTs by the delay; retainMs >= that delay)
-        state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + retainMs)
+        // clamp above the current watermark: rows below the watermark are
+        // filtered before this operator, so maxTs + retainMs normally
+        // clears it, but a retainMs smaller than the watermark delay
+        // could still land at/behind it and setTimeoutTimestamp throws —
+        // same guard as StreamingDql's derivate state
+        state.setTimeoutTimestamp(math.max(
+          sorted.map(_.ts.getTime).max + retainMs,
+          state.getCurrentWatermarkMs() + 1))
         out.iterator
       }
     }

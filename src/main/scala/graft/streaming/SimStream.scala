@@ -20,7 +20,10 @@ import graft.pipeline.{Similarity, VectorOps}
   * the assignment argmax; (cos DESC, vec_id ASC) on the ranking) are the
   * batch [[Similarity.ivfTopK]] orders, so stream and batch agree
   * bit-for-bit on the same (corpus, query) — property-tested
-  * (SimStreamSpec) and gate-verified against the batch DuckDB oracle.
+  * (SimStreamSpec, ZeroVectorParitySpec) and gate-verified against the
+  * batch DuckDB oracle. The shared ordering/scoring conventions live in
+  * the private helpers below so the three kernels (single-cell,
+  * multi-probe, quantized) cannot drift apart.
   *
   * Scale note: a packed cell row holds ~corpus/nCells vectors; nCells
   * grows with the corpus (the usual √n rule), keeping cell rows bounded
@@ -41,10 +44,7 @@ object SimStream {
       .groupBy(col("cell"))
       .agg(sort_array(collect_list(
         struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
-    val cents = Similarity.ivfCents(emb, nCells)
-      .agg(sort_array(collect_list(
-        struct(col("cid"), col("cvec"), col("cnrm")))).as("cents"))
-    (packed, cents)
+    (packed, centsRow(emb, nCells))
   }
 
   /** The scalar-quantized packed index: (cell, cands:
@@ -60,64 +60,13 @@ object SimStream {
       .agg(sort_array(collect_list(
         struct(col("vec_id"), col("lo"), col("step"), col("code"),
           col("dnrm")))).as("cands"))
-    val cents = Similarity.ivfCents(emb, nCells)
-      .agg(sort_array(collect_list(
-        struct(col("cid"), col("cvec"), col("cnrm")))).as("cents"))
-    (packed, cents)
+    (packed, centsRow(emb, nCells))
   }
 
-  /** Top-k QUANTIZED cosine neighbors per query against the packed SQ8
-    * index — the same stateless single-join shape as
-    * [[topKAgainstIvfIndex]], with each candidate scored asymmetrically
-    * (float query × dequantized int8 member, the batch
-    * [[Similarity.ivfSq8QuantTopK]] kernel and tie-breaks, so stream ≡
-    * batch bit-for-bit — SimStreamSq8Spec). No rerank stage on the
-    * stream: a stateless plan cannot re-sort after a second join, so the
-    * quantized ranking IS the online answer; pipe the result into the
-    * batch [[Similarity.ivfSq8TopK]] rerank when exact cosines matter.
-    */
-  def topKAgainstSq8Index(queries: DataFrame, packed: DataFrame,
-                          cents: DataFrame, k: Int): DataFrame = {
-    val passthrough = queries.columns.filterNot(
-      Set("vec_id", "embedding")).toSeq
-    val qn = queries
-      .withColumn("qnrm", VectorOps.norm(col("embedding")))
-      .crossJoin(broadcast(cents))
-    def ccos(c: Column) =
-      VectorOps.dot(col("embedding"), c.getField("cvec")) /
-        (col("qnrm") * c.getField("cnrm"))
-    val scoredCents = transform(col("cents"),
-      c => struct(ccos(c).as("s"), c.getField("cid").as("cid")))
-    val best = aggregate(
-      scoredCents,
-      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
-      (acc, c) => when(c.getField("s") > acc.getField("s"), c)
-        .otherwise(acc))
-    val assigned = qn
-      .withColumn("qcell", best.getField("cid")).drop("cents")
-    val joined = assigned.join(packed, col("qcell") === col("cell"))
-    // asymmetric quantized cosine: dequantize the member's codes
-    // row-locally (lo + (code+128)*step — see VectorOps.sq8Dequant) and
-    // run the same fixed-point dot; dnrm was precomputed at pack time
-    def dqArr(c: Column) = transform(c.getField("code"), b =>
-      c.getField("lo") + (b.cast("double") + lit(128d)) * c.getField("step"))
-    def qcos(c: Column) =
-      VectorOps.dot(col("embedding"), dqArr(c)) /
-        (col("qnrm") * c.getField("dnrm"))
-    val scored0 = transform(
-      filter(col("cands"), c => c.getField("vec_id") =!= col("vec_id")),
-      c => struct(qcos(c).as("cos"), c.getField("vec_id").as("vid")))
-    val scored = transform(scored0,
-      s => struct((-s.getField("cos")).as("nc"), s.getField("vid").as("vid"),
-        s.getField("cos").as("cos")))
-    val top = slice(array_sort(scored), 1, k)
-    joined
-      .select(passthrough.map(col) ++
-        Seq(col("vec_id").as("query_id"), posexplode(top)): _*)
-      .select(passthrough.map(col) ++ Seq(col("query_id"),
-        col("col.vid").as("vec_id"), col("col.cos").as("cos"),
-        (col("pos") + 1).cast("int").as("rank")): _*)
-  }
+  private def centsRow(emb: DataFrame, nCells: Int): DataFrame =
+    Similarity.ivfCents(emb, nCells)
+      .agg(sort_array(collect_list(
+        struct(col("cid"), col("cvec"), col("cnrm")))).as("cents"))
 
   /** Incremental index refresh: fold a batch of NEWLY-ASSIGNED vectors
     * (rows from [[Similarity.ivfAssign]] against the index's OWN frozen
@@ -163,6 +112,131 @@ object SimStream {
           .when(col("dcands").isNull, col("cands"))
           .otherwise(concat(col("cands"), col("dcands")))).as("cands"))
 
+  // ------------- shared row-local kernel pieces (single-sourced so the
+  // batch-parity conventions — tie-breaks AND NaN placement — cannot
+  // drift between the single-cell, multi-probe and quantized kernels) --
+
+  /** Negated sort key matching the batch `ORDER BY score DESC, id ASC`
+    * window INCLUDING its NaN placement: Spark window ordering treats
+    * NaN as the LARGEST double, so under DESC a NaN score ranks FIRST —
+    * but plain negation would send it LAST in the ascending
+    * `array_sort` (NaN sorts last there). Mapping NaN → −∞ reproduces
+    * NaN-first, with the id field breaking ties among NaN scores like
+    * the batch window. NaN scores arise only from zero-norm vectors
+    * (0/0 cosines) — ZeroVectorParitySpec pins the equivalence.
+    */
+  private def descKey(s: Column): Column =
+    when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
+
+  /** (queries × broadcast centroid row) with qnrm and the per-centroid
+    * scores computed ONCE into `scents` — Catalyst does not CSE inside
+    * lambda bodies, so scoring in a dedicated transform() means each
+    * centroid pays the O(dim) dot kernel once (an inline fold would pay
+    * it twice per step — measured ~2× on the kernel-bound portion).
+    */
+  private def centScored(queries: DataFrame, cents: DataFrame): DataFrame = {
+    val qn = queries
+      .withColumn("qnrm", VectorOps.norm(col("embedding")))
+      .crossJoin(broadcast(cents))
+    def ccos(c: Column) =
+      VectorOps.cosineOf(
+        VectorOps.dot(col("embedding"), c.getField("cvec")),
+        col("qnrm"), c.getField("cnrm"))
+    qn.withColumn("scents", transform(col("cents"),
+        c => struct(ccos(c).as("s"), c.getField("cid").as("cid"))))
+      .drop("cents")
+  }
+
+  /** Row-local centroid argmax over the cid-ORDERED score array,
+    * matching the batch (ccos DESC, cid ASC) window incl. NaN placement:
+    * a NaN score beats every real score (DESC puts NaN first), among NaN
+    * scores the FIRST — smallest cid — wins because a NaN accumulator is
+    * never overwritten, and among real scores the strictly-greater fold
+    * keeps the smallest cid on ties.
+    */
+  private def bestCid(scents: Column): Column =
+    aggregate(scents,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
+      (acc, c) => when(
+        (isnan(c.getField("s")) && !isnan(acc.getField("s"))) ||
+          c.getField("s") > acc.getField("s"), c).otherwise(acc))
+      .getField("cid")
+
+  /** Score the joined row's candidates (self excluded), rank by the
+    * batch (score DESC, vec_id ASC) order via [[descKey]], keep k, and
+    * explode to (query_id, vec_id, cos, rank) rows. Two-pass: score once
+    * per candidate, then derive the sort key from the already-computed
+    * value (inlining the score twice in one struct would run the dot
+    * kernel twice per candidate).
+    */
+  private def rankTopK(joined: DataFrame, cands: Column,
+                       score: Column => Column, k: Int,
+                       passthrough: Seq[String]): DataFrame = {
+    val scored0 = transform(
+      filter(cands, c => c.getField("vec_id") =!= col("vec_id")),
+      c => struct(score(c).as("cos"), c.getField("vec_id").as("vid")))
+    val scored = transform(scored0,
+      s => struct(descKey(s.getField("cos")).as("nc"),
+        s.getField("vid").as("vid"), s.getField("cos").as("cos")))
+    val top = slice(array_sort(scored), 1, k)
+    joined
+      .select(passthrough.map(col) ++
+        Seq(col("vec_id").as("query_id"), posexplode(top)): _*)
+      .select(passthrough.map(col) ++ Seq(col("query_id"),
+        col("col.vid").as("vec_id"), col("col.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rank")): _*)
+  }
+
+  private def passthroughOf(queries: DataFrame): Seq[String] =
+    queries.columns.filterNot(Set("vec_id", "embedding")).toSeq
+
+  // ------------------------------------------------------- the kernels
+
+  /** Top-k cosine neighbors per query against the packed index.
+    *
+    * @param queries streaming frame (vec_id, embedding) — extra columns
+    *                (e.g. an event time) pass through untouched
+    * @return one row per (query, neighbor): (query_id, vec_id, cos, rank)
+    *         plus the query's passthrough columns
+    */
+  def topKAgainstIvfIndex(queries: DataFrame, packed: DataFrame,
+                          cents: DataFrame, k: Int): DataFrame = {
+    val assigned = centScored(queries, cents)
+      .withColumn("qcell", bestCid(col("scents"))).drop("scents")
+    val joined = assigned.join(packed, col("qcell") === col("cell"))
+    def qcos(c: Column) =
+      VectorOps.cosineOf(
+        VectorOps.dot(col("embedding"), c.getField("embedding")),
+        col("qnrm"), c.getField("nrm"))
+    rankTopK(joined, col("cands"), qcos, k, passthroughOf(queries))
+  }
+
+  /** Top-k QUANTIZED cosine neighbors per query against the packed SQ8
+    * index — the same stateless single-join shape as
+    * [[topKAgainstIvfIndex]], with each candidate scored asymmetrically
+    * (float query × dequantized int8 member, the batch
+    * [[Similarity.ivfSq8QuantTopK]] kernel and tie-breaks, so stream ≡
+    * batch bit-for-bit — SimStreamSq8Spec). No rerank stage on the
+    * stream: a stateless plan cannot re-sort after a second join, so the
+    * quantized ranking IS the online answer; pipe the result into the
+    * batch [[Similarity.ivfSq8TopK]] rerank when exact cosines matter.
+    */
+  def topKAgainstSq8Index(queries: DataFrame, packed: DataFrame,
+                          cents: DataFrame, k: Int): DataFrame = {
+    val assigned = centScored(queries, cents)
+      .withColumn("qcell", bestCid(col("scents"))).drop("scents")
+    val joined = assigned.join(packed, col("qcell") === col("cell"))
+    // asymmetric quantized cosine: reconstruct the member row-locally
+    // with the SAME dequantization the batch search uses; dnrm was
+    // precomputed at pack time
+    def qcos(c: Column) =
+      VectorOps.cosineOf(
+        VectorOps.dot(col("embedding"), VectorOps.sq8Dequant(
+          c.getField("code"), c.getField("lo"), c.getField("step"))),
+        col("qnrm"), c.getField("dnrm"))
+    rankTopK(joined, col("cands"), qcos, k, passthroughOf(queries))
+  }
+
   /** Top-k cosine neighbors per query against the packed index, probing
     * the query's `nProbe` nearest cells — STILL stateless: the probe
     * cells come out of the same row-local centroid scoring (top-nProbe
@@ -179,26 +253,18 @@ object SimStream {
                                 cents: DataFrame, k: Int,
                                 nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val passthrough = queries.columns.filterNot(
-      Set("vec_id", "embedding")).toSeq
-    val qn = queries
-      .withColumn("qnrm", VectorOps.norm(col("embedding")))
-      .crossJoin(broadcast(cents))
-    def ccos(c: Column) =
-      VectorOps.dot(col("embedding"), c.getField("cvec")) /
-        (col("qnrm") * c.getField("cnrm"))
-    // top-nProbe cells row-locally: score once per centroid (two-pass, as
-    // in the argmax), sort by (−ccos, cid) — the batch probe ranking —
-    // and slice. Missing cells (beyond the distinct assigned set) simply
-    // fail their probe join below.
-    val scoredCents = transform(col("cents"),
-      c => struct(ccos(c).as("s"), c.getField("cid").as("cid")))
+    // top-nProbe cells row-locally: sort the precomputed scores by the
+    // batch probe ranking ((ccos DESC, cid ASC) incl. NaN placement, see
+    // descKey) and slice. Missing cells (beyond the distinct assigned
+    // set) simply fail their probe join below.
     val probeCells = transform(
-      slice(array_sort(transform(scoredCents,
-        s => struct((-s.getField("s")).as("ns"), s.getField("cid").as("cid")))),
+      slice(array_sort(transform(col("scents"),
+        s => struct(descKey(s.getField("s")).as("ns"),
+          s.getField("cid").as("cid")))),
         1, nProbe),
       x => x.getField("cid"))
-    val assigned = qn.withColumn("pcells", probeCells).drop("cents")
+    val assigned = centScored(queries, cents)
+      .withColumn("pcells", probeCells).drop("scents")
     // one LEFT equi-join per probe: a probe whose cell has no packed row
     // (possible when nProbe exceeds the occupied-cell count) contributes
     // null, filtered out of the row-local concat. `get` (0-based) rather
@@ -216,78 +282,9 @@ object SimStream {
       array((0 until nProbe).map(i => col(s"cands$i")): _*),
       a => a.isNotNull))
     def qcos(c: Column) =
-      VectorOps.dot(col("embedding"), c.getField("embedding")) /
-        (col("qnrm") * c.getField("nrm"))
-    val scored0 = transform(
-      filter(allCands, c => c.getField("vec_id") =!= col("vec_id")),
-      c => struct(qcos(c).as("cos"), c.getField("vec_id").as("vid")))
-    val scored = transform(scored0,
-      s => struct((-s.getField("cos")).as("nc"), s.getField("vid").as("vid"),
-        s.getField("cos").as("cos")))
-    val top = slice(array_sort(scored), 1, k)
-    joined
-      .select(passthrough.map(col) ++
-        Seq(col("vec_id").as("query_id"), posexplode(top)): _*)
-      .select(passthrough.map(col) ++ Seq(col("query_id"),
-        col("col.vid").as("vec_id"), col("col.cos").as("cos"),
-        (col("pos") + 1).cast("int").as("rank")): _*)
-  }
-
-  /** Top-k cosine neighbors per query against the packed index.
-    *
-    * @param queries streaming frame (vec_id, embedding) — extra columns
-    *                (e.g. an event time) pass through untouched
-    * @return one row per (query, neighbor): (query_id, vec_id, cos, rank)
-    *         plus the query's passthrough columns
-    */
-  def topKAgainstIvfIndex(queries: DataFrame, packed: DataFrame,
-                          cents: DataFrame, k: Int): DataFrame = {
-    val passthrough = queries.columns.filterNot(
-      Set("vec_id", "embedding")).toSeq
-    val qn = queries
-      .withColumn("qnrm", VectorOps.norm(col("embedding")))
-      .crossJoin(broadcast(cents))
-    def ccos(c: Column) =
-      VectorOps.dot(col("embedding"), c.getField("cvec")) /
-        (col("qnrm") * c.getField("cnrm"))
-    // row-local centroid argmax over the cid-ORDERED array: the
-    // strictly-greater fold keeps the smallest cid on ties — exactly the
-    // batch window's (ccos DESC, cid ASC) row_number() = 1. Two passes:
-    // Catalyst does not CSE inside lambda bodies, so scoring in its own
-    // transform() first means each centroid pays the O(dim) dot kernel
-    // ONCE (a fold comparing ccos(c) inline would evaluate it twice per
-    // step — measured ~2× on the kernel-bound portion)
-    val scoredCents = transform(col("cents"),
-      c => struct(ccos(c).as("s"), c.getField("cid").as("cid")))
-    val best = aggregate(
-      scoredCents,
-      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
-      (acc, c) => when(c.getField("s") > acc.getField("s"), c)
-        .otherwise(acc))
-    val assigned = qn
-      .withColumn("qcell", best.getField("cid")).drop("cents")
-    val joined = assigned.join(packed, col("qcell") === col("cell"))
-    def qcos(c: Column) =
-      VectorOps.dot(col("embedding"), c.getField("embedding")) /
-        (col("qnrm") * c.getField("nrm"))
-    // score the cell's members (self excluded), then sort by the struct
-    // (−cos, vec_id) — ascending struct order = cos DESC, vec_id ASC, the
-    // batch ranking order — and keep the first k. Same two-pass shape as
-    // the centroid argmax: score once per candidate, then a second
-    // transform derives the sort key from the already-computed cosine
-    // (inlining qcos twice in one struct would run the dot kernel twice)
-    val scored0 = transform(
-      filter(col("cands"), c => c.getField("vec_id") =!= col("vec_id")),
-      c => struct(qcos(c).as("cos"), c.getField("vec_id").as("vid")))
-    val scored = transform(scored0,
-      s => struct((-s.getField("cos")).as("nc"), s.getField("vid").as("vid"),
-        s.getField("cos").as("cos")))
-    val top = slice(array_sort(scored), 1, k)
-    joined
-      .select(passthrough.map(col) ++
-        Seq(col("vec_id").as("query_id"), posexplode(top)): _*)
-      .select(passthrough.map(col) ++ Seq(col("query_id"),
-        col("col.vid").as("vec_id"), col("col.cos").as("cos"),
-        (col("pos") + 1).cast("int").as("rank")): _*)
+      VectorOps.cosineOf(
+        VectorOps.dot(col("embedding"), c.getField("embedding")),
+        col("qnrm"), c.getField("nrm"))
+    rankTopK(joined, allCands, qcos, k, passthroughOf(queries))
   }
 }

@@ -336,8 +336,23 @@ object StreamingDql {
           case NLit(s) => lit(s): Column
           case NPos(n) => seg(n)
           case NTag(ns, key) =>
-            store.tagCol(ns, key).map(store.keyCols.indexOf).filter(_ >= 0)
-              .map(i => seg(i + 1)).getOrElse(lit(""))
+            store.tagCol(ns, key) match {
+              // unmapped tag: the batch missing-tag semantics (empty
+              // dvar segment), same as a tag absent from the series
+              case None => lit("")
+              case Some(c) =>
+                val i = store.keyCols.indexOf(c)
+                // mapped to a NON-key column: the value exists on the raw
+                // stream but only series-key segments survive the
+                // windowed aggregation — refuse rather than silently
+                // emit an empty name where batch substitutes the value
+                if (i < 0) throw Unstreamable(
+                  s"dvar $$$ns:$key maps to non-key column '$c' — only " +
+                    "series-key segments survive the windowed " +
+                    "aggregation; name by a key tag or include the " +
+                    "column in the store's keyCols")
+                seg(i + 1)
+            }
         }: _*)
     }
   }

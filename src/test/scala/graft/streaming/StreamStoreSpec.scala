@@ -119,6 +119,34 @@ class StreamStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dvar naming by a NON-KEY-mapped tag is refused, not silently empty") {
+    // a store may map a tag to a column outside keyCols (legal for WHERE,
+    // which filters the raw stream) — but only key segments survive the
+    // windowed aggregation, so naming by such a tag must be a typed
+    // refusal where the batch compiler would substitute the value
+    object RackStore extends StreamStore {
+      val tsCol = "event_time"
+      val valueCol = "reading"
+      val keyCols: Seq[String] = Seq("service")
+      def tagCol(ns: String, key: String): Option[String] = key match {
+        case "svc"  => Some("service")
+        case "rack" => Some("host") // host exists but is not a key col
+        case _      => None
+      }
+      override def tagColumns: Seq[String] = Seq("service", "host")
+    }
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[Reading]
+    val e = intercept[StreamingDql.Unstreamable] {
+      StreamingDql.compile(in.toDF(),
+        "SELECT avg('api'.* BUCKET 'telemetry', 1 m) " +
+          "AS $'graft':'rack' LAST 1 h", "30 seconds", RackStore)
+    }
+    assert(e.getMessage.contains("non-key column 'host'"), e.getMessage)
+  }
+
   test("slot collapse runs on the alternate schema (append, default slot-exact)") {
     // two readings inside one 1 s slot collapse to their davg before the
     // window aggregation — the chained shape carries the store's key
