@@ -123,6 +123,13 @@ object PipelineQueries extends QueryProvider {
       Similarity.ivfSq8TopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
         nCells = 8, dim = Dim, k = 5, rerank = 15).orderBy("query_id", "rank")
     }),
+    // both production knobs at once: 3 probes over the int8 index
+    "sim_topk_sq8_probe" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfSq8QuantTopKProbed(e,
+        e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, dim = Dim, k = 5, nProbe = 3).orderBy("query_id", "rank")
+    }),
     "text_tokens" -> ((s, d) =>
       TextOps.tokens(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
@@ -216,6 +223,8 @@ object PipelineQueries extends QueryProvider {
       "10, 11, 12"),
     "sim_topk_ivf_sq8" -> Similarity.ivfSq8TopKSql(8, Dim, 5, 15,
       "10, 11, 12"),
+    "sim_topk_sq8_probe" -> Similarity.ivfSq8QuantTopKProbedSql(8, Dim, 5,
+      3, "10, 11, 12"),
     "text_tokens" -> TextOps.tokensSql,
     "text_quality" -> TextOps.qualitySql,
     "text_langid" -> TextOps.langidSql,

@@ -346,15 +346,19 @@ object StreamQueries extends QueryProvider {
     * ([[graft.pipeline.Similarity.ivfSq8QuantTopK]]), whose SQL is the
     * oracle.
     */
-  private def runSimSq8(s: SparkSession, dir: String): DataFrame = {
+  private def runSimSq8(s: SparkSession, dir: String,
+                        nProbe: Int = 1): DataFrame = {
     val staged = stagedEmbDir(dir)
     val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
     val (packed, cents) = sq8Index(s, dir)
-    val out = graft.streaming.SimStream.topKAgainstSq8Index(
-      queries, packed, cents, k = 5)
+    val out =
+      if (nProbe == 1) graft.streaming.SimStream.topKAgainstSq8Index(
+        queries, packed, cents, k = 5)
+      else graft.streaming.SimStream.topKAgainstSq8IndexProbed(
+        queries, packed, cents, k = 5, nProbe = nProbe)
     drain(s, out, "append")
   }
 
@@ -432,7 +436,8 @@ object StreamQueries extends QueryProvider {
     "stream_decisions" -> ((s, d) => runDecisions(s, d)),
     "stream_sim" -> ((s, d) => runSim(s, d)),
     "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)),
-    "stream_sim_sq8" -> ((s, d) => runSimSq8(s, d)))
+    "stream_sim_sq8" -> ((s, d) => runSimSq8(s, d)),
+    "stream_sim_sq8_probe" -> ((s, d) => runSimSq8(s, d, nProbe = 3)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -557,6 +562,9 @@ object StreamQueries extends QueryProvider {
     // quantized online ANN ≡ the batch quantized-only ranking
     "stream_sim_sq8" -> graft.pipeline.Similarity.ivfSq8QuantTopKSql(
       8, 64, 5, "10, 11, 12"),
+    // multi-probe over the quantized index ≡ the batch nProbe=3 form
+    "stream_sim_sq8_probe" -> graft.pipeline.Similarity
+      .ivfSq8QuantTopKProbedSql(8, 64, 5, 3, "10, 11, 12"),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->

@@ -212,6 +212,71 @@ object Similarity {
     * broadcast of queries × rerank ids against the cold full-precision
     * table — an equi-join on vec_id, never a second cell scan.
     */
+  /** The production ANN configuration — BOTH knobs at once: nProbe > 1
+    * (recall across Voronoi edges) over the int8-quantized index (4×
+    * memory). Probe selection is the full-precision centroid ranking
+    * (the quantizer centroids are tiny — compressing them buys nothing
+    * and costs recall); candidate scoring is the asymmetric quantized
+    * cosine. nProbe=1 reproduces [[ivfSq8QuantTopK]] exactly.
+    */
+  def ivfSq8QuantTopKProbed(emb: DataFrame, queries: DataFrame,
+                            nCells: Int, dim: Int, k: Int,
+                            nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = sq8Quantize(cells)
+    val cents = ivfCents(emb, nCells)
+    val qemb = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qvec"))
+      .withColumn("qnrm", VectorOps.norm(col("qvec")))
+    val cscored = qemb.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = cscored.withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nProbe)
+      .select(col("q_id"), col("qvec"), col("qnrm"), col("cid").as("qcell"))
+    val dq = VectorOps.sq8Dequant(col("code"), col("lo"), col("step"))
+    val scored = idx.as("t").join(broadcast(probes),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), dq),
+          col("qnrm"), col("dnrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    Persist.handoff(out, cells)
+  }
+
+  def ivfSq8QuantTopKProbedSql(nCells: Int, dim: Int, k: Int, nProbe: Int,
+                               queryIds: String): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
+    s"""WITH ${assignedCteSql(nCells, dim)},
+       |${sq8QuantCteSql(dim)},
+       |qcells AS (
+       |  SELECT q_id, qvec, qcell FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS qvec, c.cid AS qcell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id IN ($queryIds))
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.q_id AS query_id, t.vec_id AS vec_id,
+       |         ${sq8CosSql(dim)} AS cos
+       |  FROM quant t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Shared first stage of both SQ8 searches: persisted cells, the
     * quantized index, the broadcast query rows, and the asymmetric
     * quantized score per in-cell candidate — returns the scored frame

@@ -192,6 +192,65 @@ object SimStream {
 
   // ------------------------------------------------------- the kernels
 
+  // member-scoring lambdas shared by the single-cell and probed kernels:
+  // full-precision (embedding, nrm members) and asymmetric quantized
+  // (code/lo/step/dnrm members, reconstructed via the SAME dequantization
+  // the batch search uses) — both TOTAL cosines (VectorOps.cosineOf)
+  private def floatScore(c: Column): Column =
+    VectorOps.cosineOf(
+      VectorOps.dot(col("embedding"), c.getField("embedding")),
+      col("qnrm"), c.getField("nrm"))
+  private def sq8Score(c: Column): Column =
+    VectorOps.cosineOf(
+      VectorOps.dot(col("embedding"), VectorOps.sq8Dequant(
+        c.getField("code"), c.getField("lo"), c.getField("step"))),
+      col("qnrm"), c.getField("dnrm"))
+
+  /** single-cell search: argmax-assigned cell, one equi-join, rank */
+  private def singleSearch(queries: DataFrame, packed: DataFrame,
+                           cents: DataFrame, k: Int,
+                           score: Column => Column): DataFrame = {
+    val assigned = centScored(queries, cents)
+      .withColumn("qcell", bestCid(col("scents"))).drop("scents")
+    val joined = assigned.join(packed, col("qcell") === col("cell"))
+    rankTopK(joined, col("cands"), score, k, passthroughOf(queries))
+  }
+
+  /** multi-probe search: top-nProbe cells row-locally (the batch probe
+    * ranking (ccos DESC, cid ASC) incl. NaN placement, see [[descKey]]),
+    * one LEFT equi-join per probe — a probe whose cell has no packed row
+    * contributes null, filtered out of the row-local concat; `get`
+    * (0-based) rather than `element_at` because when nProbe exceeds the
+    * CENTROID count pcells is short, and under ANSI mode (Spark 4
+    * default) element_at throws on the out-of-bounds slot where get
+    * yields null — a null probe key matches nothing, which is the wanted
+    * semantics. nProbe joins instead of a per-query explode + windowed
+    * re-aggregation keeps the plan free of stateful operators.
+    */
+  private def probedSearch(queries: DataFrame, packed: DataFrame,
+                           cents: DataFrame, k: Int, nProbe: Int,
+                           score: Column => Column): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val probeCells = transform(
+      slice(array_sort(transform(col("scents"),
+        s => struct(descKey(s.getField("s")).as("ns"),
+          s.getField("cid").as("cid")))),
+        1, nProbe),
+      x => x.getField("cid"))
+    val assigned = centScored(queries, cents)
+      .withColumn("pcells", probeCells).drop("scents")
+    val joined = (0 until nProbe).foldLeft(assigned) { (df, i) =>
+      df.join(packed.select(col("cell").as(s"cell$i"),
+          col("cands").as(s"cands$i")),
+        get(col("pcells"), lit(i)) === col(s"cell$i"), "left_outer")
+        .drop(s"cell$i")
+    }
+    val allCands = flatten(filter(
+      array((0 until nProbe).map(i => col(s"cands$i")): _*),
+      a => a.isNotNull))
+    rankTopK(joined, allCands, score, k, passthroughOf(queries))
+  }
+
   /** Top-k cosine neighbors per query against the packed index.
     *
     * @param queries streaming frame (vec_id, embedding) — extra columns
@@ -200,16 +259,8 @@ object SimStream {
     *         plus the query's passthrough columns
     */
   def topKAgainstIvfIndex(queries: DataFrame, packed: DataFrame,
-                          cents: DataFrame, k: Int): DataFrame = {
-    val assigned = centScored(queries, cents)
-      .withColumn("qcell", bestCid(col("scents"))).drop("scents")
-    val joined = assigned.join(packed, col("qcell") === col("cell"))
-    def qcos(c: Column) =
-      VectorOps.cosineOf(
-        VectorOps.dot(col("embedding"), c.getField("embedding")),
-        col("qnrm"), c.getField("nrm"))
-    rankTopK(joined, col("cands"), qcos, k, passthroughOf(queries))
-  }
+                          cents: DataFrame, k: Int): DataFrame =
+    singleSearch(queries, packed, cents, k, floatScore)
 
   /** Top-k QUANTIZED cosine neighbors per query against the packed SQ8
     * index — the same stateless single-join shape as
@@ -222,69 +273,30 @@ object SimStream {
     * batch [[Similarity.ivfSq8TopK]] rerank when exact cosines matter.
     */
   def topKAgainstSq8Index(queries: DataFrame, packed: DataFrame,
-                          cents: DataFrame, k: Int): DataFrame = {
-    val assigned = centScored(queries, cents)
-      .withColumn("qcell", bestCid(col("scents"))).drop("scents")
-    val joined = assigned.join(packed, col("qcell") === col("cell"))
-    // asymmetric quantized cosine: reconstruct the member row-locally
-    // with the SAME dequantization the batch search uses; dnrm was
-    // precomputed at pack time
-    def qcos(c: Column) =
-      VectorOps.cosineOf(
-        VectorOps.dot(col("embedding"), VectorOps.sq8Dequant(
-          c.getField("code"), c.getField("lo"), c.getField("step"))),
-        col("qnrm"), c.getField("dnrm"))
-    rankTopK(joined, col("cands"), qcos, k, passthroughOf(queries))
-  }
+                          cents: DataFrame, k: Int): DataFrame =
+    singleSearch(queries, packed, cents, k, sq8Score)
 
   /** Top-k cosine neighbors per query against the packed index, probing
-    * the query's `nProbe` nearest cells — STILL stateless: the probe
-    * cells come out of the same row-local centroid scoring (top-nProbe
-    * slice instead of argmax), and each probe is its own stream-static
-    * equi-join adding one more packed cell row per query, concatenated
-    * row-locally before the single score/sort/slice. nProbe joins instead
-    * of a per-query explode + windowed re-aggregation keeps the plan free
-    * of stateful operators, which is the point of the packed layout.
-    * Ranking ties and probe-selection ties are the batch
-    * [[Similarity.ivfTopKProbed]] orders, so stream ≡ batch bit-for-bit
-    * (SimStreamProbedSpec); nProbe=1 reproduces [[topKAgainstIvfIndex]].
+    * the query's `nProbe` nearest cells — STILL stateless (see
+    * [[probedSearch]]). Ranking ties and probe-selection ties are the
+    * batch [[Similarity.ivfTopKProbed]] orders, so stream ≡ batch
+    * bit-for-bit (SimStreamProbedSpec); nProbe=1 reproduces
+    * [[topKAgainstIvfIndex]].
     */
   def topKAgainstIvfIndexProbed(queries: DataFrame, packed: DataFrame,
                                 cents: DataFrame, k: Int,
-                                nProbe: Int): DataFrame = {
-    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    // top-nProbe cells row-locally: sort the precomputed scores by the
-    // batch probe ranking ((ccos DESC, cid ASC) incl. NaN placement, see
-    // descKey) and slice. Missing cells (beyond the distinct assigned
-    // set) simply fail their probe join below.
-    val probeCells = transform(
-      slice(array_sort(transform(col("scents"),
-        s => struct(descKey(s.getField("s")).as("ns"),
-          s.getField("cid").as("cid")))),
-        1, nProbe),
-      x => x.getField("cid"))
-    val assigned = centScored(queries, cents)
-      .withColumn("pcells", probeCells).drop("scents")
-    // one LEFT equi-join per probe: a probe whose cell has no packed row
-    // (possible when nProbe exceeds the occupied-cell count) contributes
-    // null, filtered out of the row-local concat. `get` (0-based) rather
-    // than `element_at`: when nProbe exceeds the CENTROID count, pcells
-    // is shorter than nProbe, and under ANSI mode (Spark 4 default)
-    // element_at throws on the out-of-bounds slot where get yields null —
-    // a null probe key matches nothing, which is the wanted semantics
-    val joined = (0 until nProbe).foldLeft(assigned) { (df, i) =>
-      df.join(packed.select(col("cell").as(s"cell$i"),
-          col("cands").as(s"cands$i")),
-        get(col("pcells"), lit(i)) === col(s"cell$i"), "left_outer")
-        .drop(s"cell$i")
-    }
-    val allCands = flatten(filter(
-      array((0 until nProbe).map(i => col(s"cands$i")): _*),
-      a => a.isNotNull))
-    def qcos(c: Column) =
-      VectorOps.cosineOf(
-        VectorOps.dot(col("embedding"), c.getField("embedding")),
-        col("qnrm"), c.getField("nrm"))
-    rankTopK(joined, allCands, qcos, k, passthroughOf(queries))
-  }
+                                nProbe: Int): DataFrame =
+    probedSearch(queries, packed, cents, k, nProbe, floatScore)
+
+  /** The production online-ANN configuration — BOTH knobs at once:
+    * nProbe > 1 (recall across Voronoi edges) over the int8-quantized
+    * packed index (4× less resident memory). Same stateless probed
+    * shape, quantized member scoring; stream ≡ batch
+    * [[Similarity.ivfSq8QuantTopKProbed]] bit-for-bit
+    * (SimStreamSq8Spec); nProbe=1 reproduces [[topKAgainstSq8Index]].
+    */
+  def topKAgainstSq8IndexProbed(queries: DataFrame, packed: DataFrame,
+                                cents: DataFrame, k: Int,
+                                nProbe: Int): DataFrame =
+    probedSearch(queries, packed, cents, k, nProbe, sq8Score)
 }

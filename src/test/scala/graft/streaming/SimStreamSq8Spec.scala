@@ -42,6 +42,26 @@ class SimStreamSq8Spec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("probed sq8 search ≡ batch ivfSq8QuantTopKProbed; nProbe=1 ≡ single") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val (packed, cents) = SimStream.sq8Index(emb, NCells)
+    val queries = emb.where(col("vec_id") < 50).select("vec_id", "embedding")
+    for (p <- Seq(2, 3)) {
+      val st = rows(SimStream.topKAgainstSq8IndexProbed(
+        queries, packed, cents, k = 5, nProbe = p))
+      val b = rows(Similarity.ivfSq8QuantTopKProbed(
+        emb, queries, NCells, 64, k = 5, nProbe = p))
+      assert(st.nonEmpty && st == b, {
+        val d1 = (st -- b).take(3); val d2 = (b -- st).take(3)
+        s"nProbe=$p stream-only=$d1 batch-only=$d2"
+      })
+    }
+    val p1 = rows(SimStream.topKAgainstSq8IndexProbed(
+      queries, packed, cents, k = 5, nProbe = 1))
+    assert(p1 == rows(SimStream.topKAgainstSq8Index(
+      queries, packed, cents, k = 5)))
+  }
+
   test("the packed index stores byte codes, no float embeddings") {
     val emb = graft.core.Tables(spark, dir, "embeddings")
     val (packed, _) = SimStream.sq8Index(emb, NCells)
