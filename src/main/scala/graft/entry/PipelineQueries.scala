@@ -92,11 +92,7 @@ object PipelineQueries extends QueryProvider {
       val e = emb(s, d)
       val split = 60L
       val cents = Similarity.ivfCents(e.where(col("vec_id") < split), 8)
-      val centsRow = cents.agg(
-        org.apache.spark.sql.functions.sort_array(
-          org.apache.spark.sql.functions.collect_list(
-            org.apache.spark.sql.functions.struct(
-              col("cid"), col("cvec"), col("cnrm")))).as("cents"))
+      val centsRow = Similarity.centsPacked(cents)
       val (packedBase, _) = graft.streaming.SimStream.ivfIndex(
         e.where(col("vec_id") < split), nCells = 8)
       val appended = graft.streaming.SimStream.ivfIndexAppend(packedBase,

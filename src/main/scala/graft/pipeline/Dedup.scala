@@ -264,23 +264,23 @@ object Dedup {
     * (`fp_hi`, `fp_lo`) so every intermediate fits a signed 64-bit lane in
     * both engines: per-word md5-derived hashes (one md5, two 8-hex-char
     * halves), ±1 vote per bit position, sign → bit.
+    *
+    * Plan shape: the fingerprint is a pure per-document function and every
+    * word of a document is already in its row, so it computes ROW-LOCALLY
+    * in one codegen'd native kernel ([[graft.expr.SimhashFp]]) — one md5
+    * per word, ±1 votes in integer counters, sign bits packed per half.
+    * Zero explode, zero shuffle, zero wide aggregation state. (The
+    * previous explode + groupBy(doc_id) plan kept 64 SUM(CASE) aggregate
+    * buffers per in-flight doc across 32 concurrent tasks — measured as
+    * the round-8 bench breach under a memory-pressured heap; a
+    * higher-order-function fold fixes the shuffle but pays the HOF
+    * interpreter ~32 lambda evals per word per half — see SimhashFp.)
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val words = withWords(docs)
-      .select(col("doc_id"), explode(col("w")).as("word"))
-      .select(col("doc_id"), md5(col("word")).as("h"))
-      .select(col("doc_id"),
-        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("hv_hi"),
-        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("hv_lo"))
-    def votes(c: String, tag: String) = (0 until 32).map(j =>
-      sum(when(shiftright(col(c), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"$tag$j"))
-    val sumAggs = votes("hv_hi", "a") ++ votes("hv_lo", "b")
-    val sums = words.groupBy("doc_id").agg(sumAggs.head, sumAggs.tail: _*)
-    def fold(tag: String) = (0 until 32).map(j =>
-      when(col(s"$tag$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
-    sums.select(col("doc_id"), fold("a").as("fp_hi"), fold("b").as("fp_lo"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    graft.core.Parallel.widen(docs)
+      .select(col("doc_id"), graft.expr.SimhashFp(col("text")).as("fparr"))
+      .select(col("doc_id"), col("fparr").getItem(0).as("fp_hi"),
+        col("fparr").getItem(1).as("fp_lo"))
 
   val simhashSql: String = {
     def votes(c: String, tag: String) = (0 until 32).map(j =>
@@ -336,10 +336,12 @@ object Dedup {
     * billions of documents — while the 20-row melt stays linear.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    // one row per doc: persist so the per-word vote aggregation runs once,
-    // not once per self-join side (it is the expensive subtree)
+    // no persist: the row-local fingerprint is one linear scan (md5 per
+    // word, in-row folds), so the self-join's two recomputations are
+    // cheaper than the cache pressure a pin buys at bench/prod heap sizes.
+    // At 100 TB the fingerprint table is a materialized artifact anyway
+    // (like bandIndex), refreshed with the corpus, not rebuilt per query.
     val fp = simhash(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkExprs = SimhashChunks.map { case (n, e) => s"$e AS $n" }
     val chunked = fp.selectExpr(
       Seq("doc_id", "fp_hi", "fp_lo") ++ chunkExprs: _*)
@@ -356,7 +358,7 @@ object Dedup {
          bit_count(col("x.fp_lo").bitwiseXOR(col("y.fp_lo")))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
-    Persist.handoff(out, fp)
+    out
   }
 
   def simhashPairsSql(maxHamming: Int): String = {

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,44 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
         VectorOps.norm(col("embedding")).as("cnrm"))
 
+  /** One-row packed centroid array (cid-ordered) over a (cid, cvec, cnrm)
+    * table — the broadcast form both the batch row-local assignment and
+    * the streaming kernels fold over.
+    */
+  def centsPacked(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(
+      struct(col("cid"), col("cvec"), col("cnrm")))).as("cents"))
+
+  /** Per-centroid cosine scores of one vector against the packed centroid
+    * array: `array<struct<s, cid>>`, scored ONCE into the structs
+    * (Catalyst does not CSE inside lambda bodies — an inline fold would
+    * pay the O(dim) dot kernel twice per step). Shared by the batch
+    * assignment and the streaming kernels so the scoring convention
+    * cannot drift.
+    */
+  private[graft] def centScores(vec: Column, nrm: Column,
+                                cents: Column): Column =
+    transform(cents, c => struct(
+      VectorOps.cosineOf(VectorOps.dot(vec, c.getField("cvec")),
+        nrm, c.getField("cnrm")).as("s"),
+      c.getField("cid").as("cid")))
+
+  /** Row-local centroid argmax over the cid-ORDERED score array, matching
+    * the batch (ccos DESC, cid ASC) window ranking incl. NaN placement: a
+    * NaN score beats every real score (window DESC puts NaN first), among
+    * NaN scores the FIRST — smallest cid — wins because a NaN accumulator
+    * is never overwritten, and among real scores the strictly-greater
+    * fold keeps the smallest cid on ties. Single-sourced for batch and
+    * stream (parity pinned by SimStreamSpec / ZeroVectorParitySpec).
+    */
+  private[graft] def bestCid(scents: Column): Column =
+    aggregate(scents,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
+      (acc, c) => when(
+        (isnan(c.getField("s")) && !isnan(acc.getField("s"))) ||
+          c.getField("s") > acc.getField("s"), c).otherwise(acc))
+      .getField("cid")
+
   /** Assign vectors to their max-cosine centroid in an EXISTING centroid
     * table (cid, cvec, cnrm), ties on centroid id — deterministic and
     * engine-comparable. This is also the incremental-maintenance entry
@@ -90,20 +128,22 @@ object Similarity {
     * centroids would (IvfAppendSpec), so an index stays append-only
     * between coarse-quantizer retrains — at 100 TB the retrain is the
     * expensive rare event, the append is one broadcast join per batch.
+    *
+    * Plan shape: the argmax is the ROW-LOCAL [[bestCid]] fold over the
+    * broadcast packed centroid array — the same kernel the streaming
+    * side uses — so the corpus side carries no explode, no per-vector
+    * window sort, and no exchange (the only shuffle in the plan is the
+    * nCells-row centroid packing). The earlier crossJoin + row_number
+    * form materialized an n×nCells scored frame and per-partition-sorted
+    * it on every index build/refresh.
     */
-  def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val prepped = emb.select(col("vec_id"), col("embedding"),
-      VectorOps.norm(col("embedding")).as("nrm"))
-    val scored = prepped.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        VectorOps.cosineOf(VectorOps.dot(col("embedding"), col("cvec")),
-          col("nrm"), col("cnrm")))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+  def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(centsPacked(cents)))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cid").as("cell"))
-  }
+        bestCid(centScores(col("embedding"), col("nrm"), col("cents")))
+          .as("cell"))
 
   /** Corpus cell assignment (vec_id, embedding, nrm, cell): every vector
     * to its max-cosine centroid, ties on centroid id — deterministic and
@@ -199,19 +239,6 @@ object Similarity {
         col("code"), col("dnrm"))
   }
 
-  /** IVF search over the scalar-quantized index with full-precision
-    * rerank: candidates in the query's cell are scored against the
-    * DEQUANTIZED codes (asymmetric — the query stays float32), the top
-    * `rerank` survivors are re-scored with the exact kernel against the
-    * full-precision embeddings, and the final top-k ranks by exact
-    * cosine. `rerank` at least the cell size makes the output identical
-    * to [[ivfTopK]] by construction (the shortlist is the whole cell);
-    * `rerank` ≈ 3k keeps it near-identical at a fraction of the exact
-    * scoring (Sq8Spec measures the match rate). At 100 TB the quantized
-    * index is the resident artifact (4× smaller), the rerank join is a
-    * broadcast of queries × rerank ids against the cold full-precision
-    * table — an equi-join on vec_id, never a second cell scan.
-    */
   /** The production ANN configuration — BOTH knobs at once: nProbe > 1
     * (recall across Voronoi edges) over the int8-quantized index (4×
     * memory). Probe selection is the full-precision centroid ranking
@@ -303,6 +330,19 @@ object Similarity {
     (scored, cells)
   }
 
+  /** IVF search over the scalar-quantized index with full-precision
+    * rerank: candidates in the query's cell are scored against the
+    * DEQUANTIZED codes (asymmetric — the query stays float32), the top
+    * `rerank` survivors are re-scored with the exact kernel against the
+    * full-precision embeddings, and the final top-k ranks by exact
+    * cosine. `rerank` at least the cell size makes the output identical
+    * to [[ivfTopK]] by construction (the shortlist is the whole cell);
+    * `rerank` ≈ 3k keeps it near-identical at a fraction of the exact
+    * scoring (Sq8Spec measures the match rate). At 100 TB the quantized
+    * index is the resident artifact (4× smaller), the rerank join is a
+    * broadcast of queries × rerank ids against the cold full-precision
+    * table — an equi-join on vec_id, never a second cell scan.
+    */
   def ivfSq8TopK(emb: DataFrame, queries: DataFrame, nCells: Int,
                  dim: Int, k: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
@@ -516,8 +556,8 @@ object Similarity {
   }
 
   /** IVF with a TRAINED coarse quantizer: deterministic seeding (first
-    * nCells vectors), then one Lloyd update — assign all vectors to their
-    * argmax-cosine centroid, recompute each centroid as the exact
+    * nCells vectors), then `iters` Lloyd updates — assign all vectors to
+    * their argmax-cosine centroid, recompute each centroid as the exact
     * per-dimension mean of its members — then the final assignment builds
     * the inverted file and search is restricted to the query's cell.
     *
@@ -525,43 +565,37 @@ object Similarity {
     * convention (round(v·1e7) summed as BIGINT — associative, partition-
     * order-independent), and the mean is two deterministic double
     * divisions, so centroids — and therefore assignments and final ranks —
-    * are bit-identical to the DuckDB oracle. Empty cells drop out of the
-    * centroid set identically on both engines.
+    * are bit-identical to the DuckDB oracle at every iteration count.
+    * Empty cells drop out of the centroid set identically on both
+    * engines.
     *
-    * Scale shape: assignment is a broadcast cross-join (nCells ≪ corpus) +
-    * one window argmin; the centroid update is a (cell, dim) groupBy — all
-    * shuffle-partitionable; iterations multiply cost linearly, not the
-    * plan depth (each round materializes only nCells × dim rows).
+    * Scale shape: assignment is the row-local [[bestCid]] fold over the
+    * broadcast packed centroids (no corpus exchange — see [[ivfAssign]]);
+    * the centroid update is a (cell, dim) groupBy with map-side partial
+    * aggregation; iterations multiply cost linearly, not the plan depth
+    * (each round materializes only nCells × dim rows). Training recall:
+    * TrainedRecallSpec measures recall@5 vs brute force climbing with
+    * `iters` over the first-N seed.
     */
   def ivfTrainedTopK(emb: DataFrame, queries: DataFrame, nCells: Int,
-                     dim: Int, k: Int): DataFrame = {
-    val prepped = emb.select(col("vec_id"), col("embedding"),
-      VectorOps.norm(col("embedding")).as("nrm"))
-    def assign(cents: DataFrame): DataFrame = {
-      val scored = prepped.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          VectorOps.cosineOf(VectorOps.dot(col("embedding"), col("cvec")),
-            col("nrm"), col("cnrm")))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cid").asc)
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("cid").as("cell"))
+                     dim: Int, k: Int, iters: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def update(assigned: DataFrame): DataFrame = {
+      val sums = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("cell", "i")
+        .agg(sum(round(col("v").cast("double") * 1e7).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+      sums.groupBy(col("cell").as("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, s, n))), " +
+          "x -> CAST(x.s AS DOUBLE)/1e7/x.n)").as("cvec"))
+        .withColumn("cnrm", VectorOps.norm(col("cvec")))
     }
     val c0 = emb.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
         VectorOps.norm(col("embedding")).as("cnrm"))
-    val a1 = assign(c0)
-    val sums = a1
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .groupBy("cell", "i")
-      .agg(sum(round(col("v").cast("double") * 1e7).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-    val c1 = sums.groupBy(col("cell").as("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(i, s, n))), " +
-        "x -> CAST(x.s AS DOUBLE)/1e7/x.n)").as("cvec"))
-      .withColumn("cnrm", VectorOps.norm(col("cvec")))
-    val cells = assign(c1)
+    val cT = (1 to iters).foldLeft(c0)((c, _) => update(ivfAssign(emb, c)))
+    val cells = ivfAssign(emb, cT)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qcells = cells.join(
       broadcast(queries.select(col("vec_id").as("qid"))),
@@ -581,7 +615,8 @@ object Similarity {
   }
 
   def ivfTrainedTopKSql(nCells: Int, dim: Int, k: Int,
-                        queryIds: String): String = {
+                        queryIds: String, iters: Int = 1): String = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     def assignSql(centsRel: String, out: String): String = {
       val cos = VectorOps.cosineSql("e.embedding", "c.cvec", dim)
       s"""$out AS (
@@ -592,23 +627,27 @@ object Similarity {
          |    FROM embeddings e CROSS JOIN $centsRel c)
          |  WHERE rn = 1)""".stripMargin
     }
+    def updateSql(t: Int): String =
+      s"""${assignSql(s"c${t - 1}", s"a$t")},
+         |sums$t AS (SELECT cell, d.i,
+         |           SUM(CAST(ROUND(CAST(embedding[d.i] AS DOUBLE)*1e7, 0) AS BIGINT)) AS s,
+         |           COUNT(*) AS n
+         |         FROM a$t CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) d
+         |         GROUP BY cell, d.i),
+         |c$t AS (SELECT cell AS cid,
+         |              list(CAST(s AS DOUBLE)/1e7/n ORDER BY i) AS cvec
+         |       FROM sums$t GROUP BY cell)""".stripMargin
+    val rounds = (1 to iters).map(updateSql).mkString(",\n")
+    val fin = s"a${iters + 1}"
     s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
        |            WHERE vec_id < $nCells),
-       |${assignSql("c0", "a1")},
-       |sums AS (SELECT cell, d.i,
-       |           SUM(CAST(ROUND(CAST(embedding[d.i] AS DOUBLE)*1e7, 0) AS BIGINT)) AS s,
-       |           COUNT(*) AS n
-       |         FROM a1 CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) d
-       |         GROUP BY cell, d.i),
-       |c1 AS (SELECT cell AS cid,
-       |              list(CAST(s AS DOUBLE)/1e7/n ORDER BY i) AS cvec
-       |       FROM sums GROUP BY cell),
-       |${assignSql("c1", "a2")},
-       |q AS (SELECT * FROM a2 WHERE vec_id IN ($queryIds)),
+       |$rounds,
+       |${assignSql(s"c$iters", fin)},
+       |q AS (SELECT * FROM $fin WHERE vec_id IN ($queryIds)),
        |scored AS (
        |  SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
        |         ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} AS cos
-       |  FROM a2 t JOIN q ON q.cell = t.cell AND q.vec_id <> t.vec_id),
+       |  FROM $fin t JOIN q ON q.cell = t.cell AND q.vec_id <> t.vec_id),
        |ranked AS (SELECT *, ROW_NUMBER() OVER
        |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
        |           FROM scored)

@@ -64,9 +64,7 @@ object SimStream {
   }
 
   private def centsRow(emb: DataFrame, nCells: Int): DataFrame =
-    Similarity.ivfCents(emb, nCells)
-      .agg(sort_array(collect_list(
-        struct(col("cid"), col("cvec"), col("cnrm")))).as("cents"))
+    Similarity.centsPacked(Similarity.ivfCents(emb, nCells))
 
   /** Incremental index refresh: fold a batch of NEWLY-ASSIGNED vectors
     * (rows from [[Similarity.ivfAssign]] against the index's OWN frozen
@@ -116,51 +114,40 @@ object SimStream {
   // batch-parity conventions — tie-breaks AND NaN placement — cannot
   // drift between the single-cell, multi-probe and quantized kernels) --
 
-  /** Negated sort key matching the batch `ORDER BY score DESC, id ASC`
+  /** Two-field sort key matching the batch `ORDER BY score DESC, id ASC`
     * window INCLUDING its NaN placement: Spark window ordering treats
     * NaN as the LARGEST double, so under DESC a NaN score ranks FIRST —
     * but plain negation would send it LAST in the ascending
-    * `array_sort` (NaN sorts last there). Mapping NaN → −∞ reproduces
-    * NaN-first, with the id field breaking ties among NaN scores like
-    * the batch window. NaN scores arise only from zero-norm vectors
-    * (0/0 cosines) — ZeroVectorParitySpec pins the equivalence.
+    * `array_sort` (NaN sorts last there). The leading flag (0 for NaN,
+    * 1 otherwise) reproduces NaN-first WITHOUT collapsing NaN onto −∞ —
+    * a +Infinity score (key (1, −∞)) stays strictly after every NaN
+    * (key (0, 0)), exactly the window's NaN > +Inf order; the id field
+    * after the key breaks ties like the batch window (struct ordering
+    * compares fields left to right, recursing into this nested struct).
+    * NaN scores arise only from zero-norm vectors (0/0 cosines) —
+    * ZeroVectorParitySpec pins the equivalence.
     */
   private def descKey(s: Column): Column =
-    when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
+    struct(when(isnan(s), 0).otherwise(1).as("nn"),
+      when(isnan(s), lit(0d)).otherwise(-s).as("ns"))
 
   /** (queries × broadcast centroid row) with qnrm and the per-centroid
-    * scores computed ONCE into `scents` — Catalyst does not CSE inside
-    * lambda bodies, so scoring in a dedicated transform() means each
-    * centroid pays the O(dim) dot kernel once (an inline fold would pay
-    * it twice per step — measured ~2× on the kernel-bound portion).
+    * scores computed ONCE into `scents` via the single-sourced
+    * [[Similarity.centScores]] (Catalyst does not CSE inside lambda
+    * bodies, so scoring in a dedicated transform() means each centroid
+    * pays the O(dim) dot kernel once — an inline fold would pay it
+    * twice per step, measured ~2× on the kernel-bound portion).
     */
-  private def centScored(queries: DataFrame, cents: DataFrame): DataFrame = {
-    val qn = queries
+  private def centScored(queries: DataFrame, cents: DataFrame): DataFrame =
+    queries
       .withColumn("qnrm", VectorOps.norm(col("embedding")))
       .crossJoin(broadcast(cents))
-    def ccos(c: Column) =
-      VectorOps.cosineOf(
-        VectorOps.dot(col("embedding"), c.getField("cvec")),
-        col("qnrm"), c.getField("cnrm"))
-    qn.withColumn("scents", transform(col("cents"),
-        c => struct(ccos(c).as("s"), c.getField("cid").as("cid"))))
+      .withColumn("scents", Similarity.centScores(
+        col("embedding"), col("qnrm"), col("cents")))
       .drop("cents")
-  }
 
-  /** Row-local centroid argmax over the cid-ORDERED score array,
-    * matching the batch (ccos DESC, cid ASC) window incl. NaN placement:
-    * a NaN score beats every real score (DESC puts NaN first), among NaN
-    * scores the FIRST — smallest cid — wins because a NaN accumulator is
-    * never overwritten, and among real scores the strictly-greater fold
-    * keeps the smallest cid on ties.
-    */
-  private def bestCid(scents: Column): Column =
-    aggregate(scents,
-      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
-      (acc, c) => when(
-        (isnan(c.getField("s")) && !isnan(acc.getField("s"))) ||
-          c.getField("s") > acc.getField("s"), c).otherwise(acc))
-      .getField("cid")
+  /** row-local centroid argmax — the single-sourced batch/stream kernel */
+  private def bestCid(scents: Column): Column = Similarity.bestCid(scents)
 
   /** Score the joined row's candidates (self excluded), rank by the
     * batch (score DESC, vec_id ASC) order via [[descKey]], keep k, and

@@ -155,6 +155,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // corpus side must never shuffle for the assignment
     assert(aPlan.contains("BroadcastExchange"), aPlan.take(3000))
     assert(!aPlan.contains("CartesianProduct"), aPlan.take(3000))
+    // the argmax is the row-local bestCid fold, not a per-vector window
+    // rank: a Window node here means the corpus-wide explode + sort +
+    // exchange shape regressed (the only Exchange in the plan is the
+    // nCells-row centroid packing)
+    assert(!aPlan.contains("Window"), aPlan.take(3000))
     val (packedBase, _) = streaming.SimStream.ivfIndex(
       emb.where(org.apache.spark.sql.functions.col("vec_id") < 60), 8)
     val appended = streaming.SimStream.ivfIndexAppend(packedBase, assigned)
