@@ -21,6 +21,24 @@ import org.apache.spark.sql.SparkSession
   * single detail line and round 7's per-family chunking both lost most
   * triples to the tail window, so the artifact, not stdout, is now the
   * recoverable record.
+  *
+  * Self-diagnostics (rounds 8–9 lesson: driver-box artifacts twice showed
+  * 2–20× inflated times that only a manual quiet-box re-run could
+  * adjudicate): `BENCH_DETAIL.json` additionally carries
+  *
+  *   - `"diag"`: per query, per run, the [[BenchDiag]] task-metric deltas
+  *     (spill, GC, input/shuffle bytes, task vs CPU ms, peak execution
+  *     memory) plus storage/heap/loadavg gauges — enough to attribute an
+  *     outlier to GC pressure, cache eviction, or external box load from
+  *     the artifact alone (attribution recipe in the BenchDiag scaladoc);
+  *   - `"probes"`: a FIXED-WORK calibration probe (sum(length(text)) over
+  *     the documents table — one scan, no shuffle, no cache interplay)
+  *     timed before the first query and at every query-family boundary.
+  *     Its work never changes, so its seconds are a direct in-band trace
+  *     of environment pressure across the run; any query outlier can be
+  *     cross-checked against the nearest probes;
+  *   - `"env"`: run-level constants (cpus, heap max) and start/end
+  *     loadavg.
   */
 object Bench {
 
@@ -48,9 +66,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val diag = new BenchDiag(spark)
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    // fixed-work calibration probe: one linear scan, no shuffle, reads no
+    // cache — its seconds vary ONLY with environment pressure (box load,
+    // GC, IO contention), so probing at family boundaries leaves an
+    // in-band env trace next to the queries it brackets
+    def probeDf = spark.read
+      .parquet(java.nio.file.Paths.get(sfDir, "documents.parquet").toString)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))))
+    val probes = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Seq[(String, Long)])]
+    def probe(at: String): Unit = {
+      val m0 = diag.mark()
+      val t0 = System.nanoTime()
+      try {
+        force(probeDf)
+        probes += ((at, (System.nanoTime() - t0) / 1e9, diag.measure(m0)))
+      } catch { case t: Throwable =>
+        // diagnostics must never take the bench down with them
+        System.err.println(s"[bench] probe $at failed: ${t.getMessage}")
+      }
+    }
 
     // warmup: JVM/codegen/parquet-footer caches (not timed), plus the two
     // memoized MATERIALIZED artifacts — the series table (core/Layout) and
@@ -124,9 +166,20 @@ object Bench {
     // and the second run rebuilds the plan from scratch (fresh builder,
     // same contamination assertion), so run2 isolates steady-state JIT/GC
     // variance from first-run cost. The contract headline stays first-run.
+    // Each run is bracketed by a BenchDiag window (outside the timed
+    // region: mark/measure wait for listener quiescence, so their poll
+    // cost never lands inside a timing); the calibration probe fires at
+    // each query-family boundary, before the family's first release/pin.
+    val loadStart = diag.loadAvgX100
+    val diags = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[(String, Long)], Seq[(String, Long)])]
+    var lastFam = ""
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val fam = name.takeWhile(_ != '_')
+      if (fam != lastFam) { probe(fam); lastFam = fam }
       graft.core.Caches.releaseTransient(spark, blocking = true)
       pinSanctioned(name)
+      val m1 = diag.mark()
       val t0 = System.nanoTime()
       val (c1, e1) =
         try runOnce(name)
@@ -137,8 +190,10 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           (dt, 0.0)
         }
+      val d1 = diag.measure(m1)
       graft.core.Caches.releaseTransient(spark, blocking = true)
       pinSanctioned(s"$name(run2)")
+      val m2 = diag.mark()
       val t1 = System.nanoTime()
       val r2 =
         try { runOnce(name); (System.nanoTime() - t1) / 1e9 }
@@ -151,8 +206,10 @@ object Bench {
             s"[bench] run 2 FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
           -1.0
         }
+      diags += ((name, d1, diag.measure(m2)))
       name -> ((c1, e1, r2))
     }
+    probe("end")
     // note: the memoized series table (SeriesOps) is shared across queries
     // by design — it models the materialized storage layer (core/Layout),
     // which production queries read instead of re-deriving
@@ -166,7 +223,22 @@ object Bench {
       val entries = results.map { case (k, (c, e, r2)) =>
         "\"" + k + "\":[" + r3(c) + "," + r3(e) + "," + r3(r2) + "]"
       }.mkString("{", ",", "}")
-      s"""{"detail":$entries,"failed":$failedJson,"sf":"$sfDir"}"""
+      def obj(kvs: Seq[(String, Long)]): String =
+        kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val diagJson = diags.map { case (k, d1, d2) =>
+        "\"" + k + "\":{\"run1\":" + obj(d1) + ",\"run2\":" + obj(d2) + "}"
+      }.mkString("{", ",", "}")
+      val probesJson = probes.map { case (at, sec, d) =>
+        "{\"at\":\"" + at + "\",\"sec\":" + r3(sec) + ",\"diag\":" + obj(d) + "}"
+      }.mkString("[", ",", "]")
+      val rt = Runtime.getRuntime
+      val envJson = obj(Seq(
+        "cpus" -> cpus.toLong,
+        "heap_max" -> rt.maxMemory,
+        "loadavg_start_x100" -> loadStart,
+        "loadavg_end_x100" -> diag.loadAvgX100))
+      s"""{"detail":$entries,"diag":$diagJson,"probes":$probesJson,""" +
+        s""""env":$envJson,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),

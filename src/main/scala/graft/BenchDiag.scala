@@ -1,0 +1,148 @@
+package graft
+
+import java.lang.management.ManagementFactory
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+import org.apache.spark.sql.SparkSession
+
+/** In-band environment/self-diagnostics for the bench artifact.
+  *
+  * Motivation (rounds 8–9): the driver-box artifact twice showed queries
+  * 2–20× their steady-state time with nothing in the artifact to
+  * attribute the inflation — adjudicating env-vs-code took a manual
+  * re-run on a quiet box. This collector makes the artifact
+  * self-diagnosing: per timed run it records the task-metric deltas a
+  * reader needs to separate the three inflation modes —
+  *
+  *   - GC pressure: `gc_task_ms` (GC elapsed inside tasks) and
+  *     `gc_jvm_ms` (collector-bean delta, catches driver-side GC too)
+  *     large relative to `wall_ms`;
+  *   - cache eviction / recomputation: `input_bytes` or `spill_*` far
+  *     above the query's quiet-box profile, `storage_used` dropping;
+  *   - external box load: `cpu_ms` ≪ `task_ms` (tasks runnable but not
+  *     on-core) and the 1-minute `loadavg` gauge high — corroborated by
+  *     the fixed-work calibration probe the bench times between query
+  *     families, whose own seconds inflate under the same pressure.
+  *
+  * Mechanics: a [[SparkListener]] accumulates `TaskMetrics` sums
+  * (spill, GC, input, shuffle, run/CPU time) and a per-task
+  * `peakExecutionMemory` max. Listener events post asynchronously, so
+  * [[mark]]/[[measure]] first wait for the task-end count to match the
+  * task-start count and go quiet (bounded poll) — the bench is strictly
+  * sequential, so quiescence means the window's events are all counted.
+  * Gauges (block-manager storage used, heap used, system loadavg) are
+  * sampled at measure time.
+  */
+final class BenchDiag(spark: SparkSession) {
+  private val tasksStarted = new AtomicLong
+  private val tasksEnded = new AtomicLong
+  private val spillMem = new AtomicLong
+  private val spillDisk = new AtomicLong
+  private val gcTaskMs = new AtomicLong
+  private val inputBytes = new AtomicLong
+  private val shuffleRead = new AtomicLong
+  private val shuffleWrite = new AtomicLong
+  private val taskMs = new AtomicLong
+  private val cpuNs = new AtomicLong
+  private val peakExec = new AtomicLong // max per-task since last mark()
+
+  spark.sparkContext.addSparkListener(new SparkListener {
+    override def onTaskStart(e: SparkListenerTaskStart): Unit = {
+      tasksStarted.incrementAndGet(); ()
+    }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        gcTaskMs.addAndGet(m.jvmGCTime)
+        inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        taskMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        peakExec.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
+      tasksEnded.incrementAndGet(); ()
+    }
+  })
+
+  import BenchDiag.Snap
+
+  private def gcBeanMs: Long = {
+    var t = 0L
+    ManagementFactory.getGarbageCollectorMXBeans.forEach { b =>
+      val c = b.getCollectionTime
+      if (c > 0) t += c
+    }
+    t
+  }
+
+  /** Wait until the async listener bus has delivered every task-end for
+    * work submitted so far: end-count equals start-count AND is stable
+    * across two polls. Bounded — diagnostics must never hang the bench.
+    */
+  private def quiesce(maxWaitMs: Long = 2000): Unit = {
+    val deadline = System.nanoTime + maxWaitMs * 1000000L
+    var last = -1L
+    while (System.nanoTime < deadline) {
+      val s = tasksStarted.get
+      val e = tasksEnded.get
+      if (e == s && e == last) return
+      last = e
+      Thread.sleep(10)
+    }
+  }
+
+  /** Start a measurement window: quiesce, snapshot cumulative counters,
+    * reset the per-window peak-memory max.
+    */
+  def mark(): Snap = {
+    quiesce()
+    peakExec.set(0L)
+    Snap(tasksEnded.get, spillMem.get, spillDisk.get, gcTaskMs.get,
+      gcBeanMs, inputBytes.get, shuffleRead.get, shuffleWrite.get,
+      taskMs.get, cpuNs.get, System.nanoTime)
+  }
+
+  /** Close a window opened by [[mark]]: quiesce, return the ordered
+    * (key → value) diagnostics map — counter deltas plus point-in-time
+    * gauges.
+    */
+  def measure(m0: Snap): Seq[(String, Long)] = {
+    quiesce()
+    val storageUsed = spark.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, remaining) => max - remaining }.sum
+    val rt = Runtime.getRuntime
+    Seq(
+      "wall_ms" -> (System.nanoTime - m0.wallNs) / 1000000L,
+      "tasks" -> (tasksEnded.get - m0.tasks),
+      "task_ms" -> (taskMs.get - m0.taskMs),
+      "cpu_ms" -> (cpuNs.get - m0.cpuNs) / 1000000L,
+      "gc_task_ms" -> (gcTaskMs.get - m0.gcTaskMs),
+      "gc_jvm_ms" -> (gcBeanMs - m0.gcJvmMs),
+      "spill_mem" -> (spillMem.get - m0.spillMem),
+      "spill_disk" -> (spillDisk.get - m0.spillDisk),
+      "input_bytes" -> (inputBytes.get - m0.input),
+      "shuffle_read" -> (shuffleRead.get - m0.sRead),
+      "shuffle_write" -> (shuffleWrite.get - m0.sWrite),
+      "peak_exec_mem" -> peakExec.get,
+      "storage_used" -> storageUsed,
+      "heap_used" -> (rt.totalMemory - rt.freeMemory),
+      "loadavg_x100" -> loadAvgX100)
+  }
+
+  /** 1-minute system load average ×100 (long-valued so the whole diag map
+    * is integral); -100 where the platform doesn't report one.
+    */
+  def loadAvgX100: Long =
+    (ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage * 100).toLong
+}
+
+object BenchDiag {
+  /** cumulative counters at a point in time (after listener quiescence) */
+  final case class Snap(tasks: Long, spillMem: Long, spillDisk: Long,
+                        gcTaskMs: Long, gcJvmMs: Long, input: Long,
+                        sRead: Long, sWrite: Long, taskMs: Long,
+                        cpuNs: Long, wallNs: Long)
+}
