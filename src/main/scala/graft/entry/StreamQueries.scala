@@ -362,6 +362,26 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append")
   }
 
+  /** Online quantized ANN with the full-precision rerank: the int8 index
+    * selects the shortlist, the full-precision packed index (same
+    * centroids, cold stream-static join) re-scores it row-locally —
+    * TRUE-cosine rankings from the stream, hash-matching the batch
+    * [[graft.pipeline.Similarity.ivfSq8TopK]] at the batch gate's own
+    * (k, rerank); its SQL is the oracle.
+    */
+  private def runSimSq8Rerank(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val queries = s.readStream.schema(sch).parquet(staged)
+      .where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding")
+    val (packedQ, cents) = sq8Index(s, dir)
+    val (packedF, _) = simIndex(s, dir)
+    val out = graft.streaming.SimStream.topKAgainstSq8IndexReranked(
+      queries, packedQ, packedF, cents, k = 5, rerank = 15)
+    drain(s, out, "append")
+  }
+
   /** Online ANN gate: the embeddings replay filtered to the batch
     * `sim_topk_ivf` query set, searched against the packed index of the
     * same corpus — results must match the batch IVF search, so the batch
@@ -437,7 +457,8 @@ object StreamQueries extends QueryProvider {
     "stream_sim" -> ((s, d) => runSim(s, d)),
     "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)),
     "stream_sim_sq8" -> ((s, d) => runSimSq8(s, d)),
-    "stream_sim_sq8_probe" -> ((s, d) => runSimSq8(s, d, nProbe = 3)))
+    "stream_sim_sq8_probe" -> ((s, d) => runSimSq8(s, d, nProbe = 3)),
+    "stream_sim_sq8_rerank" -> ((s, d) => runSimSq8Rerank(s, d)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -565,6 +586,10 @@ object StreamQueries extends QueryProvider {
     // multi-probe over the quantized index ≡ the batch nProbe=3 form
     "stream_sim_sq8_probe" -> graft.pipeline.Similarity
       .ivfSq8QuantTopKProbedSql(8, 64, 5, 3, "10, 11, 12"),
+    // quantized shortlist + full-precision rerank on the stream ≡ the
+    // batch ivfSq8TopK at the batch gate's (k=5, rerank=15)
+    "stream_sim_sq8_rerank" -> graft.pipeline.Similarity
+      .ivfSq8TopKSql(8, 64, 5, 15, "10, 11, 12"),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->

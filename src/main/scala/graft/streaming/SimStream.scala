@@ -254,10 +254,10 @@ object SimStream {
     * [[topKAgainstIvfIndex]], with each candidate scored asymmetrically
     * (float query × dequantized int8 member, the batch
     * [[Similarity.ivfSq8QuantTopK]] kernel and tie-breaks, so stream ≡
-    * batch bit-for-bit — SimStreamSq8Spec). No rerank stage on the
-    * stream: a stateless plan cannot re-sort after a second join, so the
-    * quantized ranking IS the online answer; pipe the result into the
-    * batch [[Similarity.ivfSq8TopK]] rerank when exact cosines matter.
+    * batch bit-for-bit — SimStreamSq8Spec). The quantized ranking is the
+    * memory-minimal online answer; when exact cosines matter, use
+    * [[topKAgainstSq8IndexReranked]], which folds the full-precision
+    * rerank into the same stateless shape.
     */
   def topKAgainstSq8Index(queries: DataFrame, packed: DataFrame,
                           cents: DataFrame, k: Int): DataFrame =
@@ -286,4 +286,58 @@ object SimStream {
                                 cents: DataFrame, k: Int,
                                 nProbe: Int): DataFrame =
     probedSearch(queries, packed, cents, k, nProbe, sq8Score)
+
+  /** Quantized search WITH the full-precision rerank — TRUE-cosine
+    * rankings from a stateless stream. The batch
+    * [[Similarity.ivfSq8TopK]] semantics (quantized shortlist of
+    * `rerank` by (qcos DESC, vec_id ASC), exact re-score, final top-k by
+    * (cos DESC, vec_id ASC)) re-shaped so no re-sort after a join is
+    * ever needed: the query's cell row is joined from BOTH packed
+    * indexes — the resident int8 index ([[sq8Index]]) that selects the
+    * shortlist, and the full-precision packed index ([[ivfIndex]], same
+    * centroids so cell ids coincide) that re-scores it — and shortlist
+    * selection, exact re-scoring, and the final sort all happen INSIDE
+    * the joined row. Two stateless equi-joins on the cell id, zero
+    * stateful operators.
+    *
+    * Memory posture: only the int8 index need stay resident; the
+    * full-precision side is a cold batch artifact read through the
+    * stream-static join (its per-cell row is touched only for cells
+    * queries actually land in). `rerank` at least the cell size makes
+    * the output identical to [[topKAgainstIvfIndex]] by construction.
+    * Stream ≡ batch [[Similarity.ivfSq8TopK]] bit-for-bit at the same
+    * (k, rerank) — SimStreamSq8Spec, and the `stream_sim_sq8_rerank`
+    * gate runs the batch oracle SQL.
+    */
+  def topKAgainstSq8IndexReranked(queries: DataFrame, packed: DataFrame,
+                                  packedFull: DataFrame, cents: DataFrame,
+                                  k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val assigned = centScored(queries, cents)
+      .withColumn("qcell", bestCid(col("scents"))).drop("scents")
+    val joined = assigned
+      .join(packed, col("qcell") === col("cell"))
+      .drop("cell")
+      .join(packedFull.select(col("cell").as("fcell"),
+        col("cands").as("fcands")), col("qcell") === col("fcell"))
+    // quantized shortlist: the batch window's (qcos DESC, vec_id ASC)
+    // order incl. NaN placement, self excluded, first `rerank` ids
+    val qscored = transform(
+      filter(col("cands"), c => c.getField("vec_id") =!= col("vec_id")),
+      c => struct(sq8Score(c).as("cos"), c.getField("vec_id").as("vid")))
+    val slIds = transform(
+      slice(array_sort(transform(qscored,
+        s => struct(descKey(s.getField("cos")).as("nc"),
+          s.getField("vid").as("vid")))), 1, rerank),
+      x => x.getField("vid"))
+    // exact re-score of the shortlist members out of the full-precision
+    // cell row (every shortlist id is in the query's cell by
+    // construction), final (cos DESC, vec_id ASC) top-k — all row-local
+    val withSl = joined.withColumn("slids", slIds)
+    rankTopK(withSl,
+      filter(col("fcands"),
+        c => array_contains(col("slids"), c.getField("vec_id"))),
+      floatScore, k,
+      passthroughOf(queries))
+  }
 }

@@ -62,6 +62,22 @@ class SimStreamSq8Spec extends AnyFunSuite with BeforeAndAfterAll {
       queries, packed, cents, k = 5)))
   }
 
+  test("reranked sq8 search ≡ batch ivfSq8TopK at the same (k, rerank)") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val (packedQ, cents) = SimStream.sq8Index(emb, NCells)
+    val (packedF, _) = SimStream.ivfIndex(emb, NCells)
+    val queries = emb.where(col("vec_id") < 50).select("vec_id", "embedding")
+    for (rr <- Seq(5, 15)) {
+      val st = rows(SimStream.topKAgainstSq8IndexReranked(
+        queries, packedQ, packedF, cents, k = 5, rerank = rr))
+      val b = rows(Similarity.ivfSq8TopK(emb, queries, NCells, 64, 5, rr))
+      assert(st.nonEmpty && st == b, {
+        val d1 = (st -- b).take(3); val d2 = (b -- st).take(3)
+        s"rerank=$rr stream-only=$d1 batch-only=$d2"
+      })
+    }
+  }
+
   test("the packed index stores byte codes, no float embeddings") {
     val emb = graft.core.Tables(spark, dir, "embeddings")
     val (packed, _) = SimStream.sq8Index(emb, NCells)
@@ -98,6 +114,33 @@ class SimStreamSq8Spec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     val st = Option(q.lastProgress).map(_.stateOperators.length).getOrElse(-1)
     val n = spark.sql("SELECT COUNT(*) FROM sim_sq8").collect()(0).getLong(0)
+    q.stop()
+    assert(st == 0, s"expected stateless plan, got $st stateful operators")
+    assert(n == 15, s"expected 3 queries x k=5 rows, got $n")
+  }
+
+  test("reranked sq8 search runs as a stateless stream") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val (packedQ, cents) = SimStream.sq8Index(emb, NCells)
+    val (packedF, _) = SimStream.ivfIndex(emb, NCells)
+    val base = emb.where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val queries = in.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = SimStream.topKAgainstSq8IndexReranked(
+      queries, packedQ, packedF, cents, k = 5, rerank = 15)
+    val q = out.writeStream.format("memory").queryName("sim_sq8_rr")
+      .outputMode("append").start()
+    in.addData(base.toSeq: _*)
+    q.processAllAvailable()
+    val st = Option(q.lastProgress).map(_.stateOperators.length).getOrElse(-1)
+    val n = spark.sql("SELECT COUNT(*) FROM sim_sq8_rr").collect()(0).getLong(0)
     q.stop()
     assert(st == 0, s"expected stateless plan, got $st stateful operators")
     assert(n == 15, s"expected 3 queries x k=5 rows, got $n")
