@@ -102,10 +102,13 @@ object PipelineQueries extends QueryProvider {
           .select("vec_id", "embedding"),
         appended, centsRow, k = 5).orderBy("query_id", "rank")
     }),
+    // trained coarse quantizer: TWO Lloyd rounds so the contract surface
+    // runs the multi-iteration trainer (and its oracle SQL) end-to-end,
+    // not the seed-equivalent default
     "sim_topk_ivf_trained" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfTrainedTopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
-        nCells = 8, dim = Dim, k = 5).orderBy("query_id", "rank")
+        nCells = 8, dim = Dim, k = 5, iters = 2).orderBy("query_id", "rank")
     }),
     // the IVF recall knob: each query searches its 3 nearest cells
     "sim_topk_ivf_probe" -> ((s, d) => {
@@ -214,7 +217,7 @@ object PipelineQueries extends QueryProvider {
     "sim_topk_multiprobe" -> Similarity.lshMultiProbeTopKSql(6, Dim, 5,
       "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     "sim_topk_ivf_trained" -> Similarity.ivfTrainedTopKSql(8, Dim, 5,
-      "10, 11, 12"),
+      "10, 11, 12", iters = 2),
     "sim_topk_ivf_probe" -> Similarity.ivfTopKProbedSql(8, Dim, 5, 3,
       "10, 11, 12"),
     "sim_topk_ivf_sq8" -> Similarity.ivfSq8TopKSql(8, Dim, 5, 15,

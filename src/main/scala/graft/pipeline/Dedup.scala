@@ -278,6 +278,11 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame =
     graft.core.Parallel.widen(docs)
+      // null text DROPS the doc, as the previous explode + groupBy form
+      // and the DuckDB oracle (string_split(NULL) → no rows) both do —
+      // without this the nullable native expression would pass a
+      // (doc_id, NULL, NULL) row through
+      .where(col("text").isNotNull)
       .select(col("doc_id"), graft.expr.SimhashFp(col("text")).as("fparr"))
       .select(col("doc_id"), col("fparr").getItem(0).as("fp_hi"),
         col("fparr").getItem(1).as("fp_lo"))

@@ -144,6 +144,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         bestCid(centScores(col("embedding"), col("nrm"), col("cents")))
           .as("cell"))
+      // the fold's -1 seed survives only when the centroid array is
+      // empty (real cids are vec_ids ≥ 0, and any score — including
+      // NaN — overwrites the seed); filtering it keeps the degenerate
+      // empty-centroid-table case an EMPTY result, as the crossJoin
+      // form and the DuckDB oracle both produce, not a silent -1 label
+      .where(col("cell") =!= lit(-1L))
 
   /** Corpus cell assignment (vec_id, embedding, nrm, cell): every vector
     * to its max-cosine centroid, ties on centroid id — deterministic and
@@ -574,8 +580,13 @@ object Similarity {
     * the centroid update is a (cell, dim) groupBy with map-side partial
     * aggregation; iterations multiply cost linearly, not the plan depth
     * (each round materializes only nCells × dim rows). Training recall:
-    * TrainedRecallSpec measures recall@5 vs brute force climbing with
-    * `iters` over the first-N seed.
+    * TrainedIvfSpec pins recall@5 at nProbe=1 climbing above the raw
+    * first-N seed on a CLUSTERED corpus with deliberately displaced
+    * seeds — the case training exists for. On the driver's near-uniform
+    * synthetic embeddings training cannot beat the seed (measured
+    * 0.47–0.50 vs 0.510 across iters 1–6, identical cell balance;
+    * TrainedRecallProbe) because there is no cluster structure to find —
+    * recall there is probe-count-bound, not trainer-bound.
     */
   def ivfTrainedTopK(emb: DataFrame, queries: DataFrame, nCells: Int,
                      dim: Int, k: Int, iters: Int = 1): DataFrame = {
