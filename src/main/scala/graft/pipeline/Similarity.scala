@@ -129,27 +129,34 @@ object Similarity {
     * between coarse-quantizer retrains — at 100 TB the retrain is the
     * expensive rare event, the append is one broadcast join per batch.
     *
-    * Plan shape: the argmax is the ROW-LOCAL [[bestCid]] fold over the
-    * broadcast packed centroid array — the same kernel the streaming
-    * side uses — so the corpus side carries no explode, no per-vector
-    * window sort, and no exchange (the only shuffle in the plan is the
-    * nCells-row centroid packing). The earlier crossJoin + row_number
-    * form materialized an n×nCells scored frame and per-partition-sorted
-    * it on every index build/refresh.
+    * Plan shape: the argmax is ROW-LOCAL over the broadcast packed
+    * centroid array — no explode, no per-vector window sort, no exchange
+    * on the corpus side (the only shuffle in the plan is the nCells-row
+    * centroid packing). The kernel is the native codegen'd
+    * [[graft.expr.IvfBestCell]]: the [[bestCid]]∘[[centScores]] HOF fold
+    * has identical semantics (NativeAssignSpec pins them equal row-for-
+    * row) but is CodegenFallback and interprets the scoring subtree per
+    * centroid — measured 1.8 s/Mvec/centroid vs the kernel's tight loop
+    * (AssignTaxProbe). The streaming query side keeps the HOF form (it
+    * needs the full score array for multi-probe, and its cardinality is
+    * queries, not corpus).
     */
   def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(centsPacked(cents)))
+      // degenerate-input guard: an EMPTY centroid table must yield an
+      // empty assignment (as the old crossJoin + window form and the
+      // DuckDB oracle produce), not every vector silently labeled with
+      // the fold's -1 seed. Guarding on the ARRAY, not on cell = -1, is
+      // deliberate: this predicate is pushed into the nested-loop join
+      // condition, where a cell-based guard would evaluate the whole
+      // argmax kernel a second time per row (measured 2× the assignment
+      // cost, AssignPlanProbe) while size(cents) > 0 is O(1)
+      .where(size(col("cents")) > 0)
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        bestCid(centScores(col("embedding"), col("nrm"), col("cents")))
-          .as("cell"))
-      // the fold's -1 seed survives only when the centroid array is
-      // empty (real cids are vec_ids ≥ 0, and any score — including
-      // NaN — overwrites the seed); filtering it keeps the degenerate
-      // empty-centroid-table case an EMPTY result, as the crossJoin
-      // form and the DuckDB oracle both produce, not a silent -1 label
-      .where(col("cell") =!= lit(-1L))
+        graft.expr.IvfBestCell(col("embedding"), col("nrm"), col("cents"),
+          VectorOps.Scale).as("cell"))
 
   /** Corpus cell assignment (vec_id, embedding, nrm, cell): every vector
     * to its max-cosine centroid, ties on centroid id — deterministic and

@@ -25,6 +25,10 @@ object AssignTaxProbe {
         explode(sequence(lit(0), lit(copies - 1))).as("c"))
       .select((col("vec_id") * copies + col("c")).as("vec_id"),
         col("embedding"))
+      // the single source file would otherwise leave ONE partition and
+      // serialize the whole probe onto one core (the first run of this
+      // probe did exactly that — see NOTES_r10)
+      .repartition(8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = big.count()
     println(s"[probe] corpus = $n vectors")
@@ -48,6 +52,16 @@ object AssignTaxProbe {
         Similarity.ivfAssign(big, cents).agg(sum("cell")).collect())
       println(f"[probe]   assignment tax = ${s - scan}%.2f s/Mvec " +
         f"(${(s - scan) * 1000 / nCells}%.1f ms/Mvec/centroid)")
+      // the interpreted HOF fold the kernel replaced, same plan shape
+      val h = time(s"HOF fold  nCells=$nCells")(
+        big.select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nrm"))
+          .crossJoin(broadcast(Similarity.centsPacked(cents)))
+          .select(Similarity.bestCid(Similarity.centScores(
+            col("embedding"), col("nrm"), col("cents"))).as("cell"))
+          .agg(sum("cell")).collect())
+      println(f"[probe]   HOF tax = ${h - scan}%.2f s/Mvec " +
+        f"(native is ${(h - scan) / (s - scan)}%.1fx faster)")
     }
     big.unpersist()
     spark.stop()
