@@ -122,6 +122,21 @@ object PipelineQueries extends QueryProvider {
       Similarity.ivfSq8TopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
         nCells = 8, dim = Dim, k = 5, rerank = 15).orderBy("query_id", "rank")
     }),
+    // product-quantized index: 8 sub-space codebooks of 16 entries, codes
+    // are the index's whole per-vector payload (8 bytes vs float32's 256)
+    "sim_topk_ivf_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqTopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // the production PQ posture: codes-only shortlist, exact rerank of 15
+    "sim_topk_pq_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqRerankTopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, rerank = 15)
+        .orderBy("query_id", "rank")
+    }),
     // both production knobs at once: 3 probes over the int8 index
     "sim_topk_sq8_probe" -> ((s, d) => {
       val e = emb(s, d)
@@ -222,6 +237,10 @@ object PipelineQueries extends QueryProvider {
       "10, 11, 12"),
     "sim_topk_ivf_sq8" -> Similarity.ivfSq8TopKSql(8, Dim, 5, 15,
       "10, 11, 12"),
+    "sim_topk_ivf_pq" -> Similarity.ivfPqTopKSql(8, 8, 16, Dim, 5,
+      "10, 11, 12"),
+    "sim_topk_pq_rerank" -> Similarity.ivfPqRerankTopKSql(8, 8, 16, Dim, 5,
+      15, "10, 11, 12"),
     "sim_topk_sq8_probe" -> Similarity.ivfSq8QuantTopKProbedSql(8, Dim, 5,
       3, "10, 11, 12"),
     "text_tokens" -> TextOps.tokensSql,

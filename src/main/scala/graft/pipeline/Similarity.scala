@@ -673,6 +673,256 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ── IVF-PQ: product quantization ─────────────────────────────────────
+
+  /** Per-subspace PQ codebooks: the embedding is split into `m`
+    * contiguous subspaces of `dim / m` dimensions, and subspace `j`'s
+    * codebook is the first `ksub` vectors' j-th subvectors — the same
+    * deterministic first-N seeding as [[ivfCents]], so the codebook (and
+    * therefore every code) is engine-comparable with no training step.
+    * Output: (j, code, cbvec) with j ∈ [0, m), code ∈ [0, ksub).
+    */
+  def pqCodebooks(emb: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val sub = dim / m
+    emb.where(col("vec_id") < ksub)
+      .select(col("vec_id").cast("int").as("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("embedding"))
+      .select(col("j"), col("code"),
+        slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("cbvec"))
+  }
+
+  /** One-row packed codebook array `cbs[j][code] = cbvec` (j- and
+    * code-ordered) — the broadcast form the row-local encode and the
+    * scoring reconstruction fold over, exactly like [[centsPacked]].
+    */
+  def pqPacked(cbs: DataFrame): DataFrame =
+    cbs.groupBy("j")
+      .agg(transform(sort_array(collect_list(struct(col("code"),
+        col("cbvec")))), x => x.getField("cbvec")).as("cb"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("cb")))),
+        x => x.getField("cb")).as("cbs"))
+
+  /** Row-local PQ encode: for each subspace, the codebook entry at
+    * minimum L2 distance from the vector's subvector, ties on the
+    * smaller code. Distances compare in EXACT integer space:
+    * d = dotL(v,v) + dotL(c,c) − 2·dotL(v,c) over the scaled-long
+    * fixed-point dots, so the argmin — and therefore every code — is
+    * bit-identical to the DuckDB oracle regardless of partition order.
+    */
+  private def pqCodes(vec: Column, cbs: Column, m: Int, sub: Int): Column = {
+    def dotL(a: Column, b: Column): Column =
+      graft.expr.FixedPointDot(a, b, VectorOps.Scale)
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val vj = slice(vec, j * sub + 1, lit(sub))
+      val cbj = element_at(cbs, j + 1)
+      aggregate(sequence(lit(0), size(cbj) - 1),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, c) => {
+          val cb = element_at(cbj, c + 1)
+          val d = dotL(vj, vj) + dotL(cb, cb) - lit(2L) * dotL(vj, cb)
+          when(d < acc.getField("d"),
+            struct(d.as("d"), c.as("c"))).otherwise(acc)
+        }).getField("c")
+    })
+  }
+
+  /** Reconstruction of a PQ-coded vector: the concatenation of each
+    * subspace's selected codebook entry. Same element values on both
+    * engines (codebook entries are raw corpus floats), so the fixed-point
+    * cosine against it is oracle-exact.
+    */
+  private def pqRecon(codes: Column, cbs: Column, m: Int): Column =
+    flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+      element_at(element_at(cbs, j + 1), element_at(codes, j + 1) + 1)))
+
+  /** PQ-encode an assigned-cell table against a packed codebook row:
+    * (vec_id, cell, codes) — `codes` is m SMALL integers, the index's
+    * entire per-vector payload. At dim=64, m=8 that is 8 bytes against
+    * float32's 256: a 32× resident-index compression, the rung below
+    * [[sq8Quantize]]'s 4× on the memory-per-vector ladder, which is THE
+    * constraint that decides how much corpus a 100 TB deployment can
+    * keep hot. An empty codebook (empty corpus seed) yields an EMPTY
+    * frame, mirroring [[ivfAssign]]'s degenerate-input guard.
+    */
+  def pqEncode(assigned: DataFrame, cbsRow: DataFrame, m: Int,
+               dim: Int): DataFrame =
+    assigned.crossJoin(broadcast(cbsRow))
+      .where(size(col("cbs")) === m)
+      .select(col("vec_id"), col("cell"),
+        pqCodes(col("embedding"), col("cbs"), m, dim / m).as("codes"))
+
+  /** IVF-PQ top-k: candidates in the query's IVF cell, ranked by the
+    * asymmetric PQ cosine — the float32 query against each candidate's
+    * codebook RECONSTRUCTION. Per-element fixed-point rounding makes the
+    * dot against the reconstruction bit-equal to summing per-subspace
+    * LUT entries, so the classic ADC lookup-table execution is a pure
+    * physical optimization over these exact semantics.
+    *
+    * Scale shape: both the codebooks and the query rows broadcast; the
+    * corpus-side joins are the cell equi-join and the one-row codebook
+    * crossJoin — no shuffle of the encoded index, no unblocked Cartesian
+    * (PqSpec asserts the plan). The index payload is codes-only; the
+    * full-precision corpus stays cold (add a rerank join as in
+    * [[ivfSq8TopK]] when exact final ranks are needed).
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, nCells: Int, m: Int,
+                ksub: Int, dim: Int, k: Int): DataFrame = {
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbsRow = pqPacked(pqCodebooks(emb, m, ksub, dim))
+    val idx = pqEncode(cells, cbsRow, m, dim)
+    val qcells = cells.join(
+      broadcast(queries.select(col("vec_id").as("qid"))),
+      col("vec_id") === col("qid"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"), col("cell").as("qcell"))
+    val scored = idx.as("t").join(broadcast(qcells),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .crossJoin(broadcast(cbsRow))
+      .withColumn("recon", pqRecon(col("codes"), col("cbs"), m))
+      .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("recon")),
+          col("qnrm"), VectorOps.norm(col("recon"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    Persist.handoff(out, cells)
+  }
+
+  /** IVF-PQ with full-precision rerank — the production PQ posture: the
+    * codes-only resident index selects a `rerank`-deep shortlist by
+    * asymmetric PQ cosine, the shortlist alone is re-scored with the
+    * exact kernel against the cold full-precision corpus (a broadcast
+    * equi-join on vec_id — queries × rerank rows, never a second cell
+    * scan), and the final top-k ranks by TRUE cosine. The same
+    * two-stage contract as [[ivfSq8TopK]], one rung further down the
+    * memory ladder: the resident bytes per vector drop 256 → 8 while
+    * the exact stage touches only k·O(rerank) cold rows per query.
+    */
+  def ivfPqRerankTopK(emb: DataFrame, queries: DataFrame, nCells: Int,
+                      m: Int, ksub: Int, dim: Int, k: Int,
+                      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbsRow = pqPacked(pqCodebooks(emb, m, ksub, dim))
+    val idx = pqEncode(cells, cbsRow, m, dim)
+    val qcells = cells.join(
+      broadcast(queries.select(col("vec_id").as("qid"))),
+      col("vec_id") === col("qid"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"), col("cell").as("qcell"))
+    val qscored = idx.as("t").join(broadcast(qcells),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .crossJoin(broadcast(cbsRow))
+      .withColumn("recon", pqRecon(col("codes"), col("cbs"), m))
+      .select(col("q_id"), col("qvec"), col("qnrm"),
+        col("t.vec_id").as("vec_id"),
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("recon")),
+          col("qnrm"), VectorOps.norm(col("recon"))).as("qcos"))
+    val ws = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val shortlist = qscored.withColumn("srn", row_number().over(ws))
+      .where(col("srn") <= rerank)
+      .select(col("q_id"), col("qvec"), col("qnrm"), col("vec_id"))
+    val full = emb.select(col("vec_id").as("t_id"),
+      col("embedding").as("tvec"),
+      VectorOps.norm(col("embedding")).as("tnrm"))
+    val rescored = full.join(broadcast(shortlist),
+        col("t_id") === col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id"),
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("tvec")),
+          col("qnrm"), col("tnrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    Persist.handoff(out, cells)
+  }
+
+  /** DuckDB mirror of [[ivfPqRerankTopK]]: the [[ivfPqTopKSql]] prefix
+    * with the shortlist/rescore tail of [[ivfSq8TopKSql]].
+    */
+  def ivfPqRerankTopKSql(nCells: Int, m: Int, ksub: Int, dim: Int, k: Int,
+                         rerank: Int, queryIds: String): String =
+    s"""WITH ${pqIndexCteSql(nCells, m, ksub, dim)},
+       |qcells AS (SELECT vec_id AS q_id, embedding AS qvec, cell AS qcell
+       |           FROM assigned WHERE vec_id IN ($queryIds)),
+       |qscored AS (
+       |  SELECT q.q_id, q.qvec, t.vec_id,
+       |         ${VectorOps.cosineSql("q.qvec", "t.recon", dim)} AS qcos
+       |  FROM pidx t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |shortlist AS (
+       |  SELECT q_id, qvec, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY qcos DESC, vec_id) AS srn FROM qscored)
+       |  WHERE srn <= $rerank),
+       |rescored AS (
+       |  SELECT s.q_id AS query_id, s.vec_id,
+       |         ${VectorOps.cosineSql("s.qvec", "e.embedding", dim)} AS cos
+       |  FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM rescored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared PQ-oracle prefix: `assigned` (IVF cells), `cb` (first-ksub
+    * subspace codebooks), `encsc`/`enc` (integer-space L2 argmin codes)
+    * and `pidx` (the reconstructed index) — single-sourced so the encode
+    * convention cannot drift between the quantized-only and reranked
+    * oracles.
+    */
+  private def pqIndexCteSql(nCells: Int, m: Int, ksub: Int,
+                            dim: Int): String = {
+    val sub = dim / m
+    def dotL(x: String, y: String): String =
+      s"CAST(list_sum([CAST(ROUND(CAST($x AS DOUBLE)*CAST($y AS DOUBLE)*1e15, 0) AS BIGINT) " +
+        s"for i in range(1, ${sub + 1})]) AS BIGINT)"
+    val vi = s"a.embedding[cb.j*$sub + i]"
+    val ci = "cb.cbvec[i]"
+    s"""${assignedCteSql(nCells, dim)},
+       |cb AS (SELECT js.j, CAST(e.vec_id AS INTEGER) AS code,
+       |              e.embedding[(js.j*$sub+1):(js.j*$sub+$sub)] AS cbvec
+       |       FROM embeddings e
+       |       CROSS JOIN (SELECT unnest(range(0, $m)) AS j) js
+       |       WHERE e.vec_id < $ksub),
+       |encsc AS (
+       |  SELECT a.vec_id, cb.j, cb.code, cb.cbvec,
+       |         ${dotL(vi, vi)} + ${dotL(ci, ci)} - 2*${dotL(vi, ci)} AS d
+       |  FROM assigned a CROSS JOIN cb),
+       |enc AS (SELECT vec_id, j, cbvec FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |            ORDER BY d, code) AS rn FROM encsc)
+       |        WHERE rn = 1),
+       |pidx AS (SELECT e.vec_id, a.cell,
+       |                flatten(list(e.cbvec ORDER BY e.j)) AS recon
+       |         FROM enc e JOIN assigned a USING (vec_id)
+       |         GROUP BY e.vec_id, a.cell)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ivfPqTopK]]: same first-ksub codebooks, same
+    * integer-space L2 argmin per subspace, same reconstruction cosine.
+    */
+  def ivfPqTopKSql(nCells: Int, m: Int, ksub: Int, dim: Int, k: Int,
+                   queryIds: String): String =
+    s"""WITH ${pqIndexCteSql(nCells, m, ksub, dim)},
+       |qcells AS (SELECT vec_id AS q_id, embedding AS qvec, cell AS qcell
+       |           FROM assigned WHERE vec_id IN ($queryIds)),
+       |scored AS (
+       |  SELECT q.q_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.cosineSql("q.qvec", "t.recon", dim)} AS cos
+       |  FROM pidx t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def lshTopKSql(bits: Int, dim: Int, k: Int, querySel: String): String =
     s"""WITH b AS (SELECT vec_id, embedding,
        |           ${VectorOps.lshBucketSql("embedding", bits, dim)} AS bkt
