@@ -703,14 +703,21 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("j"), col("cb")))),
         x => x.getField("cb")).as("cbs"))
 
-  /** Row-local PQ encode: for each subspace, the codebook entry at
-    * minimum L2 distance from the vector's subvector, ties on the
-    * smaller code. Distances compare in EXACT integer space:
+  /** Row-local PQ encode, composed HOF form: for each subspace, the
+    * codebook entry at minimum L2 distance from the vector's subvector,
+    * ties on the smaller code. Distances compare in EXACT integer space:
     * d = dotL(v,v) + dotL(c,c) − 2·dotL(v,c) over the scaled-long
     * fixed-point dots, so the argmin — and therefore every code — is
     * bit-identical to the DuckDB oracle regardless of partition order.
+    *
+    * This is the SEMANTICS CONTRACT for the native
+    * [[graft.expr.PqEncode]] kernel that [[pqEncode]] actually runs
+    * (transform∘aggregate nests are CodegenFallback — measured
+    * 102 s/Mvec at ksub=16, PqTaxProbe); NativePqEncodeSpec pins the
+    * two equal row-for-row.
     */
-  private def pqCodes(vec: Column, cbs: Column, m: Int, sub: Int): Column = {
+  private[graft] def pqCodes(vec: Column, cbs: Column, m: Int,
+                             sub: Int): Column = {
     def dotL(a: Column, b: Column): Column =
       graft.expr.FixedPointDot(a, b, VectorOps.Scale)
     transform(sequence(lit(0), lit(m - 1)), j => {
@@ -750,7 +757,8 @@ object Similarity {
     assigned.crossJoin(broadcast(cbsRow))
       .where(size(col("cbs")) === m)
       .select(col("vec_id"), col("cell"),
-        pqCodes(col("embedding"), col("cbs"), m, dim / m).as("codes"))
+        graft.expr.PqEncode(col("embedding"), col("cbs"), m, dim / m,
+          VectorOps.Scale).as("codes"))
 
   /** IVF-PQ top-k: candidates in the query's IVF cell, ranked by the
     * asymmetric PQ cosine — the float32 query against each candidate's
