@@ -362,6 +362,37 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append")
   }
 
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+  private def pqIndex(s: SparkSession,
+                      dir: String): (DataFrame, DataFrame, DataFrame) =
+    pqIndexCache.computeIfAbsent((s, dir), { _ =>
+      val (packed, cents, cbs) = graft.streaming.SimStream.pqIndex(
+        graft.core.Tables(s, dir, "embeddings"), nCells = 8, m = 8,
+        ksub = 16, dim = 64)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (graft.core.Caches.sanction(packed.persist(lvl)),
+        graft.core.Caches.sanction(cents.persist(lvl)),
+        graft.core.Caches.sanction(cbs.persist(lvl)))
+    })
+
+  /** Online product-quantized ANN gate: same replay, searched against
+    * the codes-only PQ packed index — results must match the batch PQ
+    * ranking ([[graft.pipeline.Similarity.ivfPqTopK]]), whose SQL is the
+    * oracle.
+    */
+  private def runSimPq(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val queries = s.readStream.schema(sch).parquet(staged)
+      .where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding")
+    val (packed, cents, cbs) = pqIndex(s, dir)
+    val out = graft.streaming.SimStream.topKAgainstPqIndex(
+      queries, packed, cents, cbs, k = 5, m = 8)
+    drain(s, out, "append")
+  }
+
   /** Online quantized ANN with the full-precision rerank: the int8 index
     * selects the shortlist, the full-precision packed index (same
     * centroids, cold stream-static join) re-scores it row-locally —
@@ -458,7 +489,8 @@ object StreamQueries extends QueryProvider {
     "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)),
     "stream_sim_sq8" -> ((s, d) => runSimSq8(s, d)),
     "stream_sim_sq8_probe" -> ((s, d) => runSimSq8(s, d, nProbe = 3)),
-    "stream_sim_sq8_rerank" -> ((s, d) => runSimSq8Rerank(s, d)))
+    "stream_sim_sq8_rerank" -> ((s, d) => runSimSq8Rerank(s, d)),
+    "stream_sim_pq" -> ((s, d) => runSimPq(s, d)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -590,6 +622,9 @@ object StreamQueries extends QueryProvider {
     // batch ivfSq8TopK at the batch gate's (k=5, rerank=15)
     "stream_sim_sq8_rerank" -> graft.pipeline.Similarity
       .ivfSq8TopKSql(8, 64, 5, 15, "10, 11, 12"),
+    // codes-only PQ ranking on the stream ≡ the batch ivfPqTopK oracle
+    "stream_sim_pq" -> graft.pipeline.Similarity
+      .ivfPqTopKSql(8, 8, 16, 64, 5, "10, 11, 12"),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->

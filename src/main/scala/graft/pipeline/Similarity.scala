@@ -739,7 +739,7 @@ object Similarity {
     * engines (codebook entries are raw corpus floats), so the fixed-point
     * cosine against it is oracle-exact.
     */
-  private def pqRecon(codes: Column, cbs: Column, m: Int): Column =
+  private[graft] def pqRecon(codes: Column, cbs: Column, m: Int): Column =
     flatten(transform(sequence(lit(0), lit(m - 1)), j =>
       element_at(element_at(cbs, j + 1), element_at(codes, j + 1) + 1)))
 

@@ -66,6 +66,25 @@ object SimStream {
   private def centsRow(emb: DataFrame, nCells: Int): DataFrame =
     Similarity.centsPacked(Similarity.ivfCents(emb, nCells))
 
+  /** The product-quantized packed index: (cell, cands:
+    * array<struct<vec_id, codes>>) — m SMALL integers per member, the
+    * bottom rung of the resident-memory ladder (32× less than float32 at
+    * dim=64/m=8, 8× less than [[sq8Index]]'s int8) — plus the one-row
+    * centroid array and the one-row packed codebook array the scoring
+    * reconstruction folds over. All three are batch artifacts; persist
+    * and refresh them with the corpus.
+    */
+  def pqIndex(emb: DataFrame, nCells: Int, m: Int, ksub: Int,
+              dim: Int): (DataFrame, DataFrame, DataFrame) = {
+    val cbsRow = Similarity.pqPacked(Similarity.pqCodebooks(emb, m, ksub, dim))
+    val packed = Similarity.pqEncode(Similarity.ivfCells(emb, nCells),
+        cbsRow, m, dim)
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("codes")))).as("cands"))
+    (packed, centsRow(emb, nCells), cbsRow)
+  }
+
   /** Incremental index refresh: fold a batch of NEWLY-ASSIGNED vectors
     * (rows from [[Similarity.ivfAssign]] against the index's OWN frozen
     * centroid table) into the packed index — union each cell's members
@@ -192,6 +211,15 @@ object SimStream {
       VectorOps.dot(col("embedding"), VectorOps.sq8Dequant(
         c.getField("code"), c.getField("lo"), c.getField("step"))),
       col("qnrm"), c.getField("dnrm"))
+  // asymmetric PQ cosine: float query × codebook reconstruction, the
+  // batch ivfPqTopK kernel — needs the packed codebook row (`cbs`) on
+  // the joined frame, which topKAgainstPqIndex broadcasts onto the
+  // query side before the search and drops from the output
+  private def pqScore(m: Int)(c: Column): Column = {
+    val recon = Similarity.pqRecon(c.getField("codes"), col("cbs"), m)
+    VectorOps.cosineOf(VectorOps.dot(col("embedding"), recon),
+      col("qnrm"), VectorOps.norm(recon))
+  }
 
   /** single-cell search: argmax-assigned cell, one equi-join, rank */
   private def singleSearch(queries: DataFrame, packed: DataFrame,
@@ -262,6 +290,23 @@ object SimStream {
   def topKAgainstSq8Index(queries: DataFrame, packed: DataFrame,
                           cents: DataFrame, k: Int): DataFrame =
     singleSearch(queries, packed, cents, k, sq8Score)
+
+  /** Top-k PRODUCT-QUANTIZED cosine neighbors per query against the
+    * packed PQ index — the same stateless single-join shape as
+    * [[topKAgainstSq8Index]], each candidate scored asymmetrically
+    * (float query × codebook reconstruction, the batch
+    * [[Similarity.ivfPqTopK]] kernel and tie-breaks, so stream ≡ batch
+    * bit-for-bit — SimStreamPqSpec). The codes-only index is the
+    * memory-minimal always-resident online artifact: at dim=64/m=8 the
+    * per-member payload is 8 small ints vs sq8's 64 bytes + grid; the
+    * codebook row it reconstructs from is m × ksub subvectors — a few
+    * KB, broadcast onto the query side.
+    */
+  def topKAgainstPqIndex(queries: DataFrame, packed: DataFrame,
+                         cents: DataFrame, cbsRow: DataFrame, k: Int,
+                         m: Int): DataFrame =
+    singleSearch(queries.crossJoin(broadcast(cbsRow)), packed, cents, k,
+      pqScore(m)).drop("cbs")
 
   /** Top-k cosine neighbors per query against the packed index, probing
     * the query's `nProbe` nearest cells — STILL stateless (see
