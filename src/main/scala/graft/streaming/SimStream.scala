@@ -116,6 +116,22 @@ object SimStream {
         struct(col("vec_id"), col("lo"), col("step"), col("code"),
           col("dnrm"))).as("dcands")))
 
+  /** [[ivfIndexAppend]] for the product-quantized index: PQ-encode the
+    * newly-assigned batch against the FROZEN codebook row (codes depend
+    * on nothing but the vector and the codebooks, so the delta's code
+    * words are bit-identical to what a full re-encode would produce) and
+    * fold it in with the same full-outer cell merge. The codes-only
+    * resident artifact gets the same append-only refresh cadence as the
+    * float and int8 indexes (PqAppendSpec: append ≡ rebuild; search
+    * parity over the appended index); codebooks retrain on the
+    * coarse-quantizer cadence, not per batch.
+    */
+  def pqIndexAppend(packed: DataFrame, assigned: DataFrame,
+                    cbsRow: DataFrame, m: Int, dim: Int): DataFrame =
+    mergePacked(packed, Similarity.pqEncode(assigned, cbsRow, m, dim)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("codes"))).as("dcands")))
+
   /** Full-outer keyed merge of a packed index with a per-cell delta:
     * union each cell's members and restore the vec_id order the
     * row-local search relies on; brand-new cells (no base row) and
