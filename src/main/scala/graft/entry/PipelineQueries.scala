@@ -130,12 +130,40 @@ object PipelineQueries extends QueryProvider {
         nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5)
         .orderBy("query_id", "rank")
     }),
+    // the PQ recall knob: 3 probed cells over the codes-only index
+    "sim_topk_pq_probe" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqTopKProbed(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
     // the production PQ posture: codes-only shortlist, exact rerank of 15
     "sim_topk_pq_rerank" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfPqRerankTopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
         nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, rerank = 15)
         .orderBy("query_id", "rank")
+    }),
+    // incremental PQ maintenance driver-gated end-to-end: freeze the
+    // coarse centroids AND codebooks on the first 60 vectors (both seed
+    // from deterministic first-N prefixes that the base already contains,
+    // so the frozen artifacts equal the oracle's full-corpus ones), fold
+    // the remainder in via pqIndexAppend, search the appended index
+    "sim_topk_pq_append" -> ((s, d) => {
+      val e = emb(s, d)
+      val split = 60L
+      val cents = Similarity.ivfCents(e.where(col("vec_id") < split), 8)
+      val centsRow = Similarity.centsPacked(cents)
+      val (packedBase, _, cbs) = graft.streaming.SimStream.pqIndex(
+        e.where(col("vec_id") < split), nCells = 8, m = 8, ksub = 16,
+        dim = Dim)
+      val appended = graft.streaming.SimStream.pqIndexAppend(packedBase,
+        Similarity.ivfAssign(e.where(col("vec_id") >= split), cents),
+        cbs, m = 8, dim = Dim)
+      graft.streaming.SimStream.topKAgainstPqIndex(
+        e.where(col("vec_id").isin(10L, 11L, 12L))
+          .select("vec_id", "embedding"),
+        appended, centsRow, cbs, k = 5, m = 8).orderBy("query_id", "rank")
     }),
     // both production knobs at once: 3 probes over the int8 index
     "sim_topk_sq8_probe" -> ((s, d) => {
@@ -241,6 +269,12 @@ object PipelineQueries extends QueryProvider {
       "10, 11, 12"),
     "sim_topk_pq_rerank" -> Similarity.ivfPqRerankTopKSql(8, 8, 16, Dim, 5,
       15, "10, 11, 12"),
+    // append ≡ rebuild (PqAppendSpec), so the appended index answers the
+    // same full-corpus oracle as sim_topk_ivf_pq
+    "sim_topk_pq_append" -> Similarity.ivfPqTopKSql(8, 8, 16, Dim, 5,
+      "10, 11, 12"),
+    "sim_topk_pq_probe" -> Similarity.ivfPqTopKProbedSql(8, 8, 16, Dim, 5,
+      3, "10, 11, 12"),
     "sim_topk_sq8_probe" -> Similarity.ivfSq8QuantTopKProbedSql(8, Dim, 5,
       3, "10, 11, 12"),
     "text_tokens" -> TextOps.tokensSql,

@@ -381,15 +381,39 @@ object StreamQueries extends QueryProvider {
     * ranking ([[graft.pipeline.Similarity.ivfPqTopK]]), whose SQL is the
     * oracle.
     */
-  private def runSimPq(s: SparkSession, dir: String): DataFrame = {
+  private def runSimPq(s: SparkSession, dir: String,
+                       nProbe: Int = 1): DataFrame = {
     val staged = stagedEmbDir(dir)
     val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
     val (packed, cents, cbs) = pqIndex(s, dir)
-    val out = graft.streaming.SimStream.topKAgainstPqIndex(
-      queries, packed, cents, cbs, k = 5, m = 8)
+    val out =
+      if (nProbe == 1) graft.streaming.SimStream.topKAgainstPqIndex(
+        queries, packed, cents, cbs, k = 5, m = 8)
+      else graft.streaming.SimStream.topKAgainstPqIndexProbed(
+        queries, packed, cents, cbs, k = 5, m = 8, nProbe = nProbe)
+    drain(s, out, "append")
+  }
+
+  /** Online PQ ANN with the full-precision rerank: the codes-only PQ
+    * index selects the shortlist, the full-precision packed index (same
+    * centroids, cold stream-static join) re-scores it row-locally —
+    * TRUE-cosine rankings from the stream, hash-matching the batch
+    * [[graft.pipeline.Similarity.ivfPqRerankTopK]] at the batch gate's
+    * own (k, rerank); its SQL is the oracle.
+    */
+  private def runSimPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val queries = s.readStream.schema(sch).parquet(staged)
+      .where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding")
+    val (packedQ, cents, cbs) = pqIndex(s, dir)
+    val (packedF, _) = simIndex(s, dir)
+    val out = graft.streaming.SimStream.topKAgainstPqIndexReranked(
+      queries, packedQ, packedF, cents, cbs, k = 5, m = 8, rerank = 15)
     drain(s, out, "append")
   }
 
@@ -490,7 +514,9 @@ object StreamQueries extends QueryProvider {
     "stream_sim_sq8" -> ((s, d) => runSimSq8(s, d)),
     "stream_sim_sq8_probe" -> ((s, d) => runSimSq8(s, d, nProbe = 3)),
     "stream_sim_sq8_rerank" -> ((s, d) => runSimSq8Rerank(s, d)),
-    "stream_sim_pq" -> ((s, d) => runSimPq(s, d)))
+    "stream_sim_pq" -> ((s, d) => runSimPq(s, d)),
+    "stream_sim_pq_probe" -> ((s, d) => runSimPq(s, d, nProbe = 3)),
+    "stream_sim_pq_rerank" -> ((s, d) => runSimPqRerank(s, d)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -625,6 +651,13 @@ object StreamQueries extends QueryProvider {
     // codes-only PQ ranking on the stream ≡ the batch ivfPqTopK oracle
     "stream_sim_pq" -> graft.pipeline.Similarity
       .ivfPqTopKSql(8, 8, 16, 64, 5, "10, 11, 12"),
+    // probed PQ ranking on the stream ≡ the batch ivfPqTopKProbed oracle
+    "stream_sim_pq_probe" -> graft.pipeline.Similarity
+      .ivfPqTopKProbedSql(8, 8, 16, 64, 5, 3, "10, 11, 12"),
+    // PQ shortlist + full-precision rerank on the stream ≡ the batch
+    // ivfPqRerankTopK at the batch gate's (k=5, rerank=15)
+    "stream_sim_pq_rerank" -> graft.pipeline.Similarity
+      .ivfPqRerankTopKSql(8, 8, 16, 64, 5, 15, "10, 11, 12"),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->

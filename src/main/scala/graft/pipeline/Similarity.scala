@@ -850,6 +850,77 @@ object Similarity {
     Persist.handoff(out, cells)
   }
 
+  /** Multi-probe over the PQ index — the recall knob on the bottom rung
+    * of the memory ladder: each query scans its `nProbe` nearest cells
+    * (by centroid cosine, ties on the smaller cid — the
+    * [[ivfTopKProbed]] probe order) and ranks the union by asymmetric PQ
+    * cosine. Same scale shape as [[ivfPqTopK]]: probes and codebooks
+    * broadcast, the corpus-side joins are the cell equi-join and the
+    * one-row codebook crossJoin — candidate volume grows linearly in
+    * nProbe, never a corpus shuffle. nProbe=1 reproduces [[ivfPqTopK]].
+    */
+  def ivfPqTopKProbed(emb: DataFrame, queries: DataFrame, nCells: Int,
+                      m: Int, ksub: Int, dim: Int, k: Int,
+                      nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbsRow = pqPacked(pqCodebooks(emb, m, ksub, dim))
+    val idx = pqEncode(cells, cbsRow, m, dim)
+    val cents = ivfCents(emb, nCells)
+    val qemb = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qvec"))
+      .withColumn("qnrm", VectorOps.norm(col("qvec")))
+    val cscored = qemb.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = cscored.withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nProbe)
+      .select(col("q_id"), col("qvec"), col("qnrm"), col("cid").as("qcell"))
+    val scored = idx.as("t").join(broadcast(probes),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .crossJoin(broadcast(cbsRow))
+      .withColumn("recon", pqRecon(col("codes"), col("cbs"), m))
+      .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("recon")),
+          col("qnrm"), VectorOps.norm(col("recon"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    Persist.handoff(out, cells)
+  }
+
+  /** DuckDB mirror of [[ivfPqTopKProbed]]: the [[ivfPqTopKSql]] index
+    * prefix with the probed-qcells stage of [[ivfSq8QuantTopKProbedSql]].
+    */
+  def ivfPqTopKProbedSql(nCells: Int, m: Int, ksub: Int, dim: Int, k: Int,
+                         nProbe: Int, queryIds: String): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
+    s"""WITH ${pqIndexCteSql(nCells, m, ksub, dim)},
+       |qcells AS (
+       |  SELECT q_id, qvec, qcell FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS qvec, c.cid AS qcell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id IN ($queryIds))
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.q_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.cosineSql("q.qvec", "t.recon", dim)} AS cos
+       |  FROM pidx t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB mirror of [[ivfPqRerankTopK]]: the [[ivfPqTopKSql]] prefix
     * with the shortlist/rescore tail of [[ivfSq8TopKSql]].
     */

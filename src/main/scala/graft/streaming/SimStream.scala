@@ -348,6 +348,19 @@ object SimStream {
                                 nProbe: Int): DataFrame =
     probedSearch(queries, packed, cents, k, nProbe, sq8Score)
 
+  /** Multi-probe over the codes-only PQ index — the recall knob at the
+    * bottom of the memory ladder, STILL stateless (see [[probedSearch]]).
+    * Ranking ties and probe-selection ties are the batch
+    * [[Similarity.ivfPqTopKProbed]] orders, so stream ≡ batch
+    * bit-for-bit (SimStreamPqSpec); nProbe=1 reproduces
+    * [[topKAgainstPqIndex]].
+    */
+  def topKAgainstPqIndexProbed(queries: DataFrame, packed: DataFrame,
+                               cents: DataFrame, cbsRow: DataFrame, k: Int,
+                               m: Int, nProbe: Int): DataFrame =
+    probedSearch(queries.crossJoin(broadcast(cbsRow)), packed, cents, k,
+      nProbe, pqScore(m)).drop("cbs")
+
   /** Quantized search WITH the full-precision rerank — TRUE-cosine
     * rankings from a stateless stream. The batch
     * [[Similarity.ivfSq8TopK]] semantics (quantized shortlist of
@@ -399,6 +412,50 @@ object SimStream {
       filter(col("fcands"),
         c => array_contains(col("slids"), c.getField("vec_id"))),
       floatScore, k,
+      passthroughOf(queries))
+  }
+
+  /** [[topKAgainstSq8IndexReranked]] one rung further down the memory
+    * ladder: the codes-only PQ index selects the `rerank`-deep shortlist
+    * by asymmetric PQ cosine (float query × codebook reconstruction),
+    * the full-precision packed index re-scores it exactly, final top-k
+    * by TRUE cosine — the batch [[Similarity.ivfPqRerankTopK]] semantics
+    * and tie-breaks reshaped into the same two-stateless-join,
+    * zero-stateful-operator stream. Only the 8-bytes-per-member PQ index
+    * need stay resident; the float32 side is the cold batch artifact the
+    * stream-static join touches per landed cell. Stream ≡ batch
+    * bit-for-bit at the same (k, rerank) — SimStreamPqSpec, and the
+    * `stream_sim_pq_rerank` gate runs the batch oracle SQL.
+    */
+  def topKAgainstPqIndexReranked(queries: DataFrame, packed: DataFrame,
+                                 packedFull: DataFrame, cents: DataFrame,
+                                 cbsRow: DataFrame, k: Int, m: Int,
+                                 rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val assigned = centScored(queries.crossJoin(broadcast(cbsRow)), cents)
+      .withColumn("qcell", bestCid(col("scents"))).drop("scents")
+    val joined = assigned
+      .join(packed, col("qcell") === col("cell"))
+      .drop("cell")
+      .join(packedFull.select(col("cell").as("fcell"),
+        col("cands").as("fcands")), col("qcell") === col("fcell"))
+    // PQ shortlist: the batch window's (qcos DESC, vec_id ASC) order
+    // incl. NaN placement, self excluded, first `rerank` ids
+    val qscored = transform(
+      filter(col("cands"), c => c.getField("vec_id") =!= col("vec_id")),
+      c => struct(pqScore(m)(c).as("cos"), c.getField("vec_id").as("vid")))
+    val slIds = transform(
+      slice(array_sort(transform(qscored,
+        s => struct(descKey(s.getField("cos")).as("nc"),
+          s.getField("vid").as("vid")))), 1, rerank),
+      x => x.getField("vid"))
+    val withSl = joined.withColumn("slids", slIds)
+    rankTopK(withSl,
+      filter(col("fcands"),
+        c => array_contains(col("slids"), c.getField("vec_id"))),
+      floatScore, k,
+      // passthrough is computed on the RAW query frame, so the joined-on
+      // codebook row never reaches the output — no drop needed
       passthroughOf(queries))
   }
 }

@@ -47,6 +47,75 @@ class SimStreamPqSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("probed PQ search ≡ batch ivfPqTopKProbed at nProbe ∈ {1, 3}; " +
+    "nProbe=1 ≡ the single-cell kernel") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val (packed, cents, cbs) = SimStream.pqIndex(emb, NCells, M, Ksub, Dim)
+    val queries = emb.select("vec_id", "embedding")
+    for (nProbe <- Seq(1, 3)) {
+      val st = rows(SimStream.topKAgainstPqIndexProbed(
+        queries, packed, cents, cbs, k = 5, m = M, nProbe = nProbe))
+      val b = rows(Similarity.ivfPqTopKProbed(emb, queries, NCells, M, Ksub,
+        Dim, k = 5, nProbe = nProbe))
+      assert(st.nonEmpty && st == b, {
+        val d1 = (st -- b).take(3); val d2 = (b -- st).take(3)
+        s"nProbe=$nProbe stream-only=$d1 batch-only=$d2"
+      })
+    }
+    val p1 = rows(SimStream.topKAgainstPqIndexProbed(
+      queries, packed, cents, cbs, k = 5, m = M, nProbe = 1))
+    val s1 = rows(SimStream.topKAgainstPqIndex(
+      queries, packed, cents, cbs, k = 5, m = M))
+    assert(p1 == s1, "nProbe=1 must reproduce the single-cell kernel")
+  }
+
+  test("reranked PQ search ≡ batch ivfPqRerankTopK at rerank ∈ {5, 15}") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val (packed, cents, cbs) = SimStream.pqIndex(emb, NCells, M, Ksub, Dim)
+    val (packedFull, _) = SimStream.ivfIndex(emb, NCells)
+    val queries = emb.select("vec_id", "embedding")
+    for (rerank <- Seq(5, 15)) {
+      val st = rows(SimStream.topKAgainstPqIndexReranked(
+        queries, packed, packedFull, cents, cbs, k = 5, m = M,
+        rerank = rerank))
+      val b = rows(Similarity.ivfPqRerankTopK(emb, queries, NCells, M, Ksub,
+        Dim, k = 5, rerank = rerank))
+      assert(st.nonEmpty && st == b, {
+        val d1 = (st -- b).take(3); val d2 = (b -- st).take(3)
+        s"rerank=$rerank stream-only=$d1 batch-only=$d2"
+      })
+    }
+  }
+
+  test("reranked PQ search runs as a stateless stream") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val (packed, cents, cbs) = SimStream.pqIndex(emb, NCells, M, Ksub, Dim)
+    val (packedFull, _) = SimStream.ivfIndex(emb, NCells)
+    val base = emb.where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val queries = in.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = SimStream.topKAgainstPqIndexReranked(queries, packed,
+      packedFull, cents, cbs, k = 5, m = M, rerank = 15)
+    assert(out.columns.toSeq == Seq("query_id", "vec_id", "cos", "rank"),
+      s"unexpected output columns: ${out.columns.mkString(",")}")
+    val q = out.writeStream.format("memory").queryName("sim_pq_rr")
+      .outputMode("append").start()
+    in.addData(base.toSeq: _*)
+    q.processAllAvailable()
+    val st = Option(q.lastProgress).map(_.stateOperators.length).getOrElse(-1)
+    val n = spark.sql("SELECT COUNT(*) FROM sim_pq_rr").collect()(0).getLong(0)
+    q.stop()
+    assert(st == 0, s"expected stateless plan, got $st stateful operators")
+    assert(n == 15, s"expected 3 queries x k=5 rows, got $n")
+  }
+
   test("the packed index stores integer code words only") {
     val emb = graft.core.Tables(spark, dir, "embeddings")
     val (packed, _, _) = SimStream.pqIndex(emb, NCells, M, Ksub, Dim)
