@@ -174,6 +174,9 @@ object PipelineQueries extends QueryProvider {
     }),
     "text_tokens" -> ((s, d) =>
       TextOps.tokens(docs(s, d)).orderBy("doc_id")),
+    // Gopher-style n-gram repetition signals + repetitive flag
+    "text_repetition" -> ((s, d) =>
+      TextOps.repetition(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
       TextOps.quality(docsWide(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) =>
@@ -278,6 +281,7 @@ object PipelineQueries extends QueryProvider {
     "sim_topk_sq8_probe" -> Similarity.ivfSq8QuantTopKProbedSql(8, Dim, 5,
       3, "10, 11, 12"),
     "text_tokens" -> TextOps.tokensSql,
+    "text_repetition" -> TextOps.repetitionSql,
     "text_quality" -> TextOps.qualitySql,
     "text_langid" -> TextOps.langidSql,
     "text_fingerprint" -> TextOps.fingerprintSql,

@@ -466,6 +466,11 @@ object StreamQueries extends QueryProvider {
   private def runQuality(s: SparkSession, dir: String): DataFrame =
     drain(s, graft.pipeline.TextOps.quality(docStream(s, dir)), "append")
 
+  /** the batch repetition operator unchanged on the stream (row-local
+    * n-gram folds, stateless append) — oracle = the batch SQL verbatim */
+  private def runRepetition(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.TextOps.repetition(docStream(s, dir)), "append")
+
   /** The online admission capstone: per-arriving-document verdicts
     * (dup / low_quality / kept) with a deterministic first-arrival dedup
     * leg — the streaming analog of the batch `corpus_decisions` gate
@@ -507,6 +512,7 @@ object StreamQueries extends QueryProvider {
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
+    "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_sample" -> ((s, d) => runSample(s, d)),
     "stream_decisions" -> ((s, d) => runDecisions(s, d)),
     "stream_sim" -> ((s, d) => runSim(s, d)),
@@ -625,6 +631,7 @@ object StreamQueries extends QueryProvider {
     // the batch text-quality operator runs unchanged on the stream, so
     // the batch oracle applies verbatim
     "stream_quality" -> graft.pipeline.TextOps.qualitySql,
+    "stream_repetition" -> graft.pipeline.TextOps.repetitionSql,
     // the batch stratified-sampling operator verbatim on the stream
     "stream_sample" -> graft.pipeline.Curation.sampleStratifiedSql("lang",
       Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1), 0.2,

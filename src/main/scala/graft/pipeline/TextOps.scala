@@ -150,4 +150,83 @@ object TextOps {
     """SELECT doc_id,
       |       list_min([md5(substr(text, i, 8)) for i in range(1, length(text)-6)]) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- repetition
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, re-expressed
+    * over word n-grams): the fraction of 2-grams (and 3-grams) claimed by
+    * the single most frequent one, the fraction of 5-grams that are
+    * repeats, and a `repetitive` flag over fixed thresholds. All
+    * row-local Column expressions — zero shuffle, the same narrow
+    * one-pass shape as [[quality]], so the filter runs at corpus-scan
+    * cost at any corpus size. Counts are exact integers on both engines
+    * (the Spark side counts via a sorted-run fold, the DuckDB oracle via
+    * per-distinct-gram filters — same integers either way), and the only
+    * doubles are final int/int divisions, so results are bit-identical.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    def grams(w: Column, n: Int): Column =
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+    // longest run of equal grams in sort order == max occurrence count
+    def topCount(g: Column): Column = aggregate(
+      array_sort(g),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den)
+    val out = docs
+      .withColumn("w", filter(split(trim(col("text")), " "), x => x =!= ""))
+      .withColumn("g2", grams(col("w"), 2))
+      .withColumn("g3", grams(col("w"), 3))
+      .withColumn("g5", grams(col("w"), 5))
+      .withColumn("top2_frac", frac(topCount(col("g2")), size(col("g2"))))
+      .withColumn("top3_frac", frac(topCount(col("g3")), size(col("g3"))))
+      .withColumn("dup5_frac",
+        frac(size(col("g5")) - size(array_distinct(col("g5"))),
+          size(col("g5"))))
+    out.select(col("doc_id"), col("top2_frac"), col("top3_frac"),
+      col("dup5_frac"),
+      (col("top2_frac") > Top2Threshold || col("top3_frac") > Top3Threshold
+        || col("dup5_frac") > Dup5Threshold).as("repetitive"))
+  }
+
+  /** thresholds sit near the corpus p90s so the flag splits real data */
+  val Top2Threshold = 0.06
+  val Top3Threshold = 0.05
+  val Dup5Threshold = 0.20
+
+  val repetitionSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+       |           FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(1, greatest(len(w), 1)),
+       |          i -> w[i] || ' ' || w[i+1]) AS g2,
+       |        list_transform(range(1, greatest(len(w)-1, 1)),
+       |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3,
+       |        list_transform(range(1, greatest(len(w)-3, 1)),
+       |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS g5
+       |      FROM w),
+       |m AS (SELECT doc_id,
+       |        CASE WHEN len(g2)=0 THEN 0.0 ELSE
+       |          CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+       |            x -> len(list_filter(g2, y -> y = x)))), 0) AS DOUBLE)/len(g2) END AS top2_frac,
+       |        CASE WHEN len(g3)=0 THEN 0.0 ELSE
+       |          CAST(COALESCE(list_max(list_transform(list_distinct(g3),
+       |            x -> len(list_filter(g3, y -> y = x)))), 0) AS DOUBLE)/len(g3) END AS top3_frac,
+       |        CASE WHEN len(g5)=0 THEN 0.0 ELSE
+       |          CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE)/len(g5) END AS dup5_frac
+       |      FROM g)
+       |SELECT doc_id, top2_frac, top3_frac, dup5_frac,
+       |       (top2_frac > $Top2Threshold OR top3_frac > $Top3Threshold
+       |        OR dup5_frac > $Dup5Threshold) AS repetitive
+       |FROM m ORDER BY doc_id""".stripMargin
 }

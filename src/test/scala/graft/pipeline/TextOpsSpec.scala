@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Edge semantics of the Gopher-style repetition signals that the
+  * corpus-backed `text_repetition` gate cannot exercise: empty and
+  * single-token docs (no n-grams → 0.0 fractions, unflagged), maximal
+  * repetition (all-equal tokens), whitespace-run tokenization, and the
+  * exact integer/integer division values.
+  */
+class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(texts: (Long, String)*): Map[Long, (Double, Double, Double, Boolean)] = {
+    val s = spark
+    import s.implicits._
+    TextOps.repetition(texts.toSeq.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+  }
+
+  test("no n-grams -> 0.0 fractions and no flag (empty / 1-token docs)") {
+    val out = run(1L -> "", 2L -> "x", 3L -> "   ")
+    assert(out(1L) == ((0.0, 0.0, 0.0, false)))
+    assert(out(2L) == ((0.0, 0.0, 0.0, false)))
+    assert(out(3L) == ((0.0, 0.0, 0.0, false)))
+  }
+
+  test("all-equal tokens give maximal fractions and the flag") {
+    // 6×"a": g2 = 5×"a a" (top 5/5), g3 = 4 (top 4/4), g5 = 2, 1 dup
+    val out = run(1L -> "a a a a a a")
+    assert(out(1L) == ((1.0, 1.0, 0.5, true)))
+  }
+
+  test("distinct tokens stay under the thresholds") {
+    val text = (0 until 30).map(i => s"w$i").mkString(" ")
+    val out = run(1L -> text)
+    assert(out(1L) == ((1.0 / 29, 1.0 / 28, 0.0, false)))
+  }
+
+  test("runs of spaces never become tokens or grams") {
+    // after filtering empties: w = [a, b] -> one bigram, top 1/1 = 1.0
+    val out = run(1L -> "  a  b ")
+    assert(out(1L) == ((1.0, 0.0, 0.0, true)))
+  }
+}
