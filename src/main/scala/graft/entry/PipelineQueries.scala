@@ -163,7 +163,8 @@ object PipelineQueries extends QueryProvider {
       graft.streaming.SimStream.topKAgainstPqIndex(
         e.where(col("vec_id").isin(10L, 11L, 12L))
           .select("vec_id", "embedding"),
-        appended, centsRow, cbs, k = 5, m = 8).orderBy("query_id", "rank")
+        appended, centsRow, cbs, k = 5, m = 8, dim = Dim)
+        .orderBy("query_id", "rank")
     }),
     // both production knobs at once: 3 probes over the int8 index
     "sim_topk_sq8_probe" -> ((s, d) => {

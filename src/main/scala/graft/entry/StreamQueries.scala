@@ -391,9 +391,10 @@ object StreamQueries extends QueryProvider {
     val (packed, cents, cbs) = pqIndex(s, dir)
     val out =
       if (nProbe == 1) graft.streaming.SimStream.topKAgainstPqIndex(
-        queries, packed, cents, cbs, k = 5, m = 8)
+        queries, packed, cents, cbs, k = 5, m = 8, dim = 64)
       else graft.streaming.SimStream.topKAgainstPqIndexProbed(
-        queries, packed, cents, cbs, k = 5, m = 8, nProbe = nProbe)
+        queries, packed, cents, cbs, k = 5, m = 8, dim = 64,
+        nProbe = nProbe)
     drain(s, out, "append")
   }
 
@@ -413,7 +414,8 @@ object StreamQueries extends QueryProvider {
     val (packedQ, cents, cbs) = pqIndex(s, dir)
     val (packedF, _) = simIndex(s, dir)
     val out = graft.streaming.SimStream.topKAgainstPqIndexReranked(
-      queries, packedQ, packedF, cents, cbs, k = 5, m = 8, rerank = 15)
+      queries, packedQ, packedF, cents, cbs, k = 5, m = 8, dim = 64,
+      rerank = 15)
     drain(s, out, "append")
   }
 

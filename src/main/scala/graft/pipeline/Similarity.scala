@@ -737,11 +737,65 @@ object Similarity {
   /** Reconstruction of a PQ-coded vector: the concatenation of each
     * subspace's selected codebook entry. Same element values on both
     * engines (codebook entries are raw corpus floats), so the fixed-point
-    * cosine against it is oracle-exact.
+    * cosine against it is oracle-exact. Production scoring does NOT
+    * materialize this — [[adcCosine]] reaches the same bits through ADC
+    * lookup tables (PqAdcSpec) — but the composed form remains the
+    * readable semantics contract the tables are pinned against.
     */
   private[graft] def pqRecon(codes: Column, cbs: Column, m: Int): Column =
     flatten(transform(sequence(lit(0), lit(m - 1)), j =>
       element_at(element_at(cbs, j + 1), element_at(codes, j + 1) + 1)))
+
+  /** The composed recon-scoring kernel — the SEMANTICS CONTRACT for the
+    * ADC path: cosine of the float query against the candidate's
+    * codebook reconstruction via the O(dim) fixed-point dot. PqAdcSpec
+    * pins [[adcCosine]] to this, row-for-row, zero-norm edges included.
+    */
+  private[graft] def reconCosine(codes: Column, cbs: Column, qvec: Column,
+                                 qnrm: Column, m: Int): Column = {
+    val recon = pqRecon(codes, cbs, m)
+    VectorOps.cosineOf(VectorOps.dot(qvec, recon), qnrm,
+      VectorOps.norm(recon))
+  }
+
+  /** One-row PQ norm table `lutn[j][code] = Σ_i round(cb_i²·scale)` — the
+    * query-INDEPENDENT half of ADC scoring, derived once per codebook
+    * (one row, m×ksub native dots inside a lambda — negligible) and
+    * broadcast next to the per-query [[graft.expr.PqAdcLut]] dot table.
+    */
+  def pqNormLut(cbsRow: DataFrame): DataFrame =
+    cbsRow.select(transform(col("cbs"), cbj =>
+      transform(cbj, cb =>
+        graft.expr.FixedPointDot(cb, cb, VectorOps.Scale))).as("lutn"))
+
+  /** ADC PQ cosine: `Σ_j adc[j][codes[j]]` replaces the query·recon dot
+    * and `Σ_j lutn[j][codes[j]]` the recon self-dot — exact long partial
+    * sums, so the result is BIT-IDENTICAL to [[reconCosine]] (long
+    * addition is associative; the division/sqrt tail is the same ops in
+    * the same order as `VectorOps.dot`/`norm`). Per-candidate cost drops
+    * from O(dim) rounded multiplies + a recon materialization to 2·m
+    * long lookups.
+    */
+  def adcCosine(codes: Column, adc: Column, lutn: Column,
+                qnrm: Column): Column =
+    VectorOps.cosineOf(
+      graft.expr.PqLutSum(codes, adc).cast("double") / VectorOps.Scale,
+      qnrm,
+      sqrt(graft.expr.PqLutSum(codes, lutn).cast("double") / VectorOps.Scale))
+
+  /** Attach the two ADC tables to a query frame carrying `qvec`/`qnrm`:
+    * the per-query dot table (`adc`, native one-pass [[graft.expr.PqAdcLut]])
+    * and the shared norm table (`lutn`). Both joins broadcast one-row
+    * frames; the codebook array itself never reaches the scoring join.
+    */
+  private[graft] def withAdcTables(queries: DataFrame, cbsRow: DataFrame,
+                                   m: Int, dim: Int,
+                                   vecCol: String): DataFrame =
+    queries.crossJoin(broadcast(cbsRow))
+      .withColumn("adc", graft.expr.PqAdcLut(col(vecCol), col("cbs"), m,
+        dim / m, VectorOps.Scale))
+      .drop("cbs")
+      .crossJoin(broadcast(pqNormLut(cbsRow)))
 
   /** PQ-encode an assigned-cell table against a packed codebook row:
     * (vec_id, cell, codes) — `codes` is m SMALL integers, the index's
@@ -764,15 +818,18 @@ object Similarity {
     * asymmetric PQ cosine — the float32 query against each candidate's
     * codebook RECONSTRUCTION. Per-element fixed-point rounding makes the
     * dot against the reconstruction bit-equal to summing per-subspace
-    * LUT entries, so the classic ADC lookup-table execution is a pure
-    * physical optimization over these exact semantics.
+    * LUT entries, and scoring RUNS that way: the classic ADC execution
+    * ([[withAdcTables]] + [[adcCosine]] — 2·m long lookups per candidate
+    * instead of an O(dim) recon dot), bit-identical to the composed
+    * [[reconCosine]] contract (PqAdcSpec) so the DuckDB oracle is
+    * unchanged.
     *
-    * Scale shape: both the codebooks and the query rows broadcast; the
-    * corpus-side joins are the cell equi-join and the one-row codebook
-    * crossJoin — no shuffle of the encoded index, no unblocked Cartesian
-    * (PqSpec asserts the plan). The index payload is codes-only; the
-    * full-precision corpus stays cold (add a rerank join as in
-    * [[ivfSq8TopK]] when exact final ranks are needed).
+    * Scale shape: the codebooks, ADC tables and query rows broadcast;
+    * the corpus-side join is the cell equi-join alone — no shuffle of
+    * the encoded index, no unblocked Cartesian (PqSpec asserts the
+    * plan). The index payload is codes-only; the full-precision corpus
+    * stays cold (add a rerank join as in [[ivfSq8TopK]] when exact final
+    * ranks are needed).
     */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, nCells: Int, m: Int,
                 ksub: Int, dim: Int, k: Int): DataFrame = {
@@ -780,18 +837,18 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cbsRow = pqPacked(pqCodebooks(emb, m, ksub, dim))
     val idx = pqEncode(cells, cbsRow, m, dim)
-    val qcells = cells.join(
-      broadcast(queries.select(col("vec_id").as("qid"))),
-      col("vec_id") === col("qid"))
-      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
-        col("nrm").as("qnrm"), col("cell").as("qcell"))
+    val qcells = withAdcTables(
+      cells.join(
+        broadcast(queries.select(col("vec_id").as("qid"))),
+        col("vec_id") === col("qid"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          col("nrm").as("qnrm"), col("cell").as("qcell")),
+      cbsRow, m, dim, "qvec")
     val scored = idx.as("t").join(broadcast(qcells),
         col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
-      .crossJoin(broadcast(cbsRow))
-      .withColumn("recon", pqRecon(col("codes"), col("cbs"), m))
       .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("recon")),
-          col("qnrm"), VectorOps.norm(col("recon"))).as("cos"))
+        adcCosine(col("codes"), col("adc"), col("lutn"),
+          col("qnrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     val out = scored.withColumn("rank", row_number().over(w))
@@ -817,19 +874,19 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cbsRow = pqPacked(pqCodebooks(emb, m, ksub, dim))
     val idx = pqEncode(cells, cbsRow, m, dim)
-    val qcells = cells.join(
-      broadcast(queries.select(col("vec_id").as("qid"))),
-      col("vec_id") === col("qid"))
-      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
-        col("nrm").as("qnrm"), col("cell").as("qcell"))
+    val qcells = withAdcTables(
+      cells.join(
+        broadcast(queries.select(col("vec_id").as("qid"))),
+        col("vec_id") === col("qid"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          col("nrm").as("qnrm"), col("cell").as("qcell")),
+      cbsRow, m, dim, "qvec")
     val qscored = idx.as("t").join(broadcast(qcells),
         col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
-      .crossJoin(broadcast(cbsRow))
-      .withColumn("recon", pqRecon(col("codes"), col("cbs"), m))
       .select(col("q_id"), col("qvec"), col("qnrm"),
         col("t.vec_id").as("vec_id"),
-        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("recon")),
-          col("qnrm"), VectorOps.norm(col("recon"))).as("qcos"))
+        adcCosine(col("codes"), col("adc"), col("lutn"),
+          col("qnrm")).as("qcos"))
     val ws = Window.partitionBy("q_id")
       .orderBy(col("qcos").desc, col("vec_id").asc)
     val shortlist = qscored.withColumn("srn", row_number().over(ws))
@@ -877,16 +934,16 @@ object Similarity {
           col("qnrm"), col("cnrm")))
     val wp = Window.partitionBy("q_id")
       .orderBy(col("ccos").desc, col("cid").asc)
-    val probes = cscored.withColumn("rn", row_number().over(wp))
-      .where(col("rn") <= nProbe)
-      .select(col("q_id"), col("qvec"), col("qnrm"), col("cid").as("qcell"))
+    val probes = withAdcTables(
+      cscored.withColumn("rn", row_number().over(wp))
+        .where(col("rn") <= nProbe)
+        .select(col("q_id"), col("qvec"), col("qnrm"), col("cid").as("qcell")),
+      cbsRow, m, dim, "qvec")
     val scored = idx.as("t").join(broadcast(probes),
         col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
-      .crossJoin(broadcast(cbsRow))
-      .withColumn("recon", pqRecon(col("codes"), col("cbs"), m))
       .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
-        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("recon")),
-          col("qnrm"), VectorOps.norm(col("recon"))).as("cos"))
+        adcCosine(col("codes"), col("adc"), col("lutn"),
+          col("qnrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     val out = scored.withColumn("rank", row_number().over(w))

@@ -227,15 +227,14 @@ object SimStream {
       VectorOps.dot(col("embedding"), VectorOps.sq8Dequant(
         c.getField("code"), c.getField("lo"), c.getField("step"))),
       col("qnrm"), c.getField("dnrm"))
-  // asymmetric PQ cosine: float query × codebook reconstruction, the
-  // batch ivfPqTopK kernel — needs the packed codebook row (`cbs`) on
-  // the joined frame, which topKAgainstPqIndex broadcasts onto the
-  // query side before the search and drops from the output
-  private def pqScore(m: Int)(c: Column): Column = {
-    val recon = Similarity.pqRecon(c.getField("codes"), col("cbs"), m)
-    VectorOps.cosineOf(VectorOps.dot(col("embedding"), recon),
-      col("qnrm"), VectorOps.norm(recon))
-  }
+  // asymmetric PQ cosine via ADC tables: the batch ivfPqTopK kernel —
+  // needs the per-query dot table (`adc`) and shared norm table (`lutn`)
+  // on the joined frame, which Similarity.withAdcTables broadcasts onto
+  // the query side before the search; bit-identical to the composed
+  // reconstruction scoring (PqAdcSpec), 2·m long lookups per candidate
+  private def adcScore(c: Column): Column =
+    Similarity.adcCosine(c.getField("codes"), col("adc"), col("lutn"),
+      col("qnrm"))
 
   /** single-cell search: argmax-assigned cell, one equi-join, rank */
   private def singleSearch(queries: DataFrame, packed: DataFrame,
@@ -320,9 +319,10 @@ object SimStream {
     */
   def topKAgainstPqIndex(queries: DataFrame, packed: DataFrame,
                          cents: DataFrame, cbsRow: DataFrame, k: Int,
-                         m: Int): DataFrame =
-    singleSearch(queries.crossJoin(broadcast(cbsRow)), packed, cents, k,
-      pqScore(m)).drop("cbs")
+                         m: Int, dim: Int): DataFrame =
+    singleSearch(
+      Similarity.withAdcTables(queries, cbsRow, m, dim, "embedding"),
+      packed, cents, k, adcScore).drop("adc", "lutn")
 
   /** Top-k cosine neighbors per query against the packed index, probing
     * the query's `nProbe` nearest cells — STILL stateless (see
@@ -357,9 +357,10 @@ object SimStream {
     */
   def topKAgainstPqIndexProbed(queries: DataFrame, packed: DataFrame,
                                cents: DataFrame, cbsRow: DataFrame, k: Int,
-                               m: Int, nProbe: Int): DataFrame =
-    probedSearch(queries.crossJoin(broadcast(cbsRow)), packed, cents, k,
-      nProbe, pqScore(m)).drop("cbs")
+                               m: Int, dim: Int, nProbe: Int): DataFrame =
+    probedSearch(
+      Similarity.withAdcTables(queries, cbsRow, m, dim, "embedding"),
+      packed, cents, k, nProbe, adcScore).drop("adc", "lutn")
 
   /** Quantized search WITH the full-precision rerank — TRUE-cosine
     * rankings from a stateless stream. The batch
@@ -430,9 +431,10 @@ object SimStream {
   def topKAgainstPqIndexReranked(queries: DataFrame, packed: DataFrame,
                                  packedFull: DataFrame, cents: DataFrame,
                                  cbsRow: DataFrame, k: Int, m: Int,
-                                 rerank: Int): DataFrame = {
+                                 dim: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val assigned = centScored(queries.crossJoin(broadcast(cbsRow)), cents)
+    val assigned = centScored(
+      Similarity.withAdcTables(queries, cbsRow, m, dim, "embedding"), cents)
       .withColumn("qcell", bestCid(col("scents"))).drop("scents")
     val joined = assigned
       .join(packed, col("qcell") === col("cell"))
@@ -443,7 +445,7 @@ object SimStream {
     // incl. NaN placement, self excluded, first `rerank` ids
     val qscored = transform(
       filter(col("cands"), c => c.getField("vec_id") =!= col("vec_id")),
-      c => struct(pqScore(m)(c).as("cos"), c.getField("vec_id").as("vid")))
+      c => struct(adcScore(c).as("cos"), c.getField("vec_id").as("vid")))
     val slIds = transform(
       slice(array_sort(transform(qscored,
         s => struct(descKey(s.getField("cos")).as("nc"),

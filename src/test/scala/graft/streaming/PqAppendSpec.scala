@@ -67,7 +67,7 @@ class PqAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     val queries = emb.where(col("vec_id") < 20).select("vec_id", "embedding")
     def rows(packed: org.apache.spark.sql.DataFrame) =
       SimStream.topKAgainstPqIndex(queries, packed, centsRow, cbs,
-        k = 5, m = M)
+        k = 5, m = M, dim = Dim)
         .select("query_id", "vec_id", "cos", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .toSet

@@ -39,7 +39,7 @@ class SimStreamPqSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (packed, cents, cbs) = SimStream.pqIndex(emb, NCells, M, Ksub, Dim)
     val queries = emb.select("vec_id", "embedding")
     val st = rows(SimStream.topKAgainstPqIndex(
-      queries, packed, cents, cbs, k = 5, m = M))
+      queries, packed, cents, cbs, k = 5, m = M, dim = Dim))
     val b = rows(Similarity.ivfPqTopK(emb, queries, NCells, M, Ksub, Dim, 5))
     assert(st.nonEmpty && st == b, {
       val d1 = (st -- b).take(3); val d2 = (b -- st).take(3)
@@ -54,7 +54,8 @@ class SimStreamPqSpec extends AnyFunSuite with BeforeAndAfterAll {
     val queries = emb.select("vec_id", "embedding")
     for (nProbe <- Seq(1, 3)) {
       val st = rows(SimStream.topKAgainstPqIndexProbed(
-        queries, packed, cents, cbs, k = 5, m = M, nProbe = nProbe))
+        queries, packed, cents, cbs, k = 5, m = M, dim = Dim,
+        nProbe = nProbe))
       val b = rows(Similarity.ivfPqTopKProbed(emb, queries, NCells, M, Ksub,
         Dim, k = 5, nProbe = nProbe))
       assert(st.nonEmpty && st == b, {
@@ -63,9 +64,9 @@ class SimStreamPqSpec extends AnyFunSuite with BeforeAndAfterAll {
       })
     }
     val p1 = rows(SimStream.topKAgainstPqIndexProbed(
-      queries, packed, cents, cbs, k = 5, m = M, nProbe = 1))
+      queries, packed, cents, cbs, k = 5, m = M, dim = Dim, nProbe = 1))
     val s1 = rows(SimStream.topKAgainstPqIndex(
-      queries, packed, cents, cbs, k = 5, m = M))
+      queries, packed, cents, cbs, k = 5, m = M, dim = Dim))
     assert(p1 == s1, "nProbe=1 must reproduce the single-cell kernel")
   }
 
@@ -76,7 +77,7 @@ class SimStreamPqSpec extends AnyFunSuite with BeforeAndAfterAll {
     val queries = emb.select("vec_id", "embedding")
     for (rerank <- Seq(5, 15)) {
       val st = rows(SimStream.topKAgainstPqIndexReranked(
-        queries, packed, packedFull, cents, cbs, k = 5, m = M,
+        queries, packed, packedFull, cents, cbs, k = 5, m = M, dim = Dim,
         rerank = rerank))
       val b = rows(Similarity.ivfPqRerankTopK(emb, queries, NCells, M, Ksub,
         Dim, k = 5, rerank = rerank))
@@ -102,7 +103,7 @@ class SimStreamPqSpec extends AnyFunSuite with BeforeAndAfterAll {
     val queries = in.toDF().toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
     val out = SimStream.topKAgainstPqIndexReranked(queries, packed,
-      packedFull, cents, cbs, k = 5, m = M, rerank = 15)
+      packedFull, cents, cbs, k = 5, m = M, dim = Dim, rerank = 15)
     assert(out.columns.toSeq == Seq("query_id", "vec_id", "cos", "rank"),
       s"unexpected output columns: ${out.columns.mkString(",")}")
     val q = out.writeStream.format("memory").queryName("sim_pq_rr")
@@ -143,7 +144,7 @@ class SimStreamPqSpec extends AnyFunSuite with BeforeAndAfterAll {
     val queries = in.toDF().toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
     val out = SimStream.topKAgainstPqIndex(queries, packed, cents, cbs,
-      k = 5, m = M)
+      k = 5, m = M, dim = Dim)
     assert(out.columns.toSeq == Seq("query_id", "vec_id", "cos", "rank"),
       s"unexpected output columns: ${out.columns.mkString(",")}")
     val q = out.writeStream.format("memory").queryName("sim_pq")
