@@ -26,17 +26,23 @@ object SeriesOps {
   val ResolutionMs = 1000L
 
   /** `events` with a normalized epoch-millis `ts_ms` column. The testdata
-    * parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 only reads with
-    * the `nanosAsLong` legacy conf (SPARK-40819) — set it on the session at
-    * runtime so any caller-provided session works, and derive ms with
-    * *integer* division (nanos ≈ 1.7e18 exceeds double's 2^53 mantissa).
+    * generator has shipped `ts` under three parquet encodings across
+    * rounds — TIMESTAMP(NANOS) (readable only as int64 nanos via the
+    * `nanosAsLong` legacy conf, SPARK-40819), TIMESTAMP_NTZ micros
+    * (isAdjustedToUTC=false), and plain TIMESTAMP — so dispatch on the
+    * type the scan actually produces. Nanos use *integer* division
+    * (≈1.7e18 exceeds double's 2^53 mantissa); NTZ wall-clock is read as
+    * UTC (sessions here pin spark.sql.session.timeZone=UTC), matching
+    * the DuckDB oracle's naive-timestamp `epoch_ms`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = Tables(spark, dir, "events")
     val tsMs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
-      case _                                   => unix_millis(col("ts"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_millis(col("ts"))
     }
     df.withColumn("ts_ms", tsMs.cast("long"))
   }

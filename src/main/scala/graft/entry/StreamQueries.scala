@@ -145,10 +145,18 @@ object StreamQueries extends QueryProvider {
       val build = staged.resolve("_sentinel_build")
       // one 'purchase' event (matches the gate selectors — only selected
       // rows advance the watermark) at SentinelMs, schema-shaped by an
-      // arbitrary real row; ts is written as plain int64 nanos, which the
-      // stream's long-typed schema reads uniformly with the real file
-      s.read.parquet(events.toString).limit(1)
-        .withColumn("ts", lit(SentinelMs * 1000000L))
+      // arbitrary real row; ts is written in the SAME type the real file
+      // carries (int64 nanos, TIMESTAMP_NTZ micros, or TIMESTAMP — the
+      // generator has shipped all three across rounds) so the directory
+      // reads under one uniform schema
+      val evHead = s.read.parquet(events.toString).limit(1)
+      val sentinelTs = evHead.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          lit(SentinelMs * 1000000L)
+        case t => timestamp_millis(lit(SentinelMs)).cast(t)
+      }
+      evHead
+        .withColumn("ts", sentinelTs)
         .withColumn("event_type", lit("purchase"))
         .withColumn("user_id", lit(0L))
         .withColumn("value", lit(0.0))
@@ -227,8 +235,18 @@ object StreamQueries extends QueryProvider {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sch = s.read.parquet(s"$staged/events.parquet").schema
+    // same three-way ts dispatch as SeriesOps.events, truncated to ms
+    // so stream slots land exactly where the batch ts_ms does
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
     val stream = s.readStream.schema(sch).parquet(staged)
-      .select(timestamp_millis(expr("ts DIV 1000000")).as("ts"),
+      .select(tsCol.as("ts"),
         col("event_type"), col("user_id"), col("value"))
     if (!slotExact) s.conf.set("spark.graft.streaming.slotExact", "false")
     val out =
