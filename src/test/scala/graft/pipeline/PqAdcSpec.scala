@@ -48,9 +48,11 @@ class PqAdcSpec extends AnyFunSuite with BeforeAndAfterAll {
         Similarity.reconCosine(col("codes"), col("cbs"), col("qvec"),
           col("qnrm"), M).as("recon_cos"))
     val n = pairs.count()
-    // bit-level equality: NaN == NaN via the raw long bits
-    val diff = pairs.where(
-      expr("cast(adc_cos as binary)") =!= expr("cast(recon_cos as binary)"))
+    // bit-level equality: NaN == NaN (and -0.0 vs 0.0 distinguished) via
+    // the raw long bits — cast(double as binary) is rejected by Spark
+    // analysis, so lift through doubleToRawLongBits instead
+    val bits = udf((d: Double) => java.lang.Double.doubleToRawLongBits(d))
+    val diff = pairs.where(bits(col("adc_cos")) =!= bits(col("recon_cos")))
       .count()
     assert(diff == 0, s"$diff of $n (query, candidate) pairs diverge")
     n
