@@ -29,8 +29,30 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+// Shuffle-file and checkpoint IO on the host disk dominates per-task cost
+// at gate scale: stack-sampling showed map tasks spending most of their
+// "CPU" (thread time incl. kernel) in FileOutputStream.open/mmap/unmap for
+// per-task shuffle files — ~100-300 ms of syscall overhead PER TASK on a
+// loaded virtual disk, which multiplied by 32-197-task stages inflated
+// whole query families 6-8x (round-10 regression). Production clusters
+// point spark.local.dir at fast local SSDs; the single-box equivalent is
+// tmpfs. java.io.tmpdir is Spark's default for spark.local.dir, block
+// manager dirs, AND streaming temp checkpoints, so one flip covers all
+// three. Guarded: falls back to the system default when /dev/shm is
+// absent (measured: hist_p90 0.51 s on tmpfs vs 2.5 s on disk, same code).
+val fastTmp: Seq[String] = {
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) {
+    val d = new java.io.File(shm, "graft-tmp")
+    d.mkdirs()
+    Seq(s"-Djava.io.tmpdir=${d.getAbsolutePath}")
+  } else Seq.empty
+}
+javaOptions ++= jdk17AddOpens ++ fastTmp ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // temp streaming checkpoints must not accumulate in tmpfs across the
+  // gate harness's many short-lived queries
+  "-Dspark.sql.streaming.forceDeleteTempCheckpointLocation=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -180,6 +180,7 @@ object Bench {
       graft.core.Caches.releaseTransient(spark, blocking = true)
       pinSanctioned(name)
       val m1 = diag.mark()
+      val p1 = graft.core.Provisioning.snapshotNs
       val t0 = System.nanoTime()
       val (c1, e1) =
         try runOnce(name)
@@ -190,10 +191,15 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           (dt, 0.0)
         }
-      val d1 = diag.measure(m1)
+      // harness-scaffolding share of the run (stream gates: replay
+      // staging, query start/stop, sink-table management — see
+      // core/Provisioning); zero for plain batch queries
+      val d1 = diag.measure(m1) :+
+        ("provision_ms" -> (graft.core.Provisioning.snapshotNs - p1) / 1000000L)
       graft.core.Caches.releaseTransient(spark, blocking = true)
       pinSanctioned(s"$name(run2)")
       val m2 = diag.mark()
+      val p2 = graft.core.Provisioning.snapshotNs
       val t1 = System.nanoTime()
       val r2 =
         try { runOnce(name); (System.nanoTime() - t1) / 1e9 }
@@ -206,7 +212,8 @@ object Bench {
             s"[bench] run 2 FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
           -1.0
         }
-      diags += ((name, d1, diag.measure(m2)))
+      diags += ((name, d1, diag.measure(m2) :+
+        ("provision_ms" -> (graft.core.Provisioning.snapshotNs - p2) / 1000000L)))
       name -> ((c1, e1, r2))
     }
     probe("end")

@@ -69,6 +69,22 @@ final class BenchDiag(spark: SparkSession) {
 
   import BenchDiag.Snap
 
+  private val jitBean = ManagementFactory.getCompilationMXBean
+  private val clBean = ManagementFactory.getClassLoadingMXBean
+
+  /** bytes used across the three JIT code-heap pools — if this saturates
+    * ReservedCodeCacheSize (240 MB default), HotSpot stops or churns C2
+    * compilation and hot loops run interpreted: the "CPU-bound in task
+    * threads on tiny input" signature
+    */
+  private def codeCacheUsed: Long = {
+    var t = 0L
+    ManagementFactory.getMemoryPoolMXBeans.forEach { p =>
+      if (p.getName.startsWith("CodeHeap")) t += p.getUsage.getUsed
+    }
+    t
+  }
+
   private def gcBeanMs: Long = {
     var t = 0L
     ManagementFactory.getGarbageCollectorMXBeans.forEach { b =>
@@ -102,7 +118,22 @@ final class BenchDiag(spark: SparkSession) {
     peakExec.set(0L)
     Snap(tasksEnded.get, spillMem.get, spillDisk.get, gcTaskMs.get,
       gcBeanMs, inputBytes.get, shuffleRead.get, shuffleWrite.get,
-      taskMs.get, cpuNs.get, System.nanoTime)
+      taskMs.get, cpuNs.get, System.nanoTime,
+      jitBean.getTotalCompilationTime, clBean.getTotalLoadedClassCount,
+      codegenCount, codegenMs)
+  }
+
+  /** Spark codegen (Janino) cumulative compile count / ms, via the
+    * CodegenMetrics source. The count is exact; the ms is the histogram's
+    * mean × count (reservoir-sampled — close enough to attribute a storm).
+    */
+  private def codegenCount: Long =
+    org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+  private def codegenMs: Long = {
+    val h = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
+    (h.getSnapshot.getMean * h.getCount).toLong
   }
 
   /** Close a window opened by [[mark]]: quiesce, return the ordered
@@ -129,7 +160,17 @@ final class BenchDiag(spark: SparkSession) {
       "peak_exec_mem" -> peakExec.get,
       "storage_used" -> storageUsed,
       "heap_used" -> (rt.totalMemory - rt.freeMemory),
-      "loadavg_x100" -> loadAvgX100)
+      "loadavg_x100" -> loadAvgX100,
+      // compilation attribution (round-11 instrument): a run with high
+      // cpu_ms but low jit_ms + code_cache_used near ReservedCodeCacheSize
+      // (240 MB) means C2 gave up / is flushing and hot loops are running
+      // interpreted; high jit_ms + classes_loaded means honest first-run
+      // compilation; codegen_n/_ms are the Janino (Spark codegen) share
+      "jit_ms" -> (jitBean.getTotalCompilationTime - m0.jitMs),
+      "classes_loaded" -> (clBean.getTotalLoadedClassCount - m0.classes),
+      "codegen_n" -> (codegenCount - m0.codegenN),
+      "codegen_ms" -> (codegenMs - m0.codegenMs),
+      "code_cache_used" -> codeCacheUsed)
   }
 
   /** 1-minute system load average ×100 (long-valued so the whole diag map
@@ -144,5 +185,6 @@ object BenchDiag {
   final case class Snap(tasks: Long, spillMem: Long, spillDisk: Long,
                         gcTaskMs: Long, gcJvmMs: Long, input: Long,
                         sRead: Long, sWrite: Long, taskMs: Long,
-                        cpuNs: Long, wallNs: Long)
+                        cpuNs: Long, wallNs: Long, jitMs: Long,
+                        classes: Long, codegenN: Long, codegenMs: Long)
 }

@@ -12,33 +12,99 @@ object Prof {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("dedup_ngram", "dedup_minhash")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("PROF_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // direct subtree probes not in the gate surface
+    import org.apache.spark.sql.functions._
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "simhash_fp" -> ((s, d) =>
         graft.pipeline.Dedup.simhash(graft.core.Tables(s, d, "documents"))),
       "docs_len" -> ((s, d) =>
         graft.core.Tables(s, d, "documents")
-          .agg(org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.length(
-              org.apache.spark.sql.functions.col("text"))))))
+          .agg(sum(length(col("text"))))),
+      // events_filter_* cold-run bisection ladder (round 11): raw scan →
+      // + ts normalize → + json-path cmp → + regex → + global sort
+      "series_scan" -> ((s, d) =>
+        graft.core.SeriesOps.series(s, d).agg(sum(col("value")))),
+      "series_scan_sum" -> ((s, d) =>
+        graft.core.SeriesOps.series(s, d)
+          .where(col("mtype").isin("purchase", "error"))
+          .groupBy(col("metric"))
+          .agg(sum(col("value")).as("value"))),
+      "series_davg_nosort" -> ((s, d) =>
+        graft.core.SeriesOps.series(s, d)
+          .where(col("mtype").isin("purchase", "error"))
+          .groupBy(col("metric"),
+            graft.core.Exact.wstart(col("ts_ms"), 3600000L).as("ws"))
+          .agg(graft.core.Exact.davg(col("value")).as("value"))),
+      "series_filter_global" -> ((s, d) =>
+        graft.core.SeriesOps.series(s, d)
+          .where(col("mtype").isin("purchase", "error"))
+          .agg(sum(col("value")))),
+      "series_group_nofilter" -> ((s, d) =>
+        graft.core.SeriesOps.series(s, d)
+          .groupBy(col("metric")).agg(sum(col("value")))),
+      "series_group_long" -> ((s, d) =>
+        graft.core.SeriesOps.series(s, d)
+          .where(col("mtype").isin("purchase", "error"))
+          .groupBy(col("muser")).agg(sum(col("value")))),
+      "ev_scan" -> ((s, d) =>
+        graft.core.Tables(s, d, "events").select("event_id", "event_type", "value")),
+      "ev_tsms" -> ((s, d) =>
+        graft.core.SeriesOps.events(s, d).select("event_id", "ts_ms", "value")),
+      "ev_json" -> ((s, d) => {
+        val ev = graft.core.SeriesOps.events(s, d)
+        ev.where(get_json_object(col("props"), "$.k").cast("double") < 30)
+          .select("event_id", "ts_ms", "event_type", "value")
+      }),
+      "ev_regex" -> ((s, d) => {
+        val ev = graft.core.SeriesOps.events(s, d)
+        ev.where(col("event_type").rlike("pur|cli"))
+          .select("event_id", "ts_ms", "event_type", "value")
+      }),
+      "ev_nosort" -> ((s, d) => {
+        val ev = graft.core.SeriesOps.events(s, d)
+        ev.where(col("event_type").rlike("pur|cli") &&
+            get_json_object(col("props"), "$.k").cast("double") < 30)
+          .select("event_id", "ts_ms", "event_type", "value")
+      }))
+    val diag = new BenchDiag(spark)
+    if (sys.env.contains("PROF_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val m = si.taskMetrics
+            if (m != null && m.executorCpuTime > 100000000L)
+              println(f"[stage] id=${si.stageId} tasks=${si.numTasks} " +
+                f"cpu=${m.executorCpuTime / 1000000}ms " +
+                f"run=${m.executorRunTime}ms rows=${m.inputMetrics.recordsRead} " +
+                f"name=${si.name.take(60)}")
+          }
+        })
     for (name <- names) {
       val q = extra.getOrElse(name, SparkEntry.queries(name))
       if (sys.env.contains("PROF_EXPLAIN"))
         q(spark, sfDir).explain("formatted")
-      for (i <- 0 until 3) {
+      val runs = sys.env.getOrElse("PROF_RUNS", "3").toInt
+      for (i <- 0 until runs) {
         graft.core.Caches.releaseTransient(spark, blocking = true)
+        val m0 = diag.mark()
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune a projected
         // probe subtree to nothing and the "timing" measures a bare scan
         q(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[prof] $name run$i: $dt%.2fs")
+        val d = diag.measure(m0).toMap
+        println(f"[prof] $name run$i: $dt%.2fs  cpu=${d("cpu_ms")}ms " +
+          f"tasks=${d("tasks")} jit=${d("jit_ms")}ms cls=${d("classes_loaded")} " +
+          f"cg_n=${d("codegen_n")} shuffle_r=${d("shuffle_read")}")
       }
     }
     spark.stop()

@@ -44,7 +44,12 @@ object SeriesOps {
         unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => unix_millis(col("ts"))
     }
-    df.withColumn("ts_ms", tsMs.cast("long"))
+    // the testdata file is a single row group → a handful of input splits
+    // on a 32-core box, so every downstream map stage (json-path filters,
+    // regex, slot aggregation) ran on a fraction of the machine; widen is
+    // a no-op on any layout with splits ≥ cores, and filters still push
+    // into the scan below the inserted exchange
+    Parallel.widen(df.withColumn("ts_ms", tsMs.cast("long")))
   }
 
   /** (metric, mtype, muser, ts_ms, value) at 1 s resolution — present slots

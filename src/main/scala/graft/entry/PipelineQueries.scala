@@ -144,6 +144,15 @@ object PipelineQueries extends QueryProvider {
         nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, rerank = 15)
         .orderBy("query_id", "rank")
     }),
+    // both PQ knobs at once: 3 probed cells AND the exact rerank of 15
+    "sim_topk_pq_probe_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqRerankTopKProbed(e,
+        e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, rerank = 15,
+        nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
     // incremental PQ maintenance driver-gated end-to-end: freeze the
     // coarse centroids AND codebooks on the first 60 vectors (both seed
     // from deterministic first-N prefixes that the base already contains,
@@ -175,9 +184,13 @@ object PipelineQueries extends QueryProvider {
     }),
     "text_tokens" -> ((s, d) =>
       TextOps.tokens(docs(s, d)).orderBy("doc_id")),
-    // Gopher-style n-gram repetition signals + repetitive flag
+    // Gopher-style n-gram repetition signals + repetitive flag. Widened:
+    // the sorted-run folds are interpreted array HOFs — the costliest
+    // per-row compute of the text family (r11 bench caught a 47 s-CPU
+    // first run when HotSpot had flushed the lambdas' compiled forms, all
+    // of it serialized onto the narrow scan's 4 tasks)
     "text_repetition" -> ((s, d) =>
-      TextOps.repetition(docs(s, d)).orderBy("doc_id")),
+      TextOps.repetition(docsWide(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
       TextOps.quality(docsWide(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) =>
@@ -273,6 +286,8 @@ object PipelineQueries extends QueryProvider {
       "10, 11, 12"),
     "sim_topk_pq_rerank" -> Similarity.ivfPqRerankTopKSql(8, 8, 16, Dim, 5,
       15, "10, 11, 12"),
+    "sim_topk_pq_probe_rerank" -> Similarity.ivfPqRerankTopKProbedSql(8, 8,
+      16, Dim, 5, 15, 3, "10, 11, 12"),
     // append ≡ rebuild (PqAppendSpec), so the appended index answers the
     // same full-corpus oracle as sim_topk_ivf_pq
     "sim_topk_pq_append" -> Similarity.ivfPqTopKSql(8, 8, 16, Dim, 5,

@@ -951,6 +951,104 @@ object Similarity {
     Persist.handoff(out, cells)
   }
 
+  /** Both PQ knobs at once — the production configuration on the bottom
+    * rung of the memory ladder: nProbe cells scanned per query (recall
+    * across Voronoi edges), asymmetric PQ cosine selects the
+    * `rerank`-deep shortlist from the probed union, full-precision
+    * re-score returns TRUE cosines. Scale shape unchanged from
+    * [[ivfPqTopKProbed]] + [[ivfPqRerankTopK]]: probes, codebooks and the
+    * shortlist are broadcast; corpus-side work stays the cell equi-join
+    * (linear in nProbe) plus one broadcast equi-join touching k·O(rerank)
+    * cold float rows. nProbe=1 reproduces [[ivfPqRerankTopK]].
+    */
+  def ivfPqRerankTopKProbed(emb: DataFrame, queries: DataFrame, nCells: Int,
+                            m: Int, ksub: Int, dim: Int, k: Int,
+                            rerank: Int, nProbe: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbsRow = pqPacked(pqCodebooks(emb, m, ksub, dim))
+    val idx = pqEncode(cells, cbsRow, m, dim)
+    val cents = ivfCents(emb, nCells)
+    val qemb = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qvec"))
+      .withColumn("qnrm", VectorOps.norm(col("qvec")))
+    val cscored = qemb.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = withAdcTables(
+      cscored.withColumn("rn", row_number().over(wp))
+        .where(col("rn") <= nProbe)
+        .select(col("q_id"), col("qvec"), col("qnrm"), col("cid").as("qcell")),
+      cbsRow, m, dim, "qvec")
+    val qscored = idx.as("t").join(broadcast(probes),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .select(col("q_id"), col("qvec"), col("qnrm"),
+        col("t.vec_id").as("vec_id"),
+        adcCosine(col("codes"), col("adc"), col("lutn"),
+          col("qnrm")).as("qcos"))
+    val ws = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val shortlist = qscored.withColumn("srn", row_number().over(ws))
+      .where(col("srn") <= rerank)
+      .select(col("q_id"), col("qvec"), col("qnrm"), col("vec_id"))
+    val full = emb.select(col("vec_id").as("t_id"),
+      col("embedding").as("tvec"),
+      VectorOps.norm(col("embedding")).as("tnrm"))
+    val rescored = full.join(broadcast(shortlist),
+        col("t_id") === col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id"),
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("tvec")),
+          col("qnrm"), col("tnrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    Persist.handoff(out, cells)
+  }
+
+  /** DuckDB mirror of [[ivfPqRerankTopKProbed]]: the probed-qcells stage
+    * of [[ivfPqTopKProbedSql]] with the shortlist/rescore tail of
+    * [[ivfPqRerankTopKSql]].
+    */
+  def ivfPqRerankTopKProbedSql(nCells: Int, m: Int, ksub: Int, dim: Int,
+                               k: Int, rerank: Int, nProbe: Int,
+                               queryIds: String): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
+    s"""WITH ${pqIndexCteSql(nCells, m, ksub, dim)},
+       |qcells AS (
+       |  SELECT q_id, qvec, qcell FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS qvec, c.cid AS qcell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id IN ($queryIds))
+       |  WHERE rn <= $nProbe),
+       |qscored AS (
+       |  SELECT q.q_id, q.qvec, t.vec_id,
+       |         ${VectorOps.cosineSql("q.qvec", "t.recon", dim)} AS qcos
+       |  FROM pidx t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |shortlist AS (
+       |  SELECT q_id, qvec, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY qcos DESC, vec_id) AS srn FROM qscored)
+       |  WHERE srn <= $rerank),
+       |rescored AS (
+       |  SELECT s.q_id AS query_id, s.vec_id,
+       |         ${VectorOps.cosineSql("s.qvec", "e.embedding", dim)} AS cos
+       |  FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM rescored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB mirror of [[ivfPqTopKProbed]]: the [[ivfPqTopKSql]] index
     * prefix with the probed-qcells stage of [[ivfSq8QuantTopKProbedSql]].
     */

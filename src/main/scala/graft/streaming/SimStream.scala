@@ -428,6 +428,70 @@ object SimStream {
     * bit-for-bit at the same (k, rerank) — SimStreamPqSpec, and the
     * `stream_sim_pq_rerank` gate runs the batch oracle SQL.
     */
+  /** Both online-PQ knobs in one stateless stream — the production
+    * retrieval configuration: the query probes its `nProbe` nearest
+    * cells over the codes-only PQ index (recall across Voronoi edges),
+    * asymmetric PQ cosine selects the `rerank`-deep shortlist from the
+    * probed union, and the full-precision packed index re-scores it for
+    * TRUE-cosine final rankings. Join fan-out is 2·nProbe stateless
+    * LEFT equi-joins (codes + float row per probe — a probe landing in
+    * an empty cell contributes null, filtered row-locally); zero
+    * stateful operators, so the plan needs no watermark and state never
+    * grows. Stream ≡ batch [[Similarity.ivfPqRerankTopKProbed]]
+    * bit-for-bit at the same (k, rerank, nProbe) — SimStreamPqSpec;
+    * nProbe=1 reproduces [[topKAgainstPqIndexReranked]].
+    */
+  def topKAgainstPqIndexProbedReranked(queries: DataFrame,
+                                       packed: DataFrame,
+                                       packedFull: DataFrame,
+                                       cents: DataFrame, cbsRow: DataFrame,
+                                       k: Int, m: Int, dim: Int,
+                                       rerank: Int, nProbe: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val probeCells = transform(
+      slice(array_sort(transform(col("scents"),
+        s => struct(descKey(s.getField("s")).as("ns"),
+          s.getField("cid").as("cid")))),
+        1, nProbe),
+      x => x.getField("cid"))
+    val assigned = centScored(
+      Similarity.withAdcTables(queries, cbsRow, m, dim, "embedding"), cents)
+      .withColumn("pcells", probeCells).drop("scents")
+    val joined = (0 until nProbe).foldLeft(assigned) { (df, i) =>
+      df.join(packed.select(col("cell").as(s"cell$i"),
+          col("cands").as(s"cands$i")),
+        get(col("pcells"), lit(i)) === col(s"cell$i"), "left_outer")
+        .drop(s"cell$i")
+        .join(packedFull.select(col("cell").as(s"fcell$i"),
+          col("cands").as(s"fcands$i")),
+        get(col("pcells"), lit(i)) === col(s"fcell$i"), "left_outer")
+        .drop(s"fcell$i")
+    }
+    val allCands = flatten(filter(
+      array((0 until nProbe).map(i => col(s"cands$i")): _*),
+      a => a.isNotNull))
+    val allFull = flatten(filter(
+      array((0 until nProbe).map(i => col(s"fcands$i")): _*),
+      a => a.isNotNull))
+    // PQ shortlist over the probed union: the batch (qcos DESC, vec_id
+    // ASC) order incl. NaN placement, self excluded, first `rerank` ids
+    val qscored = transform(
+      filter(allCands, c => c.getField("vec_id") =!= col("vec_id")),
+      c => struct(adcScore(c).as("cos"), c.getField("vec_id").as("vid")))
+    val slIds = transform(
+      slice(array_sort(transform(qscored,
+        s => struct(descKey(s.getField("cos")).as("nc"),
+          s.getField("vid").as("vid")))), 1, rerank),
+      x => x.getField("vid"))
+    val withSl = joined.withColumn("slids", slIds)
+    rankTopK(withSl,
+      filter(allFull,
+        c => array_contains(col("slids"), c.getField("vec_id"))),
+      floatScore, k,
+      passthroughOf(queries))
+  }
+
   def topKAgainstPqIndexReranked(queries: DataFrame, packed: DataFrame,
                                  packedFull: DataFrame, cents: DataFrame,
                                  cbsRow: DataFrame, k: Int, m: Int,

@@ -88,6 +88,32 @@ class SimStreamPqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("probed+reranked PQ search ≡ batch ivfPqRerankTopKProbed at " +
+    "nProbe ∈ {1, 3}; nProbe=1 ≡ the single-cell reranked kernel") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val (packed, cents, cbs) = SimStream.pqIndex(emb, NCells, M, Ksub, Dim)
+    val (packedFull, _) = SimStream.ivfIndex(emb, NCells)
+    val queries = emb.select("vec_id", "embedding")
+    for (nProbe <- Seq(1, 3)) {
+      val st = rows(SimStream.topKAgainstPqIndexProbedReranked(
+        queries, packed, packedFull, cents, cbs, k = 5, m = M, dim = Dim,
+        rerank = 15, nProbe = nProbe))
+      val b = rows(Similarity.ivfPqRerankTopKProbed(emb, queries, NCells,
+        M, Ksub, Dim, k = 5, rerank = 15, nProbe = nProbe))
+      assert(st.nonEmpty && st == b, {
+        val d1 = (st -- b).take(3); val d2 = (b -- st).take(3)
+        s"nProbe=$nProbe stream-only=$d1 batch-only=$d2"
+      })
+    }
+    val p1 = rows(SimStream.topKAgainstPqIndexProbedReranked(
+      queries, packed, packedFull, cents, cbs, k = 5, m = M, dim = Dim,
+      rerank = 15, nProbe = 1))
+    val r1 = rows(SimStream.topKAgainstPqIndexReranked(
+      queries, packed, packedFull, cents, cbs, k = 5, m = M, dim = Dim,
+      rerank = 15))
+    assert(p1 == r1, "nProbe=1 must reproduce the single-cell reranked kernel")
+  }
+
   test("reranked PQ search runs as a stateless stream") {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
