@@ -182,6 +182,21 @@ object PipelineQueries extends QueryProvider {
         e.where(col("vec_id").isin(10L, 11L, 12L)),
         nCells = 8, dim = Dim, k = 5, nProbe = 3).orderBy("query_id", "rank")
     }),
+    // URL-level dedup: keep the longest capture per source URL
+    "dedup_url" -> ((s, d) =>
+      Dedup.urlKeepBest(docs(s, d)).orderBy("source")),
+    // CCNet-style segment-level dedup: drop 3-word segments shared by >=2 docs
+    "dedup_segments" -> ((s, d) =>
+      Dedup.segmentDedup(docs(s, d), 3).orderBy("doc_id")),
+    // PII scrubbing over deterministically injected synthetic PII
+    "text_redact" -> ((s, d) =>
+      TextOps.redactPii(TextOps.withSyntheticPii(docsWide(s, d)))
+        .orderBy("doc_id")),
+    // vocabulary / bigram frequency top-k (BPE-prep statistics)
+    "text_vocab" -> ((s, d) =>
+      TextOps.vocabTopK(docs(s, d), 50)),
+    "text_bigrams" -> ((s, d) =>
+      TextOps.bigramTopK(docs(s, d), 50)),
     "text_tokens" -> ((s, d) =>
       TextOps.tokens(docs(s, d)).orderBy("doc_id")),
     // Gopher-style n-gram repetition signals + repetitive flag. Widened:
@@ -296,6 +311,11 @@ object PipelineQueries extends QueryProvider {
       3, "10, 11, 12"),
     "sim_topk_sq8_probe" -> Similarity.ivfSq8QuantTopKProbedSql(8, Dim, 5,
       3, "10, 11, 12"),
+    "dedup_url" -> Dedup.urlKeepBestSql,
+    "dedup_segments" -> Dedup.segmentDedupSql(3),
+    "text_redact" -> TextOps.redactPiiSql,
+    "text_vocab" -> TextOps.vocabTopKSql(50),
+    "text_bigrams" -> TextOps.bigramTopKSql(50),
     "text_tokens" -> TextOps.tokensSql,
     "text_repetition" -> TextOps.repetitionSql,
     "text_quality" -> TextOps.qualitySql,

@@ -507,6 +507,13 @@ object StreamQueries extends QueryProvider {
   private def runRepetition(s: SparkSession, dir: String): DataFrame =
     drain(s, graft.pipeline.TextOps.repetition(docStream(s, dir)), "append")
 
+  /** PII scrubbing on the stream: the batch redaction operator over the
+    * batch synthetic-PII injection, both row-local — the compliance scrub
+    * runs inline on the firehose with zero state (oracle = batch SQL) */
+  private def runRedact(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.TextOps.redactPii(
+      graft.pipeline.TextOps.withSyntheticPii(docStream(s, dir))), "append")
+
   /** The online admission capstone: per-arriving-document verdicts
     * (dup / low_quality / kept) with a deterministic first-arrival dedup
     * leg — the streaming analog of the batch `corpus_decisions` gate
@@ -549,6 +556,7 @@ object StreamQueries extends QueryProvider {
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
+    "stream_redact" -> ((s, d) => runRedact(s, d)),
     "stream_sample" -> ((s, d) => runSample(s, d)),
     "stream_decisions" -> ((s, d) => runDecisions(s, d)),
     "stream_sim" -> ((s, d) => runSim(s, d)),
@@ -670,6 +678,8 @@ object StreamQueries extends QueryProvider {
     // the batch oracle applies verbatim
     "stream_quality" -> graft.pipeline.TextOps.qualitySql,
     "stream_repetition" -> graft.pipeline.TextOps.repetitionSql,
+    // batch redaction over batch injection, both stateless on the stream
+    "stream_redact" -> graft.pipeline.TextOps.redactPiiSql,
     // the batch stratified-sampling operator verbatim on the stream
     "stream_sample" -> graft.pipeline.Curation.sampleStratifiedSql("lang",
       Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1), 0.2,

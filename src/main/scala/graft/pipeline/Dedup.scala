@@ -569,4 +569,81 @@ object Dedup {
        |FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
        |WHERE ${VectorOps.cosineSql("x.embedding", "y.embedding", dim)} >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // -------------------------------------------------------------- by URL
+
+  /** URL-level dedup — the cheap first pass a web-corpus pipeline runs
+    * BEFORE any content hashing (multiple crawls of one URL are trivially
+    * the same page): among documents sharing a `source` URL keep the
+    * longest capture, ties to the smallest doc_id.
+    *
+    * Scale shape: a window group-limit — one shuffle on `source`,
+    * rank-pushed-down by Spark's WindowGroupLimit so each partition keeps
+    * one row before the exchange; no self-join, nothing quadratic. URL
+    * cardinality ~ corpus cardinality, so partitions stay balanced at
+    * any scale.
+    */
+  def urlKeepBest(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+  }
+
+  val urlKeepBestSql: String =
+    """SELECT source, doc_id, n_chars
+      |FROM (SELECT source, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      |      FROM documents)
+      |WHERE rnk = 1 ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------ segments
+
+  /** Segment-level exact dedup (the CCNet/RefinedWeb line-dedup stage,
+    * re-expressed over fixed `segLen`-word segments — the corpus carries
+    * no newline structure): a segment appearing in ≥ 2 DISTINCT documents
+    * is boilerplate; emit per-doc segment counts and the cleaned text
+    * with boilerplate segments dropped (in original order).
+    *
+    * Scale shape: explode to ~|words|/segLen segment rows, ONE shuffle on
+    * the segment for the distinct-doc count (map-side combinable), a
+    * broadcast-or-shuffle equi-join back, and a per-doc regroup. Nothing
+    * is quadratic and no driver state: the same three-stage shape CCNet
+    * runs over shards. The regroup's collect_list is bounded by document
+    * size — the same per-row bound the corpus already obeys.
+    */
+  def segmentDedup(docs: DataFrame, segLen: Int): DataFrame = {
+    val segs = withWords(docs).select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(w)/$segLen.0) as int)-1), " +
+          s"i -> concat_ws(' ', slice(w, i*$segLen+1, $segLen)))"))
+        .as(Seq("idx", "seg")))
+    val counts = segs.groupBy("seg")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    segs.join(counts, Seq("seg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        count(when(col("nd") >= 2, 1)).as("n_dup_segments"),
+        array_join(transform(array_sort(collect_list(
+          when(col("nd") < 2, struct(col("idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
+
+  def segmentDedupSql(segLen: Int): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+       |            FROM documents),
+       |segs AS (SELECT doc_id,
+       |           unnest(range(0, CAST(ceil(len(w)/$segLen.0) AS BIGINT))) AS idx,
+       |           unnest([array_to_string(w[(i*$segLen+1):(i*$segLen+$segLen)], ' ')
+       |                   for i in range(0, CAST(ceil(len(w)/$segLen.0) AS BIGINT))]) AS seg
+       |         FROM ws),
+       |cnt AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY 1)
+       |SELECT s.doc_id, COUNT(*) AS n_segments,
+       |       COUNT(CASE WHEN c.nd >= 2 THEN 1 END) AS n_dup_segments,
+       |       COALESCE(string_agg(CASE WHEN c.nd < 2 THEN s.seg END, ' '
+       |                           ORDER BY s.idx), '') AS clean_text
+       |FROM segs s JOIN cnt c USING (seg)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 }

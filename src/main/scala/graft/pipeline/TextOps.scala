@@ -203,6 +203,124 @@ object TextOps {
   val Top3Threshold = 0.05
   val Dup5Threshold = 0.20
 
+  // ------------------------------------------------------------- redact
+
+  /** PII-redaction regexes — the intersection of Java-regex and RE2
+    * syntax (no backrefs, no lookaround) so the Spark expressions and the
+    * DuckDB oracle compile the SAME pattern text. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Append a deterministic synthetic contact tail (email, phone, IPv4
+    * derived from doc_id) — the synthetic corpus carries no PII, so the
+    * gate manufactures some identically on both engines and then proves
+    * the scrubber strips it. Production pipelines run [[redactPii]]
+    * directly on the raw text. */
+  def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0.7")))
+
+  /** single-sourced SQL mirror of [[withSyntheticPii]]'s injected text */
+  val syntheticPiiSql: String =
+    """SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |  '@mail.example.com or +1-555-' ||
+      |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7' AS text
+      |FROM documents""".stripMargin
+
+  /** PII scrubbing (emails, E.164-ish phone numbers, IPv4 addresses →
+    * typed placeholders) with per-category match counts — the compliance
+    * pass a training corpus runs before release. Emails are replaced
+    * first (their dotted hosts would otherwise feed the IP pattern),
+    * then IPs, then phones; counts are taken on the RAW text so they
+    * record what was found, not what survived earlier replacements.
+    *
+    * Pure per-row regex `Column`s — narrow, shuffle-free, codegen'd; at
+    * 100 TB this runs at corpus-scan cost like [[quality]].
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(col("doc_id"),
+      regexp_count(t, lit(EmailRe)).as("n_email"),
+      regexp_count(t, lit(PhoneRe)).as("n_phone"),
+      regexp_count(t, lit(Ipv4Re)).as("n_ip"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+        .as("redacted"))
+  }
+
+  /** oracle over the synthetic-PII injected text (the gate's input) */
+  val redactPiiSql: String =
+    s"""WITH raw AS ($syntheticPiiSql)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_email,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phone,
+       |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ip,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |FROM raw ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- vocab
+
+  /** Corpus vocabulary statistics: the `k` most frequent words with
+    * occurrence and document frequencies — the first pass of BPE/vocab
+    * training and of stopword discovery. Deterministic cutoff: ties at
+    * the boundary break on the word itself.
+    *
+    * Scale shape: explode → ONE shuffle with map-side partial aggregation
+    * (the word-count combine is the canonical Spark partial-agg) → a
+    * TakeOrderedAndProject top-k (per-partition heads, k rows to the
+    * driver-side merge — never a global sort materialization).
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    Dedup.withWords(docs)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("word").asc)
+      .limit(k)
+
+  def vocabTopKSql(k: Int): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+       |            FROM documents),
+       |tok AS (SELECT doc_id, s AS word FROM ws, unnest(w) AS t(s))
+       |SELECT word, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM tok GROUP BY 1
+       |ORDER BY n_occ DESC, word ASC LIMIT $k""".stripMargin
+
+  /** Word-bigram frequency top-k — same plan shape as [[vocabTopK]] over
+    * [[Dedup.shingles2]]'s raw (not per-doc-distinct) occurrences; the
+    * n-gram LM / collocation statistic beside the unigram vocabulary. */
+  def bigramTopK(docs: DataFrame, k: Int): DataFrame =
+    Dedup.shingles2(docs)
+      .select(col("doc_id"), col("shingle").as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("bigram").asc)
+      .limit(k)
+
+  def bigramTopKSql(k: Int): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+       |            FROM documents),
+       |bg AS (SELECT doc_id, s AS bigram
+       |       FROM ws, unnest([w[i] || ' ' || w[i+1]
+       |                        for i in range(1, len(w))]) AS t(s)
+       |       WHERE len(w) >= 2)
+       |SELECT bigram, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM bg GROUP BY 1
+       |ORDER BY n_occ DESC, bigram ASC LIMIT $k""".stripMargin
+
   val repetitionSql: String =
     s"""WITH w AS (SELECT doc_id,
        |             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
