@@ -153,6 +153,30 @@ object PipelineQueries extends QueryProvider {
         nProbe = 3)
         .orderBy("query_id", "rank")
     }),
+    // residual-encoded IVF-PQ (IVFADC): single-cell, multi-probe, and
+    // the production probed+reranked configuration
+    "sim_topk_pq_residual" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqResidualTopKProbed(e,
+        e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, nProbe = 1)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_topk_pq_residual_probe" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqResidualTopKProbed(e,
+        e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_topk_pq_residual_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqResidualRerankTopKProbed(e,
+        e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, rerank = 15,
+        nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
     // incremental PQ maintenance driver-gated end-to-end: freeze the
     // coarse centroids AND codebooks on the first 60 vectors (both seed
     // from deterministic first-N prefixes that the base already contains,
@@ -303,6 +327,13 @@ object PipelineQueries extends QueryProvider {
       15, "10, 11, 12"),
     "sim_topk_pq_probe_rerank" -> Similarity.ivfPqRerankTopKProbedSql(8, 8,
       16, Dim, 5, 15, 3, "10, 11, 12"),
+    "sim_topk_pq_residual" -> Similarity.ivfPqResidualTopKProbedSql(8, 8,
+      16, Dim, 5, 1, "10, 11, 12"),
+    "sim_topk_pq_residual_probe" -> Similarity.ivfPqResidualTopKProbedSql(
+      8, 8, 16, Dim, 5, 3, "10, 11, 12"),
+    "sim_topk_pq_residual_rerank" ->
+      Similarity.ivfPqResidualRerankTopKProbedSql(8, 8, 16, Dim, 5, 15, 3,
+        "10, 11, 12"),
     // append ≡ rebuild (PqAppendSpec), so the appended index answers the
     // same full-corpus oracle as sim_topk_ivf_pq
     "sim_topk_pq_append" -> Similarity.ivfPqTopKSql(8, 8, 16, Dim, 5,

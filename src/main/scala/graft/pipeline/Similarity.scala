@@ -1157,6 +1157,306 @@ object Similarity {
        |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  // ── Residual IVF-PQ: the IVFADC layout ───────────────────────────────
+
+  /** Per-cell SHIFTED residual codebooks — the classic IVFADC encoding
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): PQ codes quantize the RESIDUAL `v − centroid(cell)`
+    * rather than the raw vector, which centers every cell's point cloud
+    * on the origin and lets one shared codebook spend its ksub entries
+    * on the (much tighter) residual distribution — the recall win that
+    * makes IVFADC the standard production layout.
+    *
+    * Representation: rather than materializing residuals at search time,
+    * each cell gets its codebook PRE-SHIFTED by its centroid —
+    * `scb[cell][j][code] = centroid_j ⊕ rcb[j][code]` — so encode is the
+    * plain L2 argmin against the OWN-cell table and reconstruction is a
+    * direct lookup (no add in the hot path). The residual codebook uses
+    * the same deterministic seeding as [[pqCodebooks]]: entry `code` is
+    * the code-th corpus vector's residual w.r.t. its own assigned cell.
+    * All arithmetic is float→double casts, one subtraction, one addition
+    * — the same correctly-rounded IEEE ops in the same order as the
+    * DuckDB mirror, so the shifted entries (and every code and score
+    * downstream) are bit-identical across engines.
+    *
+    * Output: (cell, cbs) with `cbs[j][code] = svec` — nCells small rows,
+    * broadcast everywhere it is consumed.
+    */
+  private[graft] def residualScb(emb: DataFrame, cells: DataFrame,
+                                 nCells: Int, m: Int, ksub: Int,
+                                 dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val sub = dim / m
+    val centd = ivfCents(emb, nCells).select(col("cid"),
+      transform(col("cvec"), x => x.cast("double")).as("cemb"))
+    val rcb = cells.where(col("vec_id") < ksub)
+      .join(broadcast(centd), col("cell") === col("cid"))
+      .select(col("vec_id").cast("int").as("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("embedding"), col("cemb"))
+      .select(col("j"), col("code"),
+        zip_with(slice(col("embedding"), col("j") * sub + 1, lit(sub)),
+          slice(col("cemb"), col("j") * sub + 1, lit(sub)),
+          (e, c) => e.cast("double") - c).as("rvec"))
+    val scb = centd.crossJoin(broadcast(rcb))
+      .select(col("cid").as("cell"), col("j"), col("code"),
+        zip_with(slice(col("cemb"), col("j") * sub + 1, lit(sub)),
+          col("rvec"), (c, r) => c + r).as("svec"))
+    scb.groupBy("cell", "j")
+      .agg(transform(sort_array(collect_list(struct(col("code"),
+        col("svec")))), x => x.getField("svec")).as("cb"))
+      .groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("cb")))),
+        x => x.getField("cb")).as("cbs"))
+  }
+
+  /** Per-cell norm LUTs over the shifted codebooks — the residual analog
+    * of [[pqNormLut]]: `lutn[j][code] = dotL(svec, svec)`. Keyed by cell
+    * (the shifted entries differ per cell), joined broadcast next to the
+    * per-(query, cell) ADC dot table.
+    */
+  private[graft] def scbNormLuts(scbByCell: DataFrame): DataFrame =
+    scbByCell.select(col("cell").as("lcell"), transform(col("cbs"), cbj =>
+      transform(cbj, cb =>
+        graft.expr.FixedPointDot(cb, cb, VectorOps.Scale))).as("lutn"))
+
+  /** Residual-PQ encode: the same native [[graft.expr.PqEncode]] argmin,
+    * against the vector's OWN cell's shifted table (a broadcast equi-join
+    * on cell instead of [[pqEncode]]'s one-row crossJoin). Codes remain m
+    * small ints — the resident index stays 8 B/vector; the per-cell
+    * codebook adds nCells × m × ksub × sub doubles of broadcast state,
+    * independent of corpus size.
+    */
+  private[graft] def pqResidualEncode(cells: DataFrame,
+                                      scbByCell: DataFrame, m: Int,
+                                      dim: Int): DataFrame =
+    cells.join(broadcast(scbByCell), Seq("cell"))
+      .where(size(col("cbs")) === m)
+      .select(col("vec_id"), col("cell"),
+        graft.expr.PqEncode(col("embedding"), col("cbs"), m, dim / m,
+          VectorOps.Scale).as("codes"))
+
+  /** Residual IVF-PQ top-k with multi-probe — IVFADC proper: nProbe
+    * cells per query, candidates scored by the asymmetric ADC cosine
+    * against their RESIDUAL-coded reconstruction. Because the shifted
+    * tables differ per cell, the ADC dot table is per (query, probed
+    * cell) — exactly FAISS's per-probe LUT build — and the norm LUT per
+    * cell; both joins broadcast (queries × nProbe and nCells rows).
+    * Corpus-side work is unchanged from [[ivfPqTopKProbed]]: the cell
+    * equi-join over the codes-only index, linear in nProbe, never a
+    * corpus shuffle. nProbe=1 is the single-cell IVFADC.
+    */
+  def ivfPqResidualTopKProbed(emb: DataFrame, queries: DataFrame,
+                              nCells: Int, m: Int, ksub: Int, dim: Int,
+                              k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scbC = residualScb(emb, cells, nCells, m, ksub, dim)
+    val idx = pqResidualEncode(cells, scbC, m, dim)
+    val cents = ivfCents(emb, nCells)
+    val qemb = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qvec"))
+      .withColumn("qnrm", VectorOps.norm(col("qvec")))
+    val cscored = qemb.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = cscored.withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nProbe)
+      .select(col("q_id"), col("qvec"), col("qnrm"),
+        col("cid").as("qcell"))
+      .join(broadcast(scbC), col("qcell") === col("cell"))
+      .withColumn("adc", graft.expr.PqAdcLut(col("qvec"), col("cbs"), m,
+        dim / m, VectorOps.Scale))
+      .drop("cbs", "cell")
+      .join(broadcast(scbNormLuts(scbC)), col("qcell") === col("lcell"))
+      .drop("lcell")
+    val scored = idx.as("t").join(broadcast(probes),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        adcCosine(col("codes"), col("adc"), col("lutn"),
+          col("qnrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    Persist.handoff(out, cells)
+  }
+
+  /** Residual IVF-PQ, probed AND full-precision reranked — IVFADC in its
+    * production configuration: the residual-coded shortlist (rerank-deep,
+    * from the probed union) is re-scored by TRUE cosine against the cold
+    * float corpus via one broadcast equi-join on vec_id. The same
+    * two-stage contract as [[ivfPqRerankTopKProbed]] with the
+    * residual-quality shortlist underneath it.
+    */
+  def ivfPqResidualRerankTopKProbed(emb: DataFrame, queries: DataFrame,
+                                    nCells: Int, m: Int, ksub: Int,
+                                    dim: Int, k: Int, rerank: Int,
+                                    nProbe: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scbC = residualScb(emb, cells, nCells, m, ksub, dim)
+    val idx = pqResidualEncode(cells, scbC, m, dim)
+    val cents = ivfCents(emb, nCells)
+    val qemb = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qvec"))
+      .withColumn("qnrm", VectorOps.norm(col("qvec")))
+    val cscored = qemb.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = cscored.withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nProbe)
+      .select(col("q_id"), col("qvec"), col("qnrm"),
+        col("cid").as("qcell"))
+      .join(broadcast(scbC), col("qcell") === col("cell"))
+      .withColumn("adc", graft.expr.PqAdcLut(col("qvec"), col("cbs"), m,
+        dim / m, VectorOps.Scale))
+      .drop("cbs", "cell")
+      .join(broadcast(scbNormLuts(scbC)), col("qcell") === col("lcell"))
+      .drop("lcell")
+    val qscored = idx.as("t").join(broadcast(probes),
+        col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
+      .select(col("q_id"), col("qvec"), col("qnrm"),
+        col("t.vec_id").as("vec_id"),
+        adcCosine(col("codes"), col("adc"), col("lutn"),
+          col("qnrm")).as("qcos"))
+    val ws = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val shortlist = qscored.withColumn("srn", row_number().over(ws))
+      .where(col("srn") <= rerank)
+      .select(col("q_id"), col("qvec"), col("qnrm"), col("vec_id"))
+    val full = emb.select(col("vec_id").as("t_id"),
+      col("embedding").as("tvec"),
+      VectorOps.norm(col("embedding")).as("tnrm"))
+    val rescored = full.join(broadcast(shortlist),
+        col("t_id") === col("vec_id"))
+      .select(col("q_id").as("query_id"), col("vec_id"),
+        VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("tvec")),
+          col("qnrm"), col("tnrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    Persist.handoff(out, cells)
+  }
+
+  /** Shared residual-PQ oracle prefix: `assigned` + double centroids
+    * (`centd`), residual codebooks (`rcb`), per-cell shifted tables
+    * (`scb`), integer-space own-cell argmin codes (`enc`) and the
+    * reconstructed index (`pidx`) — the DuckDB mirror of
+    * [[residualScb]] + [[pqResidualEncode]], single-sourced for both
+    * residual oracles.
+    */
+  private def pqResidualIndexCteSql(nCells: Int, m: Int, ksub: Int,
+                                    dim: Int): String = {
+    val sub = dim / m
+    def dotL(x: String, y: String): String =
+      s"CAST(list_sum([CAST(ROUND(CAST($x AS DOUBLE)*CAST($y AS DOUBLE)*1e15, 0) AS BIGINT) " +
+        s"for i in range(1, ${sub + 1})]) AS BIGINT)"
+    val vi = s"a.embedding[s.j*$sub + i]"
+    val svi = "s.svec[i]"
+    s"""${assignedCteSql(nCells, dim)},
+       |centd AS (SELECT cid,
+       |            [CAST(embedding[i] AS DOUBLE)
+       |             for i in range(1, ${dim + 1})] AS cemb
+       |          FROM cents),
+       |rcb AS (SELECT js.j, CAST(a.vec_id AS INTEGER) AS code,
+       |          [CAST(a.embedding[js.j*$sub + i] AS DOUBLE) -
+       |             c.cemb[js.j*$sub + i] for i in range(1, ${sub + 1})] AS rvec
+       |        FROM assigned a JOIN centd c ON c.cid = a.cell
+       |        CROSS JOIN (SELECT unnest(range(0, $m)) AS j) js
+       |        WHERE a.vec_id < $ksub),
+       |scb AS (SELECT c.cid AS cell, r.j, r.code,
+       |          [c.cemb[r.j*$sub + i] + r.rvec[i]
+       |           for i in range(1, ${sub + 1})] AS svec
+       |        FROM centd c CROSS JOIN rcb r),
+       |encsc AS (
+       |  SELECT a.vec_id, s.cell, s.j, s.code, s.svec,
+       |         ${dotL(vi, vi)} + ${dotL(svi, svi)} - 2*${dotL(vi, svi)} AS d
+       |  FROM assigned a JOIN scb s ON s.cell = a.cell),
+       |enc AS (SELECT vec_id, cell, j, svec FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |            ORDER BY d, code) AS rn FROM encsc)
+       |        WHERE rn = 1),
+       |pidx AS (SELECT vec_id, cell, flatten(list(svec ORDER BY j)) AS recon
+       |         FROM enc GROUP BY vec_id, cell)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ivfPqResidualTopKProbed]]: the residual index
+    * prefix with the probed-qcells stage and reconstruction cosine.
+    */
+  def ivfPqResidualTopKProbedSql(nCells: Int, m: Int, ksub: Int, dim: Int,
+                                 k: Int, nProbe: Int,
+                                 queryIds: String): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
+    s"""WITH ${pqResidualIndexCteSql(nCells, m, ksub, dim)},
+       |qcells AS (
+       |  SELECT q_id, qvec, qcell FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS qvec, c.cid AS qcell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id IN ($queryIds))
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.q_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.cosineSql("q.qvec", "t.recon", dim)} AS cos
+       |  FROM pidx t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ivfPqResidualRerankTopKProbed]]: the residual
+    * prefix + probed qcells + shortlist/rescore tail.
+    */
+  def ivfPqResidualRerankTopKProbedSql(nCells: Int, m: Int, ksub: Int,
+                                       dim: Int, k: Int, rerank: Int,
+                                       nProbe: Int,
+                                       queryIds: String): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
+    s"""WITH ${pqResidualIndexCteSql(nCells, m, ksub, dim)},
+       |qcells AS (
+       |  SELECT q_id, qvec, qcell FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS qvec, c.cid AS qcell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id IN ($queryIds))
+       |  WHERE rn <= $nProbe),
+       |qscored AS (
+       |  SELECT q.q_id, q.qvec, t.vec_id,
+       |         ${VectorOps.cosineSql("q.qvec", "t.recon", dim)} AS qcos
+       |  FROM pidx t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |shortlist AS (
+       |  SELECT q_id, qvec, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY qcos DESC, vec_id) AS srn FROM qscored)
+       |  WHERE srn <= $rerank),
+       |rescored AS (
+       |  SELECT s.q_id AS query_id, s.vec_id,
+       |         ${VectorOps.cosineSql("s.qvec", "e.embedding", dim)} AS cos
+       |  FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM rescored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def lshTopKSql(bits: Int, dim: Int, k: Int, querySel: String): String =
     s"""WITH b AS (SELECT vec_id, embedding,
        |           ${VectorOps.lshBucketSql("embedding", bits, dim)} AS bkt
