@@ -405,6 +405,43 @@ object StreamQueries extends QueryProvider {
         graft.core.Caches.sanction(cbs.persist(lvl)))
     })
 
+  private val resPqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+  private def resPqIndex(s: SparkSession,
+                         dir: String): (DataFrame, DataFrame, DataFrame) =
+    resPqIndexCache.computeIfAbsent((s, dir), { _ =>
+      val (packed, cents, scbL) = graft.streaming.SimStream.residualPqIndex(
+        graft.core.Tables(s, dir, "embeddings"), nCells = 8, m = 8,
+        ksub = 16, dim = 64)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (graft.core.Caches.sanction(packed.persist(lvl)),
+        graft.core.Caches.sanction(cents.persist(lvl)),
+        graft.core.Caches.sanction(scbL.persist(lvl)))
+    })
+
+  /** Online residual-PQ (IVFADC) ANN gate: same replay, searched against
+    * the residual codes-only index with per-(query, cell) ADC tables —
+    * results must match the batch residual ranking
+    * ([[graft.pipeline.Similarity.ivfPqResidualTopKProbed]]), whose SQL
+    * is the oracle.
+    */
+  private def runSimPqResidual(s: SparkSession, dir: String,
+                               nProbe: Int = 1): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val queries = s.readStream.schema(sch).parquet(staged)
+      .where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding")
+    val (packed, cents, scbL) = resPqIndex(s, dir)
+    val out =
+      if (nProbe == 1) graft.streaming.SimStream.topKAgainstResidualPqIndex(
+        queries, packed, cents, scbL, k = 5, m = 8, dim = 64)
+      else graft.streaming.SimStream.topKAgainstResidualPqIndexProbed(
+        queries, packed, cents, scbL, k = 5, m = 8, dim = 64,
+        nProbe = nProbe)
+    drain(s, out, "append")
+  }
+
   /** Online product-quantized ANN gate: same replay, searched against
     * the codes-only PQ packed index — results must match the batch PQ
     * ranking ([[graft.pipeline.Similarity.ivfPqTopK]]), whose SQL is the
@@ -568,7 +605,10 @@ object StreamQueries extends QueryProvider {
     "stream_sim_pq_probe" -> ((s, d) => runSimPq(s, d, nProbe = 3)),
     "stream_sim_pq_rerank" -> ((s, d) => runSimPqRerank(s, d)),
     "stream_sim_pq_probe_rerank" -> ((s, d) =>
-      runSimPqRerank(s, d, nProbe = 3)))
+      runSimPqRerank(s, d, nProbe = 3)),
+    "stream_sim_pq_residual" -> ((s, d) => runSimPqResidual(s, d)),
+    "stream_sim_pq_residual_probe" -> ((s, d) =>
+      runSimPqResidual(s, d, nProbe = 3)))
 
   def oracle: Map[String, String] = Map(
     // raw-event windowed mean, the single-stage stream
@@ -717,6 +757,12 @@ object StreamQueries extends QueryProvider {
     // batch ivfPqRerankTopKProbed at the same (k, rerank, nProbe)
     "stream_sim_pq_probe_rerank" -> graft.pipeline.Similarity
       .ivfPqRerankTopKProbedSql(8, 8, 16, 64, 5, 15, 3, "10, 11, 12"),
+    // the online residual-PQ (IVFADC) search ≡ the batch residual
+    // ranking at the same parameters
+    "stream_sim_pq_residual" -> graft.pipeline.Similarity
+      .ivfPqResidualTopKProbedSql(8, 8, 16, 64, 5, 1, "10, 11, 12"),
+    "stream_sim_pq_residual_probe" -> graft.pipeline.Similarity
+      .ivfPqResidualTopKProbedSql(8, 8, 16, 64, 5, 3, "10, 11, 12"),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->

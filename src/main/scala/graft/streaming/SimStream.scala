@@ -492,6 +492,104 @@ object SimStream {
       passthroughOf(queries))
   }
 
+  // ───────────────────── residual PQ (IVFADC) online ──────────────────
+
+  /** The residual-PQ (IVFADC) packed index for online search: the
+    * codes-only per-cell candidate lists plus the per-cell SHIFTED
+    * codebooks with their norm LUTs ([[graft.pipeline.Similarity
+    * .residualScb]]/[[graft.pipeline.Similarity.scbNormLuts]] — joined
+    * into one (cell, cbs, lutn) artifact so the online search attaches
+    * both with a single cell-keyed stream-static join). All three
+    * outputs are batch artifacts; persist and refresh with the corpus.
+    */
+  def residualPqIndex(emb: DataFrame, nCells: Int, m: Int, ksub: Int,
+                      dim: Int): (DataFrame, DataFrame, DataFrame) = {
+    val cells = Similarity.ivfCells(emb, nCells)
+    val scbC = Similarity.residualScb(emb, cells, nCells, m, ksub, dim)
+    val packed = Similarity.pqResidualEncode(cells, scbC, m, dim)
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("codes")))).as("cands"))
+    val scbL = scbC.join(Similarity.scbNormLuts(scbC),
+      col("cell") === col("lcell")).drop("lcell")
+    (packed, centsRow(emb, nCells), scbL)
+  }
+
+  /** Online residual-PQ (IVFADC) search, single cell: because the
+    * shifted tables differ per cell, the ADC dot table cannot broadcast
+    * once per query — it is built AFTER the cell join, per (query,
+    * cell) row, exactly FAISS's per-probe LUT build. Still two stateless
+    * cell-keyed equi-joins (codes + codebook artifact), zero stateful
+    * operators; stream ≡ batch
+    * [[graft.pipeline.Similarity.ivfPqResidualTopKProbed]] at nProbe=1
+    * bit-for-bit (SimStreamResidualSpec, and the
+    * `stream_sim_pq_residual` gate runs the batch oracle SQL).
+    */
+  def topKAgainstResidualPqIndex(queries: DataFrame, packed: DataFrame,
+                                 cents: DataFrame, scbL: DataFrame,
+                                 k: Int, m: Int, dim: Int): DataFrame = {
+    val assigned = centScored(queries, cents)
+      .withColumn("qcell", bestCid(col("scents"))).drop("scents")
+    val joined = assigned.join(packed, col("qcell") === col("cell"))
+      .drop("cell")
+      .join(scbL.select(col("cell").as("scell"), col("cbs"), col("lutn")),
+        col("qcell") === col("scell"))
+      .drop("scell")
+      .withColumn("adc", graft.expr.PqAdcLut(col("embedding"), col("cbs"),
+        m, dim / m, VectorOps.Scale))
+      .drop("cbs")
+    rankTopK(joined, col("cands"), adcScore, k, passthroughOf(queries))
+  }
+
+  /** Multi-probe online residual-PQ search: per probe, the cell's codes
+    * AND its shifted-codebook row join in (both left — an empty cell
+    * contributes nothing), a per-probe ADC table is built row-locally,
+    * and each probe's candidates are PRE-scored with their own-cell
+    * tables before the probed union is ranked by the shared batch order.
+    * 2·nProbe stateless equi-joins, zero stateful operators; nProbe=1
+    * reproduces [[topKAgainstResidualPqIndex]], stream ≡ batch
+    * bit-for-bit (SimStreamResidualSpec).
+    */
+  def topKAgainstResidualPqIndexProbed(queries: DataFrame,
+                                       packed: DataFrame, cents: DataFrame,
+                                       scbL: DataFrame, k: Int, m: Int,
+                                       dim: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val probeCells = transform(
+      slice(array_sort(transform(col("scents"),
+        s => struct(descKey(s.getField("s")).as("ns"),
+          s.getField("cid").as("cid")))),
+        1, nProbe),
+      x => x.getField("cid"))
+    val assigned = centScored(queries, cents)
+      .withColumn("pcells", probeCells).drop("scents")
+    val joined = (0 until nProbe).foldLeft(assigned) { (df, i) =>
+      df.join(packed.select(col("cell").as(s"cell$i"),
+          col("cands").as(s"cands$i")),
+        get(col("pcells"), lit(i)) === col(s"cell$i"), "left_outer")
+        .drop(s"cell$i")
+        .join(scbL.select(col("cell").as(s"scell$i"),
+          col("cbs").as(s"cbs$i"), col("lutn").as(s"lutn$i")),
+        get(col("pcells"), lit(i)) === col(s"scell$i"), "left_outer")
+        .drop(s"scell$i")
+        .withColumn(s"adc$i", graft.expr.PqAdcLut(col("embedding"),
+          col(s"cbs$i"), m, dim / m, VectorOps.Scale))
+        .drop(s"cbs$i")
+    }
+    // pre-score each probe's candidates with ITS cell's tables, then
+    // rank the union on the already-computed cosines (rankTopK's lambda
+    // just reads the field — no double scoring)
+    val pre = (0 until nProbe).map(i =>
+      when(col(s"cands$i").isNotNull,
+        transform(col(s"cands$i"), c => struct(
+          Similarity.adcCosine(c.getField("codes"), col(s"adc$i"),
+            col(s"lutn$i"), col("qnrm")).as("cos"),
+          c.getField("vec_id").as("vec_id")))))
+    val allCands = flatten(filter(array(pre: _*), a => a.isNotNull))
+    rankTopK(joined, allCands, c => c.getField("cos"), k,
+      passthroughOf(queries))
+  }
+
   def topKAgainstPqIndexReranked(queries: DataFrame, packed: DataFrame,
                                  packedFull: DataFrame, cents: DataFrame,
                                  cbsRow: DataFrame, k: Int, m: Int,
