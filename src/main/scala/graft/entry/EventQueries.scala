@@ -32,10 +32,25 @@ object EventQueries extends QueryProvider {
       .orderBy("event_id")
   }
 
+  /** 12 h session gap — the testdata's mean per-user inter-event gap is
+    * ~11 h, so this splits and merges in comparable measure (a web-style
+    * 30 min gap would make nearly every event its own session here).
+    */
+  private[entry] val SessionGapMs = 43200000L
+  private[entry] val FunnelSteps = Seq("view", "click", "purchase")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     filters.map { case (n, f) =>
       n -> ((s: SparkSession, d: String) => run(f)(s, d))
-    }
+    } ++ Map[String, (SparkSession, String) => DataFrame](
+      "events_sessionize" -> ((s, d) =>
+        graft.ops.Sessions.sessionize(SeriesOps.events(s, d), SessionGapMs)
+          .orderBy("user_id", "session_idx")),
+      "events_funnel" -> ((s, d) =>
+        graft.ops.Sessions.funnel(SeriesOps.events(s, d), FunnelSteps)
+          .orderBy("step_idx")),
+      "events_paths" -> ((s, d) =>
+        graft.ops.Sessions.topPaths(SeriesOps.events(s, d), n = 3, k = 20)))
 
   def oracle: Map[String, String] =
     filters.map { case (n, f) =>
@@ -43,5 +58,8 @@ object EventQueries extends QueryProvider {
         s"""SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type, value
            |FROM events WHERE ${Events.sql(f, evCols)}
            |ORDER BY event_id""".stripMargin
-    }
+    } ++ Map(
+      "events_sessionize" -> graft.ops.Sessions.sessionizeSql(SessionGapMs),
+      "events_funnel" -> graft.ops.Sessions.funnelSql(FunnelSteps),
+      "events_paths" -> graft.ops.Sessions.topPathsSql(3, 20))
 }

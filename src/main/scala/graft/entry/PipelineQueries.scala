@@ -247,6 +247,13 @@ object PipelineQueries extends QueryProvider {
     "sample_stratified" -> ((s, d) =>
       Curation.sampleStratified(docs(s, d), "lang", SampleRates, 0.2)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // temperature-flattened (α=1/2) domain mixture over the lang strata
+    "sample_mixture" -> ((s, d) =>
+      Curation.sampleMixture(docs(s, d), "lang", nRef = 100L)
+        .orderBy("doc_id")),
+    // per-document top-3 TF-IDF terms (keyword extraction)
+    "text_tfidf" -> ((s, d) =>
+      TextOps.tfidfTopK(docs(s, d), 3).orderBy("doc_id", "rank")),
     // per-language top-10 by quality score (window group limit shape)
     "curate_topk" -> ((s, d) =>
       Curation.topkByQuality(docs(s, d), "lang", 10)
@@ -355,6 +362,8 @@ object PipelineQueries extends QueryProvider {
     "decon_ngram" -> Curation.decontaminateSql(3),
     "sample_stratified" -> Curation.sampleStratifiedSql("lang", SampleRates,
       0.2, "doc_id, lang, source"),
+    "sample_mixture" -> Curation.sampleMixtureSql("lang", 100L),
+    "text_tfidf" -> TextOps.tfidfTopKSql(3),
     "sample_by_cluster" -> Curation.sampleByClusterSql(8, Dim, 10),
     "curate_topk" -> Curation.topkByQualitySql(10),
     "pack_tokens" -> Curation.packTokenBudgetSql(4096),

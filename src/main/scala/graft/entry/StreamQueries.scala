@@ -575,7 +575,33 @@ object StreamQueries extends QueryProvider {
         Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1), 0.2)
       .select("doc_id", "lang", "source"), "append")
 
+  /** Streaming sessionization gate: the events replay through
+    * `session_window` state ([[graft.streaming.EventStream.sessionize]],
+    * the batch `events_sessionize` gap). The sentinel advances the
+    * watermark past every real session's close; its own session (user 0
+    * at SentinelMs) never closes and is additionally bounded out.
+    */
+  private def runSessionize(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("user_id"), col("value"))
+    val out = graft.streaming.EventStream.sessionize(stream,
+      EventQueries.SessionGapMs, "0 seconds")
+    drain(s, out, "append").where(col("session_start") < SentinelMs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sessionize" -> ((s, d) => runSessionize(s, d)),
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
     "stream_avg_slots" -> ((s, d) => runDql(s, d, AvgDql, "append")),
@@ -611,6 +637,9 @@ object StreamQueries extends QueryProvider {
       runSimPqResidual(s, d, nProbe = 3)))
 
   def oracle: Map[String, String] = Map(
+    // session_window state ≡ the batch lag/cumsum session derivation
+    "stream_sessionize" ->
+      graft.ops.Sessions.sessionizeStreamSql(EventQueries.SessionGapMs),
     // raw-event windowed mean, the single-stage stream
     "stream_avg" ->
       s"""SELECT event_type || '.' || CAST(user_id AS VARCHAR) AS metric,

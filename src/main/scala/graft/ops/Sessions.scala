@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Exact
+
+/** Event-sequence analytics over the `events` stream table: gap-based
+  * sessionization, ordered funnels, and top event paths. The reference's
+  * event surface stops at scan+filter (src/dqe_events.erl); these are the
+  * per-user sequence operators an analytics deployment layers on top of
+  * that scan, expressed as single-shuffle window plans.
+  *
+  * All three partition once on `user_id` (the natural key: per-user event
+  * counts are bounded by human activity, so no skew salting is needed) and
+  * keep every per-user pass inside that one exchange — at 100 TB the cost
+  * is one shuffle of the filtered scan, then partition-local sorts.
+  */
+object Sessions {
+  /** Epoch-millis `ts_ms` ordering tie-broken by `event_id` (unique), so
+    * every sequence below is deterministic under equal timestamps.
+    */
+  private val byTime = Seq(col("ts_ms"), col("event_id"))
+
+  /** Gap-based sessionization: events of one user belong to one session
+    * while consecutive gaps are ≤ `gapMs`; only a gap strictly greater
+    * than `gapMs` starts a new session. That closed boundary is Spark's
+    * `session_window(ts, gap)` merge rule — a session `[t, t+gap]` also
+    * absorbs an event that lands exactly ON its end — so the batch and
+    * streaming forms agree bit-for-bit (EventStreamSpec pins the
+    * boundary).
+    *
+    * One shuffle on `user_id`; the lag/cumsum windows and the session
+    * aggregation all share that partitioning (the groupBy adds the
+    * session index to the key, which Catalyst satisfies without a second
+    * exchange since `user_id` still prefixes it).
+    *
+    * Output: (user_id, session_start, session_last, n_events, sum_value)
+    * — `sum_value` through the decimal-exact fold (Exact.dsum) so the
+    * session total is order-independent across engines.
+    */
+  def sessionize(ev: DataFrame, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(byTime: _*)
+    val gap = col("ts_ms") - lag(col("ts_ms"), 1).over(w)
+    ev.withColumn("new_sess",
+        when(gap.isNull || gap > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_ms")).as("session_start"),
+        max(col("ts_ms")).as("session_last"),
+        count(lit(1)).as("n_events"),
+        Exact.dsum(col("value")).as("sum_value"))
+  }
+
+  /** Shared CTE prefix deriving per-event session indices — the
+    * lag/cumsum derivation both sessionize mirrors group over.
+    */
+  private def sessionCtes(gapMs: Long): String =
+    s"""WITH e AS (SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       |                  user_id, value
+       |           FROM events),
+       |flag AS (SELECT *,
+       |    CASE WHEN ts_ms - lag(ts_ms) OVER
+       |             (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |           > $gapMs
+       |           OR lag(ts_ms) OVER
+       |             (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM e),
+       |sess AS (SELECT *,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM flag)""".stripMargin
+
+  /** DuckDB mirror of [[sessionize]] (selects the gate's columns). */
+  def sessionizeSql(gapMs: Long): String =
+    s"""${sessionCtes(gapMs)}
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |       MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_last,
+       |       COUNT(*) AS n_events, ${Exact.dsumSql("value")} AS sum_value
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** DuckDB mirror of the STREAM sessionize gate
+    * ([[graft.streaming.EventStream.sessionize]]): same session
+    * derivation, without the batch gate's session index column (a
+    * `session_window` is identified by its bounds, not an ordinal).
+    */
+  def sessionizeStreamSql(gapMs: Long): String =
+    s"""${sessionCtes(gapMs)}
+       |SELECT user_id,
+       |       MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_last,
+       |       COUNT(*) AS n_events, ${Exact.dsumSql("value")} AS sum_value
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_start""".stripMargin
+
+  /** Ordered conversion funnel: for `steps = Seq(a, b, c)`, a user
+    * converts step i when an event of type `steps(i)` occurs strictly
+    * after their step i-1 conversion time (step 0 = first `a` event).
+    * "First qualifying event" semantics — the classic product-analytics
+    * funnel, not a subsequence count.
+    *
+    * One shuffle on `user_id`; each step is one more windowed min over
+    * the same partitioning (no per-step join, no re-shuffle). The final
+    * count is a partial-aggregable global count over 150-byte rows.
+    *
+    * Output: one row per step — (step_idx, step, users).
+    */
+  def funnel(ev: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val w = Window.partitionBy("user_id")
+    val base = ev.select("user_id", "event_type", "ts_ms")
+    val withTimes = steps.zipWithIndex.foldLeft(base) {
+      case (df, (step, 0)) =>
+        df.withColumn("t0",
+          min(when(col("event_type") === step, col("ts_ms"))).over(w))
+      case (df, (step, i)) =>
+        df.withColumn(s"t$i",
+          min(when(col("event_type") === step &&
+            col("ts_ms") > col(s"t${i - 1}"), col("ts_ms"))).over(w))
+    }
+    val counts = withTimes.groupBy().agg(
+      steps.indices.map(i =>
+        count_distinct(when(col(s"t$i").isNotNull, col("user_id")))
+          .as(s"u$i")).head,
+      steps.indices.map(i =>
+        count_distinct(when(col(s"t$i").isNotNull, col("user_id")))
+          .as(s"u$i")).tail: _*)
+    val stacked = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i.toLong).as("step_idx"), lit(step).as("step"),
+        col(s"u$i").as("users"))
+    }
+    counts.select(explode(array(stacked: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.users"))
+  }
+
+  /** DuckDB mirror of [[funnel]]. */
+  def funnelSql(steps: Seq[String]): String = {
+    val e = """e AS (SELECT user_id, event_type,
+              |          CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events)"""
+      .stripMargin
+    val stages = steps.zipWithIndex.map {
+      case (step, 0) =>
+        s"""u0 AS (SELECT user_id,
+           |    MIN(CASE WHEN event_type = '$step' THEN ts_ms END) AS t0
+           |  FROM e GROUP BY user_id)""".stripMargin
+      case (step, i) =>
+        val prev = (0 until i).map(j => s"t$j").mkString(", ")
+        s"""u$i AS (SELECT u.user_id, $prev,
+           |    MIN(CASE WHEN e.event_type = '$step' AND e.ts_ms > u.t${i - 1}
+           |             THEN e.ts_ms END) AS t$i
+           |  FROM u${i - 1} u JOIN e USING (user_id) GROUP BY ALL)"""
+          .stripMargin
+    }
+    val last = s"u${steps.size - 1}"
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      s"SELECT CAST($i AS BIGINT) AS step_idx, '$step' AS step, " +
+        s"COUNT(t$i) AS users FROM $last"
+    }.mkString("\n", "\nUNION ALL\n", "")
+    (Seq(e) ++ stages).mkString("WITH ", ",\n", "") + rows +
+      "\nORDER BY step_idx"
+  }
+
+  /** Top event-type paths: each user's first `n` events (time order)
+    * joined with '>' into a path string; emit the `k` most common paths
+    * over users with at least `n` events. The Markov-ish "how do users
+    * start" view product analytics builds from raw event logs.
+    *
+    * One shuffle on `user_id` for the ranking window; the per-user
+    * collect groups on the same key (no second exchange); the final
+    * path count is a partial-aggregated shuffle of ≤ one row per user,
+    * topped by TakeOrderedAndProject.
+    */
+  def topPaths(ev: DataFrame, n: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(byTime: _*)
+    ev.select(col("user_id"), col("event_type"), col("ts_ms"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      .where(col("rn") <= n && col("cnt") >= n)
+      .groupBy("user_id")
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(struct(col("rn"), col("event_type")))),
+        s => s.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[topPaths]]. */
+  def topPathsSql(n: Int, k: Int): String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events),
+       |r AS (SELECT user_id, event_type,
+       |          row_number() OVER (PARTITION BY user_id
+       |                             ORDER BY ts_ms, event_id) AS rn,
+       |          COUNT(*) OVER (PARTITION BY user_id) AS cnt
+       |      FROM e),
+       |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |      FROM r WHERE rn <= $n AND cnt >= $n GROUP BY user_id)
+       |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+       |ORDER BY n_users DESC, path ASC LIMIT $k""".stripMargin
+}

@@ -160,6 +160,52 @@ object Curation {
        |ORDER BY cell, rank""".stripMargin
   }
 
+  // ------------------------------------------- temperature mixture sampling
+
+  /** Temperature-flattened domain mixture (α = 1/2): stratum `s` with
+    * `n_s` documents keeps rate `min(1, sqrt(nRef / n_s))` — strata at or
+    * below the `nRef` reference size pass through whole, a stratum 100×
+    * `nRef` keeps 10%. This is the inverse-power acceptance rule behind
+    * multilingual/domain temperature sampling (rate ∝ n^(α-1)): it pulls
+    * an over-represented head domain toward the tail without starving
+    * either. The acceptance draw is the shared md5(doc_id) uniform hash
+    * ([[sampleStratified]]), so membership is deterministic and
+    * engine-reproducible; `sqrt`/division are correctly-rounded IEEE ops,
+    * so the thresholds agree bit-for-bit with the SQL mirror.
+    *
+    * Scale shape: the per-stratum count is a partial-aggregated shuffle of
+    * one row per stratum; the rate table (|strata| rows) broadcasts back
+    * onto the corpus scan — the corpus itself never shuffles.
+    */
+  def sampleMixture(docs: DataFrame, strataCol: String,
+                    nRef: Long): DataFrame = {
+    val thr = floor(
+      least(lit(1.0), sqrt(lit(nRef.toDouble) / col("n_docs"))) *
+        4294967296.0).cast("long")
+    val rates = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col(strataCol), col("n_docs"), thr.as("keep_thr"))
+    docs.join(broadcast(rates), Seq(strataCol))
+      .where(uniformHash < col("keep_thr"))
+      .select(col("doc_id"), col(strataCol), col("source"),
+        col("n_docs"), col("keep_thr"))
+  }
+
+  /** SQL mirror of [[sampleMixture]] over `documents`. */
+  def sampleMixtureSql(strataCol: String, nRef: Long): String =
+    s"""WITH c AS (SELECT $strataCol, COUNT(*) AS n_docs
+       |           FROM documents GROUP BY 1),
+       |r AS (SELECT $strataCol, n_docs,
+       |          CAST(FLOOR(LEAST(1.0,
+       |                 SQRT(CAST($nRef AS DOUBLE) / n_docs))
+       |               * 4294967296.0) AS BIGINT) AS keep_thr
+       |      FROM c)
+       |SELECT d.doc_id, d.$strataCol, d.source, r.n_docs, r.keep_thr
+       |FROM documents d JOIN r USING ($strataCol)
+       |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      < r.keep_thr
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------ token-budget packing
 
   /** Contiguous token-budget chunking — the deterministic index-assignment

@@ -321,6 +321,60 @@ object TextOps {
        |FROM bg GROUP BY 1
        |ORDER BY n_occ DESC, bigram ASC LIMIT $k""".stripMargin
 
+  // ------------------------------------------------------------- TF-IDF
+
+  /** Per-document top-`k` terms by TF-IDF — the distinctive-term view
+    * (keyword extraction, topic drift monitoring) over the same
+    * whitespace tokenizer as [[vocabTopK]]. `tf` is the raw in-doc count,
+    * `idf = log10(N / df)` with `df` the term's document frequency;
+    * the score is rounded to 9 decimals (log10 is not correctly rounded
+    * in either engine — same convention as the `log10_scale` transform),
+    * ties broken on the term.
+    *
+    * Scale shape: tf is one partial-aggregated shuffle on (doc, term);
+    * df reduces tf's output by term (second shuffle, input already one
+    * row per doc-term); the corpus size N broadcasts as a one-row frame;
+    * the df table joins back on the term key and Catalyst picks
+    * broadcast vs shuffle by its measured size (vocabulary, not corpus,
+    * cardinality). The top-k filter is the window-group-limit shape, so
+    * each task truncates to k per doc before the final exchange.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    val tf = Dedup.withWords(docs)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(dfreq, "word").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log10(col("n_docs").cast("double") / col("df")), 9))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"),
+        col("score"))
+  }
+
+  /** SQL mirror of [[tfidfTopK]] over `documents`. */
+  def tfidfTopKSql(k: Int): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+       |            FROM documents),
+       |tok AS (SELECT doc_id, s AS word FROM ws, unnest(w) AS t(s)),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (SELECT doc_id, word, tf,
+       |    ROUND(tf * LOG10(CAST(n_docs AS DOUBLE) / df), 9) AS score
+       |  FROM tf JOIN dfq USING (word) CROSS JOIN n)
+       |SELECT doc_id, rank, word, tf, score FROM (
+       |  SELECT doc_id, word, tf, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY score DESC, word ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   val repetitionSql: String =
     s"""WITH w AS (SELECT doc_id,
        |             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w

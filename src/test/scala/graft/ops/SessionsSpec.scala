@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Edge semantics of the event-sequence operators (sessionize, funnel,
+  * topPaths) the corpus-backed gates cannot pin: the exact-gap boundary,
+  * equal-timestamp tie-breaks, strictly-after funnel ordering, and the
+  * minimum-length path filter.
+  */
+class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ev(rows: (Long, Long, Long, String, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("event_id", "ts_ms", "user_id", "event_type", "value")
+  }
+
+  // --------------------------------------------------------- sessionize
+
+  test("gap of exactly gapMs merges (session_window's closed boundary); above splits") {
+    val df = ev(
+      (1L, 0L, 7L, "view", 1.0),
+      (2L, 1000L, 7L, "view", 2.0),   // gap 1000 = gapMs → still merges
+      (3L, 2001L, 7L, "view", 4.0),   // gap 1001 > gapMs → NEW session
+      (4L, 2500L, 7L, "view", 8.0))   // gap 499 → joins session 2
+    val out = Sessions.sessionize(df, 1000L)
+      .orderBy("session_idx")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1000L, 2L, 3.0),
+      (2L, 2001L, 2500L, 2L, 12.0)))
+  }
+
+  test("sessions are per-user; simultaneous users never merge") {
+    val df = ev(
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, 0L, 2L, "view", 1.0),
+      (3L, 10L, 1L, "view", 1.0),
+      (4L, 10L, 2L, "view", 1.0))
+    val out = Sessions.sessionize(df, 1000L).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getLong(4) == 2L)) // n_events per user-session
+  }
+
+  test("equal timestamps fold into one session deterministically") {
+    val df = ev(
+      (5L, 100L, 3L, "a", 1.0),
+      (4L, 100L, 3L, "b", 2.0),
+      (6L, 100L, 3L, "c", 4.0))
+    val out = Sessions.sessionize(df, 1L).collect()
+    assert(out.length == 1 && out.head.getLong(4) == 3L &&
+      out.head.getDouble(5) == 7.0)
+  }
+
+  // ------------------------------------------------------------- funnel
+
+  test("funnel counts only strictly-ordered conversions") {
+    val df = ev(
+      // user 1: full ordered funnel
+      (1L, 10L, 1L, "view", 0.0),
+      (2L, 20L, 1L, "click", 0.0),
+      (3L, 30L, 1L, "purchase", 0.0),
+      // user 2: click BEFORE first view — purchase without a qualifying
+      // click never converts past step 0
+      (4L, 10L, 2L, "click", 0.0),
+      (5L, 20L, 2L, "view", 0.0),
+      (6L, 30L, 2L, "purchase", 0.0),
+      // user 3: view only
+      (7L, 10L, 3L, "view", 0.0),
+      // user 4: no view at all
+      (8L, 10L, 4L, "purchase", 0.0))
+    val out = Sessions.funnel(df, Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, "view", 3L), (1L, "click", 1L), (2L, "purchase", 1L)))
+  }
+
+  test("a click at the same millisecond as the view does not convert") {
+    val df = ev(
+      (1L, 10L, 1L, "view", 0.0),
+      (2L, 10L, 1L, "click", 0.0))
+    val out = Sessions.funnel(df, Seq("view", "click"))
+      .orderBy("step_idx").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(1L, 0L))
+  }
+
+  // ----------------------------------------------------------- topPaths
+
+  test("topPaths keeps only users with >= n events, ordered by time") {
+    val df = ev(
+      (1L, 30L, 1L, "c", 0.0),
+      (2L, 10L, 1L, "a", 0.0),
+      (3L, 20L, 1L, "b", 0.0),
+      (4L, 10L, 2L, "a", 0.0),
+      (5L, 20L, 2L, "b", 0.0),
+      (6L, 30L, 2L, "c", 0.0),
+      (7L, 99L, 2L, "d", 0.0), // 4th event ignored (n=3)
+      (8L, 10L, 3L, "a", 0.0)) // only 1 event → dropped
+    val out = Sessions.topPaths(df, n = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a>b>c", 2L)))
+  }
+
+  test("topPaths ties at equal timestamps break on event_id") {
+    val df = ev(
+      (2L, 10L, 1L, "x", 0.0),
+      (1L, 10L, 1L, "y", 0.0))
+    val out = Sessions.topPaths(df, n = 2, k = 5).collect()
+      .map(_.getString(0))
+    assert(out.toSeq == Seq("y>x"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Stream ≡ batch for sessionization: `session_window` state must land on
+  * the batch lag/cumsum derivation bit-for-bit — including the exact-gap
+  * boundary, cross-micro-batch session merging, and emit-once on
+  * watermark close.
+  */
+class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val Gap = 1000L
+  /** far enough that its window closes every real session */
+  private val Sentinel = (999999000L, 999L, 0.0)
+
+  /** replay (tsMs, user, value) batches through the stream sessionizer */
+  private def stream(batches: Seq[(Long, Long, Double)]*)
+      : Seq[(Long, Long, Long, Long, Double)] = {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val ev = in.toDF().toDF("tsMs", "user_id", "value")
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .select("ts", "user_id", "value")
+    val out = EventStream.sessionize(ev, Gap, "0 seconds")
+    val name = s"sess_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    val res = spark.table(name)
+      .where(col("session_start") < Sentinel._1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq.sorted
+    q.stop()
+    res
+  }
+
+  private def batch(rows: Seq[(Long, Long, Double)])
+      : Seq[(Long, Long, Long, Long, Double)] = {
+    val s = spark
+    import s.implicits._
+    val ev = rows.zipWithIndex
+      .map { case ((ts, u, v), i) => (i.toLong, ts, u, v) }
+      .toDF("event_id", "ts_ms", "user_id", "value")
+    graft.ops.Sessions.sessionize(ev, Gap).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq.sorted
+  }
+
+  test("stream sessions equal batch sessions, including the gap boundary") {
+    val rows = Seq(
+      (0L, 1L, 1.0), (1000L, 1L, 2.0),  // exact gap → still merges
+      (2001L, 1L, 4.0),                 // gap+1 → new session
+      (0L, 2L, 1.0), (3000L, 2L, 8.0))  // clean split
+    assert(stream(rows :+ Sentinel) == batch(rows))
+  }
+
+  test("sessions merge across micro-batches before the watermark closes them") {
+    val b1 = Seq((0L, 1L, 1.0))
+    val b2 = Seq((500L, 1L, 2.0))       // arrives in the next trigger
+    val all = b1 ++ b2
+    assert(stream(b1, b2, Seq(Sentinel)) == batch(all))
+  }
+
+  test("a session is emitted exactly once, at watermark close") {
+    val out = stream(Seq((0L, 1L, 1.0)), Seq(Sentinel), Seq(Sentinel))
+    assert(out == Seq((1L, 0L, 0L, 1L, 1.0)))
+  }
+}
