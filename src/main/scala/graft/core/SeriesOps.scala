@@ -35,7 +35,8 @@ object SeriesOps {
     * UTC (sessions here pin spark.sql.session.timeZone=UTC), matching
     * the DuckDB oracle's naive-timestamp `epoch_ms`.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String,
+             widen: Boolean = true): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = Tables(spark, dir, "events")
     val tsMs = df.schema("ts").dataType match {
@@ -48,8 +49,12 @@ object SeriesOps {
     // on a 32-core box, so every downstream map stage (json-path filters,
     // regex, slot aggregation) ran on a fraction of the machine; widen is
     // a no-op on any layout with splits ≥ cores, and filters still push
-    // into the scan below the inserted exchange
-    Parallel.widen(df.withColumn("ts_ms", tsMs.cast("long")))
+    // into the scan below the inserted exchange. Callers whose plan opens
+    // with its own hash exchange (the per-user session operators) pass
+    // widen=false — a round-robin repartition directly under a hash
+    // partition is a wasted full pass over the scan.
+    val out = df.withColumn("ts_ms", tsMs.cast("long"))
+    if (widen) Parallel.widen(out) else out
   }
 
   /** (metric, mtype, muser, ts_ms, value) at 1 s resolution — present slots

@@ -44,13 +44,16 @@ object EventQueries extends QueryProvider {
       n -> ((s: SparkSession, d: String) => run(f)(s, d))
     } ++ Map[String, (SparkSession, String) => DataFrame](
       "events_sessionize" -> ((s, d) =>
-        graft.ops.Sessions.sessionize(SeriesOps.events(s, d), SessionGapMs)
+        graft.ops.Sessions.sessionize(
+          SeriesOps.events(s, d, widen = false), SessionGapMs)
           .orderBy("user_id", "session_idx")),
       "events_funnel" -> ((s, d) =>
-        graft.ops.Sessions.funnel(SeriesOps.events(s, d), FunnelSteps)
+        graft.ops.Sessions.funnel(
+          SeriesOps.events(s, d, widen = false), FunnelSteps)
           .orderBy("step_idx")),
       "events_paths" -> ((s, d) =>
-        graft.ops.Sessions.topPaths(SeriesOps.events(s, d), n = 3, k = 20)))
+        graft.ops.Sessions.topPaths(
+          SeriesOps.events(s, d, widen = false), n = 3, k = 20)))
 
   def oracle: Map[String, String] =
     filters.map { case (n, f) =>
