@@ -27,6 +27,9 @@ import org.apache.spark.sql.DataFrame
   */
 object Parallel {
   def widen(df: DataFrame): DataFrame = {
+    // a streaming frame cannot be physically planned outside its query
+    // (and its parallelism is the source's/shuffle's business anyway)
+    if (df.isStreaming) return df
     // planning only, never executes. Exchanges are inserted during
     // executedPlan preparation (EnsureRequirements), and under AQE the
     // adaptive wrapper is only installed when the plan HAS exchanges or

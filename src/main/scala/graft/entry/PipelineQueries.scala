@@ -254,6 +254,11 @@ object PipelineQueries extends QueryProvider {
     // per-document top-3 TF-IDF terms (keyword extraction)
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopK(docs(s, d), 3).orderBy("doc_id", "rank")),
+    // mean unigram log-prob (the LM-perplexity quality proxy), self-scored
+    "text_logprob" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextOps.unigramLogProb(dd, TextOps.unigramModel(dd)).orderBy("doc_id")
+    }),
     // per-language top-10 by quality score (window group limit shape)
     "curate_topk" -> ((s, d) =>
       Curation.topkByQuality(docs(s, d), "lang", 10)
@@ -364,6 +369,7 @@ object PipelineQueries extends QueryProvider {
       0.2, "doc_id, lang, source"),
     "sample_mixture" -> Curation.sampleMixtureSql("lang", 100L),
     "text_tfidf" -> TextOps.tfidfTopKSql(3),
+    "text_logprob" -> TextOps.unigramLogProbSql,
     "sample_by_cluster" -> Curation.sampleByClusterSql(8, Dim, 10),
     "curate_topk" -> Curation.topkByQualitySql(10),
     "pack_tokens" -> Curation.packTokenBudgetSql(4096),

@@ -551,6 +551,33 @@ object StreamQueries extends QueryProvider {
     drain(s, graft.pipeline.TextOps.redactPii(
       graft.pipeline.TextOps.withSyntheticPii(docStream(s, dir))), "append")
 
+  /** The frozen unigram LM, memoized + sanctioned per (session, dir) —
+    * the CCNet posture: the model is trained (counted) once on the
+    * reference corpus, then the firehose is scored against it via a
+    * stream-static join. Scoring the SAME corpus keeps every token
+    * in-vocabulary, so the batch self-scored oracle applies verbatim.
+    */
+  private val lmCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def unigramLm(s: SparkSession, dir: String): DataFrame =
+    lmCache.computeIfAbsent((s, dir), { _ =>
+      graft.core.Caches.sanction(
+        graft.pipeline.TextOps.unigramModel(
+          graft.core.Tables(s, dir, "documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  /** Streaming LM-quality gate: per-arriving-document mean unigram
+    * log-prob against the frozen model. The token re-group keys on
+    * doc_id (update mode: a document's tokens all ride one input row,
+    * so each doc emits exactly once per replay; a production stream
+    * would watermark the per-doc aggregation to evict its state).
+    */
+  private def runLogProb(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.TextOps.unigramLogProb(
+      docStream(s, dir).select("doc_id", "text"),
+      unigramLm(s, dir)), "update")
+
   /** The online admission capstone: per-arriving-document verdicts
     * (dup / low_quality / kept) with a deterministic first-arrival dedup
     * leg — the streaming analog of the batch `corpus_decisions` gate
@@ -618,6 +645,7 @@ object StreamQueries extends QueryProvider {
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
+    "stream_logprob" -> ((s, d) => runLogProb(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_redact" -> ((s, d) => runRedact(s, d)),
     "stream_sample" -> ((s, d) => runSample(s, d)),
@@ -637,6 +665,8 @@ object StreamQueries extends QueryProvider {
       runSimPqResidual(s, d, nProbe = 3)))
 
   def oracle: Map[String, String] = Map(
+    // frozen-LM stream scoring over the same corpus ≡ batch self-scoring
+    "stream_logprob" -> graft.pipeline.TextOps.unigramLogProbSql,
     // session_window state ≡ the batch lag/cumsum session derivation
     "stream_sessionize" ->
       graft.ops.Sessions.sessionizeStreamSql(EventQueries.SessionGapMs),

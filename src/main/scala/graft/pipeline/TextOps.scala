@@ -375,6 +375,71 @@ object TextOps {
        |  FROM scored)
        |WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------- unigram log-prob
+
+  /** Corpus unigram statistics: (word, n_word) plus the corpus token
+    * total on every row — the frozen "language model" [[unigramLogProb]]
+    * scores against. Materialized once per corpus in production (a
+    * CCNet-style deployment trains the LM on a reference corpus and
+    * scores candidates against it, exactly the stream gate's shape).
+    */
+  def unigramModel(docs: DataFrame): DataFrame = {
+    val tok = Dedup.withWords(docs)
+      .select(explode(col("w")).as("word"))
+    val freq = tok.groupBy("word").agg(count(lit(1)).as("n_word"))
+    freq.crossJoin(broadcast(tok.agg(count(lit(1)).as("n_total"))))
+  }
+
+  /** Per-document mean unigram log-probability — the cheap stand-in for
+    * LM-perplexity quality filtering (CCNet scores documents by LM
+    * perplexity and keeps the head/middle; a unigram model is the
+    * degenerate-but-useful first rung). Per-token
+    * `log10(n_word / n_total)` is rounded to 9 decimals (the
+    * transcendental convention), then averaged through the decimal-exact
+    * fold so the mean is order-independent across engines. Tokens absent
+    * from the model (impossible in the self-scored gate, routine in the
+    * stream-vs-frozen-model form) fall back to `log10(1 / n_total)` —
+    * an add-one-ish floor.
+    *
+    * Scale shape: tokens join the model on the word key (vocabulary
+    * cardinality, Catalyst picks broadcast vs shuffle), then one
+    * partial-agg shuffle on doc_id. Nothing is quadratic; the corpus
+    * text itself never shuffles — only (doc_id, word) pairs do.
+    */
+  def unigramLogProb(docs: DataFrame, model: DataFrame): DataFrame = {
+    val tok = Dedup.withWords(docs)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    // the scalar total rides in on a broadcast one-row frame (not a
+    // window backfill — that would serialize the token stream), so
+    // unseen-word rows still see it after the left join misses
+    val total = model.select(col("n_total")).limit(1)
+    tok.crossJoin(broadcast(total))
+      .join(model.select(col("word"), col("n_word")), Seq("word"), "left")
+      .withColumn("lp", round(log10(
+        coalesce(col("n_word"), lit(1L)).cast("double") / col("n_total")),
+        9))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (graft.core.Exact.dsum(col("lp")) / count(lit(1)))
+          .as("avg_logprob"))
+  }
+
+  /** SQL mirror of the self-scored gate ([[unigramLogProb]] with the
+    * model from the same corpus — every token is in-vocabulary).
+    */
+  val unigramLogProbSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+       |            FROM documents),
+       |tok AS (SELECT doc_id, s AS word FROM ws, unnest(w) AS t(s)),
+       |freq AS (SELECT word, COUNT(*) AS n_word FROM tok GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+       |lp AS (SELECT doc_id,
+       |           ROUND(LOG10(CAST(n_word AS DOUBLE) / n_total), 9) AS lp
+       |       FROM tok JOIN freq USING (word) CROSS JOIN tot)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |       ${graft.core.Exact.dsumSql("lp")} / COUNT(*) AS avg_logprob
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val repetitionSql: String =
     s"""WITH w AS (SELECT doc_id,
        |             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w

@@ -58,6 +58,19 @@ class MixtureTfidfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3 == Seq((1L, "gamma"), (2L, "beta")))
   }
 
+  test("unigram logprob: unseen words score the add-one floor log10(1/N)") {
+    // model trained on a 4-token corpus: aa aa bb cc
+    val model = TextOps.unigramModel(docs((1L, "aa aa bb cc", "en", "s")))
+    val out = TextOps.unigramLogProb(
+      docs((9L, "aa zz", "en", "s")), model).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L)
+    // aa: log10(2/4); zz unseen: log10(1/4); mean of the two 9-rounded
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = (r9(math.log10(2.0 / 4)) + r9(math.log10(1.0 / 4))) / 2
+    assert(math.abs(out.head.getDouble(2) - exp) < 1e-12)
+  }
+
   test("tfidf ties on score break on the term, ascending") {
     val out = TextOps.tfidfTopK(docs(
       (1L, "zz aa", "en", "s"),
