@@ -442,6 +442,25 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append")
   }
 
+  /** The residual production posture online: probed IVFADC shortlist,
+    * full-precision rerank out of the cold float index.
+    */
+  private def runSimPqResidualRerank(s: SparkSession, dir: String,
+                                     nProbe: Int): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val queries = s.readStream.schema(sch).parquet(staged)
+      .where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding")
+    val (packed, cents, scbL) = resPqIndex(s, dir)
+    val (packedF, _) = simIndex(s, dir)
+    val out = graft.streaming.SimStream
+      .topKAgainstResidualPqIndexProbedReranked(
+        queries, packed, packedF, cents, scbL, k = 5, m = 8, dim = 64,
+        rerank = 15, nProbe = nProbe)
+    drain(s, out, "append")
+  }
+
   /** Online product-quantized ANN gate: same replay, searched against
     * the codes-only PQ packed index — results must match the batch PQ
     * ranking ([[graft.pipeline.Similarity.ivfPqTopK]]), whose SQL is the
@@ -662,9 +681,15 @@ object StreamQueries extends QueryProvider {
       runSimPqRerank(s, d, nProbe = 3)),
     "stream_sim_pq_residual" -> ((s, d) => runSimPqResidual(s, d)),
     "stream_sim_pq_residual_probe" -> ((s, d) =>
-      runSimPqResidual(s, d, nProbe = 3)))
+      runSimPqResidual(s, d, nProbe = 3)),
+    "stream_sim_pq_residual_rerank" -> ((s, d) =>
+      runSimPqResidualRerank(s, d, nProbe = 3)))
 
   def oracle: Map[String, String] = Map(
+    // stream residual rerank ≡ batch ivfPqResidualRerankTopKProbed
+    "stream_sim_pq_residual_rerank" ->
+      graft.pipeline.Similarity.ivfPqResidualRerankTopKProbedSql(
+        8, 8, 16, 64, 5, 15, 3, "10, 11, 12"),
     // frozen-LM stream scoring over the same corpus ≡ batch self-scoring
     "stream_logprob" -> graft.pipeline.TextOps.unigramLogProbSql,
     // session_window state ≡ the batch lag/cumsum session derivation

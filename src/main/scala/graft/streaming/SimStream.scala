@@ -590,6 +590,76 @@ object SimStream {
       passthroughOf(queries))
   }
 
+  /** The residual (IVFADC) production configuration online: probes over
+    * the codes-only residual index with per-(query, probe) ADC tables
+    * ([[topKAgainstResidualPqIndexProbed]]'s own-cell pre-scoring),
+    * shortlist of `rerank` from the probed union by residual-ADC cosine,
+    * full-precision re-score out of the cold float index for TRUE-cosine
+    * final rankings. 3·nProbe stateless LEFT equi-joins (codes + shifted
+    * codebook + float row per probe), zero stateful operators; stream ≡
+    * batch [[graft.pipeline.Similarity.ivfPqResidualRerankTopKProbed]]
+    * bit-for-bit at the same (k, rerank, nProbe)
+    * (SimStreamResidualSpec).
+    */
+  def topKAgainstResidualPqIndexProbedReranked(
+      queries: DataFrame, packed: DataFrame, packedFull: DataFrame,
+      cents: DataFrame, scbL: DataFrame, k: Int, m: Int, dim: Int,
+      rerank: Int, nProbe: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val probeCells = transform(
+      slice(array_sort(transform(col("scents"),
+        s => struct(descKey(s.getField("s")).as("ns"),
+          s.getField("cid").as("cid")))),
+        1, nProbe),
+      x => x.getField("cid"))
+    val assigned = centScored(queries, cents)
+      .withColumn("pcells", probeCells).drop("scents")
+    val joined = (0 until nProbe).foldLeft(assigned) { (df, i) =>
+      df.join(packed.select(col("cell").as(s"cell$i"),
+          col("cands").as(s"cands$i")),
+        get(col("pcells"), lit(i)) === col(s"cell$i"), "left_outer")
+        .drop(s"cell$i")
+        .join(scbL.select(col("cell").as(s"scell$i"),
+          col("cbs").as(s"cbs$i"), col("lutn").as(s"lutn$i")),
+        get(col("pcells"), lit(i)) === col(s"scell$i"), "left_outer")
+        .drop(s"scell$i")
+        .withColumn(s"adc$i", graft.expr.PqAdcLut(col("embedding"),
+          col(s"cbs$i"), m, dim / m, VectorOps.Scale))
+        .drop(s"cbs$i")
+        .join(packedFull.select(col("cell").as(s"fcell$i"),
+          col("cands").as(s"fcands$i")),
+        get(col("pcells"), lit(i)) === col(s"fcell$i"), "left_outer")
+        .drop(s"fcell$i")
+    }
+    // pre-score each probe's candidates with ITS cell's tables (the
+    // IVFADC invariant), excluding self as the batch shortlist does
+    val pre = (0 until nProbe).map(i =>
+      when(col(s"cands$i").isNotNull,
+        transform(
+          filter(col(s"cands$i"),
+            c => c.getField("vec_id") =!= col("vec_id")),
+          c => struct(
+            Similarity.adcCosine(c.getField("codes"), col(s"adc$i"),
+              col(s"lutn$i"), col("qnrm")).as("cos"),
+            c.getField("vec_id").as("vid")))))
+    val qscored = flatten(filter(array(pre: _*), a => a.isNotNull))
+    val slIds = transform(
+      slice(array_sort(transform(qscored,
+        s => struct(descKey(s.getField("cos")).as("nc"),
+          s.getField("vid").as("vid")))), 1, rerank),
+      x => x.getField("vid"))
+    val allFull = flatten(filter(
+      array((0 until nProbe).map(i => col(s"fcands$i")): _*),
+      a => a.isNotNull))
+    val withSl = joined.withColumn("slids", slIds)
+    rankTopK(withSl,
+      filter(allFull,
+        c => array_contains(col("slids"), c.getField("vec_id"))),
+      floatScore, k,
+      passthroughOf(queries))
+  }
+
   def topKAgainstPqIndexReranked(queries: DataFrame, packed: DataFrame,
                                  packedFull: DataFrame, cents: DataFrame,
                                  cbsRow: DataFrame, k: Int, m: Int,

@@ -59,6 +59,25 @@ class SimStreamResidualSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p1 == s1, "nProbe=1 must reproduce the single-cell kernel")
   }
 
+  test("residual probed+reranked search ≡ batch at nProbe ∈ {1, 3}") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val (packed, cents, scbL) =
+      SimStream.residualPqIndex(emb, NCells, M, Ksub, Dim)
+    val (packedF, _) = SimStream.ivfIndex(emb, NCells)
+    val queries = emb.select("vec_id", "embedding")
+    for (nProbe <- Seq(1, 3)) {
+      val st = rows(SimStream.topKAgainstResidualPqIndexProbedReranked(
+        queries, packed, packedF, cents, scbL, k = 5, m = M, dim = Dim,
+        rerank = 15, nProbe = nProbe))
+      val b = rows(Similarity.ivfPqResidualRerankTopKProbed(emb, queries,
+        NCells, M, Ksub, Dim, k = 5, rerank = 15, nProbe = nProbe))
+      assert(st.nonEmpty && st == b, {
+        val d1 = (st -- b).take(3); val d2 = (b -- st).take(3)
+        s"nProbe=$nProbe stream-only=$d1 batch-only=$d2"
+      })
+    }
+  }
+
   test("residual search runs as a stateless stream, codes-only index") {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
