@@ -646,8 +646,38 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append").where(col("session_start") < SentinelMs)
   }
 
+  /** Streaming funnel gate: the events replay through per-user keyed
+    * funnel state + live step counts; the replay arrives in one ordered
+    * batch, so the online counts equal the batch funnel's (every step
+    * converts at least one user in the testdata, so the zero-converter
+    * emission difference never bites).
+    */
+  private def runFunnel(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    // the sentinel is a synthetic 'purchase' at SentinelMs for user 0 —
+    // exclude it from the fold (it could convert user 0's last step), as
+    // the batch oracle never sees it
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("user_id"), col("event_type"))
+      .where(col("ts") < timestamp_millis(lit(SentinelMs)))
+    val out = graft.streaming.EventStream.funnel(stream,
+      EventQueries.FunnelSteps, "0 seconds")
+    drain(s, out, "update")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessionize" -> ((s, d) => runSessionize(s, d)),
+    "stream_funnel" -> ((s, d) => runFunnel(s, d)),
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
     "stream_avg_slots" -> ((s, d) => runDql(s, d, AvgDql, "append")),
@@ -695,6 +725,9 @@ object StreamQueries extends QueryProvider {
     // session_window state ≡ the batch lag/cumsum session derivation
     "stream_sessionize" ->
       graft.ops.Sessions.sessionizeStreamSql(EventQueries.SessionGapMs),
+    // keyed funnel state + live counts ≡ the batch strictly-ordered funnel
+    "stream_funnel" ->
+      graft.ops.Sessions.funnelSql(EventQueries.FunnelSteps),
     // raw-event windowed mean, the single-stage stream
     "stream_avg" ->
       s"""SELECT event_type || '.' || CAST(user_id AS VARCHAR) AS metric,

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.core.Exact
 
 /** Streaming event-sequence analytics: the online forms of
@@ -39,4 +40,76 @@ object EventStream {
         unix_millis(col("session_window.start")).as("session_start"),
         (unix_millis(col("session_window.end")) - gapMs).as("session_last"),
         col("n_events"), col("sum_value"))
+
+  /** per-user funnel progress: epoch-millis conversion time per step,
+    * -1 while unconverted — monotonic, so each step fires at most once.
+    * (Public and Seq-typed for the product encoder — a private ctor or
+    * a bare Array breaks the generated serializer.)
+    */
+  final case class FunnelSt(times: Seq[Long])
+
+  /** Online conversion funnel — the streaming form of
+    * [[graft.ops.Sessions.funnel]]: per-user keyed state holds the
+    * step-conversion times; when an arriving event completes a user's
+    * next step (strictly after the previous step's time, the batch
+    * rule), the stateful stage emits that (user, step) exactly once, and
+    * a downstream count aggregates live per-step converted-user totals.
+    * Two stateful operators — flatMapGroupsWithState in Append feeding a
+    * grouped count (run the query in update mode) — both keyed small:
+    * state is one long array per user, one count row per step.
+    *
+    * In-order contract: events are folded in event-time order WITHIN a
+    * micro-batch; an event arriving in a later batch with an earlier
+    * timestamp than an already-recorded conversion cannot retract it
+    * (the batch form's global min can). Same within-watermark trade
+    * every online funnel makes; the replay gate arrives as one batch, so
+    * the gate matches the batch oracle exactly (for steps with at least
+    * one conversion — a zero-converter step emits no count row online,
+    * while the batch form reports it as 0).
+    *
+    * State lifetime: funnel state is permanent per user by default (an
+    * analytics funnel is a lifetime property); bound it with a state-
+    * TTL variant if user cardinality is unbounded.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             delay: String): DataFrame = {
+    require(steps.nonEmpty)
+    val n = steps.size
+    val inEnc = Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong,
+      Encoders.STRING)
+    val outEnc = Encoders.product[(Long, String)]
+    def fold(user: Long,
+             rows: Iterator[(java.sql.Timestamp, Long, String)],
+             state: GroupState[FunnelSt]): Iterator[(Long, String)] = {
+      val times = state.getOption.map(_.times.toArray)
+        .getOrElse(Array.fill(n)(-1L))
+      val out = Seq.newBuilder[(Long, String)]
+      var changed = false
+      for ((ts, _, tpe) <- rows.toSeq.sortBy(_._1.getTime)) {
+        var i = 0
+        while (i < n) {
+          if (steps(i) == tpe && times(i) < 0 &&
+            (i == 0 || (times(i - 1) >= 0 && ts.getTime > times(i - 1)))) {
+            times(i) = ts.getTime
+            changed = true
+            out += ((i.toLong, steps(i)))
+          }
+          i += 1
+        }
+      }
+      if (changed) state.update(FunnelSt(times.toSeq))
+      out.result().iterator
+    }
+    events
+      .withWatermark("ts", delay)
+      .selectExpr("ts", "user_id", "event_type")
+      .as[(java.sql.Timestamp, Long, String)](inEnc)
+      .groupByKey(_._2)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)(
+        Encoders.product[FunnelSt], outEnc)
+      .toDF("step_idx", "step")
+      .groupBy(col("step_idx"), col("step"))
+      .agg(count(lit(1)).as("users"))
+  }
 }

@@ -82,4 +82,49 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = stream(Seq((0L, 1L, 1.0)), Seq(Sentinel), Seq(Sentinel))
     assert(out == Seq((1L, 0L, 0L, 1L, 1.0)))
   }
+
+  // ------------------------------------------------------------- funnel
+
+  /** replay (tsMs, user, event_type) batches through the stream funnel,
+    * returning the FINAL per-step counts (update mode re-emits a step's
+    * row when its count changes; last write wins)
+    */
+  private def funnelStream(batches: Seq[(Long, Long, String)]*)
+      : Map[(Long, String), Long] = {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val ev = in.toDF().toDF("tsMs", "user_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .select("ts", "user_id", "event_type")
+    val out = EventStream.funnel(ev, Seq("view", "click"), "0 seconds")
+    val name = s"funnel_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    val res = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap // update-mode sink: later rows for a key overwrite by toMap
+    q.stop()
+    res
+  }
+
+  test("funnel state carries across micro-batches; each step counts a user once") {
+    val counts = funnelStream(
+      Seq((10L, 1L, "view"), (10L, 2L, "click")),   // u1 step0; u2 nothing
+      Seq((20L, 1L, "click"), (20L, 2L, "view"),    // u1 completes; u2 step0
+        (30L, 1L, "click")))                        // u1 step1 again: no-op
+    assert(counts == Map((0L, "view") -> 2L, (1L, "click") -> 1L))
+  }
+
+  test("online funnel cannot retract on cross-batch disorder (the stated contract)") {
+    // view@30 then click@20 across batches: batch semantics would reject
+    // (click precedes the recorded view); a later view@5 cannot rewind it
+    val counts = funnelStream(
+      Seq((30L, 1L, "view")),
+      Seq((20L, 1L, "click"), (5L, 1L, "view")))
+    assert(counts == Map((0L, "view") -> 1L))
+  }
 }
