@@ -53,7 +53,12 @@ object EventQueries extends QueryProvider {
           .orderBy("step_idx")),
       "events_paths" -> ((s, d) =>
         graft.ops.Sessions.topPaths(
-          SeriesOps.events(s, d, widen = false), n = 3, k = 20)))
+          SeriesOps.events(s, d, widen = false), n = 3, k = 20)),
+      // weekly cohort retention triangle
+      "events_retention" -> ((s, d) =>
+        graft.ops.Sessions.retention(
+          SeriesOps.events(s, d, widen = false), bucketMs = 604800000L)
+          .orderBy("cohort", "bucket_offset")))
 
   def oracle: Map[String, String] =
     filters.map { case (n, f) =>
@@ -64,5 +69,6 @@ object EventQueries extends QueryProvider {
     } ++ Map(
       "events_sessionize" -> graft.ops.Sessions.sessionizeSql(SessionGapMs),
       "events_funnel" -> graft.ops.Sessions.funnelSql(FunnelSteps),
-      "events_paths" -> graft.ops.Sessions.topPathsSql(3, 20))
+      "events_paths" -> graft.ops.Sessions.topPathsSql(3, 20),
+      "events_retention" -> graft.ops.Sessions.retentionSql(604800000L))
 }

@@ -42,7 +42,11 @@ object TransQueries extends QueryProvider {
         out(Trans.derivate(base(s, d)))),
       "trans_confidence" -> ((s: SparkSession, d: String) =>
         out(Trans.confidence(SeriesOps.gapFilled(s, d, DayStart,
-          DayStart + 3600000L, Some("purchase"), muserMax = Some(10L))))))
+          DayStart + 3600000L, Some("purchase"), muserMax = Some(10L))))),
+      // trailing-60-point z-score anomaly flags over the purchase series
+      "series_zscore" -> ((s: SparkSession, d: String) =>
+        graft.ops.Rolling.zscore(base(s, d), n = 60, threshold = 3.0)
+          .orderBy("metric", "ts_ms")))
 
   private def withSeries(body: String): String =
     s"WITH series AS (${SeriesOps.seriesSql})\n$body"
@@ -63,5 +67,11 @@ object TransQueries extends QueryProvider {
       "trans_confidence" ->
         s"""${SeriesOps.gapFilledSql(DayStart, DayStart + 3600000L, Some("purchase"), Some(10L))}
            |SELECT metric, ts_ms, confidence AS value
-           |FROM gapfilled ORDER BY metric, ts_ms""".stripMargin)
+           |FROM gapfilled ORDER BY metric, ts_ms""".stripMargin,
+      "series_zscore" ->
+        s"""WITH series AS (${SeriesOps.seriesSql}),
+           |base AS (SELECT metric, ts_ms, value FROM series
+           |         WHERE mtype = 'purchase'),
+           |${graft.ops.Rolling.zscoreSql(60, 3.0)}
+           |ORDER BY metric, ts_ms""".stripMargin)
 }

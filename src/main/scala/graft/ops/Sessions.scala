@@ -189,6 +189,44 @@ object Sessions {
       .limit(k)
   }
 
+  /** Cohort retention: users are cohorted by the bucket of their FIRST
+    * event (`floor(min ts / bucketMs)`); each (cohort, bucket-offset)
+    * cell counts the cohort's users active that many buckets later — the
+    * classic retention triangle, weekly at `bucketMs` = 7 days.
+    *
+    * One shuffle on `user_id` for the first-event window, then a
+    * partial-aggregated shuffle on the (cohort, offset) pair whose
+    * cardinality is O(buckets²) regardless of corpus size. The
+    * distinct-user count inside each cell shuffles (cohort, offset,
+    * user) triples — already deduplicated map-side.
+    *
+    * Output: (cohort, bucket_offset, active_users).
+    */
+  def retention(ev: DataFrame, bucketMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    ev.withColumn("cohort",
+        floor(min(col("ts_ms")).over(w) / bucketMs).cast("long"))
+      .withColumn("bucket_offset",
+        floor(col("ts_ms") / bucketMs).cast("long") - col("cohort"))
+      .groupBy("cohort", "bucket_offset")
+      .agg(count_distinct(col("user_id")).as("active_users"))
+  }
+
+  /** DuckDB mirror of [[retention]]. */
+  def retentionSql(bucketMs: Long): String =
+    s"""WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+       |           FROM events),
+       |c AS (SELECT user_id, ts_ms,
+       |          CAST(FLOOR(MIN(ts_ms) OVER (PARTITION BY user_id)
+       |               / $bucketMs) AS BIGINT) AS cohort
+       |      FROM e)
+       |SELECT cohort,
+       |       CAST(FLOOR(ts_ms / $bucketMs) AS BIGINT) - cohort
+       |         AS bucket_offset,
+       |       COUNT(DISTINCT user_id) AS active_users
+       |FROM c GROUP BY 1, 2
+       |ORDER BY cohort, bucket_offset""".stripMargin
+
   /** DuckDB mirror of [[topPaths]]. */
   def topPathsSql(n: Int, k: Int): String =
     s"""WITH e AS (SELECT event_id, user_id, event_type,

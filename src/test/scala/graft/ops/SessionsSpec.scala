@@ -116,6 +116,40 @@ class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq(("a>b>c", 2L)))
   }
 
+  // ---------------------------------------------------------- retention
+
+  test("retention cohorts on the first event's bucket; offsets count from it") {
+    val df = ev(
+      (1L, 0L, 1L, "view", 0.0),       // u1: cohort 0, active buckets 0,2
+      (2L, 2000L, 1L, "view", 0.0),
+      (3L, 1000L, 2L, "view", 0.0),    // u2: cohort 1, active buckets 0,1
+      (4L, 2999L, 2L, "view", 0.0))
+    val out = Sessions.retention(df, bucketMs = 1000L)
+      .orderBy("cohort", "bucket_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  // ------------------------------------------------------------- zscore
+
+  test("rolling zscore: one-point window yields NULL z, spikes flag") {
+    val s = spark
+    import s.implicits._
+    // 10 flat points then a spike. A lone outlier among n window points
+    // scores exactly z = sqrt(n-1) (the self-inflated-sigma identity), so
+    // an 11-point window puts the spike at sqrt(10) ≈ 3.16 > 3 — and a
+    // 10-point window would sit exactly ON the threshold, unflagged.
+    val rows = (0L until 10L).map(i => ("m", i, 10.0)) :+ (("m", 10L, 100.0))
+    val df = rows.toDF("metric", "ts_ms", "value")
+    val out = Rolling.zscore(df, n = 11, threshold = 3.0)
+      .orderBy("ts_ms").collect()
+    assert(out.head.isNullAt(3) && !out.head.getBoolean(4)) // first point
+    assert(out.take(10).forall(!_.getBoolean(4)))           // flat run
+    assert(out.last.getBoolean(4))                          // the spike
+    assert(math.abs(out.last.getDouble(3) - math.sqrt(10.0)) < 1e-9)
+  }
+
   test("topPaths ties at equal timestamps break on event_id") {
     val df = ev(
       (2L, 10L, 1L, "x", 0.0),
