@@ -58,7 +58,12 @@ object EventQueries extends QueryProvider {
       "events_retention" -> ((s, d) =>
         graft.ops.Sessions.retention(
           SeriesOps.events(s, d, widen = false), bucketMs = 604800000L)
-          .orderBy("cohort", "bucket_offset")))
+          .orderBy("cohort", "bucket_offset")),
+      // within-session event-type transition matrix (Markov view)
+      "events_transitions" -> ((s, d) =>
+        graft.ops.Sessions.transitions(
+          SeriesOps.events(s, d, widen = false), SessionGapMs)
+          .orderBy("from_type", "to_type")))
 
   def oracle: Map[String, String] =
     filters.map { case (n, f) =>
@@ -70,5 +75,6 @@ object EventQueries extends QueryProvider {
       "events_sessionize" -> graft.ops.Sessions.sessionizeSql(SessionGapMs),
       "events_funnel" -> graft.ops.Sessions.funnelSql(FunnelSteps),
       "events_paths" -> graft.ops.Sessions.topPathsSql(3, 20),
-      "events_retention" -> graft.ops.Sessions.retentionSql(604800000L))
+      "events_retention" -> graft.ops.Sessions.retentionSql(604800000L),
+      "events_transitions" -> graft.ops.Sessions.transitionsSql(SessionGapMs))
 }

@@ -27,6 +27,17 @@ object JoinQueries extends QueryProvider {
       AsofJoin.asof(l, r, Seq("muser"), "ts_ms", "value", "prior_click")
         .orderBy("muser", "ts_ms")
     }),
+    // same enrichment with a 24 h staleness bound: older clicks do not count
+    "asof_tolerance" -> ((s, d) => {
+      val ser = SeriesOps.series(s, d)
+      val l = ser.where(col("mtype") === "purchase" && col("muser") < 5)
+        .select(col("muser"), col("ts_ms"), col("value"))
+      val r = ser.where(col("mtype") === "click" && col("muser") < 5)
+        .select(col("muser"), col("ts_ms"), col("value"))
+      AsofJoin.asofTolerance(l, r, Seq("muser"), "ts_ms", "value",
+        "prior_click", toleranceMs = 86400000L)
+        .orderBy("muser", "ts_ms")
+    }),
     // clicks inside each user's high-purchase days (interval containment):
     // intervals = days whose purchase mean > 20, points = click series
     "range_clicks" -> ((s, d) => {
@@ -53,6 +64,18 @@ object JoinQueries extends QueryProvider {
          |r AS (SELECT muser, ts_ms AS rts, value AS prior_click FROM series
          |      WHERE mtype = 'click' AND muser < 5)
          |SELECT l.muser, l.ts_ms, l.value, r.prior_click
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.muser = r.muser AND r.rts <= l.ts_ms
+         |ORDER BY l.muser, l.ts_ms""".stripMargin,
+    "asof_tolerance" ->
+      s"""WITH series AS (${SeriesOps.seriesSql}),
+         |l AS (SELECT muser, ts_ms, value FROM series
+         |      WHERE mtype = 'purchase' AND muser < 5),
+         |r AS (SELECT muser, ts_ms AS rts, value AS rv FROM series
+         |      WHERE mtype = 'click' AND muser < 5)
+         |SELECT l.muser, l.ts_ms, l.value,
+         |       CASE WHEN l.ts_ms - r.rts <= 86400000 THEN r.rv END
+         |         AS prior_click
          |FROM l ASOF LEFT JOIN r
          |  ON l.muser = r.muser AND r.rts <= l.ts_ms
          |ORDER BY l.muser, l.ts_ms""".stripMargin,

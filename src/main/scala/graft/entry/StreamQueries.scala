@@ -558,6 +558,13 @@ object StreamQueries extends QueryProvider {
   private def runQuality(s: SparkSession, dir: String): DataFrame =
     drain(s, graft.pipeline.TextOps.quality(docStream(s, dir)), "append")
 
+  /** live word-count leaderboard (complete mode republishes the current
+    * top-k each trigger); the bounded replay's final board ≡ the batch
+    * occurrence counts */
+  private def runVocab(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.streaming.DocStream.vocabTopK(docStream(s, dir), 50),
+      "complete")
+
   /** the batch repetition operator unchanged on the stream (row-local
     * n-gram folds, stateless append) — oracle = the batch SQL verbatim */
   private def runRepetition(s: SparkSession, dir: String): DataFrame =
@@ -675,9 +682,38 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "update")
   }
 
+  /** Streaming rolling z-score gate: the purchase event stream keyed per
+    * (event_type, user) series, scored online against the trailing-10
+    * distribution. The replay arrives in event-time order, so the online
+    * scores equal the batch [[graft.ops.Rolling.zscore]] bit-for-bit.
+    */
+  private def runZscore(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("event_type"), col("user_id"),
+        col("value"))
+      .where(col("event_type") === "purchase" &&
+        col("ts") < timestamp_millis(lit(SentinelMs)))
+    import s.implicits._
+    val out = graft.streaming.SeriesStream.zscore(s,
+      stream.as[graft.streaming.SeriesStream.Ev], n = 10, threshold = 2.0)
+    drain(s, out.toDF(), "append")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessionize" -> ((s, d) => runSessionize(s, d)),
     "stream_funnel" -> ((s, d) => runFunnel(s, d)),
+    "stream_zscore" -> ((s, d) => runZscore(s, d)),
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
     "stream_avg_slots" -> ((s, d) => runDql(s, d, AvgDql, "append")),
@@ -694,6 +730,7 @@ object StreamQueries extends QueryProvider {
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
+    "stream_vocab" -> ((s, d) => runVocab(s, d)),
     "stream_logprob" -> ((s, d) => runLogProb(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_redact" -> ((s, d) => runRedact(s, d)),
@@ -728,6 +765,14 @@ object StreamQueries extends QueryProvider {
     // keyed funnel state + live counts ≡ the batch strictly-ordered funnel
     "stream_funnel" ->
       graft.ops.Sessions.funnelSql(EventQueries.FunnelSteps),
+    // keyed rolling state ≡ the batch trailing-window z-score
+    "stream_zscore" ->
+      s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)
+         |                 AS metric,
+         |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |${graft.ops.Rolling.zscoreSql(10, 2.0)}
+         |ORDER BY metric, ts_ms""".stripMargin,
     // raw-event windowed mean, the single-stage stream
     "stream_avg" ->
       s"""SELECT event_type || '.' || CAST(user_id AS VARCHAR) AS metric,
@@ -834,6 +879,15 @@ object StreamQueries extends QueryProvider {
     // the batch text-quality operator runs unchanged on the stream, so
     // the batch oracle applies verbatim
     "stream_quality" -> graft.pipeline.TextOps.qualitySql,
+    // live heavy-hitter leaderboard: final complete-mode board ≡ the
+    // batch occurrence counts (doc frequency needs a distinct aggregate,
+    // unsupported over streams — occurrence-only by design)
+    "stream_vocab" ->
+      """WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |            FROM documents),
+        |tok AS (SELECT s AS word FROM ws, unnest(w) AS t(s))
+        |SELECT word, COUNT(*) AS n_occ FROM tok GROUP BY 1
+        |ORDER BY n_occ DESC, word ASC LIMIT 50""".stripMargin,
     "stream_repetition" -> graft.pipeline.TextOps.repetitionSql,
     // batch redaction over batch injection, both stateless on the stream
     "stream_redact" -> graft.pipeline.TextOps.redactPiiSql,

@@ -46,6 +46,10 @@ object TransQueries extends QueryProvider {
       // trailing-60-point z-score anomaly flags over the purchase series
       "series_zscore" -> ((s: SparkSession, d: String) =>
         graft.ops.Rolling.zscore(base(s, d), n = 60, threshold = 3.0)
+          .orderBy("metric", "ts_ms")),
+      // dyadic 8-point EWMA smoothing over the purchase series
+      "series_ewma" -> ((s: SparkSession, d: String) =>
+        graft.ops.Rolling.ewma(base(s, d), n = 8)
           .orderBy("metric", "ts_ms")))
 
   private def withSeries(body: String): String =
@@ -73,5 +77,11 @@ object TransQueries extends QueryProvider {
            |base AS (SELECT metric, ts_ms, value FROM series
            |         WHERE mtype = 'purchase'),
            |${graft.ops.Rolling.zscoreSql(60, 3.0)}
+           |ORDER BY metric, ts_ms""".stripMargin,
+      "series_ewma" ->
+        s"""WITH series AS (${SeriesOps.seriesSql}),
+           |base AS (SELECT metric, ts_ms, value FROM series
+           |         WHERE mtype = 'purchase'),
+           |${graft.ops.Rolling.ewmaSql(8)}
            |ORDER BY metric, ts_ms""".stripMargin)
 }

@@ -35,14 +35,45 @@ object AsofJoin {
     */
   def asof(left: DataFrame, right: DataFrame, key: Seq[String], ts: String,
            valueCol: String, as: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    sweep(left, right, key, ts, valueCol, as)
+      .select(leftCols.map(col) :+ col(as): _*)
+  }
+
+  /** [[asof]] with a staleness bound: a match older than `toleranceMs`
+    * (i.e. `left.ts − right.ts > toleranceMs`) is discarded — the fetched
+    * value comes back NULL, exactly as if no right row preceded the left
+    * one. The tolerance is applied AFTER the sweep (same single-shuffle
+    * plan; the window additionally carries the matched timestamp), so the
+    * cost is identical to the unbounded form.
+    */
+  def asofTolerance(left: DataFrame, right: DataFrame, key: Seq[String],
+                    ts: String, valueCol: String, as: String,
+                    toleranceMs: Long): DataFrame = {
+    require(toleranceMs >= 0, s"toleranceMs must be >= 0, got $toleranceMs")
+    val leftCols = left.columns.toSeq
+    sweep(left, right, key, ts, valueCol, as)
+      .withColumn(as,
+        when(col(ts) - col("__rts") <= toleranceMs, col(as)))
+      .select(leftCols.map(col) :+ col(as): _*)
+  }
+
+  /** Shared union+window sweep: returns the left rows extended with the
+    * as-of value (`as`) and the timestamp it was observed at (`__rts`).
+    */
+  private def sweep(left: DataFrame, right: DataFrame, key: Seq[String],
+                    ts: String, valueCol: String, as: String): DataFrame = {
     val vType = right.schema(valueCol).dataType
+    val tsType = right.schema(ts).dataType
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(vType))
+      .withColumn("__rt", lit(null).cast(tsType))
     // right rows carry only key+ts+value; left-only columns become nulls
     val rBase = right.select((key :+ ts).map(col) :+ col(valueCol).as("__rv"): _*)
       .withColumn("__side", lit(0))
+      .withColumn("__rt", col(ts))
     val r = leftCols.foldLeft(rBase) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -52,7 +83,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn(as, last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__rts", last(col("__rt"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(col) :+ col(as): _*)
   }
 }

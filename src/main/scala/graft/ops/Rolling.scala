@@ -44,6 +44,66 @@ object Rolling {
       .select("metric", "ts_ms", "value", "zscore", "anomaly")
   }
 
+  /** Trailing exponentially-weighted moving average with a dyadic decay
+    * (α = 1/2) over the last `n` points of each series — the classic
+    * monitoring smoother, made cross-engine-exact: point j back carries
+    * weight 2^(n-1-j), values are scaled to 1e-7 fixed point, and the
+    * weighted sum folds in BIGINT (associative, order-independent), so
+    * the final two double divisions are the only floating-point ops and
+    * both engines run them in the same order. Series heads shorter than
+    * `n` renormalize over the weights actually present (the first point
+    * of a series smooths to itself).
+    *
+    * Plan shape: one shuffle on the series key, one partition-local sort
+    * feeding all `n` lag frames in a single Window operator — identical
+    * cost to [[zscore]] regardless of `n`.
+    *
+    * Output: (metric, ts_ms, value, ewma).
+    */
+  def ewma(series: DataFrame, n: Int): DataFrame = {
+    // n ≤ 16 keeps |scaled·2^(n-1)·n| far from BIGINT overflow for any
+    // realistic series magnitude (1e11 · 2^15 · 16 ≈ 5e16 ≪ 2^63)
+    require(n >= 1 && n <= 16, s"n must be in [1, 16], got $n")
+    val w = Window.partitionBy("metric").orderBy("ts_ms")
+    val scaled = round(col("value") * 1e7).cast("long")
+    val terms = (0 until n).map { j =>
+      val lj = if (j == 0) scaled else lag(scaled, j).over(w)
+      (lj, 1L << (n - 1 - j))
+    }
+    val s = terms.map { case (lj, wt) => coalesce(lj * wt, lit(0L)) }
+      .reduce(_ + _)
+    val wsum = terms.map { case (lj, wt) =>
+      when(lj.isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    series
+      .withColumn("ewma", s.cast("double") / wsum.cast("double") / 1e7)
+      .select("metric", "ts_ms", "value", "ewma")
+  }
+
+  /** DuckDB mirror of [[ewma]] over a `series`-shaped relation named
+    * `base` (declare it in a WITH prefix).
+    */
+  def ewmaSql(n: Int): String = {
+    require(n >= 1 && n <= 16, s"n must be in [1, 16], got $n")
+    val over = "OVER (PARTITION BY metric ORDER BY ts_ms)"
+    def lj(j: Int) = if (j == 0) "sc" else s"lag(sc, $j) $over"
+    val s = (0 until n).map { j =>
+      s"COALESCE(${lj(j)} * ${1L << (n - 1 - j)}, 0)"
+    }.mkString(" + ")
+    val wsum = (0 until n).map { j =>
+      s"CASE WHEN ${lj(j)} IS NOT NULL THEN ${1L << (n - 1 - j)} ELSE 0 END"
+    }.mkString(" + ")
+    s"""sc AS (SELECT metric, ts_ms, value,
+       |           CAST(ROUND(CAST(value AS DOUBLE)*1e7, 0) AS BIGINT) AS sc
+       |       FROM base),
+       |ew AS (SELECT metric, ts_ms, value,
+       |           $s AS s, $wsum AS wsum
+       |       FROM sc)
+       |SELECT metric, ts_ms, value,
+       |       CAST(s AS DOUBLE) / CAST(wsum AS DOUBLE) / 1e7 AS ewma
+       |FROM ew""".stripMargin
+  }
+
   /** DuckDB mirror of [[zscore]] over a `series`-shaped relation named
     * `base` (declare it in a WITH prefix).
     */

@@ -59,7 +59,7 @@ object Sessions {
     */
   private def sessionCtes(gapMs: Long): String =
     s"""WITH e AS (SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
-       |                  user_id, value
+       |                  user_id, event_type, value
        |           FROM events),
        |flag AS (SELECT *,
        |    CASE WHEN ts_ms - lag(ts_ms) OVER
@@ -95,6 +95,48 @@ object Sessions {
        |       COUNT(*) AS n_events, ${Exact.dsumSql("value")} AS sum_value
        |FROM sess GROUP BY user_id, session_idx
        |ORDER BY user_id, session_start""".stripMargin
+
+  /** First-order transition counts (the Markov-chain view of the event
+    * log): within each session ([[sessionize]]'s gap rule), count every
+    * `event_type → next event_type` step. Session boundaries break
+    * chains — the last event of a session has no successor.
+    *
+    * Same single `user_id` shuffle as sessionize: the session index is
+    * derived in the first window pass, the successor lookup partitions
+    * on (user_id, session_idx) — a superset of the existing hash key, so
+    * Catalyst satisfies it without a second exchange — and the final
+    * (from, to) count is a partial-aggregated shuffle of at most
+    * |event types|² rows.
+    *
+    * Output: (from_type, to_type, n).
+    */
+  def transitions(ev: DataFrame, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(byTime: _*)
+    val gap = col("ts_ms") - lag(col("ts_ms"), 1).over(w)
+    val sess = ev
+      .withColumn("new_sess",
+        when(gap.isNull || gap > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val w2 = Window.partitionBy("user_id", "session_idx").orderBy(byTime: _*)
+    sess
+      .withColumn("to_type", lead(col("event_type"), 1).over(w2))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB mirror of [[transitions]]. */
+  def transitionsSql(gapMs: Long): String =
+    s"""${sessionCtes(gapMs)},
+       |nx AS (SELECT event_type,
+       |           lead(event_type) OVER (PARTITION BY user_id, session_idx
+       |                                  ORDER BY ts_ms, event_id) AS to_type
+       |       FROM sess)
+       |SELECT event_type AS from_type, to_type, COUNT(*) AS n
+       |FROM nx WHERE to_type IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
   /** Ordered conversion funnel: for `steps = Seq(a, b, c)`, a user
     * converts step i when an event of type `steps(i)` occurs strictly

@@ -41,6 +41,28 @@ object DocStream {
   def curate(docs: DataFrame, watermark: String): DataFrame =
     graft.pipeline.TextOps.withQuality(dedupExact(docs, watermark))
 
+  /** Live vocabulary heavy-hitters — the streaming form of
+    * [[graft.pipeline.TextOps.vocabTopK]]'s occurrence column: word
+    * counts over everything that has arrived so far, topped at `k`
+    * (complete output mode — each trigger republishes the current
+    * leaderboard, the live-dashboard contract). The tokenizer is the
+    * batch operator's, so the stream's counts equal the batch's on the
+    * same corpus.
+    *
+    * State is one count per distinct word — vocabulary-bounded, not
+    * corpus-bounded (the same reason word counts were THE original
+    * streaming-aggregation demo), with map-side partial aggregation
+    * ahead of the one shuffle. The doc-frequency column needs a distinct
+    * aggregate (unsupported over streams); the batch operator carries
+    * it, the stream serves the occurrence leaderboard.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    graft.pipeline.Dedup.withWords(docs)
+      .select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("word").asc)
+      .limit(k)
+
   // not `private`: Catalyst's generated (de)serializers access these from
   // synthesized classes outside this object
   case class DocIn(text_hash: String, ts: java.sql.Timestamp,

@@ -123,6 +123,69 @@ object SeriesStream {
       }
   }
 
+  /** emitted z-scored point; `zscore` is None on a zero-variance window */
+  final case class Zs(metric: String, ts_ms: Long, value: Double,
+                      zscore: Option[Double], anomaly: Boolean)
+
+  /** per-series z-score state: event-time frontier + the trailing values
+    * (oldest first, at most n−1 of them)
+    */
+  final case class ZSt(frontierMs: Long, tail: Seq[Double])
+
+  /** Streaming trailing-n z-score — the online form of
+    * [[graft.ops.Rolling.zscore]]: each arriving point is scored against
+    * the trailing `n`-point distribution of its own series (current point
+    * included), `|z| > threshold` flags an anomaly, and a zero-variance
+    * window (including every series' first point) yields a NULL z that
+    * never flags.
+    *
+    * State per series is the frontier timestamp plus at most n−1 doubles
+    * — O(n) regardless of history. Points are folded in event-time order
+    * within a micro-batch; arrivals at or before the frontier are dropped
+    * ([[derivate]]'s policy — a stream cannot re-open an already-scored
+    * window). An in-order replay therefore reproduces the batch operator
+    * exactly.
+    *
+    * The moments replicate the batch decimal-exact path bit-for-bit:
+    * each value (and square) is rounded to 10 decimal places HALF_UP —
+    * Spark's double→DECIMAL(·,10) cast — summed exactly in BigDecimal,
+    * and lowered to double once, so the stream's z equals the batch's on
+    * the same window in every ulp.
+    */
+  def zscore(spark: SparkSession, events: Dataset[Ev], n: Int,
+             threshold: Double): Dataset[Zs] = {
+    import spark.implicits._
+    require(n >= 1, s"n must be >= 1, got $n")
+    def dec10(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(10,
+        java.math.RoundingMode.HALF_UP)
+    events
+      .groupByKey(e => s"${e.event_type}.${e.user_id}")
+      .flatMapGroupsWithState[ZSt, Zs](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Ev], state: GroupState[ZSt]) =>
+          val st = state.getOption.getOrElse(ZSt(Long.MinValue, Nil))
+          var frontier = st.frontierMs
+          var buf = st.tail.toVector
+          val out = Vector.newBuilder[Zs]
+          for ((t, v) <- rows.map(e => (e.ts.getTime, e.value)).toSeq
+                 .sortBy(_._1) if t > frontier) {
+            val win = (buf :+ v).takeRight(n)
+            val cnt = win.size.toDouble
+            val s1 = win.map(dec10).reduce(_ add _).doubleValue
+            val s2 = win.map(x => dec10(x * x)).reduce(_ add _).doubleValue
+            val mean = s1 / cnt
+            val std = math.sqrt(math.max(s2 / cnt - math.pow(mean, 2.0), 0.0))
+            val z = if (std > 0.0) Some((v - mean) / std) else None
+            out += Zs(metric, t, v, z, z.exists(x => math.abs(x) > threshold))
+            buf = win.takeRight(n - 1)
+            frontier = t
+          }
+          state.update(ZSt(frontier, buf))
+          out.result().iterator
+      }
+  }
+
   /** Per-series gap detection with explicit state: keeps the last seen
     * slot per series; when a new point arrives more than one resolution
     * step later, emits the gap. Slots at or before the stored frontier

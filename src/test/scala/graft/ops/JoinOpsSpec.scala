@@ -48,6 +48,20 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 100L, None)))        // k=2 right point is later
   }
 
+  test("asofTolerance: stale matches null out; boundary is inclusive") {
+    // tolerance 40: k=1 ts=100 matched at 60 → age 40, exactly ON the
+    // bound, kept; ts=200 matched at 200 → age 0, kept. tolerance 39:
+    // the age-40 match drops, the age-0 match survives.
+    val kept = AsofJoin.asofTolerance(leftDf, rightDf, Seq("k"), "ts_ms",
+      "value", "rv", toleranceMs = 40L).orderBy("k", "ts_ms").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(kept.toSeq == Seq(None, Some(6.5), Some(7.5), None))
+    val tight = AsofJoin.asofTolerance(leftDf, rightDf, Seq("k"), "ts_ms",
+      "value", "rv", toleranceMs = 39L).orderBy("k", "ts_ms").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(tight.toSeq == Seq(None, None, Some(7.5), None))
+  }
+
   test("asof: plans without BroadcastNestedLoop/Cartesian") {
     val plan = AsofJoin.asof(leftDf, rightDf, Seq("k"), "ts_ms", "value",
       "rv").queryExecution.executedPlan.toString

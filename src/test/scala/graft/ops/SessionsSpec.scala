@@ -150,6 +150,38 @@ class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out.last.getDouble(3) - math.sqrt(10.0)) < 1e-9)
   }
 
+  test("transitions: session boundaries break chains; ties order on" +
+    " event_id") {
+    // user 1: a→b then a gap > 10 → c: only (a,b) counts, never (b,c).
+    // user 2: equal-ts pair ordered by event_id → (x,y).
+    val df = ev(
+      (1L, 0L, 1L, "a", 0.0),
+      (2L, 5L, 1L, "b", 0.0),
+      (3L, 100L, 1L, "c", 0.0),
+      (5L, 0L, 2L, "y", 0.0),
+      (4L, 0L, 2L, "x", 0.0))
+    val out = Sessions.transitions(df, gapMs = 10L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("a", "b", 1L), ("x", "y", 1L)))
+  }
+
+  test("ewma: first point smooths to itself; constants are fixed points;" +
+    " dyadic weights exact") {
+    val s = spark
+    import s.implicits._
+    // constant series: EWMA must reproduce the constant exactly
+    val flat = (0L until 20L).map(i => ("m", i, 42.5)).toDF(
+      "metric", "ts_ms", "value")
+    val fo = Rolling.ewma(flat, n = 8).orderBy("ts_ms").collect()
+    assert(fo.forall(r => r.getDouble(3) == 42.5))
+    // two points, n = 2: weights (2, 1) → ewma = (2·v1 + 1·v0) / 3
+    val two = Seq(("m", 0L, 0.0), ("m", 1L, 1.0)).toDF(
+      "metric", "ts_ms", "value")
+    val to = Rolling.ewma(two, n = 2).orderBy("ts_ms").collect()
+    assert(to.head.getDouble(3) == 0.0) // head renormalizes to itself
+    assert(math.abs(to.last.getDouble(3) - 2.0 / 3.0) < 1e-12)
+  }
+
   test("topPaths ties at equal timestamps break on event_id") {
     val df = ev(
       (2L, 10L, 1L, "x", 0.0),

@@ -107,6 +107,41 @@ class SeriesStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((2000L, 3.0), (4000L, -1.0), (5000L, 8.0)))
   }
 
+  test("streaming zscore: cross-batch trailing state ≡ batch operator," +
+    " late arrivals drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = SeriesStream.zscore(spark, in.toDS(), n = 3, threshold = 1.0)
+    val q = out.toDF().writeStream.format("memory").queryName("zs")
+      .outputMode("append").start()
+    in.addData(ev(0, v = 10), ev(10, v = 10))
+    q.processAllAvailable()
+    // the spike arrives in a LATER batch (state must carry the tail);
+    // 5 s is behind the frontier → dropped, cannot rewrite history
+    in.addData(ev(20, v = 40), ev(5, v = 99))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT ts_ms, value, zscore, anomaly FROM zs ORDER BY ts_ms")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    q.stop()
+    val batch = graft.ops.Rolling.zscore(
+      Seq(("purchase.1", 0L, 10.0), ("purchase.1", 10000L, 10.0),
+        ("purchase.1", 20000L, 40.0)).toDF("metric", "ts_ms", "value"),
+      n = 3, threshold = 1.0).orderBy("ts_ms")
+      .collect().map(r => (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    assert(got.length == 3) // the late point emitted nothing
+    // bit-exact parity with the batch decimal path, including NULL zs
+    assert(got.map(t => (t._1, t._2, t._3.map(
+      java.lang.Double.doubleToRawLongBits), t._4)).toSeq ==
+      batch.map(t => (t._1, t._2, t._3.map(
+        java.lang.Double.doubleToRawLongBits), t._4)).toSeq)
+    assert(got.last._4) // the spike flags
+  }
+
   test("gap detection emits missing-slot ranges across batches") {
     val s = spark
     import s.implicits._
