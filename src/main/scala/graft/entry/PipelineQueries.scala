@@ -130,6 +130,15 @@ object PipelineQueries extends QueryProvider {
         nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5)
         .orderBy("query_id", "rank")
     }),
+    // Lloyd-trained PQ codebooks (two rounds of per-subspace k-means, the
+    // FAISS training loop): same index memory, corpus-tightened entries
+    "sim_topk_pq_trained" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqTrainedTopK(e,
+        e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
     // the PQ recall knob: 3 probed cells over the codes-only index
     "sim_topk_pq_probe" -> ((s, d) => {
       val e = emb(s, d)
@@ -335,6 +344,8 @@ object PipelineQueries extends QueryProvider {
       "10, 11, 12"),
     "sim_topk_ivf_pq" -> Similarity.ivfPqTopKSql(8, 8, 16, Dim, 5,
       "10, 11, 12"),
+    "sim_topk_pq_trained" -> Similarity.ivfPqTrainedTopKSql(8, 8, 16, Dim,
+      5, "10, 11, 12", iters = 2),
     "sim_topk_pq_rerank" -> Similarity.ivfPqRerankTopKSql(8, 8, 16, Dim, 5,
       15, "10, 11, 12"),
     "sim_topk_pq_probe_rerank" -> Similarity.ivfPqRerankTopKProbedSql(8, 8,

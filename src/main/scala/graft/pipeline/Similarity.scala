@@ -836,6 +836,18 @@ object Similarity {
     val cells = ivfCells(emb, nCells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cbsRow = pqPacked(pqCodebooks(emb, m, ksub, dim))
+    Persist.handoff(pqAdcSearch(cells, cbsRow, queries, m, dim, k), cells)
+  }
+
+  /** Shared single-cell ADC search tail: encode the corpus against the
+    * packed codebook row, broadcast the queries with their ADC tables,
+    * score candidates in the query's cell, rank top-k. Codebook-agnostic
+    * — the seeded ([[ivfPqTopK]]) and Lloyd-trained
+    * ([[ivfPqTrainedTopK]]) forms differ only in the `cbsRow` they pass.
+    */
+  private def pqAdcSearch(cells: DataFrame, cbsRow: DataFrame,
+                          queries: DataFrame, m: Int, dim: Int,
+                          k: Int): DataFrame = {
     val idx = pqEncode(cells, cbsRow, m, dim)
     val qcells = withAdcTables(
       cells.join(
@@ -851,9 +863,74 @@ object Similarity {
           col("qnrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-    Persist.handoff(out, cells)
+  }
+
+  /** Lloyd-TRAINED product-quantization codebooks — k-means per subspace,
+    * the way FAISS actually trains PQ (`ProductQuantizer::train`): the
+    * [[pqCodebooks]] seed (the first ksub corpus subvectors) refined by
+    * `iters` rounds of assign (exact integer-space L2 argmin — the
+    * native [[graft.expr.PqEncode]] kernel, one pass for all m
+    * subspaces) and update (per-element means through the 1e-7
+    * fixed-point BIGINT sums, so centroids are partition-order-
+    * independent and bit-identical to the mirrored SQL loop). A cluster
+    * that loses all members keeps its previous entry (the standard
+    * empty-cluster rule, deterministic on both engines).
+    *
+    * Scale shape per round: one broadcast of the m×ksub codebook row, one
+    * corpus scan (the argmin is row-local), one map-side-combinable
+    * shuffle of (j, code, i) partial sums — (m·ksub·sub) reduced rows
+    * regardless of corpus size. Training cost is iters linear scans, the
+    * same per-retrain profile as [[ivfTrainedTopK]]'s coarse quantizer.
+    *
+    * Output: (j, code, cbvec) with DOUBLE entries (the seed is cast up so
+    * every round — and the packed row — carries one element type).
+    */
+  def pqCodebooksTrained(emb: DataFrame, m: Int, ksub: Int, dim: Int,
+                         iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sub = dim / m
+    val seed = pqCodebooks(emb, m, ksub, dim)
+      .select(col("j"), col("code"),
+        transform(col("cbvec"), x => x.cast("double")).as("cbvec"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    def lloydRound(cb: DataFrame): DataFrame = {
+      val cbsRow = pqPacked(cb)
+      val codes = vecs.crossJoin(broadcast(cbsRow))
+        .select(col("embedding"),
+          posexplode(graft.expr.PqEncode(col("embedding"), col("cbs"), m,
+            sub, VectorOps.Scale)).as(Seq("j", "code")))
+      val sums = codes
+        .select(col("j"), col("code"),
+          posexplode(transform(
+            slice(col("embedding"), col("j") * sub + 1, lit(sub)),
+            x => round(x.cast("double") * 1e7).cast("long")))
+            .as(Seq("i", "s")))
+        .groupBy("j", "code", "i")
+        .agg(sum(col("s")).as("s"), count(lit(1)).as("n"))
+      val means = sums.groupBy("j", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(i, s, n))), " +
+          "x -> CAST(x.s AS DOUBLE)/1e7/x.n)").as("mvec"))
+      cb.as("p").join(means, Seq("j", "code"), "left")
+        .select(col("j"), col("code"),
+          coalesce(col("mvec"), col("p.cbvec")).as("cbvec"))
+    }
+    (1 to iters).foldLeft(seed)((c, _) => lloydRound(c))
+  }
+
+  /** [[ivfPqTopK]] with the Lloyd-trained codebooks — training tightens
+    * each subspace's entries around the corpus distribution, the recall
+    * lever that needs no extra index memory (same m codes per vector).
+    */
+  def ivfPqTrainedTopK(emb: DataFrame, queries: DataFrame, nCells: Int,
+                       m: Int, ksub: Int, dim: Int, k: Int,
+                       iters: Int): DataFrame = {
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbsRow = pqPacked(pqCodebooksTrained(emb, m, ksub, dim, iters))
+    Persist.handoff(pqAdcSearch(cells, cbsRow, queries, m, dim, k), cells)
   }
 
   /** IVF-PQ with full-precision rerank — the production PQ posture: the
@@ -1156,6 +1233,71 @@ object Similarity {
        |           FROM scored)
        |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of [[ivfPqTrainedTopK]]: the per-subspace Lloyd loop
+    * unrolled CTE-per-round — seed slices cast to DOUBLE, integer-space
+    * L2 argmin assignment (d, code tie order), 1e-7 fixed-point BIGINT
+    * mean update with the empty-cluster COALESCE — then the standard
+    * encode/reconstruct/score tail against the final codebook.
+    */
+  def ivfPqTrainedTopKSql(nCells: Int, m: Int, ksub: Int, dim: Int, k: Int,
+                          queryIds: String, iters: Int): String = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sub = dim / m
+    def dotL(x: String, y: String): String =
+      s"CAST(list_sum([CAST(ROUND(CAST($x AS DOUBLE)*CAST($y AS DOUBLE)*1e15, 0) AS BIGINT) " +
+        s"for i in range(1, ${sub + 1})]) AS BIGINT)"
+    val vi = s"a.embedding[cb.j*$sub + i]"
+    val ci = "cb.cbvec[i]"
+    val d = s"${dotL(vi, vi)} + ${dotL(ci, ci)} - 2*${dotL(vi, ci)}"
+    def roundSql(t: Int): String =
+      s"""es$t AS (SELECT a.vec_id, cb.j, cb.code, $d AS d
+         |    FROM assigned a CROSS JOIN cb${t - 1} cb),
+         |en$t AS (SELECT vec_id, j, code FROM (
+         |      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |        ORDER BY d, code) AS rn FROM es$t) WHERE rn = 1),
+         |sm$t AS (SELECT e.j, e.code, di.i,
+         |      SUM(CAST(ROUND(CAST(a.embedding[e.j*$sub + di.i] AS DOUBLE)*1e7, 0) AS BIGINT)) AS s,
+         |      COUNT(*) AS n
+         |    FROM en$t e JOIN assigned a USING (vec_id)
+         |    CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) di
+         |    GROUP BY 1, 2, 3),
+         |mn$t AS (SELECT j, code, list(CAST(s AS DOUBLE)/1e7/n ORDER BY i) AS mvec
+         |    FROM sm$t GROUP BY 1, 2),
+         |cb$t AS (SELECT p.j, p.code, COALESCE(m.mvec, p.cbvec) AS cbvec
+         |    FROM cb${t - 1} p LEFT JOIN mn$t m USING (j, code))"""
+        .stripMargin
+    val rounds = (1 to iters).map(roundSql).mkString(",\n")
+    s"""WITH ${assignedCteSql(nCells, dim)},
+       |cb0 AS (SELECT js.j, CAST(e.vec_id AS INTEGER) AS code,
+       |               [CAST(x AS DOUBLE) for x in
+       |                e.embedding[(js.j*$sub+1):(js.j*$sub+$sub)]] AS cbvec
+       |        FROM embeddings e
+       |        CROSS JOIN (SELECT unnest(range(0, $m)) AS j) js
+       |        WHERE e.vec_id < $ksub),
+       |$rounds,
+       |esF AS (SELECT a.vec_id, cb.j, cb.code, cb.cbvec, $d AS d
+       |    FROM assigned a CROSS JOIN cb$iters cb),
+       |enF AS (SELECT vec_id, j, cbvec FROM (
+       |      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |        ORDER BY d, code) AS rn FROM esF) WHERE rn = 1),
+       |pidx AS (SELECT e.vec_id, a.cell,
+       |                flatten(list(e.cbvec ORDER BY e.j)) AS recon
+       |         FROM enF e JOIN assigned a USING (vec_id)
+       |         GROUP BY e.vec_id, a.cell),
+       |qcells AS (SELECT vec_id AS q_id, embedding AS qvec, cell AS qcell
+       |           FROM assigned WHERE vec_id IN ($queryIds)),
+       |scored AS (
+       |  SELECT q.q_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.cosineSql("q.qvec", "t.recon", dim)} AS cos
+       |  FROM pidx t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   // ── Residual IVF-PQ: the IVFADC layout ───────────────────────────────
 
