@@ -710,10 +710,37 @@ object StreamQueries extends QueryProvider {
     drain(s, out.toDF(), "append")
   }
 
+  /** Streaming EWMA gate: same replay/keying as [[runZscore]], the
+    * dyadic trailing-8 smoother scored online.
+    */
+  private def runEwma(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("event_type"), col("user_id"),
+        col("value"))
+      .where(col("event_type") === "purchase" &&
+        col("ts") < timestamp_millis(lit(SentinelMs)))
+    import s.implicits._
+    val out = graft.streaming.SeriesStream.ewma(s,
+      stream.as[graft.streaming.SeriesStream.Ev], n = 8)
+    drain(s, out.toDF(), "append")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessionize" -> ((s, d) => runSessionize(s, d)),
     "stream_funnel" -> ((s, d) => runFunnel(s, d)),
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
+    "stream_ewma" -> ((s, d) => runEwma(s, d)),
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
     "stream_avg_slots" -> ((s, d) => runDql(s, d, AvgDql, "append")),
@@ -765,6 +792,14 @@ object StreamQueries extends QueryProvider {
     // keyed funnel state + live counts ≡ the batch strictly-ordered funnel
     "stream_funnel" ->
       graft.ops.Sessions.funnelSql(EventQueries.FunnelSteps),
+    // keyed rolling state ≡ the batch dyadic trailing-window smoother
+    "stream_ewma" ->
+      s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)
+         |                 AS metric,
+         |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |${graft.ops.Rolling.ewmaSql(8)}
+         |ORDER BY metric, ts_ms""".stripMargin,
     // keyed rolling state ≡ the batch trailing-window z-score
     "stream_zscore" ->
       s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)

@@ -50,6 +50,10 @@ object TransQueries extends QueryProvider {
       // dyadic 8-point EWMA smoothing over the purchase series
       "series_ewma" -> ((s: SparkSession, d: String) =>
         graft.ops.Rolling.ewma(base(s, d), n = 8)
+          .orderBy("metric", "ts_ms")),
+      // counter-reset-aware per-second rate over the purchase series
+      "series_rate" -> ((s: SparkSession, d: String) =>
+        graft.ops.Rolling.rate(base(s, d))
           .orderBy("metric", "ts_ms")))
 
   private def withSeries(body: String): String =
@@ -83,5 +87,11 @@ object TransQueries extends QueryProvider {
            |base AS (SELECT metric, ts_ms, value FROM series
            |         WHERE mtype = 'purchase'),
            |${graft.ops.Rolling.ewmaSql(8)}
+           |ORDER BY metric, ts_ms""".stripMargin,
+      "series_rate" ->
+        s"""WITH series AS (${SeriesOps.seriesSql}),
+           |base AS (SELECT metric, ts_ms, value FROM series
+           |         WHERE mtype = 'purchase'),
+           |${graft.ops.Rolling.rateSql}
            |ORDER BY metric, ts_ms""".stripMargin)
 }

@@ -104,6 +104,48 @@ object Rolling {
        |FROM ew""".stripMargin
   }
 
+  /** Counter-reset-aware per-second rate — the monitoring-engine `rate()`
+    * (PromQL/Graphite semantics): consecutive-point delta over elapsed
+    * seconds, where a DECREASE is read as a counter restart from zero and
+    * contributes the new value itself rather than a negative delta. The
+    * first point of a series has no predecessor → NULL rate.
+    *
+    * Contrast with the reference's `derivate` (plain deltas, SURVEY
+    * §2.3): rate divides by real elapsed time — correct over gaps and
+    * irregular spacing — and survives counter restarts, the two things a
+    * metrics pipeline needs the moment sources restart or scrape
+    * intervals wobble. Plain double arithmetic in one fixed op order, so
+    * both engines agree bit-for-bit without the decimal hop.
+    *
+    * Plan shape: one shuffle on the series key, two lag frames in one
+    * Window operator.
+    *
+    * Output: (metric, ts_ms, value, rate).
+    */
+  def rate(series: DataFrame): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts_ms")
+    val lv = lag(col("value"), 1).over(w)
+    val lt = lag(col("ts_ms"), 1).over(w)
+    val delta = when(col("value") - lv < 0.0, col("value"))
+      .otherwise(col("value") - lv)
+    series
+      .withColumn("rate", delta / ((col("ts_ms") - lt) / lit(1000.0)))
+      .select("metric", "ts_ms", "value", "rate")
+  }
+
+  /** DuckDB mirror of [[rate]] over a `series`-shaped relation named
+    * `base` (declare it in a WITH prefix).
+    */
+  val rateSql: String =
+    s"""lg AS (SELECT metric, ts_ms, value,
+       |           lag(value) OVER (PARTITION BY metric ORDER BY ts_ms) AS lv,
+       |           lag(ts_ms) OVER (PARTITION BY metric ORDER BY ts_ms) AS lt
+       |       FROM base)
+       |SELECT metric, ts_ms, value,
+       |       (CASE WHEN value - lv < 0.0 THEN value ELSE value - lv END)
+       |         / ((ts_ms - lt) / 1000.0) AS rate
+       |FROM lg""".stripMargin
+
   /** DuckDB mirror of [[zscore]] over a `series`-shaped relation named
     * `base` (declare it in a WITH prefix).
     */

@@ -186,6 +186,56 @@ object SeriesStream {
       }
   }
 
+  /** emitted smoothed point */
+  final case class Ew(metric: String, ts_ms: Long, value: Double,
+                      ewma: Double)
+
+  /** Streaming trailing-n dyadic EWMA — the online form of
+    * [[graft.ops.Rolling.ewma]], same state/ordering contract as
+    * [[zscore]] (frontier + at most n−1 trailing doubles, in-batch
+    * event-time order, behind-frontier arrivals drop). The weighted sum
+    * replicates the batch BIGINT fold exactly — weight 2^(n-1-j) over
+    * the 1e-7 fixed-point values, two double divisions at the end — so
+    * an in-order replay reproduces the batch smoother bit-for-bit.
+    */
+  def ewma(spark: SparkSession, events: Dataset[Ev],
+           n: Int): Dataset[Ew] = {
+    import spark.implicits._
+    require(n >= 1 && n <= 16, s"n must be in [1, 16], got $n")
+    events
+      .groupByKey(e => s"${e.event_type}.${e.user_id}")
+      .flatMapGroupsWithState[ZSt, Ew](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Ev], state: GroupState[ZSt]) =>
+          val st = state.getOption.getOrElse(ZSt(Long.MinValue, Nil))
+          var frontier = st.frontierMs
+          var buf = st.tail.toVector
+          val out = Vector.newBuilder[Ew]
+          for ((t, v) <- rows.map(e => (e.ts.getTime, e.value)).toSeq
+                 .sortBy(_._1) if t > frontier) {
+            val win = (buf :+ v).takeRight(n)
+            var s = 0L; var w = 0L
+            var j = 0
+            while (j < win.size) { // win is oldest-first; weight by recency
+              val wt = 1L << j
+              // Spark's round(double): shortest-decimal BigDecimal,
+              // HALF_UP — replicated exactly, not math.round
+              val sc = java.math.BigDecimal.valueOf(win(j) * 1e7)
+                .setScale(0, java.math.RoundingMode.HALF_UP)
+                .doubleValue.toLong
+              s += sc * wt
+              w += wt
+              j += 1
+            }
+            out += Ew(metric, t, v, s.toDouble / w.toDouble / 1e7)
+            buf = win.takeRight(n - 1)
+            frontier = t
+          }
+          state.update(ZSt(frontier, buf))
+          out.result().iterator
+      }
+  }
+
   /** Per-series gap detection with explicit state: keeps the last seen
     * slot per series; when a new point arrives more than one resolution
     * step later, emits the gap. Slots at or before the stored frontier

@@ -182,6 +182,19 @@ class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(to.last.getDouble(3) - 2.0 / 3.0) < 1e-12)
   }
 
+  test("rate: counter resets contribute the restarted value, elapsed" +
+    " time divides") {
+    val s = spark
+    import s.implicits._
+    // 0→10 over 2 s (rate 5), 10→4 is a RESET (rate 4/1, not −6),
+    // 4→4 over 4 s (rate 0); first point NULL
+    val df = Seq(("m", 0L, 0.0), ("m", 2000L, 10.0), ("m", 3000L, 4.0),
+      ("m", 7000L, 4.0)).toDF("metric", "ts_ms", "value")
+    val out = Rolling.rate(df).orderBy("ts_ms").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(out.toSeq == Seq(None, Some(5.0), Some(4.0), Some(0.0)))
+  }
+
   test("topPaths ties at equal timestamps break on event_id") {
     val df = ev(
       (2L, 10L, 1L, "x", 0.0),

@@ -142,6 +142,33 @@ class SeriesStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.last._4) // the spike flags
   }
 
+  test("streaming ewma: cross-batch trailing state ≡ batch smoother") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = SeriesStream.ewma(spark, in.toDS(), n = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("ew")
+      .outputMode("append").start()
+    in.addData(ev(0, v = 1.25), ev(10, v = 2.5))
+    q.processAllAvailable()
+    in.addData(ev(20, v = 10.0), ev(30, v = 0.3)) // tail carries across
+    q.processAllAvailable()
+    val got = spark.sql("SELECT ts_ms, ewma FROM ew ORDER BY ts_ms")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    q.stop()
+    val batch = graft.ops.Rolling.ewma(
+      Seq(("purchase.1", 0L, 1.25), ("purchase.1", 10000L, 2.5),
+        ("purchase.1", 20000L, 10.0), ("purchase.1", 30000L, 0.3))
+        .toDF("metric", "ts_ms", "value"), n = 3)
+      .orderBy("ts_ms").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(got.map { case (t, v) =>
+      (t, java.lang.Double.doubleToRawLongBits(v)) }.toSeq ==
+      batch.map { case (t, v) =>
+        (t, java.lang.Double.doubleToRawLongBits(v)) }.toSeq)
+  }
+
   test("gap detection emits missing-slot ranges across batches") {
     val s = spark
     import s.implicits._
