@@ -39,6 +39,53 @@ object TpchQueries extends QueryProvider {
       .orderBy("n_name")
   }
 
+  /** shipping-priority shape (TPC-H Q3): selective filters on all three
+    * tables, customer broadcast against the orders⋈lineitem equi-join,
+    * revenue per order, top 10 — the join-then-topk plan whose 100 TB
+    * posture is "filter early, broadcast the small side, let
+    * TakeOrderedAndProject cap the result".
+    */
+  private def q3ish(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val cust = Tables(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables(s, dir, "orders")
+      .where(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** large-volume-customer shape (TPC-H Q18): a HAVING filter over the
+    * fact aggregation feeds a second join back to the dimensions — the
+    * aggregate-then-join plan (the big sum shrinks the fact side to the
+    * qualifying keys BEFORE any dimension work).
+    */
+  private def q18ish(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(Exact.dsum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 250.0)
+    val ord = Tables(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables(s, dir, "customer").select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   /** filter + projection pushdown scan: predicate and 3-column ReadSchema
     * must reach the parquet reader (verified in TpchSpec via explain).
     */
@@ -51,7 +98,9 @@ object TpchQueries extends QueryProvider {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1"   -> ((s, d) => q1(s, d)),
+    "tpch_q3"   -> ((s, d) => q3ish(s, d)),
     "tpch_q5"   -> ((s, d) => q5ish(s, d)),
+    "tpch_q18"  -> ((s, d) => q18ish(s, d)),
     "tpch_scan" -> ((s, d) => scan(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -70,6 +119,28 @@ object TpchQueries extends QueryProvider {
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "tpch_q18" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${Exact.dsumSql("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING ${Exact.dsumSql("l_quantity")} > 250.0)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |       sum_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
     "tpch_scan" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_orderstatus = 'F'

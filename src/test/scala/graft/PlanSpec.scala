@@ -58,6 +58,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q3/q18 shapes: broadcast dims, top-k is TakeOrdered, no Cartesian") {
+    val q3 = planOf(entry.TpchQueries.queries("tpch_q3")(spark, dir))
+    assert(q3.contains("BroadcastHashJoin"), q3.take(2000))
+    assert(q3.contains("TakeOrderedAndProject"),
+      "top-10 must cap via TakeOrderedAndProject, not a global sort")
+    assert(!q3.contains("CartesianProduct"))
+    val q18 = planOf(entry.TpchQueries.queries("tpch_q18")(spark, dir))
+    assert(q18.contains("BroadcastHashJoin") &&
+      q18.contains("TakeOrderedAndProject") &&
+      !q18.contains("CartesianProduct"), q18.take(3000))
+  }
+
   test("windowed aggregation has map-side partial aggregation") {
     val plan = planOf(entry.AggrQueries.queries("aggr_sum")(spark, dir))
     // HashAggregate appears in partial + final pairs around one exchange
