@@ -241,6 +241,14 @@ object PipelineQueries extends QueryProvider {
       TextOps.repetition(docsWide(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
       TextOps.quality(docsWide(s, d)).orderBy("doc_id")),
+    // the Gopher rule battery (word bounds / mean word length / symbol
+    // ratio / alpha fraction / stop words) — row-local, one scan; the
+    // stop list is the engine's corpus-adapted one (the canonical 8
+    // mostly don't occur in this synthetic vocabulary — only 'the' does,
+    // which would fail every document on one undiscriminating rule)
+    "text_gopher" -> ((s, d) =>
+      TextOps.gopherRules(docsWide(s, d), stops = TextOps.Stopwords)
+        .orderBy("doc_id")),
     "text_langid" -> ((s, d) =>
       TextOps.langid(docsWide(s, d)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
@@ -372,6 +380,7 @@ object PipelineQueries extends QueryProvider {
     "text_bigrams" -> TextOps.bigramTopKSql(50),
     "text_tokens" -> TextOps.tokensSql,
     "text_repetition" -> TextOps.repetitionSql,
+    "text_gopher" -> TextOps.gopherRulesSql(stopList = TextOps.Stopwords),
     "text_quality" -> TextOps.qualitySql,
     "text_langid" -> TextOps.langidSql,
     "text_fingerprint" -> TextOps.fingerprintSql,

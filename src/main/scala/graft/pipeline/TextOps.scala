@@ -466,4 +466,84 @@ object TextOps {
        |       (top2_frac > $Top2Threshold OR top3_frac > $Top3Threshold
        |        OR dup5_frac > $Dup5Threshold) AS repetitive
        |FROM m ORDER BY doc_id""".stripMargin
+
+  /** The Gopher document-level quality rules (Rae et al. 2021, §A.1.1 —
+    * the filter battery most LLM corpus pipelines start from), restated
+    * over this corpus's structure (no line breaks → the line-based rules
+    * don't apply; the repetition rules live in [[repetition]]):
+    *
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10]
+    *   - symbol-to-word ratio ('#' or '…' as '...') ≤ 0.1
+    *   - ≥ 80 % of words contain an alphabetic character
+    *   - at least 2 of the 8 Gopher stop words present
+    *
+    * All row-local column arithmetic (one scan, no shuffle, stream-safe);
+    * every ratio is a double computed in the same op order as the SQL
+    * mirror. Output: per-rule fields + the conjunction `keep`.
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 30,
+                  maxWords: Int = 100000,
+                  stops: Seq[String] = GopherStops): DataFrame = {
+    val w = split(trim(col("text")), " ")
+    val nW = size(w).cast("double")
+    val wlen = (length(col("text")).cast("double") - (nW - 1)) / nW
+    val alphaFrac = size(filter(w, x => x.rlike("[a-zA-Z]")))
+      .cast("double") / nW
+    val hashN = (length(col("text")) -
+      length(translate(col("text"), "#", ""))).cast("double")
+    val ellN = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+      .cast("double")
+    val symRatio = (hashN + ellN) / nW
+    val stopCount = stops.map(sw =>
+      when(array_contains(w, sw), 1).otherwise(0)).reduce(_ + _)
+    docs
+      .withColumn("n_words", size(w).cast("long"))
+      .withColumn("mean_word_len", wlen)
+      .withColumn("symbol_ratio", symRatio)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("stop_count", stopCount.cast("long"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
+          col("stop_count") >= 2)
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_frac", "stop_count", "keep")
+  }
+
+  /** the 8 Gopher stop words */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** DuckDB mirror of [[gopherRules]]. */
+  def gopherRulesSql(minWords: Int = 30, maxWords: Int = 100000,
+                     stopList: Seq[String] = GopherStops): String = {
+    val stops = stopList.map(sw =>
+      s"(CASE WHEN list_contains(w, '$sw') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ws AS (SELECT doc_id, text,
+       |              string_split(trim(text), ' ') AS w FROM documents),
+       |m AS (SELECT doc_id,
+       |        CAST(len(w) AS BIGINT) AS n_words,
+       |        (CAST(length(text) AS DOUBLE) - (CAST(len(w) AS DOUBLE) - 1))
+       |          / CAST(len(w) AS DOUBLE) AS mean_word_len,
+       |        (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+       |         + CAST((length(text) -
+       |             length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3
+       |             AS DOUBLE))
+       |          / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+       |        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+       |             AS DOUBLE) / CAST(len(w) AS DOUBLE) AS alpha_frac,
+       |        CAST($stops AS BIGINT) AS stop_count
+       |      FROM ws)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |       stop_count,
+       |       (n_words >= $minWords AND n_words <= $maxWords
+       |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+       |        AND stop_count >= 2) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

@@ -56,4 +56,22 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = run(1L -> "  a  b ")
     assert(out(1L) == ((1.0, 0.0, 0.0, true)))
   }
+
+  test("gopher rules: each rule can fail a doc on its own") {
+    val s = spark
+    import s.implicits._
+    val good = ("the cat and dog " * 10).trim              // passes all
+    val docs = Seq(
+      1L -> good,
+      2L -> "the and of",                                  // too few words
+      3L -> ("a b c d " * 10 + "the and").trim,            // mean len < 3
+      4L -> (good + " ### ## # # # #"),                    // symbols
+      5L -> (("1 2 3 4 5 6 7 8 9 0 " * 4) + good),         // alpha < 0.8
+      6L -> ("cat dog bird fish " * 10).trim               // no stop words
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, minWords = 10, maxWords = 1000)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out(1L), "the clean doc must keep")
+    (2L to 6L).foreach(i => assert(!out(i), s"doc $i must fail"))
+  }
 }
