@@ -682,6 +682,31 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "update")
   }
 
+  /** Streaming transition-matrix gate: per-user last-event state emits
+    * within-session (from, to) steps, a grouped count keeps the live
+    * matrix; the in-order replay reproduces the batch
+    * [[graft.ops.Sessions.transitions]] exactly.
+    */
+  private def runTransitions(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("user_id"), col("event_type"))
+      .where(col("ts") < timestamp_millis(lit(SentinelMs)))
+    val out = graft.streaming.EventStream.transitions(stream,
+      EventQueries.SessionGapMs, "0 seconds")
+    drain(s, out, "update")
+  }
+
   /** Streaming rolling z-score gate: the purchase event stream keyed per
     * (event_type, user) series, scored online against the trailing-10
     * distribution. The replay arrives in event-time order, so the online
@@ -739,6 +764,7 @@ object StreamQueries extends QueryProvider {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessionize" -> ((s, d) => runSessionize(s, d)),
     "stream_funnel" -> ((s, d) => runFunnel(s, d)),
+    "stream_transitions" -> ((s, d) => runTransitions(s, d)),
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
     "stream_ewma" -> ((s, d) => runEwma(s, d)),
     "stream_avg" -> ((s, d) =>
@@ -792,6 +818,10 @@ object StreamQueries extends QueryProvider {
     // keyed funnel state + live counts ≡ the batch strictly-ordered funnel
     "stream_funnel" ->
       graft.ops.Sessions.funnelSql(EventQueries.FunnelSteps),
+    // keyed last-event state + live counts ≡ the batch session-bounded
+    // transition matrix
+    "stream_transitions" ->
+      graft.ops.Sessions.transitionsSql(EventQueries.SessionGapMs),
     // keyed rolling state ≡ the batch dyadic trailing-window smoother
     "stream_ewma" ->
       s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)

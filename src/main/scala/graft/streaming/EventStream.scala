@@ -71,6 +71,56 @@ object EventStream {
     * analytics funnel is a lifetime property); bound it with a state-
     * TTL variant if user cardinality is unbounded.
     */
+  /** per-user last-event state for [[transitions]] */
+  final case class TransSt(lastTsMs: Long, lastType: String)
+
+  /** Online transition matrix — the streaming form of
+    * [[graft.ops.Sessions.transitions]]: per-user keyed state holds the
+    * last event (timestamp, type); an arriving event within the session
+    * gap of it emits one (from, to) step, and a downstream grouped count
+    * keeps the live matrix (run in update mode). A gap larger than
+    * `gapMs` breaks the chain exactly as the batch session rule does.
+    *
+    * Same in-order contract as [[funnel]]: events fold in event-time
+    * order within a micro-batch, arrivals at or behind the per-user
+    * frontier drop (a stream cannot splice a transition into history).
+    * An in-order replay therefore reproduces the batch matrix exactly.
+    * State is one (long, string) per user.
+    */
+  def transitions(events: DataFrame, gapMs: Long,
+                  delay: String): DataFrame = {
+    val inEnc = Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong,
+      Encoders.STRING)
+    val outEnc = Encoders.product[(String, String)]
+    def fold(user: Long,
+             rows: Iterator[(java.sql.Timestamp, Long, String)],
+             state: GroupState[TransSt]): Iterator[(String, String)] = {
+      var last = state.getOption.orNull
+      val out = Seq.newBuilder[(String, String)]
+      for ((ts, _, tpe) <- rows.toSeq.sortBy(_._1.getTime)) {
+        val t = ts.getTime
+        if (last == null || t > last.lastTsMs) {
+          if (last != null && t - last.lastTsMs <= gapMs)
+            out += ((last.lastType, tpe))
+          last = TransSt(t, tpe)
+        }
+      }
+      if (last != null) state.update(last)
+      out.result().iterator
+    }
+    events
+      .withWatermark("ts", delay)
+      .selectExpr("ts", "user_id", "event_type")
+      .as[(java.sql.Timestamp, Long, String)](inEnc)
+      .groupByKey(_._2)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)(
+        Encoders.product[TransSt], outEnc)
+      .toDF("from_type", "to_type")
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   def funnel(events: DataFrame, steps: Seq[String],
              delay: String): DataFrame = {
     require(steps.nonEmpty)

@@ -127,4 +127,38 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((20L, 1L, "click"), (5L, 1L, "view")))
     assert(counts == Map((0L, "view") -> 1L))
   }
+
+  private def transStream(batches: Seq[(Long, Long, String)]*)
+      : Map[(String, String), Long] = {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val ev = in.toDF().toDF("tsMs", "user_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .select("ts", "user_id", "event_type")
+    val out = EventStream.transitions(ev, Gap, "0 seconds")
+    val name = s"trans_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    val res = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap // update-mode sink: later rows for a key overwrite by toMap
+    q.stop()
+    res
+  }
+
+  test("transitions: state carries across batches, gaps break chains," +
+    " late arrivals drop") {
+    val counts = transStream(
+      Seq((0L, 1L, "a"), (10L, 1L, "b")),              // a→b
+      Seq((20L, 1L, "c"),                              // b→c (cross-batch)
+        (5000L, 1L, "d"),                              // gap > 1 s: no c→d
+        (5010L, 1L, "a"),                              // d→a
+        (5L, 1L, "x")))                                // behind frontier (10)
+    assert(counts == Map(("a", "b") -> 1L, ("b", "c") -> 1L,
+      ("d", "a") -> 1L))
+  }
 }
