@@ -38,6 +38,17 @@ object JoinQueries extends QueryProvider {
         "prior_click", toleranceMs = 86400000L)
         .orderBy("muser", "ts_ms")
     }),
+    // the forward direction: the NEXT click at or after each purchase
+    "asof_forward" -> ((s, d) => {
+      val ser = SeriesOps.series(s, d)
+      val l = ser.where(col("mtype") === "purchase" && col("muser") < 5)
+        .select(col("muser"), col("ts_ms"), col("value"))
+      val r = ser.where(col("mtype") === "click" && col("muser") < 5)
+        .select(col("muser"), col("ts_ms"), col("value"))
+      AsofJoin.asofForward(l, r, Seq("muser"), "ts_ms", "value",
+        "next_click")
+        .orderBy("muser", "ts_ms")
+    }),
     // clicks inside each user's high-purchase days (interval containment):
     // intervals = days whose purchase mean > 20, points = click series
     "range_clicks" -> ((s, d) => {
@@ -78,6 +89,16 @@ object JoinQueries extends QueryProvider {
          |         AS prior_click
          |FROM l ASOF LEFT JOIN r
          |  ON l.muser = r.muser AND r.rts <= l.ts_ms
+         |ORDER BY l.muser, l.ts_ms""".stripMargin,
+    "asof_forward" ->
+      s"""WITH series AS (${SeriesOps.seriesSql}),
+         |l AS (SELECT muser, ts_ms, value FROM series
+         |      WHERE mtype = 'purchase' AND muser < 5),
+         |r AS (SELECT muser, ts_ms AS rts, value AS next_click FROM series
+         |      WHERE mtype = 'click' AND muser < 5)
+         |SELECT l.muser, l.ts_ms, l.value, r.next_click
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.muser = r.muser AND r.rts >= l.ts_ms
          |ORDER BY l.muser, l.ts_ms""".stripMargin,
     "range_clicks" ->
       s"""WITH series AS (${SeriesOps.seriesSql}),

@@ -761,12 +761,39 @@ object StreamQueries extends QueryProvider {
     drain(s, out.toDF(), "append")
   }
 
+  /** Streaming rate gate: last-point keyed state, PromQL reset
+    * semantics, same replay/keying as [[runZscore]].
+    */
+  private def runRate(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("event_type"), col("user_id"),
+        col("value"))
+      .where(col("event_type") === "purchase" &&
+        col("ts") < timestamp_millis(lit(SentinelMs)))
+    import s.implicits._
+    val out = graft.streaming.SeriesStream.rate(s,
+      stream.as[graft.streaming.SeriesStream.Ev])
+    drain(s, out.toDF(), "append")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessionize" -> ((s, d) => runSessionize(s, d)),
     "stream_funnel" -> ((s, d) => runFunnel(s, d)),
     "stream_transitions" -> ((s, d) => runTransitions(s, d)),
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
     "stream_ewma" -> ((s, d) => runEwma(s, d)),
+    "stream_rate" -> ((s, d) => runRate(s, d)),
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
     "stream_avg_slots" -> ((s, d) => runDql(s, d, AvgDql, "append")),
@@ -829,6 +856,14 @@ object StreamQueries extends QueryProvider {
          |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
          |           FROM events WHERE event_type = 'purchase'),
          |${graft.ops.Rolling.ewmaSql(8)}
+         |ORDER BY metric, ts_ms""".stripMargin,
+    // keyed last-point state ≡ the batch counter-reset rate
+    "stream_rate" ->
+      s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)
+         |                 AS metric,
+         |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |${graft.ops.Rolling.rateSql}
          |ORDER BY metric, ts_ms""".stripMargin,
     // keyed rolling state ≡ the batch trailing-window z-score
     "stream_zscore" ->

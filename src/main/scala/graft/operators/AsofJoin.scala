@@ -58,6 +58,34 @@ object AsofJoin {
       .select(leftCols.map(col) :+ col(as): _*)
   }
 
+  /** FORWARD as-of: for every left row, the right side's value at the
+    * SMALLEST right timestamp ≥ the left timestamp, per key — the "next
+    * observation" join (lead enrichment). Same union+one-window-sweep
+    * shape as [[asof]], mirrored: left rows sort BEFORE right rows at
+    * equal ts and the frame looks forward, giving the inclusive `≥`.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: Seq[String],
+                  ts: String, valueCol: String, as: String): DataFrame = {
+    val vType = right.schema(valueCol).dataType
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__side", lit(0))
+      .withColumn("__rv", lit(null).cast(vType))
+    val rBase = right.select((key :+ ts).map(col) :+ col(valueCol).as("__rv"): _*)
+      .withColumn("__side", lit(1))
+    val r = leftCols.foldLeft(rBase) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn(as, first(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .select(leftCols.map(col) :+ col(as): _*)
+  }
+
   /** Shared union+window sweep: returns the left rows extended with the
     * as-of value (`as`) and the timestamp it was observed at (`__rts`).
     */

@@ -236,6 +236,46 @@ object SeriesStream {
       }
   }
 
+  /** emitted rated point; `rate` None on each series' first point */
+  final case class Rt(metric: String, ts_ms: Long, value: Double,
+                      rate: Option[Double])
+
+  /** per-series last-point state for [[rate]] */
+  final case class RSt(lastTsMs: Long, lastValue: Double)
+
+  /** Streaming counter-reset-aware rate — the online form of
+    * [[graft.ops.Rolling.rate]]: state per series is the last (ts,
+    * value); each arrival emits its per-second rate with PromQL reset
+    * semantics (a decrease contributes the restarted value). Same
+    * ordering contract as [[derivate]]; an in-order replay reproduces
+    * the batch operator bit-for-bit (identical double arithmetic).
+    */
+  def rate(spark: SparkSession, events: Dataset[Ev]): Dataset[Rt] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => s"${e.event_type}.${e.user_id}")
+      .flatMapGroupsWithState[RSt, Rt](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Ev], state: GroupState[RSt]) =>
+          var last = state.getOption.orNull
+          val out = Vector.newBuilder[Rt]
+          for ((t, v) <- rows.map(e => (e.ts.getTime, e.value)).toSeq
+                 .sortBy(_._1) if last == null || t > last.lastTsMs) {
+            val r =
+              if (last == null) None
+              else {
+                val delta =
+                  if (v - last.lastValue < 0.0) v else v - last.lastValue
+                Some(delta / ((t - last.lastTsMs) / 1000.0))
+              }
+            out += Rt(metric, t, v, r)
+            last = RSt(t, v)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** Per-series gap detection with explicit state: keeps the last seen
     * slot per series; when a new point arrives more than one resolution
     * step later, emits the gap. Slots at or before the stored frontier

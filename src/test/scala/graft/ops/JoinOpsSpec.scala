@@ -62,6 +62,18 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tight.toSeq == Seq(None, None, Some(7.5), None))
   }
 
+  test("asofForward: smallest right ts >= left ts, inclusive at equality") {
+    val out = AsofJoin.asofForward(leftDf, rightDf, Seq("k"), "ts_ms",
+      "value", "rv").orderBy("k", "ts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      (1L, 50L, Some(6.5)),     // next at 60
+      (1L, 100L, Some(7.5)),    // next at 200
+      (1L, 200L, Some(7.5)),    // inclusive: right at exactly 200
+      (2L, 100L, Some(9.9))))   // k=2 right point at 150 is ahead
+  }
+
   test("asof: plans without BroadcastNestedLoop/Cartesian") {
     val plan = AsofJoin.asof(leftDf, rightDf, Seq("k"), "ts_ms", "value",
       "rv").queryExecution.executedPlan.toString
