@@ -129,16 +129,20 @@ object Bench {
     // set — a violation marks the query failed rather than reporting a
     // flattering number.
     graft.core.Caches.releaseTransient(spark, blocking = true)
-    val sanctioned = graft.core.Caches.sanctionedBuilders(spark)
 
     // one measured pass: plan construction + analysis + contamination
     // assertion timed as `compile`, execution (noop sink) as `exec` —
     // separated so driver-side plan-construction noise is distinguishable
-    // from engine regressions in the artifact itself
+    // from engine regressions in the artifact itself. The sanctioned set
+    // is read AT CHECK TIME, not snapshotted before the loop: gates may
+    // register sanctioned artifacts mid-run (stream_logprob's frozen LM),
+    // and a later consumer of the same lineage (text_logprob) must see
+    // them as allowed — a stale snapshot failed exactly that query.
     def runOnce(name: String): (Double, Double) = {
       val c0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val dirty = graft.core.Caches.contaminatedRelations(df, sanctioned)
+      val dirty = graft.core.Caches.contaminatedRelations(df,
+        graft.core.Caches.sanctionedBuilders(spark))
       if (dirty.nonEmpty)
         throw new IllegalStateException(
           s"timed plan reads unsanctioned warm cache: ${dirty.mkString("; ")}")

@@ -558,6 +558,12 @@ object StreamQueries extends QueryProvider {
   private def runQuality(s: SparkSession, dir: String): DataFrame =
     drain(s, graft.pipeline.TextOps.quality(docStream(s, dir)), "append")
 
+  /** the batch Gopher rule battery unchanged on the stream (row-local,
+    * stateless append) — oracle = the batch SQL verbatim */
+  private def runGopher(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.TextOps.gopherRules(docStream(s, dir),
+      stops = graft.pipeline.TextOps.Stopwords), "append")
+
   /** live word-count leaderboard (complete mode republishes the current
     * top-k each trigger); the bounded replay's final board ≡ the batch
     * occurrence counts */
@@ -811,6 +817,7 @@ object StreamQueries extends QueryProvider {
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
     "stream_vocab" -> ((s, d) => runVocab(s, d)),
+    "stream_gopher" -> ((s, d) => runGopher(s, d)),
     "stream_logprob" -> ((s, d) => runLogProb(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_redact" -> ((s, d) => runRedact(s, d)),
@@ -979,6 +986,9 @@ object StreamQueries extends QueryProvider {
     // the batch text-quality operator runs unchanged on the stream, so
     // the batch oracle applies verbatim
     "stream_quality" -> graft.pipeline.TextOps.qualitySql,
+    // batch rule battery stateless on the stream, batch oracle verbatim
+    "stream_gopher" -> graft.pipeline.TextOps.gopherRulesSql(
+      stopList = graft.pipeline.TextOps.Stopwords),
     // live heavy-hitter leaderboard: final complete-mode board ≡ the
     // batch occurrence counts (doc frequency needs a distinct aggregate,
     // unsupported over streams — occurrence-only by design)
