@@ -767,6 +767,36 @@ object StreamQueries extends QueryProvider {
     drain(s, out.toDF(), "append")
   }
 
+  /** Stream-static as-of gate: the purchase event stream enriched with
+    * each user's latest prior click from the STATIC click history (the
+    * packed-index posture — one stateless equi-join + row-local fold).
+    */
+  private def runAsof(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val left = s.readStream.schema(sch).parquet(staged)
+      .where(col("event_type") === "purchase" &&
+        tsCol < timestamp_millis(lit(SentinelMs)))
+      .select(col("user_id"), unix_millis(tsCol).as("ts_ms"), col("value"))
+    val right = SeriesOps.events(s, dir, widen = false)
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms"), col("value"))
+    val idx = graft.streaming.AsofStream.packed(right, Seq("user_id"),
+      "ts_ms", "value")
+    val out = graft.streaming.AsofStream.asof(left, idx, Seq("user_id"),
+      "ts_ms", "prior_click")
+    drain(s, out, "append")
+  }
+
   /** Streaming rate gate: last-point keyed state, PromQL reset
     * semantics, same replay/keying as [[runZscore]].
     */
@@ -800,6 +830,7 @@ object StreamQueries extends QueryProvider {
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
     "stream_ewma" -> ((s, d) => runEwma(s, d)),
     "stream_rate" -> ((s, d) => runRate(s, d)),
+    "stream_asof" -> ((s, d) => runAsof(s, d)),
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
     "stream_avg_slots" -> ((s, d) => runDql(s, d, AvgDql, "append")),
@@ -864,6 +895,18 @@ object StreamQueries extends QueryProvider {
          |           FROM events WHERE event_type = 'purchase'),
          |${graft.ops.Rolling.ewmaSql(8)}
          |ORDER BY metric, ts_ms""".stripMargin,
+    // stateless packed-index probe ≡ DuckDB's native ASOF JOIN
+    "stream_asof" ->
+      """WITH l AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+        |               value
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS rts,
+        |             value AS pv
+        |      FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.ts_ms, l.value, r.pv AS prior_click
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND r.rts <= l.ts_ms
+        |ORDER BY l.user_id, l.ts_ms""".stripMargin,
     // keyed last-point state ≡ the batch counter-reset rate
     "stream_rate" ->
       s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)
