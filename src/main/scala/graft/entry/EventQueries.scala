@@ -59,6 +59,11 @@ object EventQueries extends QueryProvider {
         graft.ops.Sessions.retention(
           SeriesOps.events(s, d, widen = false), bucketMs = 604800000L)
           .orderBy("cohort", "bucket_offset")),
+      // the funnel with a 3-day conversion deadline (windowFunnel shape)
+      "events_funnel_window" -> ((s, d) =>
+        graft.ops.Sessions.funnelWithin(
+          SeriesOps.events(s, d, widen = false), FunnelSteps,
+          windowMs = 259200000L).orderBy("step_idx")),
       // within-session event-type transition matrix (Markov view)
       "events_transitions" -> ((s, d) =>
         graft.ops.Sessions.transitions(
@@ -76,5 +81,7 @@ object EventQueries extends QueryProvider {
       "events_funnel" -> graft.ops.Sessions.funnelSql(FunnelSteps),
       "events_paths" -> graft.ops.Sessions.topPathsSql(3, 20),
       "events_retention" -> graft.ops.Sessions.retentionSql(604800000L),
+      "events_funnel_window" ->
+        graft.ops.Sessions.funnelWithinSql(FunnelSteps, 259200000L),
       "events_transitions" -> graft.ops.Sessions.transitionsSql(SessionGapMs))
 }

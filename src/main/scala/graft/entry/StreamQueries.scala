@@ -688,6 +688,29 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "update")
   }
 
+  /** [[runFunnel]] with the 3-day conversion deadline — the online
+    * windowFunnel; oracle = the batch deadline funnel.
+    */
+  private def runFunnelWindow(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("user_id"), col("event_type"))
+      .where(col("ts") < timestamp_millis(lit(SentinelMs)))
+    val out = graft.streaming.EventStream.funnelWithin(stream,
+      EventQueries.FunnelSteps, "0 seconds", windowMs = 259200000L)
+    drain(s, out, "update")
+  }
+
   /** Streaming transition-matrix gate: per-user last-event state emits
     * within-session (from, to) steps, a grouped count keeps the live
     * matrix; the in-order replay reproduces the batch
@@ -826,6 +849,7 @@ object StreamQueries extends QueryProvider {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessionize" -> ((s, d) => runSessionize(s, d)),
     "stream_funnel" -> ((s, d) => runFunnel(s, d)),
+    "stream_funnel_window" -> ((s, d) => runFunnelWindow(s, d)),
     "stream_transitions" -> ((s, d) => runTransitions(s, d)),
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
     "stream_ewma" -> ((s, d) => runEwma(s, d)),
@@ -883,6 +907,11 @@ object StreamQueries extends QueryProvider {
     // keyed funnel state + live counts ≡ the batch strictly-ordered funnel
     "stream_funnel" ->
       graft.ops.Sessions.funnelSql(EventQueries.FunnelSteps),
+    // keyed funnel state with the conversion deadline ≡ the batch
+    // deadline funnel (zero-converter steps emit no row online; every
+    // step converts at least one user in the testdata, same as funnel)
+    "stream_funnel_window" -> graft.ops.Sessions.funnelWithinSql(
+      EventQueries.FunnelSteps, 259200000L),
     // keyed last-event state + live counts ≡ the batch session-bounded
     // transition matrix
     "stream_transitions" ->

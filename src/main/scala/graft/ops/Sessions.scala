@@ -150,7 +150,28 @@ object Sessions {
     *
     * Output: one row per step — (step_idx, step, users).
     */
-  def funnel(ev: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnel(ev: DataFrame, steps: Seq[String]): DataFrame =
+    funnelImpl(ev, steps, None)
+
+  /** [[funnel]] with a conversion deadline (the ClickHouse
+    * `windowFunnel` semantics): step i counts only when it occurs
+    * strictly after step i−1 AND within `windowMs` of the user's step-0
+    * time — the "converted within 3 days" product question, which the
+    * unbounded funnel overstates. Same single-shuffle plan: the deadline
+    * is one more predicate inside each windowed min.
+    *
+    * Note the bound is against the FIRST qualifying step-0 event; a
+    * later step-0 occurrence does not re-open the window (first-arrival
+    * attribution, matching the unbounded funnel's t0).
+    */
+  def funnelWithin(ev: DataFrame, steps: Seq[String],
+                   windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be > 0, got $windowMs")
+    funnelImpl(ev, steps, Some(windowMs))
+  }
+
+  private def funnelImpl(ev: DataFrame, steps: Seq[String],
+                         windowMs: Option[Long]): DataFrame = {
     require(steps.nonEmpty)
     val w = Window.partitionBy("user_id")
     val base = ev.select("user_id", "event_type", "ts_ms")
@@ -159,9 +180,12 @@ object Sessions {
         df.withColumn("t0",
           min(when(col("event_type") === step, col("ts_ms"))).over(w))
       case (df, (step, i)) =>
+        val inOrder = col("event_type") === step &&
+          col("ts_ms") > col(s"t${i - 1}")
+        val qualifies = windowMs.fold(inOrder)(ms =>
+          inOrder && col("ts_ms") <= col("t0") + ms)
         df.withColumn(s"t$i",
-          min(when(col("event_type") === step &&
-            col("ts_ms") > col(s"t${i - 1}"), col("ts_ms"))).over(w))
+          min(when(qualifies, col("ts_ms"))).over(w))
     }
     val counts = withTimes.groupBy().agg(
       steps.indices.map(i =>
@@ -179,10 +203,18 @@ object Sessions {
   }
 
   /** DuckDB mirror of [[funnel]]. */
-  def funnelSql(steps: Seq[String]): String = {
+  def funnelSql(steps: Seq[String]): String = funnelSqlImpl(steps, None)
+
+  /** DuckDB mirror of [[funnelWithin]]. */
+  def funnelWithinSql(steps: Seq[String], windowMs: Long): String =
+    funnelSqlImpl(steps, Some(windowMs))
+
+  private def funnelSqlImpl(steps: Seq[String],
+                            windowMs: Option[Long]): String = {
     val e = """e AS (SELECT user_id, event_type,
               |          CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events)"""
       .stripMargin
+    val bound = windowMs.fold("")(ms => s" AND e.ts_ms <= u.t0 + $ms")
     val stages = steps.zipWithIndex.map {
       case (step, 0) =>
         s"""u0 AS (SELECT user_id,
@@ -191,7 +223,7 @@ object Sessions {
       case (step, i) =>
         val prev = (0 until i).map(j => s"t$j").mkString(", ")
         s"""u$i AS (SELECT u.user_id, $prev,
-           |    MIN(CASE WHEN e.event_type = '$step' AND e.ts_ms > u.t${i - 1}
+           |    MIN(CASE WHEN e.event_type = '$step' AND e.ts_ms > u.t${i - 1}$bound
            |             THEN e.ts_ms END) AS t$i
            |  FROM u${i - 1} u JOIN e USING (user_id) GROUP BY ALL)"""
           .stripMargin

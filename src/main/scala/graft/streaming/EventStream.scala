@@ -122,7 +122,22 @@ object EventStream {
   }
 
   def funnel(events: DataFrame, steps: Seq[String],
-             delay: String): DataFrame = {
+             delay: String): DataFrame =
+    funnelImpl(events, steps, delay, windowMs = 0L)
+
+  /** [[funnel]] with a conversion deadline
+    * ([[graft.ops.Sessions.funnelWithin]]'s rule online): step i ≥ 1
+    * records only within `windowMs` of the user's recorded step-0 time.
+    * Same state, one more comparison in the fold.
+    */
+  def funnelWithin(events: DataFrame, steps: Seq[String], delay: String,
+                   windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be > 0, got $windowMs")
+    funnelImpl(events, steps, delay, windowMs)
+  }
+
+  private def funnelImpl(events: DataFrame, steps: Seq[String],
+                         delay: String, windowMs: Long): DataFrame = {
     require(steps.nonEmpty)
     val n = steps.size
     val inEnc = Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong,
@@ -139,7 +154,8 @@ object EventStream {
         var i = 0
         while (i < n) {
           if (steps(i) == tpe && times(i) < 0 &&
-            (i == 0 || (times(i - 1) >= 0 && ts.getTime > times(i - 1)))) {
+            (i == 0 || (times(i - 1) >= 0 && ts.getTime > times(i - 1) &&
+              (windowMs == 0L || ts.getTime <= times(0) + windowMs)))) {
             times(i) = ts.getTime
             changed = true
             out += ((i.toLong, steps(i)))

@@ -182,6 +182,24 @@ class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(to.last.getDouble(3) - 2.0 / 3.0) < 1e-12)
   }
 
+  test("funnelWithin: deadline binds to first step-0; boundary inclusive") {
+    // u1: a@0, b@50 — inside a 50 window (inclusive boundary), converts.
+    // u2: a@0, b@51 — one past the deadline, step 1 does not count.
+    // u3: a@0, a@100, b@120 — the LATER a does not re-open the window.
+    val df = ev(
+      (1L, 0L, 1L, "a", 0.0), (2L, 50L, 1L, "b", 0.0),
+      (3L, 0L, 2L, "a", 0.0), (4L, 51L, 2L, "b", 0.0),
+      (5L, 0L, 3L, "a", 0.0), (6L, 100L, 3L, "a", 0.0),
+      (7L, 120L, 3L, "b", 0.0))
+    val out = Sessions.funnelWithin(df, Seq("a", "b"), windowMs = 50L)
+      .orderBy("step_idx").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(3L, 1L)) // 3 start, only u1 converts
+    // and the unbounded funnel would have counted all three
+    val un = Sessions.funnel(df, Seq("a", "b"))
+      .orderBy("step_idx").collect().map(_.getLong(2))
+    assert(un.toSeq == Seq(3L, 3L))
+  }
+
   test("rate: counter resets contribute the restarted value, elapsed" +
     " time divides") {
     val s = spark

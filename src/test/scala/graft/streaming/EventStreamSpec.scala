@@ -128,6 +128,30 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts == Map((0L, "view") -> 1L))
   }
 
+  test("funnelWithin online: the deadline blocks a too-late step") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val ev = in.toDF().toDF("tsMs", "user_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .select("ts", "user_id", "event_type")
+    val out = EventStream.funnelWithin(ev, Seq("view", "click"),
+      "0 seconds", windowMs = 50L)
+    val name = s"fw_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    // u1 clicks ON the deadline (inclusive); u2 clicks one ms past it
+    in.addData((0L, 1L, "view"), (50L, 1L, "click"),
+      (0L, 2L, "view"), (51L, 2L, "click"))
+    q.processAllAvailable()
+    val res = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    assert(res == Map((0L, "view") -> 2L, (1L, "click") -> 1L))
+  }
+
   private def transStream(batches: Seq[(Long, Long, String)]*)
       : Map[(String, String), Long] = {
     val s = spark
