@@ -59,6 +59,11 @@ object EventQueries extends QueryProvider {
         graft.ops.Sessions.retention(
           SeriesOps.events(s, d, widen = false), bucketMs = 604800000L)
           .orderBy("cohort", "bucket_offset")),
+      // the DAU/WAU board: daily + trailing-7-day distinct actives
+      "events_active" -> ((s, d) =>
+        graft.ops.Sessions.activeUsers(
+          SeriesOps.events(s, d, widen = false), dayMs = 86400000L,
+          windowDays = 7).orderBy("day")),
       // the funnel with a 3-day conversion deadline (windowFunnel shape)
       "events_funnel_window" -> ((s, d) =>
         graft.ops.Sessions.funnelWithin(
@@ -81,6 +86,8 @@ object EventQueries extends QueryProvider {
       "events_funnel" -> graft.ops.Sessions.funnelSql(FunnelSteps),
       "events_paths" -> graft.ops.Sessions.topPathsSql(3, 20),
       "events_retention" -> graft.ops.Sessions.retentionSql(604800000L),
+      "events_active" ->
+        graft.ops.Sessions.activeUsersSql(86400000L, 7),
       "events_funnel_window" ->
         graft.ops.Sessions.funnelWithinSql(FunnelSteps, 259200000L),
       "events_transitions" -> graft.ops.Sessions.transitionsSql(SessionGapMs))

@@ -268,6 +268,11 @@ object PipelineQueries extends QueryProvider {
     "sample_mixture" -> ((s, d) =>
       Curation.sampleMixture(docs(s, d), "lang", nRef = 100L)
         .orderBy("doc_id")),
+    // per-source quota cap: at most 15 hash-first docs per source (the
+    // domain-dominance guard; window group limit, deterministic draw)
+    "sample_quota" -> ((s, d) =>
+      Curation.sampleQuota(docs(s, d), "source", 15)
+        .orderBy("source", "rank")),
     // per-document top-3 TF-IDF terms (keyword extraction)
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopK(docs(s, d), 3).orderBy("doc_id", "rank")),
@@ -388,6 +393,7 @@ object PipelineQueries extends QueryProvider {
     "sample_stratified" -> Curation.sampleStratifiedSql("lang", SampleRates,
       0.2, "doc_id, lang, source"),
     "sample_mixture" -> Curation.sampleMixtureSql("lang", 100L),
+    "sample_quota" -> Curation.sampleQuotaSql("source", 15),
     "text_tfidf" -> TextOps.tfidfTopKSql(3),
     "text_logprob" -> TextOps.unigramLogProbSql,
     "sample_by_cluster" -> Curation.sampleByClusterSql(8, Dim, 10),

@@ -286,6 +286,49 @@ object Sessions {
       .agg(count_distinct(col("user_id")).as("active_users"))
   }
 
+  /** Rolling active users — the DAU/WAU board: per calendar day (bucket
+    * of `dayMs`), the distinct users active that day and the distinct
+    * users active in the trailing `windowDays` days. The trailing
+    * distinct cannot ride a window frame (distinct-over-range isn't a
+    * windowable aggregate), so each (user, day) activity row EXPLODES
+    * into the `windowDays` target days it covers — shuffle volume
+    * activity × windowDays, with map-side distinct on (day, user) — and
+    * a semi-join against the observed-day set drops phantom tail days.
+    *
+    * Day bucketing is exact integer division (`DIV`), not a double
+    * quotient. Output: (day, dau, wau).
+    */
+  def activeUsers(ev: DataFrame, dayMs: Long, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val a = ev.select(col("user_id"),
+      expr(s"ts_ms DIV $dayMs").as("day")).distinct()
+    val days = a.select("day").distinct()
+    val dau = a.groupBy("day")
+      .agg(count_distinct(col("user_id")).as("dau"))
+    val cov = a.select(col("user_id"),
+      explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("day"))
+    val wau = cov.join(days, Seq("day"), "left_semi")
+      .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+  }
+
+  /** DuckDB mirror of [[activeUsers]]. */
+  def activeUsersSql(dayMs: Long, windowDays: Int): String =
+    s"""WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+       |           FROM events),
+       |a AS (SELECT DISTINCT user_id, ts_ms // $dayMs AS day FROM e),
+       |days AS (SELECT DISTINCT day FROM a),
+       |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+       |        FROM a GROUP BY 1),
+       |cov AS (SELECT a.user_id, a.day + o.i AS day
+       |        FROM a CROSS JOIN
+       |          (SELECT unnest(range(0, $windowDays)) AS i) o),
+       |wau AS (SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+       |        FROM cov c SEMI JOIN days d USING (day) GROUP BY 1)
+       |SELECT day, dau.dau, wau.wau
+       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   /** DuckDB mirror of [[retention]]. */
   def retentionSql(bucketMs: Long): String =
     s"""WITH e AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms

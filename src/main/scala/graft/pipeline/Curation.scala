@@ -92,6 +92,39 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source quota sampling: keep at most `quota` documents per
+    * source, chosen hash-first (the [[sampleStratified]] md5(doc_id)
+    * uniform order, ties impossible) — the cap that stops any one
+    * domain from dominating a crawl mix while keeping the draw
+    * deterministic and engine-reproducible. Window-group-limited like
+    * [[topkByQuality]]: each task keeps its local `quota` before the
+    * exchange (InferWindowGroupLimit), so the shuffle carries
+    * O(partitions × quota) rows per source.
+    */
+  def sampleQuota(docs: DataFrame, strataCol: String,
+                  quota: Int): DataFrame = {
+    // doc_id tie-break: the 32-bit hash prefix can collide at corpus
+    // scale, and a collision straddling the quota boundary would be
+    // engine-nondeterministic without it
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(uniformHash.asc, col("doc_id").asc)
+    docs.select(col(strataCol), col("doc_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= quota)
+  }
+
+  /** SQL mirror of [[sampleQuota]] over `documents`. */
+  def sampleQuotaSql(strataCol: String, quota: Int): String =
+    s"""SELECT $strataCol, doc_id, rank FROM (
+       |  SELECT $strataCol, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY $strataCol
+       |           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+       |                    doc_id)
+       |           AS rank
+       |  FROM documents)
+       |WHERE rank <= $quota
+       |ORDER BY $strataCol, rank""".stripMargin
+
   // ------------------------------------------------- per-stratum top-k
 
   /** Keep the k highest-quality documents per stratum (quality from

@@ -182,6 +182,20 @@ class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(to.last.getDouble(3) - 2.0 / 3.0) < 1e-12)
   }
 
+  test("activeUsers: trailing window covers, expired days drop out") {
+    // dayMs=10: u1@day0, u2@day0, u2@day3, u1@day8; window=7 days
+    val df = ev(
+      (1L, 0L, 1L, "a", 0.0), (2L, 5L, 2L, "a", 0.0),
+      (3L, 30L, 2L, "a", 0.0), (4L, 80L, 1L, "a", 0.0))
+    val out = Sessions.activeUsers(df, dayMs = 10L, windowDays = 7)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L),   // both active day 0
+      (3L, 1L, 2L),   // dau=u2; wau still sees day-0 activity
+      (8L, 1L, 2L)))  // day 0 expired (covers 0–6); day 3 still in
+  }
+
   test("funnelWithin: deadline binds to first step-0; boundary inclusive") {
     // u1: a@0, b@50 — inside a 50 window (inclusive boundary), converts.
     // u2: a@0, b@51 — one past the deadline, step 1 does not count.
