@@ -54,6 +54,10 @@ object TransQueries extends QueryProvider {
       // counter-reset-aware per-second rate over the purchase series
       "series_rate" -> ((s: SparkSession, d: String) =>
         graft.ops.Rolling.rate(base(s, d))
+          .orderBy("metric", "ts_ms")),
+      // robust trailing-15 MAD anomaly flags over the purchase series
+      "series_mad" -> ((s: SparkSession, d: String) =>
+        graft.ops.Rolling.mad(base(s, d), n = 15, threshold = 3.0)
           .orderBy("metric", "ts_ms")))
 
   private def withSeries(body: String): String =
@@ -93,5 +97,11 @@ object TransQueries extends QueryProvider {
            |base AS (SELECT metric, ts_ms, value FROM series
            |         WHERE mtype = 'purchase'),
            |${graft.ops.Rolling.rateSql}
+           |ORDER BY metric, ts_ms""".stripMargin,
+      "series_mad" ->
+        s"""WITH series AS (${SeriesOps.seriesSql}),
+           |base AS (SELECT metric, ts_ms, value FROM series
+           |         WHERE mtype = 'purchase'),
+           |${graft.ops.Rolling.madSql(15, 3.0)}
            |ORDER BY metric, ts_ms""".stripMargin)
 }

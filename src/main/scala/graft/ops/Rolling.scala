@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -102,6 +102,76 @@ object Rolling {
        |SELECT metric, ts_ms, value,
        |       CAST(s AS DOUBLE) / CAST(wsum AS DOUBLE) / 1e7 AS ewma
        |FROM ew""".stripMargin
+  }
+
+  /** Trailing-n MAD anomaly score — the robust companion to [[zscore]]:
+    * each point is scored as `|v − median| / MAD` over its trailing
+    * window, where MAD is the median absolute deviation. Unlike the
+    * z-score, a single extreme point cannot inflate the denominator
+    * (median and MAD have a 50 % breakdown), so MAD flags survive bursty
+    * series that blind the moment-based score.
+    *
+    * A rolling median is not a windowable aggregate (and the nested
+    * MAD median depends on the outer one), so the frame's values are
+    * collected per row and both medians are row-local sorted-array
+    * picks — O(n log n) per point with n small, zero extra shuffle
+    * (same one sort per series as every Rolling operator). The even-
+    * count median interpolates `(a+b)/2.0`, identical op order both
+    * engines; a zero MAD (≥ half the window equal) yields NULL score,
+    * never flagged.
+    *
+    * Output: (metric, ts_ms, value, mad_score, anomaly).
+    */
+  def mad(series: DataFrame, n: Int, threshold: Double): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = Window.partitionBy("metric").orderBy("ts_ms")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    def medianOf(sorted: Column, cnt: Column): Column =
+      when(cnt % 2 === 1,
+        element_at(sorted, ((cnt + 1) / lit(2)).cast("int")))
+        .otherwise((element_at(sorted, (cnt / lit(2)).cast("int")) +
+          element_at(sorted, (cnt / lit(2)).cast("int") + 1)) / 2.0)
+    val lst = collect_list(col("value")).over(w)
+    series
+      .withColumn("__l", lst)
+      .withColumn("__c", size(col("__l")))
+      .withColumn("__med", medianOf(array_sort(col("__l")), col("__c")))
+      .withColumn("__mad", medianOf(
+        array_sort(transform(col("__l"), x => abs(x - col("__med")))),
+        col("__c")))
+      .withColumn("mad_score",
+        when(col("__mad") > 0.0,
+          abs(col("value") - col("__med")) / col("__mad")))
+      .withColumn("anomaly",
+        coalesce(col("mad_score") > threshold, lit(false)))
+      .select("metric", "ts_ms", "value", "mad_score", "anomaly")
+  }
+
+  /** DuckDB mirror of [[mad]] over a `series`-shaped relation named
+    * `base` (declare it in a WITH prefix).
+    */
+  def madSql(n: Int, threshold: Double): String = {
+    val frame = s"OVER (PARTITION BY metric ORDER BY ts_ms " +
+      s"ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+    def medianOf(sorted: String) =
+      s"CASE WHEN c % 2 = 1 THEN $sorted[(c+1)//2] " +
+        s"ELSE ($sorted[c//2] + $sorted[c//2 + 1])/2.0 END"
+    s"""lst AS (SELECT metric, ts_ms, value,
+       |            list(value) $frame AS l,
+       |            CAST(len(list(value) $frame) AS INTEGER) AS c
+       |        FROM base),
+       |md AS (SELECT *, ${medianOf("list_sort(l)")} AS med FROM lst),
+       |dv AS (SELECT *,
+       |           ${medianOf("list_sort(list_transform(l, x -> abs(x - med)))")}
+       |             AS mad
+       |       FROM md),
+       |sc AS (SELECT metric, ts_ms, value,
+       |           CASE WHEN mad > 0.0 THEN abs(value - med)/mad END
+       |             AS mad_score
+       |       FROM dv)
+       |SELECT metric, ts_ms, value, mad_score,
+       |       COALESCE(mad_score > $threshold, FALSE) AS anomaly
+       |FROM sc""".stripMargin
   }
 
   /** Counter-reset-aware per-second rate — the monitoring-engine `rate()`

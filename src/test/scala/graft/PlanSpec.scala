@@ -135,6 +135,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       entry.PipelineQueries.queries("sample_by_cluster")(spark, dir))
     assert(clu.contains("WindowGroupLimit"), clu.take(3000))
     assert(!clu.contains("CartesianProduct"), clu.take(3000))
+    // the per-source quota cap is the same rank-filter shape
+    val quota = planOf(
+      entry.PipelineQueries.queries("sample_quota")(spark, dir))
+    assert(quota.contains("WindowGroupLimit"), quota.take(3000))
+  }
+
+  test("DAU/WAU: observed-day filter is a semi-join, no Cartesian") {
+    val plan = planOf(
+      entry.EventQueries.queries("events_active")(spark, dir))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
   test("no pairwise operator plans an unblocked Cartesian product") {

@@ -214,6 +214,25 @@ class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(un.toSeq == Seq(3L, 3L))
   }
 
+  test("mad: robust flag on varied window; zero MAD yields NULL, no flag") {
+    val s = spark
+    import s.implicits._
+    // varied series then a spike: sorted window [9,9,11,11,100] → median
+    // 11, deviations sorted [0,0,2,2,89] → MAD 2, score |100−11|/2 = 44.5
+    val varied = (Seq(9.0, 11.0, 9.0, 11.0, 100.0).zipWithIndex.map {
+      case (v, i) => ("m", i.toLong, v) }).toDF("metric", "ts_ms", "value")
+    val vo = Rolling.mad(varied, n = 5, threshold = 3.0)
+      .orderBy("ts_ms").collect()
+    assert(vo.last.getBoolean(4) && vo.last.getDouble(3) == 44.5)
+    // majority-flat window: MAD 0 even with the spike present — the
+    // degenerate case yields NULL score and never flags
+    val flat = (Seq(10.0, 10.0, 10.0, 10.0, 100.0).zipWithIndex.map {
+      case (v, i) => ("m", i.toLong, v) }).toDF("metric", "ts_ms", "value")
+    val fo = Rolling.mad(flat, n = 5, threshold = 3.0)
+      .orderBy("ts_ms").collect()
+    assert(fo.last.isNullAt(3) && !fo.last.getBoolean(4))
+  }
+
   test("rate: counter resets contribute the restarted value, elapsed" +
     " time divides") {
     val s = spark
