@@ -820,6 +820,32 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append")
   }
 
+  /** Streaming MAD gate: robust trailing-window anomaly online, same
+    * replay/keying as [[runZscore]].
+    */
+  private def runMad(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("event_type"), col("user_id"),
+        col("value"))
+      .where(col("event_type") === "purchase" &&
+        col("ts") < timestamp_millis(lit(SentinelMs)))
+    import s.implicits._
+    val out = graft.streaming.SeriesStream.mad(s,
+      stream.as[graft.streaming.SeriesStream.Ev], n = 15, threshold = 3.0)
+    drain(s, out.toDF(), "append")
+  }
+
   /** Streaming rate gate: last-point keyed state, PromQL reset
     * semantics, same replay/keying as [[runZscore]].
     */
@@ -854,6 +880,7 @@ object StreamQueries extends QueryProvider {
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
     "stream_ewma" -> ((s, d) => runEwma(s, d)),
     "stream_rate" -> ((s, d) => runRate(s, d)),
+    "stream_mad" -> ((s, d) => runMad(s, d)),
     "stream_asof" -> ((s, d) => runAsof(s, d)),
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
@@ -936,6 +963,14 @@ object StreamQueries extends QueryProvider {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND r.rts <= l.ts_ms
         |ORDER BY l.user_id, l.ts_ms""".stripMargin,
+    // keyed rolling state ≡ the batch robust MAD anomaly
+    "stream_mad" ->
+      s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)
+         |                 AS metric,
+         |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |${graft.ops.Rolling.madSql(15, 3.0)}
+         |ORDER BY metric, ts_ms""".stripMargin,
     // keyed last-point state ≡ the batch counter-reset rate
     "stream_rate" ->
       s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)

@@ -236,6 +236,52 @@ object SeriesStream {
       }
   }
 
+  /** emitted MAD-scored point; `mad_score` None on a zero-MAD window */
+  final case class Md(metric: String, ts_ms: Long, value: Double,
+                      mad_score: Option[Double], anomaly: Boolean)
+
+  /** Streaming trailing-n MAD anomaly — the online form of
+    * [[graft.ops.Rolling.mad]]: same frontier+tail keyed state as
+    * [[zscore]], with the robust median/MAD score computed row-locally
+    * in the fold. The medians replicate the batch exactly — sorted
+    * window, `(a+b)/2.0` even-count interpolation, `|v − med| / MAD` —
+    * pure double arithmetic in one op order, so an in-order replay is
+    * bit-for-bit ≡ the batch operator.
+    */
+  def mad(spark: SparkSession, events: Dataset[Ev], n: Int,
+          threshold: Double): Dataset[Md] = {
+    import spark.implicits._
+    require(n >= 1, s"n must be >= 1, got $n")
+    def medianOf(sorted: IndexedSeq[Double]): Double = {
+      val c = sorted.length
+      if (c % 2 == 1) sorted((c + 1) / 2 - 1)
+      else (sorted(c / 2 - 1) + sorted(c / 2)) / 2.0
+    }
+    events
+      .groupByKey(e => s"${e.event_type}.${e.user_id}")
+      .flatMapGroupsWithState[ZSt, Md](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Ev], state: GroupState[ZSt]) =>
+          val st = state.getOption.getOrElse(ZSt(Long.MinValue, Nil))
+          var frontier = st.frontierMs
+          var buf = st.tail.toVector
+          val out = Vector.newBuilder[Md]
+          for ((t, v) <- rows.map(e => (e.ts.getTime, e.value)).toSeq
+                 .sortBy(_._1) if t > frontier) {
+            val win = (buf :+ v).takeRight(n)
+            val med = medianOf(win.sorted)
+            val madV = medianOf(win.map(x => math.abs(x - med)).sorted)
+            val score =
+              if (madV > 0.0) Some(math.abs(v - med) / madV) else None
+            out += Md(metric, t, v, score, score.exists(_ > threshold))
+            buf = win.takeRight(n - 1)
+            frontier = t
+          }
+          state.update(ZSt(frontier, buf))
+          out.result().iterator
+      }
+  }
+
   /** emitted rated point; `rate` None on each series' first point */
   final case class Rt(metric: String, ts_ms: Long, value: Double,
                       rate: Option[Double])
