@@ -64,6 +64,10 @@ object PipelineQueries extends QueryProvider {
     "dedup_canonical" -> ((s, d) =>
       Dedup.canonicalize(minhashPairs(s, d, 0.5))
         .orderBy("doc_id")),
+    // duplicate-cluster size histogram (corpus-health readout)
+    "dedup_stats" -> ((s, d) =>
+      Dedup.clusterStats(Dedup.canonicalize(minhashPairs(s, d, 0.5)))
+        .orderBy("cluster_size")),
     "sim_topk_brute" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteTopK(e, e.where(col("vec_id") < 5), k = 10)
@@ -339,6 +343,7 @@ object PipelineQueries extends QueryProvider {
     "dedup_ngram" -> Dedup.ngramJaccardPairsSql(0.3),
     "dedup_embed" -> Dedup.embedNearDupSql(6, Dim, 0.3),
     "dedup_canonical" -> Dedup.canonicalizeSql(Dedup.minhashPairsSql(0.5)),
+    "dedup_stats" -> Dedup.clusterStatsSql(Dedup.minhashPairsSql(0.5)),
     "sim_topk_brute" -> Similarity.bruteTopKSql(Dim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
     "sim_topk_lsh" -> Similarity.lshTopKSql(6, Dim, 5,

@@ -711,6 +711,38 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "update")
   }
 
+  /** Online DAU/WAU gate: both halves run the dedup→windowed-count
+    * chain (dropDuplicatesWithinWatermark feeding a window aggregation
+    * — the supported multi-stateful append pattern); the sentinel
+    * advances the watermark past every real day (and its 7-day
+    * coverage), the inner join on `day` drops both the sentinel's rows
+    * and phantom covered-but-never-active tail days, mirroring the
+    * batch semi-join.
+    */
+  private def runActive(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val dayMs = 86400000L
+    def stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("user_id"))
+    val dau = drain(s,
+      graft.streaming.EventStream.dailyActive(stream, dayMs), "append")
+    val wau = drain(s,
+      graft.streaming.EventStream.windowActive(stream, dayMs, 7), "append")
+    dau.join(wau, Seq("day"))
+      .where(col("day") < SentinelMs / dayMs)
+      .select("day", "dau", "wau")
+  }
+
   /** Streaming transition-matrix gate: per-user last-event state emits
     * within-session (from, to) steps, a grouped count keeps the live
     * matrix; the in-order replay reproduces the batch
@@ -877,6 +909,7 @@ object StreamQueries extends QueryProvider {
     "stream_funnel" -> ((s, d) => runFunnel(s, d)),
     "stream_funnel_window" -> ((s, d) => runFunnelWindow(s, d)),
     "stream_transitions" -> ((s, d) => runTransitions(s, d)),
+    "stream_active" -> ((s, d) => runActive(s, d)),
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
     "stream_ewma" -> ((s, d) => runEwma(s, d)),
     "stream_rate" -> ((s, d) => runRate(s, d)),
@@ -934,6 +967,9 @@ object StreamQueries extends QueryProvider {
     // keyed funnel state + live counts ≡ the batch strictly-ordered funnel
     "stream_funnel" ->
       graft.ops.Sessions.funnelSql(EventQueries.FunnelSteps),
+    // chained dedup→windowed-count ≡ the batch DAU/WAU board
+    "stream_active" ->
+      graft.ops.Sessions.activeUsersSql(86400000L, 7),
     // keyed funnel state with the conversion deadline ≡ the batch
     // deadline funnel (zero-converter steps emit no row online; every
     // step converts at least one user in the testdata, same as funnel)

@@ -536,6 +536,25 @@ object Dedup {
        |SELECT doc_id, MIN(node) AS canonical_id FROM reach
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-cluster size histogram — the corpus-health readout over
+    * [[canonicalize]]'s components: how many clusters exist at each
+    * size (size 2 = simple pairs, a heavy tail = boilerplate families).
+    * Two partial-aggregated shuffles over rows that are already one per
+    * document, then one per cluster.
+    */
+  def clusterStats(canonical: DataFrame): DataFrame =
+    canonical.groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  /** DuckDB mirror of [[clusterStats]] over [[canonicalizeSql]]. */
+  def clusterStatsSql(pairsSql: String): String =
+    s"""SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+       |  SELECT canonical_id, COUNT(*) AS cluster_size FROM (
+       |${canonicalizeSql(pairsSql)}
+       |  ) GROUP BY 1)
+       |GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   // ---------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup: pairs within the same LSH bucket (see

@@ -71,6 +71,61 @@ object EventStream {
     * analytics funnel is a lifetime property); bound it with a state-
     * TTL variant if user cardinality is unbounded.
     */
+  /** Online daily actives: event-time dedup on (user, day) feeding a
+    * windowed count — the supported chained stateful pattern
+    * (dropDuplicatesWithinWatermark → window aggregation, append mode),
+    * so the distinct-users count never materializes a set: dedup state
+    * is one marker row per (user, day) inside the watermark, the count
+    * is an ordinary partial-aggregated window.
+    *
+    * Output (on window close): (day, dau).
+    */
+  def dailyActive(events: DataFrame, dayMs: Long): DataFrame = {
+    val aday = expr(s"unix_millis(ts) DIV $dayMs")
+    events
+      .select(timestamp_millis(aday * dayMs).as("dts"), col("user_id"))
+      .withWatermark("dts", "0 seconds")
+      .dropDuplicatesWithinWatermark("user_id", "dts")
+      .groupBy(window(col("dts"), s"$dayMs milliseconds"))
+      .agg(count(lit(1)).as("dau"))
+      .select(expr(s"unix_millis(window.start) DIV $dayMs").as("day"),
+        col("dau"))
+  }
+
+  /** Online trailing-window actives (the WAU half of the board): each
+    * activity EXPLODES into the `windowDays` target days it covers
+    * (the batch [[graft.ops.Sessions.activeUsers]] trick — a trailing
+    * distinct is not frame-expressible), then the same dedup→count
+    * chain runs keyed on the TARGET day. The explosion pushes event
+    * time forward, so the coverage rows close with the target day's
+    * watermark, not the activity's. Join with [[dailyActive]] on `day`
+    * downstream to drop phantom tail days (days covered but never
+    * active), mirroring the batch semi-join.
+    *
+    * Output (on window close): (day, wau).
+    */
+  def windowActive(events: DataFrame, dayMs: Long,
+                   windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val aday = expr(s"unix_millis(ts) DIV $dayMs")
+    events
+      .select(explode(sequence(aday, aday + (windowDays - 1))).as("tday"),
+        col("user_id"))
+      .select(timestamp_millis(col("tday") * dayMs).as("dts"),
+        col("user_id"))
+      // the explosion pushes event time up to windowDays−1 days ahead of
+      // the activity, and a LATER in-order activity still back-fills
+      // target days that far behind the pushed-forward frontier — the
+      // watermark delay must hold those windows open or cross-batch
+      // coverage is dropped as late (pinned by the spec)
+      .withWatermark("dts", s"${(windowDays - 1) * dayMs} milliseconds")
+      .dropDuplicatesWithinWatermark("user_id", "dts")
+      .groupBy(window(col("dts"), s"$dayMs milliseconds"))
+      .agg(count(lit(1)).as("wau"))
+      .select(expr(s"unix_millis(window.start) DIV $dayMs").as("day"),
+        col("wau"))
+  }
+
   /** per-user last-event state for [[transitions]] */
   final case class TransSt(lastTsMs: Long, lastType: String)
 

@@ -152,6 +152,39 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res == Map((0L, "view") -> 2L, (1L, "click") -> 1L))
   }
 
+  test("online actives: cross-batch duplicates dedup; coverage closes" +
+    " with the target day") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val ev = in.toDF().toDF("tsMs", "user_id")
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .select("ts", "user_id")
+    val out = EventStream.windowActive(ev, dayMs = 10L, windowDays = 3)
+    val name = s"act_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // day indices start at 10, NOT 0: an event time equal to the
+    // INITIAL watermark (epoch 0) is dropped as late by the dedup —
+    // the at-the-boundary rule every watermark operator shares
+    in.addData((100L, 1L), (105L, 1L))      // u1 day 10 (in-batch dup)
+    q.processAllAvailable()
+    in.addData((112L, 1L), (115L, 2L))      // day 11: u1's day-10
+    q.processAllAvailable()                 // coverage spans 10–12, so
+                                            // u1 dedups on 11 and 12
+    in.addData((1000L, 9L))                 // sentinel closes everything
+    q.processAllAvailable()
+    val got = spark.table(name).where(col("day") < 100)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    // coverage: u1 covers 10,11,12 (day 10) and 11,12,13 (day 11,
+    // deduped on 11,12); u2 covers 11,12,13 → wau 1,2,2,2
+    assert(got == Seq((10L, 1L), (11L, 2L), (12L, 2L), (13L, 2L)))
+  }
+
   private def transStream(batches: Seq[(Long, Long, String)]*)
       : Map[(String, String), Long] = {
     val s = spark
