@@ -212,6 +212,28 @@ object PipelineQueries extends QueryProvider {
         appended, centsRow, cbs, k = 5, m = 8, dim = Dim)
         .orderBy("query_id", "rank")
     }),
+    // append-only refresh for the residual (IVFADC) index: delta encodes
+    // against the frozen per-cell shifted codebooks, full-outer merge
+    "sim_topk_pq_residual_append" -> ((s, d) => {
+      val e = emb(s, d)
+      val split = 60L
+      val base = e.where(col("vec_id") < split)
+      val cents = Similarity.ivfCents(base, 8)
+      val (packedBase, centsRow, scbL) =
+        graft.streaming.SimStream.residualPqIndex(base, nCells = 8, m = 8,
+          ksub = 16, dim = Dim)
+      val scbC = Similarity.residualScb(base, Similarity.ivfCells(base, 8),
+        8, 8, 16, Dim)
+      val appended = graft.streaming.SimStream.residualPqIndexAppend(
+        packedBase,
+        Similarity.ivfAssign(e.where(col("vec_id") >= split), cents),
+        scbC, m = 8, dim = Dim)
+      graft.streaming.SimStream.topKAgainstResidualPqIndex(
+        e.where(col("vec_id").isin(10L, 11L, 12L))
+          .select("vec_id", "embedding"),
+        appended, centsRow, scbL, k = 5, m = 8, dim = Dim)
+        .orderBy("query_id", "rank")
+    }),
     // both production knobs at once: 3 probes over the int8 index
     "sim_topk_sq8_probe" -> ((s, d) => {
       val e = emb(s, d)
@@ -370,6 +392,11 @@ object PipelineQueries extends QueryProvider {
       16, Dim, 5, 15, 3, "10, 11, 12"),
     "sim_topk_pq_residual" -> Similarity.ivfPqResidualTopKProbedSql(8, 8,
       16, Dim, 5, 1, "10, 11, 12"),
+    // same full-corpus oracle: append ≡ rebuild (frozen artifacts are
+    // built from the base split, identical to the full corpus's — seeds
+    // and centroids all live below the split)
+    "sim_topk_pq_residual_append" -> Similarity.ivfPqResidualTopKProbedSql(
+      8, 8, 16, Dim, 5, 1, "10, 11, 12"),
     "sim_topk_pq_residual_probe" -> Similarity.ivfPqResidualTopKProbedSql(
       8, 8, 16, Dim, 5, 3, "10, 11, 12"),
     "sim_topk_pq_residual_rerank" ->

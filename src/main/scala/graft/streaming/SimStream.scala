@@ -132,6 +132,22 @@ object SimStream {
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("codes"))).as("dcands")))
 
+  /** [[pqIndexAppend]] for the RESIDUAL (IVFADC) index: the delta
+    * encodes against the FROZEN per-cell shifted codebooks (codes depend
+    * only on the vector and its own cell's table, so the delta's code
+    * words are bit-identical to a full re-encode's), then the same
+    * full-outer cell merge. Shifted codebooks — like the raw PQ
+    * codebooks — retrain on the coarse-quantizer cadence, not per batch.
+    */
+  def residualPqIndexAppend(packed: DataFrame, assigned: DataFrame,
+                            scbByCell: DataFrame, m: Int,
+                            dim: Int): DataFrame =
+    mergePacked(packed,
+      Similarity.pqResidualEncode(assigned, scbByCell, m, dim)
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("vec_id"), col("codes")))
+          .as("dcands")))
+
   /** Full-outer keyed merge of a packed index with a per-cell delta:
     * union each cell's members and restore the vec_id order the
     * row-local search relies on; brand-new cells (no base row) and

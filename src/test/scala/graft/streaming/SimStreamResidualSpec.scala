@@ -113,4 +113,25 @@ class SimStreamResidualSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st == 0, s"expected stateless plan, got $st stateful operators")
     assert(n == 15, s"expected 3 queries x k=5 rows, got $n")
   }
+
+  test("append ≡ rebuild: members AND codes identical, cell for cell") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val split = 60L
+    val base = emb.where(col("vec_id") < split)
+    val (packedBase, _, _) =
+      SimStream.residualPqIndex(base, NCells, M, Ksub, Dim)
+    val scbC = Similarity.residualScb(base,
+      Similarity.ivfCells(base, NCells), NCells, M, Ksub, Dim)
+    val appended = SimStream.residualPqIndexAppend(packedBase,
+      Similarity.ivfAssign(emb.where(col("vec_id") >= split),
+        Similarity.ivfCents(base, NCells)),
+      scbC, M, Dim)
+    val (rebuilt, _, _) = SimStream.residualPqIndex(emb, NCells, M, Ksub,
+      Dim)
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getSeq[Int](1).toList)).toList).toMap
+    assert(cells(appended) == cells(rebuilt),
+      "appended packed index must equal a from-scratch rebuild")
+  }
 }
