@@ -286,6 +286,14 @@ object PipelineQueries extends QueryProvider {
       Curation.decontaminate(all.where(col("doc_id") % 97 =!= 0),
         all.where(col("doc_id") % 97 === 0), 3).orderBy("doc_id")
     }),
+    // fuzzy decontamination: train docs that are MinHash near-dups of the
+    // eval split (doc_id % 5 = 0 — chosen so the split actually CROSSES
+    // the corpus's near-dup pairs at both SFs; the exact-overlap gate
+    // keeps the %97 split), read off the memoized pair artifact
+    "decon_fuzzy" -> ((s, d) =>
+      Curation.decontaminateFuzzy(minhashPairs(s, d, 0.5),
+        docs(s, d).where(col("doc_id") % 5 === 0).select("doc_id"))
+        .orderBy("doc_id", "eval_id")),
     // deterministic stratified sampling: per-lang keep rates via md5(doc_id)
     "sample_stratified" -> ((s, d) =>
       Curation.sampleStratified(docs(s, d), "lang", SampleRates, 0.2)
@@ -366,6 +374,7 @@ object PipelineQueries extends QueryProvider {
     "dedup_embed" -> Dedup.embedNearDupSql(6, Dim, 0.3),
     "dedup_canonical" -> Dedup.canonicalizeSql(Dedup.minhashPairsSql(0.5)),
     "dedup_stats" -> Dedup.clusterStatsSql(Dedup.minhashPairsSql(0.5)),
+    "decon_fuzzy" -> Curation.decontaminateFuzzySql(0.5, 5),
     "sim_topk_brute" -> Similarity.bruteTopKSql(Dim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
     "sim_topk_lsh" -> Similarity.lshTopKSql(6, Dim, 5,

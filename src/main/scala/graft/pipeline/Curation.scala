@@ -92,6 +92,48 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** FUZZY benchmark decontamination — the GPT-3-appendix posture:
+    * instead of exact n-gram overlap ([[decontaminate]]), a train
+    * document is contaminated when it is a MinHash NEAR-DUPLICATE of an
+    * eval document. Takes the corpus near-dup pair set (the materialized
+    * artifact every dedup job already maintains —
+    * [[Dedup.minhashPairs]] over train ∪ eval) and the eval id set, and
+    * keeps the pairs that CROSS the split, oriented (train, eval).
+    * Incremental cost over the dedup you were already running: two
+    * broadcast marker joins and a filter.
+    *
+    * Output: (doc_id, eval_id, jaccard) — one row per contaminated
+    * (train, eval) pair.
+    */
+  def decontaminateFuzzy(pairs: DataFrame, evalIds: DataFrame): DataFrame = {
+    val e = broadcast(evalIds.select(col("doc_id").as("eid")))
+    pairs
+      .join(e, col("doc_a") === col("eid"), "left")
+      .withColumn("a_eval", col("eid").isNotNull).drop("eid")
+      .join(e, col("doc_b") === col("eid"), "left")
+      .withColumn("b_eval", col("eid").isNotNull).drop("eid")
+      .where(col("a_eval") =!= col("b_eval"))
+      .select(
+        when(col("a_eval"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_id"),
+        when(col("a_eval"), col("doc_a")).otherwise(col("doc_b"))
+          .as("eval_id"),
+        col("jaccard"))
+  }
+
+  /** SQL mirror of [[decontaminateFuzzy]] with eval = `doc_id % mod = 0`
+    * over the [[Dedup.minhashPairsSql]] pair set.
+    */
+  def decontaminateFuzzySql(threshold: Double, mod: Int): String =
+    s"""SELECT CASE WHEN doc_a % $mod = 0 THEN doc_b ELSE doc_a END
+       |         AS doc_id,
+       |       CASE WHEN doc_a % $mod = 0 THEN doc_a ELSE doc_b END
+       |         AS eval_id,
+       |       jaccard
+       |FROM (${Dedup.minhashPairsSql(threshold)}) pr
+       |WHERE (doc_a % $mod = 0) <> (doc_b % $mod = 0)
+       |ORDER BY doc_id, eval_id""".stripMargin
+
   /** Per-source quota sampling: keep at most `quota` documents per
     * source, chosen hash-first (the [[sampleStratified]] md5(doc_id)
     * uniform order, ties impossible) — the cap that stops any one
