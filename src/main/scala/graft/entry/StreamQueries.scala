@@ -309,6 +309,21 @@ object StreamQueries extends QueryProvider {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
+  /** band index over the EVAL split only — the fuzzy-decon probe target,
+    * memoized + sanctioned like [[nearDupIndex]] (in production the eval
+    * suite's index is a tiny batch-refreshed artifact)
+    */
+  private val evalIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def evalBandIndex(s: SparkSession, dir: String): DataFrame =
+    evalIndexCache.computeIfAbsent((s, dir), { _ =>
+      graft.core.Caches.sanction(
+        graft.pipeline.Dedup.bandIndex(
+          graft.core.Tables(s, dir, "documents")
+            .where(col("doc_id") % 5 === 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
   /** The stream-static near-dup gate: the document replay probed against
     * the band index of the SAME corpus — every flagged (probe, corpus)
     * pair must therefore be a batch minhash pair, in both directions
@@ -318,6 +333,22 @@ object StreamQueries extends QueryProvider {
     val out = DocStream.nearDupAgainstIndex(docStream(s, dir),
       nearDupIndex(s, dir), 0.5, "1 minute")
       .select("doc_id", "match_id", "jaccard")
+    drain(s, out, "append")
+  }
+
+  /** Streaming FUZZY decontamination: the train split of the replay
+    * probed against the eval split's band index — each arriving train
+    * document is flagged the moment it near-duplicates an eval doc
+    * (stream-static equi-join on the banded signature + row-local
+    * exact-Jaccard verify, [[runNearDup]]'s machinery aimed at the eval
+    * index). Oracle = the batch `decon_fuzzy` pair set: banding is a
+    * per-document property, so the crossing pairs are identical.
+    */
+  private def runDeconFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val train = docStream(s, dir).where(col("doc_id") % 5 =!= 0)
+    val out = DocStream.nearDupAgainstIndex(train, evalBandIndex(s, dir),
+      0.5, "1 minute")
+      .select(col("doc_id"), col("match_id").as("eval_id"), col("jaccard"))
     drain(s, out, "append")
   }
 
@@ -930,6 +961,7 @@ object StreamQueries extends QueryProvider {
     "stream_dedup" -> ((s, d) => runDedup(s, d)),
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
+    "stream_decon_fuzzy" -> ((s, d) => runDeconFuzzy(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
     "stream_vocab" -> ((s, d) => runVocab(s, d)),
     "stream_gopher" -> ((s, d) => runGopher(s, d)),
@@ -1126,6 +1158,10 @@ object StreamQueries extends QueryProvider {
     // streaming decontamination of the train split against the eval
     // split: the batch decon_ngram semantics, so the batch oracle applies
     "stream_decon" -> graft.pipeline.Curation.decontaminateSql(3),
+    // stream-static probes of the eval band index ≡ the batch fuzzy-
+    // decon pair set (banding is a per-document property)
+    "stream_decon_fuzzy" ->
+      graft.pipeline.Curation.decontaminateFuzzySql(0.5, 5),
     // the batch text-quality operator runs unchanged on the stream, so
     // the batch oracle applies verbatim
     "stream_quality" -> graft.pipeline.TextOps.qualitySql,
