@@ -59,6 +59,11 @@ object EventQueries extends QueryProvider {
         graft.ops.Sessions.retention(
           SeriesOps.events(s, d, widen = false), bucketMs = 604800000L)
           .orderBy("cohort", "bucket_offset")),
+      // session-size distribution: bounce bucket vs long-session tail
+      "events_session_stats" -> ((s, d) =>
+        graft.ops.Sessions.sessionStats(
+          SeriesOps.events(s, d, widen = false), SessionGapMs)
+          .orderBy("n_events")),
       // the DAU/WAU board: daily + trailing-7-day distinct actives
       "events_active" -> ((s, d) =>
         graft.ops.Sessions.activeUsers(
@@ -86,6 +91,8 @@ object EventQueries extends QueryProvider {
       "events_funnel" -> graft.ops.Sessions.funnelSql(FunnelSteps),
       "events_paths" -> graft.ops.Sessions.topPathsSql(3, 20),
       "events_retention" -> graft.ops.Sessions.retentionSql(604800000L),
+      "events_session_stats" ->
+        graft.ops.Sessions.sessionStatsSql(SessionGapMs),
       "events_active" ->
         graft.ops.Sessions.activeUsersSql(86400000L, 7),
       "events_funnel_window" ->

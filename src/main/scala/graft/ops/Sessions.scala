@@ -96,6 +96,22 @@ object Sessions {
        |FROM sess GROUP BY user_id, session_idx
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Session-size distribution — the engagement histogram over
+    * [[sessionize]]'s output: how many sessions contain each event
+    * count (the 1-event bounce bucket vs the long-session tail). One
+    * more partial-aggregated shuffle over rows already reduced to one
+    * per session.
+    */
+  def sessionStats(ev: DataFrame, gapMs: Long): DataFrame =
+    sessionize(ev, gapMs)
+      .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+
+  /** DuckDB mirror of [[sessionStats]]. */
+  def sessionStatsSql(gapMs: Long): String =
+    s"""SELECT n_events, COUNT(*) AS n_sessions FROM (
+       |${sessionizeSql(gapMs)}
+       |) GROUP BY 1 ORDER BY n_events""".stripMargin
+
   /** First-order transition counts (the Markov-chain view of the event
     * log): within each session ([[sessionize]]'s gap rule), count every
     * `event_type → next event_type` step. Session boundaries break
