@@ -333,6 +333,14 @@ object PipelineQueries extends QueryProvider {
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSample(s, Multimodal.asMedia(docs(s, d)))
         .toDF().orderBy("doc_id", "frame_idx")),
+    // resize plumbing: strided-byte stub resample, one scaler/partition
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resize(s, Multimodal.asMedia(docs(s, d)), 64, 64)
+        .toDF().orderBy("doc_id")),
+    // feature-extract plumbing: normalized byte-histogram stub vector
+    "mm_features" -> ((s, d) =>
+      Multimodal.featureExtract(s, Multimodal.asMedia(docs(s, d)), 8)
+        .toDF().orderBy("doc_id", "bin")),
     "corpus_decisions" -> ((s, d) =>
       Corpus.decisions(docs(s, d), minhashPairs(s, d, 0.5),
         qualityThreshold = 0.46).orderBy("doc_id")),
@@ -442,6 +450,8 @@ object PipelineQueries extends QueryProvider {
     "pack_tokens" -> Curation.packTokenBudgetSql(4096),
     "mm_decode" -> Multimodal.decodeMetaSql,
     "mm_frames" -> Multimodal.frameSampleSql,
+    "mm_resize" -> Multimodal.resizeSql(64, 64),
+    "mm_features" -> Multimodal.featureExtractSql(8),
     "corpus_decisions" -> Corpus.decisionsSql(0.5, 0.46),
     // same densification semantics through the DSv2 spine leaf
     "gapfill_spine" ->

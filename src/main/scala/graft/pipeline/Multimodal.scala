@@ -86,6 +86,101 @@ object Multimodal {
     }
   }
 
+  /** resized output: stub dimensions + a digest of the resampled bytes */
+  final case class ResizedRow(doc_id: Long, out_w: Int, out_h: Int,
+                              n_in: Long, n_out: Int, resized_md5: String)
+
+  /** The resize stage (image shape: payload in, smaller payload out).
+    * STUB "resamples" by taking `nOut = min(len, outW·outH/256)` evenly
+    * strided bytes (stride = len/nOut) and digesting them — a real
+    * implementation decodes, scales, re-encodes; the partition-batched
+    * typed map (one scaler per partition), the bounded output size, and
+    * the downstream schema are the real thing. Deterministic pure
+    * function of the payload, so the oracle mirrors it byte-for-byte.
+    */
+  def resize(spark: SparkSession, media: DataFrame, outW: Int,
+             outH: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // a real scaler would init its native context here, per partition
+      rows.map { r =>
+        val len = r.payload.length
+        val nOut = math.min(len, outW * outH / 256)
+        val bytes =
+          if (nOut == 0) Array.emptyByteArray
+          else {
+            val stride = len / nOut
+            Array.tabulate(nOut)(i => r.payload(i * stride))
+          }
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        ResizedRow(r.doc_id, outW, outH, len.toLong, nOut, digest)
+      }
+    }
+  }
+
+  /** DuckDB mirror of [[resize]] (ASCII text: strided chars = strided
+    * payload bytes).
+    */
+  def resizeSql(outW: Int, outH: Int): String = {
+    val cap = outW * outH / 256
+    s"""SELECT doc_id, $outW AS out_w, $outH AS out_h,
+       |       CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS INTEGER) AS n_out,
+       |       md5(CASE WHEN n_out = 0 THEN '' ELSE
+       |         list_reduce([substr(text, i*(n_in//n_out) + 1, 1)
+       |                      for i in range(0, n_out)],
+       |                     (a, b) -> a || b) END) AS resized_md5
+       |FROM (SELECT doc_id, text, length(text) AS n_in,
+       |             LEAST(length(text), $cap) AS n_out FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** extracted feature row: one bin of the stub feature vector */
+  final case class FeatureRow(doc_id: Long, bin: Int, value: Double)
+
+  /** The feature-extract stage (the embedding-extraction shape: media
+    * in, fixed-length vector out). STUB features are the normalized
+    * byte-value histogram over `bins` residue classes — a real
+    * implementation runs a vision/audio model over the decoded frames;
+    * the partition-batched map and the exploded (doc, bin, value) output
+    * schema (join-ready against the `embeddings` surface) are the real
+    * thing. Division count/len is the only float op — same order both
+    * engines.
+    */
+  def featureExtract(spark: SparkSession, media: DataFrame,
+                     bins: Int): Dataset[FeatureRow] = {
+    import spark.implicits._
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val counts = new Array[Long](bins)
+        r.payload.foreach { b => counts(java.lang.Byte.toUnsignedInt(b) % bins) += 1 }
+        val len = r.payload.length.toDouble
+        (0 until bins).map(b =>
+          FeatureRow(r.doc_id, b,
+            if (len == 0) 0.0 else counts(b) / len))
+      }
+    }
+  }
+
+  /** DuckDB mirror of [[featureExtract]] (ASCII text: char codes =
+    * payload bytes).
+    */
+  def featureExtractSql(bins: Int): String =
+    s"""WITH ch AS (SELECT doc_id, ascii(substr(text, i, 1)) % $bins AS bin
+       |            FROM documents,
+       |                 unnest(range(1, length(text) + 1)) AS t(i)),
+       |n AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len
+       |      FROM documents),
+       |b AS (SELECT unnest(range(0, $bins)) AS bin),
+       |cnt AS (SELECT doc_id, bin, COUNT(*) AS c FROM ch GROUP BY 1, 2)
+       |SELECT n.doc_id AS doc_id, CAST(b.bin AS INTEGER) AS bin,
+       |       CASE WHEN n.len = 0 THEN 0.0
+       |            ELSE COALESCE(c, 0) / n.len END AS value
+       |FROM n CROSS JOIN b
+       |LEFT JOIN cnt ON cnt.doc_id = n.doc_id AND cnt.bin = b.bin
+       |ORDER BY n.doc_id, bin""".stripMargin
+
   /** DuckDB mirror (ASCII text: substr chunks = payload byte chunks) */
   val frameSampleSql: String =
     s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
