@@ -73,6 +73,14 @@ object PipelineQueries extends QueryProvider {
       Similarity.bruteTopK(e, e.where(col("vec_id") < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
+    // per-dimension corpus moments (normalization pre-pass)
+    "embed_dim_stats" -> ((s, d) => Similarity.dimStats(emb(s, d))),
+    // radius search: the full similarity ball, filter not rank
+    "sim_range" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.rangeSearch(e, e.where(col("vec_id") < 5), minCos = 0.3)
+        .orderBy("query_id", "vec_id")
+    }),
     "sim_topk_lsh" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshTopK(e, e.where(col("vec_id") < 5), bits = 6, dim = Dim,
@@ -267,6 +275,9 @@ object PipelineQueries extends QueryProvider {
       TextOps.repetition(docsWide(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
       TextOps.quality(docsWide(s, d)).orderBy("doc_id")),
+    // unigram entropy: the lexical-diversity quality signal
+    "text_entropy" -> ((s, d) =>
+      TextOps.entropy(docsWide(s, d)).orderBy("doc_id")),
     // the Gopher rule battery (word bounds / mean word length / symbol
     // ratio / alpha fraction / stop words) — row-local, one scan; the
     // stop list is the engine's corpus-adapted one (the canonical 8
@@ -385,6 +396,9 @@ object PipelineQueries extends QueryProvider {
     "decon_fuzzy" -> Curation.decontaminateFuzzySql(0.5, 5),
     "sim_topk_brute" -> Similarity.bruteTopKSql(Dim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
+    "embed_dim_stats" -> Similarity.dimStatsSql(Dim),
+    "sim_range" -> Similarity.rangeSearchSql(Dim, 0.3,
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
     "sim_topk_lsh" -> Similarity.lshTopKSql(6, Dim, 5,
       "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     "sim_topk_ivf" -> Similarity.ivfTopKSql(8, Dim, 5, "10, 11, 12"),
@@ -435,6 +449,7 @@ object PipelineQueries extends QueryProvider {
     "text_tokens" -> TextOps.tokensSql,
     "text_repetition" -> TextOps.repetitionSql,
     "text_gopher" -> TextOps.gopherRulesSql(stopList = TextOps.Stopwords),
+    "text_entropy" -> TextOps.entropySql,
     "text_quality" -> TextOps.qualitySql,
     "text_langid" -> TextOps.langidSql,
     "text_fingerprint" -> TextOps.fingerprintSql,

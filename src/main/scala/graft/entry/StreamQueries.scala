@@ -614,6 +614,12 @@ object StreamQueries extends QueryProvider {
     drain(s, graft.pipeline.TextOps.redactPii(
       graft.pipeline.TextOps.withSyntheticPii(docStream(s, dir))), "append")
 
+  /** row-local unigram entropy on the stream — the lexical-diversity
+    * quality signal inline on the firehose, zero state (oracle = batch
+    * SQL verbatim) */
+  private def runEntropy(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.TextOps.entropy(docStream(s, dir)), "append")
+
   /** The frozen unigram LM, memoized + sanctioned per (session, dir) —
     * the CCNet posture: the model is trained (counted) once on the
     * reference corpus, then the firehose is scored against it via a
@@ -967,6 +973,7 @@ object StreamQueries extends QueryProvider {
     "stream_gopher" -> ((s, d) => runGopher(s, d)),
     "stream_logprob" -> ((s, d) => runLogProb(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
+    "stream_entropy" -> ((s, d) => runEntropy(s, d)),
     "stream_redact" -> ((s, d) => runRedact(s, d)),
     "stream_sample" -> ((s, d) => runSample(s, d)),
     "stream_decisions" -> ((s, d) => runDecisions(s, d)),
@@ -1178,6 +1185,9 @@ object StreamQueries extends QueryProvider {
         |SELECT word, COUNT(*) AS n_occ FROM tok GROUP BY 1
         |ORDER BY n_occ DESC, word ASC LIMIT 50""".stripMargin,
     "stream_repetition" -> graft.pipeline.TextOps.repetitionSql,
+    // row-local unigram entropy stateless on the stream, batch oracle
+    // verbatim (the run-boundary fold carries no cross-row state)
+    "stream_entropy" -> graft.pipeline.TextOps.entropySql,
     // batch redaction over batch injection, both stateless on the stream
     "stream_redact" -> graft.pipeline.TextOps.redactPiiSql,
     // the batch stratified-sampling operator verbatim on the stream

@@ -86,6 +86,68 @@ object TpchQueries extends QueryProvider {
       .limit(20)
   }
 
+  /** priority-class shape (TPC-H Q12, restated over this schema's
+    * columns): conditional aggregation — both output measures fold a
+    * CASE over the joined row inside ONE aggregate pass (never two
+    * scans, never a pivot join). Integer counts, no Exact needed.
+    */
+  private def q12ish(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val li = Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_returnflag")
+    val ord = Tables(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val isHigh = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** order-priority-checking shape (TPC-H Q4): the EXISTS decorrelates
+    * to a LEFT SEMI join — the fact side is probed once and never
+    * duplicated by multi-match keys (a plain inner join would both
+    * inflate counts and shuffle the duplicates).
+    */
+  private def q4ish(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-07-01").cast("timestamp")
+    val ord = Tables(s, dir, "orders")
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderpriority")
+    val ret = Tables(s, dir, "lineitem")
+      .where(col("l_returnflag") === "R").select("l_orderkey")
+    ord.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** global-sales-opportunity shape (TPC-H Q22, restated: nation key for
+    * the phone prefix, urgent orders for the order book): scalar-average
+    * threshold via a broadcast one-row frame, then a LEFT ANTI join
+    * against the filtered order keys — "has no urgent order" never
+    * materializes a NOT IN list. The average threshold goes through
+    * [[Exact.davg]] so both engines cut the same boundary.
+    */
+  private def q22ish(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val avgBal = cust.agg(Exact.davg(col("c_acctbal")).as("avg_bal"))
+    val urgent = Tables(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        Exact.dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** filter + projection pushdown scan: predicate and 3-column ReadSchema
     * must reach the parquet reader (verified in TpchSpec via explain).
     */
@@ -101,6 +163,9 @@ object TpchQueries extends QueryProvider {
     "tpch_q3"   -> ((s, d) => q3ish(s, d)),
     "tpch_q5"   -> ((s, d) => q5ish(s, d)),
     "tpch_q18"  -> ((s, d) => q18ish(s, d)),
+    "tpch_q12"  -> ((s, d) => q12ish(s, d)),
+    "tpch_q4"   -> ((s, d) => q4ish(s, d)),
+    "tpch_q22"  -> ((s, d) => q22ish(s, d)),
     "tpch_scan" -> ((s, d) => scan(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -141,6 +206,35 @@ object TpchQueries extends QueryProvider {
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "tpch_q12" ->
+      s"""SELECT l_returnflag,
+         |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS high_line_count,
+         |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 0 ELSE 1 END) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q4" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01'
+         |  AND EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_returnflag = 'R')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q22" ->
+      s"""WITH a AS (SELECT ${Exact.davgSql("c_acctbal")} AS avg_bal
+         |           FROM customer)
+         |SELECT c_nationkey, COUNT(*) AS numcust,
+         |       ${Exact.dsumSql("c_acctbal")} AS totacctbal
+         |FROM customer CROSS JOIN a
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c_custkey
+         |                    AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tpch_scan" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_orderstatus = 'F'

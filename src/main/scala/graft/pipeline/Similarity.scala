@@ -46,6 +46,86 @@ object Similarity {
        |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Radius (range) search: every corpus vector with cosine ≥ `minCos`
+    * of each query — FAISS's `range_search` beside the top-k kernels
+    * (duplicate sweeps and "everything this similar" audits want the
+    * full ball, not a fixed k). Same broadcast-queries / corpus-never-
+    * shuffled shape as [[bruteTopK]], but selection is a threshold
+    * filter, not a window rank — no per-query exchange at all: the
+    * filter runs map-side on the scan and only matches move. Zero-norm
+    * corpus vectors cosine to NaN, which both engines order above any
+    * threshold (Spark and DuckDB agree NaN > x) — the consumer sees
+    * them flagged rather than silently dropped, matching the top-k
+    * kernels' NaN-largest ranking.
+    */
+  def rangeSearch(emb: DataFrame, queries: DataFrame,
+                  minCos: Double): DataFrame = {
+    val t = emb.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val q = queries.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    t.as("t").join(broadcast(q.as("q")),
+        col("q.vec_id") =!= col("t.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        VectorOps.cosineOf(
+          VectorOps.dot(col("q.embedding"), col("t.embedding")),
+          col("q.nrm"), col("t.nrm")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
+  def rangeSearchSql(dim: Int, minCos: Double, querySel: String): String =
+    s"""WITH q AS ($querySel)
+       |SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+       |       ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} AS cos
+       |FROM embeddings t JOIN q ON q.vec_id <> t.vec_id
+       |WHERE ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} >= $minCos
+       |ORDER BY query_id, vec_id""".stripMargin
+
+  /** Per-dimension corpus moments (mean / population std) — the
+    * feature-scaling statistics a normalization or whitening pre-pass
+    * needs before quantization. One posexplode + ONE partial-aggregated
+    * shuffle keyed on the dimension index: the map-side combine reduces
+    * every partition to `dim` moment rows before the exchange, so the
+    * shuffle volume is dim × partitions regardless of corpus size.
+    * Moments go through [[graft.core.Exact]] so both engines derive the
+    * same doubles.
+    */
+  def dimStats(emb: DataFrame): DataFrame = {
+    // raw floats must be rounded to 9 decimals BEFORE the decimal sum:
+    // a full-precision double→decimal(28,10) cast rounds the shortest-
+    // decimal repr on the Spark side but the binary value on DuckDB's,
+    // and with 10k+ terms the one-ulp disagreements surface (measured:
+    // dim 32 off in the 12th digit). A 9dp-rounded double is exactly
+    // the same decimal in both engines — the unigramLogProb convention.
+    val xd = col("xf").cast("double")
+    val g = emb.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .withColumn("x", round(xd, 9))
+      .withColumn("x2", round(xd * xd, 9))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("x")).as("sx"),
+        graft.core.Exact.dsum(col("x2")).as("sx2"))
+    val nD = col("n").cast("double")
+    val m1 = col("sx") / nD
+    g.select(col("dim"), col("n"), m1.as("mean"),
+        // m1*m1, not pow: plain IEEE multiply needs no pow-parity bet
+        sqrt(greatest(col("sx2") / nD - m1 * m1, lit(0.0))).as("std"))
+      .orderBy("dim")
+  }
+
+  def dimStatsSql(dim: Int): String =
+    s"""WITH t AS (SELECT i - 1 AS dim,
+       |             ROUND(CAST(embedding[i] AS DOUBLE), 9) AS x,
+       |             ROUND(CAST(embedding[i] AS DOUBLE)
+       |                   * CAST(embedding[i] AS DOUBLE), 9) AS x2
+       |           FROM embeddings, range(1, ${dim + 1}) r(i)),
+       |g AS (SELECT dim, COUNT(*) AS n, ${graft.core.Exact.dsumSql("x")} AS sx,
+       |             ${graft.core.Exact.dsumSql("x2")} AS sx2
+       |      FROM t GROUP BY 1)
+       |SELECT dim, n, sx / n AS mean,
+       |       SQRT(GREATEST(sx2 / n - (sx / n) * (sx / n), 0.0)) AS std
+       |FROM g ORDER BY dim""".stripMargin
+
   /** LSH-bucketed top-k: score only candidates in the query's bucket. */
   def lshTopK(emb: DataFrame, queries: DataFrame, bits: Int, dim: Int,
               k: Int): DataFrame = {

@@ -467,6 +467,74 @@ object TextOps {
        |        OR dup5_frac > $Dup5Threshold) AS repetitive
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Per-document unigram entropy — the lexical-diversity quality
+    * signal (low entropy = few distinct words dominating, the keyword-
+    * stuffing / template smell the repetition fractions can miss when
+    * repeats are scattered): `H = −Σ p·log2(p)` over the document's own
+    * word distribution. Each transcendental term is rounded to 9
+    * decimals (the [[unigramLogProb]] convention) and summed through an
+    * exact decimal fold, so both engines agree bit-for-bit.
+    *
+    * Entirely ROW-LOCAL, like [[repetition]] — zero shuffle, corpus-scan
+    * cost at any size (the explode + (doc, word) shuffle alternative
+    * would move every token of a 100 TB corpus through an exchange for a
+    * per-row statistic). Word counts come from run boundaries of the
+    * sorted word array (O(n log n) per row, no quadratic
+    * distinct×filter), and the term sum folds decimal(28,10) values —
+    * exact, order-independent, identical to [[graft.core.Exact.dsum]]'s
+    * arithmetic. Docs with no words produce no row (the oracle's
+    * unnest-of-empty drops them too).
+    */
+  def entropy(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val n = size(col("ws"))
+    // 1-based positions p where a run of equal words ends: the next
+    // element (0-based `get` at p = 1-based p+1; null past the end —
+    // ANSI-safe) is absent or different
+    val ends = filter(sequence(lit(1), n), p =>
+      coalesce(get(col("ws"), p) =!= element_at(col("ws"), p), lit(true)))
+    // run lengths = consecutive differences of the end positions
+    val starts = concat(array(lit(0)),
+      slice(col("ends"), lit(1), size(col("ends")) - 1))
+    val runs = zip_with(col("ends"), starts, (e, s) => e - s)
+    val term = (r: Column) => {
+      val p = r.cast("double") / n.cast("double")
+      round(p * log(2.0, p), 9).cast(dec)
+    }
+    val h = -aggregate(col("runs"), lit(0).cast(dec),
+      (acc, r) => (acc + term(r)).cast(dec)).cast("double")
+    Dedup.withWords(docs)
+      .withColumn("w", filter(col("w"), x => x =!= ""))
+      .where(size(col("w")) > 0)
+      .withColumn("ws", array_sort(col("w")))
+      .withColumn("ends", ends)
+      .withColumn("runs", runs)
+      .select(col("doc_id"),
+        size(col("ends")).cast("long").as("n_distinct"),
+        h.as("entropy"))
+  }
+
+  /** DuckDB mirror of [[entropy]]. */
+  val entropySql: String =
+    s"""WITH ws AS (SELECT doc_id,
+       |              list_filter(string_split(trim(text), ' '),
+       |                          x -> x <> '') AS w
+       |            FROM documents),
+       |tok AS (SELECT doc_id, s AS word FROM ws, unnest(w) AS t(s)),
+       |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |wn AS (SELECT doc_id, word, c,
+       |           SUM(c) OVER (PARTITION BY doc_id) AS n FROM wc),
+       |tm AS (SELECT doc_id,
+       |           -- ln(p)/ln(2), matching Spark's log(2, p) evaluation
+       |           -- path (Spark has no direct log2)
+       |           ROUND((CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) *
+       |             (ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) / ln(2)), 9)
+       |             AS t
+       |       FROM wn)
+       |SELECT doc_id, COUNT(*) AS n_distinct,
+       |       -${graft.core.Exact.dsumSql("t")} AS entropy
+       |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** The Gopher document-level quality rules (Rae et al. 2021, §A.1.1 —
     * the filter battery most LLM corpus pipelines start from), restated
     * over this corpus's structure (no line breaks → the line-based rules

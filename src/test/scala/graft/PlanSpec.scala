@@ -70,6 +70,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !q18.contains("CartesianProduct"), q18.take(3000))
   }
 
+  test("q12/q4/q22 shapes: semi/anti joins, broadcast threshold, no Cartesian") {
+    // q12: both CASE measures fold in ONE aggregate pass over the join
+    val q12 = planOf(entry.TpchQueries.queries("tpch_q12")(spark, dir))
+    assert(!q12.contains("CartesianProduct"), q12.take(3000))
+    assert("HashAggregate".r.findAllIn(q12).size >= 2, q12.take(3000))
+    // q4: the EXISTS decorrelates to a semi join — never an inner join
+    // that would duplicate multi-lineitem orders
+    val q4 = planOf(entry.TpchQueries.queries("tpch_q4")(spark, dir))
+    assert(q4.contains("LeftSemi"), q4.take(3000))
+    // q22: NOT EXISTS is an anti join; the scalar average threshold rides
+    // a broadcast, never a per-row subquery
+    val q22 = planOf(entry.TpchQueries.queries("tpch_q22")(spark, dir))
+    assert(q22.contains("LeftAnti"), q22.take(3000))
+    assert(q22.contains("BroadcastExchange"), q22.take(3000))
+    assert(!q22.contains("CartesianProduct"), q22.take(3000))
+  }
+
+  test("range search has no per-query window; dim stats partial-aggregate") {
+    val emb = core.Tables(spark, dir, "embeddings")
+    // threshold filter, not a rank: a Window node would mean the full
+    // score set shuffles per query before selection
+    val range = planOf(pipeline.Similarity.rangeSearch(
+      emb, emb.where(col("vec_id") < 5), minCos = 0.3))
+    assert(!range.contains("Window"), range.take(3000))
+    assert(!range.contains("CartesianProduct"), range.take(3000))
+    assert(range.contains("BroadcastExchange"), range.take(3000))
+    // per-dimension moments must combine map-side (partial + final pairs)
+    val stats = planOf(pipeline.Similarity.dimStats(emb))
+    assert("HashAggregate".r.findAllIn(stats).size >= 2, stats.take(3000))
+  }
+
   test("windowed aggregation has map-side partial aggregation") {
     val plan = planOf(entry.AggrQueries.queries("aggr_sum")(spark, dir))
     // HashAggregate appears in partial + final pairs around one exchange

@@ -57,6 +57,41 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) == ((1.0, 0.0, 0.0, true)))
   }
 
+  test("entropy: single-word doc is 0, uniform doc is log2(n)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "a a a a",               // one distinct word -> H = 0
+      2L -> "a b c d",               // uniform over 4 -> H = 2.0
+      3L -> "a a b b c c d d",       // still uniform over 4 -> H = 2.0
+      4L -> "a a a b"                // skewed: 0.75/0.25 split
+    ).toDF("doc_id", "text")
+    val out = TextOps.entropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((1L, 0.0)))
+    assert(out(2L) == ((4L, 2.0)))
+    assert(out(3L) == ((4L, 2.0)))
+    // -(0.75*log2(0.75) + 0.25*log2(0.25)), each term rounded to 9dp
+    val expected = -(math.rint(0.75 * (math.log(0.75) / math.log(2.0)) * 1e9) / 1e9 +
+      math.rint(0.25 * (math.log(0.25) / math.log(2.0)) * 1e9) / 1e9)
+    assert(out(4L)._1 == 2L)
+    assert(math.abs(out(4L)._2 - expected) < 1e-12)
+  }
+
+  test("entropy: space runs never count as words; wordless docs drop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "  a  b ",    // empty split tokens filtered -> uniform over 2
+      2L -> "",           // no words -> no output row
+      3L -> "   "         // only spaces -> no output row
+    ).toDF("doc_id", "text")
+    val out = TextOps.entropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == ((2L, 1.0)))
+  }
+
   test("gopher rules: each rule can fail a doc on its own") {
     val s = spark
     import s.implicits._
