@@ -81,6 +81,12 @@ object PipelineQueries extends QueryProvider {
       Similarity.rangeSearch(e, e.where(col("vec_id") < 5), minCos = 0.3)
         .orderBy("query_id", "vec_id")
     }),
+    // bucketed radius search: the LSH scale path of sim_range
+    "sim_range_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.rangeSearchLsh(e, e.where(col("vec_id") < 5), bits = 4,
+        dim = Dim, minCos = 0.1).orderBy("query_id", "vec_id")
+    }),
     "sim_topk_lsh" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshTopK(e, e.where(col("vec_id") < 5), bits = 6, dim = Dim,
@@ -278,6 +284,10 @@ object PipelineQueries extends QueryProvider {
     // unigram entropy: the lexical-diversity quality signal
     "text_entropy" -> ((s, d) =>
       TextOps.entropy(docsWide(s, d)).orderBy("doc_id")),
+    // overlapping word-window chunking (the pretraining/RAG splitter)
+    "text_chunks" -> ((s, d) =>
+      TextOps.chunks(docsWide(s, d), n = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
     // the Gopher rule battery (word bounds / mean word length / symbol
     // ratio / alpha fraction / stop words) — row-local, one scan; the
     // stop list is the engine's corpus-adapted one (the canonical 8
@@ -399,6 +409,8 @@ object PipelineQueries extends QueryProvider {
     "embed_dim_stats" -> Similarity.dimStatsSql(Dim),
     "sim_range" -> Similarity.rangeSearchSql(Dim, 0.3,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
+    "sim_range_lsh" -> Similarity.rangeSearchLshSql(4, Dim, 0.1,
+      "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     "sim_topk_lsh" -> Similarity.lshTopKSql(6, Dim, 5,
       "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     "sim_topk_ivf" -> Similarity.ivfTopKSql(8, Dim, 5, "10, 11, 12"),
@@ -450,6 +462,7 @@ object PipelineQueries extends QueryProvider {
     "text_repetition" -> TextOps.repetitionSql,
     "text_gopher" -> TextOps.gopherRulesSql(stopList = TextOps.Stopwords),
     "text_entropy" -> TextOps.entropySql,
+    "text_chunks" -> TextOps.chunksSql(32, 24),
     "text_quality" -> TextOps.qualitySql,
     "text_langid" -> TextOps.langidSql,
     "text_fingerprint" -> TextOps.fingerprintSql,

@@ -390,6 +390,44 @@ object StreamQueries extends QueryProvider {
         graft.core.Caches.sanction(cents.persist(lvl)))
     })
 
+  /** The packed LSH bucket index, memoized + sanctioned per
+    * (session, dir) — the static side of the online radius search.
+    */
+  private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def lshIdx(s: SparkSession, dir: String): DataFrame =
+    lshIndexCache.computeIfAbsent((s, dir), { _ =>
+      graft.core.Caches.sanction(graft.streaming.SimStream.lshIndex(
+        graft.core.Tables(s, dir, "embeddings"), bits = 4, dim = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  /** Online radius search: arriving queries probe the packed bucket
+    * index; every corpus vector with cosine ≥ the threshold streams out
+    * (near-dup alerting at ingest). Oracle = the batch bucketed
+    * range-search SQL.
+    */
+  private def runRange(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val queries = s.readStream.schema(sch).parquet(staged)
+      .where(col("vec_id") < 5).select("vec_id", "embedding")
+    drain(s, graft.streaming.SimStream.rangeAgainstLshIndex(
+      queries, lshIdx(s, dir), bits = 4, dim = 64, minCos = 0.1), "append")
+  }
+
+  /** Online embedding-drift monitor: per-dimension corpus moments,
+    * complete-mode — the final board after the bounded replay ≡ the
+    * batch statistics (oracle = the batch SQL verbatim). State is
+    * bounded by the dimensionality, never the stream.
+    */
+  private def runDimStats(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val emb = s.readStream.schema(sch).parquet(staged)
+    drain(s, graft.pipeline.Similarity.dimStats(emb), "complete")
+  }
+
   private val sq8IndexCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
   private def sq8Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
@@ -619,6 +657,13 @@ object StreamQueries extends QueryProvider {
     * SQL verbatim) */
   private def runEntropy(s: SparkSession, dir: String): DataFrame =
     drain(s, graft.pipeline.TextOps.entropy(docStream(s, dir)), "append")
+
+  /** chunking inline on the firehose — documents split into training
+    * windows the moment they arrive; row-local fan-out, zero state
+    * (oracle = batch SQL verbatim) */
+  private def runChunks(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.TextOps.chunks(docStream(s, dir),
+      n = 32, stride = 24), "append")
 
   /** The frozen unigram LM, memoized + sanctioned per (session, dir) —
     * the CCNet posture: the model is trained (counted) once on the
@@ -974,9 +1019,12 @@ object StreamQueries extends QueryProvider {
     "stream_logprob" -> ((s, d) => runLogProb(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_entropy" -> ((s, d) => runEntropy(s, d)),
+    "stream_chunks" -> ((s, d) => runChunks(s, d)),
     "stream_redact" -> ((s, d) => runRedact(s, d)),
     "stream_sample" -> ((s, d) => runSample(s, d)),
     "stream_decisions" -> ((s, d) => runDecisions(s, d)),
+    "stream_range" -> ((s, d) => runRange(s, d)),
+    "stream_dim_stats" -> ((s, d) => runDimStats(s, d)),
     "stream_sim" -> ((s, d) => runSim(s, d)),
     "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)),
     "stream_sim_sq8" -> ((s, d) => runSimSq8(s, d)),
@@ -1188,6 +1236,8 @@ object StreamQueries extends QueryProvider {
     // row-local unigram entropy stateless on the stream, batch oracle
     // verbatim (the run-boundary fold carries no cross-row state)
     "stream_entropy" -> graft.pipeline.TextOps.entropySql,
+    // row-local chunk fan-out stateless on the stream, batch oracle
+    "stream_chunks" -> graft.pipeline.TextOps.chunksSql(32, 24),
     // batch redaction over batch injection, both stateless on the stream
     "stream_redact" -> graft.pipeline.TextOps.redactPiiSql,
     // the batch stratified-sampling operator verbatim on the stream
@@ -1198,6 +1248,12 @@ object StreamQueries extends QueryProvider {
     "stream_decisions" -> graft.pipeline.Corpus.streamDecisionsSql(0.46),
     // the packed-index online ANN must reproduce the batch IVF search —
     // same corpus, same query set, same parameters, same oracle
+    // online radius search ≡ the batch bucketed range search (plain
+    // threshold, no rank — stream/batch agree with no tie-break story)
+    "stream_range" -> graft.pipeline.Similarity.rangeSearchLshSql(
+      4, 64, 0.1, "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
+    // online drift monitor: final complete-mode board ≡ batch moments
+    "stream_dim_stats" -> graft.pipeline.Similarity.dimStatsSql(64),
     "stream_sim" -> graft.pipeline.Similarity.ivfTopKSql(8, 64, 5,
       "10, 11, 12"),
     // multi-probe online ANN ≡ the batch nProbe=3 search

@@ -81,6 +81,39 @@ object Similarity {
        |WHERE ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} >= $minCos
        |ORDER BY query_id, vec_id""".stripMargin
 
+  /** LSH-bucketed radius search — [[rangeSearch]]'s scale path: only
+    * the query's hyperplane-sign bucket is scored, so corpus work per
+    * query is the bucket population, not the corpus (the recall trade
+    * every LSH search makes). Same equi-join-on-bucket shape as
+    * [[lshTopK]], but selection is the threshold filter — no window, no
+    * per-query exchange.
+    */
+  def rangeSearchLsh(emb: DataFrame, queries: DataFrame, bits: Int,
+                     dim: Int, minCos: Double): DataFrame = {
+    def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      VectorOps.lshBucket(col("embedding"), bits, dim).as("bkt"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    prep(emb).as("t").join(broadcast(prep(queries).as("q")),
+        col("q.bkt") === col("t.bkt") && col("q.vec_id") =!= col("t.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
+        VectorOps.cosineOf(
+          VectorOps.dot(col("q.embedding"), col("t.embedding")),
+          col("q.nrm"), col("t.nrm")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
+  def rangeSearchLshSql(bits: Int, dim: Int, minCos: Double,
+                        querySel: String): String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |           ${VectorOps.lshBucketSql("embedding", bits, dim)} AS bkt
+       |           FROM embeddings),
+       |q AS (SELECT * FROM b WHERE vec_id IN ($querySel))
+       |SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+       |       ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} AS cos
+       |FROM b t JOIN q ON q.bkt = t.bkt AND q.vec_id <> t.vec_id
+       |WHERE ${VectorOps.cosineSql("q.embedding", "t.embedding", dim)} >= $minCos
+       |ORDER BY query_id, vec_id""".stripMargin
+
   /** Per-dimension corpus moments (mean / population std) — the
     * feature-scaling statistics a normalization or whitening pre-pass
     * needs before quantization. One posexplode + ONE partial-aggregated

@@ -535,6 +535,46 @@ object TextOps {
        |       -${graft.core.Exact.dsumSql("t")} AS entropy
        |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Overlapping word-window chunking — the pretraining/RAG splitter:
+    * each document becomes chunks of `n` words at `stride`-word starts
+    * (stride < n overlaps; the tail chunk is shorter). Start positions
+    * are every multiple of `stride` below the word count, so chunk
+    * boundaries are a pure function of the text — deterministic across
+    * engines and replays. Row-local explode (the only row growth is the
+    * intended chunk fan-out ≤ ⌈len/stride⌉); no shuffle, stream-safe.
+    * Wordless docs produce no chunks.
+    */
+  def chunks(docs: DataFrame, n: Int, stride: Int): DataFrame = {
+    require(n > 0 && stride > 0, "chunk size and stride must be positive")
+    val nw = size(col("w"))
+    Dedup.withWords(docs)
+      .withColumn("w", filter(col("w"), x => x =!= ""))
+      .where(nw > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), floor((nw - 1) / lit(stride)).cast("int"))))
+      .withColumn("st", col("chunk_id") * stride)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("w"), col("st") + 1, lit(n)), " ").as("chunk"),
+        least(nw - col("st"), lit(n)).cast("long").as("n_words"))
+  }
+
+  /** DuckDB mirror of [[chunks]]. */
+  def chunksSql(n: Int, stride: Int): String =
+    s"""WITH ws AS (SELECT doc_id,
+       |              list_filter(string_split(trim(text), ' '),
+       |                          x -> x <> '') AS w
+       |            FROM documents),
+       |d AS (SELECT doc_id, w, len(w) AS nw FROM ws WHERE len(w) > 0),
+       |-- scalar range() (a LIST) + unnest: the table-function form
+       |-- cannot take lateral column bounds
+       |c AS (SELECT doc_id, w, nw, CAST(r.i AS BIGINT) AS chunk_id,
+       |             r.i * $stride AS st
+       |      FROM d, unnest(range(0, ((nw - 1) // $stride) + 1)) AS r(i))
+       |SELECT doc_id, chunk_id,
+       |       array_to_string(list_slice(w, st + 1, st + $n), ' ') AS chunk,
+       |       CAST(LEAST(nw - st, $n) AS BIGINT) AS n_words
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** The Gopher document-level quality rules (Rae et al. 2021, §A.1.1 —
     * the filter battery most LLM corpus pipelines start from), restated
     * over this corpus's structure (no line breaks → the line-based rules

@@ -308,6 +308,44 @@ object SimStream {
                           cents: DataFrame, k: Int): DataFrame =
     singleSearch(queries, packed, cents, k, floatScore)
 
+  /** The packed LSH bucket index: (bkt, cands) — the hyperplane-sign
+    * analog of [[ivfIndex]] (no centroid table; the bucket id is
+    * computable row-locally from the query itself).
+    */
+  def lshIndex(emb: DataFrame, bits: Int, dim: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        VectorOps.lshBucket(col("embedding"), bits, dim).as("bkt"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+      .groupBy(col("bkt"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nrm")))).as("cands"))
+
+  /** Online radius search: every corpus vector with cosine ≥ `minCos`
+    * of each ARRIVING query — the batch [[Similarity.rangeSearchLsh]]
+    * semantics on the stream (near-dup alerting at ingest). The query's
+    * bucket id is a row-local fold, so the whole search is ONE
+    * stateless equi-join on `bkt` + a generator + a filter: no window,
+    * no per-query state, no watermark. Stream ≡ batch because scoring
+    * is the same fixed-point kernel and selection is a plain threshold
+    * (no rank to tie-break).
+    */
+  def rangeAgainstLshIndex(queries: DataFrame, packed: DataFrame,
+                           bits: Int, dim: Int,
+                           minCos: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qemb"),
+      VectorOps.lshBucket(col("embedding"), bits, dim).as("bkt"),
+      VectorOps.norm(col("embedding")).as("qnrm"))
+    q.join(packed, Seq("bkt"))
+      .select(col("query_id"), col("qemb"), col("qnrm"),
+        explode(col("cands")).as("c"))
+      .where(col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        VectorOps.cosineOf(VectorOps.dot(col("qemb"), col("c.embedding")),
+          col("qnrm"), col("c.nrm")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   /** Top-k QUANTIZED cosine neighbors per query against the packed SQ8
     * index — the same stateless single-join shape as
     * [[topKAgainstIvfIndex]], with each candidate scored asymmetrically

@@ -92,6 +92,25 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) == ((2L, 1.0)))
   }
 
+  test("chunks: stride windows, short tail, sub-window doc, wordless drop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> (1 to 7).map(i => s"w$i").mkString(" "), // n=3,stride=2: 4 chunks
+      2L -> "a b",                                   // shorter than n: 1 chunk
+      3L -> ""                                       // wordless: no chunks
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunks(docs, n = 3, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L), (2L, 0L)))
+    assert(out((1L, 0L)) == (("w1 w2 w3", 3L)))
+    assert(out((1L, 1L)) == (("w3 w4 w5", 3L)))
+    assert(out((1L, 2L)) == (("w5 w6 w7", 3L)))
+    assert(out((1L, 3L)) == (("w7", 1L)))            // tail chunk is short
+    assert(out((2L, 0L)) == (("a b", 2L)))
+  }
+
   test("gopher rules: each rule can fail a doc on its own") {
     val s = spark
     import s.implicits._

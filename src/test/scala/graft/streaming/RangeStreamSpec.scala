@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Online radius search against the packed LSH bucket index: the
+  * stateless probe must agree bit-for-bit with the batch
+  * [[graft.pipeline.Similarity.rangeSearchLsh]] on the same
+  * (corpus, queries) — same bucket hash, same fixed-point cosine, same
+  * threshold — and run as an actual stateless stream.
+  */
+class RangeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+  private val (bits, dim, minCos) = (4, 64, 0.1)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def emb = graft.core.Tables(spark, dir, "embeddings")
+
+  test("packed-bucket probe ≡ batch rangeSearchLsh with every vector as query") {
+    val packed = SimStream.lshIndex(emb, bits, dim)
+    val st = SimStream.rangeAgainstLshIndex(
+        emb.select("vec_id", "embedding"), packed, bits, dim, minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = graft.pipeline.Similarity.rangeSearchLsh(emb, emb, bits, dim,
+        minCos)
+      .select("query_id", "vec_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(st.nonEmpty)
+    assert(st == b, s"stream-only=${(st -- b).take(5)} " +
+      s"batch-only=${(b -- st).take(5)}")
+  }
+
+  test("runs stateless; a query below threshold everywhere emits nothing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val packed = SimStream.lshIndex(emb, bits, dim)
+    val queries = emb.where(col("vec_id") < 5)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val out = SimStream.rangeAgainstLshIndex(
+      in.toDF().toDF("vec_id", "embedding"), packed, bits, dim, minCos)
+    val q = out.writeStream.format("memory").queryName("srange")
+      .outputMode("append").start()
+    in.addData(queries: _*)
+    q.processAllAvailable()
+    val n1 = spark.table("srange").count()
+    // a second arrival of the same queries re-answers them (no dedup
+    // state to suppress the rows — genuinely stateless)
+    in.addData(queries.head)
+    q.processAllAvailable()
+    val n2 = spark.table("srange").count()
+    assert(q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+    val b = graft.pipeline.Similarity.rangeSearchLsh(
+      emb, emb.where(col("vec_id") < 5), bits, dim, minCos).count()
+    assert(n1 == b)
+    val firstCount = graft.pipeline.Similarity.rangeSearchLsh(
+      emb, emb.where(col("vec_id") === queries.head._1), bits, dim,
+      minCos).count()
+    assert(n2 == n1 + firstCount)
+  }
+}
