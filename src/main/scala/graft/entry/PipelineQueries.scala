@@ -336,6 +336,14 @@ object PipelineQueries extends QueryProvider {
       val dd = docs(s, d)
       TextOps.unigramLogProb(dd, TextOps.unigramModel(dd)).orderBy("doc_id")
     }),
+    // CCNet-style perplexity bucketing: per-language tercile cuts over
+    // the LM score, head+middle kept
+    "curate_ppl_buckets" -> ((s, d) => {
+      val dd = docs(s, d)
+      Curation.pplBuckets(dd,
+        TextOps.unigramLogProb(dd, TextOps.unigramModel(dd)))
+        .orderBy("doc_id")
+    }),
     // per-language top-10 by quality score (window group limit shape)
     "curate_topk" -> ((s, d) =>
       Curation.topkByQuality(docs(s, d), "lang", 10)
@@ -473,6 +481,8 @@ object PipelineQueries extends QueryProvider {
     "sample_quota" -> Curation.sampleQuotaSql("source", 15),
     "text_tfidf" -> TextOps.tfidfTopKSql(3),
     "text_logprob" -> TextOps.unigramLogProbSql,
+    "curate_ppl_buckets" ->
+      Curation.pplBucketsSql(TextOps.unigramLogProbSql),
     "sample_by_cluster" -> Curation.sampleByClusterSql(8, Dim, 10),
     "curate_topk" -> Curation.topkByQualitySql(10),
     "pack_tokens" -> Curation.packTokenBudgetSql(4096),

@@ -692,6 +692,29 @@ object StreamQueries extends QueryProvider {
       docStream(s, dir).select("doc_id", "text"),
       unigramLm(s, dir)), "update")
 
+  /** The frozen per-language tercile cut table, memoized + sanctioned
+    * per (session, dir) — batch-refreshed beside the LM, exactly
+    * CCNet's cutoff files.
+    */
+  private val pplCutsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def pplCutsTable(s: SparkSession, dir: String): DataFrame =
+    pplCutsCache.computeIfAbsent((s, dir), { _ =>
+      val dd = graft.core.Tables(s, dir, "documents")
+      graft.core.Caches.sanction(graft.pipeline.Curation.pplCuts(dd,
+        graft.pipeline.TextOps.unigramLogProb(dd, unigramLm(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  /** Online CCNet bucketing: arriving documents scored against the
+    * frozen LM and labeled against the frozen cuts — self-scored on the
+    * replay corpus, so the batch bucket oracle applies verbatim.
+    */
+  private def runPplBuckets(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.streaming.DocStream.pplLabel(
+      docStream(s, dir).select("doc_id", "lang", "text"),
+      unigramLm(s, dir), pplCutsTable(s, dir)), "update")
+
   /** The online admission capstone: per-arriving-document verdicts
     * (dup / low_quality / kept) with a deterministic first-arrival dedup
     * leg — the streaming analog of the batch `corpus_decisions` gate
@@ -1017,6 +1040,7 @@ object StreamQueries extends QueryProvider {
     "stream_vocab" -> ((s, d) => runVocab(s, d)),
     "stream_gopher" -> ((s, d) => runGopher(s, d)),
     "stream_logprob" -> ((s, d) => runLogProb(s, d)),
+    "stream_ppl_buckets" -> ((s, d) => runPplBuckets(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_entropy" -> ((s, d) => runEntropy(s, d)),
     "stream_chunks" -> ((s, d) => runChunks(s, d)),
@@ -1048,6 +1072,10 @@ object StreamQueries extends QueryProvider {
         8, 8, 16, 64, 5, 15, 3, "10, 11, 12"),
     // frozen-LM stream scoring over the same corpus ≡ batch self-scoring
     "stream_logprob" -> graft.pipeline.TextOps.unigramLogProbSql,
+    // frozen LM + frozen cuts, self-scored on the replay corpus — the
+    // batch bucket oracle verbatim
+    "stream_ppl_buckets" -> graft.pipeline.Curation.pplBucketsSql(
+      graft.pipeline.TextOps.unigramLogProbSql),
     // session_window state ≡ the batch lag/cumsum session derivation
     "stream_sessionize" ->
       graft.ops.Sessions.sessionizeStreamSql(EventQueries.SessionGapMs),

@@ -58,7 +58,19 @@ object TransQueries extends QueryProvider {
       // robust trailing-15 MAD anomaly flags over the purchase series
       "series_mad" -> ((s: SparkSession, d: String) =>
         graft.ops.Rolling.mad(base(s, d), n = 15, threshold = 3.0)
-          .orderBy("metric", "ts_ms")))
+          .orderBy("metric", "ts_ms")),
+      // seasonal-naive daily forecast error over hourly per-type series
+      "series_snaive" -> ((s: SparkSession, d: String) =>
+        graft.ops.Rolling.snaive(hourly(s, d), 86400000L)
+          .orderBy("metric")))
+
+  /** hourly per-event-type series — coarse enough to be dense, so the
+    * exact daily season-back slot usually exists */
+  private def hourly(s: SparkSession, d: String): DataFrame =
+    SeriesOps.events(s, d)
+      .groupBy(col("event_type").as("metric"),
+        graft.core.Exact.wstart(col("ts_ms"), 3600000L).as("ts_ms"))
+      .agg(graft.core.Exact.davg(col("value")).as("value"))
 
   private def withSeries(body: String): String =
     s"WITH series AS (${SeriesOps.seriesSql})\n$body"
@@ -103,5 +115,12 @@ object TransQueries extends QueryProvider {
            |base AS (SELECT metric, ts_ms, value FROM series
            |         WHERE mtype = 'purchase'),
            |${graft.ops.Rolling.madSql(15, 3.0)}
-           |ORDER BY metric, ts_ms""".stripMargin)
+           |ORDER BY metric, ts_ms""".stripMargin,
+      "series_snaive" ->
+        s"""WITH base AS (SELECT event_type AS metric,
+           |    ${graft.core.Exact.wstartSql("epoch_ms(ts)", 3600000L)} AS ts_ms,
+           |    ${graft.core.Exact.davgSql("value")} AS value
+           |  FROM events GROUP BY 1, 2),
+           |${graft.ops.Rolling.snaiveSql(86400000L)}
+           |ORDER BY metric""".stripMargin)
 }

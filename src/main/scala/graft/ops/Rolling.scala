@@ -240,4 +240,44 @@ object Rolling {
        |       COALESCE(ABS(zscore) > $threshold, FALSE) AS anomaly
        |FROM zs""".stripMargin
   }
+
+  /** Seasonal-naive forecast error — the forecasting-baseline readout
+    * every capacity/alerting pipeline starts from: `ŷ(t) = y(t −
+    * season)`, summarized per series as MAE and mean (signed) error over
+    * the evaluable points (those whose exact season-back slot exists).
+    *
+    * The predecessor comes from a RANGE window frame pinned to
+    * `[t − season, t − season]` — an exact slot-grid lookup without a
+    * self-join, so the plan is ONE shuffle on the series key and the
+    * per-series aggregate reuses that partitioning (no second exchange).
+    * Error sums run through the decimal-exact fold (Exact convention).
+    *
+    * Output: (metric, n_eval, mae, me).
+    */
+  def snaive(series: DataFrame, seasonMs: Long): DataFrame = {
+    require(seasonMs > 0, s"season must be positive, got $seasonMs")
+    val w = Window.partitionBy("metric").orderBy("ts_ms")
+      .rangeBetween(-seasonMs, -seasonMs)
+    series
+      .withColumn("pred", max(col("value")).over(w))
+      .where(col("pred").isNotNull)
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n_eval"),
+        graft.core.Exact.davg(abs(col("value") - col("pred"))).as("mae"),
+        graft.core.Exact.davg(col("value") - col("pred")).as("me"))
+  }
+
+  /** DuckDB mirror of [[snaive]] over a `base` relation (metric, ts_ms,
+    * value) declared in a WITH prefix.
+    */
+  def snaiveSql(seasonMs: Long): String =
+    s"""pr AS (SELECT metric, ts_ms, value,
+       |           MAX(value) OVER (PARTITION BY metric ORDER BY ts_ms
+       |             RANGE BETWEEN $seasonMs PRECEDING
+       |                       AND $seasonMs PRECEDING) AS pred
+       |       FROM base)
+       |SELECT metric, COUNT(*) AS n_eval,
+       |       ${graft.core.Exact.davgSql("ABS(value - pred)")} AS mae,
+       |       ${graft.core.Exact.davgSql("(value - pred)")} AS me
+       |FROM pr WHERE pred IS NOT NULL GROUP BY metric""".stripMargin
 }

@@ -13,6 +13,82 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  // ------------------------------------------------ perplexity buckets
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+    * tercile cutpoints over the LM-quality score (here the mean unigram
+    * log-prob — higher = more probable = lower perplexity), each document
+    * labeled head / middle / tail by VALUE against the cuts, and
+    * head+middle kept — the filtering CCNet applies before training.
+    *
+    * Cutpoints use the engine's k-th-smallest convention
+    * (`ceil(p·n)`-th order statistic, the [[graft.ops.Aggrs]] percentile
+    * — no interpolation, so both engines pick an actual data value and
+    * the bucket comparisons cannot straddle an ulp). Determinism needs
+    * no tie-break: buckets are value-based, so equal scores land in the
+    * same bucket by the same comparison.
+    *
+    * Scale shape: one (lang) aggregation for the cuts — per-group state
+    * is the language's score list (the same documented envelope as the
+    * exact percentile aggregate; beyond it, swap `approx_percentile`
+    * cutpoints — value-based bucketing is unchanged by how the cut is
+    * found) — then the cut table (|langs| rows) broadcasts back and the
+    * bucket label is a row-local comparison. The corpus never sorts
+    * globally and never shuffles for the labeling pass.
+    */
+  def pplBuckets(docs: DataFrame, scored: DataFrame): DataFrame =
+    scoredByLang(docs, scored).join(broadcast(pplCuts(docs, scored)), "lang")
+      .select(col("doc_id") +: col("lang") +: col("avg_logprob") +:
+        pplLabelCols(col("avg_logprob"), col("c13"), col("c23")): _*)
+
+  /** The per-language tercile cut table (lang, c13, c23) — the frozen
+    * artifact the STREAMING labeler joins against (batch-refreshed with
+    * the LM, exactly like CCNet's per-language cutoff files).
+    */
+  def pplCuts(docs: DataFrame, scored: DataFrame): DataFrame = {
+    def kth(v: Column, p: Double): Column = {
+      val arr = array_sort(collect_list(v))
+      element_at(arr,
+        greatest(lit(1L), ceil(lit(p) * size(arr).cast("double")).cast("long"))
+          .cast("int"))
+    }
+    scoredByLang(docs, scored).groupBy("lang")
+      .agg(kth(col("avg_logprob"), 1.0 / 3).as("c13"),
+        kth(col("avg_logprob"), 2.0 / 3).as("c23"))
+  }
+
+  /** The shared labeling columns — single-sourced so the batch operator
+    * and the streaming labeler cannot drift.
+    */
+  def pplLabelCols(lp: Column, c13: Column, c23: Column): Seq[Column] = Seq(
+    when(lp >= c23, "head").when(lp >= c13, "middle")
+      .otherwise("tail").as("bucket"),
+    (lp >= c13).as("kept"))
+
+  private def scoredByLang(docs: DataFrame, scored: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored.select(col("doc_id"), col("avg_logprob")), "doc_id")
+
+  /** DuckDB mirror of [[pplBuckets]]; `scoredSql` must yield
+    * (doc_id, avg_logprob) — the `text_logprob` oracle slots in.
+    */
+  def pplBucketsSql(scoredSql: String): String =
+    s"""WITH scored AS ($scoredSql),
+       |j AS (SELECT d.doc_id, d.lang, s.avg_logprob
+       |      FROM documents d JOIN scored s USING (doc_id)),
+       |cuts AS (SELECT lang,
+       |    list_sort(list(avg_logprob))[GREATEST(1,
+       |      CAST(CEIL(${1.0 / 3} * COUNT(avg_logprob)) AS BIGINT))] AS c13,
+       |    list_sort(list(avg_logprob))[GREATEST(1,
+       |      CAST(CEIL(${2.0 / 3} * COUNT(avg_logprob)) AS BIGINT))] AS c23
+       |  FROM j GROUP BY 1)
+       |SELECT doc_id, lang, avg_logprob,
+       |       CASE WHEN avg_logprob >= c23 THEN 'head'
+       |            WHEN avg_logprob >= c13 THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |       avg_logprob >= c13 AS kept
+       |FROM j JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------- decontamination
 
   /** Benchmark decontamination: flag training documents sharing at least

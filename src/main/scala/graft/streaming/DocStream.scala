@@ -56,6 +56,40 @@ object DocStream {
     * aggregate (unsupported over streams); the batch operator carries
     * it, the stream serves the occurrence leaderboard.
     */
+  /** Online CCNet perplexity labeling: each ARRIVING document is scored
+    * against the frozen unigram LM and labeled head/middle/tail against
+    * the frozen per-language tercile cuts — both batch-refreshed
+    * artifacts (exactly CCNet's deployment: LM + cutoff files trained on
+    * the reference corpus, the firehose labeled as it arrives).
+    *
+    * Plan: the cut table joins on `lang` BEFORE the per-doc token
+    * aggregation (stateless stream-static equi-join; c13/c23 ride the
+    * grouping key, functionally dependent on doc_id), the LM joins on
+    * the token exactly as the batch scorer does, and the label is a
+    * row-local comparison after the aggregate. One stateful operator —
+    * the same per-doc token re-group as the logprob gate (update mode:
+    * a doc's tokens all ride one input row, so each doc emits once per
+    * replay).
+    */
+  def pplLabel(docs: DataFrame, model: DataFrame,
+               cuts: DataFrame): DataFrame = {
+    val tok = graft.pipeline.Dedup.withWords(docs)
+      .select(col("doc_id"), col("lang"), explode(col("w")).as("word"))
+      .join(broadcast(cuts), "lang")
+    val total = model.select(col("n_total")).limit(1)
+    tok.crossJoin(broadcast(total))
+      .join(model.select(col("word"), col("n_word")), Seq("word"), "left")
+      .withColumn("lp", round(log10(
+        coalesce(col("n_word"), lit(1L)).cast("double") / col("n_total")),
+        9))
+      .groupBy("doc_id", "lang", "c13", "c23")
+      .agg((graft.core.Exact.dsum(col("lp")) / count(lit(1)))
+        .as("avg_logprob"))
+      .select(col("doc_id") +: col("lang") +: col("avg_logprob") +:
+        graft.pipeline.Curation.pplLabelCols(
+          col("avg_logprob"), col("c13"), col("c23")): _*)
+  }
+
   def vocabTopK(docs: DataFrame, k: Int): DataFrame =
     graft.pipeline.Dedup.withWords(docs)
       .select(explode(col("w")).as("word"))

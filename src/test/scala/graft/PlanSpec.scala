@@ -101,6 +101,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(stats).size >= 2, stats.take(3000))
   }
 
+  test("ppl buckets broadcast the cuts; snaive reuses the series exchange") {
+    val docs = core.Tables(spark, dir, "documents")
+    val scored = pipeline.TextOps.unigramLogProb(docs,
+      pipeline.TextOps.unigramModel(docs))
+    val plan = planOf(pipeline.Curation.pplBuckets(docs, scored))
+    // the cut table joins back as a broadcast; labeling adds no sort
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    graft.core.Caches.releaseTransient(spark)
+    // snaive: the window's metric exchange is the ONLY exchange — the
+    // per-series aggregate must reuse it, and the RANGE-frame lookup
+    // must not plan a self-join
+    val s = spark
+    import s.implicits._
+    val sn = planOf(ops.Rolling.snaive(
+      Seq(("m", 0L, 1.0), ("m", 10L, 2.0)).toDF("metric", "ts_ms", "value"),
+      10L))
+    assert("Exchange hashpartitioning".r.findAllIn(sn).size == 1,
+      sn.take(3000))
+    assert(!sn.contains("Join"), sn.take(3000))
+  }
+
   test("windowed aggregation has map-side partial aggregation") {
     val plan = planOf(entry.AggrQueries.queries("aggr_sum")(spark, dir))
     // HashAggregate appears in partial + final pairs around one exchange

@@ -124,4 +124,21 @@ class RollingPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("snaive: exact season-back lookup only; MAE/ME match brute force") {
+    val s = spark
+    import s.implicits._
+    // season 10: ts 0..4 have no predecessor; 10,12,14 do; 13 does NOT
+    // (no slot at 3) — the RANGE frame must not fall back to a near miss
+    val rows = Seq(
+      ("m", 0L, 1.0), ("m", 2L, 2.0), ("m", 4L, 7.0),
+      ("m", 10L, 4.0), ("m", 12L, 1.0), ("m", 13L, 9.0), ("m", 14L, 3.0),
+      ("k", 0L, 5.0), ("k", 10L, 5.0))
+    val out = Rolling.snaive(rows.toDF("metric", "ts_ms", "value"), 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // m evaluable: (10,4 vs 1), (12,1 vs 2), (14,3 vs 7) -> |e| 3,1,4; e 3,-1,-4
+    assert(out("m") == ((3L, 8.0 / 3, -2.0 / 3)))
+    assert(out("k") == ((1L, 0.0, 0.0)))
+  }
 }

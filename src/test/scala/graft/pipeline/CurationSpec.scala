@@ -45,6 +45,32 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flaggedAt2 == Map(1L -> 6L, 2L -> 2L))
   }
 
+  test("ppl buckets: value-based terciles per language, head+middle kept") {
+    val s = spark
+    import s.implicits._
+    // scores injected directly — the bucket logic, not the LM, is under test
+    val docs = Seq(
+      (1L, "x", "en", "s0"), (2L, "x", "en", "s0"), (3L, "x", "en", "s0"),
+      (4L, "x", "en", "s0"), (5L, "x", "en", "s0"), (6L, "x", "en", "s0"),
+      (10L, "x", "de", "s0"), (11L, "x", "de", "s0"), (12L, "x", "de", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val scored = Seq(
+      1L -> -1.0, 2L -> -2.0, 3L -> -3.0, 4L -> -4.0, 5L -> -5.0,
+      6L -> -6.0,
+      10L -> -1.0, 11L -> -2.0, 12L -> -3.0
+    ).toDF("doc_id", "avg_logprob")
+    val out = Curation.pplBuckets(docs, scored).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getBoolean(4)))).toMap
+    // en: n=6 -> c13 = 2nd smallest = -5, c23 = 4th = -3
+    assert(out(1L) == (("head", true)) && out(2L) == (("head", true)) &&
+      out(3L) == (("head", true)))
+    assert(out(4L) == (("middle", true)) && out(5L) == (("middle", true)))
+    assert(out(6L) == (("tail", false)))
+    // de: n=3 -> c13 = 1st = -3 (everything kept), c23 = 2nd = -2
+    assert(out(10L) == (("head", true)) && out(11L) == (("head", true)))
+    assert(out(12L) == (("middle", true)))
+  }
+
   test("stratified sample is deterministic and monotone in the rate") {
     val docs = docsDf((1L to 400L).map(i =>
       (i, s"doc $i", if (i % 2 == 0) "en" else "de", "s0")))
