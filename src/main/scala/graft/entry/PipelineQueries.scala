@@ -196,6 +196,16 @@ object PipelineQueries extends QueryProvider {
         nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, nProbe = 3)
         .orderBy("query_id", "rank")
     }),
+    // the complete production IVFADC: Lloyd-trained residual codebooks
+    // under the probed search, unchanged index memory
+    "sim_topk_pq_residual_trained" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqResidualTrainedTopKProbed(e,
+        e.where(col("vec_id").isin(10L, 11L, 12L)),
+        nCells = 8, m = 8, ksub = 16, dim = Dim, k = 5, nProbe = 3,
+        iters = 2)
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_pq_residual_rerank" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfPqResidualRerankTopKProbed(e,
@@ -453,6 +463,9 @@ object PipelineQueries extends QueryProvider {
     "sim_topk_pq_residual_rerank" ->
       Similarity.ivfPqResidualRerankTopKProbedSql(8, 8, 16, Dim, 5, 15, 3,
         "10, 11, 12"),
+    "sim_topk_pq_residual_trained" ->
+      Similarity.ivfPqResidualTrainedTopKProbedSql(8, 8, 16, Dim, 5, 3,
+        "10, 11, 12", iters = 2),
     // append ≡ rebuild (PqAppendSpec), so the appended index answers the
     // same full-corpus oracle as sim_topk_ivf_pq
     "sim_topk_pq_append" -> Similarity.ivfPqTopKSql(8, 8, 16, Dim, 5,

@@ -511,6 +511,43 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append")
   }
 
+  /** The TRAINED online IVFADC index (Lloyd-trained residual
+    * codebooks), memoized + sanctioned — same artifact schema as
+    * [[resPqIndex]], so the search kernels consume it unmodified.
+    */
+  private val resPqTrainedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+  private def resPqTrainedIndex(s: SparkSession,
+                                dir: String): (DataFrame, DataFrame, DataFrame) =
+    resPqTrainedIndexCache.computeIfAbsent((s, dir), { _ =>
+      val (packed, cents, scbL) =
+        graft.streaming.SimStream.residualPqIndexTrained(
+          graft.core.Tables(s, dir, "embeddings"), nCells = 8, m = 8,
+          ksub = 16, dim = 64, iters = 2)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (graft.core.Caches.sanction(packed.persist(lvl)),
+        graft.core.Caches.sanction(cents.persist(lvl)),
+        graft.core.Caches.sanction(scbL.persist(lvl)))
+    })
+
+  /** Online trained-IVFADC gate: the probed residual search over the
+    * Lloyd-trained index — results ≡ the batch trained search, whose
+    * SQL is the oracle.
+    */
+  private def runSimPqResidualTrained(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val queries = s.readStream.schema(sch).parquet(staged)
+      .where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding")
+    val (packed, cents, scbL) = resPqTrainedIndex(s, dir)
+    drain(s, graft.streaming.SimStream.topKAgainstResidualPqIndexProbed(
+      queries, packed, cents, scbL, k = 5, m = 8, dim = 64, nProbe = 3),
+      "append")
+  }
+
   /** The residual production posture online: probed IVFADC shortlist,
     * full-precision rerank out of the cold float index.
     */
@@ -1063,7 +1100,9 @@ object StreamQueries extends QueryProvider {
     "stream_sim_pq_residual_probe" -> ((s, d) =>
       runSimPqResidual(s, d, nProbe = 3)),
     "stream_sim_pq_residual_rerank" -> ((s, d) =>
-      runSimPqResidualRerank(s, d, nProbe = 3)))
+      runSimPqResidualRerank(s, d, nProbe = 3)),
+    "stream_sim_pq_residual_trained" -> ((s, d) =>
+      runSimPqResidualTrained(s, d)))
 
   def oracle: Map[String, String] = Map(
     // stream residual rerank ≡ batch ivfPqResidualRerankTopKProbed
@@ -1317,6 +1356,10 @@ object StreamQueries extends QueryProvider {
       .ivfPqResidualTopKProbedSql(8, 8, 16, 64, 5, 1, "10, 11, 12"),
     "stream_sim_pq_residual_probe" -> graft.pipeline.Similarity
       .ivfPqResidualTopKProbedSql(8, 8, 16, 64, 5, 3, "10, 11, 12"),
+    // online trained IVFADC ≡ the batch trained search
+    "stream_sim_pq_residual_trained" -> graft.pipeline.Similarity
+      .ivfPqResidualTrainedTopKProbedSql(8, 8, 16, 64, 5, 3,
+        "10, 11, 12", iters = 2),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions
     "stream_neardup" ->

@@ -1453,17 +1453,26 @@ object Similarity {
         zip_with(slice(col("embedding"), col("j") * sub + 1, lit(sub)),
           slice(col("cemb"), col("j") * sub + 1, lit(sub)),
           (e, c) => e.cast("double") - c).as("rvec"))
-    val scb = centd.crossJoin(broadcast(rcb))
+    shiftedByCell(centd, rcb, sub)
+  }
+
+  /** centroid ⊕ residual-codebook → per-cell packed shifted tables
+    * (cell, cbs) — shared by the seeded and Lloyd-trained residual
+    * builders so the shift arithmetic (one double add per element, in
+    * this order) cannot drift between them.
+    */
+  private def shiftedByCell(centd: DataFrame, rcb: DataFrame,
+                            sub: Int): DataFrame =
+    centd.crossJoin(broadcast(rcb))
       .select(col("cid").as("cell"), col("j"), col("code"),
         zip_with(slice(col("cemb"), col("j") * sub + 1, lit(sub)),
           col("rvec"), (c, r) => c + r).as("svec"))
-    scb.groupBy("cell", "j")
+      .groupBy("cell", "j")
       .agg(transform(sort_array(collect_list(struct(col("code"),
         col("svec")))), x => x.getField("svec")).as("cb"))
       .groupBy("cell")
       .agg(transform(sort_array(collect_list(struct(col("j"), col("cb")))),
         x => x.getField("cb")).as("cbs"))
-  }
 
   /** Per-cell norm LUTs over the shifted codebooks — the residual analog
     * of [[pqNormLut]]: `lutn[j][code] = dotL(svec, svec)`. Keyed by cell
@@ -1508,6 +1517,20 @@ object Similarity {
     val cells = ivfCells(emb, nCells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scbC = residualScb(emb, cells, nCells, m, ksub, dim)
+    Persist.handoff(
+      residualProbedSearch(emb, cells, scbC, queries, nCells, m, dim, k,
+        nProbe), cells)
+  }
+
+  /** The probed IVFADC search over a given per-cell shifted-codebook
+    * table — shared by the seeded and Lloyd-trained residual variants so
+    * the probe ranking, per-(query, cell) ADC build, and tie-breaks are
+    * single-sourced.
+    */
+  private def residualProbedSearch(emb: DataFrame, cells: DataFrame,
+                                   scbC: DataFrame, queries: DataFrame,
+                                   nCells: Int, m: Int, dim: Int, k: Int,
+                                   nProbe: Int): DataFrame = {
     val idx = pqResidualEncode(cells, scbC, m, dim)
     val cents = ivfCents(emb, nCells)
     val qemb = queries.select(col("vec_id").as("q_id"),
@@ -1536,9 +1559,89 @@ object Similarity {
           col("qnrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-    Persist.handoff(out, cells)
+  }
+
+  /** Lloyd-TRAINED residual codebooks, shifted per cell — the full
+    * IVFADC training loop (FAISS `IndexIVFPQ::train`: the product
+    * quantizer trains on RESIDUALS `v − centroid(cell)`): the
+    * [[residualScb]] seed refined by `iters` rounds of assign (the
+    * native [[graft.expr.PqEncode]] argmin against each vector's
+    * OWN-cell shifted table — the same shifted-space comparison the
+    * search makes, so train-time and search-time codes cannot disagree)
+    * and update (per-element residual means through the 1e-7
+    * fixed-point BIGINT sums — [[pqCodebooksTrained]]'s convention, so
+    * entries are partition-order-independent and bit-identical to the
+    * mirrored SQL loop). Empty clusters keep their previous entry.
+    *
+    * Per round: one nCells×m×ksub broadcast, one corpus scan (argmin
+    * row-local after the broadcast cell join), one map-side-combinable
+    * (j, code, i) shuffle of m·ksub·sub reduced rows — corpus-size-
+    * independent, the same per-retrain profile as the raw trained PQ.
+    */
+  private[graft] def residualScbTrained(emb: DataFrame, cells: DataFrame,
+                                        nCells: Int, m: Int, ksub: Int,
+                                        dim: Int, iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sub = dim / m
+    val centd = ivfCents(emb, nCells).select(col("cid"),
+      transform(col("cvec"), x => x.cast("double")).as("cemb"))
+    // residuals (one double subtract per element, the residualScb order)
+    val res = cells.join(broadcast(centd), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cemb"),
+          (e, c) => e.cast("double") - c).as("remb"))
+    val rcb0 = res.where(col("vec_id") < ksub)
+      .select(col("vec_id"), col("remb"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .select(col("j"), col("vec_id").cast("int").as("code"),
+        slice(col("remb"), col("j") * sub + 1, lit(sub)).as("rvec"))
+    def lloydRound(rcb: DataFrame): DataFrame = {
+      val scbC = shiftedByCell(centd, rcb, sub)
+      val codes = cells.join(broadcast(scbC), Seq("cell"))
+        .where(size(col("cbs")) === m)
+        .join(broadcast(centd), col("cell") === col("cid"))
+        .select(
+          zip_with(col("embedding"), col("cemb"),
+            (e, c) => e.cast("double") - c).as("remb"),
+          posexplode(graft.expr.PqEncode(col("embedding"), col("cbs"), m,
+            sub, VectorOps.Scale)).as(Seq("j", "code")))
+      val sums = codes
+        .select(col("j"), col("code"),
+          posexplode(transform(
+            slice(col("remb"), col("j") * sub + 1, lit(sub)),
+            x => round(x * 1e7).cast("long")))
+            .as(Seq("i", "s")))
+        .groupBy("j", "code", "i")
+        .agg(sum(col("s")).as("s"), count(lit(1)).as("n"))
+      val means = sums.groupBy("j", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(i, s, n))), " +
+          "x -> CAST(x.s AS DOUBLE)/1e7/x.n)").as("mvec"))
+      rcb.as("p").join(means, Seq("j", "code"), "left")
+        .select(col("j"), col("code"),
+          coalesce(col("mvec"), col("p.rvec")).as("rvec"))
+    }
+    shiftedByCell(centd,
+      (1 to iters).foldLeft(rcb0)((c, _) => lloydRound(c)), sub)
+  }
+
+  /** [[ivfPqResidualTopKProbed]] with the Lloyd-trained residual
+    * codebooks — the complete production IVFADC: trained coarse-residual
+    * coding underneath the probed search, at unchanged index memory.
+    */
+  def ivfPqResidualTrainedTopKProbed(emb: DataFrame, queries: DataFrame,
+                                     nCells: Int, m: Int, ksub: Int,
+                                     dim: Int, k: Int, nProbe: Int,
+                                     iters: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cells = ivfCells(emb, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scbC = residualScbTrained(emb, cells, nCells, m, ksub, dim, iters)
+    Persist.handoff(
+      residualProbedSearch(emb, cells, scbC, queries, nCells, m, dim, k,
+        nProbe), cells)
   }
 
   /** Residual IVF-PQ, probed AND full-precision reranked — IVFADC in its
@@ -1644,6 +1747,101 @@ object Similarity {
        |        WHERE rn = 1),
        |pidx AS (SELECT vec_id, cell, flatten(list(svec ORDER BY j)) AS recon
        |         FROM enc GROUP BY vec_id, cell)""".stripMargin
+  }
+
+  /** The trained-residual index prefix: [[pqResidualIndexCteSql]]'s
+    * structure with the Lloyd loop unrolled CTE-per-round over
+    * RESIDUALS — assignment against the per-cell SHIFTED tables (the
+    * same shifted-space comparison the search makes), update through
+    * the 1e-7 fixed-point sums of residual elements.
+    */
+  private def pqResidualTrainedIndexCteSql(nCells: Int, m: Int, ksub: Int,
+                                           dim: Int, iters: Int): String = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sub = dim / m
+    def dotL(x: String, y: String): String =
+      s"CAST(list_sum([CAST(ROUND(CAST($x AS DOUBLE)*CAST($y AS DOUBLE)*1e15, 0) AS BIGINT) " +
+        s"for i in range(1, ${sub + 1})]) AS BIGINT)"
+    val vi = s"a.embedding[s.j*$sub + i]"
+    val svi = "s.svec[i]"
+    val d = s"${dotL(vi, vi)} + ${dotL(svi, svi)} - 2*${dotL(vi, svi)}"
+    def scbOf(rcbCte: String): String =
+      s"""(SELECT c.cid AS cell, r.j, r.code,
+         |   [c.cemb[r.j*$sub + i] + r.rvec[i] for i in range(1, ${sub + 1})] AS svec
+         | FROM centd c CROSS JOIN $rcbCte r)""".stripMargin
+    def roundSql(t: Int): String =
+      s"""scb$t AS (SELECT * FROM ${scbOf(s"rcb${t - 1}")}),
+         |es$t AS (SELECT a.vec_id, s.j, s.code, $d AS d
+         |    FROM assigned a JOIN scb$t s ON s.cell = a.cell),
+         |en$t AS (SELECT vec_id, j, code FROM (
+         |      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |        ORDER BY d, code) AS rn FROM es$t) WHERE rn = 1),
+         |sm$t AS (SELECT e.j, e.code, di.i,
+         |      SUM(CAST(ROUND(r.remb[e.j*$sub + di.i]*1e7, 0) AS BIGINT)) AS s,
+         |      COUNT(*) AS n
+         |    FROM en$t e JOIN res r USING (vec_id)
+         |    CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) di
+         |    GROUP BY 1, 2, 3),
+         |mn$t AS (SELECT j, code, list(CAST(s AS DOUBLE)/1e7/n ORDER BY i) AS mvec
+         |    FROM sm$t GROUP BY 1, 2),
+         |rcb$t AS (SELECT p.j, p.code, COALESCE(m.mvec, p.rvec) AS rvec
+         |    FROM rcb${t - 1} p LEFT JOIN mn$t m USING (j, code))"""
+        .stripMargin
+    val rounds = (1 to iters).map(roundSql).mkString(",\n")
+    s"""${assignedCteSql(nCells, dim)},
+       |centd AS (SELECT cid,
+       |            [CAST(embedding[i] AS DOUBLE)
+       |             for i in range(1, ${dim + 1})] AS cemb
+       |          FROM cents),
+       |res AS (SELECT a.vec_id, a.cell,
+       |          [CAST(a.embedding[i] AS DOUBLE) - c.cemb[i]
+       |           for i in range(1, ${dim + 1})] AS remb
+       |        FROM assigned a JOIN centd c ON c.cid = a.cell),
+       |rcb0 AS (SELECT js.j, CAST(r.vec_id AS INTEGER) AS code,
+       |           [r.remb[js.j*$sub + i] for i in range(1, ${sub + 1})] AS rvec
+       |         FROM res r
+       |         CROSS JOIN (SELECT unnest(range(0, $m)) AS j) js
+       |         WHERE r.vec_id < $ksub),
+       |$rounds,
+       |scbF AS (SELECT * FROM ${scbOf(s"rcb$iters")}),
+       |encsc AS (
+       |  SELECT a.vec_id, s.cell, s.j, s.code, s.svec, $d AS d
+       |  FROM assigned a JOIN scbF s ON s.cell = a.cell),
+       |enc AS (SELECT vec_id, cell, j, svec FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |            ORDER BY d, code) AS rn FROM encsc)
+       |        WHERE rn = 1),
+       |pidx AS (SELECT vec_id, cell, flatten(list(svec ORDER BY j)) AS recon
+       |         FROM enc GROUP BY vec_id, cell)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ivfPqResidualTrainedTopKProbed]]: the trained
+    * residual prefix + the probed-qcells stage + reconstruction cosine.
+    */
+  def ivfPqResidualTrainedTopKProbedSql(nCells: Int, m: Int, ksub: Int,
+                                        dim: Int, k: Int, nProbe: Int,
+                                        queryIds: String,
+                                        iters: Int): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding", dim)
+    s"""WITH ${pqResidualTrainedIndexCteSql(nCells, m, ksub, dim, iters)},
+       |qcells AS (
+       |  SELECT q_id, qvec, qcell FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS qvec, c.cid AS qcell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cos DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id IN ($queryIds))
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.q_id AS query_id, t.vec_id AS vec_id,
+       |         ${VectorOps.cosineSql("q.qvec", "t.recon", dim)} AS cos
+       |  FROM pidx t JOIN qcells q
+       |    ON q.qcell = t.cell AND q.q_id <> t.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB mirror of [[ivfPqResidualTopKProbed]]: the residual index

@@ -559,7 +559,30 @@ object SimStream {
   def residualPqIndex(emb: DataFrame, nCells: Int, m: Int, ksub: Int,
                       dim: Int): (DataFrame, DataFrame, DataFrame) = {
     val cells = Similarity.ivfCells(emb, nCells)
-    val scbC = Similarity.residualScb(emb, cells, nCells, m, ksub, dim)
+    packResidual(emb, nCells, cells,
+      Similarity.residualScb(emb, cells, nCells, m, ksub, dim), m, dim)
+  }
+
+  /** [[residualPqIndex]] with the Lloyd-TRAINED residual codebooks
+    * ([[graft.pipeline.Similarity.residualScbTrained]]) — the online
+    * IVFADC index in its production form: training tightens the shared
+    * residual entries at unchanged resident memory (codes stay m small
+    * ints; only the broadcast shifted tables change). Same artifact
+    * schema, so every search kernel and the append path consume it
+    * unmodified.
+    */
+  def residualPqIndexTrained(emb: DataFrame, nCells: Int, m: Int,
+                             ksub: Int, dim: Int,
+                             iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val cells = Similarity.ivfCells(emb, nCells)
+    packResidual(emb, nCells, cells,
+      Similarity.residualScbTrained(emb, cells, nCells, m, ksub, dim,
+        iters), m, dim)
+  }
+
+  private def packResidual(emb: DataFrame, nCells: Int, cells: DataFrame,
+                           scbC: DataFrame, m: Int,
+                           dim: Int): (DataFrame, DataFrame, DataFrame) = {
     val packed = Similarity.pqResidualEncode(cells, scbC, m, dim)
       .groupBy(col("cell"))
       .agg(sort_array(collect_list(
