@@ -69,6 +69,28 @@ object EventQueries extends QueryProvider {
         graft.ops.Sessions.activeUsers(
           SeriesOps.events(s, d, widen = false), dayMs = 86400000L,
           windowDays = 7).orderBy("day")),
+      // ROLLUP (type, day) — the multi-level subtotal report: Catalyst's
+      // Expand emits all grouping levels in ONE pass over the input (no
+      // per-level rescan); counts and decimal-exact sums per level
+      "events_rollup" -> ((s, d) =>
+        SeriesOps.events(s, d)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .rollup(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n_events"),
+            graft.core.Exact.dsum(col("value")).as("sum_value"))
+          .orderBy(col("event_type").asc_nulls_first,
+            col("day").asc_nulls_first)),
+      // PIVOT day × event-type — the wide activity report: one Expand +
+      // one aggregation, never a per-type self-join; absent combinations
+      // stay NULL (both engines' empty-group convention)
+      "events_pivot" -> ((s, d) =>
+        SeriesOps.events(s, d)
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .groupBy("day")
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .orderBy("day")),
       // the funnel with a 3-day conversion deadline (windowFunnel shape)
       "events_funnel_window" -> ((s, d) =>
         graft.ops.Sessions.funnelWithin(
@@ -95,6 +117,26 @@ object EventQueries extends QueryProvider {
         graft.ops.Sessions.sessionStatsSql(SessionGapMs),
       "events_active" ->
         graft.ops.Sessions.activeUsersSql(86400000L, 7),
+      "events_rollup" ->
+        s"""WITH e AS (SELECT event_type,
+           |             CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+           |             value
+           |           FROM events)
+           |SELECT event_type, day, COUNT(*) AS n_events,
+           |       ${graft.core.Exact.dsumSql("value")} AS sum_value
+           |FROM e GROUP BY ROLLUP (event_type, day)
+           |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+      "events_pivot" -> {
+        val cols = Seq("click", "error", "purchase", "signup", "view")
+          .map(t => s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 END) " +
+            s"AS BIGINT) AS $t").mkString(",\n|       ")
+        s"""WITH e AS (SELECT event_type,
+           |             CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+           |           FROM events)
+           |SELECT day,
+           |       $cols
+           |FROM e GROUP BY day ORDER BY day""".stripMargin
+      },
       "events_funnel_window" ->
         graft.ops.Sessions.funnelWithinSql(FunnelSteps, 259200000L),
       "events_transitions" -> graft.ops.Sessions.transitionsSql(SessionGapMs))

@@ -148,6 +148,26 @@ object TpchQueries extends QueryProvider {
       .orderBy("c_nationkey")
   }
 
+  /** small-quantity-order shape (TPC-H Q17): the correlated scalar
+    * subquery (per-part average) decorrelates to ONE aggregation over
+    * the brand-restricted join, reused by the outer filter — the
+    * aggregate-join-reuse plan: the fact slice is computed once, its
+    * per-key aggregate joins back on the same key, and the engine never
+    * re-scans lineitem per part the way the correlated form is written.
+    */
+  private def q17ish(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val parts = Tables(s, dir, "part")
+      .where(col("p_brand") === "Brand#13").select("p_partkey")
+    val rel = li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val avgq = rel.groupBy("l_partkey")
+      .agg(Exact.davg(col("l_quantity")).as("avg_qty"))
+    rel.join(avgq, "l_partkey")
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((Exact.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
   /** filter + projection pushdown scan: predicate and 3-column ReadSchema
     * must reach the parquet reader (verified in TpchSpec via explain).
     */
@@ -166,6 +186,7 @@ object TpchQueries extends QueryProvider {
     "tpch_q12"  -> ((s, d) => q12ish(s, d)),
     "tpch_q4"   -> ((s, d) => q4ish(s, d)),
     "tpch_q22"  -> ((s, d) => q22ish(s, d)),
+    "tpch_q17"  -> ((s, d) => q17ish(s, d)),
     "tpch_scan" -> ((s, d) => scan(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -235,6 +256,15 @@ object TpchQueries extends QueryProvider {
          |                  WHERE o.o_custkey = c_custkey
          |                    AND o.o_orderpriority = '1-URGENT')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q17" ->
+      s"""WITH rel AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |             FROM lineitem JOIN part ON p_partkey = l_partkey
+         |             WHERE p_brand = 'Brand#13'),
+         |a AS (SELECT l_partkey, ${Exact.davgSql("l_quantity")} AS avg_qty
+         |      FROM rel GROUP BY 1)
+         |SELECT ${Exact.dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM rel JOIN a USING (l_partkey)
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "tpch_scan" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_orderstatus = 'F'

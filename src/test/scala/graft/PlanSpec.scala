@@ -123,6 +123,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!sn.contains("Join"), sn.take(3000))
   }
 
+  test("rollup/pivot expand in one pass; q17 reuses the aggregate join") {
+    // ROLLUP compiles to Expand — every grouping level from ONE input
+    // pass, not a union of per-level rescans
+    val roll = planOf(entry.EventQueries.queries("events_rollup")(spark, dir))
+    assert(roll.contains("Expand"), roll.take(3000))
+    assert(!roll.contains("Union"), roll.take(3000))
+    // PIVOT is aggregation, never |types| self-joins
+    val piv = planOf(entry.EventQueries.queries("events_pivot")(spark, dir))
+    assert(!piv.contains("Join"), piv.take(3000))
+    // Q17's per-part average joins back broadcast-side; no Cartesian
+    val q17 = planOf(entry.TpchQueries.queries("tpch_q17")(spark, dir))
+    assert(q17.contains("BroadcastHashJoin"), q17.take(3000))
+    assert(!q17.contains("CartesianProduct"), q17.take(3000))
+  }
+
   test("windowed aggregation has map-side partial aggregation") {
     val plan = planOf(entry.AggrQueries.queries("aggr_sum")(spark, dir))
     // HashAggregate appears in partial + final pairs around one exchange
