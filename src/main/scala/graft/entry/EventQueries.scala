@@ -91,6 +91,24 @@ object EventQueries extends QueryProvider {
             Seq("click", "error", "purchase", "signup", "view"))
           .agg(count(lit(1)))
           .orderBy("day")),
+      // set operations as FIRST-CLASS operators (§2.10 host-engine
+      // proof): Spark's Except/Intersect nodes, not hand-rolled joins —
+      // Catalyst lowers them to aggregated semi/anti forms itself
+      "events_except" -> ((s, d) => {
+        val ev = SeriesOps.events(s, d)
+        ev.where(col("event_type") === "view").select("user_id")
+          .except(ev.where(col("event_type") === "purchase" &&
+            col("value") > 95).select("user_id"))
+          .orderBy("user_id")
+      }),
+      "events_intersect" -> ((s, d) => {
+        val ev = SeriesOps.events(s, d)
+        ev.where(col("event_type") === "view" && col("value") > 90)
+          .select("user_id")
+          .intersect(ev.where(col("event_type") === "error" &&
+            col("value") > 90).select("user_id"))
+          .orderBy("user_id")
+      }),
       // the funnel with a 3-day conversion deadline (windowFunnel shape)
       "events_funnel_window" -> ((s, d) =>
         graft.ops.Sessions.funnelWithin(
@@ -137,6 +155,19 @@ object EventQueries extends QueryProvider {
            |       $cols
            |FROM e GROUP BY day ORDER BY day""".stripMargin
       },
+      "events_except" ->
+        """SELECT user_id FROM events WHERE event_type = 'view'
+          |EXCEPT
+          |SELECT user_id FROM events
+          |WHERE event_type = 'purchase' AND value > 95
+          |ORDER BY user_id""".stripMargin,
+      "events_intersect" ->
+        """SELECT user_id FROM events
+          |WHERE event_type = 'view' AND value > 90
+          |INTERSECT
+          |SELECT user_id FROM events
+          |WHERE event_type = 'error' AND value > 90
+          |ORDER BY user_id""".stripMargin,
       "events_funnel_window" ->
         graft.ops.Sessions.funnelWithinSql(FunnelSteps, 259200000L),
       "events_transitions" -> graft.ops.Sessions.transitionsSql(SessionGapMs))

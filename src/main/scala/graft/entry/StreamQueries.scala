@@ -885,6 +885,35 @@ object StreamQueries extends QueryProvider {
       .select("day", "dau", "wau")
   }
 
+  /** Online wide activity report: the batch PIVOT's desugared form —
+    * Spark bars `pivot` on streams, but with explicit values it IS one
+    * conditional aggregation, which streams fine in complete mode. The
+    * final board ≡ the batch `events_pivot` (same oracle, single-
+    * sourced); absent (day, type) combinations stay NULL (`sum(when)`
+    * with no otherwise, the batch pivot's empty-group convention).
+    */
+  private def runPivot(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsMs = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_millis(col("ts"))
+    }
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.map(t => sum(when(col("event_type") === t, 1L)).as(t))
+    val board = s.readStream.schema(sch).parquet(staged)
+      .select(tsMs.as("ts_ms"), col("event_type"))
+      .withColumn("day", expr("ts_ms div 86400000"))
+      .groupBy("day")
+      .agg(aggs.head, aggs.tail: _*)
+    drain(s, board, "complete")
+      .where(col("day") < SentinelMs / 86400000L)
+      .orderBy("day")
+  }
+
   /** Streaming transition-matrix gate: per-user last-event state emits
     * within-session (from, to) steps, a grouped count keeps the live
     * matrix; the in-order replay reproduces the batch
@@ -1051,6 +1080,7 @@ object StreamQueries extends QueryProvider {
     "stream_funnel" -> ((s, d) => runFunnel(s, d)),
     "stream_funnel_window" -> ((s, d) => runFunnelWindow(s, d)),
     "stream_transitions" -> ((s, d) => runTransitions(s, d)),
+    "stream_pivot" -> ((s, d) => runPivot(s, d)),
     "stream_active" -> ((s, d) => runActive(s, d)),
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
     "stream_ewma" -> ((s, d) => runEwma(s, d)),
@@ -1133,6 +1163,8 @@ object StreamQueries extends QueryProvider {
     // transition matrix
     "stream_transitions" ->
       graft.ops.Sessions.transitionsSql(EventQueries.SessionGapMs),
+    // final complete-mode board ≡ the batch pivot, same oracle verbatim
+    "stream_pivot" -> EventQueries.oracle("events_pivot"),
     // keyed rolling state ≡ the batch dyadic trailing-window smoother
     "stream_ewma" ->
       s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)
