@@ -91,6 +91,22 @@ object EventQueries extends QueryProvider {
             Seq("click", "error", "purchase", "signup", "view"))
           .agg(count(lit(1)))
           .orderBy("day")),
+      // per-event lag features (the sessionized feature-extraction
+      // shape for ML training rows): previous event type, inter-event
+      // gap, ordinal — one shuffle on user_id, one sort feeds all three
+      // window functions; ties on ts break on event_id so both engines
+      // order identically
+      "events_features" -> ((s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_ms", "event_id")
+        SeriesOps.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_ms"),
+            col("event_type"),
+            lag(col("event_type"), 1).over(w).as("prev_type"),
+            (col("ts_ms") - lag(col("ts_ms"), 1).over(w)).as("gap_ms"),
+            row_number().over(w).cast("long").as("evt_idx"))
+          .orderBy("user_id", "evt_idx")
+      }),
       // set operations as FIRST-CLASS operators (§2.10 host-engine
       // proof): Spark's Except/Intersect nodes, not hand-rolled joins —
       // Catalyst lowers them to aggregated semi/anti forms itself
@@ -155,6 +171,17 @@ object EventQueries extends QueryProvider {
            |       $cols
            |FROM e GROUP BY day ORDER BY day""".stripMargin
       },
+      "events_features" ->
+        """WITH e AS (SELECT user_id, event_id,
+          |             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_type
+          |           FROM events)
+          |SELECT user_id, event_id, ts_ms, event_type,
+          |       LAG(event_type, 1) OVER w AS prev_type,
+          |       ts_ms - LAG(ts_ms, 1) OVER w AS gap_ms,
+          |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS evt_idx
+          |FROM e
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+          |ORDER BY user_id, evt_idx""".stripMargin,
       "events_except" ->
         """SELECT user_id FROM events WHERE event_type = 'view'
           |EXCEPT

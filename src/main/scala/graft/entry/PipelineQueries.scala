@@ -298,6 +298,10 @@ object PipelineQueries extends QueryProvider {
     "text_chunks" -> ((s, d) =>
       TextOps.chunks(docsWide(s, d), n = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")),
+    // feature hashing: sparse fixed-width text features, no vocab pass
+    "text_hash_features" -> ((s, d) =>
+      TextOps.hashFeatures(docsWide(s, d), dim = 64)
+        .orderBy("doc_id", "bucket")),
     // the Gopher rule battery (word bounds / mean word length / symbol
     // ratio / alpha fraction / stop words) — row-local, one scan; the
     // stop list is the engine's corpus-adapted one (the canonical 8
@@ -484,6 +488,7 @@ object PipelineQueries extends QueryProvider {
     "text_gopher" -> TextOps.gopherRulesSql(stopList = TextOps.Stopwords),
     "text_entropy" -> TextOps.entropySql,
     "text_chunks" -> TextOps.chunksSql(32, 24),
+    "text_hash_features" -> TextOps.hashFeaturesSql(64),
     "text_quality" -> TextOps.qualitySql,
     "text_langid" -> TextOps.langidSql,
     "text_fingerprint" -> TextOps.fingerprintSql,

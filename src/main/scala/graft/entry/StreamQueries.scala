@@ -702,6 +702,13 @@ object StreamQueries extends QueryProvider {
     drain(s, graft.pipeline.TextOps.chunks(docStream(s, dir),
       n = 32, stride = 24), "append")
 
+  /** feature hashing inline on the firehose — sparse fixed-width
+    * features the moment a document arrives; row-local, zero state
+    * (oracle = batch SQL verbatim) */
+  private def runHashFeatures(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.TextOps.hashFeatures(docStream(s, dir),
+      dim = 64), "append")
+
   /** The frozen unigram LM, memoized + sanctioned per (session, dir) —
     * the CCNet posture: the model is trained (counted) once on the
     * reference corpus, then the firehose is scored against it via a
@@ -1111,6 +1118,7 @@ object StreamQueries extends QueryProvider {
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_entropy" -> ((s, d) => runEntropy(s, d)),
     "stream_chunks" -> ((s, d) => runChunks(s, d)),
+    "stream_hash_features" -> ((s, d) => runHashFeatures(s, d)),
     "stream_redact" -> ((s, d) => runRedact(s, d)),
     "stream_sample" -> ((s, d) => runSample(s, d)),
     "stream_decisions" -> ((s, d) => runDecisions(s, d)),
@@ -1337,6 +1345,8 @@ object StreamQueries extends QueryProvider {
     "stream_entropy" -> graft.pipeline.TextOps.entropySql,
     // row-local chunk fan-out stateless on the stream, batch oracle
     "stream_chunks" -> graft.pipeline.TextOps.chunksSql(32, 24),
+    // row-local feature hashing stateless on the stream, batch oracle
+    "stream_hash_features" -> graft.pipeline.TextOps.hashFeaturesSql(64),
     // batch redaction over batch injection, both stateless on the stream
     "stream_redact" -> graft.pipeline.TextOps.redactPiiSql,
     // the batch stratified-sampling operator verbatim on the stream

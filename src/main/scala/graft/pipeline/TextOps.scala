@@ -575,6 +575,55 @@ object TextOps {
        |       CAST(LEAST(nw - st, $n) AS BIGINT) AS n_words
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Feature hashing (the hashing trick): each document's words hash
+    * into `dim` buckets, emitted as sparse (doc_id, bucket, n) rows —
+    * the classic fixed-width text featurizer (Weinberger et al. 2009)
+    * that needs no vocabulary pass. The hash is the engine's md5
+    * convention (first 32 md5 bits mod dim — the sampling-hash parity
+    * trick), so the oracle reproduces it exactly.
+    *
+    * ROW-LOCAL like [[entropy]]: bucket ids sort in-row and run
+    * boundaries give the counts — zero shuffle, stateless on a stream;
+    * only the sparse output rows exist (never a dense dim-length
+    * vector per doc).
+    */
+  def hashFeatures(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val bs = array_sort(transform(col("w"), word =>
+      conv(substring(md5(word), 1, 8), 16, 10).cast("long") % dim))
+    val ends = filter(sequence(lit(1), size(col("bs"))), p =>
+      coalesce(get(col("bs"), p) =!= element_at(col("bs"), p), lit(true)))
+    val starts = concat(array(lit(0)),
+      slice(col("ends"), lit(1), size(col("ends")) - 1))
+    val pairs = zip_with(col("ends"), starts, (e, s) =>
+      struct(element_at(col("bs"), e).as("bucket"),
+        (e - s).cast("long").as("n")))
+    Dedup.withWords(docs)
+      .withColumn("w", filter(col("w"), x => x =!= ""))
+      .where(size(col("w")) > 0)
+      .withColumn("bs", bs)
+      .withColumn("ends", ends)
+      .select(col("doc_id"), explode(pairs).as("c"))
+      .select(col("doc_id"), col("c.bucket").as("bucket"),
+        col("c.n").as("n"))
+  }
+
+  /** DuckDB mirror of [[hashFeatures]] — per-(doc, bucket) group counts
+    * equal the row-local run lengths by construction.
+    */
+  def hashFeaturesSql(dim: Int): String =
+    s"""WITH ws AS (SELECT doc_id,
+       |              list_filter(string_split(trim(text), ' '),
+       |                          x -> x <> '') AS w
+       |            FROM documents),
+       |tok AS (SELECT doc_id, s AS word FROM ws, unnest(w) AS t(s)),
+       |b AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) % $dim
+       |          AS bucket
+       |      FROM tok)
+       |SELECT doc_id, bucket, COUNT(*) AS n
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The Gopher document-level quality rules (Rae et al. 2021, §A.1.1 —
     * the filter battery most LLM corpus pipelines start from), restated
     * over this corpus's structure (no line breaks → the line-based rules

@@ -111,6 +111,23 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((2L, 0L)) == (("a b", 2L)))
   }
 
+  test("hash features: counts partition the words; buckets stay in domain") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "a b a c a b",   // counts must sum to 6
+      2L -> "",              // wordless: no rows
+      3L -> "x"              // one word, one bucket, n=1
+    ).toDF("doc_id", "text")
+    val out = TextOps.hashFeatures(docs, dim = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, b, n) => b >= 0 && b < 8 && n > 0 })
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDoc == Map(1L -> 6L, 3L -> 1L))
+    // same word -> same bucket: doc 1 has at most 3 distinct buckets
+    assert(out.count(_._1 == 1L) <= 3)
+  }
+
   test("gopher rules: each rule can fail a doc on its own") {
     val s = spark
     import s.implicits._
