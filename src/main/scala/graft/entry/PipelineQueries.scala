@@ -97,6 +97,15 @@ object PipelineQueries extends QueryProvider {
       Similarity.ivfTopK(e, e.where(col("vec_id").isin(10L, 11L, 12L)),
         nCells = 8, dim = Dim, k = 5).orderBy("query_id", "rank")
     }),
+    // hybrid-retrieval fusion: IVF and multi-probe-LSH lists RRF-merged
+    "sim_rrf" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id").isin(10L, 11L, 12L))
+      Similarity.rrfFuse(
+        Similarity.ivfTopK(e, q, nCells = 8, dim = Dim, k = 10),
+        Similarity.lshMultiProbeTopK(e, q, bits = 6, dim = Dim, k = 10),
+        k = 5).orderBy("query_id", "rank")
+    }),
     "sim_topk_multiprobe" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshMultiProbeTopK(e, e.where(col("vec_id") < 5), bits = 6,
@@ -441,6 +450,9 @@ object PipelineQueries extends QueryProvider {
     "sim_topk_ivf_append" -> Similarity.ivfTopKSql(8, Dim, 5, "10, 11, 12"),
     "sim_topk_multiprobe" -> Similarity.lshMultiProbeTopKSql(6, Dim, 5,
       "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
+    "sim_rrf" -> Similarity.rrfFuseSql(
+      Similarity.ivfTopKSql(8, Dim, 10, "10, 11, 12"),
+      Similarity.lshMultiProbeTopKSql(6, Dim, 10, "10, 11, 12"), 5),
     "sim_topk_ivf_trained" -> Similarity.ivfTrainedTopKSql(8, Dim, 5,
       "10, 11, 12", iters = 2),
     "sim_topk_ivf_probe" -> Similarity.ivfTopKProbedSql(8, Dim, 5, 3,

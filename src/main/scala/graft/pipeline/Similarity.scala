@@ -633,6 +633,53 @@ object Similarity {
        |SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    * retrievals — the standard hybrid-search combiner (modern RAG fuses
+    * a dense ANN list with a lexical list exactly like this): each
+    * candidate scores `Σ 1/(60 + rank_i)` over the lists that returned
+    * it, re-ranked per query. Terms are rounded to 9 decimals and
+    * summed in plain double (≤ 2 terms — exact regardless of order);
+    * ties break on vec_id like every ranking kernel here.
+    *
+    * Scale shape: the inputs are already per-query top-k lists (tiny);
+    * one full-outer equi-join on (query_id, vec_id) + a per-query
+    * window over ≤ 2k rows. The retrievals themselves carry their own
+    * scale stories.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    def side(df: DataFrame, r: String) =
+      df.select(col("query_id"), col("vec_id"), col("rank").as(r))
+    val term = (r: String) =>
+      coalesce(round(lit(1.0) / (lit(60) + col(r)), 9), lit(0.0))
+    val fused = side(a, "rank_a")
+      .join(side(b, "rank_b"), Seq("query_id", "vec_id"), "full_outer")
+      .withColumn("rrf", term("rank_a") + term("rank_b"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "rrf", "rank")
+  }
+
+  /** DuckDB mirror of [[rrfFuse]]: `aSql`/`bSql` are complete ranked
+    * queries (query_id, vec_id, …, rank) — nested as CTE bodies.
+    */
+  def rrfFuseSql(aSql: String, bSql: String, k: Int): String =
+    s"""WITH la AS ($aSql),
+       |lb AS ($bSql),
+       |fused AS (
+       |  SELECT COALESCE(la.query_id, lb.query_id) AS query_id,
+       |         COALESCE(la.vec_id, lb.vec_id) AS vec_id,
+       |         COALESCE(ROUND(1.0 / (60 + la.rank), 9), 0.0) +
+       |         COALESCE(ROUND(1.0 / (60 + lb.rank), 9), 0.0) AS rrf
+       |  FROM la FULL OUTER JOIN lb
+       |    ON la.query_id = lb.query_id AND la.vec_id = lb.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |             (PARTITION BY query_id ORDER BY rrf DESC, vec_id) AS rank
+       |           FROM fused)
+       |SELECT query_id, vec_id, rrf, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Multi-probe LSH top-k: candidates come from the query's own bucket
     * PLUS every 1-bit-flip neighbor bucket (bits+1 probes). Recall rises
     * steeply (a near neighbor differing in one hyperplane sign is found)
