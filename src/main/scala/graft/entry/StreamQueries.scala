@@ -946,6 +946,31 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "update")
   }
 
+  /** Online per-event lag features: the batch `events_features` rows as
+    * the events arrive — last-event keyed state, oracle = the batch SQL
+    * verbatim (no per-user ts ties in the corpus, so the frontier fold
+    * reproduces the batch window).
+    */
+  private def runFeatures(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("user_id"), col("event_id"),
+        col("event_type"))
+      .where(col("ts") < timestamp_millis(lit(SentinelMs)))
+    drain(s, graft.streaming.EventStream.lagFeatures(stream, "0 seconds"),
+      "append")
+  }
+
   /** Streaming rolling z-score gate: the purchase event stream keyed per
     * (event_type, user) series, scored online against the trailing-10
     * distribution. The replay arrives in event-time order, so the online
@@ -1088,6 +1113,7 @@ object StreamQueries extends QueryProvider {
     "stream_funnel_window" -> ((s, d) => runFunnelWindow(s, d)),
     "stream_transitions" -> ((s, d) => runTransitions(s, d)),
     "stream_pivot" -> ((s, d) => runPivot(s, d)),
+    "stream_features" -> ((s, d) => runFeatures(s, d)),
     "stream_active" -> ((s, d) => runActive(s, d)),
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
     "stream_ewma" -> ((s, d) => runEwma(s, d)),
@@ -1173,6 +1199,8 @@ object StreamQueries extends QueryProvider {
       graft.ops.Sessions.transitionsSql(EventQueries.SessionGapMs),
     // final complete-mode board ≡ the batch pivot, same oracle verbatim
     "stream_pivot" -> EventQueries.oracle("events_pivot"),
+    // online lag features ≡ the batch window rows, same oracle verbatim
+    "stream_features" -> EventQueries.oracle("events_features"),
     // keyed rolling state ≡ the batch dyadic trailing-window smoother
     "stream_ewma" ->
       s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)

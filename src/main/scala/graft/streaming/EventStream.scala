@@ -128,6 +128,7 @@ object EventStream {
 
   /** per-user last-event state for [[transitions]] */
   final case class TransSt(lastTsMs: Long, lastType: String)
+  final case class FeatSt(lastTsMs: Long, lastType: String, n: Long)
 
   /** Online transition matrix — the streaming form of
     * [[graft.ops.Sessions.transitions]]: per-user keyed state holds the
@@ -174,6 +175,53 @@ object EventStream {
       .toDF("from_type", "to_type")
       .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Online per-event lag features — the batch `events_features` rows
+    * (previous type, inter-event gap, ordinal) the moment an event
+    * arrives: keyed state is one (lastTs, lastType, count) per user,
+    * the [[transitions]] frontier contract (event-time fold within the
+    * micro-batch, at-or-behind-frontier arrivals drop — the corpus
+    * carries no per-user ts ties, so in-order replays reproduce the
+    * batch window exactly). First events emit NULL prev/gap via Option
+    * fields, matching the batch LAG's leading nulls.
+    */
+  def lagFeatures(events: DataFrame, delay: String): DataFrame = {
+    val inEnc = Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.STRING)
+    val outEnc =
+      Encoders.product[(Long, Long, Long, String, Option[String],
+        Option[Long], Long)]
+    def fold(user: Long,
+             rows: Iterator[(java.sql.Timestamp, Long, Long, String)],
+             state: GroupState[FeatSt]): Iterator[
+        (Long, Long, Long, String, Option[String], Option[Long], Long)] = {
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[
+        (Long, Long, Long, String, Option[String], Option[Long], Long)]
+      for ((ts, _, eid, tpe) <- rows.toSeq.sortBy(_._1.getTime)) {
+        val t = ts.getTime
+        if (st == null || t > st.lastTsMs) {
+          val idx = if (st == null) 1L else st.n + 1L
+          out += ((user, eid, t, tpe,
+            Option(st).map(_.lastType),
+            Option(st).map(t - _.lastTsMs), idx))
+          st = FeatSt(t, tpe, idx)
+        }
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+    events
+      .withWatermark("ts", delay)
+      .selectExpr("ts", "user_id", "event_id", "event_type")
+      .as[(java.sql.Timestamp, Long, Long, String)](inEnc)
+      .groupByKey(_._2)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)(
+        Encoders.product[FeatSt], outEnc)
+      .toDF("user_id", "event_id", "ts_ms", "event_type", "prev_type",
+        "gap_ms", "evt_idx")
   }
 
   def funnel(events: DataFrame, steps: Seq[String],

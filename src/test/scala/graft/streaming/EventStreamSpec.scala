@@ -207,6 +207,35 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     res
   }
 
+  test("lag features: idx/gap carry across batches; first event nulls;" +
+    " late arrivals drop") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val ev = in.toDF().toDF("tsMs", "user_id", "event_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .select("ts", "user_id", "event_id", "event_type")
+    val out = EventStream.lagFeatures(ev, "0 seconds")
+    val name = s"feat_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData((0L, 1L, 100L, "a"), (10L, 1L, 101L, "b"))
+    q.processAllAvailable()
+    in.addData((25L, 1L, 102L, "c"), (5L, 1L, 103L, "x")) // 103 behind frontier
+    q.processAllAvailable()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(1), (if (r.isNullAt(4)) null
+        else r.getString(4), if (r.isNullAt(5)) -1L else r.getLong(5),
+        r.getLong(6)))).toMap
+    q.stop()
+    assert(rows == Map(
+      100L -> ((null, -1L, 1L)),     // first event: null prev/gap, idx 1
+      101L -> (("a", 10L, 2L)),
+      102L -> (("b", 15L, 3L))))     // cross-batch carry; 103 dropped
+  }
+
   test("transitions: state carries across batches, gaps break chains," +
     " late arrivals drop") {
     val counts = transStream(
