@@ -390,6 +390,36 @@ object StreamQueries extends QueryProvider {
         graft.core.Caches.sanction(cents.persist(lvl)))
     })
 
+  /** Online hybrid retrieval: each arriving query probes BOTH the IVF
+    * cell index and the LSH bucket index, ranks each list in-row, and
+    * RRF-fuses — one stateless row, two stream-static joins. Oracle =
+    * the batch fusion of the same two retrievals.
+    */
+  private def runRrf(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val queries = s.readStream.schema(sch).parquet(staged)
+      .where(col("vec_id").isin(10L, 11L, 12L))
+      .select("vec_id", "embedding")
+    val (packedIvf, cents) = simIndex(s, dir)
+    drain(s, graft.streaming.SimStream.rrfAgainstIndexes(
+      queries, packedIvf, cents, lshIdx6(s, dir), bits = 6, dim = 64,
+      kEach = 10, k = 5), "append")
+  }
+
+  /** 6-bit packed bucket index for the hybrid gate (the radius gate's
+    * [[lshIdx]] uses 4 bits — different recall point, separate
+    * sanctioned artifact).
+    */
+  private val lshIdx6Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def lshIdx6(s: SparkSession, dir: String): DataFrame =
+    lshIdx6Cache.computeIfAbsent((s, dir), { _ =>
+      graft.core.Caches.sanction(graft.streaming.SimStream.lshIndex(
+        graft.core.Tables(s, dir, "embeddings"), bits = 6, dim = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
   /** The packed LSH bucket index, memoized + sanctioned per
     * (session, dir) — the static side of the online radius search.
     */
@@ -1149,6 +1179,7 @@ object StreamQueries extends QueryProvider {
     "stream_sample" -> ((s, d) => runSample(s, d)),
     "stream_decisions" -> ((s, d) => runDecisions(s, d)),
     "stream_range" -> ((s, d) => runRange(s, d)),
+    "stream_rrf" -> ((s, d) => runRrf(s, d)),
     "stream_dim_stats" -> ((s, d) => runDimStats(s, d)),
     "stream_sim" -> ((s, d) => runSim(s, d)),
     "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)),
@@ -1391,6 +1422,10 @@ object StreamQueries extends QueryProvider {
       4, 64, 0.1, "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     // online drift monitor: final complete-mode board ≡ batch moments
     "stream_dim_stats" -> graft.pipeline.Similarity.dimStatsSql(64),
+    // online hybrid fusion ≡ the batch RRF of the same two retrievals
+    "stream_rrf" -> graft.pipeline.Similarity.rrfFuseSql(
+      graft.pipeline.Similarity.ivfTopKSql(8, 64, 10, "10, 11, 12"),
+      graft.pipeline.Similarity.lshTopKSql(6, 64, 10, "10, 11, 12"), 5),
     "stream_sim" -> graft.pipeline.Similarity.ivfTopKSql(8, 64, 5,
       "10, 11, 12"),
     // multi-probe online ANN ≡ the batch nProbe=3 search

@@ -308,6 +308,77 @@ object SimStream {
                           cents: DataFrame, k: Int): DataFrame =
     singleSearch(queries, packed, cents, k, floatScore)
 
+  /** Online reciprocal-rank fusion — hybrid retrieval as ONE stateless
+    * row: each arriving query joins its IVF cell row AND its LSH bucket
+    * row (two stream-static equi-joins on the same stream — never a
+    * stream-stream join of two result streams, which would need
+    * watermarked time bounds), ranks both candidate lists in-row with
+    * the shared [[descKey]] conventions, fuses by
+    * `Σ round(1/(60+rank), 9)` and emits the top `k` by (rrf DESC,
+    * vec_id). The per-list ranking is the batch [[Similarity.ivfTopK]]
+    * / [[Similarity.lshTopK]] order, and double addition of ≤ 2 terms
+    * is commutative, so the output ≡ the batch
+    * [[Similarity.rrfFuse]] of those two lists — the batch SQL is the
+    * oracle verbatim.
+    */
+  def rrfAgainstIndexes(queries: DataFrame, packedIvf: DataFrame,
+                        cents: DataFrame, packedLsh: DataFrame,
+                        bits: Int, dim: Int, kEach: Int,
+                        k: Int): DataFrame = {
+    val q = centScored(queries, cents)
+      .withColumn("cell", bestCid(col("scents"))).drop("scents")
+      .withColumn("bkt", VectorOps.lshBucket(col("embedding"), bits, dim))
+    val joined = q
+      .join(packedIvf.withColumnRenamed("cands", "ca"), Seq("cell"))
+      .join(packedLsh.withColumnRenamed("cands", "cb"), Seq("bkt"))
+    // top-kEach of one candidate list as (vid, term) pairs, term =
+    // round(1/(60 + rank), 9) — the RRF contribution
+    def pairs(cands: Column): Column = {
+      val scored0 = transform(
+        filter(cands, c => c.getField("vec_id") =!= col("vec_id")),
+        c => struct(
+          VectorOps.cosineOf(
+            VectorOps.dot(col("embedding"), c.getField("embedding")),
+            col("qnrm"), c.getField("nrm")).as("cos"),
+          c.getField("vec_id").as("vid")))
+      val keyed = transform(scored0, s =>
+        struct(descKey(s.getField("cos")).as("nc"),
+          s.getField("vid").as("vid")))
+      val top = slice(array_sort(keyed), 1, kEach)
+      transform(top, (x, i) => struct(x.getField("vid").as("vid"),
+        round(lit(1.0) / (lit(60) + i + 1), 9).as("term")))
+    }
+    val fused = joined
+      .withColumn("pall", array_sort(concat(pairs(col("ca")),
+        pairs(col("cb")))))
+    // vid runs in the sorted union are 1 or 2 long (each list is
+    // distinct); sum the run's terms — the batch full-outer coalesce
+    val vids = transform(col("pall"), x => x.getField("vid"))
+    val n = size(col("pall"))
+    val ends = filter(sequence(lit(1), n), p =>
+      coalesce(get(vids, p) =!= element_at(vids, p), lit(true)))
+    val starts = concat(array(lit(0)),
+      slice(col("ends"), lit(1), size(col("ends")) - 1))
+    def termAt(p: Column): Column =
+      element_at(col("pall"), p).getField("term")
+    val cands = zip_with(col("ends"), starts, (e, s) =>
+      struct(element_at(vids, e).as("vid"),
+        when(e - s === 1, termAt(e))
+          .otherwise(termAt(e) + termAt(e - lit(1))).as("rrf")))
+    val ranked = slice(array_sort(transform(col("cands"), c =>
+      struct(descKey(c.getField("rrf")).as("nc"),
+        c.getField("vid").as("vid"), c.getField("rrf").as("rrf")))),
+      1, k)
+    fused
+      .where(n > 0)
+      .withColumn("ends", ends)
+      .withColumn("cands", cands)
+      .select(col("vec_id").as("query_id"), posexplode(ranked))
+      .select(col("query_id"), col("col.vid").as("vec_id"),
+        col("col.rrf").as("rrf"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** The packed LSH bucket index: (bkt, cands) — the hyperplane-sign
     * analog of [[ivfIndex]] (no centroid table; the bucket id is
     * computable row-locally from the query itself).

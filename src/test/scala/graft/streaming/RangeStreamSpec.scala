@@ -43,6 +43,29 @@ class RangeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batch-only=${(b -- st).take(5)}")
   }
 
+  test("in-row RRF fusion ≡ batch rrfFuse with every vector as query") {
+    val e = emb
+    val (packedIvf, cents) = SimStream.ivfIndex(e, nCells = 8)
+    val packedLsh = SimStream.lshIndex(e, bits = 6, dim = 64)
+    val st = SimStream.rrfAgainstIndexes(e.select("vec_id", "embedding"),
+        packedIvf, cents, packedLsh, bits = 6, dim = 64, kEach = 10, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val b = graft.pipeline.Similarity.rrfFuse(
+        graft.pipeline.Similarity.ivfTopK(e, e, nCells = 8, dim = 64,
+          k = 10),
+        graft.pipeline.Similarity.lshTopK(e, e, bits = 6, dim = 64,
+          k = 10), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    graft.core.Caches.releaseTransient(spark)
+    assert(st.nonEmpty)
+    assert(st == b, s"stream-only=${(st -- b).take(5)} " +
+      s"batch-only=${(b -- st).take(5)}")
+  }
+
   test("runs stateless; a query below threshold everywhere emits nothing") {
     val s = spark
     import s.implicits._
