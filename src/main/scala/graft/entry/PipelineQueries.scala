@@ -300,6 +300,10 @@ object PipelineQueries extends QueryProvider {
       TextOps.repetition(docsWide(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
       TextOps.quality(docsWide(s, d)).orderBy("doc_id")),
+    // per-source quality scoreboard (corpus-health publication)
+    "source_quality" -> ((s, d) =>
+      TextOps.sourceQuality(docs(s, d), threshold = 0.46)
+        .orderBy("source")),
     // unigram entropy: the lexical-diversity quality signal
     "text_entropy" -> ((s, d) =>
       TextOps.entropy(docsWide(s, d)).orderBy("doc_id")),
@@ -502,6 +506,7 @@ object PipelineQueries extends QueryProvider {
     "text_chunks" -> TextOps.chunksSql(32, 24),
     "text_hash_features" -> TextOps.hashFeaturesSql(64),
     "text_quality" -> TextOps.qualitySql,
+    "source_quality" -> TextOps.sourceQualitySql(0.46),
     "text_langid" -> TextOps.langidSql,
     "text_fingerprint" -> TextOps.fingerprintSql,
     "decon_ngram" -> Curation.decontaminateSql(3),

@@ -725,6 +725,13 @@ object StreamQueries extends QueryProvider {
   private def runEntropy(s: SparkSession, dir: String): DataFrame =
     drain(s, graft.pipeline.TextOps.entropy(docStream(s, dir)), "append")
 
+  /** live per-source quality scoreboard (complete mode republishes the
+    * board each trigger); the bounded replay's final board ≡ the batch
+    * scoreboard, same oracle */
+  private def runSourceQuality(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.TextOps.sourceQuality(docStream(s, dir),
+      threshold = 0.46), "complete")
+
   /** chunking inline on the firehose — documents split into training
     * windows the moment they arrive; row-local fan-out, zero state
     * (oracle = batch SQL verbatim) */
@@ -1167,6 +1174,7 @@ object StreamQueries extends QueryProvider {
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_decon_fuzzy" -> ((s, d) => runDeconFuzzy(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
+    "stream_source_quality" -> ((s, d) => runSourceQuality(s, d)),
     "stream_vocab" -> ((s, d) => runVocab(s, d)),
     "stream_gopher" -> ((s, d) => runGopher(s, d)),
     "stream_logprob" -> ((s, d) => runLogProb(s, d)),
@@ -1386,6 +1394,9 @@ object StreamQueries extends QueryProvider {
     // the batch text-quality operator runs unchanged on the stream, so
     // the batch oracle applies verbatim
     "stream_quality" -> graft.pipeline.TextOps.qualitySql,
+    // live scoreboard: final complete-mode board ≡ the batch per-source
+    // table, same oracle verbatim
+    "stream_source_quality" -> graft.pipeline.TextOps.sourceQualitySql(0.46),
     // batch rule battery stateless on the stream, batch oracle verbatim
     "stream_gopher" -> graft.pipeline.TextOps.gopherRulesSql(
       stopList = graft.pipeline.TextOps.Stopwords),

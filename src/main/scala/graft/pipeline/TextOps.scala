@@ -75,6 +75,33 @@ object TextOps {
        |      FROM documents) ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source quality scoreboard — the corpus-health table a curation
+    * pipeline publishes per ingest source: doc count, mean quality, and
+    * how many clear the admission threshold. Quality values are rounded
+    * to 9 decimals BEFORE the decimal-exact mean (the raw composite is
+    * an arbitrary double; full-precision double→decimal casts round
+    * shortest-decimal vs binary across engines — the `dimStats`
+    * lesson), while the threshold compares the RAW score (a single
+    * comparison of identical doubles needs no rounding). One partial-
+    * aggregated shuffle on the source key.
+    */
+  def sourceQuality(docs: DataFrame, threshold: Double): DataFrame =
+    withQuality(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.core.Exact.davg(round(col("quality"), 9)).as("avg_quality"),
+        count(when(col("quality") > threshold, 1)).as("n_above"))
+
+  /** DuckDB mirror of [[sourceQuality]]. */
+  def sourceQualitySql(threshold: Double): String =
+    s"""WITH q AS ($qualityScoreSubquerySql),
+       |j AS (SELECT d.source, q.quality
+       |      FROM documents d JOIN q ON d.doc_id = q.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       ${graft.core.Exact.davgSql("ROUND(quality, 9)")} AS avg_quality,
+       |       COUNT(CASE WHEN quality > $threshold THEN 1 END) AS n_above
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** The (doc_id, quality) scoring subquery shared by every SQL oracle
     * that thresholds quality ([[graft.pipeline.Corpus]]'s batch and
     * streaming decisions) — single-sourced so the DuckDB mirror of
