@@ -796,6 +796,39 @@ object StreamQueries extends QueryProvider {
       docStream(s, dir).select("doc_id", "lang", "text"),
       unigramLm(s, dir), pplCutsTable(s, dir)), "update")
 
+  /** Frozen TF-IDF corpus statistics (per-term document frequency +
+    * corpus size), memoized + sanctioned per (session, dir) — the
+    * batch-refreshed artifact the online keyword extractor scores
+    * against, beside the LM and the cut table.
+    */
+  private val tfidfStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DataFrame)]()
+  private def tfidfStats(s: SparkSession,
+                         dir: String): (DataFrame, DataFrame) =
+    tfidfStatsCache.computeIfAbsent((s, dir), { _ =>
+      val dd = graft.core.Tables(s, dir, "documents")
+      val tf = graft.pipeline.Dedup.withWords(dd)
+        .select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = dd.agg(count(lit(1)).as("n_docs"))
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (graft.core.Caches.sanction(dfreq.persist(lvl)),
+        graft.core.Caches.sanction(n.persist(lvl)))
+    })
+
+  /** Online TF-IDF keyword extraction: arriving docs scored against the
+    * frozen df table — self-scored on the replay corpus, so the batch
+    * oracle applies verbatim.
+    */
+  private def runTfidf(s: SparkSession, dir: String): DataFrame = {
+    val (dfreq, n) = tfidfStats(s, dir)
+    drain(s, graft.streaming.DocStream.tfidfTopK(
+      docStream(s, dir).select("doc_id", "text"), dfreq, n, k = 3),
+      "update")
+  }
+
   /** The online admission capstone: per-arriving-document verdicts
     * (dup / low_quality / kept) with a deterministic first-arrival dedup
     * leg — the streaming analog of the batch `corpus_decisions` gate
@@ -1179,6 +1212,7 @@ object StreamQueries extends QueryProvider {
     "stream_gopher" -> ((s, d) => runGopher(s, d)),
     "stream_logprob" -> ((s, d) => runLogProb(s, d)),
     "stream_ppl_buckets" -> ((s, d) => runPplBuckets(s, d)),
+    "stream_tfidf" -> ((s, d) => runTfidf(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_entropy" -> ((s, d) => runEntropy(s, d)),
     "stream_chunks" -> ((s, d) => runChunks(s, d)),
@@ -1218,6 +1252,8 @@ object StreamQueries extends QueryProvider {
     // batch bucket oracle verbatim
     "stream_ppl_buckets" -> graft.pipeline.Curation.pplBucketsSql(
       graft.pipeline.TextOps.unigramLogProbSql),
+    // frozen df table, self-scored on the replay — batch oracle verbatim
+    "stream_tfidf" -> graft.pipeline.TextOps.tfidfTopKSql(3),
     // session_window state ≡ the batch lag/cumsum session derivation
     "stream_sessionize" ->
       graft.ops.Sessions.sessionizeStreamSql(EventQueries.SessionGapMs),

@@ -90,6 +90,54 @@ object DocStream {
           col("avg_logprob"), col("c13"), col("c23")): _*)
   }
 
+  /** Online TF-IDF keyword extraction against FROZEN corpus statistics
+    * (per-term document frequency + corpus size, batch-refreshed like
+    * the unigram LM): each arriving document's term frequencies are
+    * computed ROW-LOCALLY (run boundaries of the sorted word array — no
+    * token-count aggregation on the stream), the (word, tf) pairs join
+    * the frozen df table statelessly, and ONE doc-keyed aggregation
+    * collects the scored terms so the top-k rank is a row-local
+    * sort/slice in the post-aggregate projection. Output ≡ the batch
+    * [[graft.pipeline.TextOps.tfidfTopK]] rows (scores 9dp-rounded, the
+    * same (score DESC, word ASC) order), so the batch SQL is the
+    * oracle. Update mode: a doc's terms ride one input row, so each doc
+    * emits once per replay.
+    */
+  def tfidfTopK(docs: DataFrame, dfreq: DataFrame, nDocs: DataFrame,
+                k: Int): DataFrame = {
+    val ws = array_sort(col("w"))
+    val ends = filter(sequence(lit(1), size(col("ws"))), p =>
+      coalesce(get(col("ws"), p) =!= element_at(col("ws"), p), lit(true)))
+    val starts = concat(array(lit(0)),
+      slice(col("ends"), lit(1), size(col("ends")) - 1))
+    val pairs = zip_with(col("ends"), starts, (e, s) =>
+      struct(element_at(col("ws"), e).as("word"),
+        (e - s).cast("long").as("tf")))
+    val ranked = slice(array_sort(transform(col("terms"), t =>
+      struct((-t.getField("score")).as("ns"),
+        t.getField("word").as("word"), t.getField("tf").as("tf"),
+        t.getField("score").as("score")))), 1, k)
+    docs
+      .withColumn("w", filter(split(trim(col("text")), " "), x => x =!= ""))
+      .where(size(col("w")) > 0)
+      .withColumn("ws", ws)
+      .withColumn("ends", ends)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.word").as("word"), col("p.tf").as("tf"))
+      .crossJoin(broadcast(nDocs))
+      .join(dfreq, Seq("word"))
+      .withColumn("score",
+        round(col("tf") * log10(col("n_docs").cast("double") / col("df")),
+          9))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("score"), col("word"), col("tf")))
+        .as("terms"))
+      .select(col("doc_id"), posexplode(ranked))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.word").as("word"), col("col.tf").as("tf"),
+        col("col.score").as("score"))
+  }
+
   def vocabTopK(docs: DataFrame, k: Int): DataFrame =
     graft.pipeline.Dedup.withWords(docs)
       .select(explode(col("w")).as("word"))
