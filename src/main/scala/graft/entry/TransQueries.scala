@@ -62,7 +62,12 @@ object TransQueries extends QueryProvider {
       // seasonal-naive daily forecast error over hourly per-type series
       "series_snaive" -> ((s: SparkSession, d: String) =>
         graft.ops.Rolling.snaive(hourly(s, d), 86400000L)
-          .orderBy("metric")))
+          .orderBy("metric")),
+      // CUSUM drift detector over the purchase series (ref above the
+      // corpus mean so the score resets; h splits real data)
+      "series_cusum" -> ((s: SparkSession, d: String) =>
+        graft.ops.Rolling.cusum(base(s, d), ref = 60.0, threshold = 100.0)
+          .orderBy("metric", "ts_ms")))
 
   /** hourly per-event-type series — coarse enough to be dense, so the
     * exact daily season-back slot usually exists */
@@ -122,5 +127,11 @@ object TransQueries extends QueryProvider {
            |    ${graft.core.Exact.davgSql("value")} AS value
            |  FROM events GROUP BY 1, 2),
            |${graft.ops.Rolling.snaiveSql(86400000L)}
-           |ORDER BY metric""".stripMargin)
+           |ORDER BY metric""".stripMargin,
+      "series_cusum" ->
+        s"""WITH series AS (${SeriesOps.seriesSql}),
+           |base AS (SELECT metric, ts_ms, value FROM series
+           |         WHERE mtype = 'purchase'),
+           |${graft.ops.Rolling.cusumSql(60.0, 100.0)}
+           |ORDER BY metric, ts_ms""".stripMargin)
 }

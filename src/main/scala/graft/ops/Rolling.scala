@@ -267,6 +267,57 @@ object Rolling {
         graft.core.Exact.davg(col("value") - col("pred")).as("me"))
   }
 
+  /** CUSUM⁺ change-point score (Page 1954) — the classic sequential
+    * drift detector: `s_t = max(0, s_{t−1} + (x_t − ref))`, alarm when
+    * `s_t > threshold`. The recursion has the prefix-sum closed form
+    * `s_t = P_t − min(0, min_{j≤t} P_j)` (exact algebra), so the batch
+    * plan is two cumulative window frames over ONE (metric) exchange +
+    * sort — no per-series fold, no collected arrays. All arithmetic
+    * stays in exact decimals until the single output cast, so the score
+    * is partition-order-independent and bit-identical to the SQL mirror
+    * (and to the streaming recursion, which IS the max(0, ·) form over
+    * the same scale-10 decimals).
+    *
+    * Output: (metric, ts_ms, value, cusum, alarm).
+    */
+  def cusum(series: DataFrame, ref: Double, threshold: Double): DataFrame = {
+    val w = Window.partitionBy("metric").orderBy("ts_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // min(0, m) as a CASE over (28,10) decimals on BOTH engines:
+    // DuckDB's LEAST over decimals (and any arithmetic at precision 38)
+    // silently promotes to DOUBLE, which would resurrect the raw
+    // double-sum rounding this formulation exists to avoid
+    val d28 = DecimalType(28, 10)
+    val zero = lit(0).cast(d28)
+    series
+      .withColumn("p",
+        sum((col("value") - lit(ref)).cast(d28)).over(w).cast(d28))
+      .withColumn("m", min(col("p")).over(w).cast(d28))
+      .withColumn("cusum",
+        (col("p") - when(col("m") < zero, col("m")).otherwise(zero))
+          .cast("double"))
+      .select(col("metric"), col("ts_ms"), col("value"), col("cusum"),
+        (col("cusum") > threshold).as("alarm"))
+  }
+
+  /** DuckDB mirror of [[cusum]] over a `base` relation. */
+  def cusumSql(ref: Double, threshold: Double): String = {
+    val frame = "OVER (PARTITION BY metric ORDER BY ts_ms " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val s28 = "DECIMAL(28,10)"
+    val m0 = s"CASE WHEN m < CAST(0 AS $s28) THEN m ELSE CAST(0 AS $s28) END"
+    s"""pp AS (SELECT metric, ts_ms, value,
+       |  CAST(SUM(CAST(value - $ref AS $s28)) $frame AS $s28) AS p
+       |       FROM base),
+       |mm AS (SELECT metric, ts_ms, value, p,
+       |           CAST(MIN(p) $frame AS $s28) AS m FROM pp)
+       |SELECT metric, ts_ms, value,
+       |       CAST(CAST(p - $m0 AS VARCHAR) AS DOUBLE) AS cusum,
+       |       CAST(CAST(p - $m0 AS VARCHAR) AS DOUBLE)
+       |         > $threshold AS alarm
+       |FROM mm""".stripMargin
+  }
+
   /** DuckDB mirror of [[snaive]] over a `base` relation (metric, ts_ms,
     * value) declared in a WITH prefix.
     */

@@ -125,6 +125,21 @@ class RollingPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cusum: prefix-sum closed form equals the brute-force recursion") {
+    val ref = 3.0
+    samples(seriesGen, 20) { vs =>
+      val out = Rolling.cusum(df(vs), ref, threshold = 5.0)
+        .orderBy("ts_ms").collect()
+      var s = 0.0
+      vs.indices.foreach { i =>
+        s = math.max(0.0, s + (vs(i) - ref))
+        assert(math.abs(out(i).getDouble(3) - s) < 1e-6,
+          s"cusum ${out(i).getDouble(3)} != brute $s at $i for $vs")
+        assert(out(i).getBoolean(4) == (out(i).getDouble(3) > 5.0))
+      }
+    }
+  }
+
   test("snaive: exact season-back lookup only; MAE/ME match brute force") {
     val s = spark
     import s.implicits._
