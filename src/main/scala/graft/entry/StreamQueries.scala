@@ -1069,6 +1069,35 @@ object StreamQueries extends QueryProvider {
     drain(s, out.toDF(), "append")
   }
 
+  /** Streaming CUSUM gate: same replay/keying as [[runZscore]], Page's
+    * drift score accumulated online — the state carries the EXACT
+    * scale-10 decimal, so the replay is bit-for-bit ≡ the batch
+    * closed form.
+    */
+  private def runCusum(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("event_type"), col("user_id"),
+        col("value"))
+      .where(col("event_type") === "purchase" &&
+        col("ts") < timestamp_millis(lit(SentinelMs)))
+    import s.implicits._
+    val out = graft.streaming.SeriesStream.cusum(s,
+      stream.as[graft.streaming.SeriesStream.Ev], ref = 60.0,
+      threshold = 100.0)
+    drain(s, out.toDF(), "append")
+  }
+
   /** Streaming EWMA gate: same replay/keying as [[runZscore]], the
     * dyadic trailing-8 smoother scored online.
     */
@@ -1186,6 +1215,7 @@ object StreamQueries extends QueryProvider {
     "stream_features" -> ((s, d) => runFeatures(s, d)),
     "stream_active" -> ((s, d) => runActive(s, d)),
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
+    "stream_cusum" -> ((s, d) => runCusum(s, d)),
     "stream_ewma" -> ((s, d) => runEwma(s, d)),
     "stream_rate" -> ((s, d) => runRate(s, d)),
     "stream_mad" -> ((s, d) => runMad(s, d)),
@@ -1313,6 +1343,15 @@ object StreamQueries extends QueryProvider {
          |${graft.ops.Rolling.rateSql}
          |ORDER BY metric, ts_ms""".stripMargin,
     // keyed rolling state ≡ the batch trailing-window z-score
+    // in-order replay of the exact-decimal recursion ≡ the batch
+    // closed-form CUSUM over the same per-point decimals
+    "stream_cusum" ->
+      s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)
+         |                 AS metric,
+         |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |${graft.ops.Rolling.cusumSql(60.0, 100.0)}
+         |ORDER BY metric, ts_ms""".stripMargin,
     "stream_zscore" ->
       s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)
          |                 AS metric,

@@ -186,6 +186,51 @@ object SeriesStream {
       }
   }
 
+  /** emitted CUSUM point */
+  final case class Cu(metric: String, ts_ms: Long, value: Double,
+                      cusum: Double, alarm: Boolean)
+  /** CUSUM keyed state: event-time frontier + the running score as an
+    * UNSCALED scale-10 long — the state IS the exact decimal, so
+    * cross-batch carry loses nothing (a double here would re-round per
+    * batch boundary and drift from the batch closed form).
+    */
+  final case class CuSt(frontierMs: Long, s10: Long)
+
+  /** Streaming CUSUM⁺ — the online form of
+    * [[graft.ops.Rolling.cusum]]: the direct `max(0, s + d)` recursion
+    * over the SAME scale-10 HALF_UP decimals the batch closed form
+    * sums, which is algebraically identical in exact arithmetic — so
+    * in-order replays are bit-for-bit ≡ batch. Same frontier/ordering
+    * contract as [[zscore]]; state is two longs per series.
+    */
+  def cusum(spark: SparkSession, events: Dataset[Ev], ref: Double,
+            threshold: Double): Dataset[Cu] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => s"${e.event_type}.${e.user_id}")
+      .flatMapGroupsWithState[CuSt, Cu](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Ev], state: GroupState[CuSt]) =>
+          val st = state.getOption.getOrElse(CuSt(Long.MinValue, 0L))
+          var frontier = st.frontierMs
+          var s = java.math.BigDecimal.valueOf(st.s10, 10)
+          val out = Vector.newBuilder[Cu]
+          for ((t, v) <- rows.map(e => (e.ts.getTime, e.value)).toSeq
+                 .sortBy(_._1) if t > frontier) {
+            val d = java.math.BigDecimal.valueOf(v - ref)
+              .setScale(10, java.math.RoundingMode.HALF_UP)
+            val cand = s.add(d)
+            s = if (cand.signum() < 0)
+              java.math.BigDecimal.ZERO.setScale(10) else cand
+            val c = s.doubleValue
+            out += Cu(metric, t, v, c, c > threshold)
+            frontier = t
+          }
+          state.update(CuSt(frontier, s.unscaledValue().longValueExact()))
+          out.result().iterator
+      }
+  }
+
   /** emitted smoothed point */
   final case class Ew(metric: String, ts_ms: Long, value: Double,
                       ewma: Double)
