@@ -1009,7 +1009,8 @@ object StreamQueries extends QueryProvider {
       case _ => timestamp_millis(unix_millis(col("ts")))
     }
     val stream = s.readStream.schema(sch).parquet(staged)
-      .select(tsCol.as("ts"), col("user_id"), col("event_type"))
+      .select(tsCol.as("ts"), col("user_id"), col("event_id"),
+        col("event_type"))
       .where(col("ts") < timestamp_millis(lit(SentinelMs)))
     val out = graft.streaming.EventStream.transitions(stream,
       EventQueries.SessionGapMs, "0 seconds")
@@ -1017,9 +1018,9 @@ object StreamQueries extends QueryProvider {
   }
 
   /** Online per-event lag features: the batch `events_features` rows as
-    * the events arrive — last-event keyed state, oracle = the batch SQL
-    * verbatim (no per-user ts ties in the corpus, so the frontier fold
-    * reproduces the batch window).
+    * the events arrive — last-event keyed state with the (ts, event_id)
+    * frontier, oracle = the batch SQL verbatim (per-user ts ties fold in
+    * event_id order, the batch window's tie order).
     */
   private def runFeatures(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)

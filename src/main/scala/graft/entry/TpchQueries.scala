@@ -168,6 +168,116 @@ object TpchQueries extends QueryProvider {
       .agg((Exact.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
 
+  /** forecast-revenue-change shape (TPC-H Q6): the pure scan-aggregate —
+    * every predicate (date range, discount band, quantity cap) pushes
+    * into the parquet reader and the plan is a single WholeStageCodegen
+    * scan + partial/final agg, no join, no wide shuffle. The 100 TB
+    * posture is "the filter IS the query": bytes read scale with the
+    * predicate's selectivity via row-group pruning.
+    */
+  private def q6ish(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(Exact.dsum(col("l_extendedprice") * col("l_discount"))
+        .as("revenue"))
+  }
+
+  /** returned-item-reporting shape (TPC-H Q10): the quarter's returned
+    * revenue per customer, top 20 — fact-side filters first (returnflag,
+    * order quarter), equi-joins on the shrunken sides, and
+    * TakeOrderedAndProject caps the result so only 20 rows ever reach
+    * the driver. Tie-broken by c_custkey for determinism.
+    */
+  private def q10ish(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val li = Tables(s, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables(s, dir, "orders")
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** customer-distribution shape (TPC-H Q13): the LEFT OUTER count
+    * histogram — customers with zero qualifying orders must appear with
+    * c_count 0, so the join is a left outer against the PRE-FILTERED
+    * orders side (filtering after the join would turn matched-but-
+    * excluded customers into zeros twice). Two aggregations: per-customer
+    * count reusing the join's custkey partitioning, then the tiny
+    * distribution shuffle (one row per distinct count).
+    */
+  private def q13ish(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer").select("c_custkey")
+    val ord = Tables(s, dir, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** promotion-effect shape (TPC-H Q14): conditional revenue ratio in
+    * ONE pass — both the PROMO numerator and the total denominator are
+    * measures of the same aggregate (no second scan, no self-join), over
+    * the month's lineitem slice joined to the broadcast part dimension.
+    * Both sums run the exact-decimal fold; the final ×100 division is
+    * one IEEE op on identical doubles in both engines.
+    */
+  private def q14ish(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-09-01").cast("timestamp")
+    val hi = lit("1997-10-01").cast("timestamp")
+    val li = Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables(s, dir, "part").select("p_partkey", "p_type")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        Exact.dsum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
+        Exact.dsum(rev)).as("promo_revenue"))
+  }
+
+  /** discounted-revenue shape (TPC-H Q19): the OR-of-ANDs predicate —
+    * three (brand, size-band, quantity-band) disjuncts evaluated inside
+    * the join. The part side carries its per-disjunct attributes through
+    * a broadcast hash join and the compound filter runs codegen'd post-
+    * join; the brand/size half of each disjunct prunes the broadcast
+    * build side before any probe.
+    */
+  private def q19ish(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_size")
+    val d1 = col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 11)
+    val d2 = col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+      col("l_quantity").between(10, 20)
+    val d3 = col("p_brand") === "Brand#15" && col("p_size").between(20, 50) &&
+      col("l_quantity").between(20, 30)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .where(d1 || d2 || d3)
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
   /** filter + projection pushdown scan: predicate and 3-column ReadSchema
     * must reach the parquet reader (verified in TpchSpec via explain).
     */
@@ -187,6 +297,11 @@ object TpchQueries extends QueryProvider {
     "tpch_q4"   -> ((s, d) => q4ish(s, d)),
     "tpch_q22"  -> ((s, d) => q22ish(s, d)),
     "tpch_q17"  -> ((s, d) => q17ish(s, d)),
+    "tpch_q6"   -> ((s, d) => q6ish(s, d)),
+    "tpch_q10"  -> ((s, d) => q10ish(s, d)),
+    "tpch_q13"  -> ((s, d) => q13ish(s, d)),
+    "tpch_q14"  -> ((s, d) => q14ish(s, d)),
+    "tpch_q19"  -> ((s, d) => q19ish(s, d)),
     "tpch_scan" -> ((s, d) => scan(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -227,12 +342,15 @@ object TpchQueries extends QueryProvider {
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    // the SUMs are CAST to BIGINT: DuckDB's SUM(int) yields HUGEINT
+    // (arrow decimal128(38,0)), which dataframe-based compares stringify
+    // differently from Spark's int64 even when the values are equal
     "tpch_q12" ->
       s"""SELECT l_returnflag,
-         |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-         |      THEN 1 ELSE 0 END) AS high_line_count,
-         |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-         |      THEN 0 ELSE 1 END) AS low_line_count
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
          |  AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -265,6 +383,53 @@ object TpchQueries extends QueryProvider {
          |SELECT ${Exact.dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
          |FROM rel JOIN a USING (l_partkey)
          |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "tpch_q6" ->
+      s"""SELECT ${Exact.dsumSql("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+         |  ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "tpch_q13" ->
+      s"""WITH cc AS (
+         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         |  FROM customer LEFT OUTER JOIN (
+         |    SELECT o_orderkey, o_custkey FROM orders
+         |    WHERE o_orderpriority <> '1-URGENT') o
+         |  ON c_custkey = o_custkey
+         |  GROUP BY 1)
+         |SELECT c_count, COUNT(*) AS custdist
+         |FROM cc GROUP BY 1
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q14" ->
+      s"""SELECT 100.0 *
+         |  ${Exact.dsumSql("CASE WHEN p_type = 'PROMO' THEN " +
+            "l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         |  ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount)")}
+         |    AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+         |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "tpch_q19" ->
+      s"""SELECT ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount)")}
+         |    AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "tpch_scan" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_orderstatus = 'F'

@@ -198,8 +198,15 @@ object Rolling {
     val lt = lag(col("ts_ms"), 1).over(w)
     val delta = when(col("value") - lv < 0.0, col("value"))
       .otherwise(col("value") - lv)
+    // the ts_ms > lt guard pins the duplicate-timestamp behavior: NULL
+    // rate on non-advancing time, in BOTH engines. Unguarded, the zero
+    // divisor diverges three ways — Spark (non-ANSI) NULL, DuckDB IEEE
+    // +Inf, and the streaming form's frontier silently dropping the
+    // point — the first two of which would break the oracle the moment
+    // the unique-(metric, ts_ms) precondition is violated.
     series
-      .withColumn("rate", delta / ((col("ts_ms") - lt) / lit(1000.0)))
+      .withColumn("rate", when(col("ts_ms") > lt,
+        delta / ((col("ts_ms") - lt) / lit(1000.0))))
       .select("metric", "ts_ms", "value", "rate")
   }
 
@@ -212,8 +219,9 @@ object Rolling {
        |           lag(ts_ms) OVER (PARTITION BY metric ORDER BY ts_ms) AS lt
        |       FROM base)
        |SELECT metric, ts_ms, value,
-       |       (CASE WHEN value - lv < 0.0 THEN value ELSE value - lv END)
-       |         / ((ts_ms - lt) / 1000.0) AS rate
+       |       CASE WHEN ts_ms > lt THEN
+       |         (CASE WHEN value - lv < 0.0 THEN value ELSE value - lv END)
+       |           / ((ts_ms - lt) / 1000.0) END AS rate
        |FROM lg""".stripMargin
 
   /** DuckDB mirror of [[zscore]] over a `series`-shaped relation named

@@ -126,9 +126,16 @@ object EventStream {
         col("wau"))
   }
 
-  /** per-user last-event state for [[transitions]] */
-  final case class TransSt(lastTsMs: Long, lastType: String)
-  final case class FeatSt(lastTsMs: Long, lastType: String, n: Long)
+  /** per-user last-event state for [[transitions]] — the frontier is
+    * the (ts, event_id) PAIR, matching the batch tie order: events that
+    * share a user's timestamp fold in event_id order and COUNT (the
+    * batch windows order by (ts_ms, event_id) and SessionsSpec asserts
+    * the tie transition), so the frontier must advance per event, not
+    * per timestamp — a ts-only frontier silently drops tied events.
+    */
+  final case class TransSt(lastTsMs: Long, lastEid: Long, lastType: String)
+  final case class FeatSt(lastTsMs: Long, lastEid: Long, lastType: String,
+                          n: Long)
 
   /** Online transition matrix — the streaming form of
     * [[graft.ops.Sessions.transitions]]: per-user keyed state holds the
@@ -137,28 +144,33 @@ object EventStream {
     * keeps the live matrix (run in update mode). A gap larger than
     * `gapMs` breaks the chain exactly as the batch session rule does.
     *
-    * Same in-order contract as [[funnel]]: events fold in event-time
-    * order within a micro-batch, arrivals at or behind the per-user
-    * frontier drop (a stream cannot splice a transition into history).
-    * An in-order replay therefore reproduces the batch matrix exactly.
-    * State is one (long, string) per user.
+    * Same in-order contract as [[funnel]], with the frontier refined to
+    * the (ts, event_id) pair: events fold in (event-time, event_id)
+    * order within a micro-batch — the batch tie order — and arrivals at
+    * or behind the per-user (ts, event_id) frontier drop (a stream
+    * cannot splice a transition into history). Per-user timestamp TIES
+    * therefore count exactly as the batch operator counts them. An
+    * in-order replay reproduces the batch matrix exactly. State is one
+    * (long, long, string) per user.
     */
   def transitions(events: DataFrame, gapMs: Long,
                   delay: String): DataFrame = {
     val inEnc = Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong,
-      Encoders.STRING)
+      Encoders.scalaLong, Encoders.STRING)
     val outEnc = Encoders.product[(String, String)]
     def fold(user: Long,
-             rows: Iterator[(java.sql.Timestamp, Long, String)],
+             rows: Iterator[(java.sql.Timestamp, Long, Long, String)],
              state: GroupState[TransSt]): Iterator[(String, String)] = {
       var last = state.getOption.orNull
       val out = Seq.newBuilder[(String, String)]
-      for ((ts, _, tpe) <- rows.toSeq.sortBy(_._1.getTime)) {
+      for ((ts, _, eid, tpe) <- rows.toSeq
+             .sortBy(r => (r._1.getTime, r._3))) {
         val t = ts.getTime
-        if (last == null || t > last.lastTsMs) {
+        if (last == null || t > last.lastTsMs ||
+            (t == last.lastTsMs && eid > last.lastEid)) {
           if (last != null && t - last.lastTsMs <= gapMs)
             out += ((last.lastType, tpe))
-          last = TransSt(t, tpe)
+          last = TransSt(t, eid, tpe)
         }
       }
       if (last != null) state.update(last)
@@ -166,8 +178,8 @@ object EventStream {
     }
     events
       .withWatermark("ts", delay)
-      .selectExpr("ts", "user_id", "event_type")
-      .as[(java.sql.Timestamp, Long, String)](inEnc)
+      .selectExpr("ts", "user_id", "event_id", "event_type")
+      .as[(java.sql.Timestamp, Long, Long, String)](inEnc)
       .groupByKey(_._2)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fold)(
@@ -179,12 +191,13 @@ object EventStream {
 
   /** Online per-event lag features — the batch `events_features` rows
     * (previous type, inter-event gap, ordinal) the moment an event
-    * arrives: keyed state is one (lastTs, lastType, count) per user,
-    * the [[transitions]] frontier contract (event-time fold within the
-    * micro-batch, at-or-behind-frontier arrivals drop — the corpus
-    * carries no per-user ts ties, so in-order replays reproduce the
-    * batch window exactly). First events emit NULL prev/gap via Option
-    * fields, matching the batch LAG's leading nulls.
+    * arrives: keyed state is one (lastTs, lastEid, lastType, count) per
+    * user, the [[transitions]] (ts, event_id) frontier contract —
+    * per-user timestamp ties fold in event_id order and COUNT (gap 0),
+    * exactly as the batch LAG over (ts_ms, event_id) windows them — so
+    * in-order replays reproduce the batch window exactly. First events
+    * emit NULL prev/gap via Option fields, matching the batch LAG's
+    * leading nulls.
     */
   def lagFeatures(events: DataFrame, delay: String): DataFrame = {
     val inEnc = Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong,
@@ -199,14 +212,16 @@ object EventStream {
       var st = state.getOption.orNull
       val out = Seq.newBuilder[
         (Long, Long, Long, String, Option[String], Option[Long], Long)]
-      for ((ts, _, eid, tpe) <- rows.toSeq.sortBy(_._1.getTime)) {
+      for ((ts, _, eid, tpe) <- rows.toSeq
+             .sortBy(r => (r._1.getTime, r._3))) {
         val t = ts.getTime
-        if (st == null || t > st.lastTsMs) {
+        if (st == null || t > st.lastTsMs ||
+            (t == st.lastTsMs && eid > st.lastEid)) {
           val idx = if (st == null) 1L else st.n + 1L
           out += ((user, eid, t, tpe,
             Option(st).map(_.lastType),
             Option(st).map(t - _.lastTsMs), idx))
-          st = FeatSt(t, tpe, idx)
+          st = FeatSt(t, eid, tpe, idx)
         }
       }
       if (st != null) state.update(st)

@@ -189,12 +189,16 @@ object SeriesStream {
   /** emitted CUSUM point */
   final case class Cu(metric: String, ts_ms: Long, value: Double,
                       cusum: Double, alarm: Boolean)
-  /** CUSUM keyed state: event-time frontier + the running score as an
-    * UNSCALED scale-10 long — the state IS the exact decimal, so
-    * cross-batch carry loses nothing (a double here would re-round per
-    * batch boundary and drift from the batch closed form).
+  /** CUSUM keyed state: event-time frontier + the running score as the
+    * exact scale-10 decimal's PLAIN STRING — the state IS the exact
+    * decimal, so cross-batch carry loses nothing (a double here would
+    * re-round per batch boundary and drift from the batch closed form).
+    * A string rather than an unscaled long: a cumulative score past
+    * ~9.2e8 would overflow the long's unscaled range and kill the query
+    * with ArithmeticException on a long-running drifting series, while
+    * the batch closed form (DECIMAL(28,10)) keeps going to ~1e18.
     */
-  final case class CuSt(frontierMs: Long, s10: Long)
+  final case class CuSt(frontierMs: Long, s10: String)
 
   /** Streaming CUSUM⁺ — the online form of
     * [[graft.ops.Rolling.cusum]]: the direct `max(0, s + d)` recursion
@@ -211,9 +215,9 @@ object SeriesStream {
       .flatMapGroupsWithState[CuSt, Cu](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (metric: String, rows: Iterator[Ev], state: GroupState[CuSt]) =>
-          val st = state.getOption.getOrElse(CuSt(Long.MinValue, 0L))
+          val st = state.getOption.getOrElse(CuSt(Long.MinValue, "0"))
           var frontier = st.frontierMs
-          var s = java.math.BigDecimal.valueOf(st.s10, 10)
+          var s = new java.math.BigDecimal(st.s10).setScale(10)
           val out = Vector.newBuilder[Cu]
           for ((t, v) <- rows.map(e => (e.ts.getTime, e.value)).toSeq
                  .sortBy(_._1) if t > frontier) {
@@ -226,7 +230,7 @@ object SeriesStream {
             out += Cu(metric, t, v, c, c > threshold)
             frontier = t
           }
-          state.update(CuSt(frontier, s.unscaledValue().longValueExact()))
+          state.update(CuSt(frontier, s.toPlainString))
           out.result().iterator
       }
   }

@@ -328,9 +328,20 @@ object SimStream {
     val q = centScored(queries, cents)
       .withColumn("cell", bestCid(col("scents"))).drop("scents")
       .withColumn("bkt", VectorOps.lshBucket(col("embedding"), bits, dim))
+    // LEFT joins with coalesce-to-empty: a query whose LSH sign bucket
+    // (or IVF cell) has no packed row must still rank the OTHER list —
+    // the batch rrfFuse is a full outer over the two lists, and an
+    // inner join here would drop such a query entirely. pairs()
+    // tolerates empty lists, so the fused path needs no other change.
+    def emptyLike(packed: DataFrame): Column =
+      array().cast(packed.schema("cands").dataType)
     val joined = q
-      .join(packedIvf.withColumnRenamed("cands", "ca"), Seq("cell"))
-      .join(packedLsh.withColumnRenamed("cands", "cb"), Seq("bkt"))
+      .join(packedIvf.withColumnRenamed("cands", "ca"), Seq("cell"),
+        "left_outer")
+      .join(packedLsh.withColumnRenamed("cands", "cb"), Seq("bkt"),
+        "left_outer")
+      .withColumn("ca", coalesce(col("ca"), emptyLike(packedIvf)))
+      .withColumn("cb", coalesce(col("cb"), emptyLike(packedLsh)))
     // top-kEach of one candidate list as (vid, term) pairs, term =
     // round(1/(60 + rank), 9) — the RRF contribution
     def pairs(cands: Column): Column = {

@@ -87,6 +87,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q22.contains("CartesianProduct"), q22.take(3000))
   }
 
+  test("q6/q10/q13/q14/q19 shapes: scan-agg pushdown, TakeOrdered top-k," +
+    " outer-join histogram, one-pass ratio, broadcast OR-of-ANDs") {
+    // q6: no join at all — predicates reach the parquet scan
+    val q6 = planOf(entry.TpchQueries.queries("tpch_q6")(spark, dir))
+    assert(!q6.contains("Join"), q6.take(3000))
+    assert(q6.contains("PushedFilters: ["), q6.take(3000))
+    // q10: top-20 caps via TakeOrderedAndProject, never a global sort
+    val q10 = planOf(entry.TpchQueries.queries("tpch_q10")(spark, dir))
+    assert(q10.contains("TakeOrderedAndProject") &&
+      !q10.contains("CartesianProduct"), q10.take(3000))
+    // q13: the zero-order customers survive — LEFT OUTER, and the
+    // priority filter sits under the join, not over it
+    val q13 = planOf(entry.TpchQueries.queries("tpch_q13")(spark, dir))
+    assert(q13.contains("LeftOuter"), q13.take(3000))
+    // q14: ONE aggregate pass computes both measures (plus its partial)
+    val q14 = planOf(entry.TpchQueries.queries("tpch_q14")(spark, dir))
+    assert(q14.contains("BroadcastHashJoin"), q14.take(3000))
+    // q19: part broadcasts; the disjunction never becomes a Cartesian
+    val q19 = planOf(entry.TpchQueries.queries("tpch_q19")(spark, dir))
+    assert(q19.contains("BroadcastHashJoin") &&
+      !q19.contains("CartesianProduct"), q19.take(3000))
+  }
+
   test("range search has no per-query window; dim stats partial-aggregate") {
     val emb = core.Tables(spark, dir, "embeddings")
     // threshold filter, not a rank: a Window node would mean the full

@@ -105,6 +105,25 @@ class RollingPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rate: duplicate timestamps yield NULL, not Infinity") {
+    val s = spark
+    import s.implicits._
+    // two points share ts 10: non-advancing time must not produce a
+    // zero-divisor Infinity (DuckDB) or engine-dependent NULL — the
+    // guard pins NULL on the tied point in both engines
+    val rows = Seq(("m", 0L, 1.0), ("m", 10L, 2.0), ("m", 10L, 3.0),
+      ("m", 20L, 4.0))
+    val out = Rolling.rate(rows.toDF("metric", "ts_ms", "value"))
+      .orderBy("ts_ms", "value").collect()
+    assert(out(0).isNullAt(3)) // first point: no predecessor
+    // whichever dup sorts second sees ts_ms == lag(ts_ms) → NULL
+    assert(out.count(r => !r.isNullAt(3) && (r.getDouble(3).isInfinite ||
+      r.getDouble(3).isNaN)) == 0)
+    assert(out.exists(r => r.getLong(1) == 10L && r.isNullAt(3)))
+    val last = out.find(_.getLong(1) == 20L).get
+    assert(!last.isNullAt(3)) // time advanced again → defined rate
+  }
+
   test("mad: non-negative scores; NULL exactly on zero-MAD windows") {
     val n = 5
     samples(seriesGen, 20) { vs =>

@@ -185,16 +185,16 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((10L, 1L), (11L, 2L), (12L, 2L), (13L, 2L)))
   }
 
-  private def transStream(batches: Seq[(Long, Long, String)]*)
+  private def transStream(batches: Seq[(Long, Long, Long, String)]*)
       : Map[(String, String), Long] = {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, String)]
-    val ev = in.toDF().toDF("tsMs", "user_id", "event_type")
+      .MemoryStream[(Long, Long, Long, String)]
+    val ev = in.toDF().toDF("tsMs", "user_id", "event_id", "event_type")
       .withColumn("ts", timestamp_millis(col("tsMs")))
-      .select("ts", "user_id", "event_type")
+      .select("ts", "user_id", "event_id", "event_type")
     val out = EventStream.transitions(ev, Gap, "0 seconds")
     val name = s"trans_${System.nanoTime()}"
     val q = out.writeStream.format("memory").queryName(name)
@@ -239,12 +239,54 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("transitions: state carries across batches, gaps break chains," +
     " late arrivals drop") {
     val counts = transStream(
-      Seq((0L, 1L, "a"), (10L, 1L, "b")),              // a→b
-      Seq((20L, 1L, "c"),                              // b→c (cross-batch)
-        (5000L, 1L, "d"),                              // gap > 1 s: no c→d
-        (5010L, 1L, "a"),                              // d→a
-        (5L, 1L, "x")))                                // behind frontier (10)
+      Seq((0L, 1L, 1L, "a"), (10L, 1L, 2L, "b")),      // a→b
+      Seq((20L, 1L, 3L, "c"),                          // b→c (cross-batch)
+        (5000L, 1L, 4L, "d"),                          // gap > 1 s: no c→d
+        (5010L, 1L, 5L, "a"),                          // d→a
+        (5L, 1L, 6L, "x")))                            // behind frontier (10)
     assert(counts == Map(("a", "b") -> 1L, ("b", "c") -> 1L,
       ("d", "a") -> 1L))
+  }
+
+  test("transitions: per-user ts ties fold in event_id order and count," +
+    " matching the batch tie transition") {
+    // two events share ts 10 — the batch windows order them by
+    // (ts_ms, event_id) and count x→y; a ts-only frontier used to drop
+    // the second one. A tie arriving in a LATER batch at the frontier
+    // ts but a higher event_id must also fold (cross-batch tie carry).
+    val counts = transStream(
+      Seq((0L, 1L, 1L, "a"), (10L, 1L, 2L, "x"), (10L, 1L, 3L, "y")),
+      Seq((10L, 1L, 4L, "z"),                          // frontier-ts tie
+        (10L, 1L, 3L, "dup")))                         // at/behind (10,3): drop
+    assert(counts == Map(("a", "x") -> 1L, ("x", "y") -> 1L,
+      ("y", "z") -> 1L))
+  }
+
+  test("lag features: ts ties count with gap 0 in event_id order") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val ev = in.toDF().toDF("tsMs", "user_id", "event_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .select("ts", "user_id", "event_id", "event_type")
+    val out = EventStream.lagFeatures(ev, "0 seconds")
+    val name = s"feat_tie_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData((10L, 1L, 100L, "a"), (10L, 1L, 101L, "b"))
+    q.processAllAvailable()
+    in.addData((10L, 1L, 102L, "c"), (10L, 1L, 101L, "dup"))
+    q.processAllAvailable()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(1), (if (r.isNullAt(4)) null
+        else r.getString(4), if (r.isNullAt(5)) -1L else r.getLong(5),
+        r.getLong(6)))).toMap
+    q.stop()
+    assert(rows == Map(
+      100L -> ((null, -1L, 1L)),
+      101L -> (("a", 0L, 2L)),       // tie: counted, gap 0
+      102L -> (("b", 0L, 3L))))      // cross-batch frontier-ts tie folds
   }
 }

@@ -66,6 +66,39 @@ class RangeStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batch-only=${(b -- st).take(5)}")
   }
 
+  test("RRF: a query whose LSH bucket is unpopulated still gets its " +
+    "IVF-side list (left-join + coalesce, not an inner-join drop)") {
+    val e = emb
+    val (packedIvf, cents) = SimStream.ivfIndex(e, nCells = 8)
+    // build the LSH index from the corpus MINUS vec 0's own bucket, so
+    // vec 0 probes an absent bucket row — the regression case: an inner
+    // join here used to drop the query entirely
+    val b0 = e.where(col("vec_id") === 0)
+      .select(graft.pipeline.VectorOps.lshBucket(col("embedding"), 6, 64))
+      .head().getLong(0)
+    val lshCorpus = e.where(
+      graft.pipeline.VectorOps.lshBucket(col("embedding"), 6, 64) =!= b0)
+    val packedLsh = SimStream.lshIndex(lshCorpus, bits = 6, dim = 64)
+    val q0 = e.where(col("vec_id") === 0).select("vec_id", "embedding")
+    val st = SimStream.rrfAgainstIndexes(q0, packedIvf, cents, packedLsh,
+        bits = 6, dim = 64, kEach = 10, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val b = graft.pipeline.Similarity.rrfFuse(
+        graft.pipeline.Similarity.ivfTopK(e, q0, nCells = 8, dim = 64,
+          k = 10),
+        graft.pipeline.Similarity.lshTopK(lshCorpus, q0, bits = 6,
+          dim = 64, k = 10), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    graft.core.Caches.releaseTransient(spark)
+    assert(st.nonEmpty, "query was dropped despite a populated IVF cell")
+    assert(st == b, s"stream-only=${(st -- b).take(5)} " +
+      s"batch-only=${(b -- st).take(5)}")
+  }
+
   test("runs stateless; a query below threshold everywhere emits nothing") {
     val s = spark
     import s.implicits._

@@ -169,6 +169,40 @@ class SeriesStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         (t, java.lang.Double.doubleToRawLongBits(v)) }.toSeq)
   }
 
+  test("streaming cusum: cross-batch exact carry ≡ batch, survives " +
+    "scores past the old unscaled-long range") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = SeriesStream.cusum(spark, in.toDS(), ref = 0.0,
+      threshold = 1.5e9)
+    val q = out.toDF().writeStream.format("memory").queryName("cus")
+      .outputMode("append").start()
+    // a drifting series: each point adds 1e9, so the running score
+    // crosses 9.2e8 (the scale-10 unscaled-long ceiling the state used
+    // to overflow at) inside the FIRST batch and keeps climbing across
+    // the batch boundary — the exact-decimal string state must carry it
+    in.addData(ev(0, v = 1e9 + 0.1), ev(10, v = 1e9 + 0.2))
+    q.processAllAvailable()
+    in.addData(ev(20, v = 1e9 + 0.3), ev(30, v = -0.5))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT ts_ms, cusum, alarm FROM cus ORDER BY ts_ms")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    q.stop()
+    val batch = graft.ops.Rolling.cusum(
+      Seq(("purchase.1", 0L, 1e9 + 0.1), ("purchase.1", 10000L, 1e9 + 0.2),
+        ("purchase.1", 20000L, 1e9 + 0.3), ("purchase.1", 30000L, -0.5))
+        .toDF("metric", "ts_ms", "value"), ref = 0.0, threshold = 1.5e9)
+      .orderBy("ts_ms").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+    assert(got.map { case (t, v, a) =>
+      (t, java.lang.Double.doubleToRawLongBits(v), a) }.toSeq ==
+      batch.map { case (t, v, a) =>
+        (t, java.lang.Double.doubleToRawLongBits(v), a) }.toSeq)
+    assert(got.count(_._3) == 3) // points 2–4 are past 1.5e9
+  }
+
   test("gap detection emits missing-slot ranges across batches") {
     val s = spark
     import s.implicits._

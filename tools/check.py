@@ -48,6 +48,17 @@ def main(out_dir, sf_dir):
             exp = con.execute(sql)
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
+            # the driver's compare is dataframe-based: DuckDB HUGEINT
+            # (SUM over ints) arrives as decimal128(38,0)/float64 there
+            # and hash-mismatches Spark's int64 even on equal values.
+            # fetchall() masks this (python ints), so flag it here.
+            sch = con.execute(f"SELECT * FROM ({sql}) q LIMIT 0").arrow().schema
+            huge = [f.name for f in sch if str(f.type) == "decimal128(38, 0)"]
+            if huge:
+                print(f"FAIL {name}: HUGEINT oracle column(s) {huge} — "
+                      f"CAST to BIGINT in the oracle SQL")
+                n_bad += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_bad += 1
