@@ -358,6 +358,11 @@ object PipelineQueries extends QueryProvider {
     // per-document top-3 TF-IDF terms (keyword extraction)
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopK(docs(s, d), 3).orderBy("doc_id", "rank")),
+    // DSIR: importance-resample 100 docs toward the English target
+    // distribution in a 64-bucket hashed-unigram space (Gumbel-top-k)
+    "sample_dsir" -> ((s, d) =>
+      Dsir.select(docsWide(s, d), dim = 64,
+        targetPred = col("lang") === "en", k = 100)),
     // mean unigram log-prob (the LM-perplexity quality proxy), self-scored
     "text_logprob" -> ((s, d) => {
       val dd = docs(s, d)
@@ -515,6 +520,7 @@ object PipelineQueries extends QueryProvider {
     "sample_mixture" -> Curation.sampleMixtureSql("lang", 100L),
     "sample_quota" -> Curation.sampleQuotaSql("source", 15),
     "text_tfidf" -> TextOps.tfidfTopKSql(3),
+    "sample_dsir" -> Dsir.selectSql(64, "lang = 'en'", 100),
     "text_logprob" -> TextOps.unigramLogProbSql,
     "curate_ppl_buckets" ->
       Curation.pplBucketsSql(TextOps.unigramLogProbSql),

@@ -829,6 +829,31 @@ object StreamQueries extends QueryProvider {
       "update")
   }
 
+  /** The frozen DSIR log-ratio row (64-bucket hashed-unigram importance
+    * table toward the English target), memoized + sanctioned per
+    * (session, dir) — batch-refreshed beside the LM/cuts/df artifacts.
+    */
+  private val dsirRsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def dsirRatios(s: SparkSession, dir: String): DataFrame =
+    dsirRsCache.computeIfAbsent((s, dir), { _ =>
+      graft.core.Caches.sanction(graft.pipeline.Dsir.ratioRow(
+        graft.pipeline.Dsir.logRatios(
+          graft.core.Tables(s, dir, "documents"), 64,
+          col("lang") === "en"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  /** Online DSIR admission: each arriving doc scores row-locally against
+    * the frozen ratio row and is admitted when its Gumbel-perturbed
+    * importance key clears the fixed bar — stateless, append-mode; the
+    * batch threshold SQL is the oracle verbatim.
+    */
+  private def runDsir(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.Dsir.score(
+      docStream(s, dir).select("doc_id", "text"), dsirRatios(s, dir))
+      .where(col("key") > 2.0), "append")
+
   /** The online admission capstone: per-arriving-document verdicts
     * (dup / low_quality / kept) with a deterministic first-arrival dedup
     * leg — the streaming analog of the batch `corpus_decisions` gate
@@ -1244,6 +1269,7 @@ object StreamQueries extends QueryProvider {
     "stream_logprob" -> ((s, d) => runLogProb(s, d)),
     "stream_ppl_buckets" -> ((s, d) => runPplBuckets(s, d)),
     "stream_tfidf" -> ((s, d) => runTfidf(s, d)),
+    "stream_dsir" -> ((s, d) => runDsir(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_entropy" -> ((s, d) => runEntropy(s, d)),
     "stream_chunks" -> ((s, d) => runChunks(s, d)),
@@ -1285,6 +1311,7 @@ object StreamQueries extends QueryProvider {
       graft.pipeline.TextOps.unigramLogProbSql),
     // frozen df table, self-scored on the replay — batch oracle verbatim
     "stream_tfidf" -> graft.pipeline.TextOps.tfidfTopKSql(3),
+    "stream_dsir" -> graft.pipeline.Dsir.admitSql(64, "lang = 'en'", 2.0),
     // session_window state ≡ the batch lag/cumsum session derivation
     "stream_sessionize" ->
       graft.ops.Sessions.sessionizeStreamSql(EventQueries.SessionGapMs),
