@@ -358,6 +358,9 @@ object PipelineQueries extends QueryProvider {
     // per-document top-3 TF-IDF terms (keyword extraction)
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopK(docs(s, d), 3).orderBy("doc_id", "rank")),
+    // weighted sampling without replacement (A-ES): 100 docs ∝ n_chars
+    "sample_weighted" -> ((s, d) =>
+      Curation.sampleWeighted(docs(s, d), col("n_chars"), k = 100)),
     // DSIR: importance-resample 100 docs toward the English target
     // distribution in a 64-bucket hashed-unigram space (Gumbel-top-k)
     "sample_dsir" -> ((s, d) =>
@@ -521,6 +524,7 @@ object PipelineQueries extends QueryProvider {
     "sample_quota" -> Curation.sampleQuotaSql("source", 15),
     "text_tfidf" -> TextOps.tfidfTopKSql(3),
     "sample_dsir" -> Dsir.selectSql(64, "lang = 'en'", 100),
+    "sample_weighted" -> Curation.sampleWeightedSql("n_chars", 100),
     "text_logprob" -> TextOps.unigramLogProbSql,
     "curate_ppl_buckets" ->
       Curation.pplBucketsSql(TextOps.unigramLogProbSql),

@@ -844,6 +844,15 @@ object StreamQueries extends QueryProvider {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
+  /** Online per-source quota admission: first-arrival counter state, two
+    * longs per source; the doc_id-ordered replay makes the row_number
+    * oracle exact.
+    */
+  private def runQuota(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.streaming.DocStream.quotaAdmit(
+      docStream(s, dir).select("source", "doc_id"), "source", 15),
+      "append")
+
   /** Online DSIR admission: each arriving doc scores row-locally against
     * the frozen ratio row and is admitted when its Gumbel-perturbed
     * importance key clears the fixed bar — stateless, append-mode; the
@@ -1270,6 +1279,7 @@ object StreamQueries extends QueryProvider {
     "stream_ppl_buckets" -> ((s, d) => runPplBuckets(s, d)),
     "stream_tfidf" -> ((s, d) => runTfidf(s, d)),
     "stream_dsir" -> ((s, d) => runDsir(s, d)),
+    "stream_quota" -> ((s, d) => runQuota(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_entropy" -> ((s, d) => runEntropy(s, d)),
     "stream_chunks" -> ((s, d) => runChunks(s, d)),
@@ -1312,6 +1322,7 @@ object StreamQueries extends QueryProvider {
     // frozen df table, self-scored on the replay — batch oracle verbatim
     "stream_tfidf" -> graft.pipeline.TextOps.tfidfTopKSql(3),
     "stream_dsir" -> graft.pipeline.Dsir.admitSql(64, "lang = 'en'", 2.0),
+    "stream_quota" -> graft.streaming.DocStream.quotaAdmitSql("source", 15),
     // session_window state ≡ the batch lag/cumsum session derivation
     "stream_sessionize" ->
       graft.ops.Sessions.sessionizeStreamSql(EventQueries.SessionGapMs),

@@ -243,6 +243,46 @@ object Curation {
        |WHERE rank <= $quota
        |ORDER BY $strataCol, rank""".stripMargin
 
+  // ------------------------------------- weighted sampling (A-ES keys)
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirtes 2006,
+    * the A-ES one-pass scheme): item `i` draws exponential arrival key
+    * `e_i = −ln(u_i) / w_i` and the k SMALLEST keys are the sample —
+    * inclusion probability proportional to weight, no sequential pass,
+    * no global weight total. The uniform is the engine's deterministic
+    * md5(doc_id) hash (+0.5 keeps it off 0), so membership is
+    * reproducible and the DuckDB mirror lands on the same keys; the one
+    * transcendental (`ln`) rounds to 9dp per convention. Zero-or-
+    * negative weights are excluded (they cannot be sampled).
+    *
+    * Scale shape: row-local key + TakeOrderedAndProject — one scan, the
+    * shuffle carries O(partitions × k) candidate rows.
+    *
+    * Output: (doc_id, weight, key), key ascending.
+    */
+  def sampleWeighted(docs: DataFrame, weightCol: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (uniformHash.cast("double") + 0.5) / 4294967296.0
+    val key = round(-log(u) / weightCol.cast("double"), 9)
+    docs.where(weightCol > 0.0)
+      .select(col("doc_id"), weightCol.cast("double").as("weight"),
+        key.as("key"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** SQL mirror of [[sampleWeighted]] over `documents`.
+    * @param weightSql weight expression (e.g. `n_chars`)
+    */
+  def sampleWeightedSql(weightSql: String, k: Int): String =
+    s"""SELECT doc_id, CAST($weightSql AS DOUBLE) AS weight,
+       |  ROUND(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+       |          1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+       |      / CAST($weightSql AS DOUBLE), 9) AS key
+       |FROM documents WHERE $weightSql > 0
+       |ORDER BY key ASC, doc_id ASC LIMIT $k""".stripMargin
+
   // ------------------------------------------------- per-stratum top-k
 
   /** Keep the k highest-quality documents per stratum (quality from

@@ -147,6 +147,61 @@ object DocStream {
 
   // not `private`: Catalyst's generated (de)serializers access these from
   // synthesized classes outside this object
+  case class QIn(strata: String, doc_id: Long)
+  case class QOut(strata: String, doc_id: Long, rank: Long)
+  /** keyed state for [[quotaAdmit]]: admitted count + doc_id frontier */
+  case class QuotaSt(admitted: Long, frontier: Long)
+
+  /** ONLINE per-stratum quota admission — the streaming counterpart of
+    * [[graft.pipeline.Curation.sampleQuota]] with FIRST-ARRIVAL
+    * semantics: a stratum admits its first `quota` documents and closes.
+    * (The batch operator draws hash-first — an offline luxury; online,
+    * admission order IS arrival order, which the doc_id-ordered replay
+    * makes deterministic: the oracle is `ROW_NUMBER() OVER (PARTITION BY
+    * strata ORDER BY doc_id) <= quota`.) In-batch rows fold in doc_id
+    * order; arrivals at or behind the per-stratum frontier drop (the
+    * shared frontier contract). State is TWO LONGS per stratum —
+    * bounded by the stratum vocabulary, never the corpus — so no
+    * watermark eviction is needed.
+    */
+  def quotaAdmit(docs: DataFrame, strataCol: String,
+                 quota: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    require(quota > 0, s"quota must be positive, got $quota")
+    val in = docs
+      .select(col(strataCol).cast("string").as("strata"), col("doc_id"))
+      .as[QIn](Encoders.product[QIn])
+    def fold(key: String, rows: Iterator[QIn],
+             state: GroupState[QuotaSt]): Iterator[QOut] = {
+      val st = state.getOption.getOrElse(QuotaSt(0L, Long.MinValue))
+      var n = st.admitted
+      var f = st.frontier
+      val out = Seq.newBuilder[QOut]
+      for (r <- rows.toSeq.sortBy(_.doc_id) if r.doc_id > f) {
+        f = r.doc_id
+        if (n < quota) { n += 1; out += QOut(key, r.doc_id, n) }
+      }
+      state.update(QuotaSt(n, f))
+      out.result().iterator
+    }
+    in.groupByKey(_.strata)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)(
+        Encoders.product[QuotaSt], Encoders.product[QOut])
+      .toDF(strataCol, "doc_id", "rank")
+  }
+
+  /** DuckDB mirror of [[quotaAdmit]] over `documents`. */
+  def quotaAdmitSql(strataCol: String, quota: Int): String =
+    s"""SELECT $strataCol, doc_id, rank FROM (
+       |  SELECT $strataCol, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY $strataCol
+       |                            ORDER BY doc_id) AS rank
+       |  FROM documents)
+       |WHERE rank <= $quota
+       |ORDER BY $strataCol, rank""".stripMargin
+
   case class DocIn(text_hash: String, ts: java.sql.Timestamp,
                    doc_id: Long, quality: Double)
   case class DecOut(doc_id: Long, decision: String)

@@ -119,4 +119,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.filter(_._1 == "en").map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
     assert(kept.filter(_._1 == "de").map(_._2).sorted.toSeq == Seq(16L, 17L, 18L, 19L))
   }
+
+  test("weighted sampling: k rows, ascending exp-keys, non-positive " +
+    "weights excluded, weight dominates inclusion in aggregate") {
+    val s = spark
+    import s.implicits._
+    // 200 light docs (w=1) and 200 heavy docs (w=50)
+    val docs = ((1L to 200L).map(i => (i, 1L)) ++
+      (201L to 400L).map(i => (i, 50L)) ++
+      Seq((900L, 0L), (901L, -5L)))       // never sampleable
+      .toDF("doc_id", "n_chars")
+    val got = Curation.sampleWeighted(docs, col("n_chars"), k = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 100)
+    val keys = got.map(_._3).toSeq
+    assert(keys == keys.sorted)
+    assert(!got.exists(r => r._1 >= 900L))
+    // E[e_i] = 1/w: the heavy class should dominate the sample — with
+    // w-ratio 50 the expected light count is ≈ 100·(200/10200)·…, far
+    // below half; assert a loose majority bound, not a distribution
+    assert(got.count(_._2 == 50.0) > 80,
+      s"heavy class sampled only ${got.count(_._2 == 50.0)}/100")
+    // deterministic rerun
+    val again = Curation.sampleWeighted(docs, col("n_chars"), k = 100)
+      .collect().map(_.getLong(0))
+    assert(got.map(_._1).toSeq == again.toSeq)
+    // capped top-k plan, not a global sort
+    val plan = Curation.sampleWeighted(docs, col("n_chars"), k = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
 }

@@ -139,4 +139,30 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[Double]("quality")
     assert(rows.head.getDouble(1) == batch)
   }
+
+  test("quota admission: counter state carries across batches, closes at" +
+    " quota, frontier drops replays") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val out = DocStream.quotaAdmit(
+      in.toDF().toDF("source", "doc_id"), "source", quota = 3)
+    val q = out.writeStream.format("memory").queryName("squota")
+      .outputMode("append").start()
+    in.addData(("a", 5L), ("a", 2L), ("b", 1L))   // in-batch doc_id order
+    q.processAllAvailable()
+    in.addData(("a", 9L), ("a", 11L),             // 9 fills quota; 11 over
+      ("a", 3L),                                  // behind frontier (5): drop
+      ("b", 4L))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT source, doc_id, rank FROM squota ORDER BY source, rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      ("a", 2L, 1L), ("a", 5L, 2L), ("a", 9L, 3L),
+      ("b", 1L, 1L), ("b", 4L, 2L)))
+  }
 }
