@@ -75,6 +75,15 @@ object PipelineQueries extends QueryProvider {
     }),
     // per-dimension corpus moments (normalization pre-pass)
     "embed_dim_stats" -> ((s, d) => Similarity.dimStats(emb(s, d))),
+    // top principal direction by power iteration (3 steps, fixed seed)
+    "embed_pca" -> ((s, d) => Pca.topComponent(emb(s, d), Dim, iters = 3)),
+    // PCA projection + reconstruction residual, self-scored (outlier /
+    // compression readout)
+    "embed_project" -> ((s, d) => {
+      val e = emb(s, d)
+      Pca.project(e, Pca.meanRow(e), Pca.topComponentRow(e, Dim, 3))
+        .orderBy("vec_id")
+    }),
     // radius search: the full similarity ball, filter not rank
     "sim_range" -> ((s, d) => {
       val e = emb(s, d)
@@ -450,6 +459,8 @@ object PipelineQueries extends QueryProvider {
     "sim_topk_brute" -> Similarity.bruteTopKSql(Dim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
     "embed_dim_stats" -> Similarity.dimStatsSql(Dim),
+    "embed_pca" -> Pca.topComponentSql(Dim, 3),
+    "embed_project" -> Pca.projectSql(Dim, 3),
     "sim_range" -> Similarity.rangeSearchSql(Dim, 0.3,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
     "sim_range_lsh" -> Similarity.rangeSearchLshSql(4, Dim, 0.1,

@@ -458,6 +458,36 @@ object StreamQueries extends QueryProvider {
     drain(s, graft.pipeline.Similarity.dimStats(emb), "complete")
   }
 
+  /** The frozen PCA artifacts (per-dim mean row + 3-step top component),
+    * memoized + sanctioned per (session, dir) — the batch-refreshed pair
+    * the online projector scores against.
+    */
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def pcaArtifacts(s: SparkSession,
+                           dir: String): (DataFrame, DataFrame) =
+    pcaCache.computeIfAbsent((s, dir), { _ =>
+      val emb = graft.core.Tables(s, dir, "embeddings")
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (graft.core.Caches.sanction(
+        graft.pipeline.Pca.meanRow(emb).persist(lvl)),
+        graft.core.Caches.sanction(
+          graft.pipeline.Pca.topComponentRow(emb, 64, 3).persist(lvl)))
+    })
+
+  /** Online PCA projection/residual: each arriving vector scores
+    * row-locally against the frozen (mean, component) broadcasts —
+    * stateless, zero shuffle; the batch self-scored SQL is the oracle
+    * verbatim.
+    */
+  private def runProject(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEmbDir(dir)
+    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val emb = s.readStream.schema(sch).parquet(staged)
+    val (m, v) = pcaArtifacts(s, dir)
+    drain(s, graft.pipeline.Pca.project(emb, m, v), "append")
+  }
+
   private val sq8IndexCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
   private def sq8Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
@@ -1290,6 +1320,7 @@ object StreamQueries extends QueryProvider {
     "stream_range" -> ((s, d) => runRange(s, d)),
     "stream_rrf" -> ((s, d) => runRrf(s, d)),
     "stream_dim_stats" -> ((s, d) => runDimStats(s, d)),
+    "stream_project" -> ((s, d) => runProject(s, d)),
     "stream_sim" -> ((s, d) => runSim(s, d)),
     "stream_sim_probe" -> ((s, d) => runSim(s, d, nProbe = 3)),
     "stream_sim_sq8" -> ((s, d) => runSimSq8(s, d)),
@@ -1547,6 +1578,7 @@ object StreamQueries extends QueryProvider {
       4, 64, 0.1, "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     // online drift monitor: final complete-mode board ≡ batch moments
     "stream_dim_stats" -> graft.pipeline.Similarity.dimStatsSql(64),
+    "stream_project" -> graft.pipeline.Pca.projectSql(64, 3),
     // online hybrid fusion ≡ the batch RRF of the same two retrievals
     "stream_rrf" -> graft.pipeline.Similarity.rrfFuseSql(
       graft.pipeline.Similarity.ivfTopKSql(8, 64, 10, "10, 11, 12"),
