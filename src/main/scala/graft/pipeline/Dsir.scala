@@ -115,8 +115,17 @@ object Dsir {
       .withColumn("ends", ends)
       .withColumn("pairs", pairs)
       .withColumn("logw", logw)
-      .select(col("doc_id"), col("logw"),
-        round(col("logw") + g, 9).as("key"))
+      // generator barrier: a downstream predicate on key/logw (the
+      // admission threshold) must NOT sink into the broadcast
+      // nested-loop join's condition — there it evaluates this entire
+      // md5-heavy fold INTERPRETED per row, then the projection pays it
+      // again (measured ~30× the scan cost at sf0.1; the ivfAssign
+      // guard documents the same trap). Filters cannot push through a
+      // generator's output, so the fold below evaluates exactly once.
+      .select(col("doc_id"), explode(array(struct(col("logw"),
+        round(col("logw") + g, 9).as("key")))).as("s"))
+      .select(col("doc_id"), col("s.logw").as("logw"),
+        col("s.key").as("key"))
   }
 
   /** Gumbel-top-k selection: the `k` docs most resembling the target

@@ -72,14 +72,36 @@ class DsirSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rs = Dsir.ratioRow(Dsir.logRatios(corpus, 32, col("doc_id") < 10))
       .persist()
     rs.count()
+    // structural walks must unwrap the AQE root — collect() does not
+    // descend into AdaptiveSparkPlanExec's inner plan
+    def nodes(df: org.apache.spark.sql.DataFrame)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val root = df.queryExecution.executedPlan
+      val inner = root match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      inner.collect { case p => p }
+    }
     // the corpus side of score() must not hash-exchange: only the
     // one-row ratio frame moves (as a broadcast). Structural walk — the
     // plan STRING would also show the cached ratio lineage inside the
     // InMemoryRelation, which the query does not execute.
-    val shuffles = Dsir.score(corpus, rs).queryExecution.executedPlan
-      .collect { case e: org.apache.spark.sql.execution.exchange
+    val shuffles = nodes(Dsir.score(corpus, rs)).collect {
+      case e: org.apache.spark.sql.execution.exchange
         .ShuffleExchangeExec => e }
     assert(shuffles.isEmpty, shuffles.mkString("\n"))
+    // a threshold on the computed key must stay ABOVE the broadcast
+    // nested-loop join: pushed into the join condition it would evaluate
+    // the md5-heavy fold interpreted, per row, twice (measured ~30× at
+    // sf0.1 before the generator barrier)
+    val joins = nodes(Dsir.score(corpus, rs).where(col("key") > 2.0))
+      .collect { case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j }
+    assert(joins.nonEmpty, "expected the broadcast ratio cross join")
+    assert(joins.forall(_.condition.isEmpty),
+      joins.map(_.condition).mkString("\n"))
     rs.unpersist()
     val selPlan = Dsir.select(corpus, 32, col("doc_id") < 10, k = 4)
       .queryExecution.executedPlan.toString
