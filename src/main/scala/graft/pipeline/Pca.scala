@@ -119,9 +119,14 @@ object Pca {
       .crossJoin(broadcast(vRow))
       .withColumn("proj", proj)
       .withColumn("n2", n2)
-      .select(col("vec_id"), col("proj"),
+      // generator barrier (the Dsir.score lesson): an outlier threshold
+      // on resid/proj must not sink into the broadcast join condition,
+      // where these folds would re-evaluate interpreted per row
+      .select(col("vec_id"), explode(array(struct(col("proj"),
         sqrt(greatest(col("n2") - col("proj") * col("proj"), lit(0.0)))
-          .as("resid"))
+          .as("resid")))).as("s"))
+      .select(col("vec_id"), col("s.proj").as("proj"),
+        col("s.resid").as("resid"))
   }
 
   /** DuckDB mirror of [[topComponent]] over `embeddings` — the power
