@@ -278,6 +278,39 @@ object TpchQueries extends QueryProvider {
         .as("revenue"))
   }
 
+  /** The q12 measure pair over CO-LOCATED bucketed layouts: lineitem and
+    * orders both bucketed (and sorted) by the order key, so the join
+    * reads pre-partitioned buckets and runs with NO exchange on either
+    * side — the repeated-fact-join storage posture at 100 TB (the
+    * bucketed write is one-off provisioning via
+    * [[graft.sources.BucketStore]]). Values are identical to joining the
+    * raw parquet, so the plain q12 SQL is the oracle; PlanSpec asserts
+    * the shuffle-free join shape.
+    */
+  private def q12colocated(s: SparkSession, dir: String): DataFrame = {
+    val ln = graft.sources.BucketStore.bucketed(s, dir, "lineitem",
+      "l_orderkey", 8)
+    val on = graft.sources.BucketStore.bucketed(s, dir, "orders",
+      "o_orderkey", 8)
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val li = s.table(ln)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_returnflag")
+    val ord = s.table(on).select("o_orderkey", "o_orderpriority")
+    val isHigh = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    // merge hint: at fact-x-fact scale neither side broadcasts, and the
+    // whole point of the bucketed layout is the exchange-free sort-merge
+    // join — without the hint the tiny test SF would pick a broadcast
+    // join and never exercise the layout
+    li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
   /** filter + projection pushdown scan: predicate and 3-column ReadSchema
     * must reach the parquet reader (verified in TpchSpec via explain).
     */
@@ -302,6 +335,7 @@ object TpchQueries extends QueryProvider {
     "tpch_q13"  -> ((s, d) => q13ish(s, d)),
     "tpch_q14"  -> ((s, d) => q14ish(s, d)),
     "tpch_q19"  -> ((s, d) => q19ish(s, d)),
+    "tpch_q12_colocated" -> ((s, d) => q12colocated(s, d)),
     "tpch_scan" -> ((s, d) => scan(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -430,6 +464,17 @@ object TpchQueries extends QueryProvider {
          |       AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // same values as tpch_q12 — the layout changes, the answer must not
+    "tpch_q12_colocated" ->
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tpch_scan" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_orderstatus = 'F'

@@ -110,6 +110,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !q19.contains("CartesianProduct"), q19.take(3000))
   }
 
+  test("co-located bucketed join: no exchange under the join on either" +
+    " side") {
+    val df = entry.TpchQueries.queries("tpch_q12_colocated")(spark, dir)
+    val root = df.queryExecution.executedPlan
+    val inner = root match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = inner.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins
+        .ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, inner.toString.take(2000))
+    // the bucketed layouts satisfy the join's distribution requirement:
+    // NO shuffle anywhere beneath the join
+    val shufflesUnderJoin = joins.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => e })
+    assert(shufflesUnderJoin.isEmpty,
+      shufflesUnderJoin.mkString("\n"))
+  }
+
   test("range search has no per-query window; dim stats partial-aggregate") {
     val emb = core.Tables(spark, dir, "embeddings")
     // threshold filter, not a rank: a Window node would mean the full
