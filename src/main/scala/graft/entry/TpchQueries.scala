@@ -278,6 +278,87 @@ object TpchQueries extends QueryProvider {
         .as("revenue"))
   }
 
+  /** volume-shipping shape (TPC-H Q7): bidirectional nation-pair trade
+    * volume by year. The two nation lookups are SEPARATE broadcast
+    * dimension joins (supplier side, customer side) against the same
+    * tiny table — never a self-join of the fact path — and the
+    * pair-direction disjunction filters AFTER both names are in-row.
+    * Year extraction is calendar-based in both engines (UTC, NTZ).
+    */
+  private def q7ish(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1999-01-01").cast("timestamp")
+    val li = Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val sup = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = Tables(s, dir, "nation")
+    val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n1 = nat.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val n2 = nat.select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    val pair = (col("supp_nation") === "NATION_15" &&
+        col("cust_nation") === "NATION_11") ||
+      (col("supp_nation") === "NATION_11" &&
+        col("cust_nation") === "NATION_15")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .where(pair)
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** national-market-share shape (TPC-H Q8): one nation's share of a
+    * region's PROMO-part import volume by year — the conditional-ratio
+    * aggregation (both numerator and denominator in ONE pass) on top of
+    * a five-way star join where every dimension (part slice, supplier
+    * nations, customer nations, region) broadcasts and only the two
+    * fact tables shuffle.
+    */
+  private def q8ish(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1999-01-01").cast("timestamp")
+    val part = Tables(s, dir, "part")
+      .where(col("p_type") === "PROMO").select("p_partkey")
+    val li = Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    val sup = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n1 = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+    val ord = Tables(s, dir, "orders")
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val natr = Tables(s, dir, "nation")
+      .join(broadcast(Tables(s, dir, "region")
+        .where(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natr), col("c_nationkey") === col("cn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((Exact.dsum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(0.0)) /
+        Exact.dsum(vol)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** The q12 measure pair over CO-LOCATED bucketed layouts: lineitem and
     * orders both bucketed (and sorted) by the order key, so the join
     * reads pre-partitioned buckets and runs with NO exchange on either
@@ -335,6 +416,8 @@ object TpchQueries extends QueryProvider {
     "tpch_q13"  -> ((s, d) => q13ish(s, d)),
     "tpch_q14"  -> ((s, d) => q14ish(s, d)),
     "tpch_q19"  -> ((s, d) => q19ish(s, d)),
+    "tpch_q7"   -> ((s, d) => q7ish(s, d)),
+    "tpch_q8"   -> ((s, d) => q8ish(s, d)),
     "tpch_q12_colocated" -> ((s, d) => q12colocated(s, d)),
     "tpch_scan" -> ((s, d) => scan(s, d)))
 
@@ -464,6 +547,39 @@ object TpchQueries extends QueryProvider {
          |       AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  EXTRACT(YEAR FROM l_shipdate) AS l_year,
+         |  ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1999-01-01'
+         |  AND ((n1.n_name = 'NATION_15' AND n2.n_name = 'NATION_11')
+         |    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_15'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "tpch_q8" ->
+      s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         |  ${Exact.dsumSql("CASE WHEN n1.n_name = 'NATION_3' THEN " +
+            "l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         |  ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount)")}
+         |    AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |JOIN region ON n2.n_regionkey = r_regionkey
+         |WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same values as tpch_q12 — the layout changes, the answer must not
     "tpch_q12_colocated" ->
       s"""SELECT l_returnflag,
