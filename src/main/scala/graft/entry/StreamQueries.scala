@@ -1139,6 +1139,32 @@ object StreamQueries extends QueryProvider {
     * scale-10 decimal, so the replay is bit-for-bit ≡ the batch
     * closed form.
     */
+  /** Streaming Holt gate: level+trend smoothed online, O(1) state per
+    * series; in-order replay ≡ the batch fold bit-for-bit.
+    */
+  private def runHolt(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("event_type"), col("user_id"),
+        col("value"))
+      .where(col("event_type") === "purchase" &&
+        col("ts") < timestamp_millis(lit(SentinelMs)))
+    import s.implicits._
+    val out = graft.streaming.SeriesStream.holt(s,
+      stream.as[graft.streaming.SeriesStream.Ev])
+    drain(s, out.toDF(), "append")
+  }
+
   private def runCusum(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1281,6 +1307,7 @@ object StreamQueries extends QueryProvider {
     "stream_active" -> ((s, d) => runActive(s, d)),
     "stream_zscore" -> ((s, d) => runZscore(s, d)),
     "stream_cusum" -> ((s, d) => runCusum(s, d)),
+    "stream_holt" -> ((s, d) => runHolt(s, d)),
     "stream_ewma" -> ((s, d) => runEwma(s, d)),
     "stream_rate" -> ((s, d) => runRate(s, d)),
     "stream_mad" -> ((s, d) => runMad(s, d)),
@@ -1421,6 +1448,13 @@ object StreamQueries extends QueryProvider {
          |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
          |           FROM events WHERE event_type = 'purchase'),
          |${graft.ops.Rolling.cusumSql(60.0, 100.0)}
+         |ORDER BY metric, ts_ms""".stripMargin,
+    "stream_holt" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT event_type || '.' || CAST(user_id AS VARCHAR) AS metric,
+         |         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |${graft.ops.Rolling.holtSql}
          |ORDER BY metric, ts_ms""".stripMargin,
     "stream_zscore" ->
       s"""WITH base AS (SELECT event_type || '.' || CAST(user_id AS VARCHAR)

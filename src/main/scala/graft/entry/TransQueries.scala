@@ -67,6 +67,10 @@ object TransQueries extends QueryProvider {
       // corpus mean so the score resets; h splits real data)
       "series_cusum" -> ((s: SparkSession, d: String) =>
         graft.ops.Rolling.cusum(base(s, d), ref = 60.0, threshold = 100.0)
+          .orderBy("metric", "ts_ms")),
+      // Holt level+trend smoother over the purchase series
+      "series_holt" -> ((s: SparkSession, d: String) =>
+        graft.ops.Rolling.holt(base(s, d))
           .orderBy("metric", "ts_ms")))
 
   /** hourly per-event-type series — coarse enough to be dense, so the
@@ -133,5 +137,11 @@ object TransQueries extends QueryProvider {
            |base AS (SELECT metric, ts_ms, value FROM series
            |         WHERE mtype = 'purchase'),
            |${graft.ops.Rolling.cusumSql(60.0, 100.0)}
+           |ORDER BY metric, ts_ms""".stripMargin,
+      "series_holt" ->
+        s"""WITH RECURSIVE series AS (${SeriesOps.seriesSql}),
+           |base AS (SELECT metric, ts_ms, value FROM series
+           |         WHERE mtype = 'purchase'),
+           |${graft.ops.Rolling.holtSql}
            |ORDER BY metric, ts_ms""".stripMargin)
 }

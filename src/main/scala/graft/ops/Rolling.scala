@@ -339,4 +339,94 @@ object Rolling {
        |       ${graft.core.Exact.davgSql("ABS(value - pred)")} AS mae,
        |       ${graft.core.Exact.davgSql("(value - pred)")} AS me
        |FROM pr WHERE pred IS NOT NULL GROUP BY metric""".stripMargin
+
+  /** Holt double-exponential smoothing (level + trend, α = β = 1/2) —
+    * the forecasting step past EWMA: `s_t = αx + (1−α)(s+b)`,
+    * `b_t = β(s_t − s_{t−1}) + (1−β)b`, seeded `s_1 = x_1, b_1 = 0`.
+    * The recurrence carries UNBOUNDED memory, so unlike the trailing-n
+    * family there is no window form: the batch operator folds each
+    * series row-locally over its sorted points (one shuffle on the
+    * series key; in-row cost linear in series length) — fine for
+    * bounded per-series cardinality, while the STREAMING form
+    * ([[graft.streaming.SeriesStream.holt]]) is the scale path: O(1)
+    * state per series, same arithmetic.
+    *
+    * Cross-engine parity: the recurrence runs in EXACT DECIMAL — the
+    * dyadic α deliberately creates scale-10 halves every step, exactly
+    * the tie a double-space ROUND resolves differently across engines
+    * (Spark rounds the shortest-decimal repr, DuckDB the binary value —
+    * measured: 11 of 202 rows off by 1e-9 in the double form). State is
+    * DECIMAL(28,9); each step's half-sum is exact at scale 10 and
+    * rounds back to scale 9 HALF_UP (Spark's decimal cast ≡ DuckDB's
+    * decimal ROUND — DuckDB's decimal CAST truncates and must not be
+    * used). Levels lower to double only at the output boundary.
+    *
+    * Output: (metric, ts_ms, value, level, trend).
+    */
+  def holt(series: DataFrame): DataFrame = {
+    val D9 = DecimalType(28, 9)
+    val half = lit(new java.math.BigDecimal("0.5"))
+    val pts = sort_array(collect_list(struct(col("ts_ms"), col("value"))))
+    def xd(p: Column) = round(p.getField("value"), 9).cast(D9)
+    def seedOut(p: Column) = struct(
+      p.getField("ts_ms").as("ts_ms"), p.getField("value").as("value"),
+      xd(p).as("level"), lit(BigDecimal(0)).cast(D9).as("trend"))
+    val first = element_at(col("pts"), 1)
+    val zero = struct(xd(first).as("level"),
+      lit(BigDecimal(0)).cast(D9).as("trend"),
+      array(seedOut(first)).as("outs"))
+    val folded = aggregate(
+      slice(col("pts"), lit(2), greatest(size(col("pts")) - 1, lit(0))),
+      zero,
+      (acc, p) => {
+        val nl = (half * xd(p) +
+          half * (acc.getField("level") + acc.getField("trend"))).cast(D9)
+        val nt = (half * (nl - acc.getField("level")) +
+          half * acc.getField("trend")).cast(D9)
+        struct(nl.as("level"), nt.as("trend"),
+          concat(acc.getField("outs"), array(struct(
+            p.getField("ts_ms").as("ts_ms"),
+            p.getField("value").as("value"),
+            nl.as("level"), nt.as("trend")))).as("outs"))
+      })
+    series.groupBy(col("metric"))
+      .agg(pts.as("pts"))
+      .select(col("metric"), explode(folded.getField("outs")).as("o"))
+      .select(col("metric"), col("o.ts_ms").as("ts_ms"),
+        col("o.value").as("value"),
+        col("o.level").cast("double").as("level"),
+        col("o.trend").cast("double").as("trend"))
+  }
+
+  /** DuckDB mirror of [[holt]] over a `base` relation — the recurrence
+    * as a RECURSIVE CTE stepping each series one row_number at a time,
+    * same exact-decimal ladder (ROUND-then-CAST: DuckDB's decimal ROUND
+    * is HALF_UP like Spark's decimal cast; its decimal CAST truncates).
+    * NOTE: must be spliced into a `WITH RECURSIVE` prefix.
+    */
+  val holtSql: String = {
+    val d9 = "DECIMAL(28,9)"
+    val half = s"CAST('0.5' AS DECIMAL(2,1))"
+    val nl = s"CAST(ROUND($half * CAST(ROUND(p.value, 9) AS $d9) + " +
+      s"$half * (h.level + h.trend), 9) AS $d9)"
+    s"""pts AS (SELECT metric, ts_ms, value,
+       |          ROW_NUMBER() OVER (PARTITION BY metric ORDER BY ts_ms)
+       |            AS rn
+       |        FROM base),
+       |h AS (
+       |  SELECT metric, ts_ms, value, rn,
+       |         CAST(ROUND(value, 9) AS $d9) AS level,
+       |         CAST(0 AS $d9) AS trend
+       |  FROM pts WHERE rn = 1
+       |  UNION ALL
+       |  SELECT p.metric, p.ts_ms, p.value, p.rn,
+       |    $nl,
+       |    CAST(ROUND($half * ($nl - h.level) + $half * h.trend, 9)
+       |      AS $d9)
+       |  FROM h JOIN pts p ON p.metric = h.metric AND p.rn = h.rn + 1)
+       |SELECT metric, ts_ms, value,
+       |       CAST(CAST(level AS VARCHAR) AS DOUBLE) AS level,
+       |       CAST(CAST(trend AS VARCHAR) AS DOUBLE) AS trend
+       |FROM h""".stripMargin
+  }
 }

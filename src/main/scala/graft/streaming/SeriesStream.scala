@@ -235,6 +235,64 @@ object SeriesStream {
       }
   }
 
+  /** emitted Holt point */
+  final case class Ho(metric: String, ts_ms: Long, value: Double,
+                      level: Double, trend: Double)
+  /** Holt keyed state: frontier + the two smoother values as exact
+    * scale-9 decimal PLAIN STRINGS (the CUSUM state convention) — the
+    * recurrence is exact-decimal like the batch fold, so cross-batch
+    * carry loses nothing and there is no double-space tie to resolve.
+    */
+  final case class HoSt(frontierMs: Long, level: String, trend: String)
+
+  /** Streaming Holt double-exponential smoothing — the online form of
+    * [[graft.ops.Rolling.holt]] and its SCALE PATH: the batch fold
+    * materializes each series in-row, while this carries O(1) state
+    * (frontier + level + trend) per series. Same frontier/ordering
+    * contract as [[zscore]]; the per-step arithmetic is the batch
+    * fold's exact-decimal ladder (half-sums exact at scale 10, HALF_UP
+    * back to scale 9), so in-order replays are bit-for-bit ≡ batch.
+    */
+  def holt(spark: SparkSession, events: Dataset[Ev]): Dataset[Ho] = {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val HalfBd = new JBD("0.5")
+    def d9(x: Double): JBD =
+      JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+    events
+      .groupByKey(e => s"${e.event_type}.${e.user_id}")
+      .flatMapGroupsWithState[HoSt, Ho](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Ev], state: GroupState[HoSt]) =>
+          val st = state.getOption.getOrElse(HoSt(Long.MinValue, "", ""))
+          var frontier = st.frontierMs
+          var seeded = st.level.nonEmpty
+          var level = if (seeded) new JBD(st.level) else JBD.ZERO
+          var trend = if (seeded) new JBD(st.trend) else JBD.ZERO
+          val out = Vector.newBuilder[Ho]
+          for ((t, v) <- rows.map(e => (e.ts.getTime, e.value)).toSeq
+                 .sortBy(_._1) if t > frontier) {
+            if (!seeded) {
+              level = d9(v); trend = JBD.ZERO.setScale(9); seeded = true
+            } else {
+              val nl = HalfBd.multiply(d9(v))
+                .add(HalfBd.multiply(level.add(trend)))
+                .setScale(9, RoundingMode.HALF_UP)
+              trend = HalfBd.multiply(nl.subtract(level))
+                .add(HalfBd.multiply(trend))
+                .setScale(9, RoundingMode.HALF_UP)
+              level = nl
+            }
+            out += Ho(metric, t, v, level.doubleValue, trend.doubleValue)
+            frontier = t
+          }
+          if (seeded)
+            state.update(HoSt(frontier, level.toPlainString,
+              trend.toPlainString))
+          out.result().iterator
+      }
+  }
+
   /** emitted smoothed point */
   final case class Ew(metric: String, ts_ms: Long, value: Double,
                       ewma: Double)

@@ -144,6 +144,26 @@ class RollingPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("holt: exact-decimal fold tracks the double recursion; seed row" +
+    " is (x1, 0)") {
+    samples(seriesGen, 20) { vs =>
+      val out = Rolling.holt(df(vs)).orderBy("ts_ms").collect()
+      assert(out.length == vs.length)
+      // the fold seeds from the 9dp-rounded first value (decimal state)
+      assert(math.abs(out.head.getDouble(3) - vs.head) < 1e-9 &&
+        out.head.getDouble(4) == 0.0)
+      var s = vs.head; var b = 0.0
+      vs.indices.drop(1).foreach { i =>
+        val nl = 0.5 * vs(i) + 0.5 * (s + b)
+        b = 0.5 * (nl - s) + 0.5 * b
+        s = nl
+        assert(math.abs(out(i).getDouble(3) - s) < 1e-6,
+          s"level ${out(i).getDouble(3)} != brute $s at $i")
+        assert(math.abs(out(i).getDouble(4) - b) < 1e-6)
+      }
+    }
+  }
+
   test("cusum: prefix-sum closed form equals the brute-force recursion") {
     val ref = 3.0
     samples(seriesGen, 20) { vs =>

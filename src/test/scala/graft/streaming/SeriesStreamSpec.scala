@@ -169,6 +169,38 @@ class SeriesStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         (t, java.lang.Double.doubleToRawLongBits(v)) }.toSeq)
   }
 
+  test("streaming holt: cross-batch exact-decimal carry ≡ batch fold") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val out = SeriesStream.holt(spark, in.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("holt")
+      .outputMode("append").start()
+    // values chosen to force scale-10 halves in the recurrence — the
+    // exact tie the double-space round resolved differently per engine
+    in.addData(ev(0, v = 51.88), ev(10, v = 10.11))
+    q.processAllAvailable()
+    in.addData(ev(20, v = 99.99), ev(30, v = 0.01), ev(5, v = 7.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT ts_ms, level, trend FROM holt ORDER BY ts_ms")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    q.stop()
+    val batch = graft.ops.Rolling.holt(
+      Seq(("purchase.1", 0L, 51.88), ("purchase.1", 10000L, 10.11),
+        ("purchase.1", 20000L, 99.99), ("purchase.1", 30000L, 0.01))
+        .toDF("metric", "ts_ms", "value"))
+      .orderBy("ts_ms").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 4) // the late t=5 point dropped
+    assert(got.map { case (t, l, b) =>
+      (t, java.lang.Double.doubleToRawLongBits(l),
+        java.lang.Double.doubleToRawLongBits(b)) }.toSeq ==
+      batch.map { case (t, l, b) =>
+        (t, java.lang.Double.doubleToRawLongBits(l),
+          java.lang.Double.doubleToRawLongBits(b)) }.toSeq)
+  }
+
   test("streaming cusum: cross-batch exact carry ≡ batch, survives " +
     "scores past the old unscaled-long range") {
     val s = spark
