@@ -64,6 +64,12 @@ object EventQueries extends QueryProvider {
         graft.ops.Sessions.sessionStats(
           SeriesOps.events(s, d, widen = false), SessionGapMs)
           .orderBy("n_events")),
+      // last-touch attribution: purchases credited to the most recent
+      // click at-or-before them within 3 days
+      "events_attribution" -> ((s, d) =>
+        graft.ops.Sessions.attribution(
+          SeriesOps.events(s, d, widen = false), "click", "purchase",
+          windowMs = 259200000L).orderBy("user_id", "conv_id")),
       // the DAU/WAU board: daily + trailing-7-day distinct actives
       "events_active" -> ((s, d) =>
         graft.ops.Sessions.activeUsers(
@@ -151,6 +157,8 @@ object EventQueries extends QueryProvider {
         graft.ops.Sessions.sessionStatsSql(SessionGapMs),
       "events_active" ->
         graft.ops.Sessions.activeUsersSql(86400000L, 7),
+      "events_attribution" ->
+        graft.ops.Sessions.attributionSql("click", "purchase", 259200000L),
       "events_rollup" ->
         s"""WITH e AS (SELECT event_type,
            |             CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,

@@ -367,6 +367,11 @@ object PipelineQueries extends QueryProvider {
     // per-document top-3 TF-IDF terms (keyword extraction)
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopK(docs(s, d), 3).orderBy("doc_id", "rank")),
+    // BPE merge training: the first 4 merge rules over the corpus
+    // vocabulary, and the top-30 words' subword segmentation after them
+    "bpe_merges" -> ((s, d) => Bpe.merges(docsWide(s, d), k = 4)),
+    "bpe_tokens" -> ((s, d) => Bpe.tokenized(docsWide(s, d), k = 4,
+      top = 30)),
     // weighted sampling without replacement (A-ES): 100 docs ∝ n_chars
     "sample_weighted" -> ((s, d) =>
       Curation.sampleWeighted(docs(s, d), col("n_chars"), k = 100)),
@@ -536,6 +541,8 @@ object PipelineQueries extends QueryProvider {
     "text_tfidf" -> TextOps.tfidfTopKSql(3),
     "sample_dsir" -> Dsir.selectSql(64, "lang = 'en'", 100),
     "sample_weighted" -> Curation.sampleWeightedSql("n_chars", 100),
+    "bpe_merges" -> Bpe.mergesSql(4),
+    "bpe_tokens" -> Bpe.tokenizedSql(4, 30),
     "text_logprob" -> TextOps.unigramLogProbSql,
     "curate_ppl_buckets" ->
       Curation.pplBucketsSql(TextOps.unigramLogProbSql),

@@ -1081,6 +1081,30 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "update")
   }
 
+  /** Online last-touch attribution gate: purchases credited against the
+    * per-user last-click keyed state the moment they arrive; the batch
+    * sweep SQL is the oracle verbatim.
+    */
+  private def runAttribution(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsCol = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_millis(expr("ts DIV 1000000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(unix_millis(
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => timestamp_millis(unix_millis(col("ts")))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsCol.as("ts"), col("user_id"), col("event_id"),
+        col("event_type"))
+      .where(col("ts") < timestamp_millis(lit(SentinelMs)))
+    drain(s, graft.streaming.EventStream.attribution(stream, "click",
+      "purchase", windowMs = 259200000L, "0 seconds"), "append")
+  }
+
   /** Online per-event lag features: the batch `events_features` rows as
     * the events arrive — last-event keyed state with the (ts, event_id)
     * frontier, oracle = the batch SQL verbatim (per-user ts ties fold in
@@ -1337,6 +1361,7 @@ object StreamQueries extends QueryProvider {
     "stream_tfidf" -> ((s, d) => runTfidf(s, d)),
     "stream_dsir" -> ((s, d) => runDsir(s, d)),
     "stream_quota" -> ((s, d) => runQuota(s, d)),
+    "stream_attribution" -> ((s, d) => runAttribution(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_entropy" -> ((s, d) => runEntropy(s, d)),
     "stream_chunks" -> ((s, d) => runChunks(s, d)),
@@ -1381,6 +1406,8 @@ object StreamQueries extends QueryProvider {
     "stream_tfidf" -> graft.pipeline.TextOps.tfidfTopKSql(3),
     "stream_dsir" -> graft.pipeline.Dsir.admitSql(64, "lang = 'en'", 2.0),
     "stream_quota" -> graft.streaming.DocStream.quotaAdmitSql("source", 15),
+    "stream_attribution" ->
+      graft.ops.Sessions.attributionSql("click", "purchase", 259200000L),
     // session_window state ≡ the batch lag/cumsum session derivation
     "stream_sessionize" ->
       graft.ops.Sessions.sessionizeStreamSql(EventQueries.SessionGapMs),

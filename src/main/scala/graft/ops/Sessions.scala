@@ -373,4 +373,64 @@ object Sessions {
        |      FROM r WHERE rn <= $n AND cnt >= $n GROUP BY user_id)
        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
        |ORDER BY n_users DESC, path ASC LIMIT $k""".stripMargin
+
+  /** Last-touch attribution: each `convType` event attributed to the
+    * same user's most recent `touchType` event at-or-before it (touch
+    * before conversion at equal ts — the kind ordering), within
+    * `windowMs`; stale or absent touches yield NULLs. ONE window sweep
+    * over the union ordering (ts_ms, kind, event_id) — the as-of-join
+    * sweep shape: the carried last-touch is a null-skipping MAX of a
+    * (ts, id) pair, so no self-join, no second shuffle; the window cap
+    * nulls after the sweep at unchanged plan cost (the asof_tolerance
+    * pattern).
+    *
+    * Output: (user_id, conv_id, conv_ts, touch_id, gap_ms).
+    */
+  def attribution(ev: DataFrame, touchType: String, convType: String,
+                  windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = ev
+      .where(col("event_type").isin(touchType, convType))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        when(col("event_type") === touchType, 0).otherwise(1).as("kind"))
+    val lastTouch = max(when(col("kind") === 0,
+      struct(col("ts_ms"), col("event_id")))).over(w)
+    val fresh = col("t").isNotNull &&
+      col("ts_ms") - col("t.ts_ms") <= windowMs
+    tagged.withColumn("t", lastTouch)
+      .where(col("kind") === 1)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_ms").as("conv_ts"),
+        when(fresh, col("t.event_id")).as("touch_id"),
+        when(fresh, col("ts_ms") - col("t.ts_ms")).as("gap_ms"))
+  }
+
+  /** DuckDB mirror of [[attribution]] (the carried pair rides a LIST —
+    * lexicographic MAX with null skip, same as Spark's struct MAX).
+    */
+  def attributionSql(touchType: String, convType: String,
+                     windowMs: Long): String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
+       |           WHERE event_type IN ('$touchType', '$convType')),
+       |g AS (SELECT user_id, event_id, ts_ms,
+       |          CASE WHEN event_type = '$touchType' THEN 0 ELSE 1 END
+       |            AS kind
+       |      FROM e),
+       |sw AS (SELECT user_id, event_id, ts_ms, kind,
+       |          MAX(CASE WHEN kind = 0 THEN [ts_ms, event_id] END)
+       |            OVER (PARTITION BY user_id
+       |                  ORDER BY ts_ms, kind, event_id
+       |                  ROWS UNBOUNDED PRECEDING) AS t
+       |       FROM g)
+       |SELECT user_id, event_id AS conv_id, ts_ms AS conv_ts,
+       |       CASE WHEN t IS NOT NULL AND ts_ms - t[1] <= $windowMs
+       |            THEN t[2] END AS touch_id,
+       |       CASE WHEN t IS NOT NULL AND ts_ms - t[1] <= $windowMs
+       |            THEN ts_ms - t[1] END AS gap_ms
+       |FROM sw WHERE kind = 1
+       |ORDER BY user_id, conv_id""".stripMargin
 }

@@ -239,6 +239,71 @@ object EventStream {
         "gap_ms", "evt_idx")
   }
 
+  /** keyed state for [[attribution]]: the (ts, kind, event_id) frontier
+    * plus the user's last touch (ts, event_id); `touchTs < 0` = none yet
+    */
+  final case class AtSt(lastTsMs: Long, lastKind: Int, lastEid: Long,
+                        touchTs: Long, touchEid: Long)
+
+  /** Online last-touch attribution — the streaming form of
+    * [[graft.ops.Sessions.attribution]]: one (ts, event_id) per user of
+    * keyed state; an arriving conversion is credited the moment it
+    * lands. In-batch rows fold in (ts, kind, event_id) order — touch
+    * before conversion at equal ts, the batch sweep's union ordering —
+    * and arrivals at or behind that triple frontier drop, so in-order
+    * replays reproduce the batch sweep exactly.
+    *
+    * Output: (user_id, conv_id, conv_ts, touch_id, gap_ms).
+    */
+  def attribution(events: DataFrame, touchType: String, convType: String,
+                  windowMs: Long, delay: String): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val inEnc = Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.STRING)
+    val outEnc = Encoders.product[
+      (Long, Long, Long, Option[Long], Option[Long])]
+    def fold(user: Long,
+             rows: Iterator[(java.sql.Timestamp, Long, Long, String)],
+             state: GroupState[AtSt]): Iterator[
+        (Long, Long, Long, Option[Long], Option[Long])] = {
+      var st = state.getOption
+        .getOrElse(AtSt(Long.MinValue, -1, Long.MinValue, -1L, -1L))
+      val out = Seq.newBuilder[
+        (Long, Long, Long, Option[Long], Option[Long])]
+      def kindOf(tpe: String) = if (tpe == touchType) 0 else 1
+      for ((ts, _, eid, tpe) <- rows.toSeq
+             .sortBy(r => (r._1.getTime, kindOf(r._4), r._3))) {
+        val t = ts.getTime
+        val k = kindOf(tpe)
+        val ahead = t > st.lastTsMs ||
+          (t == st.lastTsMs && (k > st.lastKind ||
+            (k == st.lastKind && eid > st.lastEid)))
+        if (ahead) {
+          if (k == 0) st = AtSt(t, k, eid, t, eid)
+          else {
+            val fresh = st.touchTs >= 0 && t - st.touchTs <= windowMs
+            out += ((user, eid, t,
+              if (fresh) Some(st.touchEid) else None,
+              if (fresh) Some(t - st.touchTs) else None))
+            st = AtSt(t, k, eid, st.touchTs, st.touchEid)
+          }
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    events
+      .withWatermark("ts", delay)
+      .where(col("event_type").isin(touchType, convType))
+      .selectExpr("ts", "user_id", "event_id", "event_type")
+      .as[(java.sql.Timestamp, Long, Long, String)](inEnc)
+      .groupByKey(_._2)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)(
+        Encoders.product[AtSt], outEnc)
+      .toDF("user_id", "conv_id", "conv_ts", "touch_id", "gap_ms")
+  }
+
   def funnel(events: DataFrame, steps: Seq[String],
              delay: String): DataFrame =
     funnelImpl(events, steps, delay, windowMs = 0L)
