@@ -64,6 +64,10 @@ object EventQueries extends QueryProvider {
         graft.ops.Sessions.sessionStats(
           SeriesOps.events(s, d, widen = false), SessionGapMs)
           .orderBy("n_events")),
+      // RFM customer segmentation board over purchase events
+      "events_rfm" -> ((s, d) =>
+        graft.ops.Sessions.rfm(SeriesOps.events(s, d, widen = false))
+          .orderBy("user_id")),
       // last-touch attribution: purchases credited to the most recent
       // click at-or-before them within 3 days
       "events_attribution" -> ((s, d) =>
@@ -159,6 +163,7 @@ object EventQueries extends QueryProvider {
         graft.ops.Sessions.activeUsersSql(86400000L, 7),
       "events_attribution" ->
         graft.ops.Sessions.attributionSql("click", "purchase", 259200000L),
+      "events_rfm" -> graft.ops.Sessions.rfmSql,
       "events_rollup" ->
         s"""WITH e AS (SELECT event_type,
            |             CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,

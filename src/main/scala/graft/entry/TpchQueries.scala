@@ -359,6 +359,70 @@ object TpchQueries extends QueryProvider {
       .orderBy("o_year")
   }
 
+  /** scalar-fraction HAVING shape (TPC-H Q11, restated over customer
+    * balances): per-nation balance concentration above a fraction of
+    * the GLOBAL total — the group-aggregate filtered against a
+    * broadcast one-row scalar; both sums exact-decimal so both engines
+    * cut the same boundary.
+    */
+  private def q11ish(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val tot = cust.agg(Exact.dsum(col("c_acctbal")).as("total_bal"))
+    cust.groupBy(col("c_nationkey"))
+      .agg(Exact.dsum(col("c_acctbal")).as("bal"))
+      .crossJoin(broadcast(tot))
+      .where(col("bal") > lit(0.05) * col("total_bal"))
+      .select(col("c_nationkey"), col("bal"))
+      .orderBy(col("bal").desc, col("c_nationkey").asc)
+  }
+
+  /** top-supplier view shape (TPC-H Q15): quarter revenue per supplier,
+    * keep the max — the aggregate-argmax-join: the revenue aggregate is
+    * computed ONCE and joined against its own broadcast 1-row max (the
+    * exact-decimal sums make the double equality engine-safe), never
+    * re-scanned per candidate.
+    */
+  private def q15ish(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val rev = Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .where(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables(s, dir, "supplier")
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** waiting-orders shape (TPC-H Q21, restated without receipt dates):
+    * suppliers whose RETURNED line sits on a multi-supplier order where
+    * no OTHER supplier returned — the double-correlated EXISTS/NOT
+    * EXISTS, decorrelating to a LEFT SEMI then a LEFT ANTI on the same
+    * order key (mixed equi + non-equi conditions; the fact side is
+    * probed, never duplicated).
+    */
+  private def q21ish(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey",
+      "l_returnflag")
+    val l1 = li.where(col("l_returnflag") === "R")
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = l1.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("o2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey").asc)
+      .limit(20)
+  }
+
   /** The q12 measure pair over CO-LOCATED bucketed layouts: lineitem and
     * orders both bucketed (and sorted) by the order key, so the join
     * reads pre-partitioned buckets and runs with NO exchange on either
@@ -418,6 +482,9 @@ object TpchQueries extends QueryProvider {
     "tpch_q19"  -> ((s, d) => q19ish(s, d)),
     "tpch_q7"   -> ((s, d) => q7ish(s, d)),
     "tpch_q8"   -> ((s, d) => q8ish(s, d)),
+    "tpch_q11"  -> ((s, d) => q11ish(s, d)),
+    "tpch_q15"  -> ((s, d) => q15ish(s, d)),
+    "tpch_q21"  -> ((s, d) => q21ish(s, d)),
     "tpch_q12_colocated" -> ((s, d) => q12colocated(s, d)),
     "tpch_scan" -> ((s, d) => scan(s, d)))
 
@@ -580,6 +647,40 @@ object TpchQueries extends QueryProvider {
          |  AND o_orderdate >= TIMESTAMP '1997-01-01'
          |  AND o_orderdate < TIMESTAMP '1999-01-01'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q11" ->
+      s"""WITH t AS (SELECT ${Exact.dsumSql("c_acctbal")} AS total_bal
+         |           FROM customer)
+         |SELECT c_nationkey, ${Exact.dsumSql("c_acctbal")} AS bal
+         |FROM customer CROSS JOIN t
+         |GROUP BY c_nationkey, total_bal
+         |HAVING ${Exact.dsumSql("c_acctbal")} > 0.05 * total_bal
+         |ORDER BY bal DESC, c_nationkey ASC""".stripMargin,
+    "tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount)")}
+         |      AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q21" ->
+      s"""SELECT l_suppkey, COUNT(*) AS numwait
+         |FROM lineitem l1
+         |WHERE l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_returnflag = 'R')
+         |GROUP BY 1
+         |ORDER BY numwait DESC, l_suppkey ASC LIMIT 20""".stripMargin,
     // same values as tpch_q12 — the layout changes, the answer must not
     "tpch_q12_colocated" ->
       s"""SELECT l_returnflag,

@@ -374,6 +374,57 @@ object Sessions {
        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
        |ORDER BY n_users DESC, path ASC LIMIT $k""".stripMargin
 
+  /** RFM customer segmentation — the classic recency/frequency/monetary
+    * board over purchase events: per-user days-since-last-purchase
+    * (integer-div against the corpus frontier, broadcast as a one-row
+    * scalar — "now" must be data-derived or replays drift), purchase
+    * count, decimal-exact spend, and a rule-based segment label (fixed
+    * thresholds, not quantiles — quantile cuts would make every label a
+    * global sort; the CCNet-style cut-table pattern covers that need
+    * elsewhere). One shuffle on user_id; the board is user-cardinality.
+    *
+    * Output: (user_id, recency_days, frequency, monetary, segment).
+    */
+  def rfm(ev: DataFrame): DataFrame = {
+    val p = ev.where(col("event_type") === "purchase")
+    val mx = p.agg(max(col("ts_ms")).as("now_ms"))
+    val seg = when(col("recency_days") <= 2 && col("frequency") >= 15,
+        "champion")
+      .when(col("recency_days") <= 2, "active")
+      .when(col("recency_days") <= 6, "warm")
+      .otherwise("dormant")
+    p.groupBy(col("user_id"))
+      .agg(max(col("ts_ms")).as("last_ms"), count(lit(1)).as("frequency"),
+        Exact.dsum(col("value")).as("monetary"))
+      .crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        expr("(now_ms - last_ms) div 86400000"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), seg.as("segment"))
+  }
+
+  /** DuckDB mirror of [[rfm]]. */
+  val rfmSql: String =
+    s"""WITH p AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       |               value
+       |           FROM events WHERE event_type = 'purchase'),
+       |mx AS (SELECT MAX(ts_ms) AS now_ms FROM p),
+       |g AS (SELECT user_id, MAX(ts_ms) AS last_ms,
+       |          COUNT(*) AS frequency,
+       |          ${Exact.dsumSql("value")} AS monetary
+       |      FROM p GROUP BY 1),
+       |r AS (SELECT user_id, (now_ms - last_ms) // 86400000
+       |            AS recency_days,
+       |          frequency, monetary
+       |      FROM g CROSS JOIN mx)
+       |SELECT user_id, recency_days, frequency, monetary,
+       |       CASE WHEN recency_days <= 2 AND frequency >= 15
+       |              THEN 'champion'
+       |            WHEN recency_days <= 2 THEN 'active'
+       |            WHEN recency_days <= 6 THEN 'warm'
+       |            ELSE 'dormant' END AS segment
+       |FROM r ORDER BY user_id""".stripMargin
+
   /** Last-touch attribution: each `convType` event attributed to the
     * same user's most recent `touchType` event at-or-before it (touch
     * before conversion at equal ts — the kind ordering), within

@@ -85,6 +85,11 @@ object Pca {
   def topComponent(emb: DataFrame, dim: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = emb.sparkSession
+    // NOT pinned, measured: the corpus here is small relative to the
+    // expression weight, and a per-run InMemoryRelation changes the
+    // plan identity, forcing ~100 Janino recompilations per run — the
+    // pin cost more than the re-scan it saved (4.0 → 4.4 s at sf0.1).
+    // At a scale where the scan dominates, callers can persist `emb`.
     val cen = centered(emb, meanRow(emb))
     val v0 = spark.range(1).select(
       transform(sequence(lit(0), lit(dim - 1)), i =>
