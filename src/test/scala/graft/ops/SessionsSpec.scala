@@ -254,4 +254,41 @@ class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0))
     assert(out.toSeq == Seq("y>x"))
   }
+
+  test("rfm: recency from the data frontier, exact day boundary, " +
+    "non-purchase events ignored") {
+    val day = 86400000L
+    val df = ev(
+      (1L, 10L * day, 1L, "purchase", 10.0),      // frontier user: rec 0
+      (2L, 10L * day - 1L, 2L, "purchase", 5.0),  // 1 ms short of a day
+      (3L, 8L * day, 2L, "purchase", 7.0),
+      (4L, 3L * day, 3L, "purchase", 2.0),        // rec 7 → warm? no: > 6
+      (5L, 10L * day, 3L, "click", 99.0))         // ignored entirely
+    val out = Sessions.rfm(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))).toMap
+    assert(out(1L) == ((0L, 1L, 10.0, "active")))
+    // 10*day − (10*day − 1) = 1 ms → integer-div day 0, not 1
+    assert(out(2L)._1 == 0L && out(2L)._2 == 2L && out(2L)._3 == 12.0)
+    assert(out(3L) == ((7L, 1L, 2.0, "dormant")))
+    assert(!out.contains(5L) && out.size == 3)
+  }
+
+  test("attribution: window cap nulls stale touches; same-ts touch " +
+    "credits; touches never emit") {
+    val df = ev(
+      (1L, 100L, 1L, "click", 0.0),
+      (2L, 150L, 1L, "purchase", 0.0),   // gap 50 ≤ 100 → credited
+      (3L, 300L, 1L, "purchase", 0.0),   // gap 200 > 100 → null
+      (4L, 500L, 2L, "click", 0.0),
+      (5L, 500L, 2L, "purchase", 0.0),   // same ts: touch orders first
+      (6L, 700L, 3L, "purchase", 0.0))   // no touch ever → null
+    val out = Sessions.attribution(df, "click", "purchase", windowMs = 100L)
+      .collect().map(r => r.getLong(1) -> ((
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out == Map(
+      2L -> ((1L, 50L)), 3L -> ((-1L, -1L)),
+      5L -> ((4L, 0L)), 6L -> ((-1L, -1L))))
+  }
 }
