@@ -1081,6 +1081,42 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "update")
   }
 
+  /** The frozen RFM frontier (max purchase ts), memoized per
+    * (session, dir) — ONE scalar collected batch-side, the documented
+    * eval-set-broadcast class of driver access: a live board scores
+    * recency against a batch-refreshed frontier, not a wall clock.
+    */
+  private val rfmNowCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private def rfmNow(s: SparkSession, dir: String): Long =
+    rfmNowCache.computeIfAbsent((s, dir), { _ =>
+      java.lang.Long.valueOf(graft.core.SeriesOps.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .agg(max(col("ts_ms"))).head().getLong(0))
+    }).longValue
+
+  /** Online RFM board gate: complete-mode per-user moments against the
+    * frozen frontier; the final board ≡ the batch rfm oracle verbatim.
+    */
+  private def runRfm(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDir(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val tsMs = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_millis(col("ts"))
+    }
+    val stream = s.readStream.schema(sch).parquet(staged)
+      .select(tsMs.as("ts_ms"), col("user_id"), col("value"),
+        col("event_type"))
+      .where(col("event_type") === "purchase" &&
+        col("ts_ms") < SentinelMs)
+    drain(s, graft.ops.Sessions.rfmOnline(stream, rfmNow(s, dir)),
+      "complete")
+  }
+
   /** Online last-touch attribution gate: purchases credited against the
     * per-user last-click keyed state the moment they arrive; the batch
     * sweep SQL is the oracle verbatim.
@@ -1362,6 +1398,7 @@ object StreamQueries extends QueryProvider {
     "stream_dsir" -> ((s, d) => runDsir(s, d)),
     "stream_quota" -> ((s, d) => runQuota(s, d)),
     "stream_attribution" -> ((s, d) => runAttribution(s, d)),
+    "stream_rfm" -> ((s, d) => runRfm(s, d)),
     "stream_repetition" -> ((s, d) => runRepetition(s, d)),
     "stream_entropy" -> ((s, d) => runEntropy(s, d)),
     "stream_chunks" -> ((s, d) => runChunks(s, d)),
@@ -1408,6 +1445,7 @@ object StreamQueries extends QueryProvider {
     "stream_quota" -> graft.streaming.DocStream.quotaAdmitSql("source", 15),
     "stream_attribution" ->
       graft.ops.Sessions.attributionSql("click", "purchase", 259200000L),
+    "stream_rfm" -> graft.ops.Sessions.rfmSql,
     // session_window state ≡ the batch lag/cumsum session derivation
     "stream_sessionize" ->
       graft.ops.Sessions.sessionizeStreamSql(EventQueries.SessionGapMs),

@@ -385,14 +385,18 @@ object Sessions {
     *
     * Output: (user_id, recency_days, frequency, monetary, segment).
     */
-  def rfm(ev: DataFrame): DataFrame = {
-    val p = ev.where(col("event_type") === "purchase")
-    val mx = p.agg(max(col("ts_ms")).as("now_ms"))
-    val seg = when(col("recency_days") <= 2 && col("frequency") >= 15,
-        "champion")
+  /** the fixed segment rule over (recency_days, frequency) — shared by
+    * the batch board and the online form so the labels cannot drift
+    */
+  def rfmSegment: org.apache.spark.sql.Column =
+    when(col("recency_days") <= 2 && col("frequency") >= 15, "champion")
       .when(col("recency_days") <= 2, "active")
       .when(col("recency_days") <= 6, "warm")
       .otherwise("dormant")
+
+  def rfm(ev: DataFrame): DataFrame = {
+    val p = ev.where(col("event_type") === "purchase")
+    val mx = p.agg(max(col("ts_ms")).as("now_ms"))
     p.groupBy(col("user_id"))
       .agg(max(col("ts_ms")).as("last_ms"), count(lit(1)).as("frequency"),
         Exact.dsum(col("value")).as("monetary"))
@@ -400,8 +404,25 @@ object Sessions {
       .withColumn("recency_days",
         expr("(now_ms - last_ms) div 86400000"))
       .select(col("user_id"), col("recency_days"), col("frequency"),
-        col("monetary"), seg.as("segment"))
+        col("monetary"), rfmSegment.as("segment"))
   }
+
+  /** The ONLINE RFM board over an already-purchase-filtered stream of
+    * (ts_ms, user_id, value): complete-mode per-user moments (state
+    * bounded by user cardinality), recency against a FROZEN frontier
+    * scalar (batch-derived — a live stream cannot join its own global
+    * max after aggregating, and a wall clock would make replays
+    * nondeterministic). Final board ≡ [[rfm]] when the frontier matches
+    * the replay's, so the batch SQL is the oracle verbatim.
+    */
+  def rfmOnline(purchases: DataFrame, nowMs: Long): DataFrame =
+    purchases.groupBy(col("user_id"))
+      .agg(max(col("ts_ms")).as("last_ms"), count(lit(1)).as("frequency"),
+        Exact.dsum(col("value")).as("monetary"))
+      .withColumn("recency_days",
+        expr(s"(${nowMs}L - last_ms) div 86400000"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), rfmSegment.as("segment"))
 
   /** DuckDB mirror of [[rfm]]. */
   val rfmSql: String =
