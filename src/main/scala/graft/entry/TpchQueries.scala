@@ -456,6 +456,146 @@ object TpchQueries extends QueryProvider {
       .orderBy("l_returnflag")
   }
 
+  /** minimum-cost-supplier shape (TPC-H Q2, restated: the part↔supplier
+    * supply relation is derived from lineitem since this schema carries no
+    * partsupp, with unit cost = MIN(l_extendedprice / l_quantity) per
+    * pair): the correlated scalar subquery — "suppliers whose cost equals
+    * the part's minimum cost among EUROPE suppliers" — decorrelates to a
+    * single per-part MIN window over the already-region-filtered cost set,
+    * so the fact slice is aggregated ONCE and never re-scanned per part.
+    * Both filters (part slice, EU suppliers) push BELOW the pair
+    * aggregation — legal because they constrain group keys only — so at
+    * 100 TB the pair agg runs over ~3% of lineitem, not all of it. The
+    * cost doubles are identical IEEE divisions in both engines, so the
+    * equality against the window MIN cuts the same rows.
+    */
+  private def q2ish(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables(s, dir, "part")
+      .where(col("p_type") === "LARGE" && col("p_size") >= 40)
+      .select("p_partkey")
+    val euSupp = Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")
+          .where(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cost = Tables(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .join(broadcast(euSupp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    cost
+      .withColumn("min_cost",
+        min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+      .where(col("cost") === col("min_cost"))
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** product-type-profit shape (TPC-H Q9, restated: supply cost proxied by
+    * 0.5 × p_retailprice since this schema carries no ps_supplycost): the
+    * classic multi-way fact join — lineitem against orders is the only
+    * fact×fact shuffle; part (name-sliced), supplier, and nation all
+    * broadcast. The profit measure mixes columns of two tables inside ONE
+    * exact-decimal fold (price terms terminate at 4 decimal digits, so the
+    * decimal cast is engine-identical), grouped by nation and order year.
+    */
+  private def q9ish(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables(s, dir, "part")
+      .where(col("p_name").like("%gear%"))
+      .select("p_partkey", "p_retailprice")
+    val li = Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val sup = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+    val ord = Tables(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.5) * col("p_retailprice") * col("l_quantity")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(Exact.dsum(profit).as("profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** parts-supplier-relationship shape (TPC-H Q16, restated: the supply
+    * relation is the DISTINCT (part, supplier) pairs observed in lineitem;
+    * "complaint" suppliers are those with negative balances): NOT IN over
+    * a non-null key list decorrelates to a LEFT ANTI join — the excluded
+    * set never materializes driver-side — and the count-distinct runs
+    * AFTER the pair-dedup so each supplier counts once per (brand, type,
+    * size) cell. Part filter broadcasts; the only wide shuffles are the
+    * pair-distinct and the final count-distinct aggregation.
+    */
+  private def q16ish(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(s, dir, "part")
+      .where(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complaints = Tables(s, dir, "supplier")
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+    Tables(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  /** potential-part-promotion shape (TPC-H Q20, restated: "surplus stock"
+    * becomes "shipped more than a quarter of the part's 1997 volume"):
+    * the double-nested correlated IN — part-name slice IN'd into the
+    * fact window, the correlated availability threshold against a
+    * per-part total, and the qualifying supplier set IN'd into the outer
+    * supplier scan — decorrelates to two LEFT SEMI joins with one
+    * aggregate join between them. The per-part total REUSES the pair
+    * aggregate (second groupBy over its output, then a broadcast join
+    * back), so lineitem is scanned once; quantities are integral doubles,
+    * so the 0.25× threshold cuts identically in both engines.
+    */
+  private def q20ish(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val pp = Tables(s, dir, "part")
+      .where(col("p_name").like("small%")).select("p_partkey")
+    val q97 = Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val tot = q97.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("tqty"))
+      .select(col("l_partkey").as("t_partkey"), col("tqty"))
+    val qualifying = q97
+      .join(broadcast(tot), col("l_partkey") === col("t_partkey"))
+      .where(col("qty") > lit(0.25) * col("tqty"))
+      .select("l_suppkey")
+    Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")
+        .where(col("n_name") === "NATION_19").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
   /** filter + projection pushdown scan: predicate and 3-column ReadSchema
     * must reach the parquet reader (verified in TpchSpec via explain).
     */
@@ -485,6 +625,10 @@ object TpchQueries extends QueryProvider {
     "tpch_q11"  -> ((s, d) => q11ish(s, d)),
     "tpch_q15"  -> ((s, d) => q15ish(s, d)),
     "tpch_q21"  -> ((s, d) => q21ish(s, d)),
+    "tpch_q2"   -> ((s, d) => q2ish(s, d)),
+    "tpch_q9"   -> ((s, d) => q9ish(s, d)),
+    "tpch_q16"  -> ((s, d) => q16ish(s, d)),
+    "tpch_q20"  -> ((s, d) => q20ish(s, d)),
     "tpch_q12_colocated" -> ((s, d) => q12colocated(s, d)),
     "tpch_scan" -> ((s, d) => scan(s, d)))
 
@@ -681,6 +825,72 @@ object TpchQueries extends QueryProvider {
          |                    AND l3.l_returnflag = 'R')
          |GROUP BY 1
          |ORDER BY numwait DESC, l_suppkey ASC LIMIT 20""".stripMargin,
+    // the supply CTE is the correlated form's shared relation; the Spark
+    // side pushes the part/region filters below the pair aggregation
+    // (group-key-only predicates) and replaces the correlated MIN with a
+    // per-part window
+    "tpch_q2" ->
+      s"""WITH supply AS (
+         |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         |         MIN(l_extendedprice / l_quantity) AS cost
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, cost
+         |FROM part, supply, supplier, nation, region
+         |WHERE p_partkey = partkey AND s_suppkey = suppkey
+         |  AND p_type = 'LARGE' AND p_size >= 40
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE'
+         |  AND cost = (SELECT MIN(s2.cost)
+         |              FROM supply s2, supplier, nation, region
+         |              WHERE s2.partkey = p_partkey
+         |                AND s2.suppkey = s_suppkey
+         |                AND s_nationkey = n_nationkey
+         |                AND n_regionkey = r_regionkey
+         |                AND r_name = 'EUROPE')
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    "tpch_q9" ->
+      s"""SELECT n_name AS nation,
+         |  EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         |  ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount) - " +
+            "0.5 * p_retailprice * l_quantity")} AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "tpch_q16" ->
+      s"""WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey
+         |                  FROM lineitem)
+         |SELECT p_brand, p_type, p_size,
+         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM supplies JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+         |                        WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // quantities are integral doubles, so the plain SUMs are exact in any
+    // fold order and the 0.25x threshold cuts identically in both engines
+    "tpch_q20" ->
+      s"""WITH q97 AS (
+         |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01'
+         |    AND l_partkey IN (SELECT p_partkey FROM part
+         |                      WHERE p_name LIKE 'small%')
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT l_partkey, SUM(qty) AS tqty FROM q97 GROUP BY 1)
+         |SELECT s_name, s_acctbal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_19' AND s_suppkey IN (
+         |  SELECT l_suppkey FROM q97 JOIN tot USING (l_partkey)
+         |  WHERE qty > 0.25 * tqty)
+         |ORDER BY s_name""".stripMargin,
     // same values as tpch_q12 — the layout changes, the answer must not
     "tpch_q12_colocated" ->
       s"""SELECT l_returnflag,

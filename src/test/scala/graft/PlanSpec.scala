@@ -185,6 +185,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q17.contains("CartesianProduct"), q17.take(3000))
   }
 
+  test("q2/q9/q16/q20 shapes: window-decorrelated min, broadcast star," +
+    " anti-join NOT IN, double semi-join") {
+    // q2: the correlated per-part MIN is ONE window over the aggregated
+    // cost set (never a re-scan per part), and the limit caps via
+    // TakeOrderedAndProject
+    val q2 = planOf(entry.TpchQueries.queries("tpch_q2")(spark, dir))
+    assert(q2.contains("Window"), q2.take(3000))
+    assert(q2.contains("LeftSemi") && q2.contains("BroadcastExchange"),
+      q2.take(3000))
+    assert(q2.contains("TakeOrderedAndProject") &&
+      !q2.contains("CartesianProduct"), q2.take(3000))
+    // q9: part/supplier/nation broadcast; only lineitem x orders shuffles
+    val q9 = planOf(entry.TpchQueries.queries("tpch_q9")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(q9).size >= 3, q9.take(3000))
+    assert(!q9.contains("CartesianProduct"), q9.take(3000))
+    // q16: the NOT IN excluded-supplier list is a LEFT ANTI join
+    val q16 = planOf(entry.TpchQueries.queries("tpch_q16")(spark, dir))
+    assert(q16.contains("LeftAnti") && q16.contains("BroadcastExchange"),
+      q16.take(3000))
+    assert(!q16.contains("CartesianProduct"), q16.take(3000))
+    // q20: both nested INs decorrelate to LEFT SEMI joins
+    val q20 = planOf(entry.TpchQueries.queries("tpch_q20")(spark, dir))
+    assert("LeftSemi".r.findAllIn(q20).size >= 2, q20.take(3000))
+    assert(!q20.contains("CartesianProduct"), q20.take(3000))
+  }
+
   test("windowed aggregation has map-side partial aggregation") {
     val plan = planOf(entry.AggrQueries.queries("aggr_sum")(spark, dir))
     // HashAggregate appears in partial + final pairs around one exchange
