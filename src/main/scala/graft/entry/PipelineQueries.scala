@@ -84,6 +84,12 @@ object PipelineQueries extends QueryProvider {
       Pca.project(e, Pca.meanRow(e), Pca.topComponentRow(e, Dim, 3))
         .orderBy("vec_id")
     }),
+    // top-2 principal directions by deflation (whitening pre-pass)
+    "embed_pca_k" -> ((s, d) =>
+      Pca.topComponents(emb(s, d), Dim, iters = 3, k = 2)),
+    // rank-2 projection + residual against the deflation-trained pair
+    "embed_project_k" -> ((s, d) =>
+      Pca.projectK(emb(s, d), Dim, iters = 3, k = 2).orderBy("vec_id")),
     // radius search: the full similarity ball, filter not rank
     "sim_range" -> ((s, d) => {
       val e = emb(s, d)
@@ -466,6 +472,8 @@ object PipelineQueries extends QueryProvider {
     "embed_dim_stats" -> Similarity.dimStatsSql(Dim),
     "embed_pca" -> Pca.topComponentSql(Dim, 3),
     "embed_project" -> Pca.projectSql(Dim, 3),
+    "embed_pca_k" -> Pca.topComponentsSql(Dim, 3, 2),
+    "embed_project_k" -> Pca.projectKSql(Dim, 3, 2),
     "sim_range" -> Similarity.rangeSearchSql(Dim, 0.3,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
     "sim_range_lsh" -> Similarity.rangeSearchLshSql(4, Dim, 0.1,

@@ -5,26 +5,41 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Exact
 
-/** Distributed PCA by power iteration: the top principal direction of
-  * the embedding corpus — the whitening/dim-reduction pre-pass an
-  * embedding pipeline runs before quantization or projection.
+/** Distributed PCA by power iteration with deflation: the top-k principal
+  * directions of the embedding corpus — the whitening/dim-reduction
+  * pre-pass an embedding pipeline runs before quantization or projection.
   *
   * `v ← normalize(Σ_i (x_i − m)·⟨x_i − m, v⟩)` from the fixed seed
-  * `v₀ = e₀`, a fixed number of iterations. Each iteration is ONE corpus
-  * scan: the current direction rides a one-row broadcast, the per-row
+  * `v₀ = e₀`; component c+1 repeats the ladder against the residual
+  * corpus `cx ← round9(cx − ⟨cx, v_c⟩·v_c)`. Each step is ONE corpus
+  * scan: the current direction is a dim-length literal, the per-row
   * projection is a row-local fold, and the only shuffle is the
   * dim-bounded per-dimension partial-sum aggregation (dim × partitions
   * rows, regardless of corpus size) — the same shape as
   * [[Similarity.dimStats]]. Nothing materializes a covariance matrix:
   * the matvec `A·v = Xᵀ(X·v)` is two passes fused into one scan.
   *
+  * Steps are MATERIALIZED driver-side: each step's (dim, w, v, nrm)
+  * result — 64 doubles, bounded by the DIMENSION, never the corpus — is
+  * collected and fed into the next step as a literal one-row local
+  * relation. This is not a driver-side loop over data (the scan and the
+  * per-dim aggregation stay distributed); it converts the r12 nested-
+  * broadcast pyramid (each step's direction sub-plan contained every
+  * prior step, wall 3.8 s vs task 2.6 s at sf0.1 from sequential nested
+  * job latency) into a flat sequence of shape-identical small jobs whose
+  * generated code Janino serves from cache. It also enables the exact-
+  * fixpoint early exit: a step that reproduces its input direction
+  * bit-for-bit makes every later step a provable no-op (w, v, nrm are
+  * pure functions of the direction), so skipping them cannot change the
+  * result the unrolled oracle computes.
+  *
   * Cross-engine determinism: every sum in the ladder (projection, per-dim
   * accumulation, norm) is an exact DECIMAL(28,10) fold of 9dp-rounded
   * terms — order-free, so Spark's row-local array folds and DuckDB's
   * grouped sums land on identical decimals, lowered to double through
   * the established VARCHAR-hop convention. Centered values, projections,
-  * and loadings are all 9dp-rounded at each stage; the fixed seed pins
-  * the sign.
+  * deflated residuals, and loadings are all 9dp-rounded at each stage;
+  * the fixed seed pins the sign.
   */
 object Pca {
   private val Dec = DecimalType(28, 10)
@@ -52,9 +67,10 @@ object Pca {
         round(x.cast("double") - element_at(col("m"), i + 1), 9))
         .as("cx"))
 
-  /** One power step: current direction (one-row `vs` frame) → next
-    * direction frame `(dim, w, v)` where `w` is the un-normalized matvec
-    * component and `v` the normalized 9dp loading.
+  /** One power step against a literal direction (one-row local `vs`
+    * relation — same schema every step, so the plan and its generated
+    * code are identical across steps and components): per-row projection
+    * fold, dim-bounded per-dim partial sums, norm, normalized loading.
     */
   private def step(cen: DataFrame, vRow: DataFrame): DataFrame = {
     val proj = dfold(zip_with(col("cx"), col("vs"),
@@ -72,40 +88,126 @@ object Pca {
         round(col("w") / col("nrm"), 9).as("v"))
   }
 
-  private def asRow(stepped: DataFrame): DataFrame =
-    stepped.agg(transform(sort_array(collect_list(
-      struct(col("dim"), col("v")))), x => x.getField("v")).as("vs"))
+  /** one-row `(name: array<double>)` local relation from driver values */
+  private def localRow(df: DataFrame, name: String,
+                       v: Seq[Double]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    Seq(v).toDF(name)
+  }
+
+  /** Runs one materialized step: distributed scan + dim-bounded agg,
+    * dim-row collect (64 doubles — the dimension bound, not the corpus).
+    * Returns (v, nrm) sorted by dim.
+    */
+  private def stepArrays(cen: DataFrame,
+                         v: Array[Double]): (Array[Double], Double) = {
+    val rows = step(cen, localRow(cen, "vs", v.toSeq))
+      .orderBy("dim").select("v", "nrm").collect()
+    (rows.map(_.getDouble(0)), rows.head.getDouble(1))
+  }
+
+  /** Power loop with exact-fixpoint early exit: stops before `iters` only
+    * when a step reproduces its input direction BIT-FOR-BIT — later steps
+    * are then pure no-ops, so the fixed-`iters` unrolled oracle still
+    * matches.
+    */
+  private def powerLoop(cen: DataFrame, dim: Int,
+                        iters: Int): (Array[Double], Double) = {
+    var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    var nrm = 0.0
+    var it = 0
+    var fixed = false
+    while (it < iters && !fixed) {
+      val (v2, n2) = stepArrays(cen, v)
+      fixed = java.util.Arrays.equals(v2, v)
+      v = v2; nrm = n2; it += 1
+    }
+    (v, nrm)
+  }
+
+  /** Residual corpus after removing component `v`:
+    * `cx ← round9(cx − ⟨cx, v⟩·v)` — row-local against the literal
+    * direction. The projection fold is sealed behind a generator barrier
+    * (the Dsir.score lesson) so CollapseProject cannot inline the
+    * O(dim) fold per-element into the subtraction transform (which would
+    * make the deflation O(dim²) per row).
+    */
+  private def deflated(cen: DataFrame, v: Array[Double]): DataFrame = {
+    val vl = typedLit(v.toSeq)
+    val proj = dfold(zip_with(col("cx"), vl, (a, b) => round(a * b, 9)))
+    cen.select(col("vec_id"), col("cx"),
+        explode(array(proj)).as("p"))
+      .select(col("vec_id"),
+        zip_with(col("cx"), vl, (a, b) => round(a - col("p") * b, 9))
+          .as("cx"))
+  }
+
+  /** collected per-dimension corpus means (dim doubles) */
+  private def meanArray(emb: DataFrame): Seq[Double] =
+    meanRow(emb).collect().head.getSeq[Double](0)
 
   /** The top principal direction after `iters` power steps.
     *
-    * Output: (dim, loading, eigval) — 64 rows; `eigval` is the final
-    * step's ‖A·v‖ (the Rayleigh-quotient estimate under a unit `v`),
-    * identical on every row.
+    * Output: (dim, loading, eigval) — dim rows; `eigval` is the final
+    * executed step's ‖A·v‖ (the Rayleigh-quotient estimate under a unit
+    * `v`), identical on every row.
     */
   def topComponent(emb: DataFrame, dim: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = emb.sparkSession
-    // NOT pinned, measured: the corpus here is small relative to the
-    // expression weight, and a per-run InMemoryRelation changes the
-    // plan identity, forcing ~100 Janino recompilations per run — the
-    // pin cost more than the re-scan it saved (4.0 → 4.4 s at sf0.1).
-    // At a scale where the scan dominates, callers can persist `emb`.
-    val cen = centered(emb, meanRow(emb))
-    val v0 = spark.range(1).select(
-      transform(sequence(lit(0), lit(dim - 1)), i =>
-        when(i === 0, 1.0).otherwise(0.0)).as("vs"))
-    var cur = step(cen, v0)
-    for (_ <- 2 to iters) cur = step(cen, asRow(cur))
-    cur.select(col("dim"), col("v").as("loading"),
-      col("nrm").as("eigval")).orderBy("dim")
+    // Pinned as a TRANSIENT (re-measured after the step-materialization
+    // refactor): r12 measured this pin as net-negative, but only because
+    // the nested-broadcast pyramid changed plan identity per step anyway;
+    // with literal-fed steps the single InMemoryRelation instance keeps
+    // every step's plan identical, so the pin saves iters−1 re-centering
+    // scans at one codegen cost per RUN, not per step.
+    val cen = graft.core.Caches.deferRelease(
+      centered(emb, localRow(emb, "m", meanArray(emb))).persist())
+    val (v, nrm) = powerLoop(cen, dim, iters)
+    import spark.implicits._
+    (0 until dim).map(j => (j, v(j), nrm)).toDF("dim", "loading", "eigval")
+      .orderBy("dim")
+  }
+
+  /** Top-k principal directions by deflation: component c+1 is the power
+    * ladder over the residual corpus after removing components 1..c.
+    * Still one scan per step; the deflation is row-local against literal
+    * directions, so the per-step plan shape is constant across
+    * components and k never adds a shuffle.
+    *
+    * Output: (component, dim, loading, eigval) — k × dim rows,
+    * component 1-based in eigenvalue order.
+    */
+  def topComponents(emb: DataFrame, dim: Int, iters: Int,
+                    k: Int): DataFrame = {
+    require(iters >= 1 && k >= 1, s"iters/k must be >= 1, got $iters/$k")
+    val spark = emb.sparkSession
+    // per-component transient pins, same rationale as [[topComponent]]
+    // (and the BPE round pins): each component's residual corpus feeds
+    // iters step scans plus the next deflation
+    var cen = graft.core.Caches.deferRelease(
+      centered(emb, localRow(emb, "m", meanArray(emb))).persist())
+    val out = Seq.newBuilder[(Int, Int, Double, Double)]
+    for (c <- 1 to k) {
+      val (v, nrm) = powerLoop(cen, dim, iters)
+      for (j <- 0 until dim) out += ((c, j, v(j), nrm))
+      if (c < k)
+        cen = graft.core.Caches.deferRelease(deflated(cen, v).persist())
+    }
+    import spark.implicits._
+    out.result().toDF("component", "dim", "loading", "eigval")
+      .orderBy("component", "dim")
   }
 
   /** The final direction as a broadcastable one-row `(vs)` frame — the
     * frozen artifact an online scorer projects against.
     */
   def topComponentRow(emb: DataFrame, dim: Int, iters: Int): DataFrame =
-    asRow(topComponent(emb, dim, iters)
-      .select(col("dim"), col("loading").as("v")))
+    topComponent(emb, dim, iters)
+      .agg(transform(sort_array(collect_list(
+        struct(col("dim"), col("loading")))), x => x.getField("loading"))
+        .as("vs"))
 
   /** Projection + reconstruction residual of each vector against a
     * frozen (mean, direction) pair — the PCA outlier/compression
@@ -134,18 +236,59 @@ object Pca {
         col("s.resid").as("resid"))
   }
 
-  /** DuckDB mirror of [[topComponent]] over `embeddings` — the power
-    * loop unrolled CTE-per-iteration (the Lloyd-oracle pattern), same
-    * 9dp/exact-decimal ladder.
+  /** Rank-k projection + residual against the deflation-trained
+    * components: `proj_c = ⟨x − m, v_c⟩` (each against the ORIGINAL
+    * centered vector — the standard PCA readout),
+    * `resid = √(‖x − m‖² − Σ_c proj_c²)`. Trains [[topComponents]]
+    * internally (driver-local loadings), then scores row-locally in one
+    * corpus scan — zero shuffle beyond the training ladder.
+    *
+    * Output: (vec_id, proj_1 … proj_k, resid).
     */
-  def topComponentSql(dim: Int, iters: Int): String = {
+  def projectK(emb: DataFrame, dim: Int, iters: Int, k: Int): DataFrame = {
+    val comps = topComponents(emb, dim, iters, k)
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val cen = centered(emb, localRow(emb, "m", meanArray(emb)))
+    val projs = comps.zipWithIndex.map { case (vc, i) =>
+      dfold(zip_with(col("cx"), typedLit(vc.toSeq),
+        (a, b) => round(a * b, 9))).as(s"proj_${i + 1}")
+    }
+    val n2 = dfold(transform(col("cx"), a => round(a * a, 9))).as("n2")
+    val ssum = (1 to k).map(i => col(s"s.proj_$i") * col(s"s.proj_$i"))
+      .reduce(_ + _)
+    // same generator barrier as [[project]]: the folds evaluate once
+    cen.select(col("vec_id"),
+        explode(array(struct(projs :+ n2: _*))).as("s"))
+      .select(col("vec_id") +:
+        (1 to k).map(i => col(s"s.proj_$i").as(s"proj_$i")) :+
+        sqrt(greatest(col("s.n2") - ssum, lit(0.0))).as("resid"): _*)
+  }
+
+  // ---------------------------------------------------------------- SQL
+
+  /** Shared CTE prefix of every oracle: mean, centered corpus (cx1), and
+    * the unrolled power ladder with deflation for components 1..k — the
+    * single builder both the trainer and projection oracles compose
+    * (never string surgery on a finished query). Component c's final
+    * direction lands in CTE `v${c}_$iters`; the deflated corpus for
+    * component c+1 in `cx${c + 1}`.
+    */
+  private def ladderSql(dim: Int, iters: Int, k: Int): String = {
     def dsum9(c: String) = Exact.dsumSql(s"ROUND($c, 9)")
+    // the multiply-referenced CTEs (each cx$c feeds 2×iters step CTEs +
+    // the next deflation; each v carries into 2 consumers) are pinned
+    // MATERIALIZED: DuckDB otherwise re-inlines the whole upstream chain
+    // per reference, which goes exponential in k×iters (measured: the
+    // k=2/iters=3 ladder planned 319 s un-hinted vs sub-second pinned)
     val mean = s"""mt AS (SELECT i - 1 AS dim,
                   |        ROUND(CAST(embedding[i] AS DOUBLE), 9) AS x
                   |      FROM embeddings, range(1, ${dim + 1}) r(i)),
                   |mm AS (SELECT dim, ${Exact.dsumSql("x")} / COUNT(x) AS m
                   |       FROM mt GROUP BY 1),
-                  |cx AS (SELECT e.vec_id, r.i - 1 AS dim,
+                  |cx1 AS MATERIALIZED (SELECT e.vec_id, r.i - 1 AS dim,
                   |         ROUND(CAST(e.embedding[r.i] AS DOUBLE) - mm.m, 9)
                   |           AS cx
                   |       FROM embeddings e, range(1, ${dim + 1}) r(i)
@@ -153,21 +296,53 @@ object Pca {
                   |v0 AS (SELECT i - 1 AS dim,
                   |         CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
                   |       FROM range(1, ${dim + 1}) r(i))""".stripMargin
-    val steps = (1 to iters).map { k =>
-      val pv = if (k == 1) "v0" else s"v${k - 1}"
-      s"""c$k AS (SELECT cx.vec_id,
-         |        ${dsum9(s"cx.cx * $pv.v")} AS c
-         |      FROM cx JOIN $pv USING (dim) GROUP BY 1),
-         |w$k AS (SELECT cx.dim, ${dsum9(s"c$k.c * cx.cx")} AS w
-         |      FROM cx JOIN c$k USING (vec_id) GROUP BY 1),
-         |n$k AS (SELECT SQRT(${dsum9("w * w")}) AS nrm FROM w$k),
-         |v$k AS (SELECT dim, w, nrm, ROUND(w / nrm, 9) AS v
-         |      FROM w$k, n$k)""".stripMargin
+    val comps = (1 to k).map { c =>
+      val steps = (1 to iters).map { t =>
+        val pv = if (t == 1) "v0" else s"v${c}_${t - 1}"
+        s"""c${c}_$t AS (SELECT cx$c.vec_id,
+           |        ${dsum9(s"cx$c.cx * $pv.v")} AS c
+           |      FROM cx$c JOIN $pv USING (dim) GROUP BY 1),
+           |w${c}_$t AS (SELECT cx$c.dim, ${dsum9(s"c${c}_$t.c * cx$c.cx")} AS w
+           |      FROM cx$c JOIN c${c}_$t USING (vec_id) GROUP BY 1),
+           |n${c}_$t AS (SELECT SQRT(${dsum9("w * w")}) AS nrm FROM w${c}_$t),
+           |v${c}_$t AS MATERIALIZED (SELECT dim, w, nrm,
+           |         ROUND(w / nrm, 9) AS v
+           |      FROM w${c}_$t, n${c}_$t)""".stripMargin
+      }.mkString(",\n")
+      val defl = if (c < k)
+        s""",
+           |p$c AS (SELECT cx$c.vec_id, ${dsum9(s"cx$c.cx * v${c}_$iters.v")} AS p
+           |      FROM cx$c JOIN v${c}_$iters USING (dim) GROUP BY 1),
+           |cx${c + 1} AS MATERIALIZED (SELECT cx$c.vec_id, cx$c.dim,
+           |         ROUND(cx$c.cx - p$c.p * v${c}_$iters.v, 9) AS cx
+           |       FROM cx$c JOIN p$c USING (vec_id)
+           |       JOIN v${c}_$iters USING (dim))""".stripMargin
+      else ""
+      steps + defl
     }.mkString(",\n")
-    s"""WITH $mean,
-       |$steps
+    s"$mean,\n$comps"
+  }
+
+  /** DuckDB mirror of [[topComponent]] over `embeddings` — the power
+    * loop unrolled CTE-per-iteration (the Lloyd-oracle pattern), same
+    * 9dp/exact-decimal ladder.
+    */
+  def topComponentSql(dim: Int, iters: Int): String =
+    s"""WITH ${ladderSql(dim, iters, 1)}
        |SELECT dim, v AS loading, nrm AS eigval
-       |FROM v$iters ORDER BY dim""".stripMargin
+       |FROM v1_$iters ORDER BY dim""".stripMargin
+
+  /** DuckDB mirror of [[topComponents]] — deflation unrolled per
+    * component.
+    */
+  def topComponentsSql(dim: Int, iters: Int, k: Int): String = {
+    val parts = (1 to k).map { c =>
+      s"""SELECT $c AS component, dim, v AS loading, nrm AS eigval
+         |FROM v${c}_$iters""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${ladderSql(dim, iters, k)}
+       |$parts
+       |ORDER BY component, dim""".stripMargin
   }
 
   /** DuckDB mirror of [[project]] against the `iters`-step component of
@@ -175,16 +350,35 @@ object Pca {
     */
   def projectSql(dim: Int, iters: Int): String = {
     def dsum9(c: String) = Exact.dsumSql(s"ROUND($c, 9)")
-    val base = topComponentSql(dim, iters)
-    val body = base.substring(0, base.indexOf("SELECT dim, v AS loading"))
-      .trim + ","
-    s"""$body
-       |pr AS (SELECT cx.vec_id,
-       |         ${dsum9(s"cx.cx * v$iters.v")} AS proj,
-       |         ${dsum9("cx.cx * cx.cx")} AS n2
-       |       FROM cx JOIN v$iters USING (dim) GROUP BY 1)
+    s"""WITH ${ladderSql(dim, iters, 1)},
+       |pr AS (SELECT cx1.vec_id,
+       |         ${dsum9(s"cx1.cx * v1_$iters.v")} AS proj,
+       |         ${dsum9("cx1.cx * cx1.cx")} AS n2
+       |       FROM cx1 JOIN v1_$iters USING (dim) GROUP BY 1)
        |SELECT vec_id, proj,
        |       SQRT(GREATEST(n2 - proj * proj, 0.0)) AS resid
        |FROM pr ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[projectK]]: every component's projection against
+    * the ORIGINAL centered corpus (cx1), rank-k residual.
+    */
+  def projectKSql(dim: Int, iters: Int, k: Int): String = {
+    def dsum9(c: String) = Exact.dsumSql(s"ROUND($c, 9)")
+    val projCtes = (1 to k).map { c =>
+      s"""pr$c AS (SELECT cx1.vec_id,
+         |         ${dsum9(s"cx1.cx * v${c}_$iters.v")} AS proj
+         |       FROM cx1 JOIN v${c}_$iters USING (dim) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to k).map(c => s"JOIN pr$c USING (vec_id)").mkString(" ")
+    val cols = (1 to k).map(c => s"pr$c.proj AS proj_$c").mkString(", ")
+    val ss = (1 to k).map(c => s"pr$c.proj * pr$c.proj").mkString(" + ")
+    s"""WITH ${ladderSql(dim, iters, k)},
+       |$projCtes,
+       |nn AS (SELECT vec_id, ${dsum9("cx * cx")} AS n2
+       |       FROM cx1 GROUP BY 1)
+       |SELECT nn.vec_id, $cols,
+       |       SQRT(GREATEST(nn.n2 - ($ss), 0.0)) AS resid
+       |FROM nn $joins ORDER BY nn.vec_id""".stripMargin
   }
 }

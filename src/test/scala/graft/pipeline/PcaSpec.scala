@@ -72,6 +72,53 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("exact-fixpoint early exit is a no-op: iters=3 result == iters=9" +
+    " once the direction stops moving") {
+    // a rank-1 corpus (zero jitter) converges in one step: the 9dp
+    // loadings reach their fixpoint immediately, so huge iter counts
+    // must return the identical (loading, eigval) rows without paying
+    // for the extra steps
+    val s = spark
+    import s.implicits._
+    val rank1 = (0 until 100).map { i =>
+      val a = (i % 11) - 5.0
+      (i.toLong, Array.tabulate(D)(j => (a * u(j)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val r3 = Pca.topComponent(rank1, D, 3).collect().map(_.toSeq)
+    val r9 = Pca.topComponent(rank1, D, 9).collect().map(_.toSeq)
+    assert(r3.toSeq == r9.toSeq)
+  }
+
+  test("deflation: components are orthonormal, eigenvalues non-increasing," +
+    " rank-k residual below rank-1") {
+    val comps = Pca.topComponents(corpus, D, iters = 5, k = 4).collect()
+    val byC = comps.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (c, rows) =>
+        (c, rows.sortBy(_.getInt(1)).map(_.getDouble(2)),
+          rows.head.getDouble(3))
+    }
+    assert(byC.map(_._1) == Seq(1, 2, 3, 4))
+    // unit length + pairwise orthogonality (9dp ladder → loose tolerance)
+    for ((_, v, _) <- byC)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-6)
+    for (Seq((_, a, _), (_, b, _)) <- byC.combinations(2))
+      assert(math.abs(a.zip(b).map { case (x, y) => x * y }.sum) < 1e-4)
+    // eigenvalue order
+    val eigs = byC.map(_._3)
+    assert(eigs.zip(eigs.tail).forall { case (a, b) => a >= b - 1e-9 })
+    // component 1 of the deflation ladder == the plain top component
+    val top = Pca.topComponent(corpus, D, 5).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(byC.head._2.toSeq == top.toSeq)
+    // rank-2 explains at least as much as rank-1: resid_k <= resid_1
+    val r1 = Pca.projectK(corpus, D, 5, 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val r2 = Pca.projectK(corpus, D, 5, 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(r1.keySet == r2.keySet)
+    assert(r1.forall { case (k, v) => r2(k) <= v + 1e-9 })
+  }
+
   test("projection: resid ≈ 0 on-axis, proj ≈ 0 orthogonal; streaming" +
     " form is stateless and bit-equal to batch") {
     val s = spark
