@@ -38,7 +38,13 @@ import org.apache.spark.sql.SparkSession
   *     of environment pressure across the run; any query outlier can be
   *     cross-checked against the nearest probes;
   *   - `"env"`: run-level constants (cpus, heap max) and start/end
-  *     loadavg.
+  *     loadavg;
+  *   - `"outliers"`: when a run exceeds 3× its same-family sibling median
+  *     (above a 1 s floor), the loop fires the calibration probe ADJACENT
+  *     to the outlier and a third run of the query, both recorded here —
+  *     slow run3 + slow probe = box event, slow run3 + fast probe = real
+  *     regression (the round-12 aggr_min/median/percentile cluster was
+  *     unadjudicable without this).
   */
 object Bench {
 
@@ -58,6 +64,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-only focus filter (the driver passes no args): run just these
+    // comma-separated queries under the full bench protocol
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -145,10 +155,14 @@ object Bench {
     // and a later consumer of the same lineage (text_logprob) must see
     // them as allowed — a stale snapshot failed exactly that query.
     def runOnce(name: String): (Double, Double) = {
+      // pre-construction snapshot: builders warm NOW are contamination if
+      // the plan reads them; builders the construction itself fills
+      // (training collects inside the timed window) are paid for
+      val preWarm = graft.core.Caches.materializedBuilders(spark)
       val c0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val dirty = graft.core.Caches.contaminatedRelations(df,
-        graft.core.Caches.sanctionedBuilders(spark))
+        graft.core.Caches.sanctionedBuilders(spark), preWarm)
       if (dirty.nonEmpty)
         throw new IllegalStateException(
           s"timed plan reads unsanctioned warm cache: ${dirty.mkString("; ")}")
@@ -183,8 +197,30 @@ object Bench {
     val loadStart = diag.loadAvgX100
     val diags = scala.collection.mutable.ArrayBuffer
       .empty[(String, Seq[(String, Long)], Seq[(String, Long)])]
+    // outlier adjudication (round-12 lesson: aggr_min/median/percentile ran
+    // 4–6× their r11 numbers mid-family on ONE box, and the family-boundary
+    // probes bracketed the window too coarsely to tell "box event" from
+    // "regression"). When a query's run is >3× the median of its
+    // already-measured same-family siblings (and above an absolute floor so
+    // sub-second noise never triggers), the loop immediately (a) fires the
+    // fixed-work calibration probe ADJACENT to the outlier — an in-band env
+    // reading seconds, not minutes, away — and (b) re-runs the query a third
+    // time under the same release/pin/contamination discipline. A slow third
+    // run next to a slow probe = environment; a slow third run next to a
+    // fast probe = real. Recorded under `"outliers"` in BENCH_DETAIL.json
+    // (probe seconds + run3 triple + both diag windows) so the artifact
+    // adjudicates itself.
+    val famTotals = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val outliers = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Double, Double, Double, Seq[(String, Long)])]
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
     var lastFam = ""
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val fam = name.takeWhile(_ != '_')
       if (fam != lastFam) { probe(fam); lastFam = fam }
       graft.core.Caches.releaseTransient(spark, blocking = true)
@@ -224,6 +260,42 @@ object Bench {
         }
       diags += ((name, d1, diag.measure(m2) :+
         ("provision_ms" -> (graft.core.Provisioning.snapshotNs - p2) / 1000000L)))
+      // outlier check: needs ≥2 measured siblings for a meaningful median;
+      // floor 1.0 s keeps fast-family jitter out; a failed query is already
+      // marked and needs no adjudication
+      val tot1 = c1 + e1
+      val sibs = famTotals.getOrElseUpdate(fam,
+        scala.collection.mutable.ArrayBuffer.empty[Double])
+      if (!failed.exists(_.startsWith(name)) && sibs.length >= 2) {
+        val med = median(sibs.toSeq)
+        val trigger =
+          if (tot1 > 3 * med && tot1 > 1.0) "run1"
+          else if (r2 > 3 * med && r2 > 1.0) "run2"
+          else if (r2 > 3 * tot1 && r2 > 1.0) "run2_vs_run1"
+          else ""
+        if (trigger.nonEmpty) {
+          System.err.println(
+            s"[bench] outlier $name ($trigger: run1=${r3(tot1)} run2=${r3(r2)} " +
+              s"sibling_median=${r3(med)}) — adjacent probe + third run")
+          probe(s"outlier:$name")
+          graft.core.Caches.releaseTransient(spark, blocking = true)
+          pinSanctioned(s"$name(run3)")
+          val m3 = diag.mark()
+          val t2 = System.nanoTime()
+          val run3 =
+            try { runOnce(name); (System.nanoTime() - t2) / 1e9 }
+            catch { case t: Throwable =>
+              System.err.println(
+                s"[bench] run 3 FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+              -1.0
+            }
+          val probeSec = probes.lastOption
+            .collect { case (at, s, _) if at == s"outlier:$name" => s }
+            .getOrElse(-1.0)
+          outliers += ((name, trigger, med, probeSec, run3, diag.measure(m3)))
+        }
+      }
+      sibs += tot1
       name -> ((c1, e1, r2))
     }
     probe("end")
@@ -248,6 +320,11 @@ object Bench {
       val probesJson = probes.map { case (at, sec, d) =>
         "{\"at\":\"" + at + "\",\"sec\":" + r3(sec) + ",\"diag\":" + obj(d) + "}"
       }.mkString("[", ",", "]")
+      val outliersJson = outliers.map { case (k, trig, med, pSec, run3, d3) =>
+        "\"" + k + "\":{\"trigger\":\"" + trig + "\",\"sibling_median\":" +
+          r3(med) + ",\"probe_sec\":" + r3(pSec) + ",\"run3\":" + r3(run3) +
+          ",\"run3_diag\":" + obj(d3) + "}"
+      }.mkString("{", ",", "}")
       val rt = Runtime.getRuntime
       val envJson = obj(Seq(
         "cpus" -> cpus.toLong,
@@ -255,6 +332,7 @@ object Bench {
         "loadavg_start_x100" -> loadStart,
         "loadavg_end_x100" -> diag.loadAvgX100))
       s"""{"detail":$entries,"diag":$diagJson,"probes":$probesJson,""" +
+        s""""outliers":$outliersJson,""" +
         s""""env":$envJson,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(

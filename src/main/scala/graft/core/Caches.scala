@@ -45,6 +45,22 @@ object Caches {
     */
   def sanction(df: DataFrame): DataFrame = { sanctionedDfs.add(df); df }
 
+  /** Unpersist ONE deferred pin immediately and drop it from the registry
+    * — for builders whose results are fully driver-local before they
+    * return (PCA loadings, Lloyd codebooks): their scratch caches must
+    * not outlive the call, because CacheManager substitutes by canonical
+    * equality and a later scoring scan over the SAME shaped plan (e.g.
+    * [[graft.pipeline.Pca.projectK]]'s centered corpus vs the trainer's
+    * pinned one) would silently read the warm training cache — which the
+    * bench contamination assertion rightly fails as measuring a cache
+    * scan. Sanctioned artifacts are never released here.
+    */
+  def release(df: DataFrame, blocking: Boolean = false): Unit =
+    if (!sanctionedDfs.contains(df)) {
+      df.unpersist(blocking = blocking)
+      pinned.remove(df)
+    }
+
   /** Unpersist every transient pin belonging to `spark`; returns how many
     * were released. Sanctioned artifacts survive.
     *
@@ -118,17 +134,30 @@ object Caches {
     out.result()
   }
 
-  /** Measurement-integrity check for the bench: the cached relations in
-    * `df`'s plan whose column buffers are ALREADY materialized but are not
-    * in `allowed`. A hit means a timed run would read a warm cache some
-    * earlier run populated — the timing would measure a cache scan, not
-    * the computation. Fresh (unmaterialized) pins made by `df`'s own
-    * builder are fine: the timed run itself pays to fill them.
+  /** Builders already MATERIALIZED in `spark`'s CacheManager — the bench
+    * snapshots this immediately before constructing a timed plan;
+    * contamination is then membership in the snapshot, not "loaded now"
+    * (a builder the construction itself filled — Lloyd/PCA training
+    * collects run inside the timed compile window — was paid for by the
+    * timed run and is not contamination).
     */
-  def contaminatedRelations(df: DataFrame, allowed: Seq[AnyRef]): Seq[String] =
+  def materializedBuilders(spark: SparkSession): Seq[AnyRef] =
+    org.apache.spark.sql.GraftBridge.materializedCacheBuilders(spark)
+
+  /** Measurement-integrity check for the bench: the cached relations in
+    * `df`'s plan whose column buffers were ALREADY materialized before
+    * the plan was constructed (`preWarm` — a [[materializedBuilders]]
+    * snapshot taken pre-construction) and are not in `allowed`. A hit
+    * means the timed run would read a warm cache some earlier run
+    * populated — the timing would measure a cache scan, not the
+    * computation. Pins made (or filled) by `df`'s own construction are
+    * fine: the timed run itself paid to fill them.
+    */
+  def contaminatedRelations(df: DataFrame, allowed: Seq[AnyRef],
+                            preWarm: Seq[AnyRef]): Seq[String] =
     df.queryExecution.withCachedData.collect {
       case r: InMemoryRelation
-        if r.cacheBuilder.isCachedColumnBuffersLoaded &&
+        if preWarm.exists(_ eq r.cacheBuilder) &&
           !allowed.exists(_ eq r.cacheBuilder) =>
         r.cacheBuilder.cachedName
     }

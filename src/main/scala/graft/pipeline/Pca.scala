@@ -59,10 +59,15 @@ object Pca {
         .as("m"))
 
   /** Per-row centered array `cx_j = round9(x_j − m_j)` against the
-    * broadcast mean row.
+    * broadcast mean row. The input scan is widened to the session's
+    * default parallelism (Parallel.widen — a no-op on realistic
+    * many-row-group layouts and on streaming frames): every downstream
+    * step folds O(dim) exact decimals per row, and the sf0.1 single-split
+    * embeddings file otherwise runs that CPU-bound ladder on a fraction
+    * of the machine (r13 diag: task_ms ≈ cpu_ms ≈ 4.3 s over 63 tasks).
     */
   private def centered(emb: DataFrame, mRow: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(mRow))
+    graft.core.Parallel.widen(emb).crossJoin(broadcast(mRow))
       .select(col("vec_id"), transform(col("embedding"), (x, i) =>
         round(x.cast("double") - element_at(col("m"), i + 1), 9))
         .as("cx"))
@@ -165,6 +170,10 @@ object Pca {
     val cen = graft.core.Caches.deferRelease(
       centered(emb, localRow(emb, "m", meanArray(emb))).persist())
     val (v, nrm) = powerLoop(cen, dim, iters)
+    // the loadings are driver-local now: the pin is pure intra-call
+    // scratch, and leaving it warm would let canonical equality splice it
+    // into a later scoring scan (see Caches.release)
+    graft.core.Caches.release(cen, blocking = true)
     import spark.implicits._
     (0 until dim).map(j => (j, v(j), nrm)).toDF("dim", "loading", "eigval")
       .orderBy("dim")
@@ -183,21 +192,40 @@ object Pca {
                     k: Int): DataFrame = {
     require(iters >= 1 && k >= 1, s"iters/k must be >= 1, got $iters/$k")
     val spark = emb.sparkSession
-    // per-component transient pins, same rationale as [[topComponent]]
-    // (and the BPE round pins): each component's residual corpus feeds
-    // iters step scans plus the next deflation
-    var cen = graft.core.Caches.deferRelease(
-      centered(emb, localRow(emb, "m", meanArray(emb))).persist())
-    val out = Seq.newBuilder[(Int, Int, Double, Double)]
-    for (c <- 1 to k) {
-      val (v, nrm) = powerLoop(cen, dim, iters)
-      for (j <- 0 until dim) out += ((c, j, v(j), nrm))
-      if (c < k)
-        cen = graft.core.Caches.deferRelease(deflated(cen, v).persist())
-    }
+    val (_, comps) = deflationLadder(emb, dim, iters, k)
     import spark.implicits._
-    out.result().toDF("component", "dim", "loading", "eigval")
+    comps.zipWithIndex.flatMap { case ((v, nrm), i) =>
+      (0 until dim).map(j => (i + 1, j, v(j), nrm))
+    }.toDF("component", "dim", "loading", "eigval")
       .orderBy("component", "dim")
+  }
+
+  /** The shared deflation training core: (mean, per-component (loading
+    * vector, eigval)) — all driver-local arrays, so both the trainer
+    * readout and the rank-k projection reuse ONE mean job and one ladder.
+    * The scratch pins are released before returning (see Caches.release):
+    * a downstream scoring scan (projectK's centered corpus is canonically
+    * EQUAL to component 1's pinned corpus) must not silently read the
+    * warm training cache.
+    */
+  private def deflationLadder(emb: DataFrame, dim: Int, iters: Int,
+                              k: Int): (Seq[Double],
+                                        Seq[(Array[Double], Double)]) = {
+    val mean = meanArray(emb)
+    val pins = Seq.newBuilder[DataFrame]
+    var cen = graft.core.Caches.deferRelease(
+      centered(emb, localRow(emb, "m", mean)).persist())
+    pins += cen
+    val comps = (1 to k).map { c =>
+      val (v, nrm) = powerLoop(cen, dim, iters)
+      if (c < k) {
+        cen = graft.core.Caches.deferRelease(deflated(cen, v).persist())
+        pins += cen
+      }
+      (v, nrm)
+    }
+    pins.result().foreach(graft.core.Caches.release(_, blocking = true))
+    (mean, comps)
   }
 
   /** The final direction as a broadcastable one-row `(vs)` frame — the
@@ -246,12 +274,9 @@ object Pca {
     * Output: (vec_id, proj_1 … proj_k, resid).
     */
   def projectK(emb: DataFrame, dim: Int, iters: Int, k: Int): DataFrame = {
-    val comps = topComponents(emb, dim, iters, k)
-      .collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map { case (_, rows) =>
-        rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
-    val cen = centered(emb, localRow(emb, "m", meanArray(emb)))
+    val (mean, ladder) = deflationLadder(emb, dim, iters, k)
+    val comps = ladder.map(_._1)
+    val cen = centered(emb, localRow(emb, "m", mean))
     val projs = comps.zipWithIndex.map { case (vc, i) =>
       dfold(zip_with(col("cx"), typedLit(vc.toSeq),
         (a, b) => round(a * b, 9))).as(s"proj_${i + 1}")

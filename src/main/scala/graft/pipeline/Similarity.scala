@@ -1052,17 +1052,30 @@ object Similarity {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val sub = dim / m
-    val seed = pqCodebooks(emb, m, ksub, dim)
-      .select(col("j"), col("code"),
-        transform(col("cbvec"), x => x.cast("double")).as("cbvec"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // MATERIALIZED rounds, same rationale (and same bit-exactness
+    // argument) as [[residualScbTrained]]: the codebook is m×ksub×sub
+    // doubles of model state, so each round collects its means and feeds
+    // the next round a sorted local relation — constant per-round plan
+    // shape, one codegen compile for all rounds, instead of the nested
+    // foldLeft pyramid.
     val vecs = emb.select(col("vec_id"), col("embedding"))
-    def lloydRound(cb: DataFrame): DataFrame = {
-      val cbsRow = pqPacked(cb)
-      val codes = vecs.crossJoin(broadcast(cbsRow))
+    def cbLocal(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      rows.toDF("j", "code", "cbvec")
+    var cb: Seq[(Int, Int, Seq[Double])] =
+      pqCodebooks(emb, m, ksub, dim)
+        .select(col("j"), col("code"),
+          transform(col("cbvec"), x => x.cast("double")).as("cbvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    for (_ <- 1 to iters) {
+      val cbsRow = pqPacked(cbLocal(cb))
+      val means = vecs.crossJoin(broadcast(cbsRow))
         .select(col("embedding"),
           posexplode(graft.expr.PqEncode(col("embedding"), col("cbs"), m,
             sub, VectorOps.Scale)).as(Seq("j", "code")))
-      val sums = codes
         .select(col("j"), col("code"),
           posexplode(transform(
             slice(col("embedding"), col("j") * sub + 1, lit(sub)),
@@ -1070,14 +1083,16 @@ object Similarity {
             .as(Seq("i", "s")))
         .groupBy("j", "code", "i")
         .agg(sum(col("s")).as("s"), count(lit(1)).as("n"))
-      val means = sums.groupBy("j", "code")
+        .groupBy("j", "code")
         .agg(expr("transform(array_sort(collect_list(struct(i, s, n))), " +
           "x -> CAST(x.s AS DOUBLE)/1e7/x.n)").as("mvec"))
-      cb.as("p").join(means, Seq("j", "code"), "left")
-        .select(col("j"), col("code"),
-          coalesce(col("mvec"), col("p.cbvec")).as("cbvec"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+      // a cluster that loses all members keeps its previous entry
+      cb = cb.map { case (j, code, v) =>
+        (j, code, means.getOrElse((j, code), v)) }
     }
-    (1 to iters).foldLeft(seed)((c, _) => lloydRound(c))
+    cbLocal(cb)
   }
 
   /** [[ivfPqTopK]] with the Lloyd-trained codebooks — training tightens
@@ -1633,29 +1648,55 @@ object Similarity {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val sub = dim / m
-    val centd = ivfCents(emb, nCells).select(col("cid"),
-      transform(col("cvec"), x => x.cast("double")).as("cemb"))
-    // residuals (one double subtract per element, the residualScb order)
-    val res = cells.join(broadcast(centd), col("cell") === col("cid"))
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("embedding"), col("cemb"),
-          (e, c) => e.cast("double") - c).as("remb"))
-    val rcb0 = res.where(col("vec_id") < ksub)
-      .select(col("vec_id"), col("remb"),
-        explode(sequence(lit(0), lit(m - 1))).as("j"))
-      .select(col("j"), col("vec_id").cast("int").as("code"),
-        slice(col("remb"), col("j") * sub + 1, lit(sub)).as("rvec"))
-    def lloydRound(rcb: DataFrame): DataFrame = {
-      val scbC = shiftedByCell(centd, rcb, sub)
-      val codes = cells.join(broadcast(scbC), Seq("cell"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // MATERIALIZED rounds (the Pca.stepArrays idiom): the codebook and the
+    // coarse centroids are MODEL STATE — nCells×dim + m×ksub×sub doubles,
+    // corpus-size-independent — so each Lloyd round collects its refined
+    // entries to the driver and feeds the next round a sorted local
+    // relation. Every round's assign+reduce plan then has IDENTICAL
+    // generated code (local-relation data is data, not codegen input) and
+    // Spark's codegen cache compiles the round once; the previous
+    // nested-foldLeft form re-nested round k−1's whole plan inside round
+    // k's, which the r12 artifact measured at 246 generated classes /
+    // 7.1 s Janino time for iters=2 — the suite's worst query, and the
+    // cost was plan-compilation count, not data. Values are bit-identical
+    // to the fold form: the 1e-7 fixed-point BIGINT means are partition-
+    // order-independent, doubles round-trip the driver exactly, and the
+    // empty-cluster coalesce becomes a driver-side map lookup.
+    val centdRows = ivfCents(emb, nCells)
+      .select(col("cid"),
+        transform(col("cvec"), x => x.cast("double")).as("cemb"))
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def centdLocal: DataFrame = centdRows.toSeq.toDF("cid", "cemb")
+    def rcbLocal(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      rows.toDF("j", "code", "rvec")
+    // seed: residuals of the first ksub vectors (one double subtract per
+    // element, the residualScb order)
+    var rcb: Seq[(Int, Int, Seq[Double])] =
+      cells.join(broadcast(centdLocal), col("cell") === col("cid"))
+        .where(col("vec_id") < ksub)
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("cemb"),
+            (e, c) => e.cast("double") - c).as("remb"))
+        .select(col("vec_id"), col("remb"),
+          explode(sequence(lit(0), lit(m - 1))).as("j"))
+        .select(col("j"), col("vec_id").cast("int").as("code"),
+          slice(col("remb"), col("j") * sub + 1, lit(sub)).as("rvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    for (_ <- 1 to iters) {
+      val scbC = shiftedByCell(centdLocal, rcbLocal(rcb), sub)
+      val means = cells.join(broadcast(scbC), Seq("cell"))
         .where(size(col("cbs")) === m)
-        .join(broadcast(centd), col("cell") === col("cid"))
+        .join(broadcast(centdLocal), col("cell") === col("cid"))
         .select(
           zip_with(col("embedding"), col("cemb"),
             (e, c) => e.cast("double") - c).as("remb"),
           posexplode(graft.expr.PqEncode(col("embedding"), col("cbs"), m,
             sub, VectorOps.Scale)).as(Seq("j", "code")))
-      val sums = codes
         .select(col("j"), col("code"),
           posexplode(transform(
             slice(col("remb"), col("j") * sub + 1, lit(sub)),
@@ -1663,15 +1704,16 @@ object Similarity {
             .as(Seq("i", "s")))
         .groupBy("j", "code", "i")
         .agg(sum(col("s")).as("s"), count(lit(1)).as("n"))
-      val means = sums.groupBy("j", "code")
+        .groupBy("j", "code")
         .agg(expr("transform(array_sort(collect_list(struct(i, s, n))), " +
           "x -> CAST(x.s AS DOUBLE)/1e7/x.n)").as("mvec"))
-      rcb.as("p").join(means, Seq("j", "code"), "left")
-        .select(col("j"), col("code"),
-          coalesce(col("mvec"), col("p.rvec")).as("rvec"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+      // empty clusters keep their previous entry (the coalesce rule)
+      rcb = rcb.map { case (j, code, rvec) =>
+        (j, code, means.getOrElse((j, code), rvec)) }
     }
-    shiftedByCell(centd,
-      (1 to iters).foldLeft(rcb0)((c, _) => lloydRound(c)), sub)
+    shiftedByCell(centdLocal, rcbLocal(rcb), sub)
   }
 
   /** [[ivfPqResidualTopKProbed]] with the Lloyd-trained residual

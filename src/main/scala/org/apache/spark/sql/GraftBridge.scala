@@ -16,4 +16,39 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Every InMemoryRelation cache builder currently registered in the
+    * session's CacheManager — reflective read of the private `cachedData`
+    * list. The bench snapshots which builders are ALREADY materialized
+    * before a timed plan is constructed, so pins the plan's own
+    * construction fills (Lloyd-trained codebooks, PCA power steps — their
+    * driver-side collects materialize the corpus pin mid-construction)
+    * are distinguishable from warm caches an earlier run left behind.
+    */
+  def cacheBuilders(spark: SparkSession): Seq[AnyRef] = {
+    val cm = spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
+    val f = classOf[org.apache.spark.sql.execution.CacheManager]
+      .getDeclaredField("cachedData")
+    f.setAccessible(true)
+    f.get(cm)
+      .asInstanceOf[scala.collection.immutable.IndexedSeq[
+        org.apache.spark.sql.execution.CachedData]]
+      .map(_.cachedRepresentation.cacheBuilder)
+  }
+
+  /** [[cacheBuilders]] restricted to builders whose column buffers are
+    * already materialized (CachedRDDBuilder is private[sql], so the
+    * loaded check lives here with the other bridge reads).
+    */
+  def materializedCacheBuilders(spark: SparkSession): Seq[AnyRef] = {
+    val cm = spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
+    val f = classOf[org.apache.spark.sql.execution.CacheManager]
+      .getDeclaredField("cachedData")
+    f.setAccessible(true)
+    f.get(cm)
+      .asInstanceOf[scala.collection.immutable.IndexedSeq[
+        org.apache.spark.sql.execution.CachedData]]
+      .map(_.cachedRepresentation.cacheBuilder)
+      .filter(_.isCachedColumnBuffersLoaded)
+  }
 }
