@@ -378,6 +378,14 @@ object PipelineQueries extends QueryProvider {
     "bpe_merges" -> ((s, d) => Bpe.merges(docsWide(s, d), k = 4)),
     "bpe_tokens" -> ((s, d) => Bpe.tokenized(docsWide(s, d), k = 4,
       top = 30)),
+    // BPE ENCODE of unseen text: rules trained on 4/5 of the corpus,
+    // applied to the held-out fifth's vocabulary (the tokenizer's encode
+    // step — the merge table meets text the trainer never saw)
+    "bpe_encode" -> ((s, d) => {
+      val dw = docsWide(s, d)
+      Bpe.encode(dw.where(col("doc_id") % 5 =!= 0),
+        dw.where(col("doc_id") % 5 === 0), k = 4, top = 30)
+    }),
     // weighted sampling without replacement (A-ES): 100 docs ∝ n_chars
     "sample_weighted" -> ((s, d) =>
       Curation.sampleWeighted(docs(s, d), col("n_chars"), k = 100)),
@@ -411,8 +419,11 @@ object PipelineQueries extends QueryProvider {
     "pack_tokens" -> ((s, d) =>
       Curation.packTokenBudget(docs(s, d), 4096)
         .orderBy("source", "doc_id")),
+    // REAL binary P6 decode: header parse + per-channel pixel moments
+    // over rendered-from-text PPM payloads (the oracle recomputes the
+    // moments independently from the same bytes)
     "mm_decode" -> ((s, d) =>
-      Multimodal.decodeMeta(s, Multimodal.asMedia(docs(s, d)))
+      Multimodal.decodePpm(s, Multimodal.renderPpm(docs(s, d)))
         .toDF().orderBy("doc_id")),
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSample(s, Multimodal.asMedia(docs(s, d)))
@@ -551,13 +562,15 @@ object PipelineQueries extends QueryProvider {
     "sample_weighted" -> Curation.sampleWeightedSql("n_chars", 100),
     "bpe_merges" -> Bpe.mergesSql(4),
     "bpe_tokens" -> Bpe.tokenizedSql(4, 30),
+    "bpe_encode" -> Bpe.encodeSql(4, 30, "doc_id % 5 <> 0",
+      "doc_id % 5 = 0"),
     "text_logprob" -> TextOps.unigramLogProbSql,
     "curate_ppl_buckets" ->
       Curation.pplBucketsSql(TextOps.unigramLogProbSql),
     "sample_by_cluster" -> Curation.sampleByClusterSql(8, Dim, 10),
     "curate_topk" -> Curation.topkByQualitySql(10),
     "pack_tokens" -> Curation.packTokenBudgetSql(4096),
-    "mm_decode" -> Multimodal.decodeMetaSql,
+    "mm_decode" -> Multimodal.decodePpmSql,
     "mm_frames" -> Multimodal.frameSampleSql,
     "mm_resize" -> Multimodal.resizeSql(64, 64),
     "mm_features" -> Multimodal.featureExtractSql(8),

@@ -135,6 +135,18 @@ object StreamQueries extends QueryProvider {
     !fresh
   }
 
+  /** Memoized parquet schema of a staged file (footer read is a per-gate
+    * driver-side cost otherwise — ~0.1 s × 60+ stream gates; the staged
+    * copy is immutable for the process lifetime, so the schema is a
+    * property of the staged artifact, i.e. provisioning).
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+  private def stagedSchema(s: SparkSession,
+                           path: String): org.apache.spark.sql.types.StructType =
+    schemaMemo.computeIfAbsent(path, p => s.read.parquet(p).schema)
+
   private def stagedDir(s: SparkSession, dir: String): String =
       synchronized { graft.core.Provisioning.timed {
     val staged = Paths.get("/tmp", "graft-stream-src-" + dirKey(dir))
@@ -244,7 +256,7 @@ object StreamQueries extends QueryProvider {
                      withName: Boolean = false): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     // same three-way ts dispatch as SeriesOps.events, truncated to ms
     // so stream slots land exactly where the batch ts_ms does
     val tsCol = sch("ts").dataType match {
@@ -276,7 +288,7 @@ object StreamQueries extends QueryProvider {
     */
   private def docStream(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDocsDir(dir)
-    val sch = s.read.parquet(s"$staged/documents.parquet").schema
+    val sch = stagedSchema(s, s"$staged/documents.parquet")
     // the staged dir is ONE file = one input split, which would run the
     // compute-heavy probe projections (2M+ md5 calls for the near-dup
     // signature) single-threaded — the stream analog of Parallel.widen's
@@ -397,7 +409,7 @@ object StreamQueries extends QueryProvider {
     */
   private def runRrf(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
@@ -439,7 +451,7 @@ object StreamQueries extends QueryProvider {
     */
   private def runRange(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id") < 5).select("vec_id", "embedding")
     drain(s, graft.streaming.SimStream.rangeAgainstLshIndex(
@@ -453,7 +465,7 @@ object StreamQueries extends QueryProvider {
     */
   private def runDimStats(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val emb = s.readStream.schema(sch).parquet(staged)
     drain(s, graft.pipeline.Similarity.dimStats(emb), "complete")
   }
@@ -482,7 +494,7 @@ object StreamQueries extends QueryProvider {
     */
   private def runProject(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val emb = s.readStream.schema(sch).parquet(staged)
     val (m, v) = pcaArtifacts(s, dir)
     drain(s, graft.pipeline.Pca.project(emb, m, v), "append")
@@ -507,7 +519,7 @@ object StreamQueries extends QueryProvider {
   private def runSimSq8(s: SparkSession, dir: String,
                         nProbe: Int = 1): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
@@ -557,7 +569,7 @@ object StreamQueries extends QueryProvider {
   private def runSimPqResidual(s: SparkSession, dir: String,
                                nProbe: Int = 1): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
@@ -598,7 +610,7 @@ object StreamQueries extends QueryProvider {
   private def runSimPqResidualTrained(s: SparkSession,
                                       dir: String): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
@@ -614,7 +626,7 @@ object StreamQueries extends QueryProvider {
   private def runSimPqResidualRerank(s: SparkSession, dir: String,
                                      nProbe: Int): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
@@ -635,7 +647,7 @@ object StreamQueries extends QueryProvider {
   private def runSimPq(s: SparkSession, dir: String,
                        nProbe: Int = 1): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
@@ -659,7 +671,7 @@ object StreamQueries extends QueryProvider {
   private def runSimPqRerank(s: SparkSession, dir: String,
                              nProbe: Int = 1): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
@@ -684,7 +696,7 @@ object StreamQueries extends QueryProvider {
     */
   private def runSimSq8Rerank(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
@@ -703,7 +715,7 @@ object StreamQueries extends QueryProvider {
   private def runSim(s: SparkSession, dir: String,
                      nProbe: Int = 1): DataFrame = {
     val staged = stagedEmbDir(dir)
-    val sch = s.read.parquet(s"$staged/embeddings.parquet").schema
+    val sch = stagedSchema(s, s"$staged/embeddings.parquet")
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id").isin(10L, 11L, 12L))
       .select("vec_id", "embedding")
@@ -741,6 +753,20 @@ object StreamQueries extends QueryProvider {
     * n-gram folds, stateless append) — oracle = the batch SQL verbatim */
   private def runRepetition(s: SparkSession, dir: String): DataFrame =
     drain(s, graft.pipeline.TextOps.repetition(docStream(s, dir)), "append")
+
+  /** BPE encode on the firehose: merge rules trained OFFLINE on 4/5 of
+    * the corpus (the frozen tokenizer artifact every serving system
+    * ships), applied row-locally to the held-out fifth as it streams —
+    * per-document token counts with zero state and zero shuffle. Oracle
+    * = the batch encoder ladder's per-word tokens summed per document.
+    */
+  private def runBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val rules = graft.pipeline.Bpe.trainedRules(
+      graft.core.Tables(s, dir, "documents")
+        .where(col("doc_id") % 5 =!= 0), 4)
+    drain(s, graft.pipeline.Bpe.encodeCounts(
+      docStream(s, dir).where(col("doc_id") % 5 === 0), rules), "append")
+  }
 
   /** PII scrubbing on the stream: the batch redaction operator over the
     * batch synthetic-PII injection, both row-local — the compliance scrub
@@ -926,7 +952,7 @@ object StreamQueries extends QueryProvider {
   private def runSessionize(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -951,7 +977,7 @@ object StreamQueries extends QueryProvider {
   private def runFunnel(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -977,7 +1003,7 @@ object StreamQueries extends QueryProvider {
   private def runFunnelWindow(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1005,7 +1031,7 @@ object StreamQueries extends QueryProvider {
   private def runActive(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1036,7 +1062,7 @@ object StreamQueries extends QueryProvider {
   private def runPivot(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsMs = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
       case org.apache.spark.sql.types.TimestampNTZType =>
@@ -1063,7 +1089,7 @@ object StreamQueries extends QueryProvider {
   private def runTransitions(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1101,7 +1127,7 @@ object StreamQueries extends QueryProvider {
   private def runRfm(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsMs = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
       case org.apache.spark.sql.types.TimestampNTZType =>
@@ -1124,7 +1150,7 @@ object StreamQueries extends QueryProvider {
   private def runAttribution(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1149,7 +1175,7 @@ object StreamQueries extends QueryProvider {
   private def runFeatures(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1174,7 +1200,7 @@ object StreamQueries extends QueryProvider {
   private def runZscore(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1205,7 +1231,7 @@ object StreamQueries extends QueryProvider {
   private def runHolt(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1228,7 +1254,7 @@ object StreamQueries extends QueryProvider {
   private def runCusum(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1255,7 +1281,7 @@ object StreamQueries extends QueryProvider {
   private def runEwma(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1282,7 +1308,7 @@ object StreamQueries extends QueryProvider {
   private def runAsof(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1311,7 +1337,7 @@ object StreamQueries extends QueryProvider {
   private def runMad(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1337,7 +1363,7 @@ object StreamQueries extends QueryProvider {
   private def runRate(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$staged/events.parquet").schema
+    val sch = stagedSchema(s, s"$staged/events.parquet")
     val tsCol = sch("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_millis(expr("ts DIV 1000000"))
@@ -1389,6 +1415,7 @@ object StreamQueries extends QueryProvider {
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_decon_fuzzy" -> ((s, d) => runDeconFuzzy(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
+    "stream_bpe_encode" -> ((s, d) => runBpeEncode(s, d)),
     "stream_source_quality" -> ((s, d) => runSourceQuality(s, d)),
     "stream_vocab" -> ((s, d) => runVocab(s, d)),
     "stream_gopher" -> ((s, d) => runGopher(s, d)),
@@ -1638,6 +1665,8 @@ object StreamQueries extends QueryProvider {
     // the batch text-quality operator runs unchanged on the stream, so
     // the batch oracle applies verbatim
     "stream_quality" -> graft.pipeline.TextOps.qualitySql,
+    "stream_bpe_encode" -> graft.pipeline.Bpe.encodeCountsSql(4,
+      "doc_id % 5 <> 0", "doc_id % 5 = 0"),
     // live scoreboard: final complete-mode board ≡ the batch per-source
     // table, same oracle verbatim
     "stream_source_quality" -> graft.pipeline.TextOps.sourceQualitySql(0.46),

@@ -402,6 +402,9 @@ object Rolling {
     * as a RECURSIVE CTE stepping each series one row_number at a time,
     * same exact-decimal ladder (ROUND-then-CAST: DuckDB's decimal ROUND
     * is HALF_UP like Spark's decimal cast; its decimal CAST truncates).
+    * The ROW_NUMBER tiebreaks on (ts_ms, value) — the batch fold's
+    * `sort_array` order — so same-timestamp points step the recurrence
+    * identically on both engines.
     * NOTE: must be spliced into a `WITH RECURSIVE` prefix.
     */
   val holtSql: String = {
@@ -410,8 +413,8 @@ object Rolling {
     val nl = s"CAST(ROUND($half * CAST(ROUND(p.value, 9) AS $d9) + " +
       s"$half * (h.level + h.trend), 9) AS $d9)"
     s"""pts AS (SELECT metric, ts_ms, value,
-       |          ROW_NUMBER() OVER (PARTITION BY metric ORDER BY ts_ms)
-       |            AS rn
+       |          ROW_NUMBER() OVER (PARTITION BY metric
+       |                             ORDER BY ts_ms, value) AS rn
        |        FROM base),
        |h AS (
        |  SELECT metric, ts_ms, value, rn,

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * among each maximal run of consecutive matching positions, merge the
   * even offsets (overlapping runs only arise for self-pairs, where
   * greedy takes every other occurrence; fuzz-verified against the
-  * reference fold over 20k cases in BpeSpec) — so the whole round stays
+  * reference fold in BpeSpec: multi-seed 2–3-letter-alphabet corpora,
+  * hundreds of distinct words replayed through 3–5 learned merges, every
+  * segmentation compared) — so the whole round stays
   * declarative: no UDF, no recursion, one window partitioning reused
   * across rounds (the word key).
   *
@@ -44,7 +46,11 @@ object Bpe {
           i => col("word").substr(i, lit(1)))))
       .select(col("word"), col("cnt"), (col("pos") + 1).as("pos"),
         col("col").as("sym"))
-      .repartition(8, col("word"))
+      // word-hash layout sized to the session (the Parallel.widen
+      // convention), not a literal: every round's window chain inherits
+      // this partitioning
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("word"))
   }
 
   /** (bestPairRow(a, b, pair_count), nextSymbolTable).
@@ -57,7 +63,6 @@ object Bpe {
     */
   private def round(t: DataFrame): (DataFrame, DataFrame) = {
     val w = Window.partitionBy("word").orderBy("pos")
-    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withNext = t.withColumn("nsym", lead(col("sym"), 1).over(w))
     val best = withNext.where(col("nsym").isNotNull)
       .groupBy(col("sym"), col("nsym"))
@@ -65,9 +70,24 @@ object Bpe {
       .orderBy(col("pair_count").desc, col("sym").asc, col("nsym").asc)
       .limit(1)
       .select(col("sym").as("a"), col("nsym").as("b"), col("pair_count"))
-    val merged = withNext.crossJoin(broadcast(best))
-      .withColumn("m", col("nsym").isNotNull &&
-        col("sym") === col("a") && col("nsym") === col("b"))
+    val merged = applySelected(
+      withNext.crossJoin(broadcast(best))
+        .withColumn("m", col("nsym").isNotNull &&
+          col("sym") === col("a") && col("nsym") === col("b")),
+      concat(col("a"), col("b")))
+    (best, merged)
+  }
+
+  /** The selection/merge half of a round over a table already carrying
+    * (word, cnt, pos, sym, nsym, m) plus the merged-symbol column:
+    * mrank, run starts, even run offsets, successor drop — single-sourced
+    * so the training round (argmax pair) and the encoder (literal trained
+    * rule) apply the IDENTICAL window rule.
+    */
+  private def applySelected(withM: DataFrame, merged: Column): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withM
       .withColumn("mrank", sum(col("m").cast("long")).over(wAll))
       .withColumn("runStart",
         col("m") && !coalesce(lag(col("m"), 1).over(w), lit(false)))
@@ -80,9 +100,22 @@ object Bpe {
       .where(!col("gone"))
       .select(col("word"), col("cnt"),
         row_number().over(w).as("pos"),
-        when(col("sel"), concat(col("a"), col("b")))
-          .otherwise(col("sym")).as("sym"))
-    (best, merged)
+        when(col("sel"), merged).otherwise(col("sym")).as("sym"))
+  }
+
+  /** One trained rule applied to a symbol table — the encoder's round:
+    * the same [[applySelected]] window rule with the pair as LITERALS,
+    * so each application references its input ONCE (the training loop's
+    * 2^k lineage blowup cannot arise) and a k-rule encode is one linear
+    * window-chain plan inside the single word-partitioned exchange.
+    */
+  private def applyRule(t: DataFrame, a: String, b: String): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    applySelected(
+      t.withColumn("nsym", lead(col("sym"), 1).over(w))
+        .withColumn("m", col("nsym").isNotNull &&
+          col("sym") === lit(a) && col("nsym") === lit(b)),
+      lit(a + b))
   }
 
   /** The first `k` merge rules: (round, left, right, merged, pair_count). */
@@ -122,11 +155,112 @@ object Bpe {
       .limit(top)
   }
 
+  /** The trained merge table as driver-local rules — MODEL STATE (k pairs
+    * of strings), the artifact a tokenizer ships. Trains with one small
+    * argmax job per round against per-round transient pins (released
+    * before returning — the rules are driver-local, so the scratch caches
+    * must not outlive the call; see Caches.release); the merge
+    * application between rounds uses the literal-rule [[applyRule]] form,
+    * which the argmax collect forces one round at a time.
+    */
+  private[graft] def trainedRules(docs: DataFrame,
+                                  k: Int): Seq[(String, String)] = {
+    val pins = Seq.newBuilder[DataFrame]
+    var t = graft.core.Caches.deferRelease(symbols(docs).persist())
+    pins += t
+    val rules = Seq.newBuilder[(String, String)]
+    for (r <- 1 to k) {
+      val w = Window.partitionBy("word").orderBy("pos")
+      val Array(row) = t.withColumn("nsym", lead(col("sym"), 1).over(w))
+        .where(col("nsym").isNotNull)
+        .groupBy(col("sym"), col("nsym"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("sym").asc, col("nsym").asc)
+        .limit(1)
+        .select(col("sym"), col("nsym")).collect()
+      val (a, b) = (row.getString(0), row.getString(1))
+      rules += ((a, b))
+      if (r < k) {
+        t = graft.core.Caches.deferRelease(applyRule(t, a, b).persist())
+        pins += t
+      }
+    }
+    pins.result().foreach(graft.core.Caches.release(_, blocking = true))
+    rules.result()
+  }
+
+  /** BPE ENCODE for unseen text — the operation a trained tokenizer
+    * exists for: the merge table learned on `train` applied, in round
+    * order, greedily left-to-right, to the vocabulary of `docs` (text the
+    * trainer never saw). Rules are collected driver-side
+    * ([[trainedRules]]) and applied as literals, so the whole encode is
+    * ONE linear window-chain plan over the single word-partitioned
+    * exchange — per-word cost k chained windows, corpus cost bounded by
+    * the DISTINCT-WORD vocabulary of the unseen text, no joins, no pins.
+    *
+    * Output: (word, cnt, n_tokens, tokens) — the `top` most frequent
+    * unseen-vocabulary words with their trained-subword segmentation.
+    */
+  def encode(train: DataFrame, docs: DataFrame, k: Int,
+             top: Int): DataFrame = {
+    require(k >= 1 && top >= 1)
+    var t = symbols(docs)
+    for ((a, b) <- trainedRules(train, k)) t = applyRule(t, a, b)
+    t.groupBy(col("word"), col("cnt"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(sort_array(collect_list(
+          struct(col("pos"), col("sym")))), x => x.getField("sym")), " ")
+          .as("tokens"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(top)
+  }
+
+  /** Row-local greedy fold of one trained rule over a symbol array — the
+    * STREAM-SAFE encode kernel: walking left to right, a top-of-output
+    * equal to `a` followed by `b` merges; a merged top (`a` + `b`) can
+    * never re-match as `a` within the same rule's pass (that would need
+    * `a + b == a`), so the fold is exactly the reference greedy
+    * left-to-right application (BpeSpec's refMerge; the same semantics
+    * the [[applySelected]] window rule is fuzz-pinned to).
+    */
+  private def foldRule(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Per-DOCUMENT token counts under a trained merge table, fully
+    * row-local (split to words, per-word char symbols, k chained
+    * [[foldRule]] passes, count) — the stream twin's kernel: zero state,
+    * zero shuffle, append-safe. Documents with no words are dropped (the
+    * oracle's word explode produces no rows for them).
+    *
+    * Output: (doc_id, n_words, n_tokens).
+    */
+  def encodeCounts(docs: DataFrame,
+                   rules: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(trim(col("text")), " "), x => x =!= "")
+    val chars = (w: Column) => filter(split(w, ""), x => x =!= "")
+    val toks = (w: Column) =>
+      rules.foldLeft(chars(w))((s, r) => foldRule(s, r._1, r._2))
+    docs
+      .select(col("doc_id"), words.as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        // generator barrier (the Dsir.score lesson): the per-word fold
+        // chain must evaluate once per row, outside any join/filter
+        // condition a later consumer might push it into
+        explode(array(aggregate(transform(col("ws"), w => size(toks(w))),
+          lit(0), (acc, n) => acc + n))).as("n_tokens"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        col("n_tokens").cast("long").as("n_tokens"))
+  }
+
   // ----------------------------------------------------------- oracle
 
   private def roundSql(i: Int, prev: String): String = {
     val w = "OVER (PARTITION BY word ORDER BY pos)"
-    val wa = "OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING)"
     s"""pr$i AS (SELECT word, cnt, pos, sym,
        |         lead(sym) $w AS nsym
        |       FROM $prev),
@@ -135,38 +269,69 @@ object Bpe {
        |       FROM pr$i WHERE nsym IS NOT NULL
        |       GROUP BY 1, 2
        |       ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1),
-       |mk$i AS (SELECT p.*, b.a, b.b,
-       |         (p.nsym IS NOT NULL AND p.sym = b.a AND p.nsym = b.b)
-       |           AS m
-       |       FROM pr$i p CROSS JOIN bt$i b),
-       |r1$i AS (SELECT *,
-       |         SUM(CASE WHEN m THEN 1 ELSE 0 END) $wa AS mrank,
-       |         (m AND NOT COALESCE(lag(m) $w, FALSE)) AS run_start
-       |       FROM mk$i),
-       |r2$i AS (SELECT *,
-       |         MAX(CASE WHEN run_start THEN mrank END) $wa AS start_rank
-       |       FROM r1$i),
-       |r3$i AS (SELECT *,
-       |         (m AND (mrank - start_rank) % 2 = 0) AS sel
-       |       FROM r2$i),
-       |r4$i AS (SELECT *, COALESCE(lag(sel) $w, FALSE) AS gone
-       |       FROM r3$i),
-       |t$i AS (SELECT word, cnt, ROW_NUMBER() $w AS pos,
-       |         CASE WHEN sel THEN a || b ELSE sym END AS sym
-       |       FROM r4$i WHERE NOT gone)""".stripMargin
+       |${mergeAppSql("", i, s"bt$i")}""".stripMargin
   }
 
-  private def baseSql: String =
-    s"""ws AS (SELECT list_filter(string_split(trim(text), ' '),
+  /** One encoder round over the prefixed ladder: pair rows from
+    * `$prev`, then the merge application against the TRAINED rule CTE
+    * `$bt` (no argmax of its own — the rule comes from the train ladder).
+    */
+  private def encodeRoundSql(p: String, i: Int, prev: String,
+                             bt: String): String = {
+    val w = "OVER (PARTITION BY word ORDER BY pos)"
+    s"""${p}pr$i AS (SELECT word, cnt, pos, sym,
+       |         lead(sym) $w AS nsym
+       |       FROM $prev),
+       |${mergeAppSql(p, i, bt)}""".stripMargin
+  }
+
+  /** The merge-application chain (`${p}mk$i` … `${p}t$i`) reading pair
+    * rows `${p}pr$i` and the one-row rule CTE `$bt` — the SQL mirror of
+    * [[applySelected]], single-sourced for the training and encoder
+    * ladders.
+    */
+  private def mergeAppSql(p: String, i: Int, bt: String): String = {
+    val w = "OVER (PARTITION BY word ORDER BY pos)"
+    val wa = "OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING)"
+    s"""${p}mk$i AS (SELECT q.*, b.a, b.b,
+       |         (q.nsym IS NOT NULL AND q.sym = b.a AND q.nsym = b.b)
+       |           AS m
+       |       FROM ${p}pr$i q CROSS JOIN $bt b),
+       |${p}r1$i AS (SELECT *,
+       |         SUM(CASE WHEN m THEN 1 ELSE 0 END) $wa AS mrank,
+       |         (m AND NOT COALESCE(lag(m) $w, FALSE)) AS run_start
+       |       FROM ${p}mk$i),
+       |${p}r2$i AS (SELECT *,
+       |         MAX(CASE WHEN run_start THEN mrank END) $wa AS start_rank
+       |       FROM ${p}r1$i),
+       |${p}r3$i AS (SELECT *,
+       |         (m AND (mrank - start_rank) % 2 = 0) AS sel
+       |       FROM ${p}r2$i),
+       |${p}r4$i AS (SELECT *, COALESCE(lag(sel) $w, FALSE) AS gone
+       |       FROM ${p}r3$i),
+       |${p}t$i AS (SELECT word, cnt, ROW_NUMBER() $w AS pos,
+       |         CASE WHEN sel THEN a || b ELSE sym END AS sym
+       |       FROM ${p}r4$i WHERE NOT gone)""".stripMargin
+  }
+
+  private def baseSql: String = baseSqlFrom("", "TRUE")
+
+  /** The symbol-table base ladder (`${p}ws`/`${p}wd`/`${p}t0`) over a
+    * filtered slice of `documents` — prefix-parameterized so the trained
+    * ladder and the encoder's unseen-vocabulary ladder coexist in one
+    * WITH.
+    */
+  private def baseSqlFrom(p: String, where: String): String =
+    s"""${p}ws AS (SELECT list_filter(string_split(trim(text), ' '),
        |              x -> x <> '') AS w
-       |       FROM documents),
-       |wd AS (SELECT s AS word, COUNT(*) AS cnt
-       |       FROM ws, unnest(w) AS t(s) GROUP BY 1),
+       |       FROM documents WHERE $where),
+       |${p}wd AS (SELECT s AS word, COUNT(*) AS cnt
+       |       FROM ${p}ws, unnest(w) AS t(s) GROUP BY 1),
        |-- scalar range() (a LIST) + unnest: the table-function form
        |-- cannot take lateral column bounds
-       |t0 AS (SELECT word, cnt, CAST(r.i AS BIGINT) AS pos,
+       |${p}t0 AS (SELECT word, cnt, CAST(r.i AS BIGINT) AS pos,
        |         substr(word, CAST(r.i AS INTEGER), 1) AS sym
-       |       FROM wd, unnest(range(1, length(word) + 1)) AS r(i))"""
+       |       FROM ${p}wd, unnest(range(1, length(word) + 1)) AS r(i))"""
       .stripMargin
 
   /** DuckDB mirror of [[merges]] over `documents`. */
@@ -193,4 +358,48 @@ object Bpe {
        |FROM t$k GROUP BY 1, 2
        |ORDER BY cnt DESC, word ASC LIMIT $top""".stripMargin
   }
+
+  /** The combined ladder every encoder oracle opens with: merges learned
+    * on the TRAIN slice (plain-named CTEs, `bt1..btk`), then the unseen
+    * slice's symbol table stepped through those SAME rules (e-prefixed
+    * CTEs, final table `et$k`).
+    */
+  private def encodeLadderSql(k: Int, trainWhere: String,
+                              encodeWhere: String): String = {
+    val trainRounds = (1 to k).map(i =>
+      roundSql(i, if (i == 1) "t0" else s"t${i - 1}")).mkString(",\n")
+    val encRounds = (1 to k).map(i =>
+      encodeRoundSql("e", i, if (i == 1) "et0" else s"et${i - 1}",
+        s"bt$i")).mkString(",\n")
+    s"""${baseSqlFrom("", trainWhere)},
+       |$trainRounds,
+       |${baseSqlFrom("e", encodeWhere)},
+       |$encRounds""".stripMargin
+  }
+
+  /** DuckDB mirror of [[encode]]. */
+  def encodeSql(k: Int, top: Int, trainWhere: String,
+                encodeWhere: String): String =
+    s"""WITH ${encodeLadderSql(k, trainWhere, encodeWhere)}
+       |SELECT word, cnt, COUNT(*) AS n_tokens,
+       |       string_agg(sym, ' ' ORDER BY pos) AS tokens
+       |FROM et$k GROUP BY 1, 2
+       |ORDER BY cnt DESC, word ASC LIMIT $top""".stripMargin
+
+  /** DuckDB mirror of [[encodeCounts]]: per-word token counts from the
+    * encoder ladder's final table, summed back over each unseen
+    * document's word list.
+    */
+  def encodeCountsSql(k: Int, trainWhere: String,
+                      encodeWhere: String): String =
+    s"""WITH ${encodeLadderSql(k, trainWhere, encodeWhere)},
+       |ent AS (SELECT word, COUNT(*) AS n_tokens FROM et$k GROUP BY 1),
+       |edc AS (SELECT doc_id,
+       |          list_filter(string_split(trim(text), ' '),
+       |            x -> x <> '') AS w
+       |        FROM documents WHERE $encodeWhere)
+       |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+       |       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+       |FROM edc d, unnest(d.w) AS u(s) JOIN ent t ON t.word = u.s
+       |GROUP BY 1, 2""".stripMargin
 }

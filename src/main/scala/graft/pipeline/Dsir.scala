@@ -149,7 +149,15 @@ object Dsir {
     *                  `lang = 'en'`)
     */
   def selectSql(dim: Int, targetSql: String, k: Int): String =
-    s"""WITH ws AS (SELECT doc_id, ($targetSql) AS is_t,
+    s"""WITH ${ladderSql(dim, targetSql)}
+       |SELECT doc_id, logw, key FROM ky
+       |ORDER BY key DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** The shared CTE ladder (through `ky`, the Gumbel-keyed weights) both
+    * oracle readouts compose — never string surgery on a finished query.
+    */
+  private def ladderSql(dim: Int, targetSql: String): String =
+    s"""ws AS (SELECT doc_id, ($targetSql) AS is_t,
        |              list_filter(string_split(trim(text), ' '),
        |                          x -> x <> '') AS w
        |            FROM documents),
@@ -190,19 +198,15 @@ object Dsir {
        |           (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
        |                 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
        |             / 4294967296.0)), 9), 9) AS key
-       |       FROM lw)
-       |SELECT doc_id, logw, key FROM ky
-       |ORDER BY key DESC, doc_id ASC LIMIT $k""".stripMargin
+       |       FROM lw)""".stripMargin
 
   /** Threshold-admission mirror (the ONLINE posture: an arriving doc is
     * admitted when its Gumbel-perturbed importance key clears `tau` —
     * a fixed bar needing no global state, where top-k would). Same
-    * ladder as [[selectSql]] up to the key.
+    * [[ladderSql]] as [[selectSql]], different readout.
     */
-  def admitSql(dim: Int, targetSql: String, tau: Double): String = {
-    val base = selectSql(dim, targetSql, 1)
-    base.substring(0, base.indexOf("SELECT doc_id, logw, key FROM ky")) +
-      s"""SELECT doc_id, logw, key FROM ky
-         |WHERE key > $tau ORDER BY doc_id""".stripMargin
-  }
+  def admitSql(dim: Int, targetSql: String, tau: Double): String =
+    s"""WITH ${ladderSql(dim, targetSql)}
+       |SELECT doc_id, logw, key FROM ky
+       |WHERE key > $tau ORDER BY doc_id""".stripMargin
 }

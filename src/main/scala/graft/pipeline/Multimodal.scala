@@ -7,41 +7,22 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decode/feature-extract as partition-batched
   * functions.
   *
-  * The real decode step is STUBBED — this container has no image/audio
-  * codecs — behind [[StubDecoder]], a deterministic fake that derives
-  * "header" metadata from the payload bytes. Everything around it is the
-  * real Spark shape: a typed `Dataset` boundary, `mapPartitions` batching
-  * (one decoder instance per partition, streaming iterator — the exact
-  * shape a JNI/FFmpeg binding needs), and a `binary` payload column that
-  * Parquet stores untouched. Swapping `StubDecoder.decode` for a real
-  * codec changes no plan shape.
+  * The decode stage is a REAL binary P6 PPM decoder ([[PpmDecoder]]):
+  * magic check, whitespace/comment-tolerant header parse, raster-length
+  * validation, per-channel pixel moments — genuine byte-level work in the
+  * `mapPartitions` boundary a JNI/FFmpeg binding would occupy. What this
+  * container cannot provide is real IMAGE DATA, so [[renderPpm]]
+  * synthesizes valid P6 files from document bytes (header + the leading
+  * w·h·3 text bytes as the raster) — a deterministic fixture the DuckDB
+  * oracle reproduces byte-for-byte, which lets the gate check the
+  * decoder's moments against an independent recomputation from the same
+  * bytes. The frame-sample / resize / feature stages remain byte-level
+  * digests/histograms over the raw payload (real work, format-agnostic).
   */
 object Multimodal {
 
   /** raw media row: opaque payload + source id */
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
-
-  /** decoded metadata: what a header parse would yield */
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
-                             height: Int, format: String)
-
-  /** STUB — stands in for an image decoder. Deterministic pure function of
-    * the payload so the oracle can mirror it; a real implementation would
-    * parse magic bytes/headers here (and is the only thing to replace).
-    */
-  object StubDecoder {
-    def decode(r: MediaRow): MediaMeta = {
-      val n = r.payload.length.toLong
-      MediaMeta(
-        doc_id = r.doc_id,
-        n_bytes = n,
-        width = (n % 640).toInt + 16,
-        height = ((n * 7) % 480).toInt + 16,
-        format = (r.doc_id % 3) match {
-          case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
-        })
-    }
-  }
 
   /** documents → media frame with a real `binary` payload column (UTF-8
     * bytes of the text stand in for image bytes).
@@ -49,17 +30,120 @@ object Multimodal {
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  /** The decode stage: partition-batched typed map. One decoder per
-    * partition, iterator-streamed — constant memory per task regardless of
-    * partition size.
+  /** Valid binary P6 PPM images rendered from document bytes — the media
+    * fixture: `P6\n<w> <h>\n255\n` + the leading w·h·3 text bytes as the
+    * RGB raster, with w = h = min(16, ⌊√(n div 3)⌋) so the raster always
+    * fits the text (documents are ASCII: byte length = char length).
+    * Pure Column arithmetic, so the oracle rebuilds the same bytes; docs
+    * too short for one pixel (n < 3) are dropped.
     */
-  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+  def renderPpm(docs: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val wh = least(lit(16),
+      floor(sqrt((n.cast("long") / lit(3L)).cast("double"))).cast("int"))
+    docs.where(n >= 3)
+      .select(col("doc_id"),
+        encode(concat(lit("P6\n"), wh.cast("string"), lit(" "),
+          wh.cast("string"), lit("\n255\n"),
+          col("text").substr(lit(1), wh * wh * lit(3))), "UTF-8")
+          .as("payload"))
+  }
+
+  /** decoded P6 metadata + per-channel pixel moments */
+  final case class PpmMeta(doc_id: Long, width: Int, height: Int,
+                           maxval: Int, mean_r: Double, mean_g: Double,
+                           mean_b: Double)
+
+  /** A real (minimal) binary-PPM decoder: magic, whitespace/comment
+    * handling per the netpbm spec, decimal header fields, single
+    * separator byte, exact raster-length check. Throws on malformed
+    * input — a decode stage that silently invents metadata hides
+    * corruption at 100 TB.
+    */
+  object PpmDecoder {
+    def decode(r: MediaRow): PpmMeta = {
+      val b = r.payload
+      var i = 0
+      def isWs(c: Byte) =
+        c == ' ' || c == '\n' || c == '\t' || c == '\r'
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < b.length) {
+          if (isWs(b(i))) i += 1
+          else if (b(i) == '#') {
+            while (i < b.length && b(i) != '\n') i += 1
+          } else go = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        require(i < b.length && b(i) >= '0' && b(i) <= '9',
+          s"PPM: digit expected at byte $i")
+        var v = 0
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          v = v * 10 + (b(i) - '0'); i += 1
+        }
+        v
+      }
+      require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+        "PPM: bad magic")
+      i = 2
+      val w = int(); val h = int(); val mv = int()
+      require(w > 0 && h > 0 && mv > 0 && mv < 65536,
+        s"PPM: bad header $w x $h maxval $mv")
+      require(i < b.length && isWs(b(i)), "PPM: raster separator expected")
+      i += 1
+      require(b.length - i == w * h * 3,
+        s"PPM: raster ${b.length - i} bytes, expected ${w * h * 3}")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = i
+      while (p < b.length) {
+        sr += java.lang.Byte.toUnsignedInt(b(p))
+        sg += java.lang.Byte.toUnsignedInt(b(p + 1))
+        sb += java.lang.Byte.toUnsignedInt(b(p + 2))
+        p += 3
+      }
+      val npx = (w * h).toDouble
+      PpmMeta(r.doc_id, w, h, mv, sr / npx, sg / npx, sb / npx)
+    }
+  }
+
+  /** The decode stage: partition-batched typed map over the binary
+    * payloads — one decoder per partition, iterator-streamed, constant
+    * memory per task regardless of partition size.
+    */
+  def decodePpm(spark: SparkSession, media: DataFrame): Dataset[PpmMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       // real codecs would init native resources here, once per partition
-      rows.map(StubDecoder.decode)
+      rows.map(PpmDecoder.decode)
     }
   }
+
+  /** DuckDB mirror of [[renderPpm]] ∘ [[decodePpm]]: the moments
+    * recomputed INDEPENDENTLY from the same bytes (per-channel integer
+    * sums over the leading w·h·3 char codes — never through the
+    * decoder), so the gate cross-checks the byte-level parse.
+    */
+  val decodePpmSql: String =
+    """WITH m AS (SELECT doc_id, text,
+      |             LEAST(16, CAST(floor(sqrt(CAST(length(text) // 3
+      |               AS DOUBLE))) AS INTEGER)) AS wh
+      |           FROM documents WHERE length(text) >= 3),
+      |px AS (SELECT doc_id, wh,
+      |         CAST(t.i AS INTEGER) % 3 AS ch,
+      |         ascii(substr(text, CAST(t.i AS INTEGER) + 1, 1)) AS v
+      |       FROM m, unnest(range(0, wh * wh * 3)) AS t(i))
+      |SELECT doc_id,
+      |       CAST(wh AS INTEGER) AS width, CAST(wh AS INTEGER) AS height,
+      |       255 AS maxval,
+      |       CAST(SUM(CASE WHEN ch = 0 THEN v END) AS DOUBLE) / (wh * wh)
+      |         AS mean_r,
+      |       CAST(SUM(CASE WHEN ch = 1 THEN v END) AS DOUBLE) / (wh * wh)
+      |         AS mean_g,
+      |       CAST(SUM(CASE WHEN ch = 2 THEN v END) AS DOUBLE) / (wh * wh)
+      |         AS mean_b
+      |FROM px GROUP BY doc_id, wh ORDER BY doc_id""".stripMargin
 
   /** sampled "frame": chunk index + content digest */
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
@@ -190,15 +274,4 @@ object Multimodal {
        |                           $MaxFrames))) AS t(i)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
-  /** DuckDB mirror of the stub decode (documents are ASCII so byte length
-    * equals char length).
-    */
-  val decodeMetaSql: String =
-    """SELECT doc_id,
-      |       CAST(length(text) AS BIGINT) AS n_bytes,
-      |       CAST(length(text) % 640 + 16 AS INTEGER) AS width,
-      |       CAST((length(text) * 7) % 480 + 16 AS INTEGER) AS height,
-      |       CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-      |            ELSE 'webp' END AS format
-      |FROM documents ORDER BY doc_id""".stripMargin
 }

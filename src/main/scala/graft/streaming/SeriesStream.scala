@@ -238,20 +238,29 @@ object SeriesStream {
   /** emitted Holt point */
   final case class Ho(metric: String, ts_ms: Long, value: Double,
                       level: Double, trend: Double)
-  /** Holt keyed state: frontier + the two smoother values as exact
-    * scale-9 decimal PLAIN STRINGS (the CUSUM state convention) — the
-    * recurrence is exact-decimal like the batch fold, so cross-batch
-    * carry loses nothing and there is no double-space tie to resolve.
+  /** Holt keyed state: (ts, value) pair frontier + the two smoother
+    * values as exact scale-9 decimal PLAIN STRINGS (the CUSUM state
+    * convention) — the recurrence is exact-decimal like the batch fold,
+    * so cross-batch carry loses nothing and there is no double-space tie
+    * to resolve.
     */
-  final case class HoSt(frontierMs: Long, level: String, trend: String)
+  final case class HoSt(frontierMs: Long, frontierVal: Double,
+                        level: String, trend: String)
 
   /** Streaming Holt double-exponential smoothing — the online form of
     * [[graft.ops.Rolling.holt]] and its SCALE PATH: the batch fold
     * materializes each series in-row, while this carries O(1) state
-    * (frontier + level + trend) per series. Same frontier/ordering
-    * contract as [[zscore]]; the per-step arithmetic is the batch
-    * fold's exact-decimal ladder (half-sums exact at scale 10, HALF_UP
-    * back to scale 9), so in-order replays are bit-for-bit ≡ batch.
+    * (frontier + level + trend) per series. The frontier is the
+    * (ts_ms, value) PAIR (the transitions/lagFeatures convention): the
+    * batch fold and the oracle both step same-timestamp points in
+    * (ts, value) order, and a ts-only frontier would silently drop the
+    * tie's later half. Residual precondition: an exact duplicate
+    * (metric, ts, value) point IS deduped online (idempotent-delivery
+    * semantics) while the batch fold steps it twice — inputs must be
+    * distinct triples for bit-parity. The per-step arithmetic is the
+    * batch fold's exact-decimal ladder (half-sums exact at scale 10,
+    * HALF_UP back to scale 9), so in-order replays are bit-for-bit ≡
+    * batch.
     */
   def holt(spark: SparkSession, events: Dataset[Ev]): Dataset[Ho] = {
     import spark.implicits._
@@ -264,14 +273,17 @@ object SeriesStream {
       .flatMapGroupsWithState[HoSt, Ho](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (metric: String, rows: Iterator[Ev], state: GroupState[HoSt]) =>
-          val st = state.getOption.getOrElse(HoSt(Long.MinValue, "", ""))
+          val st = state.getOption.getOrElse(
+            HoSt(Long.MinValue, Double.NegativeInfinity, "", ""))
           var frontier = st.frontierMs
+          var frontierVal = st.frontierVal
           var seeded = st.level.nonEmpty
           var level = if (seeded) new JBD(st.level) else JBD.ZERO
           var trend = if (seeded) new JBD(st.trend) else JBD.ZERO
           val out = Vector.newBuilder[Ho]
           for ((t, v) <- rows.map(e => (e.ts.getTime, e.value)).toSeq
-                 .sortBy(_._1) if t > frontier) {
+                 .sorted
+               if t > frontier || (t == frontier && v > frontierVal)) {
             if (!seeded) {
               level = d9(v); trend = JBD.ZERO.setScale(9); seeded = true
             } else {
@@ -285,9 +297,10 @@ object SeriesStream {
             }
             out += Ho(metric, t, v, level.doubleValue, trend.doubleValue)
             frontier = t
+            frontierVal = v
           }
           if (seeded)
-            state.update(HoSt(frontier, level.toPlainString,
+            state.update(HoSt(frontier, frontierVal, level.toPlainString,
               trend.toPlainString))
           out.result().iterator
       }

@@ -61,23 +61,64 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("merge application equals the reference fold over fuzzed words") {
-    val rnd = new scala.util.Random(7)
-    val words = (0 until 60).map(_ =>
-      (0 until (1 + rnd.nextInt(8))).map(_ =>
-        if (rnd.nextBoolean()) "a" else "b").mkString).distinct
-    val d = docs(words.mkString(" "))
-    // learn 3 merges on the fuzz corpus, then replay them with the
-    // reference fold and compare segmentations
-    val ms = Bpe.merges(d, 3).collect()
+    // multi-seed, multi-alphabet, multi-depth: every distinct fuzz word's
+    // engine segmentation replayed against the reference greedy fold
+    for ((seed, alpha, depth) <- Seq((7, "ab", 3), (11, "ab", 5),
+        (13, "abc", 3), (17, "abc", 4), (23, "ab", 4))) {
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until 300).map(_ =>
+        (0 until (1 + rnd.nextInt(10))).map(_ =>
+          alpha(rnd.nextInt(alpha.length)).toString).mkString).distinct
+      val d = docs(words.mkString(" "))
+      val ms = Bpe.merges(d, depth).collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      val tok = Bpe.tokenized(d, depth, 10000).collect()
+        .map(r => r.getString(0) -> r.getString(3)).toMap
+      words.foreach { w =>
+        var syms = w.split("").toList
+        ms.foreach { case (a, b) => syms = refMerge(syms, a, b) }
+        assert(tok(w) == syms.mkString(" "),
+          s"seed=$seed depth=$depth word $w: engine '${tok(w)}' vs " +
+            s"reference '${syms.mkString(" ")}'")
+      }
+    }
+  }
+
+  test("encode applies TRAINED rules to unseen text: window chain ≡ " +
+    "reference fold replay, and training sees only the train slice") {
+    val train = docs("aa aa ab ba", "aab aab bb")
+    val unseen = docs("aaba abab bbbb", "aaaa xyab")
+    val ms = Bpe.merges(train, 3).collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val tok = Bpe.tokenized(d, 3, 1000).collect()
+    val enc = Bpe.encode(train, unseen, 3, 100).collect()
       .map(r => r.getString(0) -> r.getString(3)).toMap
-    words.foreach { w =>
+    val unseenWords = Seq("aaba", "abab", "bbbb", "aaaa", "xyab")
+    assert(enc.keySet == unseenWords.toSet)
+    unseenWords.foreach { w =>
       var syms = w.split("").toList
       ms.foreach { case (a, b) => syms = refMerge(syms, a, b) }
-      assert(tok(w) == syms.mkString(" "),
-        s"word $w: engine '${tok(w)}' vs reference '${syms.mkString(" ")}'")
+      assert(enc(w) == syms.mkString(" "),
+        s"word $w: engine '${enc(w)}' vs reference '${syms.mkString(" ")}'")
     }
+  }
+
+  test("encodeCounts (the stream kernel's row-local fold) matches the " +
+    "window-chain segmentation lengths per document") {
+    val train = docs("aa aa ab ba aab bb")
+    val unseen = docs("aaba abab", "bbbb aaaa aaba", "   ")
+    val rules = Bpe.trainedRules(train, 3)
+    val got = Bpe.encodeCounts(unseen, rules).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val ms = rules
+    def nTok(w: String): Long = {
+      var syms = w.split("").toList
+      ms.foreach { case (a, b) => syms = refMerge(syms, a, b) }
+      syms.length.toLong
+    }
+    // doc 2 is whitespace-only → dropped
+    assert(got.toSeq == Seq(
+      (0L, 2L, nTok("aaba") + nTok("abab")),
+      (1L, 3L, nTok("bbbb") + nTok("aaaa") + nTok("aaba"))))
   }
 
   test("deterministic tie-break on (lhs, rhs) ordering") {

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The binary P6 decoder must parse well-formed files (including
+  * comment/whitespace header variants a renderer never emits — that is
+  * what makes it a decoder, not an unformatter), compute exact channel
+  * moments, and REJECT malformed bytes rather than invent metadata.
+  */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ppm(header: String, raster: Array[Byte]): Array[Byte] =
+    header.getBytes("UTF-8") ++ raster
+
+  test("decodes a 2x1 P6 and computes exact channel means") {
+    val raster = Array[Byte](10, 20, 30, 50, 60, 70)
+    val m = Multimodal.PpmDecoder.decode(
+      Multimodal.MediaRow(7L, ppm("P6\n2 1\n255\n", raster)))
+    assert(m == Multimodal.PpmMeta(7L, 2, 1, 255, 30.0, 40.0, 50.0))
+  }
+
+  test("tolerates comments and mixed whitespace in the header") {
+    val raster = Array[Byte](-1, 0, 127) // unsigned 255, 0, 127
+    val m = Multimodal.PpmDecoder.decode(Multimodal.MediaRow(1L,
+      ppm("P6 # a comment\n # another\n\t1\r\n1 # w h\n255\n", raster)))
+    assert(m == Multimodal.PpmMeta(1L, 1, 1, 255, 255.0, 0.0, 127.0))
+  }
+
+  test("rejects malformed bytes instead of inventing metadata") {
+    def bad(bytes: Array[Byte]): Unit =
+      intercept[IllegalArgumentException] {
+        Multimodal.PpmDecoder.decode(Multimodal.MediaRow(0L, bytes))
+      }
+    bad("P5\n1 1\n255\n...".getBytes("UTF-8")) // wrong magic
+    bad("P6\n1 1\n255\n".getBytes("UTF-8") ++
+      Array[Byte](1, 2)) // short raster
+    bad("P6\n1 1\n255\n".getBytes("UTF-8") ++
+      Array[Byte](1, 2, 3, 4)) // long raster
+    bad("P6\n0 1\n255\n".getBytes("UTF-8")) // zero width
+    bad("P6\n1 x\n255\n...".getBytes("UTF-8")) // non-digit height
+  }
+
+  test("renderPpm emits valid P6 files the decoder round-trips") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (1L, "ab"), // < 3 chars: dropped
+      (2L, "x" * 2000))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodePpm(s, Multimodal.renderPpm(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out.keySet == Set(0L, 2L))
+    // n=36 -> wh = floor(sqrt(12)) = 3, raster = first 27 bytes
+    assert(out(0L).width == 3 && out(0L).height == 3)
+    val exp = "abcdefghijklmnopqrstuvwxyz0".take(27)
+      .zipWithIndex
+    def mean(ch: Int) = {
+      val vs = exp.filter(_._2 % 3 == ch).map(_._1.toInt)
+      vs.sum.toDouble / 9.0
+    }
+    assert(out(0L).mean_r == mean(0) && out(0L).mean_g == mean(1) &&
+      out(0L).mean_b == mean(2))
+    // n=2000 -> wh capped at 16, raster 768 'x' bytes
+    assert(out(2L).width == 16 && out(2L).mean_r == 'x'.toInt.toDouble)
+  }
+}
