@@ -170,6 +170,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!sn.contains("Join"), sn.take(3000))
   }
 
+  test("bpe encode: literal trained rules make one linear window chain " +
+    "over a single word exchange, no joins") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((0L, "aa ab aa ba"), (1L, "ab bb aa")).toDF("doc_id", "text")
+    val unseen = Seq((2L, "aab bba abab")).toDF("doc_id", "text")
+    val plan = planOf(pipeline.Bpe.encode(train, unseen, 2, 10))
+    // rules are literals: no broadcast of a best-pair frame, no join at all
+    assert(!plan.contains("Join"), plan.take(3000))
+    // ONE exchange — the symbol table's word repartition; every rule's
+    // window chain and the final per-word aggregation reuse it (word ⊆
+    // every later clustering key), and the top-k is TakeOrdered
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(3000))
+    graft.core.Caches.releaseTransient(s)
+  }
+
   test("rollup/pivot expand in one pass; q17 reuses the aggregate join") {
     // ROLLUP compiles to Expand — every grouping level from ONE input
     // pass, not a union of per-level rescans
