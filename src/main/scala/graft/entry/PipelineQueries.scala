@@ -68,6 +68,10 @@ object PipelineQueries extends QueryProvider {
     "dedup_stats" -> ((s, d) =>
       Dedup.clusterStats(Dedup.canonicalize(minhashPairs(s, d, 0.5)))
         .orderBy("cluster_size")),
+    // exact substring-SPAN dedup (Lee et al. 2022): maximal repeated
+    // 8-token spans per doc — the boilerplate whole-doc hashing misses
+    "dedup_spans" -> ((s, d) =>
+      Dedup.substringSpans(docsWide(s, d), 8).orderBy("doc_id")),
     "sim_topk_brute" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteTopK(e, e.where(col("vec_id") < 5), k = 10)
@@ -477,6 +481,7 @@ object PipelineQueries extends QueryProvider {
     "dedup_embed" -> Dedup.embedNearDupSql(6, Dim, 0.3),
     "dedup_canonical" -> Dedup.canonicalizeSql(Dedup.minhashPairsSql(0.5)),
     "dedup_stats" -> Dedup.clusterStatsSql(Dedup.minhashPairsSql(0.5)),
+    "dedup_spans" -> Dedup.substringSpansSql(8),
     "decon_fuzzy" -> Curation.decontaminateFuzzySql(0.5, 5),
     "sim_topk_brute" -> Similarity.bruteTopKSql(Dim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),

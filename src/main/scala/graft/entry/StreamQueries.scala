@@ -357,6 +357,19 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append")
   }
 
+  /** Streaming substring-span probe: arriving documents' 8-token window
+    * hashes checked against the corpus duplicated-gram artifact
+    * (batch-refreshed, like the near-dup band index) — duplicated window
+    * starts emit the moment the document lands. Stateless stream-static
+    * equi-join, append mode; oracle = the batch hit set.
+    */
+  private def runSpans(s: SparkSession, dir: String): DataFrame = {
+    val dup = graft.pipeline.Dedup.dupGrams(
+      graft.core.Tables(s, dir, "documents"), 8)
+    drain(s, DocStream.spanHitsAgainstGrams(docStream(s, dir), dup, 8),
+      "append")
+  }
+
   /** Streaming FUZZY decontamination: the train split of the replay
     * probed against the eval split's band index — each arriving train
     * document is flagged the moment it near-duplicates an eval doc
@@ -1421,6 +1434,7 @@ object StreamQueries extends QueryProvider {
       runDql(s, d, MultiConfDql, "append", withName = true)),
     "stream_dedup" -> ((s, d) => runDedup(s, d)),
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
+    "stream_spans" -> ((s, d) => runSpans(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_decon_fuzzy" -> ((s, d) => runDeconFuzzy(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
@@ -1767,5 +1781,6 @@ object StreamQueries extends QueryProvider {
          |  FROM (${graft.pipeline.Dedup.minhashPairsSql(0.5)})
          |  UNION ALL
          |  SELECT doc_b AS doc_id, doc_a AS match_id, jaccard
-         |  FROM (${graft.pipeline.Dedup.minhashPairsSql(0.5)}))""".stripMargin)
+         |  FROM (${graft.pipeline.Dedup.minhashPairsSql(0.5)}))""".stripMargin,
+    "stream_spans" -> graft.pipeline.Dedup.spanHitsSql(8))
 }

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * with vocabulary size, not corpus size, exactly like the reference
   * implementations. Each round is: one lead() window for pair rows, a
   * partial-aggregated pair count (map-side combined to |pairs| rows),
-  * a 1-row argmax broadcast back, and the merge application.
+  * a 1-row argmax COLLECT (the rule is model state — the plan-identity
+  * idiom the Lloyd/PCA trainers follow), and the merge application with
+  * the rule as literals.
   *
   * Merge application is the subtle part: BPE applies a merge GREEDILY
   * LEFT-TO-RIGHT over non-overlapping occurrences ('aaaa' + (a,a) →
@@ -53,36 +55,13 @@ object Bpe {
         col("word"))
   }
 
-  /** (bestPairRow(a, b, pair_count), nextSymbolTable).
-    *
-    * The merge application is ONE window chain over the existing word
-    * partitioning — no self-join, no per-round selection broadcast:
-    * mrank (running match count), run starts (a match not preceded by
-    * one), the carried run-start mrank, and even run offsets select;
-    * the successor of a selected position drops via lag.
-    */
-  private def round(t: DataFrame): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy("word").orderBy("pos")
-    val withNext = t.withColumn("nsym", lead(col("sym"), 1).over(w))
-    val best = withNext.where(col("nsym").isNotNull)
-      .groupBy(col("sym"), col("nsym"))
-      .agg(sum(col("cnt")).as("pair_count"))
-      .orderBy(col("pair_count").desc, col("sym").asc, col("nsym").asc)
-      .limit(1)
-      .select(col("sym").as("a"), col("nsym").as("b"), col("pair_count"))
-    val merged = applySelected(
-      withNext.crossJoin(broadcast(best))
-        .withColumn("m", col("nsym").isNotNull &&
-          col("sym") === col("a") && col("nsym") === col("b")),
-      concat(col("a"), col("b")))
-    (best, merged)
-  }
-
-  /** The selection/merge half of a round over a table already carrying
+  /** The selection/merge window chain over a table already carrying
     * (word, cnt, pos, sym, nsym, m) plus the merged-symbol column:
-    * mrank, run starts, even run offsets, successor drop — single-sourced
-    * so the training round (argmax pair) and the encoder (literal trained
-    * rule) apply the IDENTICAL window rule.
+    * mrank (running match count), run starts (a match not preceded by
+    * one), the carried run-start mrank, even run offsets select, and the
+    * successor of a selected position drops via lag — ONE chain over the
+    * existing word partitioning, no self-join. Single-sourced so every
+    * rule application (training and encoding) is the IDENTICAL rule.
     */
   private def applySelected(withM: DataFrame, merged: Column): DataFrame = {
     val w = Window.partitionBy("word").orderBy("pos")
@@ -118,57 +97,45 @@ object Bpe {
       lit(a + b))
   }
 
-  /** The first `k` merge rules: (round, left, right, merged, pair_count). */
+  /** The first `k` merge rules: (round, left, right, merged, pair_count)
+    * — [[trainedRulesCounted]]'s driver-local model state as a frame.
+    */
   def merges(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // each round's symbol table is a TRANSIENT pin: round r's argmax and
-    // merge both re-read round r-1's table, and the unpinned lineage
-    // re-executes every prior round per reuse (2^k blowup — measured
-    // 71 s at sf0.001 for k=4 vs ~3 s pinned)
-    var t = graft.core.Caches.deferRelease(symbols(docs).persist())
-    var out: DataFrame = null
-    for (r <- 1 to k) {
-      val (best, next) = round(t)
-      val row = best.select(lit(r).as("round"), col("a").as("lhs"),
-        col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
-        col("pair_count"))
-      out = if (out == null) row else out.union(row)
-      t = graft.core.Caches.deferRelease(next.persist())
-    }
-    out.orderBy("round")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainedRulesCounted(docs, k).zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1, a, b, a + b, c) }
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("round")
   }
 
   /** Vocabulary after `k` merge rounds: the `top` most frequent words
     * with their subword segmentation — (word, cnt, n_tokens, tokens).
+    * Training corpus and encoded corpus coincide, so this IS
+    * [[encode]] applied to its own training set.
     */
-  def tokenized(docs: DataFrame, k: Int, top: Int): DataFrame = {
-    require(k >= 1 && top >= 1)
-    var t = graft.core.Caches.deferRelease(symbols(docs).persist())
-    for (_ <- 1 to k)
-      t = graft.core.Caches.deferRelease(round(t)._2.persist())
-    t.groupBy(col("word"), col("cnt"))
-      .agg(count(lit(1)).as("n_tokens"),
-        array_join(transform(sort_array(collect_list(
-          struct(col("pos"), col("sym")))), x => x.getField("sym")), " ")
-          .as("tokens"))
-      .orderBy(col("cnt").desc, col("word").asc)
-      .limit(top)
-  }
+  def tokenized(docs: DataFrame, k: Int, top: Int): DataFrame =
+    encode(docs, docs, k, top)
 
-  /** The trained merge table as driver-local rules — MODEL STATE (k pairs
-    * of strings), the artifact a tokenizer ships. Trains with one small
-    * argmax job per round against per-round transient pins (released
-    * before returning — the rules are driver-local, so the scratch caches
-    * must not outlive the call; see Caches.release); the merge
-    * application between rounds uses the literal-rule [[applyRule]] form,
-    * which the argmax collect forces one round at a time.
+  /** The trained merge table as driver-local rules + their pair counts —
+    * MODEL STATE (k (string, string, long) triples), the artifact a
+    * tokenizer ships. One small argmax job per round against per-round
+    * transient pins (released before returning — the rules are
+    * driver-local, so the scratch caches must not outlive the call; see
+    * Caches.release); the merge application between rounds is the
+    * literal-rule [[applyRule]] form, which the next round's argmax
+    * collect forces one round at a time. This materialized loop REPLACES
+    * the r12 lazy foldLeft-with-pins form entirely: a literal rule
+    * references its input once, so the 2^k lineage blowup that form
+    * pinned against (71 s unpinned at k=4, sf0.001) cannot arise at all.
     */
-  private[graft] def trainedRules(docs: DataFrame,
-                                  k: Int): Seq[(String, String)] = {
+  private def trainedRulesCounted(docs: DataFrame,
+                                  k: Int): Seq[(String, String, Long)] = {
     val pins = Seq.newBuilder[DataFrame]
     var t = graft.core.Caches.deferRelease(symbols(docs).persist())
     pins += t
-    val rules = Seq.newBuilder[(String, String)]
+    val rules = Seq.newBuilder[(String, String, Long)]
     for (r <- 1 to k) {
       val w = Window.partitionBy("word").orderBy("pos")
       val Array(row) = t.withColumn("nsym", lead(col("sym"), 1).over(w))
@@ -177,9 +144,9 @@ object Bpe {
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("sym").asc, col("nsym").asc)
         .limit(1)
-        .select(col("sym"), col("nsym")).collect()
+        .select(col("sym"), col("nsym"), col("pair_count")).collect()
       val (a, b) = (row.getString(0), row.getString(1))
-      rules += ((a, b))
+      rules += ((a, b, row.getLong(2)))
       if (r < k) {
         t = graft.core.Caches.deferRelease(applyRule(t, a, b).persist())
         pins += t
@@ -188,6 +155,11 @@ object Bpe {
     pins.result().foreach(graft.core.Caches.release(_, blocking = true))
     rules.result()
   }
+
+  /** [[trainedRulesCounted]] without the counts — what the encoder needs */
+  private[graft] def trainedRules(docs: DataFrame,
+                                  k: Int): Seq[(String, String)] =
+    trainedRulesCounted(docs, k).map { case (a, b, _) => (a, b) }
 
   /** BPE ENCODE for unseen text — the operation a trained tokenizer
     * exists for: the merge table learned on `train` applied, in round

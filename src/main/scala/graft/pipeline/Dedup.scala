@@ -650,6 +650,117 @@ object Dedup {
           x => x.getField("seg")), " ").as("clean_text"))
   }
 
+  // ── exact substring-SPAN dedup (the Lee et al. 2022 method) ─────────
+
+  /** RAW per-document n-token WINDOW hashes with their start positions —
+    * the working table of exact substring-span dedup (Lee, Ippolito et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"). The published method builds a corpus suffix array; the
+    * distributed equivalent is hash-windowing: any repeated span of
+    * ≥ n tokens necessarily contains a repeated n-token window, so the
+    * windows are a complete candidate generator for spans at that
+    * granularity. Row-local over the word array (no window functions,
+    * no self-join): one explode of (len − n + 1) rows per document.
+    */
+  private[graft] def gramOccurrences(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    withWords(docs)
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(w) - $n), " +
+          s"i -> md5(array_join(slice(w, i + 1, $n), ' ')))"))
+          .as(Seq("pos", "gh")))
+  }
+
+  /** Window hashes occurring more than once CORPUS-WIDE (self-repeats
+    * included — a document repeating its own phrase is duplication too).
+    * This is the operator's only corpus-scale shuffle: an exact count by
+    * hash with map-side partial aggregation; the result — the artifact a
+    * production pipeline materializes — is a vanishing fraction of the
+    * occurrence table.
+    */
+  def dupGrams(docs: DataFrame, n: Int): DataFrame =
+    gramOccurrences(docs, n)
+      .groupBy("gh").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("gh")
+
+  /** Duplicated window-start positions per document — the probe side:
+    * occurrences equi-joined against [[dupGrams]] on the hash. Shared by
+    * the batch span assembly and the streaming twin so the hit
+    * definition cannot drift.
+    */
+  private[graft] def spanHits(occ: DataFrame, dup: DataFrame): DataFrame =
+    occ.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
+
+  /** Exact substring-span dedup summary: per document, MAXIMAL duplicated
+    * spans — duplicated window starts within n tokens of each other merge
+    * (their token ranges overlap or touch), each span covering tokens
+    * [min start, max start + n − 1]. Output (doc_id, n_spans,
+    * dup_tokens) for documents carrying at least one duplicated span —
+    * the mask a pipeline uses to cut repeated boilerplate out of
+    * otherwise-unique documents (whole-doc hashing cannot see it,
+    * MinHash only scores global similarity).
+    *
+    * Scale shape: two corpus scans (occurrences are cheaper to recompute
+    * than to pin — the table is larger than the corpus; what production
+    * materializes is the small [[dupGrams]] artifact), the hash-count
+    * shuffle, one equi-join, and ONE doc-keyed window pass for the
+    * island merge. Never a suffix array in memory, never all-pairs.
+    */
+  def substringSpans(docs: DataFrame, n: Int): DataFrame = {
+    val hits = spanHits(gramOccurrences(docs, n), dupGrams(docs, n))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(win)
+    hits
+      .withColumn("ns",
+        when(prev.isNull || col("pos") - prev > n, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(n - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+  }
+
+  /** shared CTE ladder: occurrences `g`, duplicated hashes `d`, hits `h` */
+  private def spanLadderSql(n: Int): String =
+    s"""ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+       |            FROM documents),
+       |g AS (SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+       |        md5(array_to_string(
+       |          w[CAST(t.i + 1 AS INTEGER):CAST(t.i + $n AS INTEGER)],
+       |          ' ')) AS gh
+       |      FROM ws,
+       |           unnest(range(0, GREATEST(len(w) - $n + 1, 0))) AS t(i)),
+       |d AS (SELECT gh FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+       |h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh))""".stripMargin
+
+  /** DuckDB mirror of [[substringSpans]]. */
+  def substringSpansSql(n: Int): String =
+    s"""WITH ${spanLadderSql(n)},
+       |i1 AS (SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER w IS NULL
+       |                OR pos - lag(pos) OVER w > $n THEN 1 ELSE 0 END
+       |           AS ns
+       |       FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |i2 AS (SELECT doc_id, pos, SUM(ns) OVER
+       |         (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+       |           AS sid
+       |       FROM i1),
+       |sp AS (SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + $n - 1 AS e
+       |       FROM i2 GROUP BY 1, 2)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+       |FROM sp GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of the streaming twin's hit stream (the `h` CTE). */
+  def spanHitsSql(n: Int): String =
+    s"""WITH ${spanLadderSql(n)}
+       |SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM h
+       |ORDER BY doc_id, pos""".stripMargin
+
   def segmentDedupSql(segLen: Int): String =
     s"""WITH ws AS (SELECT doc_id, string_split(trim(text), ' ') AS w
        |            FROM documents),

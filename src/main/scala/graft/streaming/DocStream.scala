@@ -317,6 +317,24 @@ object DocStream {
     nearDupCandidates(docs.withWatermark("ts", watermark), index, threshold)
       .dropDuplicatesWithinWatermark("doc_id", "match_id")
 
+  /** Streaming exact substring-span probe — the online face of
+    * [[graft.pipeline.Dedup.substringSpans]]: each arriving document's
+    * n-token window hashes checked against the corpus duplicated-gram
+    * artifact ([[graft.pipeline.Dedup.dupGrams]], batch-refreshed like
+    * the near-dup band index), emitting the duplicated window starts
+    * (doc_id, pos) the moment the document lands. The stream side is a
+    * stateless row-local explode (the shared
+    * [[graft.pipeline.Dedup.gramOccurrences]] derivation — hit
+    * definition single-sourced with batch); the probe is one
+    * stream-static equi-join on the hash. Zero stateful operators,
+    * append mode.
+    */
+  def spanHitsAgainstGrams(docs: DataFrame, dup: DataFrame,
+                           n: Int): DataFrame =
+    graft.pipeline.Dedup.spanHits(
+      graft.pipeline.Dedup.gramOccurrences(docs, n), dup)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+
   /** the stateless core of [[nearDupAgainstIndex]]: row-local banded
     * signature + index probe + exact-Jaccard verify, WITHOUT the pair
     * dedup (a pair colliding in several bands repeats). Runs on batch

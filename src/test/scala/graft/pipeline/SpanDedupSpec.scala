@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Exact substring-span dedup: duplicated n-gram windows must merge into
+  * MAXIMAL spans (overlap-or-touch rule), self-repeats count, and spans
+  * separated by more than n tokens stay separate.
+  */
+class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def spans(texts: (Long, String)*): Map[Long, (Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Dedup.substringSpans(texts.toDF("doc_id", "text"), 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("cross-document repeats merge overlapping windows into one span") {
+    val out = spans(
+      (0L, "a b c d e f"),      // abc + bcd duplicated -> one span [0,3]
+      (1L, "x a b c y z"),      // abc at pos 1 -> span [1,3]
+      (2L, "a b c d q1 q2"),    // abc + bcd -> one span [0,3]
+      (3L, "b c d w1 w2 w3"))   // bcd at pos 0 -> span [0,2]
+    assert(out == Map(
+      0L -> ((1L, 4L)), 1L -> ((1L, 3L)),
+      2L -> ((1L, 4L)), 3L -> ((1L, 3L))))
+  }
+
+  test("a document repeating its own phrase is duplication (self-repeat)") {
+    // every 3-gram of the cycle repeats -> one maximal span covering all
+    val out = spans((7L, "m n o m n o m n o"))
+    assert(out == Map(7L -> ((1L, 9L))))
+  }
+
+  test("spans separated by more than n tokens stay separate") {
+    val out = spans(
+      (0L, "a b c z1 z2 z3 z4 z5 a b c"), // abc at 0 and 8: gap 8 > 3
+      (1L, "a b c"))                      // makes abc corpus-duplicated
+    assert(out(0L) == ((2L, 6L)))
+    assert(out(1L) == ((1L, 3L)))
+  }
+
+  test("unique documents emit no rows; short docs are skipped") {
+    val out = spans(
+      (0L, "all tokens unique here nothing repeats at all"),
+      (1L, "x y")) // shorter than one window
+    assert(out.isEmpty)
+  }
+}
