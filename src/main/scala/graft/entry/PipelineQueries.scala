@@ -72,6 +72,9 @@ object PipelineQueries extends QueryProvider {
     // 8-token spans per doc — the boilerplate whole-doc hashing misses
     "dedup_spans" -> ((s, d) =>
       Dedup.substringSpans(docsWide(s, d), 8).orderBy("doc_id")),
+    // the scrub: duplicated-span tokens cut, corpus rewritten in place
+    "dedup_scrub" -> ((s, d) =>
+      Dedup.substringScrub(docsWide(s, d), 8).orderBy("doc_id")),
     "sim_topk_brute" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteTopK(e, e.where(col("vec_id") < 5), k = 10)
@@ -482,6 +485,7 @@ object PipelineQueries extends QueryProvider {
     "dedup_canonical" -> Dedup.canonicalizeSql(Dedup.minhashPairsSql(0.5)),
     "dedup_stats" -> Dedup.clusterStatsSql(Dedup.minhashPairsSql(0.5)),
     "dedup_spans" -> Dedup.substringSpansSql(8),
+    "dedup_scrub" -> Dedup.substringScrubSql(8),
     "decon_fuzzy" -> Curation.decontaminateFuzzySql(0.5, 5),
     "sim_topk_brute" -> Similarity.bruteTopKSql(Dim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),

@@ -707,7 +707,18 @@ object Dedup {
     * shuffle, one equi-join, and ONE doc-keyed window pass for the
     * island merge. Never a suffix array in memory, never all-pairs.
     */
-  def substringSpans(docs: DataFrame, n: Int): DataFrame = {
+  def substringSpans(docs: DataFrame, n: Int): DataFrame =
+    spanTable(docs, n)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+
+  /** Maximal duplicated spans (doc_id, sid, s, e) — the island merge over
+    * the hit positions, shared by the summary and the scrub. Spans of one
+    * document never overlap (separate islands are > n apart by
+    * construction).
+    */
+  private def spanTable(docs: DataFrame, n: Int): DataFrame = {
     val hits = spanHits(gramOccurrences(docs, n), dupGrams(docs, n))
     val win = Window.partitionBy("doc_id").orderBy("pos")
     val prev = lag(col("pos"), 1).over(win)
@@ -719,9 +730,34 @@ object Dedup {
       .groupBy(col("doc_id"), col("sid"))
       .agg(min(col("pos")).as("s"),
         (max(col("pos")) + lit(n - 1)).as("e"))
+  }
+
+  /** The scrub — the Lee et al. pipeline's OUTPUT step: tokens covered by
+    * any duplicated span are dropped, the rest rejoin in original order.
+    * Every document passes through (no-span docs with n_dropped 0), so
+    * this composes as a corpus rewrite stage.
+    *
+    * Output: (doc_id, n_tokens, n_dropped, clean_text).
+    *
+    * Plan: the span table regrouped to a per-doc span LIST (bounded by
+    * document length), one equi-join back to the corpus, and a row-local
+    * indexed array filter — no explode of the corpus tokens, no second
+    * window pass.
+    */
+  def substringScrub(docs: DataFrame, n: Int): DataFrame = {
+    val perDoc = spanTable(docs, n)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    withWords(docs).join(perDoc, Seq("doc_id"), "left")
+      .withColumn("sp",
+        coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(col("w"), (x, i) =>
+        !exists(col("sp"), p =>
+          p.getField("s") <= i && i <= p.getField("e"))))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_dropped"),
+        array_join(col("kept"), " ").as("clean_text"))
   }
 
   /** shared CTE ladder: occurrences `g`, duplicated hashes `d`, hits `h` */
@@ -737,9 +773,9 @@ object Dedup {
        |d AS (SELECT gh FROM g GROUP BY 1 HAVING COUNT(*) > 1),
        |h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh))""".stripMargin
 
-  /** DuckDB mirror of [[substringSpans]]. */
-  def substringSpansSql(n: Int): String =
-    s"""WITH ${spanLadderSql(n)},
+  /** island-merge CTEs (`i1`, `i2`, `sp`) on top of [[spanLadderSql]] */
+  private def spanTableSql(n: Int): String =
+    s"""${spanLadderSql(n)},
        |i1 AS (SELECT doc_id, pos,
        |         CASE WHEN lag(pos) OVER w IS NULL
        |                OR pos - lag(pos) OVER w > $n THEN 1 ELSE 0 END
@@ -750,10 +786,31 @@ object Dedup {
        |           AS sid
        |       FROM i1),
        |sp AS (SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + $n - 1 AS e
-       |       FROM i2 GROUP BY 1, 2)
+       |       FROM i2 GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB mirror of [[substringSpans]]. */
+  def substringSpansSql(n: Int): String =
+    s"""WITH ${spanTableSql(n)}
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
        |       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
        |FROM sp GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[substringScrub]]. */
+  def substringScrubSql(n: Int): String =
+    s"""WITH ${spanTableSql(n)},
+       |wp AS (SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+       |         w[CAST(t.i + 1 AS INTEGER)] AS tok
+       |       FROM ws, unnest(range(0, len(w))) AS t(i)),
+       |kept AS (SELECT wp.doc_id, wp.pos, wp.tok FROM wp
+       |         WHERE NOT EXISTS (SELECT 1 FROM sp
+       |           WHERE sp.doc_id = wp.doc_id
+       |             AND wp.pos BETWEEN sp.s AND sp.e))
+       |SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_tokens,
+       |       CAST(len(ws.w) - COUNT(k.tok) AS BIGINT) AS n_dropped,
+       |       COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '')
+       |         AS clean_text
+       |FROM ws LEFT JOIN kept k USING (doc_id)
+       |GROUP BY ws.doc_id, len(ws.w) ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of the streaming twin's hit stream (the `h` CTE). */
   def spanHitsSql(n: Int): String =

@@ -58,4 +58,34 @@ class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "x y")) // shorter than one window
     assert(out.isEmpty)
   }
+
+  test("scrub cuts exactly the span tokens and passes clean docs through") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"),     // span [0,3] -> keep "e f"
+      (1L, "x a b c y z"),     // span [1,3] -> keep "x y z"
+      (2L, "a b c d q1 q2"),   // span [0,3] -> keep "q1 q2"
+      (3L, "b c d w1 w2 w3"),  // span [0,2] -> keep "w1 w2 w3"
+      (4L, "u1 u2 u3 u4"))     // no spans -> untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      0L -> ((6L, 4L, "e f")),
+      1L -> ((6L, 3L, "x y z")),
+      2L -> ((6L, 4L, "q1 q2")),
+      3L -> ((6L, 3L, "w1 w2 w3")),
+      4L -> ((4L, 0L, "u1 u2 u3 u4"))))
+  }
+
+  test("a fully duplicated document scrubs to empty text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "p q r"), (1L, "p q r")).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(0L -> ((3L, "")), 1L -> ((3L, ""))))
+  }
 }
