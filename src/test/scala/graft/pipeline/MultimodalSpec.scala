@@ -52,6 +52,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     bad("P6\n1 x\n255\n...".getBytes("UTF-8")) // non-digit height
   }
 
+  test("fuzzed valid P6 files round-trip: exact dims and channel sums") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val w = 1 + rnd.nextInt(9); val h = 1 + rnd.nextInt(9)
+      val raster = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      // vary header whitespace/comment shape per case
+      val hdr = rnd.nextInt(3) match {
+        case 0 => s"P6\n$w $h\n255\n"
+        case 1 => s"P6 $w\t$h 255\n"
+        case _ => s"P6\n# c\n$w\n$h\n255 "
+      }
+      val m = Multimodal.PpmDecoder.decode(
+        Multimodal.MediaRow(0L, ppm(hdr, raster)))
+      assert(m.width == w && m.height == h && m.maxval == 255)
+      def mean(ch: Int) = raster.zipWithIndex
+        .collect { case (b, i) if i % 3 == ch =>
+          java.lang.Byte.toUnsignedInt(b) }
+        .sum.toDouble / (w * h)
+      assert(m.mean_r == mean(0) && m.mean_g == mean(1) &&
+        m.mean_b == mean(2))
+    }
+  }
+
   test("renderPpm emits valid P6 files the decoder round-trips") {
     val s = spark
     import s.implicits._

@@ -88,4 +88,46 @@ class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
     assert(out == Map(0L -> ((3L, "")), 1L -> ((3L, ""))))
   }
+
+  /** brute reference: every duplicated n-gram start, islands merged in
+    * plain Scala — the engine's hash-window + window-chain plan must
+    * reproduce it on fuzzed corpora
+    */
+  private def refSpans(texts: Seq[(Long, String)],
+                       n: Int): Map[Long, (Long, Long)] = {
+    val words = texts.map { case (id, t) => id -> t.trim.split(" ").toSeq }
+    val counts = words.flatMap { case (_, w) =>
+      if (w.length < n) Nil else w.sliding(n).map(_.mkString(" ")).toSeq }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    words.flatMap { case (id, w) =>
+      val hits = if (w.length < n) Nil
+        else w.sliding(n).zipWithIndex
+          .collect { case (g, i) if counts(g.mkString(" ")) > 1 => i }
+          .toList
+      if (hits.isEmpty) Nil
+      else {
+        // island merge: starts within n of each other share a span
+        val spans = hits.tail.foldLeft(List((hits.head, hits.head))) {
+          case ((s0, e0) :: rest, p) =>
+            if (p - e0 <= n) (s0, p) :: rest else (p, p) :: (s0, e0) :: rest
+          case (Nil, p) => List((p, p))
+        }
+        val covered = spans.map { case (s0, e0) => e0 + n - 1 - s0 + 1 }
+        Seq(id -> ((spans.size.toLong, covered.sum.toLong)))
+      }
+    }.toMap
+  }
+
+  test("fuzzed corpora match the brute-force reference") {
+    for (seed <- Seq(3, 9, 21)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = ('a' to 'f').map(_.toString)
+      val texts = (0L until 40L).map { id =>
+        id -> (0 until (3 + rnd.nextInt(20)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val got = spans(texts: _*)
+      assert(got == refSpans(texts, 3), s"seed=$seed")
+    }
+  }
 }
