@@ -187,6 +187,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.Caches.releaseTransient(s)
   }
 
+  test("substring-span dedup: no cartesian, partial-aggregated hash " +
+    "count, scrub never explodes the corpus tokens") {
+    val docs = core.Tables(spark, dir, "documents")
+    val spans = planOf(pipeline.Dedup.substringSpans(docs, 8))
+    assert(!spans.contains("CartesianProduct"), spans.take(3000))
+    // the count-by-hash must combine map-side (partial + final pair)
+    assert("HashAggregate".r.findAllIn(spans).size >= 2, spans.take(3000))
+    val scrub = planOf(pipeline.Dedup.substringScrub(docs, 8))
+    assert(!scrub.contains("CartesianProduct"), scrub.take(3000))
+    // Generates = the gram posexplodes only (occurrence table is derived
+    // twice by design); the token filter is a row-local array op, so the
+    // corpus token explosion the oracle needs (wp) must NOT appear here
+    assert("Generate".r.findAllIn(scrub).size <= 3, scrub.take(3000))
+  }
+
   test("rollup/pivot expand in one pass; q17 reuses the aggregate join") {
     // ROLLUP compiles to Expand — every grouping level from ONE input
     // pass, not a union of per-level rescans
