@@ -78,6 +78,33 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val diag = new BenchDiag(spark)
 
+    // Box-state gate (r13 lesson: the committed headline was captured at
+    // start loadavg 5.8 and the +22 s round-over-round "regression" was
+    // pure environment). Before ANY work — warmup included, since the
+    // point is to measure EXTERNAL load — wait, bounded, for the 1-min
+    // loadavg to fall under a threshold; record the pre-settle reading,
+    // the wait spent, and whether the box actually settled in the `env`
+    // block, so the artifact says on its face whether totals are
+    // round-over-round comparable or must be read against the probes.
+    val settleThresholdX100 = 300L // loadavg 3.0 on a 32-cpu box
+    val settleMaxMs = 180000L
+    val loadPreSettle = diag.loadAvgX100
+    var settleWaitMs = 0L
+    while (diag.loadAvgX100 > settleThresholdX100 &&
+           settleWaitMs < settleMaxMs) {
+      System.err.println(
+        s"[bench] box loaded (loadavg_x100=${diag.loadAvgX100} > " +
+          s"$settleThresholdX100) — settling, waited ${settleWaitMs / 1000}s")
+      Thread.sleep(10000)
+      settleWaitMs += 10000
+    }
+    val settled = if (diag.loadAvgX100 <= settleThresholdX100) 1L else 0L
+    if (settled == 0L)
+      System.err.println(
+        s"[bench] box did NOT settle within ${settleMaxMs / 1000}s " +
+          s"(loadavg_x100=${diag.loadAvgX100}) — artifact annotated; read " +
+          "totals against the calibration probes")
+
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -289,6 +316,7 @@ object Bench {
           graft.core.Caches.releaseTransient(spark, blocking = true)
           pinSanctioned(s"$name(run3)")
           val m3 = diag.mark()
+          val p3 = graft.core.Provisioning.snapshotNs
           val t2 = System.nanoTime()
           val run3 =
             try { runOnce(name); (System.nanoTime() - t2) / 1e9 }
@@ -300,7 +328,13 @@ object Bench {
           val probeSec = probes.lastOption
             .collect { case (at, s, _) if at == s"outlier:$name" => s }
             .getOrElse(-1.0)
-          outliers += ((name, trigger, med, probeSec, run3, diag.measure(m3)))
+          // provision_ms rides along exactly as in the m1/m2 windows, so a
+          // run3 dominated by harness provisioning (stream gates) is
+          // distinguishable in the artifact like the other two runs
+          outliers += ((name, trigger, med, probeSec, run3,
+            diag.measure(m3) :+
+              ("provision_ms" ->
+                (graft.core.Provisioning.snapshotNs - p3) / 1000000L)))
         }
       }
       sibs += tot1
@@ -337,6 +371,9 @@ object Bench {
       val envJson = obj(Seq(
         "cpus" -> cpus.toLong,
         "heap_max" -> rt.maxMemory,
+        "loadavg_presettle_x100" -> loadPreSettle,
+        "settle_wait_ms" -> settleWaitMs,
+        "settled" -> settled,
         "loadavg_start_x100" -> loadStart,
         "loadavg_end_x100" -> diag.loadAvgX100))
       s"""{"detail":$entries,"diag":$diagJson,"probes":$probesJson,""" +

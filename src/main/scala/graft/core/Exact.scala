@@ -44,6 +44,31 @@ object Exact {
   def wstart(tsMs: Column, w: Long): Column =
     (tsMs - pmod(tsMs, lit(w))).cast("long")
 
+  /** Driver-side mirror of `round(col, 9)` on a DoubleType column: Spark's
+    * Round lowers to `BigDecimal(d).setScale(scale, HALF_UP).toDouble`
+    * (Scala `BigDecimal(d)` = `valueOf` = the Double.toString shortest
+    * decimal), with NaN/Inf passed through. Bit-identical to the codegen'd
+    * expression, so a collected value re-rounded here equals the value the
+    * distributed plan would have produced.
+    */
+  def round9(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Driver-side mirror of [[dsum]] over already-collected doubles: each
+    * term goes through the same double→DECIMAL(28,10) conversion Spark's
+    * Cast performs (valueOf + setScale(10, HALF_UP)), the fold is exact,
+    * and the final doubleValue matches Decimal→double lowering.
+    */
+  def dsumDriver(xs: Iterable[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    xs.foreach { x =>
+      acc = acc.add(java.math.BigDecimal.valueOf(x)
+        .setScale(S, java.math.RoundingMode.HALF_UP))
+    }
+    acc.doubleValue
+  }
+
   /** SQL (DuckDB) counterparts — keep in lockstep with the Column forms.
     * The decimal→double hop goes through VARCHAR: DuckDB's direct
     * decimal→double cast is not correctly rounded (int128 → double → /1e10

@@ -75,6 +75,10 @@ object PipelineQueries extends QueryProvider {
     // the scrub: duplicated-span tokens cut, corpus rewritten in place
     "dedup_scrub" -> ((s, d) =>
       Dedup.substringScrub(docsWide(s, d), 8).orderBy("doc_id")),
+    // Lee et al. keep-one semantics: the corpus-first occurrence of each
+    // repeated span survives, only the other copies are cut
+    "dedup_scrub_keepfirst" -> ((s, d) =>
+      Dedup.substringScrubKeepFirst(docsWide(s, d), 8).orderBy("doc_id")),
     "sim_topk_brute" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteTopK(e, e.where(col("vec_id") < 5), k = 10)
@@ -486,6 +490,7 @@ object PipelineQueries extends QueryProvider {
     "dedup_stats" -> Dedup.clusterStatsSql(Dedup.minhashPairsSql(0.5)),
     "dedup_spans" -> Dedup.substringSpansSql(8),
     "dedup_scrub" -> Dedup.substringScrubSql(8),
+    "dedup_scrub_keepfirst" -> Dedup.substringScrubKeepFirstSql(8),
     "decon_fuzzy" -> Curation.decontaminateFuzzySql(0.5, 5),
     "sim_topk_brute" -> Similarity.bruteTopKSql(Dim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),

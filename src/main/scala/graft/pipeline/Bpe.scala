@@ -136,20 +136,31 @@ object Bpe {
     var t = graft.core.Caches.deferRelease(symbols(docs).persist())
     pins += t
     val rules = Seq.newBuilder[(String, String, Long)]
-    for (r <- 1 to k) {
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
       val w = Window.partitionBy("word").orderBy("pos")
-      val Array(row) = t.withColumn("nsym", lead(col("sym"), 1).over(w))
+      val top = t.withColumn("nsym", lead(col("sym"), 1).over(w))
         .where(col("nsym").isNotNull)
         .groupBy(col("sym"), col("nsym"))
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("sym").asc, col("nsym").asc)
         .limit(1)
         .select(col("sym"), col("nsym"), col("pair_count")).collect()
-      val (a, b) = (row.getString(0), row.getString(1))
-      rules += ((a, b, row.getLong(2)))
-      if (r < k) {
-        t = graft.core.Caches.deferRelease(applyRule(t, a, b).persist())
-        pins += t
+      if (top.isEmpty) {
+        // degenerate corpus: every word is down to one symbol (or k
+        // exceeds the learnable merges) — the merge table is just shorter
+        // than requested, which every caller already handles
+        exhausted = true
+      } else {
+        val row = top(0)
+        val (a, b) = (row.getString(0), row.getString(1))
+        rules += ((a, b, row.getLong(2)))
+        if (r < k) {
+          t = graft.core.Caches.deferRelease(applyRule(t, a, b).persist())
+          pins += t
+        }
+        r += 1
       }
     }
     pins.result().foreach(graft.core.Caches.release(_, blocking = true))

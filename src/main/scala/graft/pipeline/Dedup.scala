@@ -718,8 +718,15 @@ object Dedup {
     * document never overlap (separate islands are > n apart by
     * construction).
     */
-  private def spanTable(docs: DataFrame, n: Int): DataFrame = {
-    val hits = spanHits(gramOccurrences(docs, n), dupGrams(docs, n))
+  private def spanTable(docs: DataFrame, n: Int): DataFrame =
+    islands(spanHits(gramOccurrences(docs, n), dupGrams(docs, n)), n)
+
+  /** The island merge over a (doc_id, pos) hit set: starts within n of
+    * each other merge, spans cover [min start, max start + n − 1]. One
+    * doc-keyed window pass — shared by the keep-zero and keep-first span
+    * tables so the merge semantics cannot drift.
+    */
+  private def islands(hits: DataFrame, n: Int): DataFrame = {
     val win = Window.partitionBy("doc_id").orderBy("pos")
     val prev = lag(col("pos"), 1).over(win)
     hits
@@ -737,6 +744,15 @@ object Dedup {
     * Every document passes through (no-span docs with n_dropped 0), so
     * this composes as a corpus rewrite stage.
     *
+    * SEMANTIC NOTE — keep-ZERO-copies: a corpus-wide count > 1 marks ALL
+    * occurrences of a duplicated span, so a phrase appearing twice
+    * anywhere vanishes from the corpus entirely. This deviates from Lee
+    * et al. 2022, which keeps one canonical occurrence; it is the
+    * aggressive boilerplate-removal posture (repeated content is noise,
+    * drop it everywhere). Pipelines that want the paper's semantics use
+    * [[substringScrubKeepFirst]], which exempts the corpus-first
+    * occurrence of each duplicated window.
+    *
     * Output: (doc_id, n_tokens, n_dropped, clean_text).
     *
     * Plan: the span table regrouped to a per-doc span LIST (bounded by
@@ -744,8 +760,37 @@ object Dedup {
     * indexed array filter — no explode of the corpus tokens, no second
     * window pass.
     */
-  def substringScrub(docs: DataFrame, n: Int): DataFrame = {
-    val perDoc = spanTable(docs, n)
+  def substringScrub(docs: DataFrame, n: Int): DataFrame =
+    scrubBySpans(docs, spanTable(docs, n))
+
+  /** [[substringScrub]] with Lee et al. 2022's keep-one semantics: for
+    * each duplicated window hash, the corpus-FIRST occurrence (min
+    * (doc_id, pos) — a deterministic canonical choice) is exempted from
+    * the hit set before the island merge, so one copy of every repeated
+    * phrase survives the rewrite and only the other copies are cut.
+    *
+    * Scale shape: identical to the keep-zero path plus one window pass
+    * over the HIT table (partitioned by gram hash — bounded by the
+    * duplicated-occurrence set, a vanishing fraction of the corpus at
+    * real duplication rates, and never the corpus itself).
+    */
+  def substringScrubKeepFirst(docs: DataFrame, n: Int): DataFrame = {
+    val hits = gramOccurrences(docs, n)
+      .join(dupGrams(docs, n), Seq("gh"))
+    val byGram = Window.partitionBy("gh")
+      .orderBy(col("doc_id"), col("pos"))
+    val nonCanonical = hits
+      .withColumn("rn", row_number().over(byGram))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    scrubBySpans(docs, islands(nonCanonical, n))
+  }
+
+  /** the shared rewrite step: per-doc span list, one equi-join, row-local
+    * indexed array filter
+    */
+  private def scrubBySpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans
       .groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
     withWords(docs).join(perDoc, Seq("doc_id"), "left")
@@ -771,22 +816,37 @@ object Dedup {
        |      FROM ws,
        |           unnest(range(0, GREATEST(len(w) - $n + 1, 0))) AS t(i)),
        |d AS (SELECT gh FROM g GROUP BY 1 HAVING COUNT(*) > 1),
-       |h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh))""".stripMargin
+       |h AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN d USING (gh))""".stripMargin
 
-  /** island-merge CTEs (`i1`, `i2`, `sp`) on top of [[spanLadderSql]] */
-  private def spanTableSql(n: Int): String =
-    s"""${spanLadderSql(n)},
-       |i1 AS (SELECT doc_id, pos,
+  /** island-merge CTEs (`i1`, `i2`, `sp`) over the hits CTE named `hits` */
+  private def islandSql(n: Int, hits: String): String =
+    s"""i1 AS (SELECT doc_id, pos,
        |         CASE WHEN lag(pos) OVER w IS NULL
        |                OR pos - lag(pos) OVER w > $n THEN 1 ELSE 0 END
        |           AS ns
-       |       FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |       FROM $hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
        |i2 AS (SELECT doc_id, pos, SUM(ns) OVER
        |         (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
        |           AS sid
        |       FROM i1),
        |sp AS (SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + $n - 1 AS e
        |       FROM i2 GROUP BY 1, 2)""".stripMargin
+
+  private def spanTableSql(n: Int): String =
+    s"""${spanLadderSql(n)},
+       |${islandSql(n, "h")}""".stripMargin
+
+  /** keep-first span table: hits narrowed to NON-canonical occurrences —
+    * the corpus-first (min (doc_id, pos)) occurrence of each duplicated
+    * hash is exempt before the island merge
+    */
+  private def spanTableKeepFirstSql(n: Int): String =
+    s"""${spanLadderSql(n)},
+       |hr AS (SELECT doc_id, pos, row_number() OVER
+       |         (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+       |       FROM h),
+       |h2 AS (SELECT doc_id, pos FROM hr WHERE rn > 1),
+       |${islandSql(n, "h2")}""".stripMargin
 
   /** DuckDB mirror of [[substringSpans]]. */
   def substringSpansSql(n: Int): String =
@@ -795,10 +855,9 @@ object Dedup {
        |       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
        |FROM sp GROUP BY 1 ORDER BY doc_id""".stripMargin
 
-  /** DuckDB mirror of [[substringScrub]]. */
-  def substringScrubSql(n: Int): String =
-    s"""WITH ${spanTableSql(n)},
-       |wp AS (SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+  /** the shared rewrite tail over a span table `sp` */
+  private def scrubTailSql: String =
+    s"""wp AS (SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
        |         w[CAST(t.i + 1 AS INTEGER)] AS tok
        |       FROM ws, unnest(range(0, len(w))) AS t(i)),
        |kept AS (SELECT wp.doc_id, wp.pos, wp.tok FROM wp
@@ -811,6 +870,16 @@ object Dedup {
        |         AS clean_text
        |FROM ws LEFT JOIN kept k USING (doc_id)
        |GROUP BY ws.doc_id, len(ws.w) ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[substringScrub]]. */
+  def substringScrubSql(n: Int): String =
+    s"""WITH ${spanTableSql(n)},
+       |$scrubTailSql""".stripMargin
+
+  /** DuckDB mirror of [[substringScrubKeepFirst]]. */
+  def substringScrubKeepFirstSql(n: Int): String =
+    s"""WITH ${spanTableKeepFirstSql(n)},
+       |$scrubTailSql""".stripMargin
 
   /** DuckDB mirror of the streaming twin's hit stream (the `h` CTE). */
   def spanHitsSql(n: Int): String =

@@ -19,10 +19,11 @@ import graft.core.Exact
   * [[Similarity.dimStats]]. Nothing materializes a covariance matrix:
   * the matvec `A·v = Xᵀ(X·v)` is two passes fused into one scan.
   *
-  * Steps are MATERIALIZED driver-side: each step's (dim, w, v, nrm)
-  * result — 64 doubles, bounded by the DIMENSION, never the corpus — is
-  * collected and fed into the next step as a literal one-row local
-  * relation. This is not a driver-side loop over data (the scan and the
+  * Steps are MATERIALIZED driver-side: each step's per-dim sums `w` —
+  * dim doubles, bounded by the DIMENSION, never the corpus — are
+  * collected as ONE global-aggregation row (norm and loading then follow
+  * driver-side through the bit-identical Exact.round9/dsumDriver ladder)
+  * and fed into the next step as a literal one-row local relation. This is not a driver-side loop over data (the scan and the
   * per-dim aggregation stay distributed); it converts the r12 nested-
   * broadcast pyramid (each step's direction sub-plan contained every
   * prior step, wall 3.8 s vs task 2.6 s at sf0.1 from sequential nested
@@ -72,27 +73,6 @@ object Pca {
         round(x.cast("double") - element_at(col("m"), i + 1), 9))
         .as("cx"))
 
-  /** One power step against a literal direction (one-row local `vs`
-    * relation — same schema every step, so the plan and its generated
-    * code are identical across steps and components): per-row projection
-    * fold, dim-bounded per-dim partial sums, norm, normalized loading.
-    */
-  private def step(cen: DataFrame, vRow: DataFrame): DataFrame = {
-    val proj = dfold(zip_with(col("cx"), col("vs"),
-      (a, b) => round(a * b, 9)))
-    val perDim = cen.crossJoin(broadcast(vRow))
-      .withColumn("c", proj)
-      .select(col("c"), posexplode(col("cx")).as(Seq("dim", "cxj")))
-      .withColumn("t", round(col("c") * col("cxj"), 9))
-      .groupBy("dim")
-      .agg(Exact.dsum(col("t")).as("w"))
-    val nrm = perDim
-      .agg(sqrt(Exact.dsum(round(col("w") * col("w"), 9))).as("nrm"))
-    perDim.crossJoin(broadcast(nrm))
-      .select(col("dim"), col("w"), col("nrm"),
-        round(col("w") / col("nrm"), 9).as("v"))
-  }
-
   /** one-row `(name: array<double>)` local relation from driver values */
   private def localRow(df: DataFrame, name: String,
                        v: Seq[Double]): DataFrame = {
@@ -101,56 +81,109 @@ object Pca {
     Seq(v).toDF(name)
   }
 
-  /** Runs one materialized step: distributed scan + dim-bounded agg,
-    * dim-row collect (64 doubles — the dimension bound, not the corpus).
-    * Returns (v, nrm) sorted by dim.
+  /** One fused power step as a SINGLE-STAGE distributed reduction — the
+    * `treeAggregate` shape Spark ML uses for iterative kernels: each
+    * partition folds its rows into dim exact-decimal partial sums
+    * (emitted as plain decimal strings — partitions × dim values, bounded
+    * by the DIMENSION, never the corpus), and the driver combines them
+    * and finishes the norm/loading through the bit-identical
+    * [[Exact.round9]]/[[Exact.dsumDriver]] ladder (the exact lowering of
+    * Spark's `round`-on-double and double→DECIMAL(28,10) cast:
+    * `BigDecimal.valueOf` + `setScale(HALF_UP)`).
+    *
+    * Deflation against the already-frozen components is applied ON THE
+    * FLY per row from driver-literal directions — no per-component
+    * deflated corpus is materialized or cached (at 100 TB a cached
+    * deflated COPY of the corpus per component is exactly the thing to
+    * avoid; the trade is an O(c·dim) row-local fold per scan). The
+    * arithmetic chain `cx ← round9(cx − p·v)` with `p = Σ round9(cx·v)`
+    * is the same exact-decimal sequence the unrolled oracle CTEs compute,
+    * so recomputing it per step is bit-identical to reading a cached
+    * residual.
+    *
+    * Why not the declarative crossJoin/agg form (r13 shape): each step
+    * there was 2 jobs × 2 stages with a fresh 64-wide aggregate plan —
+    * per-step Catalyst analysis + AQE + exchange latency dominated the
+    * pair's wall (cpu_ms ≈ 1.3 s·32 vs 4.8 s wall). Here the k×iters
+    * sequential rounds each pay one 32-task single-stage job over the
+    * cached centered corpus and nothing else.
     */
-  private def stepArrays(cen: DataFrame,
+  private def ladderStep(cen: DataFrame, dim: Int,
+                         defl: Seq[Array[Double]],
                          v: Array[Double]): (Array[Double], Double) = {
-    val rows = step(cen, localRow(cen, "vs", v.toSeq))
-      .orderBy("dim").select("v", "nrm").collect()
-    (rows.map(_.getDouble(0)), rows.head.getDouble(1))
+    val s = cen.sparkSession
+    import s.implicits._
+    val dv: Array[Array[Double]] = defl.toArray
+    val vv: Array[Double] = v.clone()
+    val d = dim
+    val partials = cen.select(col("cx")).as[Seq[Double]]
+      .mapPartitions { it =>
+        import java.math.{BigDecimal => JBD, RoundingMode => RM}
+        // local mirrors of Exact.round9 / the DECIMAL(28,10) cast — kept
+        // closure-local so the task closure captures only arrays
+        def r9(x: Double): Double =
+          if (x.isNaN || x.isInfinite) x
+          else JBD.valueOf(x).setScale(9, RM.HALF_UP).doubleValue
+        def dec10(x: Double): JBD = JBD.valueOf(x).setScale(10, RM.HALF_UP)
+        val acc = Array.fill(d)(JBD.ZERO)
+        it.foreach { xs =>
+          var cx = xs.toArray
+          var di = 0
+          while (di < dv.length) {
+            val dir = dv(di)
+            var p = JBD.ZERO
+            var j = 0
+            while (j < d) { p = p.add(dec10(r9(cx(j) * dir(j)))); j += 1 }
+            val pd = p.doubleValue
+            cx = Array.tabulate(d)(j => r9(cx(j) - pd * dir(j)))
+            di += 1
+          }
+          var c = JBD.ZERO
+          var j = 0
+          while (j < d) { c = c.add(dec10(r9(cx(j) * vv(j)))); j += 1 }
+          val cd = c.doubleValue
+          j = 0
+          while (j < d) { acc(j) = acc(j).add(dec10(r9(cd * cx(j)))); j += 1 }
+        }
+        Iterator.single(acc.map(_.toPlainString).toSeq)
+      }.collect()
+    val w = Array.tabulate(dim) { j =>
+      partials.foldLeft(java.math.BigDecimal.ZERO)(
+        (s, p) => s.add(new java.math.BigDecimal(p(j)))).doubleValue
+    }
+    val nrm = math.sqrt(Exact.dsumDriver(w.map(x => Exact.round9(x * x))))
+    (w.map(x => Exact.round9(x / nrm)), nrm)
   }
 
   /** Power loop with exact-fixpoint early exit: stops before `iters` only
     * when a step reproduces its input direction BIT-FOR-BIT — later steps
     * are then pure no-ops, so the fixed-`iters` unrolled oracle still
-    * matches.
+    * matches. `defl` carries the already-frozen components for on-the-fly
+    * deflation inside [[ladderStep]].
     */
-  private def powerLoop(cen: DataFrame, dim: Int,
-                        iters: Int): (Array[Double], Double) = {
+  private def powerLoop(cen: DataFrame, dim: Int, iters: Int,
+                        defl: Seq[Array[Double]]): (Array[Double], Double) = {
     var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
     var nrm = 0.0
     var it = 0
     var fixed = false
     while (it < iters && !fixed) {
-      val (v2, n2) = stepArrays(cen, v)
+      val (v2, n2) = ladderStep(cen, dim, defl, v)
       fixed = java.util.Arrays.equals(v2, v)
       v = v2; nrm = n2; it += 1
     }
     (v, nrm)
   }
 
-  /** Residual corpus after removing component `v`:
-    * `cx ← round9(cx − ⟨cx, v⟩·v)` — row-local against the literal
-    * direction. The projection fold is sealed behind a generator barrier
-    * (the Dsir.score lesson) so CollapseProject cannot inline the
-    * O(dim) fold per-element into the subtraction transform (which would
-    * make the deflation O(dim²) per row).
-    */
-  private def deflated(cen: DataFrame, v: Array[Double]): DataFrame = {
-    val vl = typedLit(v.toSeq)
-    val proj = dfold(zip_with(col("cx"), vl, (a, b) => round(a * b, 9)))
-    cen.select(col("vec_id"), col("cx"),
-        explode(array(proj)).as("p"))
-      .select(col("vec_id"),
-        zip_with(col("cx"), vl, (a, b) => round(a - col("p") * b, 9))
-          .as("cx"))
-  }
-
   /** collected per-dimension corpus means (dim doubles) */
-  private def meanArray(emb: DataFrame): Seq[Double] =
-    meanRow(emb).collect().head.getSeq[Double](0)
+  private def meanArray(emb: DataFrame): Seq[Double] = {
+    val rows = meanRow(emb).collect()
+    val m = if (rows.isEmpty || rows.head.isNullAt(0)) Seq.empty[Double]
+            else rows.head.getSeq[Double](0)
+    require(m.nonEmpty,
+      "Pca: empty embedding corpus — cannot train (no per-dimension mean)")
+    m
+  }
 
   /** The top principal direction after `iters` power steps.
     *
@@ -169,7 +202,7 @@ object Pca {
     // scans at one codegen cost per RUN, not per step.
     val cen = graft.core.Caches.deferRelease(
       centered(emb, localRow(emb, "m", meanArray(emb))).persist())
-    val (v, nrm) = powerLoop(cen, dim, iters)
+    val (v, nrm) = powerLoop(cen, dim, iters, Nil)
     // the loadings are driver-local now: the pin is pure intra-call
     // scratch, and leaving it warm would let canonical equality splice it
     // into a later scoring scan (see Caches.release)
@@ -212,19 +245,17 @@ object Pca {
                               k: Int): (Seq[Double],
                                         Seq[(Array[Double], Double)]) = {
     val mean = meanArray(emb)
-    val pins = Seq.newBuilder[DataFrame]
-    var cen = graft.core.Caches.deferRelease(
+    // ONE pinned corpus for the whole ladder: deflation happens on the fly
+    // inside ladderStep from the frozen driver-side components, so no
+    // per-component residual copy is ever cached (at 100 TB that copy is
+    // the scale hazard, not the extra row-local fold)
+    val cen = graft.core.Caches.deferRelease(
       centered(emb, localRow(emb, "m", mean)).persist())
-    pins += cen
-    val comps = (1 to k).map { c =>
-      val (v, nrm) = powerLoop(cen, dim, iters)
-      if (c < k) {
-        cen = graft.core.Caches.deferRelease(deflated(cen, v).persist())
-        pins += cen
-      }
-      (v, nrm)
+    val comps = (1 to k).foldLeft(
+      Vector.empty[(Array[Double], Double)]) { (acc, _) =>
+      acc :+ powerLoop(cen, dim, iters, acc.map(_._1))
     }
-    pins.result().foreach(graft.core.Caches.release(_, blocking = true))
+    graft.core.Caches.release(cen, blocking = true)
     (mean, comps)
   }
 

@@ -19,13 +19,13 @@ object GraftBridge {
 
   /** Every InMemoryRelation cache builder currently registered in the
     * session's CacheManager — reflective read of the private `cachedData`
-    * list. The bench snapshots which builders are ALREADY materialized
-    * before a timed plan is constructed, so pins the plan's own
-    * construction fills (Lloyd-trained codebooks, PCA power steps — their
-    * driver-side collects materialize the corpus pin mid-construction)
-    * are distinguishable from warm caches an earlier run left behind.
+    * list (verified against the shipped Spark 4.1.2 field; the single
+    * reflective access point, so a Spark upgrade has exactly one place to
+    * break). CachedRDDBuilder is private[sql], hence this lives in the
+    * bridge package.
     */
-  def cacheBuilders(spark: SparkSession): Seq[AnyRef] = {
+  private def cacheBuilders(spark: SparkSession)
+      : Seq[org.apache.spark.sql.execution.columnar.CachedRDDBuilder] = {
     val cm = spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
     val f = classOf[org.apache.spark.sql.execution.CacheManager]
       .getDeclaredField("cachedData")
@@ -37,18 +37,13 @@ object GraftBridge {
   }
 
   /** [[cacheBuilders]] restricted to builders whose column buffers are
-    * already materialized (CachedRDDBuilder is private[sql], so the
-    * loaded check lives here with the other bridge reads).
+    * already materialized. The bench snapshots which builders are ALREADY
+    * materialized before a timed plan is constructed, so pins the plan's
+    * own construction fills (Lloyd-trained codebooks, PCA power steps —
+    * their driver-side collects materialize the corpus pin
+    * mid-construction) are distinguishable from warm caches an earlier
+    * run left behind.
     */
-  def materializedCacheBuilders(spark: SparkSession): Seq[AnyRef] = {
-    val cm = spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
-    val f = classOf[org.apache.spark.sql.execution.CacheManager]
-      .getDeclaredField("cachedData")
-    f.setAccessible(true)
-    f.get(cm)
-      .asInstanceOf[scala.collection.immutable.IndexedSeq[
-        org.apache.spark.sql.execution.CachedData]]
-      .map(_.cachedRepresentation.cacheBuilder)
-      .filter(_.isCachedColumnBuffersLoaded)
-  }
+  def materializedCacheBuilders(spark: SparkSession): Seq[AnyRef] =
+    cacheBuilders(spark).filter(_.isCachedColumnBuffersLoaded)
 }

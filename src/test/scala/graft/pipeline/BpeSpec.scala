@@ -127,4 +127,23 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = Bpe.merges(d, 1).collect().head
     assert((m.getString(1), m.getString(2)) == (("a", "b")))
   }
+
+  test("k beyond the learnable merges yields a shorter rule list, " +
+    "not a crash") {
+    // 'ab' exhausts after 1 merge (every word one symbol); k=5 must
+    // degrade to the 1 learnable rule and encode must still work
+    val d = docs("ab ab ab")
+    val m = Bpe.merges(d, 5).collect()
+    assert(m.length == 1)
+    assert((m(0).getString(1), m(0).getString(2)) == (("a", "b")))
+    val tok = Bpe.tokenized(d, 5, 10).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(tok("ab") == "ab")
+  }
+
+  test("single-character vocabulary (zero learnable merges) trains an " +
+    "empty rule table") {
+    val d = docs("a b a b", "b a")
+    assert(Bpe.merges(d, 3).collect().isEmpty)
+  }
 }

@@ -89,6 +89,36 @@ class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(0L -> ((3L, "")), 1L -> ((3L, ""))))
   }
 
+  test("keep-first scrub keeps the corpus-first copy, cuts the others") {
+    val s = spark
+    import s.implicits._
+    // "p q r" duplicated across docs 0/1/2: doc 0 holds the canonical
+    // (min (doc_id, pos)) occurrence and survives untouched; 1 and 2 are
+    // scrubbed. Doc 2's trailing self-repeat is a later occurrence too.
+    val docs = Seq(
+      (0L, "p q r x y"),
+      (1L, "a p q r b"),
+      (2L, "p q r p q r")).toDF("doc_id", "text")
+    val out = Dedup.substringScrubKeepFirst(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      0L -> ((0L, "p q r x y")),
+      1L -> ((3L, "a b")),
+      2L -> ((6L, ""))))
+  }
+
+  test("keep-first scrub equals keep-zero on a corpus with no duplicates") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "one two three four"),
+      (1L, "five six seven eight")).toDF("doc_id", "text")
+    val a = Dedup.substringScrub(docs, 3).collect().map(_.toSeq).toSet
+    val b = Dedup.substringScrubKeepFirst(docs, 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   /** brute reference: every duplicated n-gram start, islands merged in
     * plain Scala — the engine's hash-window + window-chain plan must
     * reproduce it on fuzzed corpora
