@@ -422,6 +422,15 @@ object PipelineQueries extends QueryProvider {
     "curate_topk" -> ((s, d) =>
       Curation.topkByQuality(docs(s, d), "lang", 10)
         .orderBy("lang", "rank")),
+    // trainable quality classifier: hashed-unigram logistic regression
+    // (full-batch GD, materialized rounds), corpus scored row-locally
+    "curate_classifier" -> ((s, d) =>
+      Classifier.trainScore(docs(s, d), dim = 32, rounds = 10, lr = 0.001,
+        minWords = 55).orderBy("doc_id")),
+    // the learned model itself (bucket, weight) — the shipped artifact
+    "curate_classifier_weights" -> ((s, d) =>
+      Classifier.weights(docs(s, d), dim = 32, rounds = 10, lr = 0.001,
+        minWords = 55).orderBy("bucket")),
     // diversity-aware sampling: 10 hash-first docs per embedding cluster
     "sample_by_cluster" -> ((s, d) =>
       Curation.sampleByCluster(docs(s, d), emb(s, d), nCells = 8,
@@ -436,12 +445,15 @@ object PipelineQueries extends QueryProvider {
     "mm_decode" -> ((s, d) =>
       Multimodal.decodePpm(s, Multimodal.renderPpm(docs(s, d)))
         .toDF().orderBy("doc_id")),
+    // frame sampling on PARSED PIXELS: raster row-bands (≤ MaxFrames),
+    // per-band channel moments — the keyframe-sampler shape
     "mm_frames" -> ((s, d) =>
-      Multimodal.frameSample(s, Multimodal.asMedia(docs(s, d)))
+      Multimodal.frameSample(s, Multimodal.renderPpm(docs(s, d)))
         .toDF().orderBy("doc_id", "frame_idx")),
-    // resize plumbing: strided-byte stub resample, one scaler/partition
+    // nearest-neighbor resize on PARSED PIXELS: resampled-raster channel
+    // moments, one scaler per partition
     "mm_resize" -> ((s, d) =>
-      Multimodal.resize(s, Multimodal.asMedia(docs(s, d)), 64, 64)
+      Multimodal.resize(s, Multimodal.renderPpm(docs(s, d)), 8, 8)
         .toDF().orderBy("doc_id")),
     // feature-extract plumbing: normalized byte-histogram stub vector
     "mm_features" -> ((s, d) =>
@@ -583,10 +595,12 @@ object PipelineQueries extends QueryProvider {
       Curation.pplBucketsSql(TextOps.unigramLogProbSql),
     "sample_by_cluster" -> Curation.sampleByClusterSql(8, Dim, 10),
     "curate_topk" -> Curation.topkByQualitySql(10),
+    "curate_classifier" -> Classifier.trainScoreSql(32, 10, 0.001, 55),
+    "curate_classifier_weights" -> Classifier.weightsSql(32, 10, 0.001, 55),
     "pack_tokens" -> Curation.packTokenBudgetSql(4096),
     "mm_decode" -> Multimodal.decodePpmSql,
     "mm_frames" -> Multimodal.frameSampleSql,
-    "mm_resize" -> Multimodal.resizeSql(64, 64),
+    "mm_resize" -> Multimodal.resizeSql(8, 8),
     "mm_features" -> Multimodal.featureExtractSql(8),
     "corpus_decisions" -> Corpus.decisionsSql(0.5, 0.46),
     // same densification semantics through the DSv2 spine leaf

@@ -370,6 +370,18 @@ object StreamQueries extends QueryProvider {
       "append")
   }
 
+  /** Streaming substring-span SCRUB: arriving documents rewritten in
+    * place against the batch-refreshed gram artifact — row-local island
+    * merge, one doc-keyed re-group (update mode). Oracle = the batch
+    * scrub SQL verbatim.
+    */
+  private def runScrub(s: SparkSession, dir: String): DataFrame = {
+    val dup = graft.pipeline.Dedup.dupGrams(
+      graft.core.Tables(s, dir, "documents"), 8)
+    drain(s, DocStream.scrubAgainstGrams(docStream(s, dir), dup, 8),
+      "update")
+  }
+
   /** Streaming FUZZY decontamination: the train split of the replay
     * probed against the eval split's band index — each arriving train
     * document is flagged the moment it near-duplicates an eval doc
@@ -824,6 +836,32 @@ object StreamQueries extends QueryProvider {
     drain(s, graft.pipeline.TextOps.hashFeatures(docStream(s, dir),
       dim = 64), "append")
 
+  /** The FROZEN quality-classifier weights, memoized per (session, dir) —
+    * the fastText-filter posture: the model is trained once on the
+    * reference corpus (driver-local dim+2 decimals — plain literals, no
+    * cache to sanction), then every arriving document is scored against
+    * it row-locally. Scoring the replayed corpus keeps the batch
+    * train-score oracle verbatim.
+    */
+  private val clfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Array[Double]]()
+  private def clfWeights(s: SparkSession, dir: String): Array[Double] =
+    clfCache.computeIfAbsent((s, dir), { _ =>
+      graft.pipeline.Classifier.trainWeights(
+        graft.core.Tables(s, dir, "documents"),
+        dim = 32, rounds = 10, lr = 0.001, minWords = 55)
+        .map(_.doubleValue)
+    })
+
+  /** Online learned-quality gate: each arriving document scored against
+    * the frozen classifier — row-local margin + sigmoid against literal
+    * weights, zero state, zero joins.
+    */
+  private def runClassifier(s: SparkSession, dir: String): DataFrame =
+    drain(s, graft.pipeline.Classifier.scoreWith(docStream(s, dir),
+      dim = 32, minWords = 55, clfWeights(s, dir)), "append")
+
   /** The frozen unigram LM, memoized + sanctioned per (session, dir) —
     * the CCNet posture: the model is trained (counted) once on the
     * reference corpus, then the firehose is scored against it via a
@@ -1042,13 +1080,14 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "update")
   }
 
-  /** Online DAU/WAU gate: both halves run the dedup→windowed-count
-    * chain (dropDuplicatesWithinWatermark feeding a window aggregation
-    * — the supported multi-stateful append pattern); the sentinel
-    * advances the watermark past every real day (and its 7-day
-    * coverage), the inner join on `day` drops both the sentinel's rows
-    * and phantom covered-but-never-active tail days, mirroring the
-    * batch semi-join.
+  /** Online DAU/WAU gate: ONE fused streaming query
+    * ([[graft.streaming.EventStream.activeBoard]] — r13 verdict's
+    * plan-identity pass: the two halves previously provisioned and
+    * compiled two separate dedup→windowed-count pipelines; the tagged
+    * union runs one). The sentinel advances the watermark past every
+    * real day (and its 7-day coverage); the inner join on `day` over the
+    * DRAINED board drops both the sentinel's rows and phantom
+    * covered-but-never-active tail days, mirroring the batch semi-join.
     */
   private def runActive(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedDir(s, dir)
@@ -1063,14 +1102,19 @@ object StreamQueries extends QueryProvider {
       case _ => timestamp_millis(unix_millis(col("ts")))
     }
     val dayMs = 86400000L
-    def stream = s.readStream.schema(sch).parquet(staged)
+    val stream = s.readStream.schema(sch).parquet(staged)
       .select(tsCol.as("ts"), col("user_id"))
-    val dau = drain(s,
-      graft.streaming.EventStream.dailyActive(stream, dayMs), "append")
-    val wau = drain(s,
-      graft.streaming.EventStream.windowActive(stream, dayMs, 7), "append")
-    dau.join(wau, Seq("day"))
-      .where(col("day") < SentinelMs / dayMs)
+    val board = drain(s,
+      graft.streaming.EventStream.activeBoard(stream, dayMs, 7), "append")
+    // recombine the tags by conditional aggregation (a self-join of the
+    // drained sink view trips conflicting-attribute resolution); the
+    // both-tags-present filter mirrors the batch semi-join, dropping
+    // phantom covered-but-never-active tail days
+    board.groupBy(col("day"))
+      .agg(max(when(col("tag") === "d", col("n"))).as("dau"),
+        max(when(col("tag") === "w", col("n"))).as("wau"))
+      .where(col("dau").isNotNull && col("wau").isNotNull &&
+        col("day") < SentinelMs / dayMs)
       .select("day", "dau", "wau")
   }
 
@@ -1435,6 +1479,7 @@ object StreamQueries extends QueryProvider {
     "stream_dedup" -> ((s, d) => runDedup(s, d)),
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
     "stream_spans" -> ((s, d) => runSpans(s, d)),
+    "stream_scrub" -> ((s, d) => runScrub(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_decon_fuzzy" -> ((s, d) => runDeconFuzzy(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
@@ -1453,6 +1498,7 @@ object StreamQueries extends QueryProvider {
     "stream_entropy" -> ((s, d) => runEntropy(s, d)),
     "stream_chunks" -> ((s, d) => runChunks(s, d)),
     "stream_hash_features" -> ((s, d) => runHashFeatures(s, d)),
+    "stream_classifier" -> ((s, d) => runClassifier(s, d)),
     "stream_redact" -> ((s, d) => runRedact(s, d)),
     "stream_sample" -> ((s, d) => runSample(s, d)),
     "stream_decisions" -> ((s, d) => runDecisions(s, d)),
@@ -1713,6 +1759,10 @@ object StreamQueries extends QueryProvider {
     "stream_chunks" -> graft.pipeline.TextOps.chunksSql(32, 24),
     // row-local feature hashing stateless on the stream, batch oracle
     "stream_hash_features" -> graft.pipeline.TextOps.hashFeaturesSql(64),
+    // the scorer is stateless and the replay covers the training corpus,
+    // so the batch train+score oracle applies verbatim
+    "stream_classifier" ->
+      graft.pipeline.Classifier.trainScoreSql(32, 10, 0.001, 55),
     // batch redaction over batch injection, both stateless on the stream
     "stream_redact" -> graft.pipeline.TextOps.redactPiiSql,
     // the batch stratified-sampling operator verbatim on the stream
@@ -1782,5 +1832,8 @@ object StreamQueries extends QueryProvider {
          |  UNION ALL
          |  SELECT doc_b AS doc_id, doc_a AS match_id, jaccard
          |  FROM (${graft.pipeline.Dedup.minhashPairsSql(0.5)}))""".stripMargin,
-    "stream_spans" -> graft.pipeline.Dedup.spanHitsSql(8))
+    "stream_spans" -> graft.pipeline.Dedup.spanHitsSql(8),
+    // the scrub emits once per replayed document, so the batch rewrite
+    // oracle applies verbatim
+    "stream_scrub" -> graft.pipeline.Dedup.substringScrubSql(8))
 }

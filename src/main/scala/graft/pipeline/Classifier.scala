@@ -1,0 +1,296 @@
+package graft.pipeline
+
+import java.math.{BigDecimal => JBD, RoundingMode => RM}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Exact
+
+/** Trainable quality classifier — the fastText/logreg-style learned
+  * quality filter every production corpus pipeline eventually grows
+  * (Joulin et al. 2016's shape: hashed bag-of-ngram features into a
+  * linear model): hashed unigram counts ([[TextOps.hashFeatures]]'
+  * md5-bucket convention) plus a bias feed a logistic regression trained
+  * by deterministic FULL-BATCH gradient ascent on the sum log-likelihood,
+  * then the corpus is scored row-locally against the learned weights.
+  *
+  * The demo label distills Gopher's word-count rule (`n_words >=
+  * minWords` — Rae et al. 2021 §A.1.1's first filter) into the learned
+  * model: the weak-supervision pattern where a heuristic labels the
+  * training set and the classifier generalizes it. Any 0/1 label column
+  * works; the label is a parameter of the featurization, not of the
+  * trainer.
+  *
+  * TRAINING follows the engine's materialized-rounds idiom (the Lloyd /
+  * PCA-ladder harness): the weight vector is MODEL STATE — dim+2 exact
+  * decimals, bounded by the feature dimension, never the corpus —
+  * collected per round and fed to the next round as literals. Each round
+  * is ONE distributed job over the pinned featurized corpus: per-doc
+  * margin, sigmoid, and error are row-local against the literal weights
+  * (the sparse feature vector lives in the row, so the dot product never
+  * shuffles); the only exchange is the dim+2-group gradient aggregation,
+  * map-side combinable by construction. SCORING is one corpus scan with
+  * zero shuffle and zero joins — the weights ride in as literals, the
+  * strongest form of "broadcast".
+  *
+  * Determinism: the weight-update chain is EXACT DECIMAL end to end —
+  * gradients stay DECIMAL(28,10) (never lowered to double), the update
+  * `w ← w + round9(lr·g)` is BigDecimal arithmetic on the driver and
+  * native decimal arithmetic in the DuckDB mirror (both HALF_UP, both
+  * exact, so even exact .5e-9 boundaries agree — a double-space re-round
+  * of grid values here is exactly where engines diverge; the r14 first
+  * cut lost one weight to it). SUM-gradient (not mean) keeps the chain
+  * division-free: decimal division semantics differ across engines, so
+  * the per-corpus-size normalization lives in `lr` instead. Doubles
+  * appear only where values are either ON the 9dp grid (margins — safe:
+  * grid points round to themselves) or generic (the sigmoid, rounded to
+  * 9dp immediately — the established `-ln` parity convention from
+  * [[Dsir]]).
+  */
+object Classifier {
+
+  private val Dec = DecimalType(28, 10)
+
+  /** row-local exact-decimal fold of an array of (already round9'd)
+    * double terms — matches [[Exact.dsum]] over the same terms
+    */
+  private def dfold(terms: Column): Column =
+    aggregate(terms, lit(0).cast(Dec),
+      (acc, t) => (acc + t.cast(Dec)).cast(Dec)).cast("double")
+
+  /** Featurized corpus: (doc_id, label, fs) where `fs` is the per-doc
+    * sparse LOG-TF hashed-unigram vector (bucket-sorted, `x =
+    * round9(ln(1 + count / n_words))` — the classic sublinear TF
+    * transform; raw counts make full-batch GD oscillate) with two
+    * pseudo-buckets appended: the log document-length feature
+    * `round9(ln(1 + n_words))` at bucket `dim` (fastText's standard extra
+    * scalar feature) and the BIAS (x = 1) at `dim + 1` — so one fold
+    * covers the whole affine margin. `label` distills the word-count
+    * rule. Weight vector length is therefore dim + 2.
+    *
+    * The log transforms are also the determinism hedge: `ln` of a
+    * rational > 1 is irrational, so every feature value has generic
+    * trailing digits and its 9dp-grid products with the weights never sit
+    * on a round9 midpoint. The r14 second cut used `count / n_words` and
+    * `n_words / 100` directly — SHORT terminating decimals whose products
+    * with 9dp weights land on exact midpoints at ~1% per term, where the
+    * engines' double roundings disagree; four score rows and one weight
+    * diverged at sf0.01.
+    */
+  private def featurized(docs: DataFrame, dim: Int,
+                         minWords: Int): DataFrame = {
+    val nw = size(col("w")).cast("double")
+    TextOps.hashFeaturePairs(docs, dim)
+      .select(col("doc_id"),
+        when(size(col("w")) >= minWords, 1.0).otherwise(0.0).as("label"),
+        concat(
+          transform(col("fs"), f =>
+            struct(f.getField("bucket").as("bucket"),
+              round(log(lit(1.0) +
+                f.getField("n").cast("double") / nw), 9).as("x"))),
+          array(
+            struct(lit(dim.toLong).as("bucket"),
+              round(log(lit(1.0) + nw), 9).as("x")),
+            struct(lit(dim + 1L).as("bucket"), lit(1.0).as("x"))))
+          .as("fs"))
+  }
+
+  /** per-doc margin `z = Σ_f round9(x_f · w_{bucket_f})` (bias included —
+    * the last literal weight is the bias), exact-decimal fold. Every term
+    * is a 9dp-grid × 9dp-grid product — an exact 18-digit decimal, so a
+    * round9 midpoint needs nine exact trailing digits of 500000000: the
+    * same measure-zero boundary class as the engine's other rounded
+    * products (e.g. the PCA ladder's `round(cx·v, 9)`).
+    */
+  private def margin(w: Array[Double]): Column = {
+    val wl = typedLit(w.toSeq)
+    dfold(transform(col("fs"), f =>
+      round(f.getField("x") *
+        element_at(wl, f.getField("bucket").cast("int") + 1), 9)))
+  }
+
+  /** `round9(σ(z))` — the one transcendental, rounded immediately */
+  private def sigmoid9(z: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 9)
+
+  /** One gradient round: per-doc error behind a generator barrier (the
+    * Dsir.score lesson — without it CollapseProject would inline the
+    * O(dim) margin fold into every exploded feature row), then the dim+2
+    * bucket gradient sums, kept DECIMAL all the way to the driver.
+    */
+  private def gradientFrame(feats: DataFrame,
+                            w: Array[Double]): DataFrame = {
+    val err = round(col("label") - sigmoid9(margin(w)), 9)
+    feats
+      .select(col("fs"), explode(array(struct(err.as("err")))).as("s"))
+      .select(col("s.err").as("err"), explode(col("fs")).as("f"))
+      .groupBy(col("f.bucket").as("bucket"))
+      .agg(sum(round(col("err") * col("f.x"), 9).cast(Dec)).as("g"))
+  }
+
+  private def gradients(feats: DataFrame,
+                        w: Array[Double]): Map[Long, JBD] =
+    gradientFrame(feats, w).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+
+  /** test probe: the physical plan of one gradient round, un-executed —
+    * PlanSpec pins the one-exchange map-side-combined shape
+    */
+  private[graft] def gradientPlanProbe(docs: DataFrame, dim: Int,
+                                       minWords: Int,
+                                       w: Array[Double]): String =
+    gradientFrame(featurized(docs, dim, minWords), w)
+      .queryExecution.executedPlan.toString()
+
+  /** Trained weight vector (dim+2 exact decimals at scale 9: content
+    * buckets, length feature, bias last)
+    * after `rounds` full-batch gradient-ascent steps from zero:
+    * `w_b ← w_b + round9(lr · g_b)` in exact BigDecimal arithmetic. The
+    * featurized corpus is pinned for the run and released before
+    * returning (transient scratch — the weights are the durable
+    * artifact).
+    */
+  def trainWeights(docs: DataFrame, dim: Int, rounds: Int, lr: Double,
+                   minWords: Int): Array[JBD] = {
+    val lrD = JBD.valueOf(lr)
+    val feats = graft.core.Caches.deferRelease(
+      graft.core.Parallel.widen(featurized(docs, dim, minWords)).persist())
+    require(feats.limit(1).count() > 0,
+      "Classifier: empty featurized corpus — cannot train")
+    var w = Array.fill(dim + 2)(JBD.ZERO.setScale(9))
+    for (_ <- 1 to rounds) {
+      val g = gradients(feats, w.map(_.doubleValue))
+      w = Array.tabulate(dim + 2) { b =>
+        w(b).add(lrD.multiply(g.getOrElse(b.toLong, JBD.ZERO))
+          .setScale(9, RM.HALF_UP))
+      }
+    }
+    graft.core.Caches.release(feats, blocking = true)
+    w
+  }
+
+  /** The learned model as rows — (bucket, weight), length feature at bucket
+    * `dim`, bias at `dim + 1`;
+    * the artifact a pipeline ships to its scorer fleet.
+    */
+  def weights(docs: DataFrame, dim: Int, rounds: Int, lr: Double,
+              minWords: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    trainWeights(docs, dim, rounds, lr, minWords).zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt.doubleValue) }.toSeq
+      .toDF("bucket", "weight")
+  }
+
+  /** Corpus scored against ALREADY-TRAINED weights: one scan, row-local
+    * margin + sigmoid against literal weights — zero shuffle, zero joins,
+    * stateless on a stream. Output (doc_id, label, score, keep).
+    */
+  def scoreWith(docs: DataFrame, dim: Int, minWords: Int,
+                w: Array[Double]): DataFrame =
+    featurized(docs, dim, minWords)
+      .select(col("doc_id"),
+        explode(array(struct(col("label"),
+          sigmoid9(margin(w)).as("score")))).as("s"))
+      .select(col("doc_id"), col("s.label").as("label"),
+        col("s.score").as("score"),
+        (col("s.score") >= 0.5).as("keep"))
+
+  /** Train + score in one call — the batch gate shape. */
+  def trainScore(docs: DataFrame, dim: Int, rounds: Int, lr: Double,
+                 minWords: Int): DataFrame =
+    scoreWith(docs, dim, minWords,
+      trainWeights(docs, dim, rounds, lr, minWords).map(_.doubleValue))
+
+  // ---------------------------------------------------------------- SQL
+
+  private def dsum9(c: String) = Exact.dsumSql(s"ROUND($c, 9)")
+
+  /** weight DECIMAL(28,9) → DOUBLE through the VARCHAR hop (the
+    * [[Exact.dsumSql]] convention — matches BigDecimal.doubleValue)
+    */
+  private def wtDouble(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+
+  /** Shared CTE ladder: featurized corpus `f` (sparse + bias rows,
+    * MATERIALIZED — every round references it twice), doc labels `d`,
+    * and the unrolled gradient rounds — round r's weights land in `w$r`
+    * as DECIMAL(28,9), updated in native decimal arithmetic (exact, like
+    * the driver's BigDecimal chain). The multiply-referenced CTEs are
+    * pinned MATERIALIZED like the PCA ladder (DuckDB otherwise re-inlines
+    * the upstream chain per reference).
+    */
+  private def ladderSql(dim: Int, rounds: Int, lr: Double,
+                        minWords: Int): String = {
+    val base =
+      s"""ws AS (SELECT doc_id,
+         |         list_filter(string_split(trim(text), ' '),
+         |                     x -> x <> '') AS w
+         |       FROM documents),
+         |d AS MATERIALIZED (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw,
+         |       CAST(CASE WHEN len(w) >= $minWords THEN 1 ELSE 0 END
+         |            AS DOUBLE) AS label
+         |     FROM ws WHERE len(w) > 0),
+         |tok AS (SELECT doc_id, len(w) AS nw, s AS word
+         |        FROM ws, unnest(w) AS t(s)),
+         |f AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) % $dim
+         |           AS bucket,
+         |         ROUND(ln(CAST(1 AS DOUBLE) +
+         |           CAST(COUNT(*) AS DOUBLE) / CAST(nw AS DOUBLE)), 9)
+         |           AS x
+         |  FROM tok GROUP BY doc_id, 2, nw
+         |  UNION ALL
+         |  SELECT doc_id, $dim AS bucket,
+         |         ROUND(ln(CAST(1 AS DOUBLE) + CAST(nw AS DOUBLE)), 9)
+         |           AS x
+         |  FROM d
+         |  UNION ALL
+         |  SELECT doc_id, ${dim + 1} AS bucket, CAST(1 AS DOUBLE) AS x
+         |  FROM d),
+         |w0 AS (SELECT CAST(r.i AS BIGINT) AS bucket,
+         |              CAST(0 AS DECIMAL(28,9)) AS wt
+         |       FROM range(0, ${dim + 2}) r(i))""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""z$r AS (SELECT f.doc_id, ${dsum9(s"f.x * ${wtDouble("w.wt")}")} AS z
+         |      FROM f JOIN w${r - 1} w USING (bucket) GROUP BY 1),
+         |e$r AS (SELECT d.doc_id,
+         |         ROUND(d.label - ROUND(1.0/(1.0 + exp(-z$r.z)), 9), 9)
+         |           AS err
+         |       FROM d JOIN z$r USING (doc_id)),
+         |g$r AS (SELECT f.bucket,
+         |         SUM(CAST(ROUND(e$r.err * f.x, 9) AS DECIMAL(28,10)))
+         |           AS g
+         |      FROM f JOIN e$r USING (doc_id) GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT w.bucket,
+         |         CAST(w.wt + ROUND(CAST($lr AS DECIMAL(10,8)) *
+         |           COALESCE(g$r.g, CAST(0 AS DECIMAL(28,10))), 9)
+         |           AS DECIMAL(28,9)) AS wt
+         |       FROM w${r - 1} w LEFT JOIN g$r USING (bucket))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps"
+  }
+
+  /** DuckDB mirror of [[weights]]. */
+  def weightsSql(dim: Int, rounds: Int, lr: Double,
+                 minWords: Int): String =
+    s"""WITH ${ladderSql(dim, rounds, lr, minWords)}
+       |SELECT bucket, ${wtDouble("wt")} AS weight
+       |FROM w$rounds ORDER BY bucket""".stripMargin
+
+  /** DuckDB mirror of [[trainScore]] (and of the streaming twin — the
+    * scorer is stateless, so the replayed slice scores identically).
+    */
+  def trainScoreSql(dim: Int, rounds: Int, lr: Double,
+                    minWords: Int): String =
+    s"""WITH ${ladderSql(dim, rounds, lr, minWords)},
+       |zf AS (SELECT f.doc_id, ${dsum9(s"f.x * ${wtDouble("w.wt")}")} AS z
+       |       FROM f JOIN w$rounds w USING (bucket) GROUP BY 1),
+       |sc AS (SELECT d.doc_id, d.label,
+       |         ROUND(1.0/(1.0 + exp(-zf.z)), 9) AS score
+       |       FROM d JOIN zf USING (doc_id))
+       |SELECT doc_id, label, score, score >= 0.5 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+}

@@ -662,14 +662,22 @@ object Dedup {
     * granularity. Row-local over the word array (no window functions,
     * no self-join): one explode of (len − n + 1) rows per document.
     */
+  /** the n-token window hashes of the row's word array `w`, in start
+    * order — shared by the batch occurrence table and the streaming
+    * scrub (empty when the document is shorter than one window; without
+    * the guard `sequence(0, negative)` would count DOWN)
+    */
+  private[graft] def gramHashes(n: Int): Column =
+    when(size(col("w")) >= n,
+      expr(s"transform(sequence(0, size(w) - $n), " +
+        s"i -> md5(array_join(slice(w, i + 1, $n), ' ')))"))
+      .otherwise(array().cast("array<string>"))
+
   private[graft] def gramOccurrences(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     withWords(docs)
       .where(size(col("w")) >= n)
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, size(w) - $n), " +
-          s"i -> md5(array_join(slice(w, i + 1, $n), ' ')))"))
-          .as(Seq("pos", "gh")))
+      .select(col("doc_id"), posexplode(gramHashes(n)).as(Seq("pos", "gh")))
   }
 
   /** Window hashes occurring more than once CORPUS-WIDE (self-repeats

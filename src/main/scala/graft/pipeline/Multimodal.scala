@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
   * container cannot provide is real IMAGE DATA, so [[renderPpm]]
   * synthesizes valid P6 files from document bytes (header + the leading
   * w·h·3 text bytes as the raster) — a deterministic fixture the DuckDB
-  * oracle reproduces byte-for-byte, which lets the gate check the
-  * decoder's moments against an independent recomputation from the same
-  * bytes. The frame-sample / resize / feature stages remain byte-level
-  * digests/histograms over the raw payload (real work, format-agnostic).
+  * oracle reproduces byte-for-byte, which lets the gates check each
+  * stage against an independent recomputation from the same bytes.
+  *
+  * RESIZE and FRAME-SAMPLE consume the PARSED RASTER ([[PpmDecoder
+  * .parse]]): nearest-neighbor resampling moments and per-row-band
+  * moments respectively — real pixel arithmetic, not payload digests.
+  * Only the feature-extract stage remains a disclosed stand-in (a
+  * byte-value histogram where a real pipeline runs a vision model); its
+  * partition-batched shape and join-ready output schema are the real
+  * thing.
   */
 object Multimodal {
 
@@ -54,14 +60,22 @@ object Multimodal {
                            maxval: Int, mean_r: Double, mean_g: Double,
                            mean_b: Double)
 
+  /** a fully parsed P6: header fields + the raw RGB raster (row-major,
+    * 3 bytes per pixel)
+    */
+  final case class PpmImage(doc_id: Long, w: Int, h: Int, maxval: Int,
+                            raster: Array[Byte])
+
   /** A real (minimal) binary-PPM decoder: magic, whitespace/comment
     * handling per the netpbm spec, decimal header fields, single
     * separator byte, exact raster-length check. Throws on malformed
     * input — a decode stage that silently invents metadata hides
-    * corruption at 100 TB.
+    * corruption at 100 TB. [[parse]] yields the raster; [[decode]],
+    * [[Multimodal.resizePpm]] and [[Multimodal.frameSample]] all consume
+    * the same parsed pixels.
     */
   object PpmDecoder {
-    def decode(r: MediaRow): PpmMeta = {
+    def parse(r: MediaRow): PpmImage = {
       val b = r.payload
       var i = 0
       def isWs(c: Byte) =
@@ -95,16 +109,24 @@ object Multimodal {
       i += 1
       require(b.length - i == w * h * 3,
         s"PPM: raster ${b.length - i} bytes, expected ${w * h * 3}")
+      PpmImage(r.doc_id, w, h, mv,
+        java.util.Arrays.copyOfRange(b, i, b.length))
+    }
+
+    def decode(r: MediaRow): PpmMeta = {
+      val img = parse(r)
+      val rs = img.raster
       var sr = 0L; var sg = 0L; var sb = 0L
-      var p = i
-      while (p < b.length) {
-        sr += java.lang.Byte.toUnsignedInt(b(p))
-        sg += java.lang.Byte.toUnsignedInt(b(p + 1))
-        sb += java.lang.Byte.toUnsignedInt(b(p + 2))
+      var p = 0
+      while (p < rs.length) {
+        sr += java.lang.Byte.toUnsignedInt(rs(p))
+        sg += java.lang.Byte.toUnsignedInt(rs(p + 1))
+        sb += java.lang.Byte.toUnsignedInt(rs(p + 2))
         p += 3
       }
-      val npx = (w * h).toDouble
-      PpmMeta(r.doc_id, w, h, mv, sr / npx, sg / npx, sb / npx)
+      val npx = (img.w * img.h).toDouble
+      PpmMeta(r.doc_id, img.w, img.h, img.maxval,
+        sr / npx, sg / npx, sb / npx)
     }
   }
 
@@ -145,79 +167,131 @@ object Multimodal {
       |         AS mean_b
       |FROM px GROUP BY doc_id, wh ORDER BY doc_id""".stripMargin
 
-  /** sampled "frame": chunk index + content digest */
-  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
+  /** sampled "frame": a horizontal row band of the parsed raster with
+    * its per-channel pixel moments — the per-frame feature row a video
+    * pipeline materializes
+    */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, band_rows: Int,
+                            mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** The frame-sample stage (video shape: one row in, k frames out).
-    * STUB samples one "frame" per 256-byte payload chunk, capped at
-    * [[MaxFrames]], digesting each chunk — a real implementation would
-    * seek keyframes and emit decoded frame tensors; the 1→N flatMap
-    * partition shape, the cap (bounded row-explosion at 100 TB), and the
-    * downstream schema are the real thing.
+  /** The frame-sample stage (video shape: one row in, k frames out), on
+    * PARSED PIXELS: the raster's pixel rows split into `min(height,
+    * MaxFrames)` contiguous bands (band i covers rows
+    * [i·h/n, (i+1)·h/n) — integer arithmetic, so bands partition the
+    * image exactly), each band emitting its per-channel means. The cap
+    * bounds row-explosion at 100 TB; the 1→N flatMap over a
+    * partition-batched decoder is the shape a keyframe sampler occupies.
     */
   val MaxFrames = 5
   def frameSample(spark: SparkSession, media: DataFrame): Dataset[FrameRow] = {
     import spark.implicits._
-    media.as[MediaRow].flatMap { r =>
-      val n = math.min((r.payload.length + 255) / 256, MaxFrames)
-      (0 until n).map { i =>
-        val chunk = r.payload.slice(i * 256, math.min((i + 1) * 256,
-          r.payload.length))
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(chunk).map("%02x".format(_)).mkString
-        FrameRow(r.doc_id, i, digest)
+    media.as[MediaRow].mapPartitions { rows =>
+      // a real codec would init native resources here, once per partition
+      rows.flatMap { r =>
+        val img = PpmDecoder.parse(r)
+        val n = math.min(img.h, MaxFrames)
+        (0 until n).map { fi =>
+          val y0 = fi * img.h / n
+          val y1 = (fi + 1) * img.h / n
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = y0
+          while (y < y1) {
+            var x = 0
+            while (x < img.w) {
+              val p = (y * img.w + x) * 3
+              sr += java.lang.Byte.toUnsignedInt(img.raster(p))
+              sg += java.lang.Byte.toUnsignedInt(img.raster(p + 1))
+              sb += java.lang.Byte.toUnsignedInt(img.raster(p + 2))
+              x += 1
+            }
+            y += 1
+          }
+          val npx = ((y1 - y0) * img.w).toDouble
+          FrameRow(r.doc_id, fi, y1 - y0, sr / npx, sg / npx, sb / npx)
+        }
       }
     }
   }
 
-  /** resized output: stub dimensions + a digest of the resampled bytes */
-  final case class ResizedRow(doc_id: Long, out_w: Int, out_h: Int,
-                              n_in: Long, n_out: Int, resized_md5: String)
+  /** resized output: geometry + per-channel moments of the RESAMPLED
+    * image
+    */
+  final case class ResizedRow(doc_id: Long, in_w: Int, in_h: Int,
+                              out_w: Int, out_h: Int, mean_r: Double,
+                              mean_g: Double, mean_b: Double)
 
-  /** The resize stage (image shape: payload in, smaller payload out).
-    * STUB "resamples" by taking `nOut = min(len, outW·outH/256)` evenly
-    * strided bytes (stride = len/nOut) and digesting them — a real
-    * implementation decodes, scales, re-encodes; the partition-batched
-    * typed map (one scaler per partition), the bounded output size, and
-    * the downstream schema are the real thing. Deterministic pure
-    * function of the payload, so the oracle mirrors it byte-for-byte.
+  /** The resize stage (image shape: payload in, smaller image out), on
+    * PARSED PIXELS: nearest-neighbor resampling — output pixel (ox, oy)
+    * reads source pixel (⌊ox·w/outW⌋, ⌊oy·h/outH⌋), the classic
+    * integer-arithmetic scaler — then the output raster's per-channel
+    * means (the downstream-comparable summary; shipping the full resized
+    * raster is a schema choice, not more compute). Partition-batched
+    * typed map, one decoder per partition, constant memory per task.
     */
   def resize(spark: SparkSession, media: DataFrame, outW: Int,
              outH: Int): Dataset[ResizedRow] = {
+    require(outW > 0 && outH > 0, s"bad output geometry $outW x $outH")
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       // a real scaler would init its native context here, per partition
       rows.map { r =>
-        val len = r.payload.length
-        val nOut = math.min(len, outW * outH / 256)
-        val bytes =
-          if (nOut == 0) Array.emptyByteArray
-          else {
-            val stride = len / nOut
-            Array.tabulate(nOut)(i => r.payload(i * stride))
+        val img = PpmDecoder.parse(r)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var oy = 0
+        while (oy < outH) {
+          val sy = oy * img.h / outH
+          var ox = 0
+          while (ox < outW) {
+            val sx = ox * img.w / outW
+            val p = (sy * img.w + sx) * 3
+            sr += java.lang.Byte.toUnsignedInt(img.raster(p))
+            sg += java.lang.Byte.toUnsignedInt(img.raster(p + 1))
+            sb += java.lang.Byte.toUnsignedInt(img.raster(p + 2))
+            ox += 1
           }
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(bytes).map("%02x".format(_)).mkString
-        ResizedRow(r.doc_id, outW, outH, len.toLong, nOut, digest)
+          oy += 1
+        }
+        val npx = (outW * outH).toDouble
+        ResizedRow(r.doc_id, img.w, img.h, outW, outH,
+          sr / npx, sg / npx, sb / npx)
       }
     }
   }
 
-  /** DuckDB mirror of [[resize]] (ASCII text: strided chars = strided
-    * payload bytes).
+  /** the [[renderPpm]] geometry + per-pixel channel values, recomputed
+    * independently from the document text (shared CTE prefix of the
+    * resize/frames mirrors): `m` carries (doc_id, text, wh)
     */
-  def resizeSql(outW: Int, outH: Int): String = {
-    val cap = outW * outH / 256
-    s"""SELECT doc_id, $outW AS out_w, $outH AS out_h,
-       |       CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS INTEGER) AS n_out,
-       |       md5(CASE WHEN n_out = 0 THEN '' ELSE
-       |         list_reduce([substr(text, i*(n_in//n_out) + 1, 1)
-       |                      for i in range(0, n_out)],
-       |                     (a, b) -> a || b) END) AS resized_md5
-       |FROM (SELECT doc_id, text, length(text) AS n_in,
-       |             LEAST(length(text), $cap) AS n_out FROM documents)
-       |ORDER BY doc_id""".stripMargin
-  }
+  private val ppmGeomSql: String =
+    """m AS (SELECT doc_id, text,
+      |        LEAST(16, CAST(floor(sqrt(CAST(length(text) // 3
+      |          AS DOUBLE))) AS INTEGER)) AS wh
+      |      FROM documents WHERE length(text) >= 3)""".stripMargin
+
+  /** DuckDB mirror of [[renderPpm]] ∘ [[resize]]: the nearest-neighbor
+    * sample grid rebuilt arithmetically over the text bytes — never
+    * through the decoder.
+    */
+  def resizeSql(outW: Int, outH: Int): String =
+    s"""WITH $ppmGeomSql,
+       |o AS (SELECT doc_id, text, wh,
+       |        CAST(t.i % $outW AS INTEGER) AS ox,
+       |        CAST(t.i // $outW AS INTEGER) AS oy
+       |      FROM m, unnest(range(0, ${outW.toLong * outH})) AS t(i)),
+       |v AS (SELECT doc_id, wh,
+       |        (((oy * wh) // $outH) * wh + ((ox * wh) // $outW)) * 3
+       |          AS base, text
+       |      FROM o)
+       |SELECT doc_id,
+       |       CAST(wh AS INTEGER) AS in_w, CAST(wh AS INTEGER) AS in_h,
+       |       $outW AS out_w, $outH AS out_h,
+       |       CAST(SUM(ascii(substr(text, base + 1, 1))) AS DOUBLE)
+       |         / ${outW * outH} AS mean_r,
+       |       CAST(SUM(ascii(substr(text, base + 2, 1))) AS DOUBLE)
+       |         / ${outW * outH} AS mean_g,
+       |       CAST(SUM(ascii(substr(text, base + 3, 1))) AS DOUBLE)
+       |         / ${outW * outH} AS mean_b
+       |FROM v GROUP BY doc_id, wh ORDER BY doc_id""".stripMargin
 
   /** extracted feature row: one bin of the stub feature vector */
   final case class FeatureRow(doc_id: Long, bin: Int, value: Double)
@@ -265,13 +339,32 @@ object Multimodal {
        |LEFT JOIN cnt ON cnt.doc_id = n.doc_id AND cnt.bin = b.bin
        |ORDER BY n.doc_id, bin""".stripMargin
 
-  /** DuckDB mirror (ASCII text: substr chunks = payload byte chunks) */
+  /** DuckDB mirror of [[renderPpm]] ∘ [[frameSample]]: the row bands
+    * rebuilt arithmetically over the text bytes.
+    */
   val frameSampleSql: String =
-    s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-       |       md5(substr(text, i*256 + 1, 256)) AS frame_md5
-       |FROM documents,
-       |     unnest(range(0, LEAST(CAST(ceil(length(text)/256.0) AS BIGINT),
-       |                           $MaxFrames))) AS t(i)
+    s"""WITH $ppmGeomSql,
+       |nb AS (SELECT doc_id, text, wh, LEAST(wh, $MaxFrames) AS n FROM m),
+       |band AS (SELECT doc_id, text, wh, n, CAST(t.i AS INTEGER) AS fi
+       |         FROM nb, unnest(range(0, n)) AS t(i)),
+       |py AS (SELECT doc_id, text, wh, fi,
+       |         ((fi + 1) * wh) // n - (fi * wh) // n AS band_rows,
+       |         CAST(u.j AS INTEGER) AS y
+       |       FROM band,
+       |            unnest(range((fi * wh) // n, ((fi + 1) * wh) // n))
+       |              AS u(j)),
+       |px AS (SELECT doc_id, fi, band_rows, wh, text,
+       |         (y * wh + CAST(v.x AS INTEGER)) * 3 AS base
+       |       FROM py, unnest(range(0, wh)) AS v(x))
+       |SELECT doc_id, fi AS frame_idx,
+       |       CAST(band_rows AS INTEGER) AS band_rows,
+       |       CAST(SUM(ascii(substr(text, base + 1, 1))) AS DOUBLE)
+       |         / (band_rows * wh) AS mean_r,
+       |       CAST(SUM(ascii(substr(text, base + 2, 1))) AS DOUBLE)
+       |         / (band_rows * wh) AS mean_g,
+       |       CAST(SUM(ascii(substr(text, base + 3, 1))) AS DOUBLE)
+       |         / (band_rows * wh) AS mean_b
+       |FROM px GROUP BY doc_id, fi, band_rows, wh
        |ORDER BY doc_id, frame_idx""".stripMargin
 
 }

@@ -614,7 +614,20 @@ object TextOps {
     * only the sparse output rows exist (never a dense dim-length
     * vector per doc).
     */
-  def hashFeatures(docs: DataFrame, dim: Int): DataFrame = {
+  def hashFeatures(docs: DataFrame, dim: Int): DataFrame =
+    hashFeaturePairs(docs, dim)
+      .select(col("doc_id"), explode(col("fs")).as("c"))
+      .select(col("doc_id"), col("c.bucket").as("bucket"),
+        col("c.n").as("n"))
+
+  /** [[hashFeatures]] kept as a per-doc sparse ARRAY — (doc_id, w, fs:
+    * array<struct<bucket, n>>), fs sorted by bucket. The row-local form
+    * the trainable classifier folds over (a sparse dot against literal
+    * weights needs the whole vector in the row); `w` (the filtered token
+    * array) rides along for label/feature derivations.
+    */
+  private[pipeline] def hashFeaturePairs(docs: DataFrame,
+                                         dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val bs = array_sort(transform(col("w"), word =>
       conv(substring(md5(word), 1, 8), 16, 10).cast("long") % dim))
@@ -630,9 +643,7 @@ object TextOps {
       .where(size(col("w")) > 0)
       .withColumn("bs", bs)
       .withColumn("ends", ends)
-      .select(col("doc_id"), explode(pairs).as("c"))
-      .select(col("doc_id"), col("c.bucket").as("bucket"),
-        col("c.n").as("n"))
+      .select(col("doc_id"), col("w"), pairs.as("fs"))
   }
 
   /** DuckDB mirror of [[hashFeatures]] — per-(doc, bucket) group counts

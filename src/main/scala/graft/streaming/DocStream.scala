@@ -335,6 +335,63 @@ object DocStream {
       graft.pipeline.Dedup.gramOccurrences(docs, n), dup)
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
 
+  /** Streaming substring-span SCRUB — the online face of
+    * [[graft.pipeline.Dedup.substringScrub]], completing the pair the way
+    * `stream_bpe_encode` completes `bpe_encode`: each arriving document
+    * is rewritten in place the moment it lands, duplicated-span tokens
+    * cut against the batch-refreshed gram artifact.
+    *
+    * Plan: window hashes derive row-locally (the shared
+    * [[graft.pipeline.Dedup.gramHashes]] expression, OUTER-exploded so
+    * hit-less and shorter-than-one-window documents still pass through),
+    * one stream-static LEFT join marks duplicated windows, and ONE
+    * doc-keyed re-group (update mode — a document's windows all ride one
+    * input row, so each doc emits exactly once per replay, the
+    * `unigramLogProb` state posture; production would watermark the
+    * aggregation) collects its hit positions. The island merge that
+    * batch runs as a corpus window pass happens ROW-LOCALLY here: an
+    * `aggregate` fold over the sorted hit array chains starts within n
+    * into (s, e)-islands — bit-identical to the batch lag/sum merge
+    * because both compare each hit to its predecessor — then the same
+    * indexed array filter cuts the tokens. No corpus shuffle anywhere:
+    * the only exchange is the per-doc re-group of one document's rows.
+    */
+  def scrubAgainstGrams(docs: DataFrame, dup: DataFrame,
+                        n: Int): DataFrame = {
+    val occ = graft.pipeline.Dedup.withWords(docs)
+      .select(col("doc_id"), col("w"),
+        posexplode_outer(graft.pipeline.Dedup.gramHashes(n))
+          .as(Seq("pos", "gh")))
+    val hits = occ.join(dup.withColumn("isdup", lit(1)), Seq("gh"),
+      "left_outer")
+    val agg = hits.groupBy(col("doc_id"), col("w"))
+      .agg(sort_array(collect_list(when(col("isdup") === 1, col("pos"))))
+        .as("ps"))
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
+    // chain merge: each hit joins its predecessor's island when the gap
+    // is ≤ n (s = island min, e = island max — the running last hit)
+    val islands = aggregate(col("ps"), emptySpans, (acc, p) => {
+      val last = element_at(acc, -1)
+      when(size(acc) === 0, array(struct(p.as("s"), p.as("e"))))
+        .when(p - last.getField("e") > n,
+          concat(acc, array(struct(p.as("s"), p.as("e")))))
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last.getField("s").as("s"), p.as("e")))))
+    })
+    val spans = transform(islands, sp =>
+      struct(sp.getField("s").as("s"),
+        (sp.getField("e") + lit(n - 1)).as("e")))
+    agg
+      .withColumn("sp", spans)
+      .withColumn("kept", filter(col("w"), (x, i) =>
+        !exists(col("sp"), p =>
+          p.getField("s") <= i && i <= p.getField("e"))))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_dropped"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** the stateless core of [[nearDupAgainstIndex]]: row-local banded
     * signature + index probe + exact-Jaccard verify, WITHOUT the pair
     * dedup (a pair colliding in several bands repeats). Runs on batch

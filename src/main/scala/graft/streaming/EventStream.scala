@@ -126,6 +126,44 @@ object EventStream {
         col("wau"))
   }
 
+  /** The DAU and WAU halves FUSED into one streaming query — the
+    * plan-identity pass over the active-user shell: each event emits its
+    * own day tagged `d` plus its `windowDays` coverage days tagged `w`
+    * (one row-local explode), then ONE dedup→windowed-count chain runs
+    * keyed on (user, tag, day). Per (tag, day) counts are exactly what
+    * the two separate queries ([[dailyActive]], [[windowActive]])
+    * produce — the tag key partitions the dedup state — but the stream
+    * provisions once, compiles once, and keeps one operator pipeline
+    * instead of two.
+    *
+    * The single watermark is the WAU half's (windowDays−1 days — the
+    * back-fill bound [[windowActive]] documents), so `d` rows close
+    * later than a standalone DAU query's would: the price of the fused
+    * board, irrelevant to the gate (the sentinel advances past
+    * everything) and usually right for a board whose WAU column waits
+    * that long anyway. Output (on window close): (tag, day, n).
+    */
+  def activeBoard(events: DataFrame, dayMs: Long,
+                  windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val aday = expr(s"unix_millis(ts) DIV $dayMs")
+    events
+      .select(explode(concat(
+        array(struct(lit("d").as("tag"), aday.as("tday"))),
+        transform(sequence(aday, aday + (windowDays - 1)),
+          t => struct(lit("w").as("tag"), t.as("tday"))))).as("x"),
+        col("user_id"))
+      .select(col("x.tag").as("tag"),
+        timestamp_millis(col("x.tday") * dayMs).as("dts"),
+        col("user_id"))
+      .withWatermark("dts", s"${(windowDays - 1) * dayMs} milliseconds")
+      .dropDuplicatesWithinWatermark("user_id", "tag", "dts")
+      .groupBy(col("tag"), window(col("dts"), s"$dayMs milliseconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("tag"),
+        expr(s"unix_millis(window.start) DIV $dayMs").as("day"), col("n"))
+  }
+
   /** per-user last-event state for [[transitions]] — the frontier is
     * the (ts, event_id) PAIR, matching the batch tie order: events that
     * share a user's timestamp fold in event_id order and COUNT (the

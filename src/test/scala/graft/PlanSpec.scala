@@ -202,6 +202,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Generate".r.findAllIn(scrub).size <= 3, scrub.take(3000))
   }
 
+  test("classifier scoring is one scan: literal weights, no joins, no " +
+    "exchange; the gradient round shuffles only the dim-bounded buckets") {
+    val docs = core.Tables(spark, dir, "documents")
+    val w = Array.fill(34)(0.001)
+    val score = planOf(pipeline.Classifier.scoreWith(docs, 32, 55, w))
+    // weights ride as literals — the strongest broadcast: zero joins,
+    // zero exchanges, the whole scorer is a row-local projection chain
+    assert(!score.contains("Join"), score.take(3000))
+    // the only exchange is the input-widening round-robin on the scan —
+    // never a hash shuffle of the corpus
+    assert(!score.contains("Exchange hashpartitioning"), score.take(3000))
+    // one gradient round: the only exchange is the bucket aggregation
+    // (dim+2 groups), and it partial-aggregates map-side
+    val feats = pipeline.Classifier.gradientPlanProbe(docs, 32, 55, w)
+    assert("Exchange hashpartitioning".r.findAllIn(feats).size == 1,
+      feats.take(3000))
+    assert("HashAggregate".r.findAllIn(feats).size >= 2, feats.take(3000))
+    assert(!feats.contains("Join"), feats.take(3000))
+  }
+
   test("rollup/pivot expand in one pass; q17 reuses the aggregate join") {
     // ROLLUP compiles to Expand — every grouping level from ONE input
     // pass, not a union of per-level rescans

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Trainable quality classifier: learning behavior, determinism of the
+  * exact-decimal update chain, and degenerate inputs.
+  */
+class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** corpus whose label (n_words >= 10) is linearly separable from the
+    * length feature alone: evens 3–4 words, odds 25–30
+    */
+  private def corpus() = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+    (0L until 60L).map { id =>
+      val n = if (id % 2 == 0) 3 + rnd.nextInt(2) else 25 + rnd.nextInt(6)
+      id -> (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }.toDF("doc_id", "text")
+  }
+
+  test("GD learns the word-count label (separable corpus, high accuracy)") {
+    val out = Classifier.trainScore(corpus(), dim = 8, rounds = 15,
+      lr = 0.05, minWords = 10).collect()
+    val acc = out.count(r => r.getBoolean(3) == (r.getDouble(1) == 1.0))
+      .toDouble / out.length
+    assert(acc >= 0.9, s"accuracy $acc")
+    // both classes must actually be predicted (not a constant model)
+    assert(out.exists(_.getBoolean(3)) && out.exists(!_.getBoolean(3)))
+  }
+
+  test("training is deterministic: two runs produce identical weights") {
+    val a = Classifier.trainWeights(corpus(), 8, 5, 0.05, 10)
+    val b = Classifier.trainWeights(corpus(), 8, 5, 0.05, 10)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("weights are exact decimals at scale 9 with the bias last") {
+    val w = Classifier.trainWeights(corpus(), 8, 3, 0.05, 10)
+    assert(w.length == 10) // 8 content + length + bias
+    assert(w.forall(_.scale == 9))
+    // the length-feature weight must be positive (it carries the label)
+    assert(w(8).signum > 0)
+  }
+
+  test("empty corpus fails loudly, not deep in the loop") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.trainWeights(empty, 8, 3, 0.05, 10)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("scoreWith against zero weights scores everything 0.5 / keep") {
+    val out = Classifier.scoreWith(corpus(), 8, 10,
+      Array.fill(10)(0.0)).collect()
+    assert(out.forall(_.getDouble(2) == 0.5))
+    assert(out.forall(_.getBoolean(3)))
+  }
+}

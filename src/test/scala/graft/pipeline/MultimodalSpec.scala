@@ -99,4 +99,52 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // n=2000 -> wh capped at 16, raster 768 'x' bytes
     assert(out(2L).width == 16 && out(2L).mean_r == 'x'.toInt.toDouble)
   }
+
+  test("nearest-neighbor resize reads exact source pixels (2x2 -> 4x4 " +
+    "and 4x4 -> 2x2)") {
+    val s = spark
+    import s.implicits._
+    // 2x2 image with distinct per-pixel red values 0, 10, 20, 30
+    val r22 = Array.tabulate[Byte](12)(i =>
+      if (i % 3 == 0) (10 * (i / 3)).toByte else 0)
+    val media22 = Seq(Multimodal.MediaRow(1L,
+      ppm("P6\n2 2\n255\n", r22))).toDF("doc_id", "payload")
+    // upsample 2x2 -> 4x4: each source pixel covers 4 output pixels,
+    // so the mean equals the source mean (0+10+20+30)/4 = 15
+    val up = Multimodal.resize(s, media22, 4, 4).collect().head
+    assert(up.in_w == 2 && up.in_h == 2 && up.mean_r == 15.0 &&
+      up.mean_g == 0.0)
+    // 4x4 image, red = 10*pixel_index; downsample to 2x2 picks source
+    // (0,0),(2,0),(0,2),(2,2) -> indices 0,2,8,10 -> mean 50
+    val r44 = Array.tabulate[Byte](48)(i =>
+      if (i % 3 == 0) (10 * (i / 3)).toByte else 0)
+    val media44 = Seq(Multimodal.MediaRow(2L,
+      ppm("P6\n4 4\n255\n", r44))).toDF("doc_id", "payload")
+    val down = Multimodal.resize(s, media44, 2, 2).collect().head
+    assert(down.mean_r == 50.0, down.toString)
+  }
+
+  test("frame bands partition the raster rows exactly; short images " +
+    "emit one band per row") {
+    val s = spark
+    import s.implicits._
+    // 1x7 image (7 rows): MaxFrames=5 bands at boundaries ⌊i·7/5⌋ =
+    // 0,1,2,4,5,7 -> row counts 1,1,2,1,2
+    val r = Array.tabulate[Byte](21)(i =>
+      if (i % 3 == 0) (i / 3 + 1).toByte else 0)
+    val media = Seq(Multimodal.MediaRow(3L,
+      ppm("P6\n1 7\n255\n", r))).toDF("doc_id", "payload")
+    val bands = Multimodal.frameSample(s, media).collect()
+      .sortBy(_.frame_idx)
+    assert(bands.map(_.band_rows).toSeq == Seq(1, 1, 2, 1, 2))
+    assert(bands.map(_.band_rows).sum == 7)
+    // band 2 covers rows 2-3 (red values 3,4) -> mean_r 3.5
+    assert(bands(2).mean_r == 3.5 && bands(2).mean_g == 0.0)
+    // a 2x1 image emits a single full band
+    val one = Multimodal.frameSample(s, Seq(Multimodal.MediaRow(4L,
+      ppm("P6\n2 1\n255\n", Array[Byte](4, 0, 0, 6, 0, 0))))
+      .toDF("doc_id", "payload")).collect()
+    assert(one.length == 1 && one.head.band_rows == 1 &&
+      one.head.mean_r == 5.0)
+  }
 }

@@ -148,6 +148,29 @@ class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toMap
   }
 
+  test("the streaming scrub kernel's row-local island fold equals the " +
+    "batch window merge on fuzzed corpora") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = ('a' to 'e').map(_.toString)
+      val texts = (0L until 40L).map { id =>
+        id -> (1 + rnd.nextInt(14))
+          .to(1, -1).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      }
+      val docs = texts.toDF("doc_id", "text")
+      val dup = Dedup.dupGrams(docs, 3)
+      val stream = graft.streaming.DocStream
+        .scrubAgainstGrams(docs, dup, 3)
+        .collect().map(_.toSeq).toSet
+      val batch = Dedup.substringScrub(docs, 3)
+        .collect().map(_.toSeq).toSet
+      assert(stream == batch, s"seed=$seed")
+    }
+  }
+
   test("fuzzed corpora match the brute-force reference") {
     for (seed <- Seq(3, 9, 21)) {
       val rnd = new scala.util.Random(seed)

@@ -185,6 +185,39 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((10L, 1L), (11L, 2L), (12L, 2L), (13L, 2L)))
   }
 
+  test("fused active board: per-tag counts equal the standalone " +
+    "DAU/WAU halves") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val ev = in.toDF().toDF("tsMs", "user_id")
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .select("ts", "user_id")
+    val out = EventStream.activeBoard(ev, dayMs = 10L, windowDays = 3)
+    val name = s"board_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // same replay as the windowActive test, plus a second day-10 user
+    in.addData((100L, 1L), (105L, 1L), (108L, 2L))
+    q.processAllAvailable()
+    in.addData((112L, 1L), (115L, 2L))
+    q.processAllAvailable()
+    in.addData((1000L, 9L)) // sentinel closes everything
+    q.processAllAvailable()
+    val got = spark.table(name).where(col("day") < 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    q.stop()
+    // dau: day 10 = {u1,u2}, day 11 = {u1,u2}
+    assert(got(("d", 10L)) == 2L && got(("d", 11L)) == 2L)
+    // wau (3-day coverage): 10→{1,2}, 11→{1,2}, 12→{1,2}, 13→{1,2}
+    assert(Seq(10L, 11L, 12L, 13L).forall(d => got(("w", d)) == 2L))
+    // no stray tags/days below the sentinel
+    assert(got.size == 6)
+  }
+
   private def transStream(batches: Seq[(Long, Long, Long, String)]*)
       : Map[(String, String), Long] = {
     val s = spark
