@@ -89,6 +89,10 @@ object StreamQueries extends QueryProvider {
 
   private val AvgDql =
     "SELECT avg('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h"
+  private val RawDql =
+    "SELECT 'purchase'.* BUCKET 'testdata' LAST 1 h"
+  private val RawTransDql =
+    "SELECT mul('purchase'.* BUCKET 'testdata', 3) LAST 1 h"
   private val GroupDql =
     "SELECT 'purchase' FROM 'testdata' GROUP BY $'graft':'type' USING avg " +
       "LAST 1 h"
@@ -1467,6 +1471,9 @@ object StreamQueries extends QueryProvider {
     "stream_avg" -> ((s, d) =>
       runDql(s, d, AvgDql, "update", slotExact = false)),
     "stream_avg_slots" -> ((s, d) => runDql(s, d, AvgDql, "append")),
+    "stream_dql_raw" -> ((s, d) => runDql(s, d, RawDql, "append")),
+    "stream_dql_raw_trans" ->
+      ((s, d) => runDql(s, d, RawTransDql, "append")),
     "stream_group_avg" -> ((s, d) => runDql(s, d, GroupDql, "append")),
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
@@ -1639,6 +1646,17 @@ object StreamQueries extends QueryProvider {
          |       ${Exact.davgSql("value")} AS value
          |FROM series WHERE mtype = 'purchase'
          |GROUP BY 1, 2""".stripMargin,
+    // RAW select (no aggregation): the slot rows themselves — the series
+    // CTE IS the batch leaf's slot collapse
+    "stream_dql_raw" ->
+      s"""WITH series AS (${SeriesOps.seriesSql})
+         |SELECT metric, ts_ms AS ws, value
+         |FROM series WHERE mtype = 'purchase'""".stripMargin,
+    // pointwise transform over the raw slot rows
+    "stream_dql_raw_trans" ->
+      s"""WITH series AS (${SeriesOps.seriesSql})
+         |SELECT metric, ts_ms AS ws, value * 3 AS value
+         |FROM series WHERE mtype = 'purchase'""".stripMargin,
     // GROUP BY $'type' USING avg: per-slot davg across the group's member
     // series (group window = resolution), metric = the tag value
     "stream_group_avg" ->

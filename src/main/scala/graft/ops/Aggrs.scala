@@ -41,12 +41,35 @@ object Aggrs {
     * (t-digest, O(1) state) — not done by default because the oracle gates
     * require the exact order statistic.
     */
-  private def kth(v: Column, p: Double): Column = {
+  /** MEMORY BOUND: [[kth]] collects one group's values into a sorted
+    * array, so per-group memory is O(group rows). For every DQL shape
+    * that reaches it the group is one (series, window) slot — rows =
+    * window width / resolution, thousands at most — and the salted
+    * two-phase path (core/Skew) auto-engages for the sum-family
+    * aggregates long before any group is large. The cap below is the
+    * loud-failure backstop for misuse outside those shapes (a 100×
+    * window or a percentile over an unwindowed firehose): 8M rows ≈
+    * 64 MB of array per group — still safely collectable — raises a
+    * descriptive error instead of letting a 10× further scale-up become
+    * an opaque executor OOM.
+    */
+  val KthGroupRowBound: Int = 8 * 1024 * 1024
+
+  private[graft] def kthBounded(v: Column, p: Double,
+                                bound: Int): Column = {
     val arr = array_sort(collect_list(v))
-    element_at(arr,
+    val guarded = when(size(arr) <= lit(bound), arr)
+      .otherwise(raise_error(concat(
+        lit(s"percentile group exceeds KthGroupRowBound=$bound rows: "),
+        size(arr).cast("string"),
+        lit(" — widen the resolution or pre-aggregate the window"))))
+    element_at(guarded,
       greatest(lit(1L), ceil(lit(p) * size(arr).cast("double")).cast("long"))
         .cast("int"))
   }
+
+  private def kth(v: Column, p: Double): Column =
+    kthBounded(v, p, KthGroupRowBound)
 
   /** Aggregate expression over (value, ts) for one window group. */
   def spark(name: String, c: Option[Double]): (Column, Column) => Column = {

@@ -692,6 +692,31 @@ object StreamingDql {
         unix_millis(col("w.start")).as("ws"), folded.as("value"),
         window_time(col("w")).as("wt"))
 
+    // RAW SELECT (scan/lookup with no aggregation — the reference's plain
+    // `get`/`lookup` read): the selected series' slot rows ARE the
+    // result. The slot collapse is the one stateful stage (the same
+    // chained append-mode shape every aggregation runs on top of), each
+    // slot emitting its decimal-exact mean on close — the batch leaf's
+    // per-slot value, minus the gap-filled conf-0 empties a stream has no
+    // row to trigger (the stream≡batch contract already scopes to
+    // with-data slots). Pointwise transforms over the leaf land here via
+    // the generic RTrans recursion above. GROUP BY under a raw lookup
+    // still rejects inside leafCondValue (group keys change the output
+    // key).
+    case p @ (_: RScan | _: RLookup) =>
+      val lf = leaf(p, base, store)
+      if (lf.columns.contains("sw"))
+        lf.select(col("metric"), unix_millis(col("sw.start")).as("ws"),
+          col("value").cast("double").as("value"),
+          window_time(col("sw")).as("wt"))
+      else
+        // slotExact=false: raw events pass through stateless (documented
+        // divergence from the batch slot model, same as the aggregation
+        // paths under that flag)
+        lf.select(col("metric"), unix_millis(col("ts")).as("ws"),
+          col("value").cast("double").as("value"),
+          col("ts").as("wt"))
+
     case other =>
       throw Unstreamable(
         s"not a streamable plan shape (aggregation required): $other")

@@ -87,6 +87,27 @@ class OpsSemanticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == expect)
   }
 
+  test("percentile group beyond the row bound raises a descriptive " +
+    "error, never an opaque OOM") {
+    // adversarial misuse: a group 4x the (test-sized) bound must fail
+    // LOUDLY with the bound named — the 100x-window backstop
+    val df = spark.range(40L).selectExpr("'m' AS metric",
+      "id AS ts_ms", "CAST(id AS DOUBLE) AS value")
+    val e = intercept[Exception] {
+      df.groupBy("metric")
+        .agg(Aggrs.kthBounded(col("value"), 0.5, bound = 10).as("v"))
+        .collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("KthGroupRowBound"), msg.take(500))
+    // and at the bound exactly, the exact rank still computes
+    val ok = df.groupBy("metric")
+      .agg(Aggrs.kthBounded(col("value"), 0.5, bound = 40).as("v"))
+      .collect().head.getDouble(1)
+    assert(ok == 19.0)
+  }
+
   test("windowed min_by threshold ops pick the first qualifying value in time order") {
     val agg = Aggrs.spark("first_above", Some(5.0))
     val df = series(("m", 3L, 9.0), ("m", 1L, 2.0), ("m", 2L, 7.0))

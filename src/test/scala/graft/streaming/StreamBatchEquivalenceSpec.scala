@@ -197,6 +197,32 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "eq_avg_glob", append = true)
   }
 
+  test("RAW select (no aggregation): slot rows stream ≡ batch leaf") {
+    assertEquivalent(
+      s"SELECT 'purchase'.'1' BUCKET 'testdata' BETWEEN 0 AND $EndMs",
+      "eq_raw_scan", append = true)
+  }
+
+  test("RAW glob select: every matched series' slot rows stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT 'purchase'.* BUCKET 'testdata' BETWEEN 0 AND $EndMs",
+      "eq_raw_glob", append = true)
+  }
+
+  test("pointwise transform over a RAW select: stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT add(mul('purchase'.'2' BUCKET 'testdata', 3), 7) " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_raw_trans", append = true)
+  }
+
+  test("RAW lookup with tag WHERE: stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT 'purchase' FROM 'testdata' WHERE 'graft':'user' = '1' " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_raw_lookup", append = true)
+  }
+
   test("transform below the aggregation (divide, then sum): stream ≡ batch") {
     assertEquivalent(
       s"SELECT sum(divide('purchase'.'1' BUCKET 'testdata', 2), 30 s) BETWEEN 0 AND $EndMs",

@@ -64,7 +64,10 @@ class StreamingDqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     info(s"compiled=$compiled rejected=$rejected")
     assert(compiled + rejected >= 100)
-    assert(compiled > 0, "generator never produced a streamable query — " +
-      "the fuzz would be vacuous")
+    // the raw-select passthrough (r14) lifted the compiled fraction from
+    // 12/120 to ~54/120; pin a floor so a regression in the lifted shapes
+    // is loud (the remaining rejects are TOP/BOTTOM, SHIFT, and mixed
+    // funnels — typed and intentional)
+    assert(compiled >= 40, s"compiled fraction regressed: $compiled/120")
   }
 }
