@@ -93,6 +93,12 @@ object StreamQueries extends QueryProvider {
     "SELECT 'purchase'.* BUCKET 'testdata' LAST 1 h"
   private val RawTransDql =
     "SELECT mul('purchase'.* BUCKET 'testdata', 3) LAST 1 h"
+  // the glob child matches the staged sentinel (purchase.0), so the
+  // watermark closes the final real window - a narrow two-series pick
+  // would filter the sentinel below the watermark node and strand it
+  private val RawCombDql =
+    "SELECT quotient('purchase'.* BUCKET 'testdata', " +
+      "'purchase'.'1' BUCKET 'testdata') LAST 1 h"
   private val GroupDql =
     "SELECT 'purchase' FROM 'testdata' GROUP BY $'graft':'type' USING avg " +
       "LAST 1 h"
@@ -1474,6 +1480,8 @@ object StreamQueries extends QueryProvider {
     "stream_dql_raw" -> ((s, d) => runDql(s, d, RawDql, "append")),
     "stream_dql_raw_trans" ->
       ((s, d) => runDql(s, d, RawTransDql, "append")),
+    "stream_dql_raw_comb" ->
+      ((s, d) => runDql(s, d, RawCombDql, "append")),
     "stream_group_avg" -> ((s, d) => runDql(s, d, GroupDql, "append")),
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
@@ -1657,6 +1665,18 @@ object StreamQueries extends QueryProvider {
       s"""WITH series AS (${SeriesOps.seriesSql})
          |SELECT metric, ts_ms AS ws, value * 3 AS value
          |FROM series WHERE mtype = 'purchase'""".stripMargin,
+    // pointwise combinator over raw slot rows: per-slot pivot + the
+    // quotient fold (div-by-zero -> div-by-one, null propagates)
+    "stream_dql_raw_comb" ->
+      s"""WITH series AS (${SeriesOps.seriesSql}),
+         |p AS (SELECT ts_ms,
+         |        MAX(CASE WHEN mtype = 'purchase' THEN value END) AS c0,
+         |        MAX(CASE WHEN metric = 'purchase.1' THEN value END) AS c1
+         |      FROM series WHERE mtype = 'purchase'
+         |      GROUP BY 1)
+         |SELECT 'quotient' AS metric, ts_ms AS ws,
+         |       CASE WHEN c1 = 0.0 THEN c0 ELSE c0 / c1 END AS value
+         |FROM p""".stripMargin,
     // GROUP BY $'type' USING avg: per-slot davg across the group's member
     // series (group window = resolution), metric = the tag value
     "stream_group_avg" ->

@@ -631,6 +631,60 @@ object StreamingDql {
       aggregated(child, base, store)
         .withColumn("value", Trans.spark(name, c)(col("value")))
 
+    // COMBINATOR OVER RAW SELECTS (pointwise combine of live series —
+    // quotient of two counters, diff of mirrored gauges): the batch form
+    // unions each child's slot rows tagged by child index and combines
+    // per slot. The stream mirrors that union ROW-LOCALLY — each slot row
+    // explodes into one copy per child whose selector it matches (a
+    // series matching two children contributes twice, exactly the batch
+    // union) — then ONE slot-window groupBy runs the batch's combine
+    // expressions: pooled decimal aggregates for the commutative ops, the
+    // max-pivot + fold for the order-sensitive ones. One stateful
+    // operator, the slot collapse chained beneath it like every other
+    // shape.
+    case RComb(name, children) if children.forall(isRawLeaf) =>
+      val res = children.map(_.resMs).distinct
+      if (res.length != 1)
+        throw Unstreamable("resolution_conflict: combinator children " +
+          s"must share one resolution, got ${res.mkString(", ")} ms")
+      val condVals = children.map(leafCondValue(_, store))
+      val anyCond = condVals.map(_._1).reduce(_ || _)
+      val collapsed = slotCollapse(base.where(anyCond), res.head, store)
+      val branches = condVals.zipWithIndex.map { case ((cond, v), i) =>
+        when(cond, struct(lit(i).as("cidx"), v.cast("double").as("v")))
+      }
+      val ex = collapsed
+        .select(timeWindow(collapsed, res.head, res.head).as("w"),
+          explode(filter(array(branches: _*), b => b.isNotNull)).as("c"))
+      val n = children.length
+      val combined = name match {
+        case "sum" => ex.groupBy(col("w"))
+          .agg(graft.core.Exact.dsum(col("c.v")).as("value"))
+        case "avg" => ex.groupBy(col("w"))
+          .agg(graft.core.Exact.davg(col("c.v")).as("value"))
+        case "min" => ex.groupBy(col("w")).agg(min(col("c.v")).as("value"))
+        case "max" => ex.groupBy(col("w")).agg(max(col("c.v")).as("value"))
+        case _ =>
+          val pivots = (0 until n).map(i =>
+            max(when(col("c.cidx") === i, col("c.v"))).as(s"c$i"))
+          val piv = ex.groupBy(col("w")).agg(pivots.head, pivots.tail: _*)
+          val folded = name match {
+            case "diff" =>
+              (1 until n).foldLeft[Column](col("c0"))((a, i) => a - col(s"c$i"))
+            case "product" =>
+              (1 until n).foldLeft[Column](col("c0"))((a, i) => a * col(s"c$i"))
+            case "quotient" =>
+              (1 until n).foldLeft[Column](col("c0")) { (a, i) =>
+                when(col(s"c$i") === 0.0, a).otherwise(a / col(s"c$i"))
+              }
+          }
+          piv.select(col("w"), folded.as("value"))
+      }
+      combined.select(lit(name).as("metric"),
+        unix_millis(col("w.start")).as("ws"),
+        col("value").cast("double").as("value"),
+        window_time(col("w")).as("wt"))
+
     case RComb(name, children) =>
       // Same-window combinators FUSE into one stateful operator: each child
       // becomes a filtered aggregate (`agg(when(childCond, v))`) inside a
@@ -720,6 +774,18 @@ object StreamingDql {
     case other =>
       throw Unstreamable(
         s"not a streamable plan shape (aggregation required): $other")
+  }
+
+  /** a raw leaf the passthrough/combinator paths accept: scan, ungrouped
+    * lookup, or a pointwise-transform chain over one (GROUP BY changes
+    * the output key — leafCondValue rejects it with the typed error)
+    */
+  private def isRawLeaf(p: RExpr): Boolean = p match {
+    case _: RScan => true
+    case l: RLookup => l.groupBy.isEmpty
+    case RTrans(n, _, child) =>
+      n != "derivate" && n != "confidence" && isRawLeaf(child)
+    case _ => false
   }
 
   /** leaf as a (row condition, value expression) pair — used by the fused

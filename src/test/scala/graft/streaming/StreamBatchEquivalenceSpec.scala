@@ -223,6 +223,30 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "eq_raw_lookup", append = true)
   }
 
+  test("combinator over RAW selects (pointwise diff of two live " +
+    "series): stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT diff('purchase'.'1' BUCKET 'testdata', " +
+        s"'purchase'.'2' BUCKET 'testdata') BETWEEN 0 AND $EndMs",
+      "eq_raw_diff", append = true)
+  }
+
+  test("commutative combinator over RAW globs (pooled sum incl. " +
+    "overlapping children): stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT sum('purchase'.* BUCKET 'testdata', " +
+        s"'purchase'.'1' BUCKET 'testdata') BETWEEN 0 AND $EndMs",
+      "eq_raw_sum_overlap", append = true)
+  }
+
+  test("quotient over RAW selects (div-by-zero -> div-by-one fold): " +
+    "stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT quotient('purchase'.'1' BUCKET 'testdata', " +
+        s"'error'.'1' BUCKET 'testdata') BETWEEN 0 AND $EndMs",
+      "eq_raw_quot", append = true)
+  }
+
   test("transform below the aggregation (divide, then sum): stream ≡ batch") {
     assertEquivalent(
       s"SELECT sum(divide('purchase'.'1' BUCKET 'testdata', 2), 30 s) BETWEEN 0 AND $EndMs",
