@@ -99,6 +99,8 @@ object StreamQueries extends QueryProvider {
   private val RawCombDql =
     "SELECT quotient('purchase'.* BUCKET 'testdata', " +
       "'purchase'.'1' BUCKET 'testdata') LAST 1 h"
+  private val ShiftDql =
+    "SELECT avg('purchase'.* BUCKET 'testdata', 1 m) SHIFT BY 90 s LAST 1 h"
   private val GroupDql =
     "SELECT 'purchase' FROM 'testdata' GROUP BY $'graft':'type' USING avg " +
       "LAST 1 h"
@@ -1482,6 +1484,7 @@ object StreamQueries extends QueryProvider {
       ((s, d) => runDql(s, d, RawTransDql, "append")),
     "stream_dql_raw_comb" ->
       ((s, d) => runDql(s, d, RawCombDql, "append")),
+    "stream_dql_shift" -> ((s, d) => runDql(s, d, ShiftDql, "append")),
     "stream_group_avg" -> ((s, d) => runDql(s, d, GroupDql, "append")),
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
@@ -1665,6 +1668,16 @@ object StreamQueries extends QueryProvider {
       s"""WITH series AS (${SeriesOps.seriesSql})
          |SELECT metric, ts_ms AS ws, value * 3 AS value
          |FROM series WHERE mtype = 'purchase'""".stripMargin,
+    // SHIFT BY 90 s: windows computed on the ORIGINAL grid, labels
+    // re-stamped +90 s (the batch Compiler.run form) - the non-multiple
+    // shift pins that the stream does not re-bucket shifted events
+    "stream_dql_shift" ->
+      s"""WITH series AS (${SeriesOps.seriesSql})
+         |SELECT metric,
+         |       ${Exact.wstartSql("ts_ms", WinMs)} + 90000 AS ws,
+         |       ${Exact.davgSql("value")} AS value
+         |FROM series WHERE mtype = 'purchase'
+         |GROUP BY metric, ${Exact.wstartSql("ts_ms", WinMs)}""".stripMargin,
     // pointwise combinator over raw slot rows: per-slot pivot + the
     // quotient fold (div-by-zero -> div-by-one, null propagates)
     "stream_dql_raw_comb" ->

@@ -643,7 +643,15 @@ object TextOps {
       .where(size(col("w")) > 0)
       .withColumn("bs", bs)
       .withColumn("ends", ends)
-      .select(col("doc_id"), col("w"), pairs.as("fs"))
+      // generator barrier (the Dsir.score lesson): `pairs` references
+      // `ends` three times and `bs` inside per-element lambdas —
+      // CollapseProject inlining those into every downstream consumer
+      // turned the r14 first cut O(n²)-per-row (text_hash_features 0.45 s
+      // → 13.8 s at sf0.01); the explode(array(struct)) seal evaluates
+      // the run-length derivation exactly once per row
+      .select(col("doc_id"), col("w"),
+        explode(array(struct(pairs.as("fs")))).as("s"))
+      .select(col("doc_id"), col("w"), col("s.fs").as("fs"))
   }
 
   /** DuckDB mirror of [[hashFeatures]] — per-(doc, bucket) group counts

@@ -165,15 +165,24 @@ object StreamingDql {
     val out =
       if (q.selectors.length == 1) {
         val sel = q.selectors.head
-        if (sel.shift.nonEmpty)
-          throw Unstreamable("SHIFT BY is not streamable")
         val plan = Resolver.resolve(sel.expr, q.aliases, _ => resMs)
         // internal plumbing: every aggregated branch also emits `wt`, the
         // window's event-time carrier (window_time keeps the watermark
         // metadata, which stateful consumers above the aggregation — the
         // derivate timeout — must see); it is not part of the public
         // contract
-        named(aggregated(plan, base, store), sel, withMeta, store)
+        val agg = aggregated(plan, base, store)
+        // SHIFT BY d: the batch form fetches [start−d, end−d] and
+        // re-stamps ts_ms += d AFTER computing windows on the original
+        // grid (Compiler.run). The stream mirrors that exactly with a
+        // row-local ws re-stamp post-aggregation — shifting EVENT time
+        // before the window would move the window grid itself whenever d
+        // is not a multiple of the window, which the batch never does.
+        val shiftMs = sel.shift.map(_.ms).getOrElse(0L)
+        val shifted =
+          if (shiftMs == 0L) agg
+          else agg.withColumn("ws", col("ws") + lit(shiftMs))
+        named(shifted, sel, withMeta, store)
       } else fusedFunnel(q, base, withMeta, store)
     out.select(cols.head, cols.tail: _*)
   }

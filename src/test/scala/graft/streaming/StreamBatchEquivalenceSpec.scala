@@ -167,12 +167,13 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   private def assertEquivalent(dql: String, name: String,
                                append: Boolean = false,
-                               chunks: Int = 1): Unit = {
-    val b = batchRows(dql)
+                               chunks: Int = 1,
+                               maxWs: Long = EndMs): Unit = {
+    val b = batchRows(dql).filter(_._2 < maxWs)
     // the stream has no timeframe clause, so compare only the batch
     // query's range (the append sentinel sits past it by construction)
     val st = streamRows(dql, name, append, chunks = chunks)
-      .filter(_._2 < EndMs)
+      .filter(_._2 < maxWs)
     assert(st.nonEmpty, s"stream produced nothing for: $dql")
     val bKeys = b.map(r => (r._1, r._2))
     val missing = st.filterNot(r => bKeys.contains((r._1, r._2)))
@@ -245,6 +246,26 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT quotient('purchase'.'1' BUCKET 'testdata', " +
         s"'error'.'1' BUCKET 'testdata') BETWEEN 0 AND $EndMs",
       "eq_raw_quot", append = true)
+  }
+
+  test("SHIFT BY on an aggregation (non-window-multiple shift pins the " +
+    "grid semantics): stream ≡ batch") {
+    // 90 s shift over a 1 m window: the re-stamp must keep the ORIGINAL
+    // window grid (ws = k·60000 + 90000), not re-bucket shifted events.
+    // The batch fetch range [−90 s, EndMs−90 s) truncates its FINAL
+    // window mid-window (a timeframe edge the unbounded stream doesn't
+    // have), so the comparison stops one window short of it.
+    assertEquivalent(
+      s"SELECT avg('purchase'.* BUCKET 'testdata', 1 m) SHIFT BY 90 s " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_shift_avg", append = true, maxWs = EndMs - 120000)
+  }
+
+  test("SHIFT BY on a RAW select: stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT 'purchase'.* BUCKET 'testdata' SHIFT BY 30 s " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_shift_raw", append = true)
   }
 
   test("transform below the aggregation (divide, then sum): stream ≡ batch") {
