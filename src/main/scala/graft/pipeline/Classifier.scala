@@ -29,8 +29,11 @@ import graft.core.Exact
   * is ONE distributed job over the pinned featurized corpus: per-doc
   * margin, sigmoid, and error are row-local against the literal weights
   * (the sparse feature vector lives in the row, so the dot product never
-  * shuffles); the only exchange is the dim+2-group gradient aggregation,
-  * map-side combinable by construction. SCORING is one corpus scan with
+  * shuffles), and the gradient reduces in a SINGLE STAGE with no
+  * exchange at all — partition-local exact-decimal partials combined on
+  * the driver, the Pca-ladder treeAggregate shape, with the weights in
+  * the task closure so the plan (and its generated code) is identical
+  * across rounds. SCORING is one corpus scan with
   * zero shuffle and zero joins — the weights ride in as literals, the
   * strongest form of "broadcast".
   *
@@ -114,33 +117,66 @@ object Classifier {
   private def sigmoid9(z: Column): Column =
     round(lit(1.0) / (lit(1.0) + exp(-z)), 9)
 
-  /** One gradient round: per-doc error behind a generator barrier (the
-    * Dsir.score lesson — without it CollapseProject would inline the
-    * O(dim) margin fold into every exploded feature row), then the dim+2
-    * bucket gradient sums, kept DECIMAL all the way to the driver.
+  /** One gradient round as a SINGLE-STAGE distributed reduction (the
+    * [[Pca.deflationLadder]] treeAggregate shape): each partition folds
+    * its documents into dim+2 exact-decimal gradient partials — margin,
+    * sigmoid, and error computed with the closure-local mirrors of the
+    * engine's round9/DECIMAL(28,10) lowering (`BigDecimal.valueOf` +
+    * `setScale(HALF_UP)`, and `Math.exp`, the same function Spark's
+    * codegen'd `exp` calls) — and the driver combines the partials
+    * exactly. Bit-identical to the declarative explode/groupBy form it
+    * replaces, but one stage per round with NO exchange and NO per-round
+    * Janino compile (the literal weight vector lives in the task closure,
+    * not the plan, so the plan is byte-identical across rounds).
     */
-  private def gradientFrame(feats: DataFrame,
-                            w: Array[Double]): DataFrame = {
-    val err = round(col("label") - sigmoid9(margin(w)), 9)
-    feats
-      .select(col("fs"), explode(array(struct(err.as("err")))).as("s"))
-      .select(col("s.err").as("err"), explode(col("fs")).as("f"))
-      .groupBy(col("f.bucket").as("bucket"))
-      .agg(sum(round(col("err") * col("f.x"), 9).cast(Dec)).as("g"))
+  private def gradientPartials(feats: DataFrame,
+                               w: Array[Double]): DataFrame = {
+    val s = feats.sparkSession
+    import s.implicits._
+    val wv: Array[Double] = w.clone()
+    val n = w.length
+    feats.select(col("label"), col("fs"))
+      .as[(Double, Seq[(Long, Double)])]
+      .mapPartitions { it =>
+        import java.math.{BigDecimal => B, RoundingMode => RM}
+        def r9(x: Double): Double =
+          if (x.isNaN || x.isInfinite) x
+          else B.valueOf(x).setScale(9, RM.HALF_UP).doubleValue
+        def dec10(x: Double): B = B.valueOf(x).setScale(10, RM.HALF_UP)
+        val acc = Array.fill(n)(B.ZERO)
+        it.foreach { case (label, fs) =>
+          var z = B.ZERO
+          fs.foreach { case (b, x) =>
+            z = z.add(dec10(r9(x * wv(b.toInt))))
+          }
+          val p = r9(1.0 / (1.0 + math.exp(-z.doubleValue)))
+          val err = r9(label - p)
+          fs.foreach { case (b, x) =>
+            val i = b.toInt
+            acc(i) = acc(i).add(dec10(r9(err * x)))
+          }
+        }
+        Iterator.single(acc.map(_.toPlainString).toSeq)
+      }.toDF("g")
   }
 
   private def gradients(feats: DataFrame,
-                        w: Array[Double]): Map[Long, JBD] =
-    gradientFrame(feats, w).collect()
-      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+                        w: Array[Double]): Map[Long, JBD] = {
+    val partials = gradientPartials(feats, w).collect()
+      .map(_.getSeq[String](0))
+    (0 until w.length).map { b =>
+      b.toLong -> partials.foldLeft(JBD.ZERO)(
+        (s, p) => s.add(new JBD(p(b))))
+    }.toMap
+  }
 
   /** test probe: the physical plan of one gradient round, un-executed —
-    * PlanSpec pins the one-exchange map-side-combined shape
+    * PlanSpec pins the exchange-free single-stage reduction shape
     */
   private[graft] def gradientPlanProbe(docs: DataFrame, dim: Int,
                                        minWords: Int,
                                        w: Array[Double]): String =
-    gradientFrame(featurized(docs, dim, minWords), w)
+    gradientPartials(featurized(docs, dim, minWords), w)
       .queryExecution.executedPlan.toString()
 
   /** Trained weight vector (dim+2 exact decimals at scale 9: content
