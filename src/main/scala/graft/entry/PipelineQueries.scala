@@ -431,6 +431,19 @@ object PipelineQueries extends QueryProvider {
     "curate_classifier_weights" -> ((s, d) =>
       Classifier.weights(docs(s, d), dim = 32, rounds = 10, lr = 0.001,
         minWords = 55).orderBy("bucket")),
+    // reliability-diagram table over the scored corpus (10 bins)
+    "curate_classifier_calibration" -> ((s, d) =>
+      Classifier.calibration(
+        Classifier.trainScore(docs(s, d), dim = 32, rounds = 10,
+          lr = 0.001, minWords = 55), bins = 10).orderBy("bin")),
+    // deterministic train/val split (pure hash of doc_id, 10% val)
+    "split_assign" -> ((s, d) =>
+      Curation.assignSplit(docs(s, d), valFrac = 0.1).orderBy("doc_id")),
+    // near-dup LEAKAGE across the split: the eval-integrity audit, read
+    // off the dedup pair artifact with zero extra joins/shuffles
+    "split_leakage" -> ((s, d) =>
+      Curation.splitLeakage(minhashPairs(s, d, 0.5), valFrac = 0.1)
+        .orderBy("train_doc", "val_doc")),
     // diversity-aware sampling: 10 hash-first docs per embedding cluster
     "sample_by_cluster" -> ((s, d) =>
       Curation.sampleByCluster(docs(s, d), emb(s, d), nCells = 8,
@@ -597,6 +610,11 @@ object PipelineQueries extends QueryProvider {
     "curate_topk" -> Curation.topkByQualitySql(10),
     "curate_classifier" -> Classifier.trainScoreSql(32, 10, 0.001, 55),
     "curate_classifier_weights" -> Classifier.weightsSql(32, 10, 0.001, 55),
+    "curate_classifier_calibration" ->
+      Classifier.calibrationSql(32, 10, 0.001, 55, 10),
+    "split_assign" -> Curation.assignSplitSql(0.1),
+    "split_leakage" ->
+      Curation.splitLeakageSql(Dedup.minhashPairsSql(0.5), 0.1),
     "pack_tokens" -> Curation.packTokenBudgetSql(4096),
     "mm_decode" -> Multimodal.decodePpmSql,
     "mm_frames" -> Multimodal.frameSampleSql,

@@ -239,6 +239,24 @@ object Classifier {
     scoreWith(docs, dim, minWords,
       trainWeights(docs, dim, rounds, lr, minWords).map(_.doubleValue))
 
+  /** Calibration readout over a scored corpus — the reliability-diagram
+    * table every deployed quality filter ships with its threshold:
+    * scores binned into `bins` equal-width bins, per bin the count, the
+    * exact-decimal mean score, and the positive-label fraction. One
+    * `bins`-group aggregation over the scoring scan; the bin boundary is
+    * the identical IEEE `floor(score · bins)` on both engines.
+    */
+  def calibration(scored: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    scored
+      .withColumn("bin",
+        least(floor(col("score") * bins).cast("int"), lit(bins - 1)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        Exact.davg(col("score")).as("mean_score"),
+        Exact.davg(col("label")).as("frac_pos"))
+  }
+
   // ---------------------------------------------------------------- SQL
 
   private def dsum9(c: String) = Exact.dsumSql(s"ROUND($c, 9)")
@@ -316,17 +334,33 @@ object Classifier {
        |SELECT bucket, ${wtDouble("wt")} AS weight
        |FROM w$rounds ORDER BY bucket""".stripMargin
 
+  /** the train ladder extended to the scored corpus CTE `sc` */
+  private def scoredSql(dim: Int, rounds: Int, lr: Double,
+                        minWords: Int): String =
+    s"""${ladderSql(dim, rounds, lr, minWords)},
+       |zf AS (SELECT f.doc_id, ${dsum9(s"f.x * ${wtDouble("w.wt")}")} AS z
+       |       FROM f JOIN w$rounds w USING (bucket) GROUP BY 1),
+       |sc AS (SELECT d.doc_id, d.label,
+       |         ROUND(1.0/(1.0 + exp(-zf.z)), 9) AS score
+       |       FROM d JOIN zf USING (doc_id))""".stripMargin
+
   /** DuckDB mirror of [[trainScore]] (and of the streaming twin — the
     * scorer is stateless, so the replayed slice scores identically).
     */
   def trainScoreSql(dim: Int, rounds: Int, lr: Double,
                     minWords: Int): String =
-    s"""WITH ${ladderSql(dim, rounds, lr, minWords)},
-       |zf AS (SELECT f.doc_id, ${dsum9(s"f.x * ${wtDouble("w.wt")}")} AS z
-       |       FROM f JOIN w$rounds w USING (bucket) GROUP BY 1),
-       |sc AS (SELECT d.doc_id, d.label,
-       |         ROUND(1.0/(1.0 + exp(-zf.z)), 9) AS score
-       |       FROM d JOIN zf USING (doc_id))
+    s"""WITH ${scoredSql(dim, rounds, lr, minWords)}
        |SELECT doc_id, label, score, score >= 0.5 AS keep
        |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[trainScore]] ∘ [[calibration]]. */
+  def calibrationSql(dim: Int, rounds: Int, lr: Double, minWords: Int,
+                     bins: Int): String =
+    s"""WITH ${scoredSql(dim, rounds, lr, minWords)}
+       |SELECT LEAST(CAST(FLOOR(score * $bins) AS INTEGER), ${bins - 1})
+       |         AS bin,
+       |       COUNT(*) AS n,
+       |       ${Exact.davgSql("score")} AS mean_score,
+       |       ${Exact.davgSql("label")} AS frac_pos
+       |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
 }

@@ -156,6 +156,75 @@ object Curation {
     docs.where(u < thr)
   }
 
+  /** split of a doc-id column — a pure row-local function (the
+    * [[sampleStratified]] md5 uniform hash against the val-fraction
+    * threshold), so ANY frame carrying doc ids can be split-labeled with
+    * zero joins and zero shuffles
+    */
+  private def splitOf(id: Column, valFrac: Double): Column =
+    when(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") < lit((valFrac * 4294967296L).toLong), "val")
+      .otherwise("train")
+
+  /** Deterministic train/val split assignment — the pipeline op every
+    * training run starts with: membership is a pure function of doc_id
+    * (hash threshold), so re-runs, late-arriving shards, and downstream
+    * jobs all agree without a membership table. Output (doc_id, split).
+    */
+  def assignSplit(docs: DataFrame, valFrac: Double): DataFrame = {
+    require(valFrac >= 0.0 && valFrac <= 1.0, s"bad valFrac $valFrac")
+    docs.select(col("doc_id"), splitOf(col("doc_id"), valFrac).as("split"))
+  }
+
+  /** Split LEAKAGE AUDIT: near-duplicate pairs that CROSS the train/val
+    * boundary — the eval-integrity check a hash split silently needs (a
+    * val document whose near-dup sits in train leaks the answer).
+    * Reads the corpus near-dup pair artifact the dedup job already
+    * maintains ([[Dedup.minhashPairs]]); because split membership is a
+    * pure row-local function of the id, the audit adds ZERO joins and
+    * ZERO shuffles on top of it — each pair labels itself. Output
+    * (train_doc, val_doc, jaccard), oriented.
+    */
+  def splitLeakage(pairs: DataFrame, valFrac: Double): DataFrame = {
+    val sa = splitOf(col("doc_a"), valFrac)
+    val sb = splitOf(col("doc_b"), valFrac)
+    pairs
+      .where(sa =!= sb)
+      .select(
+        when(sa === "train", col("doc_a")).otherwise(col("doc_b"))
+          .as("train_doc"),
+        when(sa === "train", col("doc_b")).otherwise(col("doc_a"))
+          .as("val_doc"),
+        col("jaccard"))
+  }
+
+  /** SQL mirror of [[assignSplit]] over `documents`. */
+  def assignSplitSql(valFrac: Double): String = {
+    val thr = (valFrac * 4294967296L).toLong
+    s"""SELECT doc_id,
+       |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |            AS BIGINT) < $thr THEN 'val' ELSE 'train' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** SQL mirror of [[splitLeakage]] over the pair CTE `pairs`
+    * (compose with [[Dedup.minhashPairsSql]]).
+    */
+  def splitLeakageSql(pairsSql: String, valFrac: Double): String = {
+    val thr = (valFrac * 4294967296L).toLong
+    def s(c: String) =
+      s"(CASE WHEN CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8) " +
+        s"AS BIGINT) < $thr THEN 'val' ELSE 'train' END)"
+    s"""WITH pairs AS ($pairsSql)
+       |SELECT CASE WHEN ${s("doc_a")} = 'train' THEN doc_a ELSE doc_b END
+       |         AS train_doc,
+       |       CASE WHEN ${s("doc_a")} = 'train' THEN doc_b ELSE doc_a END
+       |         AS val_doc,
+       |       jaccard
+       |FROM pairs WHERE ${s("doc_a")} <> ${s("doc_b")}
+       |ORDER BY train_doc, val_doc""".stripMargin
+  }
+
   /** SQL mirror of [[sampleStratified]] over `documents`. */
   def sampleStratifiedSql(strataCol: String, rates: Map[String, Double],
                           defaultRate: Double, selectCols: String): String = {

@@ -68,6 +68,24 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("calibration bins partition the scored corpus; zero-weight " +
+    "scores land in the 0.5 bin with frac_pos = base rate") {
+    val scored = Classifier.scoreWith(corpus(), 8, 10, Array.fill(10)(0.0))
+    val cal = Classifier.calibration(scored, bins = 10).collect()
+    // all scores exactly 0.5 -> one bin (floor(0.5*10) = 5)
+    assert(cal.length == 1 && cal.head.getInt(0) == 5)
+    assert(cal.head.getLong(1) == 60L)
+    assert(cal.head.getDouble(2) == 0.5)
+    assert(cal.head.getDouble(3) == 0.5) // 30/60 odd docs are positive
+    // a trained model spreads bins and keeps the total count
+    val trained = Classifier.trainScore(corpus(), 8, 15, 0.05, 10)
+    val cal2 = Classifier.calibration(trained, bins = 10).collect()
+    assert(cal2.map(_.getLong(1)).sum == 60L)
+    assert(cal2.length > 1)
+    // score 1.0 must clamp into the last bin, never bin `bins`
+    assert(cal2.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 9))
+  }
+
   test("scoreWith against zero weights scores everything 0.5 / keep") {
     val out = Classifier.scoreWith(corpus(), 8, 10,
       Array.fill(10)(0.0)).collect()

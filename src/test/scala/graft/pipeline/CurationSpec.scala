@@ -149,4 +149,39 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+
+  test("split assignment is a pure id function; leakage pairs orient " +
+    "train->val and add no join") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    val sp = Curation.assignSplit(docs, valFrac = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // deterministic re-run, both classes present
+    val again = Curation.assignSplit(docs, valFrac = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sp == again)
+    assert(sp.values.toSet == Set("train", "val"))
+    // leakage: pairs crossing the boundary, oriented (train, val);
+    // same-side pairs dropped
+    val crossA = sp.collectFirst {
+      case (a, "train") if sp.exists(_._2 == "val") => a }.get
+    val valB = sp.collectFirst { case (b, "val") => b }.get
+    val trainC = sp.collectFirst {
+      case (c, "train") if c != crossA => c }.get
+    val pairs = Seq(
+      (crossA, valB, 0.9),  // crossing, a=train
+      (valB, crossA, 0.8),  // crossing, a=val (must flip)
+      (crossA, trainC, 0.7) // same side: dropped
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val leak = Curation.splitLeakage(pairs, valFrac = 0.25)
+    val got = leak.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((crossA, valB, 0.9), (crossA, valB, 0.8)))
+    // zero joins, zero exchanges: the audit labels each pair row-locally
+    val plan = leak.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      plan.take(1500))
+  }
 }
