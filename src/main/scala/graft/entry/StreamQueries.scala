@@ -101,6 +101,9 @@ object StreamQueries extends QueryProvider {
       "'purchase'.'1' BUCKET 'testdata') LAST 1 h"
   private val ShiftDql =
     "SELECT avg('purchase'.* BUCKET 'testdata', 1 m) SHIFT BY 90 s LAST 1 h"
+  private val MultiRawDql =
+    "SELECT 'purchase'.* BUCKET 'testdata', 'error'.* BUCKET 'testdata' " +
+      "LAST 1 h"
   private val GroupDql =
     "SELECT 'purchase' FROM 'testdata' GROUP BY $'graft':'type' USING avg " +
       "LAST 1 h"
@@ -1485,6 +1488,8 @@ object StreamQueries extends QueryProvider {
     "stream_dql_raw_comb" ->
       ((s, d) => runDql(s, d, RawCombDql, "append")),
     "stream_dql_shift" -> ((s, d) => runDql(s, d, ShiftDql, "append")),
+    "stream_multi_raw" ->
+      ((s, d) => runDql(s, d, MultiRawDql, "append", withName = true)),
     "stream_group_avg" -> ((s, d) => runDql(s, d, GroupDql, "append")),
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
@@ -1678,6 +1683,18 @@ object StreamQueries extends QueryProvider {
          |       ${Exact.davgSql("value")} AS value
          |FROM series WHERE mtype = 'purchase'
          |GROUP BY metric, ${Exact.wstartSql("ts_ms", WinMs)}""".stripMargin,
+    // all-raw funnel: each selector's slot rows under its default
+    // (unparsed-selector) name - the tag-explode fused form, one shared
+    // collapse, no stateful union
+    "stream_multi_raw" -> {
+      val Seq(nP, nE) = selectorNames(MultiRawDql).map(_.replace("'", "''"))
+      s"""WITH series AS (${SeriesOps.seriesSql})
+         |SELECT '$nP' AS name, metric, ts_ms AS ws, value
+         |FROM series WHERE mtype = 'purchase'
+         |UNION ALL
+         |SELECT '$nE' AS name, metric, ts_ms AS ws, value
+         |FROM series WHERE mtype = 'error'""".stripMargin
+    },
     // pointwise combinator over raw slot rows: per-slot pivot + the
     // quotient fold (div-by-zero -> div-by-one, null propagates)
     "stream_dql_raw_comb" ->

@@ -218,14 +218,68 @@ object StreamingDql {
     * append-mode shape; a funnel of ONLY conf selectors skips the
     * collapse stage (update-capable), like the single-selector conf path.
     */
+  /** ALL-RAW multi-selector funnel: every selector is a plain
+    * scan/lookup (± pointwise transforms), so the funnel is a union of
+    * slot-row passthroughs — which must NOT compile as a union of
+    * streaming branches (the multi-stateful union Spark runs
+    * incorrectly). Instead the [[graft.streaming.EventStream.activeBoard]]
+    * tag-explode shape: ONE shared slot collapse over the union of the
+    * selectors' series, then each slot row explodes row-locally into one
+    * copy per matching selector, carrying the selector id; naming and
+    * metadata resolve per row by selector id. Per-selector SHIFT BY is a
+    * row-local ws re-stamp here (the single-selector rule), so shifted
+    * funnels of raw selectors stream too.
+    */
+  private def fusedRawFunnel(q: Ast.Query, base: DataFrame,
+                             withMeta: Boolean, store: StreamStore,
+                             plans: Seq[RExpr]): DataFrame = {
+    val res = plans.map(_.resMs).distinct
+    if (res.length != 1)
+      throw Unstreamable("resolution_conflict: multi-selector streams " +
+        s"must share one resolution, got ${res.mkString(", ")} ms")
+    val condVals = plans.map(leafCondValue(_, store))
+    val anyCond = condVals.map(_._1).reduce(_ || _)
+    val collapsed = slotCollapse(base.where(anyCond), res.head, store)
+    val branches = condVals.zipWithIndex.map { case ((cond, v), i) =>
+      when(cond, struct(lit(i).as("sid"), v.cast("double").as("v")))
+    }
+    val wsCol =
+      if (collapsed.columns.contains("sw")) unix_millis(col("sw.start"))
+      else unix_millis(col("ts"))
+    val shifts = q.selectors.map(_.shift.map(_.ms).getOrElse(0L))
+    def bySid[T](vals: Seq[Column]): Column =
+      vals.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (v, i)) => when(col("sid") === i, v).otherwise(acc)
+      }
+    val shiftCol = shifts.zipWithIndex
+      .foldLeft(lit(0L)) { case (acc, (ms, i)) =>
+        when(col("sid") === i, lit(ms)).otherwise(acc)
+      }
+    val ex = collapsed
+      .withColumn("c",
+        explode(filter(array(branches: _*), b => b.isNotNull)))
+      .withColumn("sid", col("c.sid"))
+      .withColumn("ws", wsCol + shiftCol)
+      .withColumn("value", col("c.v"))
+    val nameCol = bySid(q.selectors.map(nameExpr(_, store)))
+    if (!withMeta)
+      ex.select(nameCol.as("name"), col("metric"), col("ws"), col("value"))
+    else
+      ex.select(nameCol.as("name"), col("metric"), col("ws"), col("value"),
+        bySid(q.selectors.map(s => lit(metaJson(s)))).as("metadata"))
+  }
+
   private def fusedFunnel(q: Ast.Query, base: DataFrame,
                           withMeta: Boolean, store: StreamStore): DataFrame = {
     val sels = q.selectors
+    val resMs0 = resolutionMs(base)
+    val plans0 = sels.map(sel => Resolver.resolve(sel.expr, q.aliases, _ => resMs0))
+    if (plans0.forall(isRawLeaf))
+      return fusedRawFunnel(q, base, withMeta, store, plans0)
     sels.foreach { sel =>
       if (sel.shift.nonEmpty) throw Unstreamable("SHIFT BY is not streamable")
     }
-    val resMs0 = resolutionMs(base)
-    val plans = sels.map(sel => Resolver.resolve(sel.expr, q.aliases, _ => resMs0))
+    val plans = plans0
     // peel the pointwise transforms above each aggregation; acc ends up
     // innermost-first, so a left fold re-applies them in batch order
     def peel(p: RExpr, acc: List[(String, Option[Double])])
