@@ -86,6 +86,71 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cal2.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 9))
   }
 
+  /** pure-Scala reference trainer: same featurization (md5 buckets,
+    * log-TF, log-length, bias), same exact-decimal GD — no Spark
+    */
+  private def refTrain(texts: Seq[(Long, String)], dim: Int, rounds: Int,
+                       lr: Double,
+                       minWords: Int): Seq[java.math.BigDecimal] = {
+    import java.math.{BigDecimal => B, RoundingMode => RM}
+    def r9(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else B.valueOf(x).setScale(9, RM.HALF_UP).doubleValue
+    def dec10(x: Double): B = B.valueOf(x).setScale(10, RM.HALF_UP)
+    def bucket(word: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(word.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h, 16) % dim).toInt
+    }
+    val docs = texts.map(_._2.trim.split(" ").filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .map { w =>
+        val nw = w.length.toDouble
+        val counts = w.groupBy(bucket).view.mapValues(_.size).toSeq
+        val fs = counts.map { case (b, c) =>
+          (b, r9(math.log(1.0 + c / nw))) } ++
+          Seq((dim, r9(math.log(1.0 + nw))), (dim + 1, 1.0))
+        val label = if (w.length >= minWords) 1.0 else 0.0
+        (label, fs)
+      }
+    val lrD = B.valueOf(lr)
+    var w = Array.fill(dim + 2)(B.ZERO.setScale(9))
+    for (_ <- 1 to rounds) {
+      val g = Array.fill(dim + 2)(B.ZERO)
+      docs.foreach { case (label, fs) =>
+        var z = B.ZERO
+        fs.foreach { case (b, x) => z = z.add(dec10(r9(x * w(b).doubleValue))) }
+        val p = r9(1.0 / (1.0 + math.exp(-z.doubleValue)))
+        val err = r9(label - p)
+        fs.foreach { case (b, x) => g(b) = g(b).add(dec10(r9(err * x))) }
+      }
+      w = Array.tabulate(dim + 2)(b =>
+        w(b).add(lrD.multiply(g(b)).setScale(9, RM.HALF_UP)))
+    }
+    w.toSeq
+  }
+
+  test("fuzzed corpora train BIT-IDENTICAL weights to the pure-Scala " +
+    "reference (featurization + exact-decimal GD)") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(3, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+      val texts = (0L until 50L).map { id =>
+        id -> (1 + rnd.nextInt(12))
+          .to(1, -1).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      }
+      val got = Classifier.trainWeights(texts.toDF("doc_id", "text"),
+        dim = 8, rounds = 6, lr = 0.02, minWords = 7).toSeq
+      val ref = refTrain(texts, dim = 8, rounds = 6, lr = 0.02,
+        minWords = 7)
+      assert(got == ref, s"seed=$seed")
+    }
+  }
+
   test("scoreWith against zero weights scores everything 0.5 / keep") {
     val out = Classifier.scoreWith(corpus(), 8, 10,
       Array.fill(10)(0.0)).collect()

@@ -171,6 +171,60 @@ class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** brute keep-first scrub: canonical (min (doc, pos)) occurrence per
+    * duplicated gram exempted, remaining hits island-merged, covered
+    * tokens cut — plain Scala, no Spark
+    */
+  private def refScrubKeepFirst(texts: Seq[(Long, String)],
+                                n: Int): Map[Long, (Long, Long, String)] = {
+    val words = texts.map { case (id, t) => id -> t.trim.split(" ").toSeq }
+    val occs = words.flatMap { case (id, w) =>
+      if (w.length < n) Nil
+      else w.sliding(n).zipWithIndex
+        .map { case (g, i) => (g.mkString(" "), id, i) }.toSeq
+    }
+    val byGram = occs.groupBy(_._1).filter(_._2.size > 1)
+    val nonCanonical = byGram.values.flatMap { os =>
+      os.sortBy(o => (o._2, o._3)).tail // canonical = min (doc, pos)
+    }.toSeq
+    val hitsByDoc = nonCanonical.groupBy(_._2)
+      .view.mapValues(_.map(_._3).sorted.toList).toMap
+    words.map { case (id, w) =>
+      val spans = hitsByDoc.getOrElse(id, Nil) match {
+        case Nil => Nil
+        case h :: t =>
+          t.foldLeft(List((h, h))) {
+            case ((s0, e0) :: rest, p) =>
+              if (p - e0 <= n) (s0, p) :: rest else (p, p) :: (s0, e0) :: rest
+            case (Nil, p) => List((p, p))
+          }.map { case (s0, e0) => (s0, e0 + n - 1) }
+      }
+      val kept = w.zipWithIndex.collect {
+        case (tok, i) if !spans.exists(sp => sp._1 <= i && i <= sp._2) => tok
+      }
+      id -> ((w.length.toLong, (w.length - kept.length).toLong,
+        kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("fuzzed keep-first scrub matches the brute-force reference") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(7, 13, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = ('a' to 'e').map(_.toString)
+      val texts = (0L until 40L).map { id =>
+        id -> (0 until (3 + rnd.nextInt(18)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val got = Dedup.substringScrubKeepFirst(
+          texts.toDF("doc_id", "text"), 3).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == refScrubKeepFirst(texts, 3), s"seed=$seed")
+    }
+  }
+
   test("fuzzed corpora match the brute-force reference") {
     for (seed <- Seq(3, 9, 21)) {
       val rnd = new scala.util.Random(seed)
