@@ -167,6 +167,11 @@ object Bench {
     // scoring cost, exactly the trained-IVFADC story above
     warm("stream_classifier")(
       force(SparkEntry.queries("stream_classifier")(spark, sfDir)))
+    // warms the sanctioned duplicated-gram artifact both span gates
+    // probe (batch-refreshed like the band index — its corpus-wide count
+    // is provisioning, not per-arrival probe cost)
+    warm("stream_spans")(
+      force(SparkEntry.queries("stream_spans")(spark, sfDir)))
     // warms the DURABLE bucketed layout (sources/BucketStore — memoized
     // per session, Provisioning-attributed): the one-off bucketed write
     // is storage provisioning amortized across every co-located join,
