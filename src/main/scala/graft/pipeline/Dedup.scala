@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication operators for large-scale document corpora (builder brief;
   * beyond the reference surface, SURVEY §2.10 north star).
@@ -777,19 +778,34 @@ object Dedup {
     * the hit set before the island merge, so one copy of every repeated
     * phrase survives the rewrite and only the other copies are cut.
     *
-    * Scale shape: identical to the keep-zero path plus one window pass
-    * over the HIT table (partitioned by gram hash — bounded by the
-    * duplicated-occurrence set, a vanishing fraction of the corpus at
-    * real duplication rates, and never the corpus itself).
+    * Scale shape: identical to the keep-zero path — the canonical
+    * occurrence rides the dup-hash aggregation itself as a `min` over an
+    * order-preserving packed key (map-side combinable, so a boilerplate
+    * phrase repeated 10⁵ times corpus-wide collapses to one partial per
+    * input partition before the shuffle), and the exemption is a
+    * row-local inequality on the joined hit — no window over the gram
+    * hash, no single-task sort under a hot gram, no second join, no
+    * extra corpus scan.
+    *
+    * The key packs (doc_id, pos) as `doc_id·2³² + pos` in DECIMAL(38,0):
+    * `min(struct(…))` would demote the aggregation to SortAggregate
+    * (struct is not a mutable agg-buffer type), locally sorting the
+    * whole occurrence table; a fixed-width decimal keeps it in
+    * HashAggregate. Monotone in (doc_id, pos) — pos ∈ [0, 2³¹) — so the
+    * decimal min IS the `ORDER BY doc_id, pos` first occurrence, for
+    * negative doc_id too.
     */
   def substringScrubKeepFirst(docs: DataFrame, n: Int): DataFrame = {
-    val hits = gramOccurrences(docs, n)
-      .join(dupGrams(docs, n), Seq("gh"))
-    val byGram = Window.partitionBy("gh")
-      .orderBy(col("doc_id"), col("pos"))
-    val nonCanonical = hits
-      .withColumn("rn", row_number().over(byGram))
-      .where(col("rn") > 1)
+    val packed = col("doc_id").cast(DecimalType(38, 0)) *
+      lit(4294967296L) + col("pos")
+    val dupWithCanon = gramOccurrences(docs, n)
+      .groupBy("gh")
+      .agg(count(lit(1)).as("c"), min(packed).as("c0"))
+      .where(col("c") > 1)
+      .select(col("gh"), col("c0"))
+    val nonCanonical = gramOccurrences(docs, n)
+      .join(dupWithCanon, Seq("gh"))
+      .where(packed =!= col("c0"))
       .select(col("doc_id"), col("pos"))
     scrubBySpans(docs, islands(nonCanonical, n))
   }

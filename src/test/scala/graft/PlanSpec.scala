@@ -202,6 +202,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Generate".r.findAllIn(scrub).size <= 3, scrub.take(3000))
   }
 
+  test("keep-first scrub: canonical pick is a partial-aggregated min — " +
+    "no window, no sort on the gram hash") {
+    val docs = core.Tables(spark, dir, "documents")
+    val plan = planOf(pipeline.Dedup.substringScrubKeepFirst(docs, 8))
+    // every Window is the doc-keyed island merge (lag + running sum); a
+    // window or sort keyed on the gram hash means the canonical-
+    // occurrence exemption regressed to the single-task hot-gram sort
+    assert("windowspecdefinition\\(gh#".r.findFirstIn(plan).isEmpty,
+      plan.take(3000))
+    assert("Sort \\[gh#".r.findFirstIn(plan).isEmpty, plan.take(3000))
+    // exactly the island merge's two Window nodes (lag + running sum)
+    assert("Window \\[".r.findAllIn(plan).size <= 2, plan.take(3000))
+    // the fused (count, min-struct) dup-hash aggregation must combine
+    // map-side: partial + final HashAggregate pairs
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("classifier scoring is one scan: literal weights, no joins, no " +
     "exchange; the gradient round shuffles only the dim-bounded buckets") {
     val docs = core.Tables(spark, dir, "documents")

@@ -225,6 +225,27 @@ class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("keep-first scrub survives one gram duplicated ~1e5 times " +
+    "(hot-boilerplate skew)") {
+    val s = spark
+    import s.implicits._
+    // one document cycling a 3-token phrase 33 334 times: every window
+    // hash repeats ~33k times corpus-wide — under the old row_number()-
+    // over-gh plan this was three hot single-task window sorts; the
+    // min-struct aggregation combines map-side. Canonical windows are
+    // the doc's first three starts, so exactly the leading "h o t"
+    // survives and the rest of the cycle is one maximal span.
+    val k = 33334
+    val hot = Seq.fill(k)("h o t").mkString(" ")
+    val docs = Seq((0L, hot), (1L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    val out = Dedup.substringScrubKeepFirst(docs, 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      0L -> ((3L * k, 3L * k - 3L, "h o t")),
+      1L -> ((5L, 0L, "u1 u2 u3 u4 u5"))))
+  }
+
   test("fuzzed corpora match the brute-force reference") {
     for (seed <- Seq(3, 9, 21)) {
       val rnd = new scala.util.Random(seed)
