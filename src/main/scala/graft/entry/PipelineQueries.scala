@@ -436,6 +436,31 @@ object PipelineQueries extends QueryProvider {
       Classifier.calibration(
         Classifier.trainScore(docs(s, d), dim = 32, rounds = 10,
           lr = 0.001, minWords = 55), bins = 10).orderBy("bin")),
+    // HELD-OUT classifier: weights trained on the train split only, the
+    // val split scored with them frozen — composes the classifier with
+    // the deterministic hash split (both scopes row-local predicates)
+    "curate_classifier_val" -> ((s, d) =>
+      Classifier.trainScoreHeldOut(docs(s, d), dim = 32, rounds = 10,
+        lr = 0.001, minWords = 55, valFrac = 0.1).orderBy("doc_id")),
+    // held-out reliability table: calibration computed on val rows only
+    // (20 bins — the sum-gradient model's 10-round scores sit in a
+    // narrow band above 0.5; finer bins keep the table informative,
+    // and the miscalibrated band IS the operator's production readout)
+    "curate_classifier_val_calib" -> ((s, d) =>
+      Classifier.calibration(
+        Classifier.trainScoreHeldOut(docs(s, d), dim = 32, rounds = 10,
+          lr = 0.001, minWords = 55, valFrac = 0.1), bins = 20)
+        .orderBy("bin")),
+    // unigram+bigram classifier (fastText parity): 32 unigram + 32
+    // hashed-bigram buckets, one run-length pass over both channels
+    "curate_classifier_bigram" -> ((s, d) =>
+      Classifier.trainScoreBigram(docs(s, d), dimUni = 32, dimBi = 32,
+        rounds = 10, lr = 0.001, minWords = 55).orderBy("doc_id")),
+    // the bigram model artifact (unigram [0,32), bigram [32,64),
+    // length 64, bias 65)
+    "curate_classifier_bigram_w" -> ((s, d) =>
+      Classifier.weightsBigram(docs(s, d), dimUni = 32, dimBi = 32,
+        rounds = 10, lr = 0.001, minWords = 55).orderBy("bucket")),
     // deterministic train/val split (pure hash of doc_id, 10% val)
     "split_assign" -> ((s, d) =>
       Curation.assignSplit(docs(s, d), valFrac = 0.1).orderBy("doc_id")),
@@ -612,6 +637,14 @@ object PipelineQueries extends QueryProvider {
     "curate_classifier_weights" -> Classifier.weightsSql(32, 10, 0.001, 55),
     "curate_classifier_calibration" ->
       Classifier.calibrationSql(32, 10, 0.001, 55, 10),
+    "curate_classifier_val" ->
+      Classifier.heldOutScoreSql(32, 10, 0.001, 55, 0.1),
+    "curate_classifier_val_calib" ->
+      Classifier.heldOutCalibrationSql(32, 10, 0.001, 55, 0.1, 20),
+    "curate_classifier_bigram" ->
+      Classifier.trainScoreBigramSql(32, 32, 10, 0.001, 55),
+    "curate_classifier_bigram_w" ->
+      Classifier.weightsBigramSql(32, 32, 10, 0.001, 55),
     "split_assign" -> Curation.assignSplitSql(0.1),
     "split_leakage" ->
       Curation.splitLeakageSql(Dedup.minhashPairsSql(0.5), 0.1),

@@ -82,9 +82,27 @@ object Classifier {
     * diverged at sf0.01.
     */
   private def featurized(docs: DataFrame, dim: Int,
-                         minWords: Int): DataFrame = {
+                         minWords: Int): DataFrame =
+    featurizedOn(TextOps.hashFeaturePairs(docs, dim), dim, minWords)
+
+  /** [[featurized]] with the hashed word-bigram channel (fastText parity
+    * — Joulin et al. 2016): content buckets are `dimUni` unigram +
+    * `dimBi` bigram (offset by dimUni), then the log-length feature and
+    * the bias. Weight vector length is dimUni + dimBi + 2.
+    */
+  private def featurizedBi(docs: DataFrame, dimUni: Int, dimBi: Int,
+                           minWords: Int): DataFrame =
+    featurizedOn(TextOps.hashFeaturePairsBi(docs, dimUni, dimBi),
+      dimUni + dimBi, minWords)
+
+  /** the shared affine tail over any sparse (bucket, n) channel set:
+    * log-TF transform of the content counts, log-length at bucket
+    * `nContent`, bias at `nContent + 1`
+    */
+  private def featurizedOn(pairs: DataFrame, nContent: Int,
+                           minWords: Int): DataFrame = {
     val nw = size(col("w")).cast("double")
-    TextOps.hashFeaturePairs(docs, dim)
+    pairs
       .select(col("doc_id"),
         when(size(col("w")) >= minWords, 1.0).otherwise(0.0).as("label"),
         concat(
@@ -93,9 +111,9 @@ object Classifier {
               round(log(lit(1.0) +
                 f.getField("n").cast("double") / nw), 9).as("x"))),
           array(
-            struct(lit(dim.toLong).as("bucket"),
+            struct(lit(nContent.toLong).as("bucket"),
               round(log(lit(1.0) + nw), 9).as("x")),
-            struct(lit(dim + 1L).as("bucket"), lit(1.0).as("x"))))
+            struct(lit(nContent + 1L).as("bucket"), lit(1.0).as("x"))))
           .as("fs"))
   }
 
@@ -188,22 +206,30 @@ object Classifier {
     * artifact).
     */
   def trainWeights(docs: DataFrame, dim: Int, rounds: Int, lr: Double,
-                   minWords: Int): Array[JBD] = {
+                   minWords: Int): Array[JBD] =
+    trainOn(featurized(docs, dim, minWords), dim + 2, rounds, lr)
+
+  /** the trainer over any featurized frame — the pin is released in a
+    * finally so a failed gradient round cannot leak the cached corpus
+    */
+  private def trainOn(feats0: DataFrame, nWeights: Int, rounds: Int,
+                      lr: Double): Array[JBD] = {
     val lrD = JBD.valueOf(lr)
     val feats = graft.core.Caches.deferRelease(
-      graft.core.Parallel.widen(featurized(docs, dim, minWords)).persist())
-    require(feats.limit(1).count() > 0,
-      "Classifier: empty featurized corpus — cannot train")
-    var w = Array.fill(dim + 2)(JBD.ZERO.setScale(9))
-    for (_ <- 1 to rounds) {
-      val g = gradients(feats, w.map(_.doubleValue))
-      w = Array.tabulate(dim + 2) { b =>
-        w(b).add(lrD.multiply(g.getOrElse(b.toLong, JBD.ZERO))
-          .setScale(9, RM.HALF_UP))
+      graft.core.Parallel.widen(feats0).persist())
+    try {
+      require(feats.limit(1).count() > 0,
+        "Classifier: empty featurized corpus — cannot train")
+      var w = Array.fill(nWeights)(JBD.ZERO.setScale(9))
+      for (_ <- 1 to rounds) {
+        val g = gradients(feats, w.map(_.doubleValue))
+        w = Array.tabulate(nWeights) { b =>
+          w(b).add(lrD.multiply(g.getOrElse(b.toLong, JBD.ZERO))
+            .setScale(9, RM.HALF_UP))
+        }
       }
-    }
-    graft.core.Caches.release(feats, blocking = true)
-    w
+      w
+    } finally graft.core.Caches.release(feats, blocking = true)
   }
 
   /** The learned model as rows — (bucket, weight), length feature at bucket
@@ -222,10 +248,20 @@ object Classifier {
   /** Corpus scored against ALREADY-TRAINED weights: one scan, row-local
     * margin + sigmoid against literal weights — zero shuffle, zero joins,
     * stateless on a stream. Output (doc_id, label, score, keep).
+    *
+    * CONTRACT — empty docs are EXCLUDED: a document whose text tokenizes
+    * to zero words has no feature row (the featurizer keeps `size(w) >
+    * 0` only, matching the mirror's `len(w) > 0`), so it appears in
+    * neither the scored output nor any keep/drop partition downstream.
+    * Pipelines that must account for every input row should union the
+    * `size(w) = 0` remainder back explicitly.
     */
   def scoreWith(docs: DataFrame, dim: Int, minWords: Int,
                 w: Array[Double]): DataFrame =
-    featurized(docs, dim, minWords)
+    scoreOn(featurized(docs, dim, minWords), w)
+
+  private def scoreOn(feats: DataFrame, w: Array[Double]): DataFrame =
+    feats
       .select(col("doc_id"),
         explode(array(struct(col("label"),
           sigmoid9(margin(w)).as("score")))).as("s"))
@@ -233,11 +269,51 @@ object Classifier {
         col("s.score").as("score"),
         (col("s.score") >= 0.5).as("keep"))
 
-  /** Train + score in one call — the batch gate shape. */
+  /** Train + score in one call — the batch gate shape. Inherits
+    * [[scoreWith]]'s empty-doc exclusion.
+    */
   def trainScore(docs: DataFrame, dim: Int, rounds: Int, lr: Double,
                  minWords: Int): DataFrame =
     scoreWith(docs, dim, minWords,
       trainWeights(docs, dim, rounds, lr, minWords).map(_.doubleValue))
+
+  /** HELD-OUT composition — the eval-integrity shape the deployed filter
+    * actually ships with: weights trained ONLY on the train side of the
+    * deterministic [[Curation.assignSplit]] hash split, the VAL side
+    * scored with those frozen weights (so [[calibration]] over this
+    * output is a true held-out reliability table, not a training-set
+    * readback). Both scoping predicates are row-local hash filters —
+    * no membership join anywhere.
+    */
+  def trainScoreHeldOut(docs: DataFrame, dim: Int, rounds: Int,
+                        lr: Double, minWords: Int,
+                        valFrac: Double): DataFrame =
+    scoreWith(Curation.onSplit(docs, valFrac, "val"), dim, minWords,
+      trainWeights(Curation.onSplit(docs, valFrac, "train"), dim, rounds,
+        lr, minWords).map(_.doubleValue))
+
+  /** Unigram+bigram model (fastText parity): train + score with the
+    * [[featurizedBi]] channel set. Weight length dimUni + dimBi + 2.
+    */
+  def trainScoreBigram(docs: DataFrame, dimUni: Int, dimBi: Int,
+                       rounds: Int, lr: Double, minWords: Int): DataFrame =
+    scoreOn(featurizedBi(docs, dimUni, dimBi, minWords),
+      trainOn(featurizedBi(docs, dimUni, dimBi, minWords),
+        dimUni + dimBi + 2, rounds, lr).map(_.doubleValue))
+
+  /** The bigram model's learned weights — (bucket, weight); unigram
+    * buckets [0, dimUni), bigram [dimUni, dimUni+dimBi), then length
+    * and bias.
+    */
+  def weightsBigram(docs: DataFrame, dimUni: Int, dimBi: Int, rounds: Int,
+                    lr: Double, minWords: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    trainOn(featurizedBi(docs, dimUni, dimBi, minWords),
+      dimUni + dimBi + 2, rounds, lr).zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt.doubleValue) }.toSeq
+      .toDF("bucket", "weight")
+  }
 
   /** Calibration readout over a scored corpus — the reliability-diagram
     * table every deployed quality filter ships with its threshold:
@@ -266,46 +342,71 @@ object Classifier {
     */
   private def wtDouble(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
 
-  /** Shared CTE ladder: featurized corpus `f` (sparse + bias rows,
-    * MATERIALIZED — every round references it twice), doc labels `d`,
-    * and the unrolled gradient rounds — round r's weights land in `w$r`
-    * as DECIMAL(28,9), updated in native decimal arithmetic (exact, like
-    * the driver's BigDecimal chain). The multiply-referenced CTEs are
-    * pinned MATERIALIZED like the PCA ladder (DuckDB otherwise re-inlines
-    * the upstream chain per reference).
+  /** Featurization CTEs `ws$sfx`/`d$sfx`/`tok$sfx`/`f$sfx` over
+    * `documents WHERE $pred` — MATERIALIZED where multiply referenced
+    * (DuckDB otherwise re-inlines the upstream chain per reference).
+    * With `dimBi` set, the hashed word-bigram channel unions in at
+    * buckets offset by `dim` (pair text `w[i] || ' ' || w[i+1]`, the
+    * Spark twin's concat_ws convention).
     */
-  private def ladderSql(dim: Int, rounds: Int, lr: Double,
-                        minWords: Int): String = {
-    val base =
-      s"""ws AS (SELECT doc_id,
-         |         list_filter(string_split(trim(text), ' '),
-         |                     x -> x <> '') AS w
-         |       FROM documents),
-         |d AS MATERIALIZED (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw,
-         |       CAST(CASE WHEN len(w) >= $minWords THEN 1 ELSE 0 END
-         |            AS DOUBLE) AS label
-         |     FROM ws WHERE len(w) > 0),
-         |tok AS (SELECT doc_id, len(w) AS nw, s AS word
-         |        FROM ws, unnest(w) AS t(s)),
-         |f AS MATERIALIZED (
+  private def featureCtesSql(dim: Int, dimBi: Option[Int], minWords: Int,
+                             pred: String, sfx: String): String = {
+    val nContent = dim + dimBi.getOrElse(0)
+    val bigCte = dimBi.map(_ =>
+      s"""
+         |big$sfx AS (SELECT doc_id, len(w) AS nw,
+         |         w[CAST(t.i AS INTEGER)] || ' ' ||
+         |           w[CAST(t.i + 1 AS INTEGER)] AS pair
+         |       FROM ws$sfx, unnest(range(1, len(w))) AS t(i)),"""
+        .stripMargin).getOrElse("")
+    val biBranch = dimBi.map(db =>
+      s"""
+         |  UNION ALL
          |  SELECT doc_id,
-         |         CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) % $dim
-         |           AS bucket,
+         |         $dim + CAST('0x' || substr(md5(pair), 1, 8) AS BIGINT)
+         |           % $db AS bucket,
          |         ROUND(ln(CAST(1 AS DOUBLE) +
          |           CAST(COUNT(*) AS DOUBLE) / CAST(nw AS DOUBLE)), 9)
          |           AS x
-         |  FROM tok GROUP BY doc_id, 2, nw
-         |  UNION ALL
-         |  SELECT doc_id, $dim AS bucket,
-         |         ROUND(ln(CAST(1 AS DOUBLE) + CAST(nw AS DOUBLE)), 9)
-         |           AS x
-         |  FROM d
-         |  UNION ALL
-         |  SELECT doc_id, ${dim + 1} AS bucket, CAST(1 AS DOUBLE) AS x
-         |  FROM d),
-         |w0 AS (SELECT CAST(r.i AS BIGINT) AS bucket,
+         |  FROM big$sfx GROUP BY doc_id, 2, nw""".stripMargin)
+      .getOrElse("")
+    s"""ws$sfx AS (SELECT doc_id,
+       |         list_filter(string_split(trim(text), ' '),
+       |                     x -> x <> '') AS w
+       |       FROM documents WHERE $pred),
+       |d$sfx AS MATERIALIZED (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw,
+       |       CAST(CASE WHEN len(w) >= $minWords THEN 1 ELSE 0 END
+       |            AS DOUBLE) AS label
+       |     FROM ws$sfx WHERE len(w) > 0),
+       |tok$sfx AS (SELECT doc_id, len(w) AS nw, s AS word
+       |        FROM ws$sfx, unnest(w) AS t(s)),$bigCte
+       |f$sfx AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) % $dim
+       |           AS bucket,
+       |         ROUND(ln(CAST(1 AS DOUBLE) +
+       |           CAST(COUNT(*) AS DOUBLE) / CAST(nw AS DOUBLE)), 9)
+       |           AS x
+       |  FROM tok$sfx GROUP BY doc_id, 2, nw$biBranch
+       |  UNION ALL
+       |  SELECT doc_id, $nContent AS bucket,
+       |         ROUND(ln(CAST(1 AS DOUBLE) + CAST(nw AS DOUBLE)), 9)
+       |           AS x
+       |  FROM d$sfx
+       |  UNION ALL
+       |  SELECT doc_id, ${nContent + 1} AS bucket, CAST(1 AS DOUBLE) AS x
+       |  FROM d$sfx)""".stripMargin
+  }
+
+  /** The unrolled gradient rounds over the unsuffixed feature CTEs —
+    * round r's weights land in `w$r` as DECIMAL(28,9), updated in native
+    * decimal arithmetic (exact, like the driver's BigDecimal chain).
+    */
+  private def roundsSql(nWeights: Int, rounds: Int, lr: Double): String = {
+    val w0 =
+      s"""w0 AS (SELECT CAST(r.i AS BIGINT) AS bucket,
          |              CAST(0 AS DECIMAL(28,9)) AS wt
-         |       FROM range(0, ${dim + 2}) r(i))""".stripMargin
+         |       FROM range(0, $nWeights) r(i))""".stripMargin
     val steps = (1 to rounds).map { r =>
       s"""z$r AS (SELECT f.doc_id, ${dsum9(s"f.x * ${wtDouble("w.wt")}")} AS z
          |      FROM f JOIN w${r - 1} w USING (bucket) GROUP BY 1),
@@ -324,8 +425,20 @@ object Classifier {
          |       FROM w${r - 1} w LEFT JOIN g$r USING (bucket))"""
         .stripMargin
     }.mkString(",\n")
-    s"$base,\n$steps"
+    s"$w0,\n$steps"
   }
+
+  /** Shared CTE ladder: featurization + unrolled rounds (unigram). */
+  private def ladderSql(dim: Int, rounds: Int, lr: Double,
+                        minWords: Int): String =
+    s"${featureCtesSql(dim, None, minWords, "TRUE", "")},\n" +
+      roundsSql(dim + 2, rounds, lr)
+
+  /** [[ladderSql]] with the bigram channel. */
+  private def ladderBiSql(dim: Int, dimBi: Int, rounds: Int, lr: Double,
+                          minWords: Int): String =
+    s"${featureCtesSql(dim, Some(dimBi), minWords, "TRUE", "")},\n" +
+      roundsSql(dim + dimBi + 2, rounds, lr)
 
   /** DuckDB mirror of [[weights]]. */
   def weightsSql(dim: Int, rounds: Int, lr: Double,
@@ -363,4 +476,66 @@ object Classifier {
        |       ${Exact.davgSql("score")} AS mean_score,
        |       ${Exact.davgSql("label")} AS frac_pos
        |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** train ladder over the TRAIN split + val-side featurization (`fv`,
+    * `dv`) + scoring CTE `sc` over val docs against the frozen `w$rounds`
+    */
+  private def heldOutScoredSql(dim: Int, rounds: Int, lr: Double,
+                               minWords: Int, valFrac: Double): String = {
+    val trainPred = Curation.onSplitPredSql("doc_id", valFrac, "train")
+    val valPred = Curation.onSplitPredSql("doc_id", valFrac, "val")
+    s"""${featureCtesSql(dim, None, minWords, trainPred, "")},
+       |${roundsSql(dim + 2, rounds, lr)},
+       |${featureCtesSql(dim, None, minWords, valPred, "v")},
+       |zf AS (SELECT fv.doc_id, ${dsum9(s"fv.x * ${wtDouble("w.wt")}")} AS z
+       |       FROM fv JOIN w$rounds w USING (bucket) GROUP BY 1),
+       |sc AS (SELECT dv.doc_id, dv.label,
+       |         ROUND(1.0/(1.0 + exp(-zf.z)), 9) AS score
+       |       FROM dv JOIN zf USING (doc_id))""".stripMargin
+  }
+
+  /** DuckDB mirror of [[trainScoreHeldOut]]. */
+  def heldOutScoreSql(dim: Int, rounds: Int, lr: Double, minWords: Int,
+                      valFrac: Double): String =
+    s"""WITH ${heldOutScoredSql(dim, rounds, lr, minWords, valFrac)}
+       |SELECT doc_id, label, score, score >= 0.5 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[trainScoreHeldOut]] ∘ [[calibration]] — the
+    * held-out reliability table.
+    */
+  def heldOutCalibrationSql(dim: Int, rounds: Int, lr: Double,
+                            minWords: Int, valFrac: Double,
+                            bins: Int): String =
+    s"""WITH ${heldOutScoredSql(dim, rounds, lr, minWords, valFrac)}
+       |SELECT LEAST(CAST(FLOOR(score * $bins) AS INTEGER), ${bins - 1})
+       |         AS bin,
+       |       COUNT(*) AS n,
+       |       ${Exact.davgSql("score")} AS mean_score,
+       |       ${Exact.davgSql("label")} AS frac_pos
+       |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** the bigram ladder extended to the scored corpus CTE `sc` */
+  private def scoredBiSql(dim: Int, dimBi: Int, rounds: Int, lr: Double,
+                          minWords: Int): String =
+    s"""${ladderBiSql(dim, dimBi, rounds, lr, minWords)},
+       |zf AS (SELECT f.doc_id, ${dsum9(s"f.x * ${wtDouble("w.wt")}")} AS z
+       |       FROM f JOIN w$rounds w USING (bucket) GROUP BY 1),
+       |sc AS (SELECT d.doc_id, d.label,
+       |         ROUND(1.0/(1.0 + exp(-zf.z)), 9) AS score
+       |       FROM d JOIN zf USING (doc_id))""".stripMargin
+
+  /** DuckDB mirror of [[trainScoreBigram]]. */
+  def trainScoreBigramSql(dim: Int, dimBi: Int, rounds: Int, lr: Double,
+                          minWords: Int): String =
+    s"""WITH ${scoredBiSql(dim, dimBi, rounds, lr, minWords)}
+       |SELECT doc_id, label, score, score >= 0.5 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[weightsBigram]]. */
+  def weightsBigramSql(dim: Int, dimBi: Int, rounds: Int, lr: Double,
+                       minWords: Int): String =
+    s"""WITH ${ladderBiSql(dim, dimBi, rounds, lr, minWords)}
+       |SELECT bucket, ${wtDouble("wt")} AS weight
+       |FROM w$rounds ORDER BY bucket""".stripMargin
 }

@@ -176,6 +176,28 @@ object Curation {
     docs.select(col("doc_id"), splitOf(col("doc_id"), valFrac).as("split"))
   }
 
+  /** A frame narrowed to one side of the deterministic split — the
+    * row-local predicate form of [[assignSplit]] (no membership join, no
+    * shuffle), so train/val scoping composes with any operator that
+    * carries doc ids. `split` is "train" or "val".
+    */
+  def onSplit(docs: DataFrame, valFrac: Double, split: String): DataFrame = {
+    require(valFrac >= 0.0 && valFrac <= 1.0, s"bad valFrac $valFrac")
+    require(split == "train" || split == "val", s"bad split $split")
+    docs.where(splitOf(col("doc_id"), valFrac) === split)
+  }
+
+  /** SQL predicate selecting [[onSplit]]'s membership over a doc-id
+    * column — compose into any mirror's WHERE.
+    */
+  def onSplitPredSql(idCol: String, valFrac: Double,
+                     split: String): String = {
+    val thr = (valFrac * 4294967296L).toLong
+    val isVal = s"CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8)" +
+      s" AS BIGINT) < $thr"
+    if (split == "val") isVal else s"NOT ($isVal)"
+  }
+
   /** Split LEAKAGE AUDIT: near-duplicate pairs that CROSS the train/val
     * boundary — the eval-integrity check a hash split silently needs (a
     * val document whose near-dup sits in train leaks the answer).

@@ -629,8 +629,38 @@ object TextOps {
   private[pipeline] def hashFeaturePairs(docs: DataFrame,
                                          dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val bs = array_sort(transform(col("w"), word =>
-      conv(substring(md5(word), 1, 8), 16, 10).cast("long") % dim))
+    pairsFromBuckets(docs, array_sort(transform(col("w"), word =>
+      conv(substring(md5(word), 1, 8), 16, 10).cast("long") % dim)))
+  }
+
+  /** [[hashFeaturePairs]] with fastText's hashed word-BIGRAM channel
+    * appended (Joulin et al. 2016 §2.1): each adjacent word pair, joined
+    * with a single space (tokens are space-split, so a pair string never
+    * collides with a single token's hash input), hashes into `dimBi`
+    * buckets OFFSET BY `dimUni` — both channels share one sorted bucket
+    * array, so the same run-length pass counts them and the classifier's
+    * sparse fold needs no second vector. Still row-local: no shuffle,
+    * no join.
+    */
+  private[pipeline] def hashFeaturePairsBi(docs: DataFrame, dimUni: Int,
+                                           dimBi: Int): DataFrame = {
+    require(dimUni > 0, s"dimUni must be positive, got $dimUni")
+    require(dimBi > 0, s"dimBi must be positive, got $dimBi")
+    val uni = transform(col("w"), word =>
+      conv(substring(md5(word), 1, 8), 16, 10).cast("long") % dimUni)
+    val bi = when(size(col("w")) >= 2,
+      transform(sequence(lit(1), size(col("w")) - 1), i =>
+        lit(dimUni.toLong) + conv(substring(md5(concat_ws(" ",
+          element_at(col("w"), i), element_at(col("w"), i + 1))),
+          1, 8), 16, 10).cast("long") % dimBi))
+      .otherwise(array().cast("array<long>"))
+    pairsFromBuckets(docs, array_sort(concat(uni, bi)))
+  }
+
+  /** shared run-length core: the per-doc sparse (bucket, n) array from a
+    * sorted bucket-array derivation `bs` over the filtered word array
+    */
+  private def pairsFromBuckets(docs: DataFrame, bs: Column): DataFrame = {
     val ends = filter(sequence(lit(1), size(col("bs"))), p =>
       coalesce(get(col("bs"), p) =!= element_at(col("bs"), p), lit(true)))
     val starts = concat(array(lit(0)),

@@ -151,6 +151,110 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** [[refTrain]] extended with the hashed word-bigram channel: pair
+    * buckets offset by dimUni, same log-TF over n_words.
+    */
+  private def refTrainBi(texts: Seq[(Long, String)], dimUni: Int,
+                         dimBi: Int, rounds: Int, lr: Double,
+                         minWords: Int): Seq[java.math.BigDecimal] = {
+    import java.math.{BigDecimal => B, RoundingMode => RM}
+    def r9(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else B.valueOf(x).setScale(9, RM.HALF_UP).doubleValue
+    def dec10(x: Double): B = B.valueOf(x).setScale(10, RM.HALF_UP)
+    def h(s: String, m: Int): Int = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hx, 16) % m).toInt
+    }
+    val n = dimUni + dimBi + 2
+    val docs = texts.map(_._2.trim.split(" ").filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .map { w =>
+        val nw = w.length.toDouble
+        val uni = w.map(h(_, dimUni))
+        val bi = w.sliding(2).filter(_.length == 2)
+          .map(p => dimUni + h(p.mkString(" "), dimBi)).toSeq
+        val counts = (uni ++ bi).groupBy(identity)
+          .view.mapValues(_.size).toSeq
+        val fs = counts.map { case (b, c) =>
+          (b, r9(math.log(1.0 + c / nw))) } ++
+          Seq((dimUni + dimBi, r9(math.log(1.0 + nw))),
+            (dimUni + dimBi + 1, 1.0))
+        (if (w.length >= minWords) 1.0 else 0.0, fs)
+      }
+    val lrD = B.valueOf(lr)
+    var w = Array.fill(n)(B.ZERO.setScale(9))
+    for (_ <- 1 to rounds) {
+      val g = Array.fill(n)(B.ZERO)
+      docs.foreach { case (label, fs) =>
+        var z = B.ZERO
+        fs.foreach { case (b, x) => z = z.add(dec10(r9(x * w(b).doubleValue))) }
+        val p = r9(1.0 / (1.0 + math.exp(-z.doubleValue)))
+        val err = r9(label - p)
+        fs.foreach { case (b, x) => g(b) = g(b).add(dec10(r9(err * x))) }
+      }
+      w = Array.tabulate(n)(b =>
+        w(b).add(lrD.multiply(g(b)).setScale(9, RM.HALF_UP)))
+    }
+    w.toSeq
+  }
+
+  test("bigram channel: fuzzed corpora train bit-identical weights to " +
+    "the pure-Scala reference; single-word docs have no pair features") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("aa", "bb", "cc", "dd", "ee")
+      // lengths start at 1: the single-word docs exercise the empty
+      // bigram array
+      val texts = (0L until 40L).map { id =>
+        id -> (1 + rnd.nextInt(10))
+          .to(1, -1).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      }
+      val df = texts.toDF("doc_id", "text")
+      val got = Classifier.weightsBigram(df, dimUni = 6, dimBi = 6,
+        rounds = 5, lr = 0.02, minWords = 6).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ref = refTrainBi(texts, 6, 6, 5, 0.02, 6)
+      assert(got == ref.zipWithIndex
+        .map { case (w, b) => b.toLong -> w.doubleValue }.toMap,
+        s"seed=$seed")
+    }
+  }
+
+  test("bigram model still learns the separable length label") {
+    val out = Classifier.trainScoreBigram(corpus(), dimUni = 8, dimBi = 8,
+      rounds = 15, lr = 0.05, minWords = 10).collect()
+    val acc = out.count(r => r.getBoolean(3) == (r.getDouble(1) == 1.0))
+      .toDouble / out.length
+    assert(acc >= 0.9, s"accuracy $acc")
+  }
+
+  test("held-out composition scores exactly the val split with weights " +
+    "frozen from the train split") {
+    val c = corpus()
+    val out = Classifier.trainScoreHeldOut(c, dim = 8, rounds = 5,
+      lr = 0.05, minWords = 10, valFrac = 0.3)
+    val scoredIds = out.collect().map(_.getLong(0)).toSet
+    val valIds = Curation.onSplit(c, 0.3, "val").collect()
+      .map(_.getLong(0)).toSet
+    assert(scoredIds == valIds && scoredIds.nonEmpty)
+    // equals the manual composition: train on train, score val
+    val manual = Classifier.scoreWith(Curation.onSplit(c, 0.3, "val"), 8,
+      10, Classifier.trainWeights(Curation.onSplit(c, 0.3, "train"), 8, 5,
+        0.05, 10).map(_.doubleValue)).collect().map(_.toSeq).toSet
+    assert(out.collect().map(_.toSeq).toSet == manual)
+    // and the splits partition the corpus
+    val trainIds = Curation.onSplit(c, 0.3, "train").collect()
+      .map(_.getLong(0)).toSet
+    assert((trainIds & valIds).isEmpty)
+    assert(trainIds.size + valIds.size == 60)
+  }
+
   test("scoreWith against zero weights scores everything 0.5 / keep") {
     val out = Classifier.scoreWith(corpus(), 8, 10,
       Array.fill(10)(0.0)).collect()
