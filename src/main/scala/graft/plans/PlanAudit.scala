@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+
+/** Static lint for the CollapseProject blow-up class — the engine's
+  * recurring failure mode (three incidents through r14, the worst
+  * turning a 0.45 s scan into 136 s): a multiply-referenced array
+  * derivation gets inlined by the optimizer into every consumer, and
+  * when a consumer is a per-element lambda the O(n) derivation
+  * re-evaluates PER ELEMENT — O(n²) per row, invisible until a timed
+  * bench runs. The fix is always the generator barrier
+  * (`explode(array(struct(...)))`); this audit makes the DETECTION
+  * static, so `sbt test` catches a dropped barrier instead of the
+  * bench wall.
+  *
+  * Two findings, both over the OPTIMIZED logical plan (after
+  * CollapseProject has done whatever inlining it will do):
+  *
+  *   - [[lambdaInvariants]] — an expensive subtree inside a lambda body
+  *     that references NO lambda variable: it re-evaluates once per
+  *     element for a value that is constant across the loop. This is
+  *     the quadratic class, and the HARD gate: runtime common-
+  *     subexpression elimination cannot hoist it (EquivalentExpressions
+  *     deliberately skips lambda bodies — a hoisted value could not be
+  *     threaded into the loop).
+  *   - [[duplicatedExpensive]] (advisory) — the same expensive subtree
+  *     appearing more than once within a single plan node's expression
+  *     list. Counted per node, not per plan — deriving a table twice in
+  *     SEPARATE scans is a sanctioned pattern (the span dedup ladder
+  *     recomputes occurrences by design).
+  *
+  * Note the inlining that plants these signatures mostly happens at
+  * CONSTRUCTION time (a derivation held as a Scala `Column` val and
+  * spliced into several consumers — Spark 4's CollapseProject itself
+  * declines to inline multiply-referenced non-cheap projections). The
+  * audit runs on the optimized plan, so it sees the end state no matter
+  * which layer inlined.
+  *
+  * "Expensive" = the subtree contains a higher-order function or a
+  * cryptographic/murmur hash — the derivations this engine actually
+  * re-buys in its incidents (sorted bucket arrays, gram-hash
+  * transforms, run-length scaffolds). Plain column refs, literals, and
+  * scalar arithmetic never flag, so ordinary lambdas stay clean.
+  */
+object PlanAudit {
+
+  private def isExpensive(e: Expression): Boolean = e.exists {
+    case _: HigherOrderFunction => true
+    case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 => true
+    case _: Murmur3Hash | _: XxHash64 => true
+    case _ => false
+  }
+
+  private def describe(e: Expression): String = {
+    val s = e.toString
+    if (s.length <= 160) s else s.take(160) + "…"
+  }
+
+  /** Loop-invariant expensive subtrees inside lambda bodies — each
+    * finding is a derivation the plan re-evaluates once PER ARRAY
+    * ELEMENT for a per-row-constant value. Empty on a healthy plan.
+    *
+    * Invariance is relative to the ENCLOSING lambdas' bound variables:
+    * a subtree whose only lambda variables are bound by its own nested
+    * lambdas (e.g. a spliced `array_sort(transform(...))` derivation)
+    * is invariant across the enclosing loop and flags; a subtree that
+    * reads the enclosing element variable does not.
+    */
+  def lambdaInvariants(df: DataFrame): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    df.queryExecution.optimizedPlan.foreach { node =>
+      def lambdaRefs(e: Expression): Set[Long] = {
+        val b = Set.newBuilder[Long]
+        e.foreach {
+          case v: NamedLambdaVariable => b += v.exprId.id
+          case _ => ()
+        }
+        b.result()
+      }
+      // maximal findings: once a subtree flags, don't descend into it
+      def walk(e: Expression, bound: Set[Long]): Unit =
+        if (bound.nonEmpty && isExpensive(e) &&
+          lambdaRefs(e).intersect(bound).isEmpty) {
+          out += s"${node.nodeName}: per-element re-eval of " + describe(e)
+        } else e match {
+          case LambdaFunction(body, args, _) =>
+            walk(body, bound ++
+              args.collect { case v: NamedLambdaVariable => v.exprId.id })
+          case _ => e.children.foreach(walk(_, bound))
+        }
+      node.expressions.foreach(walk(_, Set.empty))
+    }
+    out.result()
+  }
+
+  /** ADVISORY: expensive subtrees duplicated within ONE plan node's
+    * expression list (canonicalized; nested hits under distinct outer
+    * wrappers still count). Duplicates at this level are usually
+    * recovered at runtime by common-subexpression elimination
+    * (`EquivalentExpressions` hoists them once per row in both codegen
+    * and interpreted projections) — but CSE explicitly SKIPS lambda
+    * bodies, which is why [[lambdaInvariants]] is the hard gate and
+    * this one is informational.
+    */
+  def duplicatedExpensive(df: DataFrame): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    df.queryExecution.optimizedPlan.foreach { node =>
+      val counts =
+        scala.collection.mutable.LinkedHashMap[Expression, (Int, Expression)]()
+      def scan(e: Expression): Unit =
+        if (isExpensive(e) && e.isInstanceOf[HigherOrderFunction]) {
+          val k = e.canonicalized
+          val (c, first) = counts.getOrElse(k, (0, e))
+          counts(k) = (c + 1, first)
+          // still descend: an inner duplicated derivation hides under
+          // distinct outer wrappers
+          e.children.foreach(scan)
+        } else e.children.foreach(scan)
+      node.expressions.foreach(scan)
+      counts.foreach { case (_, (c, first)) =>
+        if (c > 1)
+          out += s"${node.nodeName}: $c copies of " + describe(first)
+      }
+    }
+    out.result()
+  }
+
+  /** The assertion surface for specs: empty means no quadratic blow-up
+    * signature in the optimized plan. Only the per-element class gates —
+    * node-level duplicates are runtime-CSE'd (see
+    * [[duplicatedExpensive]]).
+    */
+  def findings(df: DataFrame): Seq[String] = lambdaInvariants(df)
+}

@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.pipeline.{Classifier, Curation, Dedup, Dsir, TextOps}
+
+/** The static guard for the CollapseProject blow-up class: the audit
+  * must FIRE on a deliberately de-barriered `hashFeatures` (the exact
+  * shape of the r14 0.45 s → 136 s incident) and stay SILENT on the
+  * engine's registered lambda-heavy operators at HEAD.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs: DataFrame =
+    graft.core.Tables(spark, dir, "documents")
+
+  test("the audit catches a de-barriered hashFeatures: the inlined " +
+    "bucket array re-evaluates per element") {
+    // the r14 incident's shape: the derivation chain held as Scala
+    // Column vals and spliced straight into its consumers (no named
+    // intermediate columns, no generator barrier) — construction-time
+    // inlining plants the expensive `bs`/`ends` subtrees inside the
+    // per-element lambdas below
+    val dim = 8
+    val bs = array_sort(transform(
+      filter(col("w"), x => x =!= ""), word =>
+        conv(substring(md5(word), 1, 8), 16, 10).cast("long") % dim))
+    val ends = filter(sequence(lit(1), size(bs)), p =>
+      coalesce(get(bs, p) =!= element_at(bs, p), lit(true)))
+    val starts = concat(array(lit(0)),
+      slice(ends, lit(1), size(ends) - 1))
+    val pairs = zip_with(ends, starts, (e, s) =>
+      struct(element_at(bs, e).as("bucket"),
+        (e - s).cast("long").as("n")))
+    val bad = Dedup.withWords(docs)
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"), pairs.as("fs")) // no barrier
+    val hits = PlanAudit.lambdaInvariants(bad)
+    assert(hits.nonEmpty,
+      "expected the per-element re-evaluation finding on the " +
+        "de-barriered plan")
+    assert(hits.exists(_.contains("per-element re-eval")), hits.mkString("\n"))
+    // the advisory duplicate lint sees the multi-spliced derivation too
+    assert(PlanAudit.duplicatedExpensive(bad).nonEmpty)
+  }
+
+  test("HEAD's lambda-heavy operators carry no blow-up signature") {
+    val d = docs
+    val zeros10 = Array.fill(10)(0.0)
+    val frames: Seq[(String, DataFrame)] = Seq(
+      "hash_features" -> TextOps.hashFeatures(d, 16),
+      "classifier_score" -> Classifier.scoreWith(d, 8, 55, zeros10),
+      "substring_scrub" -> Dedup.substringScrub(d, 8),
+      "substring_scrub_keepfirst" -> Dedup.substringScrubKeepFirst(d, 8),
+      "substring_spans" -> Dedup.substringSpans(d, 8),
+      "minhash_pairs" -> Dedup.minhashPairs(d, 0.5),
+      "ngram_jaccard" -> Dedup.ngramJaccardPairs(d, 0.3),
+      "dsir_select" -> Dsir.select(d, 16, col("lang") === "en", 50),
+      "pack_tokens" -> Curation.packTokenBudget(d, 4096))
+    frames.foreach { case (name, df) =>
+      val found = PlanAudit.findings(df)
+      assert(found.isEmpty,
+        s"$name carries a blow-up signature:\n${found.mkString("\n")}")
+    }
+  }
+
+  test("the duplicate-derivation audit counts per node, not per plan " +
+    "(recomputing a table in separate scans is sanctioned)") {
+    // keep-first derives the occurrence table twice BY DESIGN, in two
+    // separate scan branches: duplicatedExpensive must not flag it
+    assert(PlanAudit.duplicatedExpensive(
+      Dedup.substringScrubKeepFirst(docs, 8)).isEmpty)
+  }
+}
