@@ -52,9 +52,30 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       }
     }
 
+    val resolved = q.selectors.map(sel =>
+      sel -> Resolver.resolve(sel.expr, q.aliases, store.resolutionMs))
+
+    // pipeline table functions return corpus-shaped frames (pairs,
+    // quality rows, neighbor lists) — like EVENTS they stand alone: no
+    // union with series selectors, no series-stream decorations. The
+    // timeframe is part of every DQL query's grammar but corpus tables
+    // are timeless, so it scopes nothing here.
+    resolved.collectFirst { case (_, p: RPipeline) => p }.foreach {
+      case RPipeline(name, args) =>
+        if (q.selectors.length != 1)
+          throw CompileError("a pipeline selector must be the only selector")
+        val sel = q.selectors.head
+        if (sel.shift.nonEmpty || sel.name.nonEmpty || sel.metadata.nonEmpty)
+          throw CompileError(
+            "SHIFT/AS/METADATA do not apply to pipeline table functions")
+        if (q.limit.nonEmpty)
+          throw CompileError(
+            "TOP/BOTTOM scores series — not pipeline table functions")
+        return pipelineTable(name, args)
+    }
+
     val withMeta = q.selectors.exists(_.metadata.nonEmpty)
-    val frames = q.selectors.zipWithIndex.map { case (sel, idx) =>
-      val plan = Resolver.resolve(sel.expr, q.aliases, store.resolutionMs)
+    val frames = resolved.zipWithIndex.map { case ((sel, plan), idx) =>
       val shiftMs = sel.shift.map(_.ms).getOrElse(0L)
       val df = compilePlan(plan, startMs - shiftMs, endMs - shiftMs,
         needsConf(plan))
@@ -116,6 +137,29 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       else scores.orderBy(col("score").asc, col("name"), col("metric"))
     val winners = ordered.limit(lim.n).select("name", "metric")
     df.join(broadcast(winners), Seq("name", "metric"), "left_semi")
+  }
+
+  // --------------------------------------------------------- pipeline
+
+  /** Registered pipeline table functions (SURVEY §7.2.11): each binds the
+    * store's corpus tables and dispatches to the SAME Scala operator the
+    * batch gates oracle-test — the DQL spelling adds a registry entry,
+    * never a second implementation.
+    */
+  private def pipelineTable(name: String, args: Seq[Double]): DataFrame = {
+    def docs = store.table(spark, "documents")
+    name match {
+      case "dedup_exact" => graft.pipeline.Dedup.exact(docs)
+      case "dedup_minhash" =>
+        graft.pipeline.Dedup.minhashPairs(docs, args.head)
+      case "quality" => graft.pipeline.TextOps.quality(docs)
+      case "sim_topk" =>
+        val emb = store.table(spark, "embeddings")
+        graft.pipeline.Similarity.bruteTopK(emb,
+          emb.where(col("vec_id") < args.head.toLong), args(1).toInt)
+      case other =>
+        throw CompileError(s"unregistered pipeline function '$other'")
+    }
   }
 
   // ------------------------------------------------------------ plans
@@ -331,6 +375,10 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
 
     case _: REvents =>
       throw CompileError("event streams cannot appear under metric operators")
+
+    case p: RPipeline => // unreachable: compile() intercepts, Resolver guards
+      throw CompileError(
+        s"${p.name}(...) must be the query's only selector")
   }
 
   private def saltedPercentile: Boolean = spark.conf

@@ -54,6 +54,15 @@ object Resolver {
   }
   final case class REvents(bucket: String, filter: Option[EventFilter])
     extends RExpr { def resMs: Long = 1L }
+  /** North-star pipeline TABLE function over the corpus tables
+    * (SURVEY §7.2.11 — "registry functions so DQL can call them"; the
+    * reference's extensibility story is exactly this registration path,
+    * `src/dqe.erl:62-122`). Not a series: cannot feed aggregations,
+    * transforms, combinators, or histograms.
+    */
+  final case class RPipeline(name: String, args: Seq[Double]) extends RExpr {
+    def resMs: Long = 1L
+  }
 
   // --------------------------------------------------------- registry
 
@@ -70,9 +79,22 @@ object Resolver {
     Set("sum", "avg", "min", "max", "diff", "product", "quotient")
   val histFns: Set[String] = Set("min", "max", "mean", "median", "stddev")
 
+  /** Pipeline table functions: name → (arity, signature rendered for
+    * error messages). Registered into the language like every reference
+    * operator module (`src/dqe.erl:62-122`); numeric-literal arguments
+    * only — the corpus tables they read are bound by the store, like
+    * buckets are for series leaves.
+    */
+  val pipelineFns: Map[String, (Int, String)] = Map(
+    "dedup_exact" -> ((0, "dedup_exact()")),
+    "dedup_minhash" -> ((1, "dedup_minhash(jaccard-threshold in (0,1])")),
+    "quality" -> ((0, "quality()")),
+    "sim_topk" -> ((2, "sim_topk(int n-query-vectors >= 1, int k >= 1)")))
+
   /** all registered function names (for error messages / generators) */
   val allFunctions: Set[String] =
-    aggr2 ++ aggr3 ++ trans1 ++ trans2 ++ combs ++ Set("histogram", "percentile")
+    aggr2 ++ aggr3 ++ trans1 ++ trans2 ++ combs ++
+      Set("histogram", "percentile") ++ pipelineFns.keySet
 
   // ---------------------------------------------------------- resolve
 
@@ -118,24 +140,40 @@ object Resolver {
       case _                   => true
     }
     (name, args) match {
+      // pipeline table functions (typed: numeric literals only)
+      case (n, as) if pipelineFns.contains(n) =>
+        val (arity, sig) = pipelineFns(n)
+        val vals = as.map(a => num(a).getOrElse(throw ResolveError(
+          s"$n expects numeric literal arguments — $sig")))
+        if (vals.length != arity)
+          throw ResolveError(s"$n takes $arity argument(s) — $sig")
+        n match {
+          case "dedup_minhash" if vals.head <= 0.0 || vals.head > 1.0 =>
+            throw ResolveError(sig)
+          case "sim_topk" if vals.exists(v => v < 1 || v != v.floor) =>
+            throw ResolveError(sig)
+          case _ => ()
+        }
+        RPipeline(n, vals)
+
       // infix lowering (src/dql_parser.yrl:132-158)
       case ("__add", Seq(a, b)) if isSeries(a) && isSeries(b) =>
         mkComb("sum", Seq(res(a), res(b)))
-      case ("__add", Seq(a, b)) if isSeries(a) => RTrans("add", num(b), res(a))
-      case ("__add", Seq(a, b)) if isSeries(b) => RTrans("add", num(a), res(b))
+      case ("__add", Seq(a, b)) if isSeries(a) => mkTrans("add", num(b), res(a))
+      case ("__add", Seq(a, b)) if isSeries(b) => mkTrans("add", num(a), res(b))
       case ("__sub", Seq(a, b)) if isSeries(a) && isSeries(b) =>
         mkComb("diff", Seq(res(a), res(b)))
-      case ("__sub", Seq(a, b)) if isSeries(a) => RTrans("sub", num(b), res(a))
+      case ("__sub", Seq(a, b)) if isSeries(a) => mkTrans("sub", num(b), res(a))
       case ("__mul", Seq(a, b)) if isSeries(a) && isSeries(b) =>
         mkComb("product", Seq(res(a), res(b)))
-      case ("__mul", Seq(a, b)) if isSeries(a) => RTrans("mul", num(b), res(a))
-      case ("__mul", Seq(a, b)) if isSeries(b) => RTrans("mul", num(a), res(b))
+      case ("__mul", Seq(a, b)) if isSeries(a) => mkTrans("mul", num(b), res(a))
+      case ("__mul", Seq(a, b)) if isSeries(b) => mkTrans("mul", num(a), res(b))
       case ("__div", Seq(a, b)) if isSeries(a) && isSeries(b) =>
         mkComb("quotient", Seq(res(a), res(b)))
       case ("__div", Seq(a, b)) if isSeries(a) =>
         val c = num(b)
         if (c.contains(0.0)) throw ResolveError("division by zero constant")
-        RTrans("divide", c, res(a))
+        mkTrans("divide", c, res(a))
 
       // fused histogram: fn(histogram(m, htv, sf, t)) / percentile(hist, p)
       case (fn, Seq(FCall("histogram", hargs))) if histFns.contains(fn) =>
@@ -162,13 +200,13 @@ object Resolver {
         mkAggr(n, k, t, res(m))
       // (metric) → transform
       case (n, Seq(m)) if trans1.contains(n) && isSeries(m) =>
-        RTrans(n, None, res(m))
+        mkTrans(n, None, res(m))
       // (metric, const) → clamp / arithmetic
       case (n, Seq(m, c)) if trans2.contains(n) && isSeries(m) &&
         num(c).isDefined =>
         if (n == "divide" && num(c).contains(0.0))
           throw ResolveError("division by zero constant")
-        RTrans(n, num(c), res(m))
+        mkTrans(n, num(c), res(m))
       // (metric, metric, ...) → combinator
       case (n, ms) if combs.contains(n) && ms.length >= 2 &&
         ms.forall(isSeries) =>
@@ -188,7 +226,7 @@ object Resolver {
     hargs match {
       case Seq(m, Num(htv, true), Num(sf, true), t: TimeLit)
         if sf >= 1 && sf <= 5 && htv >= 1 =>
-        val child = resolve(m, aliases, bucketRes)
+        val child = asSeries(resolve(m, aliases, bucketRes), "histogram")
         checkWindow(t, child)
         (child, t.ms, htv.toLong, sf.toInt)
       case _ => throw ResolveError(
@@ -202,13 +240,28 @@ object Resolver {
         s"the input resolution ${child.resMs} ms")
   }
 
+  /** pipeline table functions produce corpora, not series — reject them
+    * anywhere a series operand is expected
+    */
+  private def asSeries(r: RExpr, ctx: String): RExpr = r match {
+    case p: RPipeline => throw ResolveError(
+      s"${p.name}(...) is a table function over the corpus — it cannot " +
+        s"feed $ctx")
+    case other => other
+  }
+
+  private def mkTrans(n: String, c: Option[Double], child: RExpr): RTrans =
+    RTrans(n, c, asSeries(child, s"transform '$n'"))
+
   private def mkAggr(n: String, c: Option[Double], t: TimeLit,
                      child: RExpr): RAggr = {
+    asSeries(child, s"aggregation '$n'")
     checkWindow(t, child)
     RAggr(n, c, t.ms, child)
   }
 
   private def mkComb(n: String, children: Seq[RExpr]): RComb = {
+    children.foreach(asSeries(_, s"combinator '$n'"))
     val rs = children.map(_.resMs).distinct
     if (rs.length != 1)
       throw ResolveError(s"resolution_conflict: combinator '$n' children " +

@@ -42,6 +42,13 @@ trait SeriesStore {
   def tagCol(ns: String, key: String): Option[String]
   def tagCols: Seq[String]
   def events(spark: SparkSession, bucket: String): DataFrame
+  /** Corpus table for the north-star pipeline functions registered in
+    * [[Resolver.pipelineFns]] (`documents`, `embeddings`). Stores that
+    * bind only metric series leave the default.
+    */
+  def table(spark: SparkSession, name: String): DataFrame =
+    throw new UnsupportedOperationException(
+      s"store has no corpus table '$name'")
 }
 
 /** The driver-testdata store: one bucket ("testdata") at 1 s resolution,
@@ -86,4 +93,6 @@ final class TestdataStore(dir: String) extends SeriesStore {
   val tagCols: Seq[String] = Seq("mtype", "muser")
   def events(spark: SparkSession, bucket: String): DataFrame =
     SeriesOps.events(spark, dir)
+  override def table(spark: SparkSession, name: String): DataFrame =
+    graft.core.Tables(spark, dir, name)
 }

@@ -109,6 +109,22 @@ object DqlQueries extends QueryProvider {
     "dql_trans_after_agg" ->
       s"SELECT derivate(avg('purchase'.'3' BUCKET 'testdata', 1 d)) BETWEEN $T0 AND $T1")
 
+  /** Pipeline table functions driven through the SAME full DQL stack
+    * (parse → resolve → compile): the registry path of SURVEY §7.2.11.
+    * Corpus tables are timeless, so the (grammar-mandatory) timeframe
+    * scopes nothing; each entry carries its own result ordering since
+    * these frames are not series streams.
+    */
+  private val pipeDqls: Map[String, (String, Seq[String])] = Map(
+    "dql_pipeline_dedup" ->
+      (("SELECT dedup_exact() LAST 30 d", Seq("text_hash"))),
+    "dql_pipeline_minhash" ->
+      (("SELECT dedup_minhash(0.5) LAST 30 d", Seq("doc_a", "doc_b"))),
+    "dql_pipeline_quality" ->
+      (("SELECT quality() LAST 30 d", Seq("doc_id"))),
+    "dql_pipeline_simtopk" ->
+      (("SELECT sim_topk(5, 10) LAST 30 d", Seq("query_id", "rank"))))
+
   /** default name literal for a selector, exactly as the engine renders */
   private def nameOf(key: String, sel: Int = 0): String =
     Unparse.expr(Parser.parse(dqls(key)).selectors(sel).expr)
@@ -132,6 +148,10 @@ object DqlQueries extends QueryProvider {
           else df.orderBy("name", "metric", "ts_ms")
         } finally conf.foreach { case (k, _) => s.conf.unset(k) }
       })
+    } ++ pipeDqls.map { case (key, (dql, order)) =>
+      key -> ((s: SparkSession, d: String) =>
+        Compiler.run(s, new TestdataStore(d), NowMs, dql)
+          .orderBy(order.map(org.apache.spark.sql.functions.col): _*))
     }
 
   // ----------------------------------------------------------- oracle
@@ -348,7 +368,15 @@ object DqlQueries extends QueryProvider {
          |  AND CAST(epoch_ms(ts) AS BIGINT) < $NowMs
          |  AND CAST(json_extract_string(props, '$$.k') AS DOUBLE) > 50
          |  AND NOT event_type = 'view'
-         |ORDER BY event_id""".stripMargin)
+         |ORDER BY event_id""".stripMargin,
+    // pipeline table functions: the DQL spelling dispatches to the same
+    // operators, so the oracles ARE the operators' existing mirrors
+    "dql_pipeline_dedup" ->
+      (graft.pipeline.Dedup.exactSql + "\nORDER BY text_hash"),
+    "dql_pipeline_minhash" -> graft.pipeline.Dedup.minhashPairsSql(0.5),
+    "dql_pipeline_quality" -> graft.pipeline.TextOps.qualitySql,
+    "dql_pipeline_simtopk" -> graft.pipeline.Similarity.bruteTopKSql(64, 10,
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"))
 
   // `dql_conf` uses the full-catalog gap-fill (all mtypes) restricted to
   // one metric in the outer query; the Spark side densifies only matching

@@ -179,4 +179,20 @@ object DqlGen {
     f <- Gen.option(Gen.resize(4, eventFilter))
     tf <- timeframe
   } yield Query(Seq(Selector(EventsScan(b, f))), Map.empty, tf, None)
+
+  /** pipeline table-function queries (the SURVEY §7.2.11 registry):
+    * well-typed calls the resolver must accept, standalone selectors
+    */
+  val pipelineQuery: Gen[Query] = for {
+    e <- Gen.oneOf(
+      Gen.const(FCall("dedup_exact", Nil)),
+      Gen.choose(1, 100).map(t =>
+        FCall("dedup_minhash", Seq(Num(t / 100.0, isInt = false)))),
+      Gen.const(FCall("quality", Nil)),
+      Gen.zip(Gen.choose(1L, 50L), Gen.choose(1L, 20L)).map { case (nq, k) =>
+        FCall("sim_topk",
+          Seq(Num(nq.toDouble, isInt = true), Num(k.toDouble, isInt = true)))
+      })
+    tf <- timeframe
+  } yield Query(Seq(Selector(e)), Map.empty, tf, None)
 }

@@ -40,6 +40,16 @@ class ParseUnparseSpec extends AnyFunSuite {
     }
   }
 
+  test("parse . unparse is a fixpoint on pipeline table-function queries") {
+    forAllSamples(DqlGen.pipelineQuery, n = 100) { q =>
+      val text = Unparse(q)
+      assert(Parser.parse(text) == q, s"\n  text: $text")
+      // and they resolve to the typed table-function node
+      val r = Resolver.resolve(q.selectors.head.expr, Map.empty, _ => 1000L)
+      assert(r.isInstanceOf[Resolver.RPipeline], text)
+    }
+  }
+
   test("representative reference queries parse (FIXTURES.md A)") {
     val samples = Seq(
       "SELECT avg('a'.'b'.'c' BUCKET 'bkt', 30 s) LAST 1 h",

@@ -100,4 +100,29 @@ class ResolverSpec extends AnyFunSuite {
     val e = intercept[ResolveError](Resolver.resolve(h, Map.empty, res1s))
     assert(e.msg.contains("histogram"))
   }
+
+  test("pipeline table functions: typed signatures and series-position " +
+    "rejection (SURVEY 7.2.11 registry)") {
+    def r(e: Expr) = Resolver.resolve(e, Map.empty, res1s)
+    assert(r(FCall("dedup_minhash", Seq(Num(0.5, isInt = false)))) ==
+      RPipeline("dedup_minhash", Seq(0.5)))
+    assert(r(FCall("sim_topk",
+      Seq(Num(5, isInt = true), Num(10, isInt = true)))) ==
+      RPipeline("sim_topk", Seq(5.0, 10.0)))
+    assert(r(FCall("dedup_exact", Nil)) == RPipeline("dedup_exact", Nil))
+    // arity and range validation
+    intercept[ResolveError](r(FCall("dedup_minhash", Nil)))
+    intercept[ResolveError](r(FCall("dedup_minhash",
+      Seq(Num(1.5, isInt = false)))))
+    intercept[ResolveError](r(FCall("sim_topk",
+      Seq(Num(0, isInt = true), Num(5, isInt = true)))))
+    intercept[ResolveError](r(FCall("sim_topk",
+      Seq(Num(2.5, isInt = false), Num(5, isInt = true)))))
+    // a table function is not a series: aggr/trans/comb positions reject
+    intercept[ResolveError](r(FCall("avg",
+      Seq(FCall("quality", Nil), TimeLit(1, "h")))))
+    intercept[ResolveError](r(FCall("abs", Seq(FCall("quality", Nil)))))
+    intercept[ResolveError](r(FCall("sum",
+      Seq(FCall("quality", Nil), Get(Seq("a"), "b")))))
+  }
 }
