@@ -493,9 +493,11 @@ object PipelineQueries extends QueryProvider {
     "mm_resize" -> ((s, d) =>
       Multimodal.resize(s, Multimodal.renderPpm(docs(s, d)), 8, 8)
         .toDF().orderBy("doc_id")),
-    // feature-extract plumbing: normalized byte-histogram stub vector
+    // feature extraction on PARSED PIXELS: per-channel color histogram
+    // of the decoded raster (24-dim at 8 intensity bins); the oracle
+    // rebuilds the bins arithmetically without the decoder
     "mm_features" -> ((s, d) =>
-      Multimodal.featureExtract(s, Multimodal.asMedia(docs(s, d)), 8)
+      Multimodal.featureExtract(s, Multimodal.renderPpm(docs(s, d)), 8)
         .toDF().orderBy("doc_id", "bin")),
     "corpus_decisions" -> ((s, d) =>
       Corpus.decisions(docs(s, d), minhashPairs(s, d, 0.5),

@@ -17,13 +17,14 @@ import org.apache.spark.sql.functions._
   * oracle reproduces byte-for-byte, which lets the gates check each
   * stage against an independent recomputation from the same bytes.
   *
-  * RESIZE and FRAME-SAMPLE consume the PARSED RASTER ([[PpmDecoder
-  * .parse]]): nearest-neighbor resampling moments and per-row-band
-  * moments respectively — real pixel arithmetic, not payload digests.
-  * Only the feature-extract stage remains a disclosed stand-in (a
-  * byte-value histogram where a real pipeline runs a vision model); its
-  * partition-batched shape and join-ready output schema are the real
-  * thing.
+  * RESIZE, FRAME-SAMPLE, and FEATURE-EXTRACT all consume the PARSED
+  * RASTER ([[PpmDecoder.parse]]): nearest-neighbor resampling moments,
+  * per-row-band moments, and the channel × intensity color histogram
+  * respectively — real pixel arithmetic, not payload digests. The one
+  * remaining disclosed stand-in is the MODEL inside feature-extract (a
+  * color histogram where a real pipeline runs a vision network); the
+  * decode boundary, partition-batched shape, and join-ready output
+  * schema are the real thing.
   */
 object Multimodal {
 
@@ -297,44 +298,57 @@ object Multimodal {
   final case class FeatureRow(doc_id: Long, bin: Int, value: Double)
 
   /** The feature-extract stage (the embedding-extraction shape: media
-    * in, fixed-length vector out). STUB features are the normalized
-    * byte-value histogram over `bins` residue classes — a real
-    * implementation runs a vision/audio model over the decoded frames;
-    * the partition-batched map and the exploded (doc, bin, value) output
+    * in, fixed-length vector out), on PARSED PIXELS: the per-channel
+    * COLOR HISTOGRAM of the decoded raster — for channel c ∈ {R,G,B}
+    * and intensity class q ∈ [0, bins), bin `c·bins + q` holds the
+    * fraction of pixels whose channel-c value maps to q
+    * (`q = v·bins / 256`, integer — equal-width classes over the 8-bit
+    * range). Vector length 3·bins, normalized by pixel count. A real
+    * implementation runs a vision/audio model over these frames (that
+    * model is the disclosed stand-in); the decode boundary, the
+    * partition-batched map, and the exploded (doc, bin, value) output
     * schema (join-ready against the `embeddings` surface) are the real
-    * thing. Division count/len is the only float op — same order both
+    * thing. Division count/npx is the only float op — same order both
     * engines.
     */
   def featureExtract(spark: SparkSession, media: DataFrame,
                      bins: Int): Dataset[FeatureRow] = {
     import spark.implicits._
-    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(bins >= 1 && bins <= 256, s"bins must be in [1,256], got $bins")
     media.as[MediaRow].mapPartitions { rows =>
+      // a real embedding model would load its weights here, per partition
       rows.flatMap { r =>
-        val counts = new Array[Long](bins)
-        r.payload.foreach { b => counts(java.lang.Byte.toUnsignedInt(b) % bins) += 1 }
-        val len = r.payload.length.toDouble
-        (0 until bins).map(b =>
-          FeatureRow(r.doc_id, b,
-            if (len == 0) 0.0 else counts(b) / len))
+        val img = PpmDecoder.parse(r)
+        val counts = new Array[Long](3 * bins)
+        var p = 0
+        while (p < img.raster.length) {
+          val v = java.lang.Byte.toUnsignedInt(img.raster(p))
+          counts((p % 3) * bins + v * bins / 256) += 1
+          p += 1
+        }
+        val npx = (img.w * img.h).toDouble
+        (0 until 3 * bins).map(b => FeatureRow(r.doc_id, b, counts(b) / npx))
       }
     }
   }
 
-  /** DuckDB mirror of [[featureExtract]] (ASCII text: char codes =
-    * payload bytes).
+  /** DuckDB mirror of [[renderPpm]] ∘ [[featureExtract]]: the channel ×
+    * intensity histogram rebuilt arithmetically over the leading w·h·3
+    * text bytes — never through the decoder.
     */
   def featureExtractSql(bins: Int): String =
-    s"""WITH ch AS (SELECT doc_id, ascii(substr(text, i, 1)) % $bins AS bin
-       |            FROM documents,
-       |                 unnest(range(1, length(text) + 1)) AS t(i)),
-       |n AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len
-       |      FROM documents),
-       |b AS (SELECT unnest(range(0, $bins)) AS bin),
-       |cnt AS (SELECT doc_id, bin, COUNT(*) AS c FROM ch GROUP BY 1, 2)
-       |SELECT n.doc_id AS doc_id, CAST(b.bin AS INTEGER) AS bin,
-       |       CASE WHEN n.len = 0 THEN 0.0
-       |            ELSE COALESCE(c, 0) / n.len END AS value
+    s"""WITH $ppmGeomSql,
+       |px AS (SELECT doc_id, wh,
+       |         CAST(t.i AS INTEGER) % 3 AS ch,
+       |         ascii(substr(text, CAST(t.i AS INTEGER) + 1, 1)) AS v
+       |       FROM m, unnest(range(0, wh * wh * 3)) AS t(i)),
+       |cnt AS (SELECT doc_id, ch * $bins + (v * $bins) // 256 AS bin,
+       |               COUNT(*) AS c
+       |        FROM px GROUP BY 1, 2),
+       |b AS (SELECT CAST(unnest(range(0, ${3 * bins})) AS INTEGER) AS bin),
+       |n AS (SELECT doc_id, CAST(wh * wh AS DOUBLE) AS npx FROM m)
+       |SELECT n.doc_id AS doc_id, b.bin AS bin,
+       |       COALESCE(c, 0) / n.npx AS value
        |FROM n CROSS JOIN b
        |LEFT JOIN cnt ON cnt.doc_id = n.doc_id AND cnt.bin = b.bin
        |ORDER BY n.doc_id, bin""".stripMargin

@@ -147,4 +147,23 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.length == 1 && one.head.band_rows == 1 &&
       one.head.mean_r == 5.0)
   }
+
+  test("feature extraction is a channel x intensity histogram over the " +
+    "decoded raster, normalized by pixel count") {
+    val s = spark
+    import s.implicits._
+    // 2x1 image: R values 10, 200 (bins 0 and 6 at 8 bins over 0-255),
+    // G values 0, 0 (bin 0 twice), B values 128, 255 (bins 4 and 7)
+    val raster = Array[Byte](10, 0, -128, 200.toByte, 0, -1)
+    val media = Seq(Multimodal.MediaRow(9L, ppm("P6\n2 1\n255\n", raster)))
+      .toDF("doc_id", "payload")
+    val fs = Multimodal.featureExtract(s, media, 8).collect()
+      .map(f => f.bin -> f.value).toMap
+    assert(fs.size == 24)
+    assert(fs(0) == 0.5 && fs(6) == 0.5)            // R: 10 -> 0, 200 -> 6
+    assert(fs(8) == 1.0)                            // G: both 0
+    assert(fs(8 + 4) == 0.0)                        // G bin 4 empty
+    assert(fs(16 + 4) == 0.5 && fs(16 + 7) == 0.5)  // B: 128 -> 4, 255 -> 7
+    assert(fs.values.sum == 3.0) // one unit of mass per channel
+  }
 }
