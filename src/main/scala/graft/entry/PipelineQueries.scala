@@ -72,6 +72,19 @@ object PipelineQueries extends QueryProvider {
     // 8-token spans per doc — the boilerplate whole-doc hashing misses
     "dedup_spans" -> ((s, d) =>
       Dedup.substringSpans(docsWide(s, d), 8).orderBy("doc_id")),
+    // incremental artifact maintenance: the counts artifact built from
+    // the base corpus (doc_id % 5 != 0), the delta folded in with one
+    // keyed full-outer merge, spans read against the merged artifact —
+    // must equal the full rebuild on the whole corpus (shared oracle)
+    "dedup_spans_append" -> ((s, d) => {
+      val all = docsWide(s, d)
+      val base = all.where(col("doc_id") % 5 =!= 0)
+      val delta = all.where(col("doc_id") % 5 === 0)
+      val merged = Dedup.gramCountsAppend(Dedup.gramCounts(base, 8),
+        delta, 8)
+      Dedup.substringSpansWith(all, Dedup.dupGramsOf(merged), 8)
+        .orderBy("doc_id")
+    }),
     // the scrub: duplicated-span tokens cut, corpus rewritten in place
     "dedup_scrub" -> ((s, d) =>
       Dedup.substringScrub(docsWide(s, d), 8).orderBy("doc_id")),
@@ -541,6 +554,8 @@ object PipelineQueries extends QueryProvider {
     "dedup_canonical" -> Dedup.canonicalizeSql(Dedup.minhashPairsSql(0.5)),
     "dedup_stats" -> Dedup.clusterStatsSql(Dedup.minhashPairsSql(0.5)),
     "dedup_spans" -> Dedup.substringSpansSql(8),
+    // append path ≡ full rebuild, so the oracle IS the full-rebuild mirror
+    "dedup_spans_append" -> Dedup.substringSpansSql(8),
     "dedup_scrub" -> Dedup.substringScrubSql(8),
     "dedup_scrub_keepfirst" -> Dedup.substringScrubKeepFirstSql(8),
     "decon_fuzzy" -> Curation.decontaminateFuzzySql(0.5, 5),

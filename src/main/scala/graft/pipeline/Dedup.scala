@@ -689,9 +689,38 @@ object Dedup {
     * occurrence table.
     */
   def dupGrams(docs: DataFrame, n: Int): DataFrame =
-    gramOccurrences(docs, n)
-      .groupBy("gh").agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select("gh")
+    dupGramsOf(gramCounts(docs, n))
+
+  /** The MAINTAINABLE form of the dup-gram artifact: per-hash occurrence
+    * counts — [[dupGrams]] is its `c > 1` projection ([[dupGramsOf]]).
+    * A production pipeline materializes THIS table when the corpus grows
+    * incrementally: counts merge under append ([[gramCountsAppend]]),
+    * the duplicated-hash set does not (a hash unique in both the base
+    * and the delta may be duplicated in their union).
+    */
+  def gramCounts(docs: DataFrame, n: Int): DataFrame =
+    gramOccurrences(docs, n).groupBy("gh").agg(count(lit(1)).as("c"))
+
+  /** the duplicated-hash set read off a counts artifact */
+  def dupGramsOf(counts: DataFrame): DataFrame =
+    counts.where(col("c") > 1).select("gh")
+
+  /** Incremental artifact refresh (the IVF/sq8 index-append precedent):
+    * fold a NEW-DOCS delta's gram counts into the sanctioned counts
+    * artifact with ONE keyed full-outer merge on the hash — the delta
+    * pays its own scan + map-side-combined count, the base artifact is
+    * read once, and the corpus is never rebuilt. Assumes delta doc ids
+    * are new (append, not upsert — the reference-free analog of the ANN
+    * family's same assumption).
+    */
+  def gramCountsAppend(base: DataFrame, delta: DataFrame,
+                       n: Int): DataFrame =
+    base.select(col("gh"), col("c").as("c_base"))
+      .join(gramCounts(delta, n).select(col("gh"), col("c").as("c_delta")),
+        Seq("gh"), "full_outer")
+      .select(col("gh"),
+        (coalesce(col("c_base"), lit(0L)) +
+          coalesce(col("c_delta"), lit(0L))).as("c"))
 
   /** Duplicated window-start positions per document — the probe side:
     * occurrences equi-joined against [[dupGrams]] on the hash. Shared by
@@ -717,7 +746,19 @@ object Dedup {
     * island merge. Never a suffix array in memory, never all-pairs.
     */
   def substringSpans(docs: DataFrame, n: Int): DataFrame =
-    spanTable(docs, n)
+    spanSummary(spanTable(docs, n))
+
+  /** [[substringSpans]] against an EXTERNALLY MAINTAINED duplicated-hash
+    * artifact (e.g. [[gramCountsAppend]] → [[dupGramsOf]]) instead of a
+    * same-pass corpus count — the batch twin of the streaming scrub's
+    * artifact-parameterized probe.
+    */
+  def substringSpansWith(docs: DataFrame, dup: DataFrame,
+                         n: Int): DataFrame =
+    spanSummary(islands(spanHits(gramOccurrences(docs, n), dup), n))
+
+  private def spanSummary(spans: DataFrame): DataFrame =
+    spans
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("dup_tokens"))

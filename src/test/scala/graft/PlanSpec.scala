@@ -202,6 +202,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Generate".r.findAllIn(scrub).size <= 3, scrub.take(3000))
   }
 
+  test("gram-counts append: one keyed full-outer merge, delta count " +
+    "partial-aggregated, no Cartesian") {
+    val docs = core.Tables(spark, dir, "documents")
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    val delta = docs.where(col("doc_id") % 5 === 0)
+    val plan = planOf(pipeline.Dedup.gramCountsAppend(
+      pipeline.Dedup.gramCounts(base, 8), delta, 8))
+    assert(plan.contains("FullOuter"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // both sides' hash counts combine map-side before the merge
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(3000))
+  }
+
   test("keep-first scrub: canonical pick is a partial-aggregated min — " +
     "no window, no sort on the gram hash") {
     val docs = core.Tables(spark, dir, "documents")

@@ -246,6 +246,40 @@ class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       1L -> ((5L, 0L, "u1 u2 u3 u4 u5"))))
   }
 
+  test("counts-artifact append equals the full rebuild on fuzzed " +
+    "base/delta splits (and the scrub probe agrees)") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = ('a' to 'e').map(_.toString)
+      val texts = (0L until 50L).map { id =>
+        id -> (0 until (3 + rnd.nextInt(16)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val all = texts.toDF("doc_id", "text")
+      val base = all.where(org.apache.spark.sql.functions
+        .col("doc_id") % 3 =!= 0)
+      val delta = all.where(org.apache.spark.sql.functions
+        .col("doc_id") % 3 === 0)
+      val merged = Dedup.gramCountsAppend(Dedup.gramCounts(base, 3),
+        delta, 3)
+      // the merged counts ARE the full-corpus counts
+      val full = Dedup.gramCounts(all, 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = merged.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == full, s"seed=$seed")
+      // and spans read against the merged artifact equal the rebuild —
+      // including hashes duplicated only ACROSS the base/delta boundary
+      val viaAppend = Dedup.substringSpansWith(all,
+        Dedup.dupGramsOf(merged), 3).collect().map(_.toSeq).toSet
+      val rebuilt = Dedup.substringSpans(all, 3)
+        .collect().map(_.toSeq).toSet
+      assert(viaAppend == rebuilt, s"seed=$seed")
+    }
+  }
+
   test("fuzzed corpora match the brute-force reference") {
     for (seed <- Seq(3, 9, 21)) {
       val rnd = new scala.util.Random(seed)
