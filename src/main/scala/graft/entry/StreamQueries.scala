@@ -107,6 +107,15 @@ object StreamQueries extends QueryProvider {
   private val GroupDql =
     "SELECT 'purchase' FROM 'testdata' GROUP BY $'graft':'type' USING avg " +
       "LAST 1 h"
+  // nested aggregation: the resolution-coarsening chain as a chained
+  // window-over-window streaming aggregation (r15 lift)
+  private val NestedDql =
+    "SELECT sum(avg('purchase'.* BUCKET 'testdata', 1 m), 5 m) LAST 1 h"
+  // aggregation OVER a GROUP BY lookup: the grouped per-slot combine
+  // feeds an outer windowed max through the same chain
+  private val AggOverGroupDql =
+    "SELECT max('purchase' FROM 'testdata' GROUP BY $'graft':'type' " +
+      "USING sum, 5 m) LAST 1 h"
   private val CombDql =
     "SELECT diff(sum('purchase'.* BUCKET 'testdata', 1 m), " +
       "avg('purchase'.* BUCKET 'testdata', 1 m)) LAST 1 h"
@@ -1503,6 +1512,9 @@ object StreamQueries extends QueryProvider {
     "stream_multi_raw" ->
       ((s, d) => runDql(s, d, MultiRawDql, "append", withName = true)),
     "stream_group_avg" -> ((s, d) => runDql(s, d, GroupDql, "append")),
+    "stream_dql_nested" -> ((s, d) => runDql(s, d, NestedDql, "append")),
+    "stream_dql_group_agg" ->
+      ((s, d) => runDql(s, d, AggOverGroupDql, "append")),
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
     "stream_derivate" -> ((s, d) => runDql(s, d, DerivDql, "append")),
@@ -1727,6 +1739,27 @@ object StreamQueries extends QueryProvider {
          |       ${Exact.davgSql("value")} AS value
          |FROM series WHERE mtype = 'purchase'
          |GROUP BY 1, 2""".stripMargin,
+    // nested aggregation (window-over-window chain): 1 m means summed
+    // into 5 m windows — the outer group reads the inner windows' starts
+    "stream_dql_nested" ->
+      s"""WITH series AS (${SeriesOps.seriesSql}),
+         |h AS (SELECT metric, ${Exact.wstartSql("ts_ms", WinMs)} AS ws,
+         |             ${Exact.davgSql("value")} AS value
+         |      FROM series WHERE mtype = 'purchase' GROUP BY 1, 2)
+         |SELECT metric, ${Exact.wstartSql("ws", 5 * WinMs)} AS ws,
+         |       ${Exact.dsumSql("value")} AS value
+         |FROM h GROUP BY 1, 2""".stripMargin,
+    // aggregation OVER a GROUP BY lookup: per-slot cross-series sum
+    // under the 'purchase' group, then a 5 m windowed max over the
+    // grouped series
+    "stream_dql_group_agg" ->
+      s"""WITH series AS (${SeriesOps.seriesSql}),
+         |g AS (SELECT mtype AS metric, ts_ms,
+         |             ${Exact.dsumSql("value")} AS value
+         |      FROM series WHERE mtype = 'purchase' GROUP BY 1, 2)
+         |SELECT metric, ${Exact.wstartSql("ts_ms", 5 * WinMs)} AS ws,
+         |       MAX(value) AS value
+         |FROM g GROUP BY 1, 2""".stripMargin,
     // fused diff(sum, avg) over the slot values of all purchase series per
     // 1 m window; both children share the selector so neither is null
     "stream_comb_diff" ->

@@ -547,6 +547,33 @@ object StreamingDql {
           confAggExpr(name.stripSuffix("_conf"), c, slots, ca).as("value"),
           window_time(col("w")).as("wt"))
 
+    case RAggr(name, c, w, child) if !isRawLeaf(child) =>
+      // NESTED aggregation — the resolution-coarsening chain (batch
+      // `sum(avg(m, 1 h), 1 d)`, dql_nested_agg) and aggregations over
+      // GROUP BY lookups: the child compiles to its own windowed
+      // aggregation, the outer runs as a CHAINED time-window aggregation
+      // over the child's closed windows (Spark's window-over-window —
+      // the child's `wt` window_time column carries the watermark, so
+      // the chain stays append-mode with bounded state). The resolver
+      // pins outer % child == 0, so every child window [s, s+cw) lies
+      // entirely inside one outer window and grouping by `wt` (end − ε)
+      // reproduces the batch grid over child window STARTS exactly.
+      val inner = aggregated(child, base, store)
+      val hasWm = inner.queryExecution.analyzed.output.exists(a =>
+        a.name == "wt" && a.metadata.contains("spark.watermarkDelayMs"))
+      if (!hasWm)
+        throw Unstreamable(
+          "an outer aggregation needs an event-time input — a nested " +
+            "derivate loses it (flatMapGroupsWithState output carries no " +
+            "watermark); aggregate before the derivate or in batch")
+      inner
+        .groupBy(window(col("wt"), s"$w milliseconds").as("w"),
+          col("metric"))
+        .agg(Aggrs.spark(name, c)(col("value"), unix_millis(col("wt")))
+          .as("value"))
+        .select(col("metric"), unix_millis(col("w.start")).as("ws"),
+          col("value"), window_time(col("w")).as("wt"))
+
     case RAggr(name, c, w, child) =>
       val leafed = leaf(child, base, store)
       val agg = Aggrs.spark(name, c)(col("value"), orderTs(leafed))

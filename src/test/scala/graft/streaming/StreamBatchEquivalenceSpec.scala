@@ -347,6 +347,28 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "eq_quot_sums", append = true)
   }
 
+  test("NESTED aggregation (resolution-coarsening chain, " +
+    "window-over-window): stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT sum(avg('purchase'.* BUCKET 'testdata', 1 m), 5 m) " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_nested_agg", append = true)
+  }
+
+  test("threshold aggregation over a nested mean: stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT count_above(avg('purchase'.* BUCKET 'testdata', 1 m), " +
+        s"0.5, 5 m) BETWEEN 0 AND $EndMs",
+      "eq_nested_thresh", append = true)
+  }
+
+  test("aggregation OVER a GROUP BY lookup: stream ≡ batch") {
+    assertEquivalent(
+      "SELECT max('purchase' FROM 'testdata' GROUP BY $'graft':'user' " +
+        s"USING sum, 5 m) BETWEEN 0 AND $EndMs",
+      "eq_agg_over_group", append = true)
+  }
+
   test("tag WHERE filter under the aggregation: stream ≡ batch") {
     // on the stream the tags ARE event columns, so the WHERE needs no tag
     // index — it must select exactly the series the batch index answers

@@ -65,9 +65,12 @@ class StreamingDqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"compiled=$compiled rejected=$rejected")
     assert(compiled + rejected >= 100)
     // the raw-select passthrough (r14) lifted the compiled fraction from
-    // 12/120 to ~54/120; pin a floor so a regression in the lifted shapes
-    // is loud (the remaining rejects are TOP/BOTTOM, SHIFT, and mixed
-    // funnels — typed and intentional)
-    assert(compiled >= 40, s"compiled fraction regressed: $compiled/120")
+    // 12/120 to ~54/120; nested aggregations + aggregations over GROUP BY
+    // lookups (r15, window-over-window chaining) lift it to ~61/120. Pin
+    // a floor so a regression in the lifted shapes is loud (the remaining
+    // rejects are TOP/BOTTOM — 51 of 120 in this sample — SHIFT on
+    // non-raw multi-selector funnels, and nested derivate: typed and
+    // intentional)
+    assert(compiled >= 55, s"compiled fraction regressed: $compiled/120")
   }
 }
