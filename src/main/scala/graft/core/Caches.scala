@@ -83,6 +83,64 @@ object Caches {
     n
   }
 
+  // -------------------------------------------- artifact-memo registry
+
+  /** Registered (session, dir)-keyed memo caches — the gate harness's
+    * band indexes, dup-gram tables, trained models. Registration gives
+    * the staleness contract above its missing INVALIDATION hook: a
+    * caller that regenerates the tables under a dir calls
+    * [[evictArtifacts]] so a refreshed corpus can never pair with a
+    * stale frozen artifact (r14 advisory).
+    */
+  private val artifactCaches = new java.util.concurrent
+    .ConcurrentLinkedQueue[java.util.concurrent.ConcurrentHashMap[_, _]]()
+
+  /** Register a memo cache whose keys are products carrying the
+    * SparkSession and the data dir (e.g. `(SparkSession, String)` or
+    * `(SparkSession, String, Double)`). Returns the map for inline use.
+    */
+  def registerArtifactCache[K, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V])
+      : java.util.concurrent.ConcurrentHashMap[K, V] = {
+    artifactCaches.add(m)
+    m
+  }
+
+  /** Drop every registered memo entry scoped to (spark, dir), releasing
+    * any persisted frames the value carries (directly or inside a
+    * product, e.g. an (index, centroids) pair). Returns how many entries
+    * were evicted. The next consumer rebuilds from current storage.
+    */
+  def evictArtifacts(spark: SparkSession, dir: String): Int = {
+    def unpersistIn(v: Any): Unit = v match {
+      case df: DataFrame =>
+        sanctionedDfs.remove(df)
+        pinned.remove(df)
+        df.unpersist(blocking = true)
+      case p: Product => p.productIterator.foreach(unpersistIn)
+      case _ => ()
+    }
+    var n = 0
+    artifactCaches.forEach { m =>
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val hit = e.getKey match {
+          case p: Product =>
+            p.productIterator.exists(_.asInstanceOf[AnyRef] eq spark) &&
+              p.productIterator.contains(dir)
+          case _ => false
+        }
+        if (hit) {
+          unpersistIn(e.getValue)
+          it.remove()
+          n += 1
+        }
+      }
+    }
+    n
+  }
+
   /** The cache-builder instances (CacheManager's unit of substitution)
     * behind the sanctioned artifacts of `spark`. Object identity is the
     * comparison key: the CacheManager hands the same builder instance to

@@ -75,7 +75,8 @@ object SeriesOps {
     })
 
   private val seriesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   /** The non-materialized derivation: predicates push through the slot
     * aggregation into the raw events parquet scan. Use when scanning a

@@ -34,8 +34,9 @@ object PipelineQueries extends QueryProvider {
     * series table (SeriesOps.series): first consumer pays, the rest read
     * the persisted frame.
     */
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Double), DataFrame]()
+  private val pairsCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double), DataFrame]())
   private def minhashPairs(s: SparkSession, d: String,
                            threshold: Double): DataFrame =
     pairsCache.computeIfAbsent((s, d, threshold), { _ =>

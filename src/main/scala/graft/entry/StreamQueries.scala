@@ -346,7 +346,8 @@ object StreamQueries extends QueryProvider {
     * storage provisioning, not probe cost.
     */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
   private def nearDupIndex(s: SparkSession, dir: String): DataFrame =
     indexCache.computeIfAbsent((s, dir), { _ =>
       graft.core.Caches.sanction(
@@ -359,7 +360,8 @@ object StreamQueries extends QueryProvider {
     * suite's index is a tiny batch-refreshed artifact)
     */
   private val evalIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
   private def evalBandIndex(s: SparkSession, dir: String): DataFrame =
     evalIndexCache.computeIfAbsent((s, dir), { _ =>
       graft.core.Caches.sanction(
@@ -393,10 +395,18 @@ object StreamQueries extends QueryProvider {
     * what production does — the stream-static side must not re-derive the
     * corpus-wide count per micro-batch (it dominated stream_scrub's CPU:
     * ~11 s·32 of the 2.5 s wall was rebuilding the artifact).
+    *
+    * Invalidation: every memo here is registered with
+    * [[graft.core.Caches.registerArtifactCache]] — a caller that
+    * regenerates the tables under `dir` calls
+    * `Caches.evictArtifacts(session, dir)` and the next consumer
+    * rebuilds from current storage (r14 advisory: no refreshed corpus
+    * may pair with a stale frozen artifact).
     */
   private val dupGramsCache =
+    graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      DataFrame]()
+      DataFrame]())
   private def dupGramsArtifact(s: SparkSession, dir: String): DataFrame =
     dupGramsCache.computeIfAbsent((s, dir), { _ =>
       graft.core.Caches.sanction(
@@ -461,8 +471,9 @@ object StreamQueries extends QueryProvider {
     * (session, dir) — the materialized artifact an online-retrieval
     * service probes.
     */
-  private val simIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val simIndexCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]())
   private def simIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     simIndexCache.computeIfAbsent((s, dir), { _ =>
       val (packed, cents) = graft.streaming.SimStream.ivfIndex(
@@ -493,8 +504,9 @@ object StreamQueries extends QueryProvider {
     * [[lshIdx]] uses 4 bits — different recall point, separate
     * sanctioned artifact).
     */
-  private val lshIdx6Cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val lshIdx6Cache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
   private def lshIdx6(s: SparkSession, dir: String): DataFrame =
     lshIdx6Cache.computeIfAbsent((s, dir), { _ =>
       graft.core.Caches.sanction(graft.streaming.SimStream.lshIndex(
@@ -505,8 +517,9 @@ object StreamQueries extends QueryProvider {
   /** The packed LSH bucket index, memoized + sanctioned per
     * (session, dir) — the static side of the online radius search.
     */
-  private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val lshIndexCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
   private def lshIdx(s: SparkSession, dir: String): DataFrame =
     lshIndexCache.computeIfAbsent((s, dir), { _ =>
       graft.core.Caches.sanction(graft.streaming.SimStream.lshIndex(
@@ -544,8 +557,9 @@ object StreamQueries extends QueryProvider {
     * memoized + sanctioned per (session, dir) — the batch-refreshed pair
     * the online projector scores against.
     */
-  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val pcaCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]())
   private def pcaArtifacts(s: SparkSession,
                            dir: String): (DataFrame, DataFrame) =
     pcaCache.computeIfAbsent((s, dir), { _ =>
@@ -570,8 +584,9 @@ object StreamQueries extends QueryProvider {
     drain(s, graft.pipeline.Pca.project(emb, m, v), "append")
   }
 
-  private val sq8IndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val sq8IndexCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]())
   private def sq8Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     sq8IndexCache.computeIfAbsent((s, dir), { _ =>
       val (packed, cents) = graft.streaming.SimStream.sq8Index(
@@ -602,8 +617,9 @@ object StreamQueries extends QueryProvider {
     drain(s, out, "append")
   }
 
-  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+  private val pqIndexCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]())
   private def pqIndex(s: SparkSession,
                       dir: String): (DataFrame, DataFrame, DataFrame) =
     pqIndexCache.computeIfAbsent((s, dir), { _ =>
@@ -616,8 +632,9 @@ object StreamQueries extends QueryProvider {
         graft.core.Caches.sanction(cbs.persist(lvl)))
     })
 
-  private val resPqIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+  private val resPqIndexCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]())
   private def resPqIndex(s: SparkSession,
                          dir: String): (DataFrame, DataFrame, DataFrame) =
     resPqIndexCache.computeIfAbsent((s, dir), { _ =>
@@ -658,8 +675,9 @@ object StreamQueries extends QueryProvider {
     * [[resPqIndex]], so the search kernels consume it unmodified.
     */
   private val resPqTrainedIndexCache =
+    graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+      (SparkSession, String), (DataFrame, DataFrame, DataFrame)]())
   private def resPqTrainedIndex(s: SparkSession,
                                 dir: String): (DataFrame, DataFrame, DataFrame) =
     resPqTrainedIndexCache.computeIfAbsent((s, dir), { _ =>
@@ -880,8 +898,9 @@ object StreamQueries extends QueryProvider {
     * train-score oracle verbatim.
     */
   private val clfCache =
+    graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      Array[Double]]()
+      Array[Double]]())
   private def clfWeights(s: SparkSession, dir: String): Array[Double] =
     clfCache.computeIfAbsent((s, dir), { _ =>
       graft.pipeline.Classifier.trainWeights(
@@ -905,7 +924,8 @@ object StreamQueries extends QueryProvider {
     * in-vocabulary, so the batch self-scored oracle applies verbatim.
     */
   private val lmCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
   private def unigramLm(s: SparkSession, dir: String): DataFrame =
     lmCache.computeIfAbsent((s, dir), { _ =>
       graft.core.Caches.sanction(
@@ -930,7 +950,8 @@ object StreamQueries extends QueryProvider {
     * CCNet's cutoff files.
     */
   private val pplCutsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
   private def pplCutsTable(s: SparkSession, dir: String): DataFrame =
     pplCutsCache.computeIfAbsent((s, dir), { _ =>
       val dd = graft.core.Tables(s, dir, "documents")
@@ -954,8 +975,9 @@ object StreamQueries extends QueryProvider {
     * against, beside the LM and the cut table.
     */
   private val tfidfStatsCache =
+    graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), (DataFrame, DataFrame)]()
+      (SparkSession, String), (DataFrame, DataFrame)]())
   private def tfidfStats(s: SparkSession,
                          dir: String): (DataFrame, DataFrame) =
     tfidfStatsCache.computeIfAbsent((s, dir), { _ =>
@@ -986,7 +1008,8 @@ object StreamQueries extends QueryProvider {
     * (session, dir) — batch-refreshed beside the LM/cuts/df artifacts.
     */
   private val dsirRsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
   private def dsirRatios(s: SparkSession, dir: String): DataFrame =
     dsirRsCache.computeIfAbsent((s, dir), { _ =>
       graft.core.Caches.sanction(graft.pipeline.Dsir.ratioRow(
@@ -1215,7 +1238,8 @@ object StreamQueries extends QueryProvider {
     * recency against a batch-refreshed frontier, not a wall clock.
     */
   private val rfmNowCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+    graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]())
   private def rfmNow(s: SparkSession, dir: String): Long =
     rfmNowCache.computeIfAbsent((s, dir), { _ =>
       java.lang.Long.valueOf(graft.core.SeriesOps.events(s, dir)
