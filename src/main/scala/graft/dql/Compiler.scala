@@ -152,7 +152,11 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       case "dedup_exact" => graft.pipeline.Dedup.exact(docs)
       case "dedup_minhash" =>
         graft.pipeline.Dedup.minhashPairs(docs, args.head)
-      case "quality" => graft.pipeline.TextOps.quality(docs)
+      case "quality" =>
+        // widened like the batch gate: the multi-regex rule battery is
+        // the text family's costliest per-row compute, and a narrow
+        // parquet scan would serialize it onto a handful of tasks
+        graft.pipeline.TextOps.quality(graft.core.Parallel.widen(docs))
       case "sim_topk" =>
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.bruteTopK(emb,
