@@ -157,6 +157,11 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         // the text family's costliest per-row compute, and a narrow
         // parquet scan would serialize it onto a handful of tasks
         graft.pipeline.TextOps.quality(graft.core.Parallel.widen(docs))
+      case "langid" => // widened: multi-pattern regex per row, like quality
+        graft.pipeline.TextOps.langid(graft.core.Parallel.widen(docs))
+      case "scrub" =>
+        graft.pipeline.Dedup.substringScrub(
+          graft.core.Parallel.widen(docs), args.head.toInt)
       case "sim_topk" =>
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.bruteTopK(emb,

@@ -89,6 +89,8 @@ object Resolver {
     "dedup_exact" -> ((0, "dedup_exact()")),
     "dedup_minhash" -> ((1, "dedup_minhash(jaccard-threshold in (0,1])")),
     "quality" -> ((0, "quality()")),
+    "langid" -> ((0, "langid()")),
+    "scrub" -> ((1, "scrub(int n-gram window >= 2)")),
     "sim_topk" -> ((2, "sim_topk(int n-query-vectors >= 1, int k >= 1)")))
 
   /** all registered function names (for error messages / generators) */
@@ -149,6 +151,8 @@ object Resolver {
           throw ResolveError(s"$n takes $arity argument(s) — $sig")
         n match {
           case "dedup_minhash" if vals.head <= 0.0 || vals.head > 1.0 =>
+            throw ResolveError(sig)
+          case "scrub" if vals.head < 2 || vals.head != vals.head.floor =>
             throw ResolveError(sig)
           case "sim_topk" if vals.exists(v => v < 1 || v != v.floor) =>
             throw ResolveError(sig)

@@ -189,6 +189,9 @@ object DqlGen {
       Gen.choose(1, 100).map(t =>
         FCall("dedup_minhash", Seq(Num(t / 100.0, isInt = false)))),
       Gen.const(FCall("quality", Nil)),
+      Gen.const(FCall("langid", Nil)),
+      Gen.choose(2L, 12L).map(n =>
+        FCall("scrub", Seq(Num(n.toDouble, isInt = true)))),
       Gen.zip(Gen.choose(1L, 50L), Gen.choose(1L, 20L)).map { case (nq, k) =>
         FCall("sim_topk",
           Seq(Num(nq.toDouble, isInt = true), Num(k.toDouble, isInt = true)))

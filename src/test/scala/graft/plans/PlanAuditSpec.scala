@@ -70,7 +70,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "minhash_pairs" -> Dedup.minhashPairs(d, 0.5),
       "ngram_jaccard" -> Dedup.ngramJaccardPairs(d, 0.3),
       "dsir_select" -> Dsir.select(d, 16, col("lang") === "en", 50),
-      "pack_tokens" -> Curation.packTokenBudget(d, 4096))
+      "pack_tokens" -> Curation.packTokenBudget(d, 4096),
+      "text_repetition" -> TextOps.repetition(d),
+      "text_entropy" -> TextOps.entropy(d),
+      "text_langid" -> TextOps.langid(d),
+      "text_fingerprint" -> TextOps.fingerprint(d),
+      "gram_counts_append" -> Dedup.gramCountsAppend(
+        Dedup.gramCounts(d.where(col("doc_id") % 5 =!= 0), 8),
+        d.where(col("doc_id") % 5 === 0), 8))
     frames.foreach { case (name, df) =>
       val found = PlanAudit.findings(df)
       assert(found.isEmpty,
