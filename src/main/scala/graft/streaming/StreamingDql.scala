@@ -45,9 +45,17 @@ import graft.ops.{Aggrs, Trans}
   *   - AS / `$N` pvar / `$ns:tag` dvar naming and METADATA {…} — the
   *     batch output-naming contract, as a projection on the aggregated
   *     stream (see [[named]])
+  *   - SHIFT BY everywhere a selector streams (single, raw funnel,
+  *     fused funnel): windows on the original grid, labels re-stamped
+  *     per selector post-aggregation
+  *   - nested aggregations (resolution-coarsening chains) and
+  *     aggregations over GROUP BY lookups: the child's windowed
+  *     aggregation feeds the outer as a chained window-over-window
+  *     (`window_time` carries the watermark; append mode throughout)
   *   - NOT streamable: derivate below an aggregation (needs the ordered
-  *     per-series raw scan), combinators over differently-windowed
-  *     children, SHIFT, TOP/BOTTOM (global sorts).
+  *     per-series raw scan), nested derivate (no event time out of
+  *     flatMapGroupsWithState), combinators over differently-windowed
+  *     children, TOP/BOTTOM (global sorts).
   *
   * Slot collapse (the batch series model, on by default): the batch
   * engine never aggregates raw events — its leaf first collapses them to
@@ -276,9 +284,6 @@ object StreamingDql {
     val plans0 = sels.map(sel => Resolver.resolve(sel.expr, q.aliases, _ => resMs0))
     if (plans0.forall(isRawLeaf))
       return fusedRawFunnel(q, base, withMeta, store, plans0)
-    sels.foreach { sel =>
-      if (sel.shift.nonEmpty) throw Unstreamable("SHIFT BY is not streamable")
-    }
     val plans = plans0
     // peel the pointwise transforms above each aggregation; acc ends up
     // innermost-first, so a left fold re-applies them in batch order
@@ -372,9 +377,18 @@ object StreamingDql {
     def perSel(f: Ast.Selector => Column): Column =
       coalesce(sels.zipWithIndex.map { case (sel, i) =>
         when(col("sidx") === i, f(sel)) }: _*)
+    // per-selector SHIFT BY: windows computed on the ORIGINAL grid, each
+    // selector's labels re-stamped by ITS shift after the unpivot — the
+    // single-selector rule ([[compile]]) applied per sidx, the same form
+    // the all-raw funnel already ships
+    val shiftCol = sels.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (sel, i)) =>
+        when(col("sidx") === i,
+          lit(sel.shift.map(_.ms).getOrElse(0L))).otherwise(acc)
+    }
     val outCols =
       Seq(perSel(nameExpr(_, store)).as("name"), col("metric"),
-        unix_millis(col("w.start")).as("ws"), col("value")) ++
+        (unix_millis(col("w.start")) + shiftCol).as("ws"), col("value")) ++
       (if (withMeta) Seq(perSel(sel => lit(metaJson(sel))).as("metadata"))
        else Nil)
     stacked.select(outCols: _*)

@@ -347,6 +347,15 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "eq_quot_sums", append = true)
   }
 
+  test("fused aggregation funnel with per-selector SHIFT BY: " +
+    "stream ≡ batch") {
+    assertEquivalent(
+      s"SELECT sum('purchase'.* BUCKET 'testdata', 1 m) SHIFT BY 90 s, " +
+        s"avg('purchase'.* BUCKET 'testdata', 1 m) " +
+        s"BETWEEN 0 AND $EndMs",
+      "eq_fused_shift", append = true, maxWs = EndMs - 90000)
+  }
+
   test("NESTED aggregation (resolution-coarsening chain, " +
     "window-over-window): stream ≡ batch") {
     assertEquivalent(
