@@ -110,6 +110,30 @@ class StreamingDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Aggregate".r.findAllIn(chained).size == 2, chained.take(2000))
   }
 
+  test("nested aggregation chains exactly three stateful aggregates " +
+    "(collapse, inner window, outer window)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    def planOf(): String = StreamingDql.compile(in.toDF(),
+      "SELECT sum(avg('purchase'.* BUCKET 'testdata', 1 m), 5 m) LAST 1 h",
+      "30 seconds").queryExecution.analyzed.toString()
+    // default slot-exact: collapse + inner + outer; without the
+    // collapse: inner + outer
+    assert("Aggregate".r.findAllIn(planOf()).size == 3)
+    val lean = withConf("spark.graft.streaming.slotExact", "false")(planOf())
+    assert("Aggregate".r.findAllIn(lean).size == 2, lean.take(2000))
+    // nested derivate stays typed-rejected (no event time out of the
+    // state operator -> unbounded outer state otherwise)
+    val e = intercept[StreamingDql.Unstreamable] {
+      StreamingDql.compile(in.toDF(),
+        "SELECT sum(derivate(avg('purchase'.* BUCKET 'testdata', 1 m)), " +
+          "5 m) LAST 1 h", "30 seconds")
+    }
+    assert(e.msg.contains("event-time"), e.msg)
+  }
+
   test("sum combinator skips absent children like the batch union") {
     val rows = run(
       "SELECT avg('purchase'.'1' BUCKET 'testdata', 1 m) + " +
