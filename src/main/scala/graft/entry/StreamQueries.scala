@@ -428,6 +428,24 @@ object StreamQueries extends QueryProvider {
     drain(s, DocStream.scrubAgainstGrams(docStream(s, dir),
       dupGramsArtifact(s, dir), 8), "update")
 
+  /** the keep-first artifact — duplicated hashes WITH their packed
+    * canonical keys — memoized + sanctioned like [[dupGramsArtifact]]
+    */
+  private val dupCanonCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]())
+  private def dupCanonArtifact(s: SparkSession, dir: String): DataFrame =
+    dupCanonCache.computeIfAbsent((s, dir), { _ =>
+      graft.core.Caches.sanction(
+        graft.pipeline.Dedup.dupGramsWithCanon(
+          graft.core.Tables(s, dir, "documents"), 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  private def runScrubKeepFirst(s: SparkSession, dir: String): DataFrame =
+    drain(s, DocStream.scrubKeepFirstAgainstGrams(docStream(s, dir),
+      dupCanonArtifact(s, dir), 8), "update")
+
   /** Streaming FUZZY decontamination: the train split of the replay
     * probed against the eval split's band index — each arriving train
     * document is flagged the moment it near-duplicates an eval doc
@@ -1551,6 +1569,7 @@ object StreamQueries extends QueryProvider {
     "stream_neardup" -> ((s, d) => runNearDup(s, d)),
     "stream_spans" -> ((s, d) => runSpans(s, d)),
     "stream_scrub" -> ((s, d) => runScrub(s, d)),
+    "stream_scrub_keepfirst" -> ((s, d) => runScrubKeepFirst(s, d)),
     "stream_decon" -> ((s, d) => runDecon(s, d)),
     "stream_decon_fuzzy" -> ((s, d) => runDeconFuzzy(s, d)),
     "stream_quality" -> ((s, d) => runQuality(s, d)),
@@ -1972,5 +1991,9 @@ object StreamQueries extends QueryProvider {
     "stream_spans" -> graft.pipeline.Dedup.spanHitsSql(8),
     // the scrub emits once per replayed document, so the batch rewrite
     // oracle applies verbatim
-    "stream_scrub" -> graft.pipeline.Dedup.substringScrubSql(8))
+    "stream_scrub" -> graft.pipeline.Dedup.substringScrubSql(8),
+    // keep-one semantics online: the artifact carries the canonical
+    // keys, so the replayed corpus scrubs exactly as the batch form
+    "stream_scrub_keepfirst" ->
+      graft.pipeline.Dedup.substringScrubKeepFirstSql(8))
 }

@@ -836,17 +836,31 @@ object Dedup {
     * decimal min IS the `ORDER BY doc_id, pos` first occurrence, for
     * negative doc_id too.
     */
-  def substringScrubKeepFirst(docs: DataFrame, n: Int): DataFrame = {
-    val packed = col("doc_id").cast(DecimalType(38, 0)) *
-      lit(4294967296L) + col("pos")
-    val dupWithCanon = gramOccurrences(docs, n)
+  /** the order-preserving packed occurrence key (see
+    * [[substringScrubKeepFirst]]'s scale note): `doc_id·2³² + pos` in
+    * DECIMAL(38,0) — monotone in (doc_id, pos), fixed-width so min stays
+    * in HashAggregate
+    */
+  private[graft] def packedOccKey: Column =
+    col("doc_id").cast(DecimalType(38, 0)) * lit(4294967296L) + col("pos")
+
+  /** The KEEP-FIRST maintainable artifact: duplicated hashes with their
+    * packed canonical-occurrence key (gh, c0) — what a production
+    * pipeline materializes so the keep-one exemption works from the
+    * artifact alone (the streaming scrub's probe needs it: canonicality
+    * is corpus-global, invisible to a single arriving document).
+    */
+  def dupGramsWithCanon(docs: DataFrame, n: Int): DataFrame =
+    gramOccurrences(docs, n)
       .groupBy("gh")
-      .agg(count(lit(1)).as("c"), min(packed).as("c0"))
+      .agg(count(lit(1)).as("c"), min(packedOccKey).as("c0"))
       .where(col("c") > 1)
       .select(col("gh"), col("c0"))
+
+  def substringScrubKeepFirst(docs: DataFrame, n: Int): DataFrame = {
     val nonCanonical = gramOccurrences(docs, n)
-      .join(dupWithCanon, Seq("gh"))
-      .where(packed =!= col("c0"))
+      .join(dupGramsWithCanon(docs, n), Seq("gh"))
+      .where(packedOccKey =!= col("c0"))
       .select(col("doc_id"), col("pos"))
     scrubBySpans(docs, islands(nonCanonical, n))
   }

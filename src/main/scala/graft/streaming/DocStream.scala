@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The training-data pipeline on a document STREAM: the batch operators
@@ -357,15 +357,40 @@ object DocStream {
     * the only exchange is the per-doc re-group of one document's rows.
     */
   def scrubAgainstGrams(docs: DataFrame, dup: DataFrame,
-                        n: Int): DataFrame = {
+                        n: Int): DataFrame =
+    scrubHitting(docs, dup.withColumn("isdup", lit(1)), n,
+      col("isdup") === 1)
+
+  /** [[scrubAgainstGrams]] with the Lee et al. keep-ONE semantics,
+    * online: the batch-refreshed artifact carries each duplicated
+    * hash's packed canonical-occurrence key
+    * ([[graft.pipeline.Dedup.dupGramsWithCanon]] — canonicality is
+    * corpus-global, so it must ride the artifact; a single arriving
+    * document cannot know it), and an arriving occurrence counts as a
+    * hit only when it is NOT the canonical copy — a row-local packed-key
+    * inequality, exactly the batch exemption. Same plan shape as the
+    * keep-zero scrub: stateless stream-static left join, one doc-keyed
+    * re-group, row-local island fold.
+    */
+  def scrubKeepFirstAgainstGrams(docs: DataFrame, dupCanon: DataFrame,
+                                 n: Int): DataFrame =
+    scrubHitting(docs, dupCanon.withColumn("isdup", lit(1)), n,
+      col("isdup") === 1 &&
+        graft.pipeline.Dedup.packedOccKey =!= col("c0"))
+
+  /** shared scrub core: explode window hashes (outer — hit-less/short
+    * docs pass through), stream-static left join against the artifact,
+    * collect positions satisfying `hitCond`, island-fold, cut
+    */
+  private def scrubHitting(docs: DataFrame, dup: DataFrame, n: Int,
+                           hitCond: Column): DataFrame = {
     val occ = graft.pipeline.Dedup.withWords(docs)
       .select(col("doc_id"), col("w"),
         posexplode_outer(graft.pipeline.Dedup.gramHashes(n))
           .as(Seq("pos", "gh")))
-    val hits = occ.join(dup.withColumn("isdup", lit(1)), Seq("gh"),
-      "left_outer")
+    val hits = occ.join(dup, Seq("gh"), "left_outer")
     val agg = hits.groupBy(col("doc_id"), col("w"))
-      .agg(sort_array(collect_list(when(col("isdup") === 1, col("pos"))))
+      .agg(sort_array(collect_list(when(hitCond, col("pos"))))
         .as("ps"))
     val emptySpans = array().cast("array<struct<s:int,e:int>>")
     // chain merge: each hit joins its predecessor's island when the gap

@@ -207,6 +207,28 @@ class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toMap
   }
 
+  test("the streaming keep-first kernel (artifact-carried canonical " +
+    "keys) equals the batch scrub on fuzzed corpora") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(13, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = ('a' to 'e').map(_.toString)
+      val texts = (0L until 40L).map { id =>
+        id -> (0 until (3 + rnd.nextInt(16)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val docs = texts.toDF("doc_id", "text")
+      val stream = graft.streaming.DocStream
+        .scrubKeepFirstAgainstGrams(docs,
+          Dedup.dupGramsWithCanon(docs, 3), 3)
+        .collect().map(_.toSeq).toSet
+      val batch = Dedup.substringScrubKeepFirst(docs, 3)
+        .collect().map(_.toSeq).toSet
+      assert(stream == batch, s"seed=$seed")
+    }
+  }
+
   test("fuzzed keep-first scrub matches the brute-force reference") {
     val s = spark
     import s.implicits._
