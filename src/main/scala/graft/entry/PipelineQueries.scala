@@ -93,6 +93,17 @@ object PipelineQueries extends QueryProvider {
     // repeated span survives, only the other copies are cut
     "dedup_scrub_keepfirst" -> ((s, d) =>
       Dedup.substringScrubKeepFirst(docsWide(s, d), 8).orderBy("doc_id")),
+    // keep-first artifact maintenance: canon-counts merged under append
+    // (counts add, canonical keys min), scrub against the merged
+    // artifact ≡ the full keep-first rebuild (shared oracle)
+    "dedup_scrub_keepfirst_append" -> ((s, d) => {
+      val all = docsWide(s, d)
+      val merged = Dedup.gramCountsCanonAppend(
+        Dedup.gramCountsCanon(all.where(col("doc_id") % 5 =!= 0), 8),
+        all.where(col("doc_id") % 5 === 0), 8)
+      Dedup.substringScrubKeepFirstWith(all,
+        Dedup.dupGramsWithCanonOf(merged), 8).orderBy("doc_id")
+    }),
     "sim_topk_brute" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteTopK(e, e.where(col("vec_id") < 5), k = 10)
@@ -559,6 +570,8 @@ object PipelineQueries extends QueryProvider {
     "dedup_spans_append" -> Dedup.substringSpansSql(8),
     "dedup_scrub" -> Dedup.substringScrubSql(8),
     "dedup_scrub_keepfirst" -> Dedup.substringScrubKeepFirstSql(8),
+    "dedup_scrub_keepfirst_append" ->
+      Dedup.substringScrubKeepFirstSql(8),
     "decon_fuzzy" -> Curation.decontaminateFuzzySql(0.5, 5),
     "sim_topk_brute" -> Similarity.bruteTopKSql(Dim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),

@@ -851,15 +851,51 @@ object Dedup {
     * is corpus-global, invisible to a single arriving document).
     */
   def dupGramsWithCanon(docs: DataFrame, n: Int): DataFrame =
+    dupGramsWithCanonOf(gramCountsCanon(docs, n))
+
+  /** the duplicated set + canonical keys read off a canon-counts
+    * artifact
+    */
+  def dupGramsWithCanonOf(counts: DataFrame): DataFrame =
+    counts.where(col("c") > 1).select(col("gh"), col("c0"))
+
+  /** [[gramCounts]] carrying the packed canonical key — the MERGEABLE
+    * form for keep-first maintenance. It must stay UNFILTERED: a hash
+    * unique in the base and unique in the delta may be duplicated in
+    * their union, and its canonical key then needs the base occurrence
+    * the `c > 1` projection would have dropped.
+    */
+  def gramCountsCanon(docs: DataFrame, n: Int): DataFrame =
     gramOccurrences(docs, n)
       .groupBy("gh")
       .agg(count(lit(1)).as("c"), min(packedOccKey).as("c0"))
-      .where(col("c") > 1)
-      .select(col("gh"), col("c0"))
 
-  def substringScrubKeepFirst(docs: DataFrame, n: Int): DataFrame = {
+  /** [[gramCountsAppend]] for the canon-counts artifact: counts add,
+    * canonical keys take the min — both algebraic, one keyed full-outer
+    * merge, corpus never rebuilt. Assumes delta doc ids are new.
+    */
+  def gramCountsCanonAppend(base: DataFrame, delta: DataFrame,
+                            n: Int): DataFrame =
+    base.select(col("gh"), col("c").as("c_b"), col("c0").as("c0_b"))
+      .join(gramCountsCanon(delta, n)
+        .select(col("gh"), col("c").as("c_d"), col("c0").as("c0_d")),
+        Seq("gh"), "full_outer")
+      .select(col("gh"),
+        (coalesce(col("c_b"), lit(0L)) +
+          coalesce(col("c_d"), lit(0L))).as("c"),
+        least(col("c0_b"), col("c0_d")).as("c0"))
+
+  def substringScrubKeepFirst(docs: DataFrame, n: Int): DataFrame =
+    substringScrubKeepFirstWith(docs, dupGramsWithCanon(docs, n), n)
+
+  /** the keep-first scrub against an EXTERNALLY MAINTAINED canon
+    * artifact (e.g. [[gramCountsCanonAppend]] → [[dupGramsWithCanonOf]])
+    * — the batch twin of the streaming keep-first probe
+    */
+  def substringScrubKeepFirstWith(docs: DataFrame, dupCanon: DataFrame,
+                                  n: Int): DataFrame = {
     val nonCanonical = gramOccurrences(docs, n)
-      .join(dupGramsWithCanon(docs, n), Seq("gh"))
+      .join(dupCanon, Seq("gh"))
       .where(packedOccKey =!= col("c0"))
       .select(col("doc_id"), col("pos"))
     scrubBySpans(docs, islands(nonCanonical, n))

@@ -299,6 +299,17 @@ class SpanDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rebuilt = Dedup.substringSpans(all, 3)
         .collect().map(_.toSeq).toSet
       assert(viaAppend == rebuilt, s"seed=$seed")
+      // keep-first artifact maintenance: counts add, canonical keys MIN
+      // (the unfiltered canon-counts form — a base-unique hash that
+      // turns duplicated after the delta still knows its base canonical)
+      val mergedCanon = Dedup.gramCountsCanonAppend(
+        Dedup.gramCountsCanon(base, 3), delta, 3)
+      val kfAppend = Dedup.substringScrubKeepFirstWith(all,
+        Dedup.dupGramsWithCanonOf(mergedCanon), 3)
+        .collect().map(_.toSeq).toSet
+      val kfRebuilt = Dedup.substringScrubKeepFirst(all, 3)
+        .collect().map(_.toSeq).toSet
+      assert(kfAppend == kfRebuilt, s"seed=$seed")
     }
   }
 
