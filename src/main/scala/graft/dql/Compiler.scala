@@ -162,6 +162,9 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       case "scrub" =>
         graft.pipeline.Dedup.substringScrub(
           graft.core.Parallel.widen(docs), args.head.toInt)
+      case "scrub_keepfirst" =>
+        graft.pipeline.Dedup.substringScrubKeepFirst(
+          graft.core.Parallel.widen(docs), args.head.toInt)
       case "sim_topk" =>
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.bruteTopK(emb,

@@ -91,6 +91,7 @@ object Resolver {
     "quality" -> ((0, "quality()")),
     "langid" -> ((0, "langid()")),
     "scrub" -> ((1, "scrub(int n-gram window >= 2)")),
+    "scrub_keepfirst" -> ((1, "scrub_keepfirst(int n-gram window >= 2)")),
     "sim_topk" -> ((2, "sim_topk(int n-query-vectors >= 1, int k >= 1)")))
 
   /** all registered function names (for error messages / generators) */
@@ -152,7 +153,8 @@ object Resolver {
         n match {
           case "dedup_minhash" if vals.head <= 0.0 || vals.head > 1.0 =>
             throw ResolveError(sig)
-          case "scrub" if vals.head < 2 || vals.head != vals.head.floor =>
+          case "scrub" | "scrub_keepfirst"
+            if vals.head < 2 || vals.head != vals.head.floor =>
             throw ResolveError(sig)
           case "sim_topk" if vals.exists(v => v < 1 || v != v.floor) =>
             throw ResolveError(sig)

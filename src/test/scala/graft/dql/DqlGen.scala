@@ -192,6 +192,8 @@ object DqlGen {
       Gen.const(FCall("langid", Nil)),
       Gen.choose(2L, 12L).map(n =>
         FCall("scrub", Seq(Num(n.toDouble, isInt = true)))),
+      Gen.choose(2L, 12L).map(n =>
+        FCall("scrub_keepfirst", Seq(Num(n.toDouble, isInt = true)))),
       Gen.zip(Gen.choose(1L, 50L), Gen.choose(1L, 20L)).map { case (nq, k) =>
         FCall("sim_topk",
           Seq(Num(nq.toDouble, isInt = true), Num(k.toDouble, isInt = true)))
