@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The CollapseProject blow-up lint over the ENTIRE registered query
+  * surface: every SparkEntry gate's returned frame is audited for the
+  * per-element re-evaluation class at sf0.001. Construction may execute
+  * driver-side training (classifier rounds, Lloyd, BPE merges, PCA
+  * steps) — that cost is the price of auditing the real shipped plans
+  * rather than a curated sample; the tiny SF keeps it bounded.
+  */
+class FullSurfaceAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("no registered gate's optimized plan carries the per-element " +
+    "re-evaluation signature") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      try {
+        val findings = PlanAudit.lambdaInvariants(q(spark, dir))
+        if (findings.nonEmpty)
+          bad += s"$name:\n  ${findings.mkString("\n  ")}"
+      } catch {
+        // a gate whose construction fails here is a separate defect —
+        // surface it, but attribute it correctly
+        case e: Throwable =>
+          errs += s"$name: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(160)}"
+      }
+      graft.core.Caches.releaseTransient(spark)
+    }
+    assert(errs.isEmpty, s"gates failed to construct:\n${errs.mkString("\n")}")
+    assert(bad.isEmpty,
+      s"blow-up signature in ${bad.length} gate(s):\n${bad.mkString("\n")}")
+  }
+}
