@@ -169,6 +169,10 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.bruteTopK(emb,
           emb.where(col("vec_id") < args.head.toLong), args(1).toInt)
+      case "sim_range" =>
+        val emb = store.table(spark, "embeddings")
+        graft.pipeline.Similarity.rangeSearch(emb,
+          emb.where(col("vec_id") < args.head.toLong), args(1))
       case other =>
         throw CompileError(s"unregistered pipeline function '$other'")
     }

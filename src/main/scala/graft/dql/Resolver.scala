@@ -92,7 +92,9 @@ object Resolver {
     "langid" -> ((0, "langid()")),
     "scrub" -> ((1, "scrub(int n-gram window >= 2)")),
     "scrub_keepfirst" -> ((1, "scrub_keepfirst(int n-gram window >= 2)")),
-    "sim_topk" -> ((2, "sim_topk(int n-query-vectors >= 1, int k >= 1)")))
+    "sim_topk" -> ((2, "sim_topk(int n-query-vectors >= 1, int k >= 1)")),
+    "sim_range" ->
+      ((2, "sim_range(int n-query-vectors >= 1, min-cosine in [-1,1])")))
 
   /** all registered function names (for error messages / generators) */
   val allFunctions: Set[String] =
@@ -157,6 +159,9 @@ object Resolver {
             if vals.head < 2 || vals.head != vals.head.floor =>
             throw ResolveError(sig)
           case "sim_topk" if vals.exists(v => v < 1 || v != v.floor) =>
+            throw ResolveError(sig)
+          case "sim_range" if vals.head < 1 || vals.head != vals.head.floor ||
+            vals(1) < -1.0 || vals(1) > 1.0 =>
             throw ResolveError(sig)
           case _ => ()
         }

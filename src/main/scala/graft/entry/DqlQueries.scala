@@ -129,7 +129,9 @@ object DqlQueries extends QueryProvider {
     "dql_pipeline_scrub" ->
       (("SELECT scrub(8) LAST 30 d", Seq("doc_id"))),
     "dql_pipeline_scrub_kf" ->
-      (("SELECT scrub_keepfirst(8) LAST 30 d", Seq("doc_id"))))
+      (("SELECT scrub_keepfirst(8) LAST 30 d", Seq("doc_id"))),
+    "dql_pipeline_simrange" ->
+      (("SELECT sim_range(5, 0.3) LAST 30 d", Seq("query_id", "vec_id"))))
 
   /** default name literal for a selector, exactly as the engine renders */
   private def nameOf(key: String, sel: Int = 0): String =
@@ -386,7 +388,9 @@ object DqlQueries extends QueryProvider {
     "dql_pipeline_langid" -> graft.pipeline.TextOps.langidSql,
     "dql_pipeline_scrub" -> graft.pipeline.Dedup.substringScrubSql(8),
     "dql_pipeline_scrub_kf" ->
-      graft.pipeline.Dedup.substringScrubKeepFirstSql(8))
+      graft.pipeline.Dedup.substringScrubKeepFirstSql(8),
+    "dql_pipeline_simrange" -> graft.pipeline.Similarity.rangeSearchSql(
+      64, 0.3, "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"))
 
   // `dql_conf` uses the full-catalog gap-fill (all mtypes) restricted to
   // one metric in the outer query; the Spark side densifies only matching

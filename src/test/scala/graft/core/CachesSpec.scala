@@ -52,4 +52,36 @@ class CachesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Caches.evictArtifacts(s, "/data/v1") == 0)
     b.unpersist(true)
   }
+
+  test("end to end: a regenerated corpus dir serves a stale frozen " +
+    "artifact until evictArtifacts, rebuilds fresh after") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-evict").toString
+    val long1 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val long2 = (1 to 20).map(i => s"z$i").mkString(" ")
+    def write(texts: Seq[(Long, String)]): Unit =
+      texts.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs() = graft.entry.PipelineQueries
+      .queries("dedup_minhash")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // v1 corpus: docs 0 and 1 identical → the near-dup pair (0, 1);
+    // the gate memoizes + sanctions the pair set as its artifact
+    write(Seq((0L, long1), (1L, long1), (2L, long2)))
+    assert(pairs() == Set((0L, 1L)))
+    // regenerate: now 1 and 2 are the duplicates. The staleness
+    // contract says the frozen artifact MAY keep answering (0, 1)
+    // (whether it does depends on which cached blocks survive the
+    // overwrite — not pinned here); evictArtifacts is the caller's
+    // GUARANTEE of a fresh rebuild:
+    write(Seq((0L, long2), (1L, long1), (2L, long1)))
+    assert(Caches.evictArtifacts(s, dir) >= 1,
+      "the memoized pair artifact must be registered and scoped to dir")
+    s.sharedState.cacheManager.clearCache() // drop plan-equality caches too
+    assert(pairs() == Set((1L, 2L)), "expected a fresh rebuild")
+    // and the rebuilt artifact was re-memoized: a second evict finds it
+    assert(Caches.evictArtifacts(s, dir) >= 1)
+  }
 }

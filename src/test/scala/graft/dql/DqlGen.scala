@@ -197,6 +197,12 @@ object DqlGen {
       Gen.zip(Gen.choose(1L, 50L), Gen.choose(1L, 20L)).map { case (nq, k) =>
         FCall("sim_topk",
           Seq(Num(nq.toDouble, isInt = true), Num(k.toDouble, isInt = true)))
+      },
+      // cos >= 0 only: the grammar has no unary minus (reference parity),
+      // so negative literals are not DQL-expressible
+      Gen.zip(Gen.choose(1L, 50L), Gen.choose(0, 99)).map { case (nq, c) =>
+        FCall("sim_range",
+          Seq(Num(nq.toDouble, isInt = true), Num(c / 100.0, isInt = false)))
       })
     tf <- timeframe
   } yield Query(Seq(Selector(e)), Map.empty, tf, None)
