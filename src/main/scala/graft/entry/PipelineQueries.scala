@@ -476,6 +476,20 @@ object PipelineQueries extends QueryProvider {
         Classifier.trainScoreHeldOut(docs(s, d), dim = 32, rounds = 10,
           lr = 0.001, minWords = 55, valFrac = 0.1), bins = 20)
         .orderBy("bin")),
+    // threshold RECALIBRATION over the held-out scores: every 1/100
+    // bin edge scored by val accuracy under keep = score >= t — the fix
+    // the val reliability table calls for (the 0.5 default sits at the
+    // base rate; the scan surfaces the edge that separates)
+    "curate_classifier_val_thresh" -> ((s, d) =>
+      Classifier.thresholdScan(
+        Classifier.trainScoreHeldOut(docs(s, d), dim = 32, rounds = 10,
+          lr = 0.001, minWords = 55, valFrac = 0.1), bins = 100)
+        .orderBy("edge")),
+    // the deployment pick: max-accuracy edge, smallest on ties
+    "curate_classifier_val_best" -> ((s, d) =>
+      Classifier.bestThreshold(
+        Classifier.trainScoreHeldOut(docs(s, d), dim = 32, rounds = 10,
+          lr = 0.001, minWords = 55, valFrac = 0.1), bins = 100)),
     // unigram+bigram classifier (fastText parity): 32 unigram + 32
     // hashed-bigram buckets, one run-length pass over both channels
     "curate_classifier_bigram" -> ((s, d) =>
@@ -672,6 +686,10 @@ object PipelineQueries extends QueryProvider {
       Classifier.heldOutScoreSql(32, 10, 0.001, 55, 0.1),
     "curate_classifier_val_calib" ->
       Classifier.heldOutCalibrationSql(32, 10, 0.001, 55, 0.1, 20),
+    "curate_classifier_val_thresh" ->
+      Classifier.heldOutThresholdScanSql(32, 10, 0.001, 55, 0.1, 100),
+    "curate_classifier_val_best" ->
+      Classifier.heldOutBestThresholdSql(32, 10, 0.001, 55, 0.1, 100),
     "curate_classifier_bigram" ->
       Classifier.trainScoreBigramSql(32, 32, 10, 0.001, 55),
     "curate_classifier_bigram_w" ->

@@ -333,6 +333,60 @@ object Classifier {
         Exact.davg(col("label")).as("frac_pos"))
   }
 
+  /** Threshold RECALIBRATION scan — the operator the held-out
+    * reliability table calls for when it reads the default 0.5 keep
+    * threshold as miscalibrated: every bin edge t = k/bins
+    * (k ∈ [0, bins]) scored by held-out accuracy under `keep = score ≥
+    * t`. Output one row per edge: (edge, threshold, correct, total,
+    * acc); the deployment pick is the max-acc row (smallest edge on
+    * ties — both orderings deterministic).
+    *
+    * Scale shape: one bins-group aggregation over the scoring scan
+    * (map-side combinable), then cumulative sums over the BINS+1-row
+    * edge table — the only ordered pass is over a frame bounded by the
+    * bin count, never the corpus. Counts are exact longs; `acc` is the
+    * one double division, same op order both engines.
+    */
+  def thresholdScan(scored: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val s = scored.sparkSession
+    import s.implicits._
+    val binned = scored
+      .withColumn("bin",
+        least(floor(col("score") * bins).cast("int"), lit(bins - 1)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).cast("long").as("pos"))
+    // dense edge spine (empty bins included) so the cumulative walk is
+    // total; bins+1 edges, bin k carries counts of scores in
+    // [k/bins, (k+1)/bins)
+    val spine = (0 to bins).map(k => k).toDF("edge")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("edge")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val t = spine
+      .join(binned.withColumnRenamed("bin", "edge"), Seq("edge"), "left")
+      .na.fill(0L, Seq("n", "pos"))
+      .withColumn("nBelow", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("posBelow", coalesce(sum(col("pos")).over(w), lit(0L)))
+    val totals = t.agg(sum(col("n")).as("total"),
+      sum(col("pos")).as("totalPos"))
+    t.crossJoin(broadcast(totals))
+      .select(col("edge"),
+        (col("edge").cast("double") / bins).as("threshold"),
+        (col("totalPos") - col("posBelow") +
+          (col("nBelow") - col("posBelow"))).as("correct"),
+        col("total"))
+      .withColumn("acc", col("correct").cast("double") /
+        col("total").cast("double"))
+  }
+
+  /** the deployment pick: max-accuracy edge, smallest edge on ties */
+  def bestThreshold(scored: DataFrame, bins: Int): DataFrame =
+    thresholdScan(scored, bins)
+      .orderBy(col("acc").desc, col("edge").asc)
+      .limit(1)
+
   // ---------------------------------------------------------------- SQL
 
   private def dsum9(c: String) = Exact.dsumSql(s"ROUND($c, 9)")
@@ -514,6 +568,55 @@ object Classifier {
        |       ${Exact.davgSql("score")} AS mean_score,
        |       ${Exact.davgSql("label")} AS frac_pos
        |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** threshold-scan CTEs over the scored CTE `sc` → result set
+    * (edge, threshold, correct, total, acc), unordered
+    */
+  private def thresholdScanSql(bins: Int): String =
+    s"""b AS (SELECT LEAST(CAST(FLOOR(score * $bins) AS INTEGER),
+       |               ${bins - 1}) AS bin,
+       |             COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos
+       |      FROM sc GROUP BY 1),
+       |e AS (SELECT CAST(r.i AS INTEGER) AS edge
+       |      FROM range(0, ${bins + 1}) r(i)),
+       |t AS (SELECT e.edge, COALESCE(b.n, 0) AS n,
+       |             COALESCE(b.pos, 0) AS pos
+       |      FROM e LEFT JOIN b ON b.bin = e.edge),
+       |cw AS (SELECT edge,
+       |        COALESCE(SUM(n) OVER (ORDER BY edge ROWS BETWEEN
+       |          UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nBelow,
+       |        COALESCE(SUM(pos) OVER (ORDER BY edge ROWS BETWEEN
+       |          UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS posBelow
+       |       FROM t),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+       |               CAST(SUM(pos) AS BIGINT) AS totalPos FROM t),
+       |scan AS (SELECT cw.edge AS edge,
+       |          CAST(cw.edge AS DOUBLE) / $bins AS threshold,
+       |          CAST(tot.totalPos - cw.posBelow +
+       |            (cw.nBelow - cw.posBelow) AS BIGINT) AS correct,
+       |          tot.total AS total,
+       |          CAST(tot.totalPos - cw.posBelow +
+       |            (cw.nBelow - cw.posBelow) AS DOUBLE) /
+       |            CAST(tot.total AS DOUBLE) AS acc
+       |        FROM cw CROSS JOIN tot)""".stripMargin
+
+  /** DuckDB mirror of [[trainScoreHeldOut]] ∘ [[thresholdScan]]. */
+  def heldOutThresholdScanSql(dim: Int, rounds: Int, lr: Double,
+                              minWords: Int, valFrac: Double,
+                              bins: Int): String =
+    s"""WITH ${heldOutScoredSql(dim, rounds, lr, minWords, valFrac)},
+       |${thresholdScanSql(bins)}
+       |SELECT edge, threshold, correct, total, acc
+       |FROM scan ORDER BY edge""".stripMargin
+
+  /** DuckDB mirror of [[trainScoreHeldOut]] ∘ [[bestThreshold]]. */
+  def heldOutBestThresholdSql(dim: Int, rounds: Int, lr: Double,
+                              minWords: Int, valFrac: Double,
+                              bins: Int): String =
+    s"""WITH ${heldOutScoredSql(dim, rounds, lr, minWords, valFrac)},
+       |${thresholdScanSql(bins)}
+       |SELECT edge, threshold, correct, total, acc
+       |FROM scan ORDER BY acc DESC, edge LIMIT 1""".stripMargin
 
   /** the bigram ladder extended to the scored corpus CTE `sc` */
   private def scoredBiSql(dim: Int, dimBi: Int, rounds: Int, lr: Double,

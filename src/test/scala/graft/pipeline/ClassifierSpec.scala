@@ -255,6 +255,34 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(trainIds.size + valIds.size == 60)
   }
 
+  test("threshold scan: exact accuracies per bin edge, best pick " +
+    "breaks ties low") {
+    val s = spark
+    import s.implicits._
+    // scores 0.1/0.3 negative, 0.7/0.9 positive, one 0.3 positive
+    val scored = Seq(
+      (0L, 0.0, 0.11), (1L, 0.0, 0.31), (2L, 1.0, 0.31),
+      (3L, 1.0, 0.71), (4L, 1.0, 0.91))
+      .toDF("doc_id", "label", "score")
+      .withColumn("keep",
+        org.apache.spark.sql.functions.col("score") >= 0.5)
+    val scan = Classifier.thresholdScan(scored, bins = 10).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    assert(scan.size == 11)
+    // edge 0 keeps all: correct = 3 positives
+    assert(scan(0) == ((3L, 0.6)))
+    // edge 4 (t=0.4): rejects 0.11/0.31/0.31 -> correct = 2 neg + 2 pos
+    assert(scan(4)._1 == 4L)
+    // edge 10 keeps none: correct = 2 negatives
+    assert(scan(10)._1 == 2L)
+    // best: edges 2..7 all score 4/5 — tie breaks to the SMALLEST edge
+    val best = Classifier.bestThreshold(scored, 10).collect()(0)
+    assert(best.getInt(0) == 2 && best.getLong(2) == 4L)
+    // totals constant across edges
+    assert(Classifier.thresholdScan(scored, 10).collect()
+      .forall(_.getLong(3) == 5L))
+  }
+
   test("scoreWith against zero weights scores everything 0.5 / keep") {
     val out = Classifier.scoreWith(corpus(), 8, 10,
       Array.fill(10)(0.0)).collect()
