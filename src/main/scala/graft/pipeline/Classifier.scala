@@ -138,14 +138,38 @@ object Classifier {
   /** One gradient round as a SINGLE-STAGE distributed reduction (the
     * [[Pca.deflationLadder]] treeAggregate shape): each partition folds
     * its documents into dim+2 exact-decimal gradient partials — margin,
-    * sigmoid, and error computed with the closure-local mirrors of the
-    * engine's round9/DECIMAL(28,10) lowering (`BigDecimal.valueOf` +
-    * `setScale(HALF_UP)`, and `Math.exp`, the same function Spark's
-    * codegen'd `exp` calls) — and the driver combines the partials
-    * exactly. Bit-identical to the declarative explode/groupBy form it
-    * replaces, but one stage per round with NO exchange and NO per-round
-    * Janino compile (the literal weight vector lives in the task closure,
-    * not the plan, so the plan is byte-identical across rounds).
+    * sigmoid, and error computed with closure-local mirrors of the
+    * engine's round9/DECIMAL(28,10) lowering — and the driver combines
+    * the partials exactly. Bit-identical to the declarative
+    * explode/groupBy form it replaces, but one stage per round with NO
+    * exchange and NO per-round Janino compile (the literal weight vector
+    * lives in the task closure, not the plan, so the plan is
+    * byte-identical across rounds).
+    *
+    * HOT-LOOP LOWERING (r16): the r15 inner loop paid ~6 BigDecimal
+    * allocations per feature per round (`BigDecimal.valueOf` walks
+    * `Double.toString`); at 10 rounds × corpus-features that constant
+    * factor was the whole trainer bill, and one driver-box run showed it
+    * 6.5× inflated under JIT pressure. The rewrite keeps the EXACT same
+    * decimal chain but pays BigDecimal only on a measure-zero fallback:
+    *
+    *   - every dec10(r9(·)) term is on the 1e-10 grid, so partials
+    *     accumulate in a LONG of 1e-10 units — exact integer addition,
+    *     identical sums (spilled into a BigDecimal side-accumulator long
+    *     before overflow);
+    *   - r9 (decimal HALF_UP at 9dp of the double's shortest decimal
+    *     repr) is decided in pure double arithmetic when the scaled
+    *     fraction sits farther from the .5 midpoint than the provable
+    *     error bound (|x|<100 ⇒ |fl(x·1e9) − shortest(x)·1e9| <
+    *     2.3e-5 ≪ the 1e-4 guard band); inside the band — or for big,
+    *     non-finite, or otherwise odd inputs — it falls back to the
+    *     BigDecimal form, so every result is bit-identical by
+    *     construction (ClassifierSpec's pure-Scala reference trainer
+    *     pins this);
+    *   - the featurized rows arrive as PRIMITIVE arrays
+    *     (`Array[Int]`/`Array[Double]` encoders read UnsafeArrayData
+    *     directly), not `Seq[(Long, Double)]` — no per-feature tuple
+    *     boxing on the 10 replays of the pinned corpus.
     */
   private def gradientPartials(feats: DataFrame,
                                w: Array[Double]): DataFrame = {
@@ -153,28 +177,71 @@ object Classifier {
     import s.implicits._
     val wv: Array[Double] = w.clone()
     val n = w.length
-    feats.select(col("label"), col("fs"))
-      .as[(Double, Seq[(Long, Double)])]
+    feats.select(col("label"),
+        col("fs.bucket").cast("array<int>").as("bs"),
+        col("fs.x").as("xs"))
+      .as[(Double, Array[Int], Array[Double])]
       .mapPartitions { it =>
         import java.math.{BigDecimal => B, RoundingMode => RM}
-        def r9(x: Double): Double =
+        def slowR9(x: Double): Double =
           if (x.isNaN || x.isInfinite) x
           else B.valueOf(x).setScale(9, RM.HALF_UP).doubleValue
-        def dec10(x: Double): B = B.valueOf(x).setScale(10, RM.HALF_UP)
-        val acc = Array.fill(n)(B.ZERO)
-        it.foreach { case (label, fs) =>
-          var z = B.ZERO
-          fs.foreach { case (b, x) =>
-            z = z.add(dec10(r9(x * wv(b.toInt))))
+        // fast path: |x| < 100 bounds the binary-vs-shortest-decimal
+        // error of x·1e9 under 2.3e-5; a 1e-4 dead band around the .5
+        // midpoint then guarantees the double decision equals the
+        // BigDecimal one (NaN/Inf fail the bound check → slow path)
+        def r9(x: Double): Double = {
+          val p = x * 1e9
+          val a = math.abs(p)
+          if (a < 1e11) {
+            val fl = math.floor(a)
+            val f = a - fl
+            if (f > 0.5001 || f < 0.4999) {
+              val r = if (f >= 0.5) fl + 1.0 else fl
+              (if (x < 0) -r else r) / 1e9
+            } else slowR9(x)
+          } else slowR9(x)
+        }
+        // scale-10 long of a value already ON the 9dp grid (r9 output):
+        // the shortest decimal repr of such a double IS the grid point,
+        // so dec10 is exact and the long is just round(x·1e10)
+        def s10(x: Double): Long = {
+          val p = x * 1e10
+          if (p < 9.0e15 && p > -9.0e15) Math.round(p)
+          else B.valueOf(x).setScale(10, RM.HALF_UP)
+            .unscaledValue.longValueExact()
+        }
+        val accL = new Array[Long](n)
+        val accB = Array.fill[B](n)(B.ZERO)
+        def spill(i: Int): Unit = {
+          accB(i) = accB(i).add(B.valueOf(accL(i), 10))
+          accL(i) = 0L
+        }
+        it.foreach { case (label, bs, xs) =>
+          var zL = 0L
+          var i = 0
+          val m = bs.length
+          while (i < m) {
+            zL += s10(r9(xs(i) * wv(bs(i))))
+            i += 1
           }
-          val p = r9(1.0 / (1.0 + math.exp(-z.doubleValue)))
+          val zd =
+            if (zL < (1L << 52) && zL > -(1L << 52)) zL / 1e10
+            else B.valueOf(zL, 10).doubleValue
+          val p = r9(1.0 / (1.0 + math.exp(-zd)))
           val err = r9(label - p)
-          fs.foreach { case (b, x) =>
-            val i = b.toInt
-            acc(i) = acc(i).add(dec10(r9(err * x)))
+          i = 0
+          while (i < m) {
+            val b = bs(i)
+            if (accL(b) > 900000000000000000L ||
+                accL(b) < -900000000000000000L) spill(b)
+            accL(b) += s10(r9(err * xs(i)))
+            i += 1
           }
         }
-        Iterator.single(acc.map(_.toPlainString).toSeq)
+        var i = 0
+        while (i < n) { spill(i); i += 1 }
+        Iterator.single(accB.map(_.toPlainString).toSeq)
       }.toDF("g")
   }
 
@@ -214,22 +281,32 @@ object Classifier {
     */
   private def trainOn(feats0: DataFrame, nWeights: Int, rounds: Int,
                       lr: Double): Array[JBD] = {
-    val lrD = JBD.valueOf(lr)
     val feats = graft.core.Caches.deferRelease(
       graft.core.Parallel.widen(feats0).persist())
-    try {
-      require(feats.limit(1).count() > 0,
-        "Classifier: empty featurized corpus — cannot train")
-      var w = Array.fill(nWeights)(JBD.ZERO.setScale(9))
-      for (_ <- 1 to rounds) {
-        val g = gradients(feats, w.map(_.doubleValue))
-        w = Array.tabulate(nWeights) { b =>
-          w(b).add(lrD.multiply(g.getOrElse(b.toLong, JBD.ZERO))
-            .setScale(9, RM.HALF_UP))
-        }
+    try trainOnPinned(feats, nWeights, rounds, lr)
+    finally graft.core.Caches.release(feats, blocking = true)
+  }
+
+  /** trainer core over an ALREADY-PINNED featurized frame — callers that
+    * score the same corpus afterwards (the trainScore shape) hand the pin
+    * in and keep it for the scoring scan, so the corpus is featurized and
+    * cached ONCE per train+score, not once per phase; the pin stays
+    * registered with [[graft.core.Caches]] for harness-driven release.
+    */
+  private def trainOnPinned(feats: DataFrame, nWeights: Int, rounds: Int,
+                            lr: Double): Array[JBD] = {
+    val lrD = JBD.valueOf(lr)
+    require(feats.limit(1).count() > 0,
+      "Classifier: empty featurized corpus — cannot train")
+    var w = Array.fill(nWeights)(JBD.ZERO.setScale(9))
+    for (_ <- 1 to rounds) {
+      val g = gradients(feats, w.map(_.doubleValue))
+      w = Array.tabulate(nWeights) { b =>
+        w(b).add(lrD.multiply(g.getOrElse(b.toLong, JBD.ZERO))
+          .setScale(9, RM.HALF_UP))
       }
-      w
-    } finally graft.core.Caches.release(feats, blocking = true)
+    }
+    w
   }
 
   /** The learned model as rows — (bucket, weight), length feature at bucket
@@ -270,12 +347,18 @@ object Classifier {
         (col("s.score") >= 0.5).as("keep"))
 
   /** Train + score in one call — the batch gate shape. Inherits
-    * [[scoreWith]]'s empty-doc exclusion.
+    * [[scoreWith]]'s empty-doc exclusion. The corpus is featurized and
+    * pinned ONCE: the gradient rounds replay the pin and the scoring
+    * scan reads it too (one corpus featurization per call, not two);
+    * the transient pin is released by the harness's releaseTransient.
     */
   def trainScore(docs: DataFrame, dim: Int, rounds: Int, lr: Double,
-                 minWords: Int): DataFrame =
-    scoreWith(docs, dim, minWords,
-      trainWeights(docs, dim, rounds, lr, minWords).map(_.doubleValue))
+                 minWords: Int): DataFrame = {
+    val feats = graft.core.Caches.deferRelease(graft.core.Parallel
+      .widen(featurized(docs, dim, minWords)).persist())
+    scoreOn(feats,
+      trainOnPinned(feats, dim + 2, rounds, lr).map(_.doubleValue))
+  }
 
   /** HELD-OUT composition — the eval-integrity shape the deployed filter
     * actually ships with: weights trained ONLY on the train side of the
@@ -296,10 +379,13 @@ object Classifier {
     * [[featurizedBi]] channel set. Weight length dimUni + dimBi + 2.
     */
   def trainScoreBigram(docs: DataFrame, dimUni: Int, dimBi: Int,
-                       rounds: Int, lr: Double, minWords: Int): DataFrame =
-    scoreOn(featurizedBi(docs, dimUni, dimBi, minWords),
-      trainOn(featurizedBi(docs, dimUni, dimBi, minWords),
-        dimUni + dimBi + 2, rounds, lr).map(_.doubleValue))
+                       rounds: Int, lr: Double, minWords: Int): DataFrame = {
+    val feats = graft.core.Caches.deferRelease(graft.core.Parallel
+      .widen(featurizedBi(docs, dimUni, dimBi, minWords)).persist())
+    scoreOn(feats,
+      trainOnPinned(feats, dimUni + dimBi + 2, rounds, lr)
+        .map(_.doubleValue))
+  }
 
   /** The bigram model's learned weights — (bucket, weight); unigram
     * buckets [0, dimUni), bigram [dimUni, dimUni+dimBi), then length
