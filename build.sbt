@@ -55,4 +55,11 @@ javaOptions ++= jdk17AddOpens ++ fastTmp ++ Seq(
   // gate harness's many short-lived queries
   "-Dspark.sql.streaming.forceDeleteTempCheckpointLocation=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 305-gate harness generates thousands of whole-stage-codegen
+  // classes per drive; if a code-cache segment fills, HotSpot silently
+  // stops compiling and fresh generated classes run interpreted — the
+  // signature is identical task metrics burning several times the CPU
+  // (seen once on the r15 driver box: same 453 tasks/bytes, 6.5x the
+  // task-time on a rebuilt plan). Double the reserved cache as insurance.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -88,13 +88,22 @@ object Bench {
     // round-over-round comparable or must be read against the probes.
     val settleThresholdX100 = 300L // loadavg 3.0 on a 32-cpu box
     val settleMaxMs = 180000L
+    // minimum settle window even when the gate passes immediately: the
+    // 1-min loadavg is a trailing indicator, so a burst that just ended
+    // can read low while the box is still draining (r15's driver run
+    // settled in 10 s and the round's totals moved 20% on identical
+    // plans); 30 s of enforced quiet costs one run 30 s and buys
+    // round-over-round comparability
+    val settleMinMs = 30000L
     val loadPreSettle = diag.loadAvgX100
     var settleWaitMs = 0L
-    while (diag.loadAvgX100 > settleThresholdX100 &&
-           settleWaitMs < settleMaxMs) {
-      System.err.println(
-        s"[bench] box loaded (loadavg_x100=${diag.loadAvgX100} > " +
-          s"$settleThresholdX100) — settling, waited ${settleWaitMs / 1000}s")
+    while (settleWaitMs < settleMinMs ||
+           (diag.loadAvgX100 > settleThresholdX100 &&
+            settleWaitMs < settleMaxMs)) {
+      if (diag.loadAvgX100 > settleThresholdX100)
+        System.err.println(
+          s"[bench] box loaded (loadavg_x100=${diag.loadAvgX100} > " +
+            s"$settleThresholdX100) — settling, waited ${settleWaitMs / 1000}s")
       Thread.sleep(10000)
       settleWaitMs += 10000
     }
@@ -139,10 +148,27 @@ object Bench {
     // (Without this, the alphabetically-first consumer — corpus_decisions —
     // was charged the entire pair-set build.) Each step fails alone: one
     // broken warmup must not silently skip the rest.
-    def warm(step: String)(body: => Unit): Unit =
-      try body catch { case t: Throwable =>
-        System.err.println(s"[bench] warmup $step failed: ${t.getClass.getName}: ${t.getMessage}")
+    // each warmup step is TIMED and the sanctioned artifacts it
+    // materializes are attributed to it: the step's seconds are those
+    // artifacts' COLD (provisioning/build) cost, published in the
+    // artifact next to the WARM numbers of every timed gate that reads
+    // them — the {cold, warm} split the sanctioned-artifact cost model
+    // promises (r15 verdict #2)
+    val provisioning = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double)]
+    val artifactStep = scala.collection.mutable.Map.empty[String, String]
+    def warm(step: String)(body: => Unit): Unit = {
+      val before = graft.core.Caches.sanctionedNames(spark).toSet
+      val t0 = System.nanoTime()
+      val (_, _, builds) = graft.core.Caches.traceArtifacts {
+        try body catch { case t: Throwable =>
+          System.err.println(s"[bench] warmup $step failed: ${t.getClass.getName}: ${t.getMessage}")
+        }
       }
+      provisioning += ((step, (System.nanoTime() - t0) / 1e9))
+      (graft.core.Caches.sanctionedNames(spark).filterNot(before) ++ builds)
+        .foreach(a => artifactStep.getOrElseUpdate(a, step))
+    }
     warm("tpch_q1")(force(SparkEntry.queries("tpch_q1")(spark, sfDir)))
     warm("series")(graft.core.SeriesOps.series(spark, sfDir).count())
     warm("dedup_minhash")(force(SparkEntry.queries("dedup_minhash")(spark, sfDir)))
@@ -201,18 +227,32 @@ object Bench {
     // register sanctioned artifacts mid-run (stream_logprob's frozen LM),
     // and a later consumer of the same lineage (text_logprob) must see
     // them as allowed — a stale snapshot failed exactly that query.
+    // per gate: the sanctioned artifacts its run1 plan read WARM (plan
+    // introspection), merged with the DRIVER-LOCAL model-state memos no
+    // cached relation exposes (trained weights / codebooks ride into the
+    // plan as literals) — those gates' cold cost is the named warmup
+    // step's seconds
+    val memoReads = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val driverMemoGates: Map[String, String] = Map(
+      "stream_classifier" -> "stream_classifier",
+      "stream_sim_pq_residual_trained" -> "stream_sim_pq_residual_trained")
     def runOnce(name: String): (Double, Double) = {
       // pre-construction snapshot: builders warm NOW are contamination if
       // the plan reads them; builders the construction itself fills
       // (training collects inside the timed window) are paid for
       val preWarm = graft.core.Caches.materializedBuilders(spark)
       val c0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val (df, reads, _) = graft.core.Caches.traceArtifacts {
+        SparkEntry.queries(name)(spark, sfDir)
+      }
       val dirty = graft.core.Caches.contaminatedRelations(df,
         graft.core.Caches.sanctionedBuilders(spark), preWarm)
       if (dirty.nonEmpty)
         throw new IllegalStateException(
           s"timed plan reads unsanctioned warm cache: ${dirty.mkString("; ")}")
+      if (!memoReads.contains(name))
+        memoReads(name) =
+          (reads ++ graft.core.Caches.sanctionedReads(df, spark)).distinct
       val c1 = System.nanoTime()
       force(df)
       val e1 = System.nanoTime()
@@ -307,17 +347,21 @@ object Bench {
         }
       diags += ((name, d1, diag.measure(m2) :+
         ("provision_ms" -> (graft.core.Provisioning.snapshotNs - p2) / 1000000L)))
-      // outlier check: needs ≥2 measured siblings for a meaningful median;
-      // floor 1.0 s keeps fast-family jitter out; a failed query is already
-      // marked and needs no adjudication
+      // outlier check: the sibling-median triggers need ≥2 measured
+      // siblings, but run2-vs-run1 compares a query against ITSELF and
+      // needs none — r15's curate_classifier_bigram ran 2.4 s on run1 and
+      // 10.0 s on run2 as the 2nd query of its family and got no
+      // adjudication record, so the round's only slow-line breach shipped
+      // unexplained. Floor 1.0 s keeps fast-family jitter out; a failed
+      // query is already marked and needs no adjudication.
       val tot1 = c1 + e1
       val sibs = famTotals.getOrElseUpdate(fam,
         scala.collection.mutable.ArrayBuffer.empty[Double])
-      if (!failed.exists(_.startsWith(name)) && sibs.length >= 2) {
-        val med = median(sibs.toSeq)
+      if (!failed.exists(_.startsWith(name))) {
+        val med = if (sibs.length >= 2) median(sibs.toSeq) else tot1
         val trigger =
-          if (tot1 > 3 * med && tot1 > 1.0) "run1"
-          else if (r2 > 3 * med && r2 > 1.0) "run2"
+          if (sibs.length >= 2 && tot1 > 3 * med && tot1 > 1.0) "run1"
+          else if (sibs.length >= 2 && r2 > 3 * med && r2 > 1.0) "run2"
           else if (r2 > 3 * tot1 && r2 > 1.0) "run2_vs_run1"
           else ""
         if (trigger.nonEmpty) {
@@ -353,6 +397,27 @@ object Bench {
       name -> ((c1, e1, r2))
     }
     probe("end")
+    // outlier ADJUDICATION into the official number (r15 verdict #3): a
+    // run1 outlier whose ADJACENT fixed-work probe also ran slow is a box
+    // event, not a regression — the harness already recorded the evidence
+    // but r15 still published the inflated number (tpch_q5 4.233 s with
+    // sibling_median 0.66 in the same artifact). For those, the official
+    // per-query value becomes min(run1, run3); a FAST probe next to the
+    // outlier means the slowdown is real and run1 stands. The decision is
+    // recorded per query so the contract number is auditable in-artifact.
+    val probeBaseline = {
+      val base = probes.collect {
+        case (at, s, _) if !at.startsWith("outlier:") => s
+      }.toSeq
+      if (base.nonEmpty) median(base) else 0.0
+    }
+    val adjudicated: Map[String, (Double, Boolean)] = outliers.collect {
+      case (name, "run1", _, pSec, run3, _) if run3 > 0 =>
+        val envEvent = pSec > math.max(0.3, 2 * probeBaseline)
+        val run1 = results.collectFirst {
+          case (`name`, (c, e, _)) => c + e }.getOrElse(run3)
+        name -> ((if (envEvent) math.min(run1, run3) else run1, envEvent))
+    }.toMap
     // note: the memoized series table (SeriesOps) is shared across queries
     // by design — it models the materialized storage layer (core/Layout),
     // which production queries read instead of re-deriving
@@ -388,8 +453,41 @@ object Bench {
         "settled" -> settled,
         "loadavg_start_x100" -> loadStart,
         "loadavg_end_x100" -> diag.loadAvgX100))
+      // cachedName is a truncated plan string — sanitize for JSON
+      def esc(s: String): String =
+        s.replaceAll("[\"\\\\\n\r\t]", " ").take(80)
+      val provisioningJson = provisioning.map { case (s, t) =>
+        "\"" + s + "\":" + r3(t)
+      }.mkString("{", ",", "}")
+      val provByStep = provisioning.toMap
+      // per memo-backed gate: which sanctioned artifacts its plan read
+      // warm, the COLD build seconds of the warmup steps that made them,
+      // and the gate's own WARM run seconds — the {cold, warm} record
+      val memoJson = results.flatMap { case (k, (c, e, r2)) =>
+        val planArts = memoReads.getOrElse(k, Seq.empty)
+        val arts = planArts ++
+          driverMemoGates.get(k).map("driver-local model state: " + _)
+        if (arts.isEmpty) None
+        else {
+          val steps = (planArts.flatMap(artifactStep.get) ++
+            driverMemoGates.get(k).toSeq).distinct
+          val cold = steps.flatMap(provByStep.get).sum
+          Some("\"" + k + "\":{\"arts\":" +
+            arts.map(a => "\"" + esc(a) + "\"").mkString("[", ",", "]") +
+            ",\"steps\":" +
+            steps.map(s => "\"" + s + "\"").mkString("[", ",", "]") +
+            ",\"cold_s\":" + r3(cold) + ",\"warm_s\":" + r3(c + e) +
+            ",\"warm2_s\":" + r3(r2) + "}")
+        }
+      }.mkString("{", ",", "}")
+      val adjJson = adjudicated.toSeq.sortBy(_._1).map {
+        case (k, (v, env)) =>
+          "\"" + k + "\":{\"env_event\":" + env + ",\"official\":" +
+            r3(v) + "}"
+      }.mkString("{", ",", "}")
       s"""{"detail":$entries,"diag":$diagJson,"probes":$probesJson,""" +
-        s""""outliers":$outliersJson,""" +
+        s""""outliers":$outliersJson,"adjudicated":$adjJson,""" +
+        s""""provisioning":$provisioningJson,"memo":$memoJson,""" +
         s""""env":$envJson,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(
@@ -397,7 +495,11 @@ object Bench {
       (detailJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"failed":$failedJson,"sf":"$sfDir"}""")
 
-    val byName = results.map { case (k, (c, e, _)) => k -> (c + e) }.toMap
+    // the contract line publishes the ADJUDICATED per-query value: run1
+    // unless the in-band evidence (slow adjacent probe + faster clean
+    // run3) attributed the run1 number to a box event
+    val byName = results.map { case (k, (c, e, _)) =>
+      k -> adjudicated.get(k).map(_._1).getOrElse(c + e) }.toMap
     val qs = Headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + r3(byName(k))).mkString("{", ",", "}")
     val total = byName.values.sum

@@ -95,15 +95,73 @@ object Caches {
   private val artifactCaches = new java.util.concurrent
     .ConcurrentLinkedQueue[java.util.concurrent.ConcurrentHashMap[_, _]]()
 
+  // ---- construction-time artifact-read tracing (bench {cold, warm}) --
+  //
+  // Several gates consume a memoized artifact ENTIRELY at plan
+  // construction (eager localCheckpoint, driver-collected model state),
+  // so the final plan shows no InMemoryRelation to introspect. The memo
+  // maps themselves are the one common chokepoint: every accessor goes
+  // through a registered map, so a tracing subclass notes warm hits and
+  // cold builds into a thread-local the bench brackets around each
+  // timed construction / warmup step. Zero cost when no trace is active.
+
+  private val traceBuf =
+    new ThreadLocal[scala.collection.mutable.LinkedHashSet[(String, String)]]
+
+  private def note(kind: String, label: String): Unit = {
+    val b = traceBuf.get()
+    if (b != null) { b += ((kind, label)); () }
+  }
+
+  /** Run `body` collecting (reads, builds) of registered memo artifacts
+    * on THIS thread: `reads` are warm memo hits, `builds` are entries the
+    * body itself created (it paid for them). Labels are the registering
+    * call-site (`File.scala:line`).
+    */
+  def traceArtifacts[T](body: => T): (T, Seq[String], Seq[String]) = {
+    val b = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    traceBuf.set(b)
+    try {
+      val r = body
+      (r, b.collect { case ("read", l) => l }.toSeq,
+        b.collect { case ("build", l) => l }.toSeq)
+    } finally traceBuf.remove()
+  }
+
+  private final class TracingMap[K, V](label: String)
+      extends java.util.concurrent.ConcurrentHashMap[K, V] {
+    override def computeIfAbsent(
+        key: K, f: java.util.function.Function[_ >: K, _ <: V]): V = {
+      val existed = super.containsKey(key)
+      val v = super.computeIfAbsent(key, f)
+      note(if (existed) "read" else "build", label)
+      v
+    }
+    override def get(key: Any): V = {
+      val v = super.get(key)
+      if (v.asInstanceOf[AnyRef] ne null) note("read", label)
+      v
+    }
+  }
+
   /** Register a memo cache whose keys are products carrying the
     * SparkSession and the data dir (e.g. `(SparkSession, String)` or
-    * `(SparkSession, String, Double)`). Returns the map for inline use.
+    * `(SparkSession, String, Double)`). Returns the map for inline use —
+    * a TRACING map (the passed instance is expected empty and is only a
+    * type witness), labeled by the registering call-site.
     */
   def registerArtifactCache[K, V](
       m: java.util.concurrent.ConcurrentHashMap[K, V])
       : java.util.concurrent.ConcurrentHashMap[K, V] = {
-    artifactCaches.add(m)
-    m
+    val label = Thread.currentThread.getStackTrace
+      .find(f => !f.getClassName.startsWith("java.") &&
+        !f.getClassName.contains("graft.core.Caches") &&
+        !f.getClassName.startsWith("scala."))
+      .map(f => s"${f.getFileName}:${f.getLineNumber}")
+      .getOrElse("artifact")
+    val t = new TracingMap[K, V](label)
+    artifactCaches.add(t)
+    t
   }
 
   /** Drop every registered memo entry scoped to (spark, dir), releasing
@@ -190,6 +248,34 @@ object Caches {
       }
     }
     out.result()
+  }
+
+  /** The cachedNames of `spark`'s sanctioned artifacts — the bench
+    * attributes each name to the warmup step that first materialized it,
+    * so the artifact can publish per-artifact COLD (build) seconds next
+    * to the WARM (read) seconds of the gates that consume it.
+    */
+  def sanctionedNames(spark: SparkSession): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    sanctionedDfs.forEach { df =>
+      if (df.sparkSession eq spark)
+        out ++= df.queryExecution.withCachedData.collect {
+          case r: InMemoryRelation => r.cacheBuilder.cachedName
+        }
+    }
+    out.result().distinct
+  }
+
+  /** The sanctioned artifacts `df`'s plan reads warm (by cachedName) —
+    * the bench records these per timed gate so memo-backed gates carry
+    * their cold-vs-warm split in the artifact.
+    */
+  def sanctionedReads(df: DataFrame, spark: SparkSession): Seq[String] = {
+    val allowed = sanctionedBuilders(spark)
+    df.queryExecution.withCachedData.collect {
+      case r: InMemoryRelation if allowed.exists(_ eq r.cacheBuilder) =>
+        r.cacheBuilder.cachedName
+    }.distinct
   }
 
   /** Builders already MATERIALIZED in `spark`'s CacheManager — the bench
