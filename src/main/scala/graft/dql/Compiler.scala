@@ -165,7 +165,30 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       case "scrub_keepfirst" =>
         graft.pipeline.Dedup.substringScrubKeepFirst(
           graft.core.Parallel.widen(docs), args.head.toInt)
+      // similarity family: the DEFAULT spellings dispatch through the
+      // memoized index artifacts ([[DqlArtifacts]]) — the scale posture
+      // the rest of Similarity.scala exists for; `*_brute` spellings are
+      // the EXPLICIT exhaustive fallbacks (r15 verdict: the registry
+      // previously exposed only the brute rung). `sim_topk` keeps exact
+      // semantics by probing every cell of the IVF artifact — all-cells
+      // coverage ≡ brute bit-for-bit (each corpus vector lives in
+      // exactly one cell), but the corpus-side join is equi on cell id,
+      // never a full-corpus nested loop, and the index build is paid
+      // once per (session, corpus), not per query. First arg is the
+      // QUERY VEC_ID BOUND (queries = vec_id < n), not a count.
       case "sim_topk" =>
+        val emb = store.table(spark, "embeddings")
+        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store)
+        graft.pipeline.Similarity.ivfTopKProbedOn(cells, cents,
+          emb.where(col("vec_id") < args.head.toLong), args(1).toInt,
+          nProbe = DqlArtifacts.NCells)
+      case "sim_topk_probe" =>
+        val emb = store.table(spark, "embeddings")
+        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store)
+        graft.pipeline.Similarity.ivfTopKProbedOn(cells, cents,
+          emb.where(col("vec_id") < args.head.toLong), args(1).toInt,
+          nProbe = args(2).toInt)
+      case "sim_topk_brute" =>
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.bruteTopK(emb,
           emb.where(col("vec_id") < args.head.toLong), args(1).toInt)
@@ -173,6 +196,13 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.rangeSearch(emb,
           emb.where(col("vec_id") < args.head.toLong), args(1))
+      case "sim_range_lsh" =>
+        val emb = store.table(spark, "embeddings")
+        val idx = DqlArtifacts.lshIndex(spark, store)
+        graft.pipeline.Similarity.rangeSearchLshOn(idx,
+          graft.pipeline.Similarity.lshPrep(
+            emb.where(col("vec_id") < args.head.toLong),
+            DqlArtifacts.Bits, DqlArtifacts.Dim), args(1))
       case other =>
         throw CompileError(s"unregistered pipeline function '$other'")
     }

@@ -92,9 +92,22 @@ object Resolver {
     "langid" -> ((0, "langid()")),
     "scrub" -> ((1, "scrub(int n-gram window >= 2)")),
     "scrub_keepfirst" -> ((1, "scrub_keepfirst(int n-gram window >= 2)")),
-    "sim_topk" -> ((2, "sim_topk(int n-query-vectors >= 1, int k >= 1)")),
+    // first arg of every sim_* fn is the QUERY VEC_ID BOUND — queries
+    // are the embedding rows with vec_id < n, not "the first n vectors"
+    // (r15 advisory: ids need not be contiguous from 0)
+    "sim_topk" ->
+      ((2, "sim_topk(query vec_id bound >= 1, int k >= 1) — IVF-exact")),
+    "sim_topk_probe" ->
+      ((3, "sim_topk_probe(query vec_id bound >= 1, int k >= 1, " +
+        "int n-probe >= 1) — IVF recall knob")),
+    "sim_topk_brute" ->
+      ((2, "sim_topk_brute(query vec_id bound >= 1, int k >= 1) — " +
+        "exhaustive fallback")),
     "sim_range" ->
-      ((2, "sim_range(int n-query-vectors >= 1, min-cosine in [-1,1])")))
+      ((2, "sim_range(query vec_id bound >= 1, min-cosine in [-1,1])")),
+    "sim_range_lsh" ->
+      ((2, "sim_range_lsh(query vec_id bound >= 1, " +
+        "min-cosine in [-1,1]) — band-index path")))
 
   /** all registered function names (for error messages / generators) */
   val allFunctions: Set[String] =

@@ -38,6 +38,13 @@ trait SeriesStore {
     ranges.map { case (s, e) => scanRange(spark, bucket, s, e) }
       .reduce(_ union _)
   }
+  /** Stable identity of the store's corpus for (session, corpus)-keyed
+    * memo artifacts ([[DqlArtifacts]]): two store instances over the
+    * same data must return the same key, and a store over refreshed
+    * data a different one after [[graft.core.Caches.evictArtifacts]].
+    * Directory-backed stores return the directory path.
+    */
+  def corpusKey: String = getClass.getName
   /** DQL `ns:key` tag → physical column name */
   def tagCol(ns: String, key: String): Option[String]
   def tagCols: Seq[String]
@@ -82,6 +89,7 @@ final class LayoutStore(path: String,
 }
 
 final class TestdataStore(dir: String) extends SeriesStore {
+  override def corpusKey: String = dir
   def resolutionMs(bucket: String): Long = SeriesOps.ResolutionMs
   def series(spark: SparkSession, bucket: String): DataFrame =
     SeriesOps.series(spark, dir)

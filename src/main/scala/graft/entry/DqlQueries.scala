@@ -122,8 +122,29 @@ object DqlQueries extends QueryProvider {
       (("SELECT dedup_minhash(0.5) LAST 30 d", Seq("doc_a", "doc_b"))),
     "dql_pipeline_quality" ->
       (("SELECT quality() LAST 30 d", Seq("doc_id"))),
+    // sim_topk now dispatches through the memoized IVF artifact probing
+    // ALL cells — exact by coverage, so the oracle stays the BRUTE
+    // mirror: the gate pins index-path ≡ brute (r15 verdict #4)
     "dql_pipeline_simtopk" ->
       (("SELECT sim_topk(5, 10) LAST 30 d", Seq("query_id", "rank"))),
+    // the same identity at the verdict's named gate: all-cells probe of
+    // the IVF artifact against the brute oracle (rerank-exact config)
+    "dql_pipeline_simtopk_ivf" ->
+      (("SELECT sim_topk_probe(12, 5, 8) LAST 30 d",
+        Seq("query_id", "rank"))),
+    // the production recall knob (nProbe=3 of 8): approximate, so the
+    // oracle mirrors the SAME probed algorithm, not brute
+    "dql_pipeline_simtopk_probe" ->
+      (("SELECT sim_topk_probe(12, 5, 3) LAST 30 d",
+        Seq("query_id", "rank"))),
+    // the explicit exhaustive fallback spelling
+    "dql_pipeline_simtopk_brute" ->
+      (("SELECT sim_topk_brute(5, 10) LAST 30 d",
+        Seq("query_id", "rank"))),
+    // banded radius search against the memoized LSH band index
+    "dql_pipeline_simrange_lsh" ->
+      (("SELECT sim_range_lsh(5, 0.1) LAST 30 d",
+        Seq("query_id", "vec_id"))),
     "dql_pipeline_langid" ->
       (("SELECT langid() LAST 30 d", Seq("doc_id"))),
     "dql_pipeline_scrub" ->
@@ -383,14 +404,32 @@ object DqlQueries extends QueryProvider {
       (graft.pipeline.Dedup.exactSql + "\nORDER BY text_hash"),
     "dql_pipeline_minhash" -> graft.pipeline.Dedup.minhashPairsSql(0.5),
     "dql_pipeline_quality" -> graft.pipeline.TextOps.qualitySql,
-    "dql_pipeline_simtopk" -> graft.pipeline.Similarity.bruteTopKSql(64, 10,
+    // Dim comes from the shared testdata constant (r15 advisory: the
+    // literal 64 here risked silent drift against the sim gates)
+    "dql_pipeline_simtopk" -> graft.pipeline.Similarity.bruteTopKSql(
+      graft.core.Tables.EmbeddingDim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
+    "dql_pipeline_simtopk_ivf" -> graft.pipeline.Similarity.bruteTopKSql(
+      graft.core.Tables.EmbeddingDim, 5,
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 12"),
+    "dql_pipeline_simtopk_probe" ->
+      graft.pipeline.Similarity.ivfTopKProbedSql(
+        graft.dql.DqlArtifacts.NCells, graft.core.Tables.EmbeddingDim, 5, 3,
+        (0 until 12).mkString(", ")),
+    "dql_pipeline_simtopk_brute" -> graft.pipeline.Similarity.bruteTopKSql(
+      graft.core.Tables.EmbeddingDim, 10,
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
+    "dql_pipeline_simrange_lsh" ->
+      graft.pipeline.Similarity.rangeSearchLshSql(
+        graft.dql.DqlArtifacts.Bits, graft.core.Tables.EmbeddingDim, 0.1,
+        (0 until 5).mkString(", ")),
     "dql_pipeline_langid" -> graft.pipeline.TextOps.langidSql,
     "dql_pipeline_scrub" -> graft.pipeline.Dedup.substringScrubSql(8),
     "dql_pipeline_scrub_kf" ->
       graft.pipeline.Dedup.substringScrubKeepFirstSql(8),
     "dql_pipeline_simrange" -> graft.pipeline.Similarity.rangeSearchSql(
-      64, 0.3, "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"))
+      graft.core.Tables.EmbeddingDim, 0.3,
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"))
 
   // `dql_conf` uses the full-catalog gap-fill (all mtypes) restricted to
   // one metric in the outer query; the Spark side densifies only matching

@@ -11,7 +11,7 @@ import graft.pipeline._
   * `embeddings` testdata tables.
   */
 object PipelineQueries extends QueryProvider {
-  private val Dim = 64
+  private val Dim = graft.core.Tables.EmbeddingDim
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")

@@ -88,19 +88,34 @@ object Similarity {
     * [[lshTopK]], but selection is the threshold filter — no window, no
     * per-query exchange.
     */
-  def rangeSearchLsh(emb: DataFrame, queries: DataFrame, bits: Int,
-                     dim: Int, minCos: Double): DataFrame = {
-    def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+  /** the (vec_id, embedding, bkt, nrm) hyperplane-sign bucketing both
+    * sides of the LSH join share — row-local, so a memoized artifact of
+    * this shape over the corpus is the whole "band index"
+    */
+  def lshPrep(df: DataFrame, bits: Int, dim: Int): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
       VectorOps.lshBucket(col("embedding"), bits, dim).as("bkt"),
       VectorOps.norm(col("embedding")).as("nrm"))
-    prep(emb).as("t").join(broadcast(prep(queries).as("q")),
+
+  def rangeSearchLsh(emb: DataFrame, queries: DataFrame, bits: Int,
+                     dim: Int, minCos: Double): DataFrame =
+    rangeSearchLshOn(lshPrep(emb, bits, dim),
+      lshPrep(queries, bits, dim), minCos)
+
+  /** [[rangeSearchLsh]]'s search half against an ALREADY-BUCKETED corpus
+    * (a [[lshPrep]] artifact): the DQL registry dispatches here against
+    * its memoized band index, so each probe pays only the bucket
+    * population and never a corpus re-hash.
+    */
+  def rangeSearchLshOn(bucketed: DataFrame, queriesPrepped: DataFrame,
+                       minCos: Double): DataFrame =
+    bucketed.as("t").join(broadcast(queriesPrepped.as("q")),
         col("q.bkt") === col("t.bkt") && col("q.vec_id") =!= col("t.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("t.vec_id").as("vec_id"),
         VectorOps.cosineOf(
           VectorOps.dot(col("q.embedding"), col("t.embedding")),
           col("q.nrm"), col("t.nrm")).as("cos"))
       .where(col("cos") >= minCos)
-  }
 
   def rangeSearchLshSql(bits: Int, dim: Int, minCos: Double,
                         querySel: String): String =
@@ -313,7 +328,26 @@ object Similarity {
                     dim: Int, k: Int, nProbe: Int): DataFrame = {
     val cells = ivfCells(emb, nCells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = ivfCents(emb, nCells)
+    val out = ivfTopKProbedOn(cells, ivfCents(emb, nCells), queries,
+      k, nProbe)
+    Persist.handoff(out, cells)
+  }
+
+  /** [[ivfTopKProbed]]'s search half against an ALREADY-BUILT index —
+    * `cells` the assigned (vec_id, embedding, nrm, cell) table, `cents`
+    * the (cid, cvec, cnrm) quantizer. The DQL registry dispatches here
+    * against its memoized index artifact, so the per-query cost is the
+    * probed cells' population, never an index rebuild; `nProbe =` the
+    * cell count degrades gracefully to EXHAUSTIVE exact search (every
+    * corpus vector lives in exactly one cell, so all-cells coverage ≡
+    * [[bruteTopK]] bit-for-bit — the identity the dql_pipeline_simtopk
+    * gates pin against the brute oracle). The only nested-loop join is
+    * queries × nCells centroids — bounded by the quantizer, not the
+    * corpus; the corpus-side candidate join is equi on cell id.
+    */
+  def ivfTopKProbedOn(cells: DataFrame, cents: DataFrame,
+                      queries: DataFrame, k: Int,
+                      nProbe: Int): DataFrame = {
     val qemb = queries.select(col("vec_id").as("q_id"),
         col("embedding").as("qvec"))
       .withColumn("qnrm", VectorOps.norm(col("qvec")))
@@ -333,9 +367,8 @@ object Similarity {
           col("qnrm"), col("t.nrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-    Persist.handoff(out, cells)
   }
 
   /** Per-vector int8 scalar quantization of an assigned-cell table

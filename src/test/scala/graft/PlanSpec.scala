@@ -252,6 +252,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!feats.contains("Join"), feats.take(3000))
   }
 
+  test("DQL sim_topk routes through the IVF artifact: corpus join is " +
+    "cell-keyed, brute is the only spelling allowed to nested-loop") {
+    val p = planOf(entry.DqlQueries.queries("dql_pipeline_simtopk")(spark, dir))
+    // the candidate join against the corpus is equi on cell id
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the ONLY live nested-loop join is queries × nCells centroids —
+    // bounded by the quantizer, never the corpus. Subtrees under an
+    // InMemoryRelation are the memoized artifact's BUILD plan (executed
+    // once at provisioning, rendered but not re-run per query), so they
+    // are excluded from the count.
+    val live = {
+      val out = Seq.newBuilder[String]
+      var skipIndent = -1
+      p.linesIterator.foreach { l =>
+        val ind = l.indexWhere(c => !" :+-".contains(c))
+        if (skipIndent >= 0 && (ind > skipIndent || ind < 0)) ()
+        else {
+          skipIndent = if (l.contains("InMemoryRelation")) ind else -1
+          out += l
+        }
+      }
+      out.result()
+    }
+    val bnl = live.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1,
+      s"expected at most the bounded centroid cross join, got $bnl\n" +
+        p.take(3000))
+    // the index rides in as an InMemoryRelation (memoized artifact), not
+    // a rebuilt assignment pipeline
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    // the explicit fallback spelling is the one that may scan-all
+    val brute = planOf(
+      entry.DqlQueries.queries("dql_pipeline_simtopk_brute")(spark, dir))
+    assert(brute.contains("BroadcastNestedLoopJoin"), brute.take(3000))
+  }
+
   test("rollup/pivot expand in one pass; q17 reuses the aggregate join") {
     // ROLLUP compiles to Expand — every grouping level from ONE input
     // pass, not a union of per-level rescans
