@@ -214,6 +214,10 @@ object Bench {
       force(SparkEntry.queries("dql_pipeline_simtopk")(spark, sfDir)))
     warm("dql_sim_lsh")(
       force(SparkEntry.queries("dql_pipeline_simrange_lsh")(spark, sfDir)))
+    // warms the DQL registry's frozen quality-classifier weights (the
+    // same trained-model provisioning story as stream_classifier above)
+    warm("dql_quality_trained")(
+      force(SparkEntry.queries("dql_pipeline_classifier")(spark, sfDir)))
 
     // measurement integrity: Spark's CacheManager substitutes cached plans
     // by canonical equality, so anything the warmup left materialized —

@@ -203,6 +203,23 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
           graft.pipeline.Similarity.lshPrep(
             emb.where(col("vec_id") < args.head.toLong),
             DqlArtifacts.Bits, DqlArtifacts.Dim), args(1))
+      // trained quality filter: FROZEN memoized weights (trained on the
+      // train split once per session/corpus/hyperparams — deployment
+      // posture), the val split scored row-locally against them; the
+      // scan variant scores every bin edge by held-out accuracy
+      case "quality_trained" =>
+        val w = DqlArtifacts.heldOutWeights(spark, store, args(0).toInt,
+          args(1).toInt, args(2), args(3).toInt, args(4))
+        graft.pipeline.Classifier.scoreWith(
+          graft.pipeline.Curation.onSplit(docs, args(4), "val"),
+          args(0).toInt, args(3).toInt, w)
+      case "threshold_scan" =>
+        val w = DqlArtifacts.heldOutWeights(spark, store, args(0).toInt,
+          args(1).toInt, args(2), args(3).toInt, args(4))
+        graft.pipeline.Classifier.thresholdScan(
+          graft.pipeline.Classifier.scoreWith(
+            graft.pipeline.Curation.onSplit(docs, args(4), "val"),
+            args(0).toInt, args(3).toInt, w), args(5).toInt)
       case other =>
         throw CompileError(s"unregistered pipeline function '$other'")
     }

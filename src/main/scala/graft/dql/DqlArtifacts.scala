@@ -64,4 +64,29 @@ object DqlArtifacts {
         Similarity.lshPrep(store.table(spark, "embeddings"), bits, Dim)
           .persist(StorageLevel.MEMORY_AND_DISK))
     })
+
+  private val clsCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int, Int, Double, Int, Double),
+      Array[Double]])
+
+  /** FROZEN held-out classifier weights for the `quality_trained` /
+    * `threshold_scan` registry functions: trained ONCE per (session,
+    * corpus, hyperparams) on the train side of the deterministic hash
+    * split ([[graft.pipeline.Curation.onSplit]]) — the deployed-filter
+    * posture where training is model provisioning on the refresh
+    * cadence and every query is a frozen-weights scoring scan.
+    * Driver-local model state (dim+2 doubles), bounded by the feature
+    * dimension, never the corpus.
+    */
+  def heldOutWeights(spark: SparkSession, store: SeriesStore, dim: Int,
+                     rounds: Int, lr: Double, minWords: Int,
+                     valFrac: Double): Array[Double] =
+    clsCache.computeIfAbsent(
+      (spark, store.corpusKey, dim, rounds, lr, minWords, valFrac), { _ =>
+        graft.pipeline.Classifier.trainWeights(
+          graft.pipeline.Curation.onSplit(
+            store.table(spark, "documents"), valFrac, "train"),
+          dim, rounds, lr, minWords).map(_.doubleValue)
+      })
 }

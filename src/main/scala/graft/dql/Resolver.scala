@@ -107,7 +107,16 @@ object Resolver {
       ((2, "sim_range(query vec_id bound >= 1, min-cosine in [-1,1])")),
     "sim_range_lsh" ->
       ((2, "sim_range_lsh(query vec_id bound >= 1, " +
-        "min-cosine in [-1,1]) — band-index path")))
+        "min-cosine in [-1,1]) — band-index path")),
+    // the TRAINED quality filter (vs the heuristic `quality()`): weights
+    // frozen per (session, corpus, hyperparams), val split scored
+    "quality_trained" ->
+      ((5, "quality_trained(int dim >= 1, int rounds >= 1, lr > 0, " +
+        "int min-words >= 1, val-frac in (0,1)) — held-out scores")),
+    "threshold_scan" ->
+      ((6, "threshold_scan(int dim >= 1, int rounds >= 1, lr > 0, " +
+        "int min-words >= 1, val-frac in (0,1), int bins >= 1) — " +
+        "held-out accuracy per bin edge")))
 
   /** all registered function names (for error messages / generators) */
   val allFunctions: Set[String] =

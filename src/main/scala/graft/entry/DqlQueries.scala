@@ -145,6 +145,17 @@ object DqlQueries extends QueryProvider {
     "dql_pipeline_simrange_lsh" ->
       (("SELECT sim_range_lsh(5, 0.1) LAST 30 d",
         Seq("query_id", "vec_id"))),
+    // the TRAINED quality filter from the language: frozen memoized
+    // weights, val split scored — hash-matches curate_classifier_val's
+    // oracle (same split, same hyperparams, same exact-decimal chain)
+    "dql_pipeline_classifier" ->
+      (("SELECT quality_trained(32, 10, 0.001, 55, 0.1) LAST 30 d",
+        Seq("doc_id"))),
+    // threshold recalibration from the language (100 bin edges scored
+    // by held-out accuracy) — curate_classifier_val_thresh's oracle
+    "dql_pipeline_thresh" ->
+      (("SELECT threshold_scan(32, 10, 0.001, 55, 0.1, 100) LAST 30 d",
+        Seq("edge"))),
     "dql_pipeline_langid" ->
       (("SELECT langid() LAST 30 d", Seq("doc_id"))),
     "dql_pipeline_scrub" ->
@@ -423,6 +434,11 @@ object DqlQueries extends QueryProvider {
       graft.pipeline.Similarity.rangeSearchLshSql(
         graft.dql.DqlArtifacts.Bits, graft.core.Tables.EmbeddingDim, 0.1,
         (0 until 5).mkString(", ")),
+    "dql_pipeline_classifier" ->
+      graft.pipeline.Classifier.heldOutScoreSql(32, 10, 0.001, 55, 0.1),
+    "dql_pipeline_thresh" ->
+      graft.pipeline.Classifier.heldOutThresholdScanSql(
+        32, 10, 0.001, 55, 0.1, 100),
     "dql_pipeline_langid" -> graft.pipeline.TextOps.langidSql,
     "dql_pipeline_scrub" -> graft.pipeline.Dedup.substringScrubSql(8),
     "dql_pipeline_scrub_kf" ->
