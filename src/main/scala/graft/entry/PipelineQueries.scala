@@ -77,6 +77,18 @@ object PipelineQueries extends QueryProvider {
     // the base corpus (doc_id % 5 != 0), the delta folded in with one
     // keyed full-outer merge, spans read against the merged artifact —
     // must equal the full rebuild on the whole corpus (shared oracle)
+    // band-index append maintenance: base index built once, the delta's
+    // signatures union in (per-doc rows, no base re-hash), pairs read
+    // off the appended artifact — must equal the full rebuild on the
+    // concatenated corpus (the minhashPairsSql oracle)
+    "dedup_minhash_append" -> ((s, d) => {
+      val all = docsWide(s, d)
+      val base = all.where(col("doc_id") % 5 =!= 0)
+      val delta = all.where(col("doc_id") % 5 === 0)
+      Dedup.minhashPairsFromIndex(
+        Dedup.bandIndexAppend(Dedup.bandIndex(base), delta), 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
     "dedup_spans_append" -> ((s, d) => {
       val all = docsWide(s, d)
       val base = all.where(col("doc_id") % 5 =!= 0)
@@ -581,6 +593,7 @@ object PipelineQueries extends QueryProvider {
     "dedup_stats" -> Dedup.clusterStatsSql(Dedup.minhashPairsSql(0.5)),
     "dedup_spans" -> Dedup.substringSpansSql(8),
     // append path ≡ full rebuild, so the oracle IS the full-rebuild mirror
+    "dedup_minhash_append" -> Dedup.minhashPairsSql(0.5),
     "dedup_spans_append" -> Dedup.substringSpansSql(8),
     "dedup_scrub" -> Dedup.substringScrubSql(8),
     "dedup_scrub_keepfirst" -> Dedup.substringScrubKeepFirstSql(8),
