@@ -101,6 +101,11 @@ object StreamQueries extends QueryProvider {
       "'purchase'.'1' BUCKET 'testdata') LAST 1 h"
   private val ShiftDql =
     "SELECT avg('purchase'.* BUCKET 'testdata', 1 m) SHIFT BY 90 s LAST 1 h"
+  // complete-mode leader board: scores the 'error' series so the staged
+  // 'purchase' watermark sentinel never enters a score (the board needs
+  // no watermark — complete mode re-emits every trigger)
+  private val TopDql =
+    "SELECT 'error'.* BUCKET 'testdata' LAST 1 h TOP 3 BY avg()"
   private val MultiRawDql =
     "SELECT 'purchase'.* BUCKET 'testdata', 'error'.* BUCKET 'testdata' " +
       "LAST 1 h"
@@ -1557,6 +1562,11 @@ object StreamQueries extends QueryProvider {
     "stream_dql_nested" -> ((s, d) => runDql(s, d, NestedDql, "append")),
     "stream_dql_group_agg" ->
       ((s, d) => runDql(s, d, AggOverGroupDql, "append")),
+    "stream_dql_top" -> ((s, d) => {
+      s.conf.set("spark.graft.streaming.top.board", "true")
+      try runDql(s, d, TopDql, "complete", slotExact = false)
+      finally s.conf.unset("spark.graft.streaming.top.board")
+    }),
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
     "stream_derivate" -> ((s, d) => runDql(s, d, DerivDql, "append")),
@@ -1803,6 +1813,17 @@ object StreamQueries extends QueryProvider {
          |SELECT metric, ${Exact.wstartSql("ts_ms", 5 * WinMs)} AS ws,
          |       MAX(value) AS value
          |FROM g GROUP BY 1, 2""".stripMargin,
+    // complete-mode leader board: per-series running mean over RAW
+    // arrivals (the documented slotExact=false semantics), top 3 with
+    // the (score desc, metric) tiebreak; ws = slot-floored latest event
+    "stream_dql_top" ->
+      s"""WITH sc AS (
+         |  SELECT event_type || '.' || CAST(user_id AS VARCHAR) AS metric,
+         |         (MAX(CAST(epoch_ms(ts) AS BIGINT)) // 1000) * 1000 AS ws,
+         |         ${Exact.davgSql("value")} AS value
+         |  FROM events WHERE event_type = 'error' GROUP BY 1)
+         |SELECT metric, ws, value FROM sc
+         |ORDER BY value DESC, metric LIMIT 3""".stripMargin,
     // fused diff(sum, avg) over the slot values of all purchase series per
     // 1 m window; both children share the selector so neither is null
     "stream_comb_diff" ->

@@ -153,8 +153,6 @@ object StreamingDql {
   def compile(stream: DataFrame, dql: String, watermark: String,
               store: StreamStore = TestdataStreamStore): DataFrame = {
     val q = Parser.parse(dql)
-    if (q.limit.nonEmpty)
-      throw Unstreamable("TOP/BOTTOM is a global sort — not streamable")
     val resMs = resolutionMs(stream)
     // normalize the bound stream to the compiler's internal frame:
     // (ts, value, <carried tag/key cols>, metric). Everything downstream
@@ -171,7 +169,8 @@ object StreamingDql {
     val cols = Seq("name", "metric", "ws", "value") ++
       (if (withMeta) Seq("metadata") else Nil)
     val out =
-      if (q.selectors.length == 1) {
+      if (q.limit.nonEmpty) boardLimit(q, base, withMeta, store, resMs)
+      else if (q.selectors.length == 1) {
         val sel = q.selectors.head
         val plan = Resolver.resolve(sel.expr, q.aliases, _ => resMs)
         // internal plumbing: every aggregated branch also emits `wt`, the
@@ -193,6 +192,81 @@ object StreamingDql {
         named(shifted, sel, withMeta, store)
       } else fusedFunnel(q, base, withMeta, store)
     out.select(cols.head, cols.tail: _*)
+  }
+
+  /** TOP/BOTTOM as a COMPLETE-MODE leader board (r15 verdict #7): batch
+    * TOP scores every series over its whole range and keeps the n best
+    * STREAMS — a global sort, inexpressible in append mode. The streaming
+    * contract is the closest bounded-state shape: ONE score row per
+    * series (running algebraic aggregate, state = series cardinality,
+    * never history), sorted and limited each trigger — the live leader
+    * board a dashboard actually wants from a stream. The sink must run
+    * in `complete` output mode (sort/limit on a streaming frame are only
+    * legal there), so the path is OPT-IN via
+    * `spark.graft.streaming.top.board=true`; without it the historical
+    * typed reject stands, and every narrowing below is a typed reject
+    * too — never a silent semantics change:
+    *
+    *   - scores must be algebraic (sum/avg/min/max/variance/stddev):
+    *     median/percentile would buffer each series' full history in the
+    *     global aggregate's state;
+    *   - the selector must be a raw leaf, and slot-exact mode must be
+    *     off: either would chain a second stateful aggregation under the
+    *     global one, which Spark runs correctly only in append mode. The
+    *     board therefore scores RAW ARRIVALS (the documented
+    *     slotExact=false semantics, same as the update-mode aggregates).
+    *
+    * Output keeps the contract columns: `value` is the running score,
+    * `ws` the slot-floored latest event time per series (the board's
+    * as-of stamp).
+    */
+  private def boardLimit(q: Ast.Query, base: DataFrame, withMeta: Boolean,
+                         store: StreamStore, resMs: Long): DataFrame = {
+    val conf = base.sparkSession.conf
+    if (!conf.getOption("spark.graft.streaming.top.board").contains("true"))
+      throw Unstreamable(
+        "TOP/BOTTOM is a global sort — not streamable in append mode; " +
+          "set spark.graft.streaming.top.board=true to compile the " +
+          "complete-mode leader board (one score row per series; run the " +
+          "sink with outputMode(\"complete\"))")
+    val lim = q.limit.get
+    val algebraic =
+      Set("sum", "avg", "min", "max", "variance", "stddev")
+    if (!algebraic(lim.fun))
+      throw Unstreamable(
+        s"TOP/BOTTOM board scores must be algebraic (bounded per-series " +
+          s"state): ${algebraic.toSeq.sorted.mkString("/")}; " +
+          s"'${lim.fun}' would buffer each series' history")
+    if (q.selectors.length != 1)
+      throw Unstreamable("TOP/BOTTOM board takes a single selector")
+    val sel = q.selectors.head
+    if (sel.shift.nonEmpty)
+      throw Unstreamable("SHIFT BY under a TOP/BOTTOM board is not " +
+        "supported — shift the batch query instead")
+    val plan = Resolver.resolve(sel.expr, q.aliases, _ => resMs)
+    if (!isRawLeaf(plan))
+      throw Unstreamable(
+        "TOP/BOTTOM board scores raw series arrivals; an aggregated " +
+          "selector under the board would chain two stateful " +
+          "aggregations (append-mode-only in Spark) — score the leaf " +
+          "or run the batch path")
+    val leafed = leaf(plan, base, store)
+    if (leafed.columns.contains("sw"))
+      throw Unstreamable(
+        "slot-exact scoring would chain the slot collapse under the " +
+          "board's global aggregate — complete mode runs one stateful " +
+          "aggregation; set spark.graft.streaming.slotExact=false to " +
+          "score raw arrivals")
+    val score = Aggrs.spark(lim.fun, None)(col("value"), orderTs(leafed))
+    val scored = leafed.groupBy(col("metric"))
+      .agg(score.as("value"),
+        expr(s"(max(unix_millis(ts)) div $resMs) * $resMs").as("ws"))
+    val namedB = named(scored, sel, withMeta, store)
+    val ordered =
+      if (lim.top)
+        namedB.orderBy(col("value").desc, col("name"), col("metric"))
+      else namedB.orderBy(col("value").asc, col("name"), col("metric"))
+    ordered.limit(lim.n)
   }
 
   /** The batch multi-selector merge (`dqe_funnel`) FUSED into one stateful

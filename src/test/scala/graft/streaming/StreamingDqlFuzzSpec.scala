@@ -30,6 +30,12 @@ class StreamingDqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // fuzz the widest surface: the complete-mode TOP/BOTTOM board (r16)
+    // plus raw-arrival scoring — generated TOP queries over raw algebraic
+    // shapes now COMPILE instead of rejecting; non-algebraic scores and
+    // aggregated selectors under a board keep their typed rejects
+    s.conf.set("spark.graft.streaming.top.board", "true")
+    s.conf.set("spark.graft.streaming.slotExact", "false")
     val in = MemoryStream[SeriesStream.Ev]
     var compiled = 0
     var rejected = 0
@@ -37,12 +43,22 @@ class StreamingDqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     while (compiled + rejected < 120 && i < 400) {
       val params = Gen.Parameters.default.withSize(1 + i % 30)
       graft.dql.DqlGen.query(params, Seed(i.toLong)).foreach { q0 =>
-        // bias half the runs toward the streamable shape (single selector,
-        // no shift, no limit) so the SUCCESS path gets real coverage; the
-        // other half keeps the raw generator exercising every rejection
-        val q = if (i % 2 == 0) q0
-          else q0.copy(selectors = Seq(q0.selectors.head.copy(shift = None)),
+        // three-way bias: a third of runs keep the raw generator
+        // (exercising every rejection), a third bias to the streamable
+        // single-selector/no-shift/no-limit shape, and a third keep the
+        // generated LIMIT on the biased selector — since r16 a
+        // raw-selector TOP with an algebraic score compiles as the
+        // complete-mode board, so that slice exercises the board's
+        // compile AND its typed narrowings (aggregated selector,
+        // non-algebraic score)
+        val q = i % 3 match {
+          case 0 => q0
+          case 1 => q0.copy(
+            selectors = Seq(q0.selectors.head.copy(shift = None)),
             limit = None)
+          case _ => q0.copy(
+            selectors = Seq(q0.selectors.head.copy(shift = None)))
+        }
         val text = graft.dql.Unparse(q)
         try {
           val df = StreamingDql.compile(in.toDF(), text, "10 seconds")
@@ -62,15 +78,18 @@ class StreamingDqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       i += 1
     }
+    s.conf.unset("spark.graft.streaming.top.board")
+    s.conf.unset("spark.graft.streaming.slotExact")
     info(s"compiled=$compiled rejected=$rejected")
     assert(compiled + rejected >= 100)
     // the raw-select passthrough (r14) lifted the compiled fraction from
-    // 12/120 to ~54/120; nested aggregations + aggregations over GROUP BY
-    // lookups (r15, window-over-window chaining) lift it to ~61/120. Pin
-    // a floor so a regression in the lifted shapes is loud (the remaining
-    // rejects are TOP/BOTTOM — 51 of 120 in this sample — SHIFT on
-    // non-raw multi-selector funnels, and nested derivate: typed and
+    // 12/120 to ~54/120; nested aggregations + GROUP BY lookups (r15)
+    // to ~61; the complete-mode TOP/BOTTOM board (r16) to 62/120 with
+    // the limit-keeping bias slice. Pin a floor so a regression in the
+    // lifted shapes is loud (the remaining rejects are TOP over
+    // aggregated selectors / non-algebraic scores, SHIFT on non-raw
+    // multi-selector funnels, and nested derivate: typed and
     // intentional)
-    assert(compiled >= 55, s"compiled fraction regressed: $compiled/120")
+    assert(compiled >= 58, s"compiled fraction regressed: $compiled/120")
   }
 }

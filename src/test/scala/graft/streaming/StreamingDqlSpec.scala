@@ -57,6 +57,74 @@ class StreamingDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     try body finally spark.conf.unset(key)
   }
 
+  test("TOP n BY fun runs as a complete-mode leader board behind the flag") {
+    withConf("spark.graft.streaming.top.board", "true") {
+      withConf("spark.graft.streaming.slotExact", "false") {
+        val s = spark
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = MemoryStream[SeriesStream.Ev]
+        val out = StreamingDql.compile(in.toDF(),
+          "SELECT 'purchase'.* BUCKET 'testdata' LAST 1 h TOP 2 BY avg()",
+          "30 seconds")
+        val q = out.writeStream.format("memory").queryName("sdql_board")
+          .outputMode("complete").start()
+        // series means: u1 -> 2.0, u2 -> 9.0, u3 -> 5.0; top 2 = u2, u3
+        in.addData(ev(0, u = 1, v = 1), ev(10, u = 1, v = 3),
+          ev(5, u = 2, v = 9), ev(20, u = 3, v = 5),
+          ev(30, t = "error", u = 9, v = 99))
+        q.processAllAvailable()
+        val rows = spark.sql(
+          "SELECT metric, ws, CAST(value AS DOUBLE) FROM sdql_board")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        q.stop()
+        assert(rows == Set(("purchase.2", 5000L, 9.0),
+          ("purchase.3", 20000L, 5.0)))
+        // the board updates as the stream moves: u1's mean overtakes u3's
+        val q2 = out.writeStream.format("memory").queryName("sdql_board2")
+          .outputMode("complete").start()
+        in.addData(ev(40, u = 1, v = 20))
+        q2.processAllAvailable()
+        val rows2 = spark.sql(
+          "SELECT metric, CAST(value AS DOUBLE) FROM sdql_board2")
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+        q2.stop()
+        assert(rows2 == Set(("purchase.2", 9.0), ("purchase.1", 8.0)))
+      }
+    }
+  }
+
+  test("TOP/BOTTOM rejections stay typed: no flag, non-algebraic score, " +
+    "slot-exact") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[SeriesStream.Ev]
+    val top = "SELECT 'purchase'.* BUCKET 'testdata' LAST 1 h TOP 2 BY avg()"
+    intercept[StreamingDql.Unstreamable] {
+      StreamingDql.compile(in.toDF(), top, "30 seconds")
+    }
+    withConf("spark.graft.streaming.top.board", "true") {
+      // slot-exact (default) would chain two stateful aggs
+      intercept[StreamingDql.Unstreamable] {
+        StreamingDql.compile(in.toDF(), top, "30 seconds")
+      }
+      withConf("spark.graft.streaming.slotExact", "false") {
+        intercept[StreamingDql.Unstreamable] {
+          StreamingDql.compile(in.toDF(),
+            "SELECT 'purchase'.* BUCKET 'testdata' LAST 1 h TOP 2 BY median()",
+            "30 seconds")
+        }
+        intercept[StreamingDql.Unstreamable] {
+          StreamingDql.compile(in.toDF(),
+            "SELECT avg('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h TOP 2 BY avg()",
+            "30 seconds")
+        }
+      }
+    }
+  }
+
   test("windowed avg of a glob selector runs as a stream") {
     val rows = run("SELECT avg('purchase'.* BUCKET 'testdata', 1 m) LAST 1 h",
       Seq(ev(0, v = 1), ev(10, v = 3), ev(70, v = 5),
