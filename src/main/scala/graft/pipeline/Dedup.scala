@@ -114,10 +114,22 @@ object Dedup {
     val hashed = sh.select(col("doc_id") +:
       (0 until Seeds).map(s =>
         md5(concat_ws("|", lit(s.toString), col("shingle"))).as(s"h$s")): _*)
+    // channels aggregate as LONGS, not 8-hex-char strings: a string agg
+    // buffer is not UnsafeRow-mutable, so min(substring(...)) demoted
+    // this groupBy — the biggest aggregation of the whole dedup family,
+    // over the corpus-sized shingle table — to SortAggregate (caught by
+    // PlanAudit.sortAggDemotions, r16). Fixed-width lowercase hex orders
+    // lexicographically exactly as its numeric value, so min-over-long
+    // picks the same channel; consumers re-encode with lpad(lower(hex))
+    // to recover the identical hex string (band keys unchanged).
     val mhAggs = for (s <- 0 until Seeds; c <- 0 until Channels)
-      yield min(substring(col(s"h$s"), c * 8 + 1, 8)).as(s"mh${s}_$c")
+      yield min(conv(substring(col(s"h$s"), c * 8 + 1, 8), 16, 10)
+        .cast("long")).as(s"mh${s}_$c")
     hashed.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
   }
+
+  /** the minhash channel back in its original 8-hex-char form */
+  private def mhHex(c: Column): Column = lpad(lower(hex(c)), 8, "0")
 
   /** profiling-only view of the bigram signature stage (Scratch) */
   def ngramSignatureForProfile(docs: DataFrame): DataFrame =
@@ -140,7 +152,7 @@ object Dedup {
     val sh = shingles3(docs)
     val sig = signature(sh)
     val bandCols = (0 until Bands).map(b =>
-      md5(concat((0 until Channels).map(c => col(s"mh${b}_$c")): _*))
+      md5(concat((0 until Channels).map(c => mhHex(col(s"mh${b}_$c"))): _*))
         .as(s"band$b"))
     val banded = sig.select(col("doc_id") +: bandCols: _*)
     val stackExpr = (0 until Bands).map(b => s"$b, band$b").mkString(", ")
@@ -187,8 +199,12 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sets = idx.select(col("doc_id"), col("ss"))
-      .dropDuplicates("doc_id")
+    // one set row per doc WITHOUT aggregating: every doc carries exactly
+    // Bands identical ss copies, so band 0's row is the set (a
+    // dropDuplicates here would first(ss) an array buffer —
+    // SortAggregate demotion, caught by PlanAudit.sortAggDemotions)
+    val sets = idx.where(col("band_idx") === 0)
+      .select(col("doc_id"), col("ss"))
     val out = cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -207,7 +223,7 @@ object Dedup {
   private def bandedCandidates(sh: DataFrame): (DataFrame, DataFrame) = {
     val sig = signature(sh)
     val bandCols = (0 until Bands).map(b =>
-      md5(concat((0 until Channels).map(c => col(s"mh${b}_$c")): _*))
+      md5(concat((0 until Channels).map(c => mhHex(col(s"mh${b}_$c"))): _*))
         .as(s"band$b"))
     val banded = sig.select(col("doc_id") +: bandCols: _*)
     val stackExpr = (0 until Bands).map(b => s"$b, band$b").mkString(", ")

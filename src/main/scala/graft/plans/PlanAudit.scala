@@ -126,6 +126,32 @@ object PlanAudit {
     out.result()
   }
 
+  /** SortAggregate-demotion probe (the r15 keep-first lesson: a
+    * `min(struct(doc_id, pos))` silently demoted the whole corpus
+    * aggregation from HashAggregate-with-map-side-combine to a
+    * corpus-wide SortAggregate, because struct is not a mutable
+    * agg-buffer type — caught only by a manual plan read). Spark picks
+    * HashAggregate whenever every aggregation-buffer field is
+    * UnsafeRow-mutable and falls back to SortAggregate otherwise, so at
+    * the default confs a SortAggregate in a shipped plan IS the
+    * demotion signature: some buffer field (struct/array/string) forced
+    * the sort. Reports each SortAggregate line of the physical plan
+    * with its aggregate functions; the full-surface spec asserts the
+    * set stays empty (or explicitly whitelisted, naming the reason).
+    * Text-scan rather than a tree collect because AdaptiveSparkPlanExec
+    * hides its input plan from `collect`.
+    */
+  def sortAggDemotions(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.toString().linesIterator
+      .filter(_.contains("SortAggregate"))
+      .map { l =>
+        val fns = l.indexOf("functions=[")
+        if (fns >= 0) "SortAggregate " +
+          l.substring(fns, math.min(l.length, fns + 120))
+        else l.trim.take(120)
+      }
+      .toSeq.distinct
+
   /** The assertion surface for specs: empty means no quadratic blow-up
     * signature in the optimized plan. Only the per-element class gates —
     * node-level duplicates are runtime-CSE'd (see

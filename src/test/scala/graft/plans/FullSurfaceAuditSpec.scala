@@ -29,11 +29,21 @@ class FullSurfaceAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "re-evaluation signature") {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // gates allowed to carry a SortAggregate, each with the reason it is
+    // NOT the demotion class (sort is inherent, not a buffer-type
+    // accident) — additions here need the same justification
+    val sortAggAllowed: Map[String, String] = Map.empty
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
       try {
-        val findings = PlanAudit.lambdaInvariants(q(spark, dir))
+        val df = q(spark, dir)
+        val findings = PlanAudit.lambdaInvariants(df)
         if (findings.nonEmpty)
           bad += s"$name:\n  ${findings.mkString("\n  ")}"
+        val demotions = PlanAudit.sortAggDemotions(df)
+        if (demotions.nonEmpty && !sortAggAllowed.contains(name))
+          bad += s"$name (SortAggregate demotion — a non-mutable agg " +
+            s"buffer forced a sort where HashAggregate+map-side combine " +
+            s"was available):\n  ${demotions.mkString("\n  ")}"
       } catch {
         // a gate whose construction fails here is a separate defect —
         // surface it, but attribute it correctly
