@@ -168,8 +168,17 @@ object Caches {
     * any persisted frames the value carries (directly or inside a
     * product, e.g. an (index, centroids) pair). Returns how many entries
     * were evicted. The next consumer rebuilds from current storage.
+    *
+    * Also invalidates the CacheManager's PLAN-EQUALITY caches whose
+    * relations read files under `dir` (`recacheByPath`): without this, a
+    * cached frame built over the old contents — not necessarily one this
+    * registry knows about — would keep serving stale blocks to any
+    * canonically-equal subplan, and the memo rebuild itself could read
+    * it (r15 advisory: the doc promised "a refreshed corpus can never
+    * pair with a stale frozen artifact", the hook alone delivered less).
     */
   def evictArtifacts(spark: SparkSession, dir: String): Int = {
+    org.apache.spark.sql.GraftBridge.recacheByPath(spark, dir)
     def unpersistIn(v: Any): Unit = v match {
       case df: DataFrame =>
         sanctionedDfs.remove(df)

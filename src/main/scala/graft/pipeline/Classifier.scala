@@ -437,9 +437,15 @@ object Classifier {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val s = scored.sparkSession
     import s.implicits._
+    // bins+1 buckets: bucket k < bins holds [k/bins, (k+1)/bins), bucket
+    // `bins` holds EXACTLY score = 1.0 — without it a 1.0 score was
+    // clamped under the top edge and counted as dropped at threshold 1.0
+    // even though keep = score >= 1.0 keeps it (r15 advisory; the IEEE
+    // floor(score·bins) only reaches `bins` at exactly 1.0, since 9dp
+    // scores ≤ 1 − 1e-9 multiply strictly below it)
     val binned = scored
       .withColumn("bin",
-        least(floor(col("score") * bins).cast("int"), lit(bins - 1)))
+        least(floor(col("score") * bins).cast("int"), lit(bins)))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         sum(col("label")).cast("long").as("pos"))
@@ -660,7 +666,7 @@ object Classifier {
     */
   private def thresholdScanSql(bins: Int): String =
     s"""b AS (SELECT LEAST(CAST(FLOOR(score * $bins) AS INTEGER),
-       |               ${bins - 1}) AS bin,
+       |               $bins) AS bin,
        |             COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos
        |      FROM sc GROUP BY 1),
        |e AS (SELECT CAST(r.i AS INTEGER) AS edge

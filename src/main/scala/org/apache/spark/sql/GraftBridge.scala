@@ -46,4 +46,15 @@ object GraftBridge {
     */
   def materializedCacheBuilders(spark: SparkSession): Seq[AnyRef] =
     cacheBuilders(spark).filter(_.isCachedColumnBuffersLoaded)
+
+  /** Invalidate (and lazily re-materialize) every plan-equality cache
+    * entry whose relations read files under `path` — the CacheManager's
+    * own refresh hook, wrapped here because the classic-session cast is
+    * package-private. Caches.evictArtifacts uses it so a regenerated
+    * data dir invalidates cached frames the artifact registry never knew
+    * about.
+    */
+  def recacheByPath(spark: SparkSession, path: String): Unit =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
+      .recacheByPath(spark.asInstanceOf[classic.SparkSession], path)
 }

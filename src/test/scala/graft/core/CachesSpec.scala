@@ -79,7 +79,9 @@ class CachesSpec extends AnyFunSuite with BeforeAndAfterAll {
     write(Seq((0L, long2), (1L, long1), (2L, long1)))
     assert(Caches.evictArtifacts(s, dir) >= 1,
       "the memoized pair artifact must be registered and scoped to dir")
-    s.sharedState.cacheManager.clearCache() // drop plan-equality caches too
+    // no manual cacheManager.clearCache(): evictArtifacts itself
+    // invalidates plan-equality caches reading the dir (recacheByPath),
+    // so the hook ALONE delivers the documented guarantee (r15 advisory)
     assert(pairs() == Set((1L, 2L)), "expected a fresh rebuild")
     // and the rebuilt artifact was re-memoized: a second evict finds it
     assert(Caches.evictArtifacts(s, dir) >= 1)

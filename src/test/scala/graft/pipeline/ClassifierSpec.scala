@@ -283,6 +283,20 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(_.getLong(3) == 5L))
   }
 
+  test("threshold scan: an exact 1.0 score is KEPT at the top edge " +
+    "(boundary bin, r15 advisory)") {
+    val s = spark
+    import s.implicits._
+    val scored = Seq((1L, 1.0, 1.0), (2L, 0.0, 0.25))
+      .toDF("doc_id", "label", "score")
+    val scan = Classifier.thresholdScan(scored, bins = 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // edge 4 (t = 1.0): keep = score >= 1.0 keeps the 1.0-positive and
+    // drops the 0.25-negative — both decisions correct
+    assert(scan(4) == 2L,
+      s"1.0 score clamped below the top edge: $scan")
+  }
+
   test("scoreWith against zero weights scores everything 0.5 / keep") {
     val out = Classifier.scoreWith(corpus(), 8, 10,
       Array.fill(10)(0.0)).collect()
