@@ -70,6 +70,7 @@ trait SeriesStore {
 final class LayoutStore(path: String,
                         resolution: Long = graft.core.SeriesOps.ResolutionMs)
     extends SeriesStore {
+  override def corpusKey: String = path
   def resolutionMs(bucket: String): Long = resolution
   def series(spark: SparkSession, bucket: String): DataFrame =
     graft.core.Layout.readSeries(spark, path)
