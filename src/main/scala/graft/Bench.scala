@@ -417,12 +417,13 @@ object Bench {
     // per-query value becomes min(run1, run3); a FAST probe next to the
     // outlier means the slowdown is real and run1 stands. The decision is
     // recorded per query so the contract number is auditable in-artifact.
-    val probeBaseline = {
-      val base = probes.collect {
-        case (at, s, _) if !at.startsWith("outlier:") => s
-      }.toSeq
-      if (base.nonEmpty) median(base) else 0.0
-    }
+    // baseline = the MINIMUM non-outlier probe, not the median: the probe
+    // is fixed work, so its fastest observation is the quiet-box cost; a
+    // median over a drive with several loaded windows inflates the
+    // baseline and can mask a genuine box event next to an outlier
+    val probeBaseline = probes.collect {
+      case (at, s, _) if !at.startsWith("outlier:") => s
+    }.foldLeft(0.0)((m, s) => if (m == 0.0 || s < m) s else m)
     val adjudicated: Map[String, (Double, Boolean)] = outliers.collect {
       case (name, "run1", _, pSec, run3, _) if run3 > 0 =>
         val envEvent = pSec > math.max(0.3, 2 * probeBaseline)

@@ -132,9 +132,14 @@ object Caches {
       extends java.util.concurrent.ConcurrentHashMap[K, V] {
     override def computeIfAbsent(
         key: K, f: java.util.function.Function[_ >: K, _ <: V]): V = {
-      val existed = super.containsKey(key)
-      val v = super.computeIfAbsent(key, f)
-      note(if (existed) "read" else "build", label)
+      // read-vs-build decided by whether the mapping function actually
+      // ran — exact even when two threads race on a first access (a
+      // pre-check of containsKey would mislabel the loser's warm read
+      // as a cold build)
+      var built = false
+      val v = super.computeIfAbsent(key,
+        (k: K) => { built = true; f(k) })
+      note(if (built) "build" else "read", label)
       v
     }
     override def get(key: Any): V = {

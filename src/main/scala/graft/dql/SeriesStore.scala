@@ -42,9 +42,12 @@ trait SeriesStore {
     * memo artifacts ([[DqlArtifacts]]): two store instances over the
     * same data must return the same key, and a store over refreshed
     * data a different one after [[graft.core.Caches.evictArtifacts]].
-    * Directory-backed stores return the directory path.
+    * Directory-backed stores return the directory path. ABSTRACT on
+    * purpose — a class-name default would silently share one key (and
+    * one frozen artifact) across every instance of a multi-corpus
+    * store class, and evictArtifacts(dir) could never match it.
     */
-  def corpusKey: String = getClass.getName
+  def corpusKey: String
   /** DQL `ns:key` tag → physical column name */
   def tagCol(ns: String, key: String): Option[String]
   def tagCols: Seq[String]

@@ -85,6 +85,9 @@ object StreamQueries extends QueryProvider {
   /** 2100-01-01 UTC — far past any driver-generated event */
   private val SentinelMs = 4102444800000L
   private val WinMs = 60000L
+  // shared embedding dimension (r16 advisory: scattered 64 literals
+  // risked silent gate/oracle drift if the fixture dimension changes)
+  private val Dim = graft.core.Tables.EmbeddingDim
   private val runSeq = new AtomicInteger(0)
 
   private val AvgDql =
@@ -519,7 +522,7 @@ object StreamQueries extends QueryProvider {
       .select("vec_id", "embedding")
     val (packedIvf, cents) = simIndex(s, dir)
     drain(s, graft.streaming.SimStream.rrfAgainstIndexes(
-      queries, packedIvf, cents, lshIdx6(s, dir), bits = 6, dim = 64,
+      queries, packedIvf, cents, lshIdx6(s, dir), bits = 6, dim = Dim,
       kEach = 10, k = 5), "append")
   }
 
@@ -533,7 +536,7 @@ object StreamQueries extends QueryProvider {
   private def lshIdx6(s: SparkSession, dir: String): DataFrame =
     lshIdx6Cache.computeIfAbsent((s, dir), { _ =>
       graft.core.Caches.sanction(graft.streaming.SimStream.lshIndex(
-        graft.core.Tables(s, dir, "embeddings"), bits = 6, dim = 64)
+        graft.core.Tables(s, dir, "embeddings"), bits = 6, dim = Dim)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
@@ -546,7 +549,7 @@ object StreamQueries extends QueryProvider {
   private def lshIdx(s: SparkSession, dir: String): DataFrame =
     lshIndexCache.computeIfAbsent((s, dir), { _ =>
       graft.core.Caches.sanction(graft.streaming.SimStream.lshIndex(
-        graft.core.Tables(s, dir, "embeddings"), bits = 4, dim = 64)
+        graft.core.Tables(s, dir, "embeddings"), bits = 4, dim = Dim)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
@@ -561,7 +564,7 @@ object StreamQueries extends QueryProvider {
     val queries = s.readStream.schema(sch).parquet(staged)
       .where(col("vec_id") < 5).select("vec_id", "embedding")
     drain(s, graft.streaming.SimStream.rangeAgainstLshIndex(
-      queries, lshIdx(s, dir), bits = 4, dim = 64, minCos = 0.1), "append")
+      queries, lshIdx(s, dir), bits = 4, dim = Dim, minCos = 0.1), "append")
   }
 
   /** Online embedding-drift monitor: per-dimension corpus moments,
@@ -591,7 +594,7 @@ object StreamQueries extends QueryProvider {
       (graft.core.Caches.sanction(
         graft.pipeline.Pca.meanRow(emb).persist(lvl)),
         graft.core.Caches.sanction(
-          graft.pipeline.Pca.topComponentRow(emb, 64, 3).persist(lvl)))
+          graft.pipeline.Pca.topComponentRow(emb, Dim, 3).persist(lvl)))
     })
 
   /** Online PCA projection/residual: each arriving vector scores
@@ -648,7 +651,7 @@ object StreamQueries extends QueryProvider {
     pqIndexCache.computeIfAbsent((s, dir), { _ =>
       val (packed, cents, cbs) = graft.streaming.SimStream.pqIndex(
         graft.core.Tables(s, dir, "embeddings"), nCells = 8, m = 8,
-        ksub = 16, dim = 64)
+        ksub = 16, dim = Dim)
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       (graft.core.Caches.sanction(packed.persist(lvl)),
         graft.core.Caches.sanction(cents.persist(lvl)),
@@ -663,7 +666,7 @@ object StreamQueries extends QueryProvider {
     resPqIndexCache.computeIfAbsent((s, dir), { _ =>
       val (packed, cents, scbL) = graft.streaming.SimStream.residualPqIndex(
         graft.core.Tables(s, dir, "embeddings"), nCells = 8, m = 8,
-        ksub = 16, dim = 64)
+        ksub = 16, dim = Dim)
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       (graft.core.Caches.sanction(packed.persist(lvl)),
         graft.core.Caches.sanction(cents.persist(lvl)),
@@ -686,9 +689,9 @@ object StreamQueries extends QueryProvider {
     val (packed, cents, scbL) = resPqIndex(s, dir)
     val out =
       if (nProbe == 1) graft.streaming.SimStream.topKAgainstResidualPqIndex(
-        queries, packed, cents, scbL, k = 5, m = 8, dim = 64)
+        queries, packed, cents, scbL, k = 5, m = 8, dim = Dim)
       else graft.streaming.SimStream.topKAgainstResidualPqIndexProbed(
-        queries, packed, cents, scbL, k = 5, m = 8, dim = 64,
+        queries, packed, cents, scbL, k = 5, m = 8, dim = Dim,
         nProbe = nProbe)
     drain(s, out, "append")
   }
@@ -707,7 +710,7 @@ object StreamQueries extends QueryProvider {
       val (packed, cents, scbL) =
         graft.streaming.SimStream.residualPqIndexTrained(
           graft.core.Tables(s, dir, "embeddings"), nCells = 8, m = 8,
-          ksub = 16, dim = 64, iters = 2)
+          ksub = 16, dim = Dim, iters = 2)
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       (graft.core.Caches.sanction(packed.persist(lvl)),
         graft.core.Caches.sanction(cents.persist(lvl)),
@@ -727,7 +730,7 @@ object StreamQueries extends QueryProvider {
       .select("vec_id", "embedding")
     val (packed, cents, scbL) = resPqTrainedIndex(s, dir)
     drain(s, graft.streaming.SimStream.topKAgainstResidualPqIndexProbed(
-      queries, packed, cents, scbL, k = 5, m = 8, dim = 64, nProbe = 3),
+      queries, packed, cents, scbL, k = 5, m = 8, dim = Dim, nProbe = 3),
       "append")
   }
 
@@ -745,7 +748,7 @@ object StreamQueries extends QueryProvider {
     val (packedF, _) = simIndex(s, dir)
     val out = graft.streaming.SimStream
       .topKAgainstResidualPqIndexProbedReranked(
-        queries, packed, packedF, cents, scbL, k = 5, m = 8, dim = 64,
+        queries, packed, packedF, cents, scbL, k = 5, m = 8, dim = Dim,
         rerank = 15, nProbe = nProbe)
     drain(s, out, "append")
   }
@@ -765,9 +768,9 @@ object StreamQueries extends QueryProvider {
     val (packed, cents, cbs) = pqIndex(s, dir)
     val out =
       if (nProbe == 1) graft.streaming.SimStream.topKAgainstPqIndex(
-        queries, packed, cents, cbs, k = 5, m = 8, dim = 64)
+        queries, packed, cents, cbs, k = 5, m = 8, dim = Dim)
       else graft.streaming.SimStream.topKAgainstPqIndexProbed(
-        queries, packed, cents, cbs, k = 5, m = 8, dim = 64,
+        queries, packed, cents, cbs, k = 5, m = 8, dim = Dim,
         nProbe = nProbe)
     drain(s, out, "append")
   }
@@ -790,10 +793,10 @@ object StreamQueries extends QueryProvider {
     val (packedF, _) = simIndex(s, dir)
     val out =
       if (nProbe == 1) graft.streaming.SimStream.topKAgainstPqIndexReranked(
-        queries, packedQ, packedF, cents, cbs, k = 5, m = 8, dim = 64,
+        queries, packedQ, packedF, cents, cbs, k = 5, m = 8, dim = Dim,
         rerank = 15)
       else graft.streaming.SimStream.topKAgainstPqIndexProbedReranked(
-        queries, packedQ, packedF, cents, cbs, k = 5, m = 8, dim = 64,
+        queries, packedQ, packedF, cents, cbs, k = 5, m = 8, dim = Dim,
         rerank = 15, nProbe = nProbe)
     drain(s, out, "append")
   }
@@ -911,7 +914,7 @@ object StreamQueries extends QueryProvider {
     * (oracle = batch SQL verbatim) */
   private def runHashFeatures(s: SparkSession, dir: String): DataFrame =
     drain(s, graft.pipeline.TextOps.hashFeatures(docStream(s, dir),
-      dim = 64), "append")
+      dim = Dim), "append")
 
   /** The FROZEN quality-classifier weights, memoized per (session, dir) —
     * the fastText-filter posture: the model is trained once on the
@@ -1628,7 +1631,7 @@ object StreamQueries extends QueryProvider {
     // stream residual rerank ≡ batch ivfPqResidualRerankTopKProbed
     "stream_sim_pq_residual_rerank" ->
       graft.pipeline.Similarity.ivfPqResidualRerankTopKProbedSql(
-        8, 8, 16, 64, 5, 15, 3, "10, 11, 12"),
+        8, 8, 16, Dim, 5, 15, 3, "10, 11, 12"),
     // frozen-LM stream scoring over the same corpus ≡ batch self-scoring
     "stream_logprob" -> graft.pipeline.TextOps.unigramLogProbSql,
     // frozen LM + frozen cuts, self-scored on the replay corpus — the
@@ -1953,52 +1956,52 @@ object StreamQueries extends QueryProvider {
     // online radius search ≡ the batch bucketed range search (plain
     // threshold, no rank — stream/batch agree with no tie-break story)
     "stream_range" -> graft.pipeline.Similarity.rangeSearchLshSql(
-      4, 64, 0.1, "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
+      4, Dim, 0.1, "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     // online drift monitor: final complete-mode board ≡ batch moments
-    "stream_dim_stats" -> graft.pipeline.Similarity.dimStatsSql(64),
-    "stream_project" -> graft.pipeline.Pca.projectSql(64, 3),
+    "stream_dim_stats" -> graft.pipeline.Similarity.dimStatsSql(Dim),
+    "stream_project" -> graft.pipeline.Pca.projectSql(Dim, 3),
     // online hybrid fusion ≡ the batch RRF of the same two retrievals
     "stream_rrf" -> graft.pipeline.Similarity.rrfFuseSql(
-      graft.pipeline.Similarity.ivfTopKSql(8, 64, 10, "10, 11, 12"),
-      graft.pipeline.Similarity.lshTopKSql(6, 64, 10, "10, 11, 12"), 5),
-    "stream_sim" -> graft.pipeline.Similarity.ivfTopKSql(8, 64, 5,
+      graft.pipeline.Similarity.ivfTopKSql(8, Dim, 10, "10, 11, 12"),
+      graft.pipeline.Similarity.lshTopKSql(6, Dim, 10, "10, 11, 12"), 5),
+    "stream_sim" -> graft.pipeline.Similarity.ivfTopKSql(8, Dim, 5,
       "10, 11, 12"),
     // multi-probe online ANN ≡ the batch nProbe=3 search
     "stream_sim_probe" -> graft.pipeline.Similarity.ivfTopKProbedSql(
-      8, 64, 5, 3, "10, 11, 12"),
+      8, Dim, 5, 3, "10, 11, 12"),
     // quantized online ANN ≡ the batch quantized-only ranking
     "stream_sim_sq8" -> graft.pipeline.Similarity.ivfSq8QuantTopKSql(
-      8, 64, 5, "10, 11, 12"),
+      8, Dim, 5, "10, 11, 12"),
     // multi-probe over the quantized index ≡ the batch nProbe=3 form
     "stream_sim_sq8_probe" -> graft.pipeline.Similarity
-      .ivfSq8QuantTopKProbedSql(8, 64, 5, 3, "10, 11, 12"),
+      .ivfSq8QuantTopKProbedSql(8, Dim, 5, 3, "10, 11, 12"),
     // quantized shortlist + full-precision rerank on the stream ≡ the
     // batch ivfSq8TopK at the batch gate's (k=5, rerank=15)
     "stream_sim_sq8_rerank" -> graft.pipeline.Similarity
-      .ivfSq8TopKSql(8, 64, 5, 15, "10, 11, 12"),
+      .ivfSq8TopKSql(8, Dim, 5, 15, "10, 11, 12"),
     // codes-only PQ ranking on the stream ≡ the batch ivfPqTopK oracle
     "stream_sim_pq" -> graft.pipeline.Similarity
-      .ivfPqTopKSql(8, 8, 16, 64, 5, "10, 11, 12"),
+      .ivfPqTopKSql(8, 8, 16, Dim, 5, "10, 11, 12"),
     // probed PQ ranking on the stream ≡ the batch ivfPqTopKProbed oracle
     "stream_sim_pq_probe" -> graft.pipeline.Similarity
-      .ivfPqTopKProbedSql(8, 8, 16, 64, 5, 3, "10, 11, 12"),
+      .ivfPqTopKProbedSql(8, 8, 16, Dim, 5, 3, "10, 11, 12"),
     // PQ shortlist + full-precision rerank on the stream ≡ the batch
     // ivfPqRerankTopK at the batch gate's (k=5, rerank=15)
     "stream_sim_pq_rerank" -> graft.pipeline.Similarity
-      .ivfPqRerankTopKSql(8, 8, 16, 64, 5, 15, "10, 11, 12"),
+      .ivfPqRerankTopKSql(8, 8, 16, Dim, 5, 15, "10, 11, 12"),
     // probed PQ shortlist + full-precision rerank on the stream ≡ the
     // batch ivfPqRerankTopKProbed at the same (k, rerank, nProbe)
     "stream_sim_pq_probe_rerank" -> graft.pipeline.Similarity
-      .ivfPqRerankTopKProbedSql(8, 8, 16, 64, 5, 15, 3, "10, 11, 12"),
+      .ivfPqRerankTopKProbedSql(8, 8, 16, Dim, 5, 15, 3, "10, 11, 12"),
     // the online residual-PQ (IVFADC) search ≡ the batch residual
     // ranking at the same parameters
     "stream_sim_pq_residual" -> graft.pipeline.Similarity
-      .ivfPqResidualTopKProbedSql(8, 8, 16, 64, 5, 1, "10, 11, 12"),
+      .ivfPqResidualTopKProbedSql(8, 8, 16, Dim, 5, 1, "10, 11, 12"),
     "stream_sim_pq_residual_probe" -> graft.pipeline.Similarity
-      .ivfPqResidualTopKProbedSql(8, 8, 16, 64, 5, 3, "10, 11, 12"),
+      .ivfPqResidualTopKProbedSql(8, 8, 16, Dim, 5, 3, "10, 11, 12"),
     // online trained IVFADC ≡ the batch trained search
     "stream_sim_pq_residual_trained" -> graft.pipeline.Similarity
-      .ivfPqResidualTrainedTopKProbedSql(8, 8, 16, 64, 5, 3,
+      .ivfPqResidualTrainedTopKProbedSql(8, 8, 16, Dim, 5, 3,
         "10, 11, 12", iters = 2),
     // replaying the corpus against its own band index flags the batch
     // minhash pair set, both directions

@@ -202,15 +202,9 @@ object Classifier {
             } else slowR9(x)
           } else slowR9(x)
         }
-        // scale-10 long of a value already ON the 9dp grid (r9 output):
-        // the shortest decimal repr of such a double IS the grid point,
-        // so dec10 is exact and the long is just round(x·1e10)
-        def s10(x: Double): Long = {
-          val p = x * 1e10
-          if (p < 9.0e15 && p > -9.0e15) Math.round(p)
-          else B.valueOf(x).setScale(10, RM.HALF_UP)
-            .unscaledValue.longValueExact()
-        }
+        // exact dec10 of a value already ON the 9dp grid (r9 output):
+        // the shortest decimal repr of such a double IS the grid point
+        def dec10(x: Double): B = B.valueOf(x).setScale(10, RM.HALF_UP)
         val accL = new Array[Long](n)
         val accB = Array.fill[B](n)(B.ZERO)
         def spill(i: Int): Unit = {
@@ -218,24 +212,44 @@ object Classifier {
           accL(i) = 0L
         }
         it.foreach { case (label, bs, xs) =>
+          // per-doc margin, scale-10 long + BigDecimal overflow side;
+          // a term enters the long path only when |t·1e10| < 1e15
+          // (|t| < 1e5), where the double error of t·1e10 is provably
+          // < 2.3e-5 ≪ 0.5 so Math.round recovers the exact grid unit
+          // count; anything larger goes through dec10 — bit-exact by
+          // construction at every magnitude
           var zL = 0L
+          var zB = B.ZERO
+          var zBig = false
           var i = 0
           val m = bs.length
           while (i < m) {
-            zL += s10(r9(xs(i) * wv(bs(i))))
+            val t = r9(xs(i) * wv(bs(i)))
+            val p = t * 1e10
+            if (p < 1.0e15 && p > -1.0e15) {
+              if (zL > 900000000000000000L ||
+                  zL < -900000000000000000L) {
+                zB = zB.add(B.valueOf(zL, 10)); zL = 0L; zBig = true
+              }
+              zL += Math.round(p)
+            } else { zB = zB.add(dec10(t)); zBig = true }
             i += 1
           }
           val zd =
-            if (zL < (1L << 52) && zL > -(1L << 52)) zL / 1e10
-            else B.valueOf(zL, 10).doubleValue
-          val p = r9(1.0 / (1.0 + math.exp(-zd)))
-          val err = r9(label - p)
+            if (!zBig && zL < (1L << 52) && zL > -(1L << 52)) zL / 1e10
+            else B.valueOf(zL, 10).add(zB).doubleValue
+          val pr = r9(1.0 / (1.0 + math.exp(-zd)))
+          val err = r9(label - pr)
           i = 0
           while (i < m) {
             val b = bs(i)
-            if (accL(b) > 900000000000000000L ||
-                accL(b) < -900000000000000000L) spill(b)
-            accL(b) += s10(r9(err * xs(i)))
+            val t = r9(err * xs(i))
+            val p = t * 1e10
+            if (p < 1.0e15 && p > -1.0e15) {
+              if (accL(b) > 900000000000000000L ||
+                  accL(b) < -900000000000000000L) spill(b)
+              accL(b) += Math.round(p)
+            } else accB(b) = accB(b).add(dec10(t))
             i += 1
           }
         }

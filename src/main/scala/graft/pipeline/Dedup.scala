@@ -190,8 +190,14 @@ object Dedup {
                             threshold: Double): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pin: the key self-join and the two set joins would otherwise
-    // recompute the (appended) index once per consumer side
-    val idx = index.persist(lvl)
+    // recompute the (appended) index once per consumer side. An index
+    // that arrives ALREADY persisted (a maintained memoized/sanctioned
+    // artifact) is used as-is and NEVER registered for release — this
+    // call must not unpersist a shared artifact out from under its
+    // other consumers (and re-persisting at a different level throws)
+    val callerPinned =
+      index.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val idx = if (callerPinned) index else index.persist(lvl)
     val keys = idx.select(col("doc_id"), col("band_idx"), col("bh"))
     val cand = keys.as("x").join(keys.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -214,7 +220,7 @@ object Dedup {
           (size(col("sa.ss")) + size(col("sb.ss")) - col("i")))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
-    Persist.handoff(out, idx)
+    if (callerPinned) out else Persist.handoff(out, idx)
   }
 
   /** Returns (candidate pairs, melted band-key pin). Both frames are

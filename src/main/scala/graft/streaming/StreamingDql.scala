@@ -234,9 +234,10 @@ object StreamingDql {
       Set("sum", "avg", "min", "max", "variance", "stddev")
     if (!algebraic(lim.fun))
       throw Unstreamable(
-        s"TOP/BOTTOM board scores must be algebraic (bounded per-series " +
-          s"state): ${algebraic.toSeq.sorted.mkString("/")}; " +
-          s"'${lim.fun}' would buffer each series' history")
+        s"TOP/BOTTOM board supports the parameterless algebraic scores " +
+          s"${algebraic.toSeq.sorted.mkString("/")}; '${lim.fun}' is " +
+          "outside it (median/percentile would buffer each series' " +
+          "history; threshold scores take no argument in a BY clause)")
     if (q.selectors.length != 1)
       throw Unstreamable("TOP/BOTTOM board takes a single selector")
     val sel = q.selectors.head

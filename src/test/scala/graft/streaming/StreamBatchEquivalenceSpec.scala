@@ -70,6 +70,8 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     * stream ingests
     */
   private final class ReplayStore(ev: DataFrame) extends graft.dql.SeriesStore {
+    // test-local in-memory replay — no corpus tables, no memo artifacts
+    def corpusKey: String = s"replay-${System.identityHashCode(ev)}"
     def resolutionMs(bucket: String): Long = 1000L
     def series(spark: SparkSession, bucket: String): DataFrame =
       ev.groupBy(

@@ -36,6 +36,7 @@ class StreamingDqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // aggregated selectors under a board keep their typed rejects
     s.conf.set("spark.graft.streaming.top.board", "true")
     s.conf.set("spark.graft.streaming.slotExact", "false")
+    try {
     val in = MemoryStream[SeriesStream.Ev]
     var compiled = 0
     var rejected = 0
@@ -78,8 +79,6 @@ class StreamingDqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       i += 1
     }
-    s.conf.unset("spark.graft.streaming.top.board")
-    s.conf.unset("spark.graft.streaming.slotExact")
     info(s"compiled=$compiled rejected=$rejected")
     assert(compiled + rejected >= 100)
     // the raw-select passthrough (r14) lifted the compiled fraction from
@@ -91,5 +90,12 @@ class StreamingDqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // multi-selector funnels, and nested derivate: typed and
     // intentional)
     assert(compiled >= 58, s"compiled fraction regressed: $compiled/120")
+    } finally {
+      // conf restore must survive a mid-loop assertion failure — a leak
+      // here flips later suites' expected typed rejects into spurious
+      // compilations
+      s.conf.unset("spark.graft.streaming.top.board")
+      s.conf.unset("spark.graft.streaming.slotExact")
+    }
   }
 }
