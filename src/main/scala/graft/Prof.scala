@@ -21,6 +21,12 @@ object Prof {
 
     // direct subtree probes not in the gate surface
     import org.apache.spark.sql.functions._
+    def docs10(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      val dd = graft.core.Tables(s, d, "documents").select("doc_id", "text")
+      (0 until 10).map(k =>
+        dd.select((col("doc_id") * 16 + lit(k)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+    }
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "simhash_fp" -> ((s, d) =>
         graft.pipeline.Dedup.simhash(graft.core.Tables(s, d, "documents"))),
@@ -72,7 +78,24 @@ object Prof {
         ev.where(col("event_type").rlike("pur|cli") &&
             get_json_object(col("props"), "$.k").cast("double") < 30)
           .select("event_id", "ts_ms", "event_type", "value")
+      }),
+      // r16 SortAggregate-demotion A/B at 10× corpus: the minhash
+      // signature with LONG channel buffers (shipped, HashAggregate with
+      // map-side combine) vs the r15 STRING-substring form (SortAggregate)
+      "sig_long10" -> ((s, d) =>
+        graft.pipeline.Dedup.signatureForProfile(docs10(s, d))),
+      "sig_string10" -> ((s, d) => {
+        val sh = graft.pipeline.Dedup.shingles3(docs10(s, d))
+        val seeds = graft.pipeline.Dedup.Seeds
+        val chans = graft.pipeline.Dedup.Channels
+        val hashed = sh.select(col("doc_id") +:
+          (0 until seeds).map(x =>
+            md5(concat_ws("|", lit(x.toString), col("shingle"))).as(s"h$x")): _*)
+        val mhAggs = for (x <- 0 until seeds; c <- 0 until chans)
+          yield min(substring(col(s"h$x"), c * 8 + 1, 8)).as(s"mh${x}_$c")
+        hashed.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
       }))
+
     val diag = new BenchDiag(spark)
     if (sys.env.contains("PROF_STAGES"))
       spark.sparkContext.addSparkListener(

@@ -1,0 +1,68 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DataTypes, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernel parsing `len` hex chars at 0-based char offset `start`
+  * of an ASCII hex string (an md5 digest) into a long — identical output
+  * to `conv(substring(h, start + 1, len), 16, 10).cast("long")` for
+  * valid hex input, at a fraction of the cost: `conv` routes every call
+  * through generic radix conversion (string alloc for the substring,
+  * digit-table lookup, unsigned decimal STRING result, then a
+  * string→long cast), which the r16 minhash-signature A/B measured at
+  * ~35% of the whole signature stage's CPU at 10× corpus. This is a
+  * 16-op shift-or loop on the backing bytes.
+  *
+  * Contract: `len` ≤ 15 (the value must fit a positive long; minhash
+  * channels are 8). Like `conv`, parsing stops at the first non-hex
+  * char (never hit on md5 output).
+  *
+  * Codegen: one static call, whole-stage codegen stays intact.
+  */
+case class HexSliceLong(child: Expression, start: Int, len: Int)
+    extends UnaryExpression {
+  require(len >= 1 && len <= 15, s"len must be in [1, 15], got $len")
+  require(start >= 0, s"start must be >= 0, got $start")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    HexSliceLong.compute(input.asInstanceOf[UTF8String], start, len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = HexSliceLong.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($c, $start, $len);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): HexSliceLong =
+    copy(child = c)
+}
+
+object HexSliceLong {
+  /** static so generated code can call it; ASCII input assumed (md5 hex
+    * is) — a multibyte char would read as non-hex bytes and stop the
+    * parse, matching conv's prefix semantics closely enough for the
+    * never-taken path
+    */
+  def compute(s: UTF8String, start: Int, len: Int): Long = {
+    val n = s.numBytes()
+    var v = 0L
+    var i = start
+    val end = math.min(start + len, n)
+    while (i < end) {
+      val c = s.getByte(i)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else return v
+      v = (v << 4) | d
+      i += 1
+    }
+    v
+  }
+}

@@ -121,10 +121,14 @@ object Dedup {
     // PlanAudit.sortAggDemotions, r16). Fixed-width lowercase hex orders
     // lexicographically exactly as its numeric value, so min-over-long
     // picks the same channel; consumers re-encode with lpad(lower(hex))
-    // to recover the identical hex string (band keys unchanged).
+    // to recover the identical hex string (band keys unchanged). The
+    // parse is the native [[graft.expr.HexSliceLong]] kernel — `conv`'s
+    // generic radix machinery measured ~35% of the stage's CPU at 10×.
+    def chan(s: Int, c: Int) = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.HexSliceLong(org.apache.spark.sql.GraftBridge
+        .expression(col(s"h$s")), c * 8, 8))
     val mhAggs = for (s <- 0 until Seeds; c <- 0 until Channels)
-      yield min(conv(substring(col(s"h$s"), c * 8 + 1, 8), 16, 10)
-        .cast("long")).as(s"mh${s}_$c")
+      yield min(chan(s, c)).as(s"mh${s}_$c")
     hashed.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
   }
 
@@ -134,6 +138,10 @@ object Dedup {
   /** profiling-only view of the bigram signature stage (Scratch) */
   def ngramSignatureForProfile(docs: DataFrame): DataFrame =
     signature(shingles2(docs))
+
+  /** profiling-only view of the 3-shingle signature stage (Prof) */
+  def signatureForProfile(docs: DataFrame): DataFrame =
+    signature(shingles3(docs))
 
   /** The static near-dup INDEX for a corpus: one row per (doc, band) with
     * the banded minhash key and the doc's distinct shingle set —
