@@ -196,6 +196,22 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.rangeSearch(emb,
           emb.where(col("vec_id") < args.head.toLong), args(1))
+      // hybrid retrieval from the language: the IVF list (single-cell,
+      // via the memoized index) and the multi-probe-LSH list (bits=6
+      // band index) RRF-fused — both legs read their artifacts, depth
+      // 10 per leg like the batch sim_rrf gate
+      case "sim_rrf" =>
+        val emb = store.table(spark, "embeddings")
+        val queries = emb.where(col("vec_id") < args.head.toLong)
+        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store)
+        val ivfList = graft.pipeline.Similarity.ivfTopKProbedOn(
+          cells, cents, queries, k = 10, nProbe = 1)
+        val mpBits = 6
+        val mpList = graft.pipeline.Similarity.lshMultiProbeTopKOn(
+          DqlArtifacts.lshIndex(spark, store, mpBits),
+          graft.pipeline.Similarity.lshPrep(queries, mpBits,
+            DqlArtifacts.Dim), mpBits, k = 10)
+        graft.pipeline.Similarity.rrfFuse(ivfList, mpList, args(1).toInt)
       case "sim_range_lsh" =>
         val emb = store.table(spark, "embeddings")
         val idx = DqlArtifacts.lshIndex(spark, store)

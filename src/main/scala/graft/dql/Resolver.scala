@@ -108,6 +108,9 @@ object Resolver {
     "sim_range_lsh" ->
       ((2, "sim_range_lsh(query vec_id bound >= 1, " +
         "min-cosine in [-1,1]) — band-index path")),
+    "sim_rrf" ->
+      ((2, "sim_rrf(query vec_id bound >= 1, int k >= 1) — IVF and " +
+        "multi-probe-LSH lists RRF-fused, both index-backed")),
     // the TRAINED quality filter (vs the heuristic `quality()`): weights
     // frozen per (session, corpus, hyperparams), val split scored
     "quality_trained" ->

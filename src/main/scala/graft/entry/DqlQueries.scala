@@ -141,6 +141,10 @@ object DqlQueries extends QueryProvider {
     "dql_pipeline_simtopk_brute" ->
       (("SELECT sim_topk_brute(5, 10) LAST 30 d",
         Seq("query_id", "rank"))),
+    // hybrid retrieval: IVF + multi-probe-LSH lists RRF-fused, both
+    // legs reading their memoized index artifacts
+    "dql_pipeline_rrf" ->
+      (("SELECT sim_rrf(12, 5) LAST 30 d", Seq("query_id", "rank"))),
     // banded radius search against the memoized LSH band index
     "dql_pipeline_simrange_lsh" ->
       (("SELECT sim_range_lsh(5, 0.1) LAST 30 d",
@@ -427,6 +431,12 @@ object DqlQueries extends QueryProvider {
       graft.pipeline.Similarity.ivfTopKProbedSql(
         graft.dql.DqlArtifacts.NCells, graft.core.Tables.EmbeddingDim, 5, 3,
         (0 until 12).mkString(", ")),
+    "dql_pipeline_rrf" -> graft.pipeline.Similarity.rrfFuseSql(
+      graft.pipeline.Similarity.ivfTopKSql(graft.dql.DqlArtifacts.NCells,
+        graft.core.Tables.EmbeddingDim, 10, (0 until 12).mkString(", ")),
+      graft.pipeline.Similarity.lshMultiProbeTopKSql(6,
+        graft.core.Tables.EmbeddingDim, 10, (0 until 12).mkString(", ")),
+      5),
     "dql_pipeline_simtopk_brute" -> graft.pipeline.Similarity.bruteTopKSql(
       graft.core.Tables.EmbeddingDim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),

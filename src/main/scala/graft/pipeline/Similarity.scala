@@ -721,12 +721,19 @@ object Similarity {
     * and probes are distinct, so no candidate dedup is needed.
     */
   def lshMultiProbeTopK(emb: DataFrame, queries: DataFrame, bits: Int,
-                        dim: Int, k: Int): DataFrame = {
-    def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
-      VectorOps.lshBucket(col("embedding"), bits, dim).as("bkt"),
-      VectorOps.norm(col("embedding")).as("nrm"))
-    val bucketed = prep(emb)
-    val probes = prep(queries).withColumn("probe",
+                        dim: Int, k: Int): DataFrame =
+    lshMultiProbeTopKOn(lshPrep(emb, bits, dim),
+      lshPrep(queries, bits, dim), bits, k)
+
+  /** [[lshMultiProbeTopK]]'s search half against an ALREADY-BUCKETED
+    * corpus (a [[lshPrep]] artifact — same shape the range search
+    * probes): the DQL registry dispatches here against its memoized band
+    * index, so each query pays bits+1 bucket probes and never a corpus
+    * re-hash.
+    */
+  def lshMultiProbeTopKOn(bucketed: DataFrame, queriesPrepped: DataFrame,
+                          bits: Int, k: Int): DataFrame = {
+    val probes = queriesPrepped.withColumn("probe",
       explode(array(col("bkt") +:
         (0 until bits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*)))
     val scored = bucketed.as("t").join(broadcast(probes.as("q")),
