@@ -165,6 +165,21 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       case "scrub_keepfirst" =>
         graft.pipeline.Dedup.substringScrubKeepFirst(
           graft.core.Parallel.widen(docs), args.head.toInt)
+      case "dedup_simhash" =>
+        graft.pipeline.Dedup.simhashPairs(docs, args.head.toInt)
+      case "dedup_ngram" =>
+        graft.pipeline.Dedup.ngramJaccardPairs(docs, args.head)
+      case "dedup_embed" =>
+        graft.pipeline.Dedup.embedNearDup(
+          store.table(spark, "embeddings"), bits = DqlArtifacts.Bits + 2,
+          dim = DqlArtifacts.Dim, threshold = args.head)
+      case "tokens" =>
+        graft.pipeline.TextOps.tokens(docs)
+      case "fingerprint" =>
+        graft.pipeline.TextOps.fingerprint(docs)
+      case "gopher" => // widened like quality: multi-fold per-row compute
+        graft.pipeline.TextOps.gopherRules(graft.core.Parallel.widen(docs),
+          stops = graft.pipeline.TextOps.Stopwords)
       // similarity family: the DEFAULT spellings dispatch through the
       // memoized index artifacts ([[DqlArtifacts]]) — the scale posture
       // the rest of Similarity.scala exists for; `*_brute` spellings are

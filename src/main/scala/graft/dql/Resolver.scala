@@ -92,6 +92,12 @@ object Resolver {
     "langid" -> ((0, "langid()")),
     "scrub" -> ((1, "scrub(int n-gram window >= 2)")),
     "scrub_keepfirst" -> ((1, "scrub_keepfirst(int n-gram window >= 2)")),
+    "dedup_simhash" -> ((1, "dedup_simhash(int max-hamming >= 0)")),
+    "dedup_ngram" -> ((1, "dedup_ngram(jaccard-threshold in (0,1])")),
+    "dedup_embed" -> ((1, "dedup_embed(min-cosine in [-1,1])")),
+    "tokens" -> ((0, "tokens()")),
+    "fingerprint" -> ((0, "fingerprint()")),
+    "gopher" -> ((0, "gopher()")),
     // first arg of every sim_* fn is the QUERY VEC_ID BOUND — queries
     // are the embedding rows with vec_id < n, not "the first n vectors"
     // (r15 advisory: ids need not be contiguous from 0)

@@ -145,6 +145,21 @@ object DqlQueries extends QueryProvider {
     // legs reading their memoized index artifacts
     "dql_pipeline_rrf" ->
       (("SELECT sim_rrf(12, 5) LAST 30 d", Seq("query_id", "rank"))),
+    // the rest of the dedup family from the language (simhash, n-gram
+    // Jaccard, embedding near-dup) + three more text operators — each a
+    // registry entry over the SAME oracle-tested operator
+    "dql_pipeline_simhash" ->
+      (("SELECT dedup_simhash(8) LAST 30 d", Seq("doc_a", "doc_b"))),
+    "dql_pipeline_ngram" ->
+      (("SELECT dedup_ngram(0.3) LAST 30 d", Seq("doc_a", "doc_b"))),
+    "dql_pipeline_embed" ->
+      (("SELECT dedup_embed(0.3) LAST 30 d", Seq("vec_a", "vec_b"))),
+    "dql_pipeline_tokens" ->
+      (("SELECT tokens() LAST 30 d", Seq("doc_id"))),
+    "dql_pipeline_fingerprint" ->
+      (("SELECT fingerprint() LAST 30 d", Seq("doc_id"))),
+    "dql_pipeline_gopher" ->
+      (("SELECT gopher() LAST 30 d", Seq("doc_id"))),
     // banded radius search against the memoized LSH band index
     "dql_pipeline_simrange_lsh" ->
       (("SELECT sim_range_lsh(5, 0.1) LAST 30 d",
@@ -450,6 +465,16 @@ object DqlQueries extends QueryProvider {
       graft.pipeline.Classifier.heldOutThresholdScanSql(
         32, 10, 0.001, 55, 0.1, 100),
     "dql_pipeline_langid" -> graft.pipeline.TextOps.langidSql,
+    "dql_pipeline_simhash" -> graft.pipeline.Dedup.simhashPairsSql(8),
+    "dql_pipeline_ngram" ->
+      graft.pipeline.Dedup.ngramJaccardPairsSql(0.3),
+    "dql_pipeline_embed" -> graft.pipeline.Dedup.embedNearDupSql(
+      6, graft.core.Tables.EmbeddingDim, 0.3),
+    "dql_pipeline_tokens" -> graft.pipeline.TextOps.tokensSql,
+    "dql_pipeline_fingerprint" -> graft.pipeline.TextOps.fingerprintSql,
+    "dql_pipeline_gopher" ->
+      graft.pipeline.TextOps.gopherRulesSql(
+        stopList = graft.pipeline.TextOps.Stopwords),
     "dql_pipeline_scrub" -> graft.pipeline.Dedup.substringScrubSql(8),
     "dql_pipeline_scrub_kf" ->
       graft.pipeline.Dedup.substringScrubKeepFirstSql(8),
