@@ -44,6 +44,13 @@ class FullSurfaceAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
           bad += s"$name (SortAggregate demotion — a non-mutable agg " +
             s"buffer forced a sort where HashAggregate+map-side combine " +
             s"was available):\n  ${demotions.mkString("\n  ")}"
+        // an unblocked CartesianProduct anywhere in a shipped plan is a
+        // corpus² scan at 100 TB — PlanSpec covers the pairwise family,
+        // this covers EVERY registered gate (cached build subtrees
+        // included: their provisioning pays the same quadratic bill)
+        if (df.queryExecution.executedPlan.toString()
+            .contains("CartesianProduct"))
+          bad += s"$name: CartesianProduct in the physical plan"
       } catch {
         // a gate whose construction fails here is a separate defect —
         // surface it, but attribute it correctly
