@@ -207,7 +207,18 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.bruteTopK(emb,
           emb.where(col("vec_id") < args.head.toLong), args(1).toInt)
+      // exact radius search rides the same IVF artifact as sim_topk:
+      // all-cells probe + threshold filter ≡ brute rangeSearch, but the
+      // corpus join is equi on cell id — with this, NO default
+      // similarity spelling in the language plans a full-corpus nested
+      // loop (the *_brute forms remain the explicit fallbacks)
       case "sim_range" =>
+        val emb = store.table(spark, "embeddings")
+        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store)
+        graft.pipeline.Similarity.ivfRangeOn(cells, cents,
+          emb.where(col("vec_id") < args.head.toLong), args(1),
+          nProbe = DqlArtifacts.NCells)
+      case "sim_range_brute" =>
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.rangeSearch(emb,
           emb.where(col("vec_id") < args.head.toLong), args(1))

@@ -110,7 +110,11 @@ object Resolver {
       ((2, "sim_topk_brute(query vec_id bound >= 1, int k >= 1) — " +
         "exhaustive fallback")),
     "sim_range" ->
-      ((2, "sim_range(query vec_id bound >= 1, min-cosine in [-1,1])")),
+      ((2, "sim_range(query vec_id bound >= 1, min-cosine in [-1,1]) — " +
+        "IVF-exact")),
+    "sim_range_brute" ->
+      ((2, "sim_range_brute(query vec_id bound >= 1, " +
+        "min-cosine in [-1,1]) — exhaustive fallback")),
     "sim_range_lsh" ->
       ((2, "sim_range_lsh(query vec_id bound >= 1, " +
         "min-cosine in [-1,1]) — band-index path")),

@@ -181,8 +181,13 @@ object DqlQueries extends QueryProvider {
       (("SELECT scrub(8) LAST 30 d", Seq("doc_id"))),
     "dql_pipeline_scrub_kf" ->
       (("SELECT scrub_keepfirst(8) LAST 30 d", Seq("doc_id"))),
+    // now index-backed exact (all-cells probe) — the brute oracle pins
+    // index-path ≡ brute for the radius search too
     "dql_pipeline_simrange" ->
-      (("SELECT sim_range(5, 0.3) LAST 30 d", Seq("query_id", "vec_id"))))
+      (("SELECT sim_range(5, 0.3) LAST 30 d", Seq("query_id", "vec_id"))),
+    "dql_pipeline_simrange_brute" ->
+      (("SELECT sim_range_brute(5, 0.3) LAST 30 d",
+        Seq("query_id", "vec_id"))))
 
   /** default name literal for a selector, exactly as the engine renders */
   private def nameOf(key: String, sel: Int = 0): String =
@@ -480,7 +485,11 @@ object DqlQueries extends QueryProvider {
       graft.pipeline.Dedup.substringScrubKeepFirstSql(8),
     "dql_pipeline_simrange" -> graft.pipeline.Similarity.rangeSearchSql(
       graft.core.Tables.EmbeddingDim, 0.3,
-      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"))
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
+    "dql_pipeline_simrange_brute" ->
+      graft.pipeline.Similarity.rangeSearchSql(
+        graft.core.Tables.EmbeddingDim, 0.3,
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"))
 
   // `dql_conf` uses the full-catalog gap-fill (all mtypes) restricted to
   // one metric in the outer query; the Spark side densifies only matching

@@ -348,6 +348,33 @@ object Similarity {
   def ivfTopKProbedOn(cells: DataFrame, cents: DataFrame,
                       queries: DataFrame, k: Int,
                       nProbe: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probeScored(cells, cents, queries, nProbe)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Radius search against an ALREADY-BUILT IVF index: the same probed
+    * candidate scoring as [[ivfTopKProbedOn]], selected by the threshold
+    * filter instead of the window rank (no per-query exchange at all).
+    * `nProbe =` the cell count is EXACT — every corpus vector lives in
+    * exactly one probed cell, so the candidate set is the full corpus
+    * minus self and the result ≡ [[rangeSearch]] bit-for-bit (the NaN
+    * zero-norm convention carries: Spark orders NaN above any threshold
+    * in both forms) — while the corpus-side join stays equi on cell id,
+    * never a full-corpus nested loop.
+    */
+  def ivfRangeOn(cells: DataFrame, cents: DataFrame, queries: DataFrame,
+                 minCos: Double, nProbe: Int): DataFrame =
+    probeScored(cells, cents, queries, nProbe)
+      .where(col("cos") >= minCos)
+
+  /** shared probed candidate scoring: (query_id, vec_id, cos) for every
+    * corpus vector in one of the query's nProbe nearest cells
+    */
+  private def probeScored(cells: DataFrame, cents: DataFrame,
+                          queries: DataFrame, nProbe: Int): DataFrame = {
     val qemb = queries.select(col("vec_id").as("q_id"),
         col("embedding").as("qvec"))
       .withColumn("qnrm", VectorOps.norm(col("qvec")))
@@ -360,15 +387,11 @@ object Similarity {
     val probes = qscored.withColumn("rn", row_number().over(wp))
       .where(col("rn") <= nProbe)
       .select(col("q_id"), col("qvec"), col("qnrm"), col("cid").as("qcell"))
-    val scored = cells.as("t").join(broadcast(probes),
+    cells.as("t").join(broadcast(probes),
         col("qcell") === col("t.cell") && col("q_id") =!= col("t.vec_id"))
       .select(col("q_id").as("query_id"), col("t.vec_id").as("vec_id"),
         VectorOps.cosineOf(VectorOps.dot(col("qvec"), col("t.embedding")),
           col("qnrm"), col("t.nrm")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
   }
 
   /** Per-vector int8 scalar quantization of an assigned-cell table

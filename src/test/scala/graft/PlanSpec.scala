@@ -282,10 +282,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the index rides in as an InMemoryRelation (memoized artifact), not
     // a rebuilt assignment pipeline
     assert(p.contains("InMemoryTableScan"), p.take(3000))
-    // the explicit fallback spelling is the one that may scan-all
+    // the radius search rides the same artifact: cell-keyed, and its
+    // live plan carries no full-corpus nested loop either
+    val pr = planOf(
+      entry.DqlQueries.queries("dql_pipeline_simrange")(spark, dir))
+    assert(pr.contains("BroadcastHashJoin"), pr.take(3000))
+    assert(pr.contains("InMemoryTableScan"), pr.take(3000))
+    // the explicit fallback spellings are the ones that may scan-all
     val brute = planOf(
       entry.DqlQueries.queries("dql_pipeline_simtopk_brute")(spark, dir))
     assert(brute.contains("BroadcastNestedLoopJoin"), brute.take(3000))
+    val bruteR = planOf(
+      entry.DqlQueries.queries("dql_pipeline_simrange_brute")(spark, dir))
+    assert(bruteR.contains("BroadcastNestedLoopJoin"), bruteR.take(3000))
   }
 
   test("rollup/pivot expand in one pass; q17 reuses the aggregate join") {
