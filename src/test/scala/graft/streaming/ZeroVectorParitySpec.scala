@@ -80,6 +80,37 @@ class ZeroVectorParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("all-cells IVF probe ≡ brute on the poisoned corpus — the DQL " +
+    "dispatch identity survives NaN degenerates (topk and range)") {
+    val emb = poisoned
+    val queries = emb.where(col("vec_id").isin(10L, 20L, 25L))
+      .select("vec_id", "embedding")
+    val cells = Similarity.ivfCells(emb, NCells)
+    val cents = Similarity.ivfCents(emb, NCells)
+    val ivf = rows(Similarity.ivfTopKProbedOn(cells, cents, queries,
+      k = 5, nProbe = NCells))
+    val brute = rows(Similarity.bruteTopK(emb, queries, 5))
+    assert(ivf.nonEmpty && ivf == brute, {
+      s"topk: ivf-only=${(ivf -- brute).take(3)} " +
+        s"brute-only=${(brute -- ivf).take(3)}"
+    })
+    def rangeRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "cos").collect()
+      .map { r =>
+        val c = r.getDouble(2)
+        (r.getLong(0), r.getLong(1), if (c.isNaN) "NaN" else c.toString)
+      }.toSet
+    val ivfR = rangeRows(Similarity.ivfRangeOn(cells, cents, queries,
+      minCos = 0.3, nProbe = NCells))
+    val bruteR = rangeRows(Similarity.rangeSearch(emb, queries, 0.3))
+    // the NaN rows (zero corpus vector) must be PRESENT on both sides —
+    // Spark orders NaN above any threshold
+    assert(ivfR.exists(_._3 == "NaN") && ivfR == bruteR, {
+      s"range: ivf-only=${(ivfR -- bruteR).take(3)} " +
+        s"brute-only=${(bruteR -- ivfR).take(3)}"
+    })
+  }
+
   test("the zero vector ranks FIRST among its cell-mates' neighbors (NaN-first, the batch order)") {
     val emb = poisoned
     // a query sharing the zero vector's cell sees cos=NaN for it; the
