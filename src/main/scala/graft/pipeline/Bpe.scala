@@ -102,9 +102,18 @@ object Bpe {
     */
   def merges(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val spark = docs.sparkSession
+    mergesOf(docs.sparkSession, trainedRulesCounted(docs, k))
+  }
+
+  /** [[merges]] over an ALREADY-TRAINED rule table — the memoized-model
+    * entry point: the merge table is the artifact a tokenizer ships, so
+    * the gate harness trains it once per (session, corpus) and every
+    * consumer reads it frozen (the classifier-weights posture).
+    */
+  def mergesOf(spark: org.apache.spark.sql.SparkSession,
+               rules: Seq[(String, String, Long)]): DataFrame = {
     import spark.implicits._
-    trainedRulesCounted(docs, k).zipWithIndex
+    rules.zipWithIndex
       .map { case ((a, b, c), i) => (i + 1, a, b, a + b, c) }
       .toDF("round", "lhs", "rhs", "merged", "pair_count")
       .orderBy("round")
@@ -130,7 +139,7 @@ object Bpe {
     * references its input once, so the 2^k lineage blowup that form
     * pinned against (71 s unpinned at k=4, sf0.001) cannot arise at all.
     */
-  private def trainedRulesCounted(docs: DataFrame,
+  private[graft] def trainedRulesCounted(docs: DataFrame,
                                   k: Int): Seq[(String, String, Long)] = {
     val pins = Seq.newBuilder[DataFrame]
     var t = graft.core.Caches.deferRelease(symbols(docs).persist())
@@ -187,8 +196,18 @@ object Bpe {
   def encode(train: DataFrame, docs: DataFrame, k: Int,
              top: Int): DataFrame = {
     require(k >= 1 && top >= 1)
+    encodeWithRules(trainedRules(train, k), docs, top)
+  }
+
+  /** [[encode]] against an ALREADY-TRAINED merge table (frozen model
+    * state — see [[mergesOf]]): one linear window-chain plan, no
+    * training jobs at all.
+    */
+  def encodeWithRules(rules: Seq[(String, String)], docs: DataFrame,
+                      top: Int): DataFrame = {
+    require(top >= 1)
     var t = symbols(docs)
-    for ((a, b) <- trainedRules(train, k)) t = applyRule(t, a, b)
+    for ((a, b) <- rules) t = applyRule(t, a, b)
     t.groupBy(col("word"), col("cnt"))
       .agg(count(lit(1)).as("n_tokens"),
         array_join(transform(sort_array(collect_list(
