@@ -84,6 +84,11 @@ object Prof {
       // map-side combine) vs the r15 STRING-substring form (SortAggregate)
       "sig_long10" -> ((s, d) =>
         graft.pipeline.Dedup.signatureForProfile(docs10(s, d))),
+      // the shipped r16 form: native per-doc kernel, zero exchange
+      "sig_native10" -> ((s, d) =>
+        graft.pipeline.Dedup.signatureRowLocal(docs10(s, d), 3)),
+      "bandindex10" -> ((s, d) =>
+        graft.pipeline.Dedup.bandIndex(docs10(s, d))),
       "sig_string10" -> ((s, d) => {
         val sh = graft.pipeline.Dedup.shingles3(docs10(s, d))
         val seeds = graft.pipeline.Dedup.Seeds

@@ -93,12 +93,11 @@ object Dedup {
     * aggregation so the hash cost is 3/shingle, not 12.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // raw shingles stream into the signature aggregation (map-side
-    // combinable mins) and into the candidate-pruned verify slice — the
-    // only shuffled shingle rows are the candidates'
-    val sh = shingles3(docs)
-    val (pairs, mel) = bandedCandidates(sh)
-    val (out, shp) = verifyJaccard(pairs, sh, threshold)
+    // signatures are row-local (native kernel — no shingle rows exist
+    // for the candidate build at all); the shingle explode runs only
+    // for the candidate-pruned verify slice
+    val (pairs, mel) = bandedCandidates(signatureRowLocal(docs, 3))
+    val (out, shp) = verifyJaccard(pairs, shingles3(docs), threshold)
     Persist.handoff(out, pairs, mel, shp)
   }
 
@@ -135,6 +134,33 @@ object Dedup {
   /** the minhash channel back in its original 8-hex-char form */
   private def mhHex(c: Column): Column = lpad(lower(hex(c)), 8, "0")
 
+  /** The signature computed ROW-LOCALLY per document — one scan, zero
+    * exchange, no shingle explode: the native [[graft.expr
+    * .MinhashChannels]] kernel emits all Seeds×Channels minima in one
+    * pass per doc (bit-identical to [[signature]] over the same text —
+    * MinhashChannelsSpec fuzzes the equality). The per-doc signature is
+    * a pure function of the doc's own shingles, so at 100 TB this turns
+    * the candidate build's signature stage from
+    * explode→hash→aggregate→shuffle into a projection. The
+    * `explode(array(struct))` seal is the generator barrier: `mh` is
+    * referenced Seeds×Channels times downstream, and without the seal
+    * construction-time splicing would re-run the kernel per reference.
+    */
+  private[graft] def signatureRowLocal(docs: DataFrame,
+                                       n: Int): DataFrame = {
+    val mh = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.MinhashChannels(org.apache.spark.sql.GraftBridge
+        .expression(col("text")), n, Seeds, Channels))
+    graft.core.Parallel.widen(docs)
+      .select(col("doc_id"), explode(array(struct(mh.as("mh")))).as("s"))
+      .select(col("doc_id"), col("s.mh").as("mh"))
+      .where(col("mh").isNotNull)
+      .select(col("doc_id") +:
+        (for (sd <- 0 until Seeds; c <- 0 until Channels)
+          yield element_at(col("mh"), sd * Channels + c + 1)
+            .as(s"mh${sd}_$c")): _*)
+  }
+
   /** profiling-only view of the bigram signature stage (Scratch) */
   def ngramSignatureForProfile(docs: DataFrame): DataFrame =
     signature(shingles2(docs))
@@ -157,17 +183,35 @@ object Dedup {
     * per-micro-batch stream-static join prunes to the probed buckets.
     */
   def bandIndex(docs: DataFrame): DataFrame = {
-    val sh = shingles3(docs)
-    val sig = signature(sh)
+    // ZERO-SHUFFLE build (r16): the signature comes from the native
+    // row-local kernel and the distinct shingle SET is a row-local
+    // array derivation over the same word split, so bands and set ride
+    // the same row and the old signature aggregation, collect_set
+    // aggregation, AND doc-keyed join all disappear — one scan at any
+    // corpus size. Set ORDER differs from the collect_set form; every
+    // consumer (array_intersect Jaccard) is order-insensitive.
+    val mh = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.MinhashChannels(org.apache.spark.sql.GraftBridge
+        .expression(col("text")), 3, Seeds, Channels))
+    val ssArr = array_distinct(expr(
+      "transform(sequence(0, size(w)-3), i -> " +
+        "concat_ws(' ', w[i], w[i+1], w[i+2]))"))
     val bandCols = (0 until Bands).map(b =>
-      md5(concat((0 until Channels).map(c => mhHex(col(s"mh${b}_$c"))): _*))
+      md5(concat((0 until Channels).map(c =>
+        mhHex(element_at(col("mh"), b * Channels + c + 1))): _*))
         .as(s"band$b"))
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
     val stackExpr = (0 until Bands).map(b => s"$b, band$b").mkString(", ")
-    val melted = banded.selectExpr("doc_id",
-      s"stack($Bands, $stackExpr) as (band_idx, bh)")
-    val sets = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("ss"))
-    melted.join(sets, Seq("doc_id"))
+    withWords(docs)
+      .where(size(col("w")) >= 3)
+      // generator barrier: mh is read Seeds*Channels times and ss once
+      .select(col("doc_id"),
+        explode(array(struct(mh.as("mh"), ssArr.as("ss")))).as("s"))
+      .select(col("doc_id"), col("s.mh").as("mh"), col("s.ss").as("ss"))
+      .where(col("mh").isNotNull)
+      .select(col("doc_id") +: col("ss") +: bandCols: _*)
+      .selectExpr("doc_id", "ss",
+        s"stack($Bands, $stackExpr) as (band_idx, bh)")
+      .select("doc_id", "band_idx", "bh", "ss")
   }
 
   /** Append maintenance for the near-dup band index (r15 verdict: the
@@ -234,8 +278,7 @@ object Dedup {
   /** Returns (candidate pairs, melted band-key pin). Both frames are
     * persisted; callers hand both to [[Persist.handoff]]'s release list.
     */
-  private def bandedCandidates(sh: DataFrame): (DataFrame, DataFrame) = {
-    val sig = signature(sh)
+  private def bandedCandidates(sig: DataFrame): (DataFrame, DataFrame) = {
     val bandCols = (0 until Bands).map(b =>
       md5(concat((0 until Channels).map(c => mhHex(col(s"mh${b}_$c"))): _*))
         .as(s"band$b"))
@@ -483,9 +526,8 @@ object Dedup {
     * near-dups (J≥0.9 here → ≥96% recall over 3 bands).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh2 = shingles2(docs)
-    val (pairs, mel) = bandedCandidates(sh2)
-    val (out, shp) = verifyJaccard(pairs, sh2, threshold)
+    val (pairs, mel) = bandedCandidates(signatureRowLocal(docs, 2))
+    val (out, shp) = verifyJaccard(pairs, shingles2(docs), threshold)
     Persist.handoff(out, pairs, mel, shp)
   }
 
@@ -494,13 +536,13 @@ object Dedup {
     * for release too
     */
   def ngramCandidatesForProfile(docs: DataFrame): DataFrame = {
-    val (p, mel) = bandedCandidates(shingles2(docs))
+    val (p, mel) = bandedCandidates(signatureRowLocal(docs, 2))
     Persist.handoff(p, p, mel)
   }
 
   /** profiling-only view of the pinned band-key frame (Scratch) */
   def ngramMeltedForProfile(docs: DataFrame): DataFrame = {
-    val (p, mel) = bandedCandidates(shingles2(docs))
+    val (p, mel) = bandedCandidates(signatureRowLocal(docs, 2))
     Persist.handoff(mel, p, mel)
   }
 
