@@ -41,12 +41,11 @@ object Dedup {
       .withColumn("w", split(trim(col("text")), " "))
 
   /** RAW (doc_id, shingle) occurrences of 3-word shingles — deliberately
-    * NOT deduplicated: the minhash signature is a per-doc MIN, which is
-    * duplicate-insensitive, so the full-corpus `distinct` would be a
-    * massive shuffle with no map-side reduction bought for nothing. Set
-    * semantics are applied only to the candidate-pruned slice inside
-    * [[verifyJaccard]], where the table is a vanishing fraction of the
-    * corpus.
+    * NOT deduplicated (consumers that need set semantics dedupe their
+    * own slice). Since r16 the minhash/ngram candidate build no longer
+    * reads this at all (signature and verify sets are row-local); the
+    * exploded form remains the right shape for the decontamination
+    * overlap joins and the repetition counters.
     */
   def shingles3(docs: DataFrame): DataFrame =
     withWords(docs)
@@ -97,7 +96,7 @@ object Dedup {
     // for the candidate build at all); the shingle explode runs only
     // for the candidate-pruned verify slice
     val (pairs, mel) = bandedCandidates(signatureRowLocal(docs, 3))
-    val (out, shp) = verifyJaccard(pairs, shingles3(docs), threshold)
+    val (out, shp) = verifyJaccard(pairs, docs, 3, threshold)
     Persist.handoff(out, pairs, mel, shp)
   }
 
@@ -193,9 +192,7 @@ object Dedup {
     val mh = org.apache.spark.sql.GraftBridge.column(
       graft.expr.MinhashChannels(org.apache.spark.sql.GraftBridge
         .expression(col("text")), 3, Seeds, Channels))
-    val ssArr = array_distinct(expr(
-      "transform(sequence(0, size(w)-3), i -> " +
-        "concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+    val ssArr = distinctShingles(3)
     val bandCols = (0 until Bands).map(b =>
       md5(concat((0 until Channels).map(c =>
         mhHex(element_at(col("mh"), b * Channels + c + 1))): _*))
@@ -353,19 +350,32 @@ object Dedup {
     * only candidate shingles, not the full corpus's. Pure pruning: the
     * output is identical, so the DuckDB mirror keeps the direct joins.
     */
-  private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
+  /** the row-local distinct n-word shingle SET over the withWords
+    * array `w` — the same elements collect_set over the shingle explode
+    * yields (order differs; every consumer is array_intersect, which is
+    * order-insensitive)
+    */
+  private def distinctShingles(n: Int): Column = {
+    val idx = (0 until n).map(i => s"w[i+$i]").mkString(", ")
+    array_distinct(expr(
+      s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', $idx))"))
+  }
+
+  private def verifyJaccard(pairs: DataFrame, docs: DataFrame, n: Int,
                             threshold: Double): (DataFrame, DataFrame) = {
     val cand = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    // One shingle-SET row per candidate doc (collect_set = the exact set
-    // semantics), so the pair verify is two doc_id-keyed joins plus a
-    // codegen'd array_intersect — NOT a join on exploded (doc, shingle)
-    // rows, whose pair⋈shingles intermediate is |pairs|×|shingles/doc|
-    // rows re-shuffled by shingle. One row per pair end to end; array
-    // size is bounded by single-document length, never corpus size.
-    val shp = sh.join(broadcast(cand), Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(collect_set(col("shingle")).as("ss"))
+    // One shingle-SET row per candidate doc, computed ROW-LOCALLY from
+    // the candidate-pruned docs (r16): the semi-join prunes first, then
+    // the set is a per-row array derivation — no shingle explode, no
+    // collect_set aggregation, no shuffle beyond the prune itself. The
+    // pair verify stays two doc_id-keyed joins plus a codegen'd
+    // array_intersect; array size is bounded by single-document length.
+    val shp = withWords(
+        docs.join(broadcast(cand), Seq("doc_id"), "left_semi"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), distinctShingles(n).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = pairs
       .join(shp.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -527,7 +537,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val (pairs, mel) = bandedCandidates(signatureRowLocal(docs, 2))
-    val (out, shp) = verifyJaccard(pairs, shingles2(docs), threshold)
+    val (out, shp) = verifyJaccard(pairs, docs, 2, threshold)
     Persist.handoff(out, pairs, mel, shp)
   }
 
