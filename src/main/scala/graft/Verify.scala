@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fixture pins for the sizing-DEPENDENT similarity oracles
+      // (probed top-k / LSH range bake these into their SQL); unset,
+      // the engine corpus-scales the index sizing (DqlArtifacts)
+      .config("spark.graft.dql.sim.ncells", graft.dql.DqlArtifacts.NCells)
+      .config("spark.graft.dql.sim.bits", graft.dql.DqlArtifacts.Bits)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -171,7 +171,8 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         graft.pipeline.Dedup.ngramJaccardPairs(docs, args.head)
       case "dedup_embed" =>
         graft.pipeline.Dedup.embedNearDup(
-          store.table(spark, "embeddings"), bits = DqlArtifacts.Bits + 2,
+          store.table(spark, "embeddings"),
+          bits = DqlArtifacts.bits(spark, store) + 2,
           dim = DqlArtifacts.Dim, threshold = args.head)
       case "tokens" =>
         graft.pipeline.TextOps.tokens(docs)
@@ -193,13 +194,26 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       // QUERY VEC_ID BOUND (queries = vec_id < n), not a count.
       case "sim_topk" =>
         val emb = store.table(spark, "embeddings")
-        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store)
+        val nc = DqlArtifacts.nCells(spark, store)
+        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store, nc)
         graft.pipeline.Similarity.ivfTopKProbedOn(cells, cents,
           emb.where(col("vec_id") < args.head.toLong), args(1).toInt,
-          nProbe = DqlArtifacts.NCells)
+          nProbe = nc)
+      // explicit index-sizing spelling: same all-cells exact dispatch,
+      // index built/read at the CALLER's nCells — the gate pins
+      // result ≡ brute at a non-default sizing (sizing-invariance,
+      // r16 verdict #3)
+      case "sim_topk_sized" =>
+        val emb = store.table(spark, "embeddings")
+        val nc = args(2).toInt
+        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store, nc)
+        graft.pipeline.Similarity.ivfTopKProbedOn(cells, cents,
+          emb.where(col("vec_id") < args.head.toLong), args(1).toInt,
+          nProbe = nc)
       case "sim_topk_probe" =>
         val emb = store.table(spark, "embeddings")
-        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store)
+        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store,
+          DqlArtifacts.nCells(spark, store))
         graft.pipeline.Similarity.ivfTopKProbedOn(cells, cents,
           emb.where(col("vec_id") < args.head.toLong), args(1).toInt,
           nProbe = args(2).toInt)
@@ -214,10 +228,11 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       // loop (the *_brute forms remain the explicit fallbacks)
       case "sim_range" =>
         val emb = store.table(spark, "embeddings")
-        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store)
+        val nc = DqlArtifacts.nCells(spark, store)
+        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store, nc)
         graft.pipeline.Similarity.ivfRangeOn(cells, cents,
           emb.where(col("vec_id") < args.head.toLong), args(1),
-          nProbe = DqlArtifacts.NCells)
+          nProbe = nc)
       case "sim_range_brute" =>
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.rangeSearch(emb,
@@ -229,7 +244,8 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       case "sim_rrf" =>
         val emb = store.table(spark, "embeddings")
         val queries = emb.where(col("vec_id") < args.head.toLong)
-        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store)
+        val (cells, cents) = DqlArtifacts.ivfIndex(spark, store,
+          DqlArtifacts.nCells(spark, store))
         val ivfList = graft.pipeline.Similarity.ivfTopKProbedOn(
           cells, cents, queries, k = 10, nProbe = 1)
         val mpBits = 6
@@ -240,11 +256,12 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         graft.pipeline.Similarity.rrfFuse(ivfList, mpList, args(1).toInt)
       case "sim_range_lsh" =>
         val emb = store.table(spark, "embeddings")
-        val idx = DqlArtifacts.lshIndex(spark, store)
+        val b = DqlArtifacts.bits(spark, store)
+        val idx = DqlArtifacts.lshIndex(spark, store, b)
         graft.pipeline.Similarity.rangeSearchLshOn(idx,
           graft.pipeline.Similarity.lshPrep(
             emb.where(col("vec_id") < args.head.toLong),
-            DqlArtifacts.Bits, DqlArtifacts.Dim), args(1))
+            b, DqlArtifacts.Dim), args(1))
       // trained quality filter: FROZEN memoized weights (trained on the
       // train split once per session/corpus/hyperparams — deployment
       // posture), the val split scored row-locally against them; the

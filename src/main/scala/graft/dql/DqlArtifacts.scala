@@ -16,17 +16,76 @@ import graft.pipeline.Similarity
   * [[graft.core.Caches.registerArtifactCache]], so a refreshed corpus
   * dir invalidates through the standard evictArtifacts hook.
   *
-  * Sizing note (100 TB): `NCells`/`Bits` here are the REGISTRY
-  * defaults sized to the fixture corpus so the oracle SQL can mirror
-  * them; a production binding would scale nCells ~ sqrt(corpus) and
-  * bits ~ log2(corpus/bucket-target) on the same artifacts.
+  * Sizing (r16 verdict #3): index sizing is conf-first —
+  * `spark.graft.dql.sim.ncells` / `spark.graft.dql.sim.bits` pin
+  * explicit values (the oracle harness pins the fixture constants
+  * [[NCells]]/[[Bits]] so the mirrored SQL stays exact); with the
+  * confs UNSET the defaults are corpus-scaled: nCells = ⌈√n⌉ (the
+  * standard IVF balance — per-query work nProbe·n/nCells against
+  * nCells centroid distances both land at ~√n) and
+  * bits = ⌈log₂(n / [[BucketTarget]])⌉ clamped to [1, 24] (expected
+  * ~BucketTarget vectors per LSH bucket). The corpus count is one
+  * job per (session, corpus), memoized beside the artifacts it
+  * sizes. Exactness is sizing-INVARIANT on the exact spellings
+  * (`sim_topk`/`sim_range` probe ALL cells and every corpus vector
+  * lives in exactly one cell) — the `dql_pipeline_simtopk_sized`
+  * gate pins that at a non-default nCells against the brute oracle.
   */
 object DqlArtifacts {
 
-  /** registry defaults — also baked into the gate oracles */
+  /** fixture-pinned oracle constants — what the sizing-DEPENDENT gate
+    * oracles (probed top-k, LSH range) bake in; Verify/Bench/spec
+    * sessions pin the sizing confs to these
+    */
   val NCells = 8
   val Bits = 4
+  /** auto-sizing target: expected vectors per LSH bucket */
+  val BucketTarget = 64L
   val Dim: Int = graft.core.Tables.EmbeddingDim
+
+  private val sizingCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (Int, Int)])
+
+  private def posInt(conf: String, raw: String): Int = {
+    val v = try raw.trim.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$conf must be a positive integer, got '$raw'")
+    }
+    if (v < 1) throw new IllegalArgumentException(
+      s"$conf must be a positive integer, got '$raw'")
+    v
+  }
+
+  private def sizing(spark: SparkSession,
+                     store: SeriesStore): (Int, Int) =
+    sizingCache.computeIfAbsent((spark, store.corpusKey), { _ =>
+      val confN = spark.conf.getOption("spark.graft.dql.sim.ncells")
+        .map(posInt("spark.graft.dql.sim.ncells", _))
+      val confB = spark.conf.getOption("spark.graft.dql.sim.bits")
+        .map(posInt("spark.graft.dql.sim.bits", _))
+      lazy val n: Long = // one count per (session, corpus), memoized
+        math.max(1L, store.table(spark, "embeddings").count())
+      val nc = confN.getOrElse(
+        math.max(1L, math.round(math.sqrt(n.toDouble))).toInt)
+      val b = confB.getOrElse {
+        val target = math.max(1.0, n.toDouble / BucketTarget)
+        math.min(24, math.max(1,
+          math.ceil(math.log(target) / math.log(2.0)).toInt))
+      }
+      (nc, b)
+    })
+
+  /** production IVF cell count for this (session, corpus) — conf pin
+    * first, else ⌈√corpus⌉ */
+  def nCells(spark: SparkSession, store: SeriesStore): Int =
+    sizing(spark, store)._1
+
+  /** production LSH hyperplane count — conf pin first, else
+    * ⌈log₂(corpus / BucketTarget)⌉ in [1, 24] */
+  def bits(spark: SparkSession, store: SeriesStore): Int =
+    sizing(spark, store)._2
 
   private val ivfCache = graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[

@@ -103,6 +103,9 @@ object Resolver {
     // (r15 advisory: ids need not be contiguous from 0)
     "sim_topk" ->
       ((2, "sim_topk(query vec_id bound >= 1, int k >= 1) — IVF-exact")),
+    "sim_topk_sized" ->
+      ((3, "sim_topk_sized(query vec_id bound >= 1, int k >= 1, " +
+        "int ncells >= 1) — IVF-exact at explicit index sizing")),
     "sim_topk_probe" ->
       ((3, "sim_topk_probe(query vec_id bound >= 1, int k >= 1, " +
         "int n-probe >= 1) — IVF recall knob")),
@@ -193,7 +196,8 @@ object Resolver {
           case "scrub" | "scrub_keepfirst"
             if vals.head < 2 || vals.head != vals.head.floor =>
             throw ResolveError(sig)
-          case "sim_topk" if vals.exists(v => v < 1 || v != v.floor) =>
+          case "sim_topk" | "sim_topk_sized"
+            if vals.exists(v => v < 1 || v != v.floor) =>
             throw ResolveError(sig)
           case "sim_range" if vals.head < 1 || vals.head != vals.head.floor ||
             vals(1) < -1.0 || vals(1) > 1.0 =>

@@ -127,6 +127,12 @@ object DqlQueries extends QueryProvider {
     // mirror: the gate pins index-path ≡ brute (r15 verdict #4)
     "dql_pipeline_simtopk" ->
       (("SELECT sim_topk(5, 10) LAST 30 d", Seq("query_id", "rank"))),
+    // EXPLICIT index sizing at a non-default nCells (5 vs the pinned
+    // 8): all-cells dispatch stays exact, so the oracle is STILL brute
+    // — the gate proves the dispatch is sizing-invariant (r16 #3)
+    "dql_pipeline_simtopk_sized" ->
+      (("SELECT sim_topk_sized(5, 10, 5) LAST 30 d",
+        Seq("query_id", "rank"))),
     // the same identity at the verdict's named gate: all-cells probe of
     // the IVF artifact against the brute oracle (rerank-exact config)
     "dql_pipeline_simtopk_ivf" ->
@@ -444,18 +450,30 @@ object DqlQueries extends QueryProvider {
     "dql_pipeline_simtopk" -> graft.pipeline.Similarity.bruteTopKSql(
       graft.core.Tables.EmbeddingDim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
+    // sizing-invariance pin: the nCells=5 index-backed dispatch must
+    // still hash-match the BRUTE mirror (all-cells coverage is exact
+    // at any sizing)
+    "dql_pipeline_simtopk_sized" -> graft.pipeline.Similarity.bruteTopKSql(
+      graft.core.Tables.EmbeddingDim, 10,
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
     "dql_pipeline_simtopk_ivf" -> graft.pipeline.Similarity.bruteTopKSql(
       graft.core.Tables.EmbeddingDim, 5,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 12"),
+    // query sets are derived the same way the engine derives them (a
+    // vec_id bound over the table), not a literal id list: ids need not
+    // be contiguous from 0, and a sparse fixture would otherwise make
+    // the two sides silently compare different query sets (r16 advisory)
     "dql_pipeline_simtopk_probe" ->
       graft.pipeline.Similarity.ivfTopKProbedSql(
         graft.dql.DqlArtifacts.NCells, graft.core.Tables.EmbeddingDim, 5, 3,
-        (0 until 12).mkString(", ")),
+        "SELECT vec_id FROM embeddings WHERE vec_id < 12"),
     "dql_pipeline_rrf" -> graft.pipeline.Similarity.rrfFuseSql(
       graft.pipeline.Similarity.ivfTopKSql(graft.dql.DqlArtifacts.NCells,
-        graft.core.Tables.EmbeddingDim, 10, (0 until 12).mkString(", ")),
+        graft.core.Tables.EmbeddingDim, 10,
+        "SELECT vec_id FROM embeddings WHERE vec_id < 12"),
       graft.pipeline.Similarity.lshMultiProbeTopKSql(6,
-        graft.core.Tables.EmbeddingDim, 10, (0 until 12).mkString(", ")),
+        graft.core.Tables.EmbeddingDim, 10,
+        "SELECT vec_id FROM embeddings WHERE vec_id < 12"),
       5),
     "dql_pipeline_simtopk_brute" -> graft.pipeline.Similarity.bruteTopKSql(
       graft.core.Tables.EmbeddingDim, 10,
@@ -463,7 +481,7 @@ object DqlQueries extends QueryProvider {
     "dql_pipeline_simrange_lsh" ->
       graft.pipeline.Similarity.rangeSearchLshSql(
         graft.dql.DqlArtifacts.Bits, graft.core.Tables.EmbeddingDim, 0.1,
-        (0 until 5).mkString(", ")),
+        "SELECT vec_id FROM embeddings WHERE vec_id < 5"),
     "dql_pipeline_classifier" ->
       graft.pipeline.Classifier.heldOutScoreSql(32, 10, 0.001, 55, 0.1),
     "dql_pipeline_thresh" ->

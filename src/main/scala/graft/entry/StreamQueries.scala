@@ -294,7 +294,8 @@ object StreamQueries extends QueryProvider {
     */
   private def runDql(s: SparkSession, dir: String, dql: String,
                      mode: String, slotExact: Boolean = true,
-                     withName: Boolean = false): DataFrame = {
+                     withName: Boolean = false,
+                     topBoard: Boolean = false): DataFrame = {
     val staged = stagedDir(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sch = stagedSchema(s, s"$staged/events.parquet")
@@ -311,10 +312,11 @@ object StreamQueries extends QueryProvider {
     val stream = s.readStream.schema(sch).parquet(staged)
       .select(tsCol.as("ts"),
         col("event_type"), col("user_id"), col("value"))
-    if (!slotExact) s.conf.set("spark.graft.streaming.slotExact", "false")
-    val out =
-      try StreamingDql.compile(stream, dql, "0 seconds")
-      finally s.conf.unset("spark.graft.streaming.slotExact")
+    // opt-ins thread as explicit compile parameters, never a mutable
+    // session conf toggled around the call (r16 advisory: a conf flip
+    // leaks into any concurrent compilation on the shared session)
+    val out = StreamingDql.compile(stream, dql, "0 seconds",
+      slotExact = Some(slotExact), topBoard = Some(topBoard))
     val cols = (if (withName) Seq("name") else Nil) ++
       Seq("metric", "ws", "value")
     drain(s, out, mode).where(col("ws") < SentinelMs)
@@ -1565,11 +1567,9 @@ object StreamQueries extends QueryProvider {
     "stream_dql_nested" -> ((s, d) => runDql(s, d, NestedDql, "append")),
     "stream_dql_group_agg" ->
       ((s, d) => runDql(s, d, AggOverGroupDql, "append")),
-    "stream_dql_top" -> ((s, d) => {
-      s.conf.set("spark.graft.streaming.top.board", "true")
-      try runDql(s, d, TopDql, "complete", slotExact = false)
-      finally s.conf.unset("spark.graft.streaming.top.board")
-    }),
+    "stream_dql_top" -> ((s, d) =>
+      runDql(s, d, TopDql, "complete", slotExact = false,
+        topBoard = true)),
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
     "stream_derivate" -> ((s, d) => runDql(s, d, DerivDql, "append")),

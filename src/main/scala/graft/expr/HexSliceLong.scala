@@ -17,7 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Contract: `len` ≤ 15 (the value must fit a positive long; minhash
   * channels are 8). Like `conv`, parsing stops at the first non-hex
-  * char (never hit on md5 output).
+  * char (never hit on md5 output). `start + len` MUST lie within the
+  * input string: an empty slice (start ≥ length) returns 0L here,
+  * whereas `conv` of an empty substring yields NULL — so the
+  * "identical to conv" equivalence holds only for in-range slices.
+  * All in-tree callers slice md5 hex (32 chars) with start + len ≤ 32;
+  * a caller against variable-width input must bound start + len
+  * against the narrowest possible value or accept the 0L-vs-NULL
+  * divergence on the out-of-range path.
   *
   * Codegen: one static call, whole-stage codegen stays intact.
   */

@@ -187,7 +187,9 @@ object Classifier {
           if (x.isNaN || x.isInfinite) x
           else B.valueOf(x).setScale(9, RM.HALF_UP).doubleValue
         // fast path: |x| < 100 bounds the binary-vs-shortest-decimal
-        // error of x·1e9 under 2.3e-5; a 1e-4 dead band around the .5
+        // error of x·1e9 under ~3e-5 (half-ulp of the product just
+        // under 1e11 ≈ 1.53e-5, plus the shortest-repr half-ulp of x
+        // scaled by 1e9 ≈ 1.42e-5); a 1e-4 dead band around the .5
         // midpoint then guarantees the double decision equals the
         // BigDecimal one (NaN/Inf fail the bound check → slow path)
         def r9(x: Double): Double = {
@@ -215,9 +217,11 @@ object Classifier {
           // per-doc margin, scale-10 long + BigDecimal overflow side;
           // a term enters the long path only when |t·1e10| < 1e15
           // (|t| < 1e5), where the double error of t·1e10 is provably
-          // < 2.3e-5 ≪ 0.5 so Math.round recovers the exact grid unit
-          // count; anything larger goes through dec10 — bit-exact by
-          // construction at every magnitude
+          // < ~0.28 of a scale-10 unit (half-ulp of the product just
+          // under 2^50 ≈ 0.0625, plus t's own grid-repr half-ulp
+          // scaled by 1e10) ≪ 0.5, so Math.round recovers the exact
+          // grid unit count; anything larger goes through dec10 —
+          // bit-exact by construction at every magnitude
           var zL = 0L
           var zB = B.ZERO
           var zBig = false
@@ -401,6 +405,23 @@ object Classifier {
         .map(_.doubleValue))
   }
 
+  /** Trained bigram-channel weight vector (dimUni + dimBi + 2 exact
+    * decimals) — the frozen-model counterpart of [[trainWeights]] for
+    * the fastText-parity channel set.
+    */
+  def trainWeightsBigram(docs: DataFrame, dimUni: Int, dimBi: Int,
+                         rounds: Int, lr: Double,
+                         minWords: Int): Array[JBD] =
+    trainOn(featurizedBi(docs, dimUni, dimBi, minWords),
+      dimUni + dimBi + 2, rounds, lr)
+
+  /** Bigram-channel corpus scored against ALREADY-TRAINED weights — the
+    * frozen-model mirror of [[scoreWith]] over [[featurizedBi]].
+    */
+  def scoreWithBigram(docs: DataFrame, dimUni: Int, dimBi: Int,
+                      minWords: Int, w: Array[Double]): DataFrame =
+    scoreOn(featurizedBi(docs, dimUni, dimBi, minWords), w)
+
   /** The bigram model's learned weights — (bucket, weight); unigram
     * buckets [0, dimUni), bigram [dimUni, dimUni+dimBi), then length
     * and bias.
@@ -409,8 +430,8 @@ object Classifier {
                     lr: Double, minWords: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    trainOn(featurizedBi(docs, dimUni, dimBi, minWords),
-      dimUni + dimBi + 2, rounds, lr).zipWithIndex
+    trainWeightsBigram(docs, dimUni, dimBi, rounds, lr, minWords)
+      .zipWithIndex
       .map { case (wt, b) => (b.toLong, wt.doubleValue) }.toSeq
       .toDF("bucket", "weight")
   }

@@ -149,9 +149,31 @@ object StreamingDql {
     * @return streaming frame (name, metric, ws, value[, metadata]) —
     *         ws = window start ms; `name`/`metadata` follow the batch
     *         naming contract (default name = unparsed selector text)
+    * @param slotExact explicit override of the slot-exact mode; None
+    *                  reads `spark.graft.streaming.slotExact` (default
+    *                  true). Harness callers thread Some(…) so the
+    *                  choice never rides a mutable session conf.
+    * @param topBoard  explicit opt-in to the complete-mode TOP/BOTTOM
+    *                  leader board; None reads
+    *                  `spark.graft.streaming.top.board` (default
+    *                  false). Threaded for the same reason: a session
+    *                  conf toggled around a compile leaks into any
+    *                  concurrent compilation on the shared session,
+    *                  flipping its typed TOP reject into a board
+    *                  compilation (r16 advisory).
     */
   def compile(stream: DataFrame, dql: String, watermark: String,
-              store: StreamStore = TestdataStreamStore): DataFrame = {
+              store: StreamStore = TestdataStreamStore,
+              slotExact: Option[Boolean] = None,
+              topBoard: Option[Boolean] = None): DataFrame = {
+    // opt-ins resolve ONCE here (param wins, conf is the fallback) into
+    // an immutable per-compile context — no helper below reads session
+    // state, so a concurrent conf flip cannot change this compilation
+    implicit val opts: CompileOpts = CompileOpts(
+      slotExact = slotExact.getOrElse(slotExactConf(stream)),
+      topBoard = topBoard.getOrElse(
+        stream.sparkSession.conf
+          .getOption("spark.graft.streaming.top.board").contains("true")))
     val q = Parser.parse(dql)
     val resMs = resolutionMs(stream)
     // normalize the bound stream to the compiler's internal frame:
@@ -202,8 +224,9 @@ object StreamingDql {
     * never history), sorted and limited each trigger — the live leader
     * board a dashboard actually wants from a stream. The sink must run
     * in `complete` output mode (sort/limit on a streaming frame are only
-    * legal there), so the path is OPT-IN via
-    * `spark.graft.streaming.top.board=true`; without it the historical
+    * legal there), so the path is OPT-IN via the `topBoard` compile
+    * parameter (`spark.graft.streaming.top.board=true` is the conf
+    * fallback for SQL-level callers); without it the historical
     * typed reject stands, and every narrowing below is a typed reject
     * too — never a silent semantics change:
     *
@@ -221,14 +244,15 @@ object StreamingDql {
     * as-of stamp).
     */
   private def boardLimit(q: Ast.Query, base: DataFrame, withMeta: Boolean,
-                         store: StreamStore, resMs: Long): DataFrame = {
-    val conf = base.sparkSession.conf
-    if (!conf.getOption("spark.graft.streaming.top.board").contains("true"))
+                         store: StreamStore, resMs: Long)
+                        (implicit opts: CompileOpts): DataFrame = {
+    if (!opts.topBoard)
       throw Unstreamable(
         "TOP/BOTTOM is a global sort — not streamable in append mode; " +
-          "set spark.graft.streaming.top.board=true to compile the " +
-          "complete-mode leader board (one score row per series; run the " +
-          "sink with outputMode(\"complete\"))")
+          "pass topBoard=Some(true) to compile (or set " +
+          "spark.graft.streaming.top.board=true) for the complete-mode " +
+          "leader board (one score row per series; run the sink with " +
+          "outputMode(\"complete\"))")
     val lim = q.limit.get
     val algebraic =
       Set("sum", "avg", "min", "max", "variance", "stddev")
@@ -315,7 +339,8 @@ object StreamingDql {
     */
   private def fusedRawFunnel(q: Ast.Query, base: DataFrame,
                              withMeta: Boolean, store: StreamStore,
-                             plans: Seq[RExpr]): DataFrame = {
+                             plans: Seq[RExpr])
+                            (implicit opts: CompileOpts): DataFrame = {
     val res = plans.map(_.resMs).distinct
     if (res.length != 1)
       throw Unstreamable("resolution_conflict: multi-selector streams " +
@@ -353,7 +378,8 @@ object StreamingDql {
   }
 
   private def fusedFunnel(q: Ast.Query, base: DataFrame,
-                          withMeta: Boolean, store: StreamStore): DataFrame = {
+                          withMeta: Boolean, store: StreamStore)
+                         (implicit opts: CompileOpts): DataFrame = {
     val sels = q.selectors
     val resMs0 = resolutionMs(base)
     val plans0 = sels.map(sel => Resolver.resolve(sel.expr, q.aliases, _ => resMs0))
@@ -547,8 +573,16 @@ object StreamingDql {
         v
       }.getOrElse(1000L)
 
+  /** immutable per-compile opt-in context, resolved once at [[compile]]
+    * entry (explicit params first, session conf as fallback) and
+    * threaded implicitly — the compilation's behavior cannot change
+    * under a concurrent session-conf flip
+    */
+  private[streaming] final case class CompileOpts(slotExact: Boolean,
+                                                  topBoard: Boolean)
+
   /** true unless `spark.graft.streaming.slotExact` is set to false */
-  private def slotExact(df: DataFrame): Boolean =
+  private def slotExactConf(df: DataFrame): Boolean =
     df.sparkSession.conf
       .getOption("spark.graft.streaming.slotExact").forall { raw =>
         raw.trim.toLowerCase match {
@@ -573,8 +607,9 @@ object StreamingDql {
     * keys read them at slot level.
     */
   private def slotCollapse(df: DataFrame, resMs: Long,
-                           store: StreamStore): DataFrame =
-    if (!slotExact(df)) df
+                           store: StreamStore)
+                          (implicit opts: CompileOpts): DataFrame =
+    if (!opts.slotExact) df
     else df
       .groupBy(window(col("ts"), s"$resMs milliseconds").as("sw") +:
         col("metric") +:
@@ -611,7 +646,8 @@ object StreamingDql {
     * needs the stateful agg to bound the unbounded input)
     */
   private def aggregated(p: RExpr, base: DataFrame,
-                         store: StreamStore): DataFrame = p match {
+                         store: StreamStore)
+                        (implicit opts: CompileOpts): DataFrame = p match {
     case RAggr(name, c, w, child) if name.endsWith("_conf") =>
       // _conf aggregates run the base aggregate on the CONFIDENCE channel,
       // which on the dense batch spine is slot-presence: 1.0 where the
@@ -996,7 +1032,8 @@ object StreamingDql {
     * events (it only reads metric/tag columns, constant per series, so
     * filtering before the collapse is equivalent and prunes its state).
     */
-  private def leaf(p: RExpr, base: DataFrame, store: StreamStore): DataFrame = {
+  private def leaf(p: RExpr, base: DataFrame, store: StreamStore)
+                  (implicit opts: CompileOpts): DataFrame = {
     val (cond, v) = leafCondValue(p, store)
     slotCollapse(base.where(cond), p.resMs, store).withColumn("value", v)
   }
