@@ -68,7 +68,7 @@ object DqlArtifacts {
       lazy val n: Long = // one count per (session, corpus), memoized
         math.max(1L, store.table(spark, "embeddings").count())
       val nc = confN.getOrElse(
-        math.max(1L, math.round(math.sqrt(n.toDouble))).toInt)
+        math.max(1.0, math.ceil(math.sqrt(n.toDouble))).toInt)
       val b = confB.getOrElse {
         val target = math.max(1.0, n.toDouble / BucketTarget)
         math.min(24, math.max(1,
