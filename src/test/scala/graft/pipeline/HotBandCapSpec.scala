@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Hot-band bucket cap (r16 verdict #4): a boilerplate-heavy corpus —
+  * thousands of near-identical documents sharing a band key — must not
+  * hand one shuffle task a k² pair expansion. The cap excludes
+  * over-sized buckets from candidate expansion wholesale (a DISCLOSED
+  * bound, surfaced by [[Dedup.hotBands]]), and below the cap results
+  * are bit-identical to the uncapped build (what the oracle gates pin
+  * at the fixture scale).
+  */
+class HotBandCapSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 10k near-identical boilerplate docs (every one shares every band)
+    * plus a small mutated cluster that stays under the cap
+    */
+  private def adversarial(n: Int) = {
+    val s = spark
+    import s.implicits._
+    val boiler = "terms of service apply to all users of this site"
+    // the small cluster is an exact duplicate pair: every band matches
+    // deterministically (banding is probabilistic below J=1.0, and this
+    // spec pins presence, not recall)
+    val docs = (0L until n.toLong).map(id => id -> boiler) ++
+      Seq(100000L -> "alpha beta gamma delta epsilon zeta eta theta",
+          100001L -> "alpha beta gamma delta epsilon zeta eta theta")
+    docs.toDF("doc_id", "text")
+  }
+
+  test("a 10k-doc boilerplate bucket is excluded, disclosed, and the " +
+    "below-cap cluster still pairs — bounded time, bounded output") {
+    val docs = adversarial(10000)
+    val idx = Dedup.bandIndex(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashPairsFromIndex(idx, 0.5).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // uncapped, the boilerplate bucket alone is ~50M pairs in one
+      // task; capped, the only surviving pair is the mutated cluster
+      assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((100000L, 100001L)))
+      // generous wall bound — the point is k²-in-one-task never runs
+      assert(sec < 60.0, f"capped candidate build took $sec%.1f s")
+      // the exclusion is DISCLOSED: every band of the boilerplate
+      // cluster surfaces with its size
+      val hot = Dedup.hotBands(idx).collect()
+      assert(hot.nonEmpty)
+      assert(hot.forall(_.getLong(2) == 10000L),
+        hot.mkString("; "))
+    } finally { idx.unpersist(true); () }
+  }
+
+  test("below the cap, capped and uncapped builds are identical " +
+    "(gate ≡ oracle regime)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'h').map(_.toString)
+    val templates = (0 until 5).map(_ =>
+      (0 until (8 + rnd.nextInt(6)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).toVector)
+    val texts = (0L until 40L).map { id =>
+      val t = templates(rnd.nextInt(templates.length))
+      val m =
+        if (rnd.nextBoolean()) t.updated(rnd.nextInt(t.length),
+          vocab(rnd.nextInt(vocab.length)))
+        else t
+      id -> m.mkString(" ")
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val idx = Dedup.bandIndex(docs)
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val capped = setOf(Dedup.minhashPairsFromIndex(idx, 0.5))
+    val uncapped = setOf(
+      Dedup.minhashPairsFromIndex(idx, 0.5, maxBucket = Int.MaxValue))
+    assert(capped === uncapped)
+    assert(capped.nonEmpty, "fixture produced no pairs — vacuous test")
+    // the direct candidate build (bandedCandidates path) agrees too
+    assert(setOf(Dedup.minhashPairs(docs, 0.5)) === uncapped)
+    // and nothing was hot
+    assert(Dedup.hotBands(idx).isEmpty)
+  }
+}
