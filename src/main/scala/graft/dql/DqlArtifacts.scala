@@ -124,6 +124,25 @@ object DqlArtifacts {
           .persist(StorageLevel.MEMORY_AND_DISK))
     })
 
+  private val bandCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame])
+
+  /** The corpus near-dup band index
+    * ([[graft.pipeline.Dedup.bandIndex]] schema), pinned and
+    * sanctioned per (session, corpus) — the batch-refreshed artifact
+    * the streaming `dedup_minhash` probe
+    * ([[graft.streaming.StreamingPipelineDql]]) and the harness's
+    * near-dup gates read; one artifact shared by every consumer of
+    * the same corpus.
+    */
+  def bandIndex(spark: SparkSession, store: SeriesStore): DataFrame =
+    bandCache.computeIfAbsent((spark, store.corpusKey), { _ =>
+      graft.core.Caches.sanction(
+        graft.pipeline.Dedup.bandIndex(store.table(spark, "documents"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    })
+
   private val clsCache = graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, Int, Int, Double, Int, Double),

@@ -355,15 +355,12 @@ object StreamQueries extends QueryProvider {
     * a batch-refreshed table the firehose probes), so its one-off build is
     * storage provisioning, not probe cost.
     */
-  private val indexCache =
-    graft.core.Caches.registerArtifactCache(
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
+  // delegates to the shared (session, corpus)-keyed artifact in
+  // DqlArtifacts (r17): the streaming DQL registry's dedup_minhash
+  // probe reads the SAME index, so the corpus is banded once per
+  // refresh no matter which surface probes it
   private def nearDupIndex(s: SparkSession, dir: String): DataFrame =
-    indexCache.computeIfAbsent((s, dir), { _ =>
-      graft.core.Caches.sanction(
-        graft.pipeline.Dedup.bandIndex(graft.core.Tables(s, dir, "documents"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
+    graft.dql.DqlArtifacts.bandIndex(s, new graft.dql.TestdataStore(dir))
 
   /** band index over the EVAL split only — the fuzzy-decon probe target,
     * memoized + sanctioned like [[nearDupIndex]] (in production the eval
@@ -380,6 +377,18 @@ object StreamQueries extends QueryProvider {
             .where(col("doc_id") % 5 === 0))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
+
+  /** DQL pipeline registry on the firehose (r16 verdict #5): the DQL
+    * TEXT compiled onto the document replay via
+    * [[graft.streaming.StreamingPipelineDql]] — row-local operators
+    * and frozen-artifact probes, each ≡ its batch oracle on the
+    * bounded replay.
+    */
+  private def runDqlPipeline(s: SparkSession, dir: String,
+                             dql: String): DataFrame =
+    drain(s, graft.streaming.StreamingPipelineDql.compile(
+      docStream(s, dir), dql, new graft.dql.TestdataStore(dir)),
+      "append")
 
   /** The stream-static near-dup gate: the document replay probed against
     * the band index of the SAME corpus — every flagged (probe, corpus)
@@ -1570,6 +1579,16 @@ object StreamQueries extends QueryProvider {
     "stream_dql_top" -> ((s, d) =>
       runDql(s, d, TopDql, "complete", slotExact = false,
         topBoard = true)),
+    // the DQL pipeline registry ON THE STREAM: same parse→resolve path
+    // as the batch dql_pipeline_* gates, dispatched to the row-local /
+    // frozen-artifact stream operators; oracles are the batch mirrors
+    "stream_dql_pipeline_quality" -> ((s, d) =>
+      runDqlPipeline(s, d, "SELECT quality() LAST 30 d")),
+    "stream_dql_pipeline_classifier" -> ((s, d) =>
+      runDqlPipeline(s, d,
+        "SELECT quality_trained(32, 10, 0.001, 55, 0.1) LAST 30 d")),
+    "stream_dql_pipeline_dedup" -> ((s, d) =>
+      runDqlPipeline(s, d, "SELECT dedup_minhash(0.5) LAST 30 d")),
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
     "stream_derivate" -> ((s, d) => runDql(s, d, DerivDql, "append")),
@@ -1914,6 +1933,21 @@ object StreamQueries extends QueryProvider {
     // the batch text-quality operator runs unchanged on the stream, so
     // the batch oracle applies verbatim
     "stream_quality" -> graft.pipeline.TextOps.qualitySql,
+    // streaming DQL pipeline registry (r17): the DQL text compiles onto
+    // the replay and dispatches to the same operators the batch
+    // dql_pipeline_* gates run, so the batch mirrors apply verbatim
+    "stream_dql_pipeline_quality" -> graft.pipeline.TextOps.qualitySql,
+    "stream_dql_pipeline_classifier" ->
+      graft.pipeline.Classifier.heldOutScoreSql(32, 10, 0.001, 55, 0.1),
+    // arrivals probed against the frozen corpus band index flag the
+    // batch pair set in both directions (the stream_neardup identity)
+    "stream_dql_pipeline_dedup" ->
+      s"""SELECT doc_id, match_id, jaccard FROM (
+         |  SELECT doc_a AS doc_id, doc_b AS match_id, jaccard
+         |  FROM (${graft.pipeline.Dedup.minhashPairsSql(0.5)})
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id, doc_a AS match_id, jaccard
+         |  FROM (${graft.pipeline.Dedup.minhashPairsSql(0.5)}))""".stripMargin,
     "stream_bpe_encode" -> graft.pipeline.Bpe.encodeCountsSql(4,
       "doc_id % 5 <> 0", "doc_id % 5 = 0"),
     // live scoreboard: final complete-mode board ≡ the batch per-source

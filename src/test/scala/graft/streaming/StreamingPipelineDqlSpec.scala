@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.dql.TestdataStore
+import graft.streaming.StreamingDql.Unstreamable
+
+/** Streaming pipeline registry contract: the streamable subset
+  * (row-local operators + frozen-artifact probes) compiles onto a
+  * document stream; everything needing corpus-wide state is a TYPED
+  * reject naming the batch registry — never a silent semantics change.
+  */
+class StreamingPipelineDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** unbounded stand-in with the documents schema: isStreaming plans
+    * without running anything
+    */
+  private def docStream(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)].toDF().toDF("doc_id", "text")
+      // event-time column like the harness's replay (the near-dup
+      // probe's stream-static join watermarks on it)
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_millis(org.apache.spark.sql.functions
+          .col("doc_id") * 1000L))
+  }
+
+  private def compile(dql: String): DataFrame =
+    StreamingPipelineDql.compile(docStream(), dql, new TestdataStore(dir))
+
+  test("row-local spellings compile to streaming frames") {
+    for (dql <- Seq("SELECT quality() LAST 30 d",
+                    "SELECT langid() LAST 30 d",
+                    "SELECT tokens() LAST 30 d",
+                    "SELECT fingerprint() LAST 30 d",
+                    "SELECT gopher() LAST 30 d"))
+      assert(compile(dql).isStreaming, dql)
+  }
+
+  test("frozen-artifact probes compile (weights and band index come " +
+    "from the batch corpus, arrivals score row-locally)") {
+    assert(compile(
+      "SELECT quality_trained(8, 2, 0.05, 10, 0.2) LAST 30 d").isStreaming)
+    assert(compile("SELECT dedup_minhash(0.5) LAST 30 d").isStreaming)
+  }
+
+  test("corpus-wide functions are typed rejects naming the batch path") {
+    for (dql <- Seq("SELECT dedup_exact() LAST 30 d",
+                    "SELECT dedup_ngram(0.3) LAST 30 d",
+                    "SELECT sim_topk(5, 10) LAST 30 d",
+                    "SELECT threshold_scan(8, 2, 0.05, 10, 0.2, 10) LAST 30 d")) {
+      val e = intercept[Unstreamable](compile(dql))
+      assert(e.getMessage.contains("batch"), s"$dql → ${e.getMessage}")
+    }
+  }
+
+  test("selector decorations and series selectors are typed rejects") {
+    intercept[Unstreamable](compile(
+      "SELECT quality() AS 'q' LAST 30 d"))
+    intercept[Unstreamable](compile(
+      "SELECT quality(), langid() LAST 30 d"))
+    intercept[Unstreamable](compile(
+      "SELECT avg('a'.'b' BUCKET 'testdata', 1 h) LAST 30 d"))
+  }
+}
