@@ -124,6 +124,67 @@ object DqlArtifacts {
           .persist(StorageLevel.MEMORY_AND_DISK))
     })
 
+  private val refreshCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String, Int), (DataFrame, DataFrame)])
+
+  /** Eviction-vs-append refresh policy for the memoized IVF artifact
+    * (r16 verdict #6): fold a corpus-refresh `delta` (embeddings
+    * shape: vec_id, embedding) into the (session, corpus) index,
+    * memoized per `deltaId` so one refresh batch maintains the index
+    * once and every subsequent query reads it warm.
+    *
+    *   - APPEND when every delta vec_id is NEW to the indexed corpus:
+    *     the delta alone is assigned against the FROZEN quantizer
+    *     ([[Similarity.ivfAssign]] — centroids unchanged until the
+    *     next scheduled retrain, the FAISS add-without-train posture)
+    *     and unioned into the cells artifact; the base corpus is never
+    *     re-assigned. Whenever the rebuild's quantizer would be the
+    *     same centroid rows, append ≡ rebuild bit-for-bit — the gate
+    *     pins all-cells search over an appended artifact against the
+    *     full-corpus BRUTE oracle.
+    *   - REBUILD when any delta id overlaps the index: an update
+    *     in-place invalidates cell contents no algebraic merge can
+    *     repair, so the index rebuilds over (base − delta ids) ∪ delta
+    *     with a fresh quantizer.
+    *
+    * The overlap probe is one corpus scan with the delta's ids
+    * broadcast — never a corpus shuffle. The base (store-keyed)
+    * artifact is left in place: it still reflects the store's own
+    * table, and the appended artifact's lineage reads its pin.
+    */
+  def ivfRefresh(spark: SparkSession, store: SeriesStore,
+                 deltaId: String, delta: DataFrame,
+                 nCellsOverride: Int = 0): (DataFrame, DataFrame) = {
+    val nc =
+      if (nCellsOverride > 0) nCellsOverride else nCells(spark, store)
+    refreshCache.computeIfAbsent(
+      (spark, store.corpusKey, deltaId, nc), { _ =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val (baseCells, cents) = ivfIndex(spark, store, nc)
+        val deltaIds = delta.select(col("vec_id"))
+        val overlaps = !baseCells
+          .join(broadcast(deltaIds), Seq("vec_id"), "left_semi").isEmpty
+        if (!overlaps) {
+          val appended = graft.core.Caches.sanction(
+            baseCells.unionByName(Similarity.ivfAssign(delta, cents))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+          (appended, cents)
+        } else {
+          val full = store.table(spark, "embeddings")
+            .join(broadcast(deltaIds), Seq("vec_id"), "left_anti")
+            .unionByName(delta)
+          val cells = graft.core.Caches.sanction(
+            Similarity.ivfCells(full, nc)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+          val newCents = graft.core.Caches.sanction(
+            Similarity.ivfCents(full, nc)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+          (cells, newCents)
+        }
+      })
+  }
+
   private val bandCache = graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), DataFrame])

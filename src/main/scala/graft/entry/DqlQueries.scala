@@ -195,6 +195,36 @@ object DqlQueries extends QueryProvider {
       (("SELECT sim_range_brute(5, 0.3) LAST 30 d",
         Seq("query_id", "vec_id"))))
 
+  /** Store over the BASE subset of the embeddings corpus for the IVF
+    * refresh gate: everything except the append delta (delta = ids ≥
+    * nCells with vec_id % 5 = 0; the quantizer rows vec_id < nCells
+    * stay in base so the frozen quantizer equals the full-corpus
+    * rebuild's — the regime where append ≡ rebuild bit-for-bit).
+    * Distinct corpusKey: the subset must never share the full corpus's
+    * memoized artifacts.
+    */
+  private final class IvfBaseStore(d: String) extends graft.dql.SeriesStore {
+    private val inner = new TestdataStore(d)
+    override def corpusKey: String = d + "#ivf-append-base"
+    def resolutionMs(bucket: String): Long = inner.resolutionMs(bucket)
+    def series(s: SparkSession, bucket: String): DataFrame =
+      inner.series(s, bucket)
+    def tagCol(ns: String, key: String): Option[String] =
+      inner.tagCol(ns, key)
+    val tagCols: Seq[String] = Seq("mtype", "muser")
+    def events(s: SparkSession, bucket: String): DataFrame =
+      inner.events(s, bucket)
+    override def table(s: SparkSession, name: String): DataFrame = {
+      val t = inner.table(s, name)
+      if (name == "embeddings") t.where(ivfBasePred) else t
+    }
+  }
+  private def ivfBasePred: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col("vec_id") < graft.dql.DqlArtifacts.NCells ||
+      col("vec_id") % 5 =!= 0
+  }
+
   /** default name literal for a selector, exactly as the engine renders */
   private def nameOf(key: String, sel: Int = 0): String =
     Unparse.expr(Parser.parse(dqls(key)).selectors(sel).expr)
@@ -222,7 +252,28 @@ object DqlQueries extends QueryProvider {
       key -> ((s: SparkSession, d: String) =>
         Compiler.run(s, new TestdataStore(d), NowMs, dql)
           .orderBy(order.map(org.apache.spark.sql.functions.col): _*))
-    }
+    } + ("dql_pipeline_simtopk_refresh" -> ivfRefreshGate _)
+
+  /** IVF index maintenance from the registry side (r16 verdict #6):
+    * the artifact is SEEDED over the base subset, the delta arrives as
+    * a refresh batch, and [[graft.dql.DqlArtifacts.ivfRefresh]] takes
+    * the APPEND path (all delta ids new → delta assigned against the
+    * frozen quantizer, base never re-assigned). All-cells search over
+    * the appended artifact must equal the FULL-corpus brute oracle —
+    * the proof that append maintenance loses nothing.
+    */
+  private def ivfRefreshGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val baseStore = new IvfBaseStore(d)
+    val emb = graft.core.Tables(s, d, "embeddings")
+    val delta = emb.where(!ivfBasePred)
+    val (cells, cents) = graft.dql.DqlArtifacts.ivfRefresh(
+      s, baseStore, deltaId = "mod5-tail", delta = delta)
+    graft.pipeline.Similarity.ivfTopKProbedOn(cells, cents,
+      emb.where(col("vec_id") < 5), 10,
+      nProbe = graft.dql.DqlArtifacts.nCells(s, baseStore))
+      .orderBy("query_id", "rank")
+  }
 
   // ----------------------------------------------------------- oracle
 
@@ -456,6 +507,14 @@ object DqlQueries extends QueryProvider {
     "dql_pipeline_simtopk_sized" -> graft.pipeline.Similarity.bruteTopKSql(
       graft.core.Tables.EmbeddingDim, 10,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
+    // append-maintenance pin: search over the base-seeded artifact
+    // APPENDED with the delta (frozen quantizer) ≡ the FULL-corpus
+    // brute oracle — the refresh policy loses nothing on the append
+    // path
+    "dql_pipeline_simtopk_refresh" ->
+      graft.pipeline.Similarity.bruteTopKSql(
+        graft.core.Tables.EmbeddingDim, 10,
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
     "dql_pipeline_simtopk_ivf" -> graft.pipeline.Similarity.bruteTopKSql(
       graft.core.Tables.EmbeddingDim, 5,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 12"),
