@@ -152,6 +152,72 @@ object PlanAudit {
       }
       .toSeq.distinct
 
+  /** Non-broadcast small-side join probe (r16 verdict #8 — the one
+    * anti-pattern class of the brief not statically covered until
+    * now): a SortMergeJoin whose BUILDABLE side's estimated stats sit
+    * at or below the broadcast threshold is a shuffle of BOTH sides
+    * where a broadcast of the small one was available — at 100 TB
+    * that is a full-corpus exchange bought for nothing. Only sides
+    * the join type can actually build flag (inner/cross: either;
+    * left outer/semi/anti: right only; right outer: left only; full
+    * outer: none — Spark cannot broadcast a full-outer side, so a
+    * small-sided full-outer merge is the correct plan, not a
+    * finding). Joins the planner COULD broadcast and didn't usually
+    * mean a stats misestimate upstream or an explicit no-broadcast
+    * hint; either deserves a look. A SortMergeJoin with NO exchange
+    * beneath it moves no data at all (bucketed/co-located layout —
+    * the tpch_q12_colocated posture) and is exempt: broadcasting
+    * there would ADD a build with no shuffle saved. Probed on the
+    * pre-AQE physical plan (AQE may rescue some at runtime, but the
+    * static plan is what ships to an arbitrary cluster), side sizes
+    * from each child's logical-link stats. Reads the PREPARED plan
+    * (post-EnsureRequirements, AQE initial plan) — `sparkPlan` would
+    * predate the exchanges the exemption tests for.
+    */
+  def unbroadcastSmallJoins(df: DataFrame): Seq[String] = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr <= 0) return Seq.empty // broadcasting disabled deliberately
+    val out = Seq.newBuilder[String]
+    // exchanges/sorts inserted by EnsureRequirements carry no logical
+    // link — the side's size estimate lives on the topmost descendant
+    // that still points at a logical node
+    def sizeOf(p: org.apache.spark.sql.execution.SparkPlan): BigInt =
+      p.collectFirst {
+        case q if q.logicalLink.isDefined =>
+          q.logicalLink.get.stats.sizeInBytes
+      }.getOrElse(BigInt(-1))
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          import org.apache.spark.sql.catalyst.plans._
+          val (l, r) = (sizeOf(j.left), sizeOf(j.right))
+          val buildable: Seq[(String, BigInt)] = j.joinType match {
+            case Inner | Cross => Seq("left" -> l, "right" -> r)
+            case LeftOuter | LeftSemi | LeftAnti | _: ExistenceJoin =>
+              Seq("right" -> r)
+            case RightOuter => Seq("left" -> l)
+            case _ => Seq.empty // full outer: no broadcastable side
+          }
+          val small = buildable.filter { case (_, s) => s >= 0 && s <= thr }
+          // co-located (bucketed) joins shuffle nothing — a broadcast
+          // would add a build cost and save no exchange
+          val shuffles = j.exists {
+            case _: org.apache.spark.sql.execution.exchange.Exchange => true
+            case _ => false
+          }
+          if (small.nonEmpty && shuffles)
+            out += s"SortMergeJoin(${j.joinType}) shuffles both sides " +
+              s"while its ${small.map { case (side, s) =>
+                s"$side side is ~$s bytes" }.mkString(", ")} " +
+              s"(broadcast threshold $thr)"
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(org.apache.spark.sql.GraftBridge.preparedPlan(df))
+    out.result()
+  }
+
   /** The assertion surface for specs: empty means no quadratic blow-up
     * signature in the optimized plan. Only the per-element class gates —
     * node-level duplicates are runtime-CSE'd (see

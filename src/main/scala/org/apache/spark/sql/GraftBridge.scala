@@ -57,4 +57,20 @@ object GraftBridge {
   def recacheByPath(spark: SparkSession, path: String): Unit =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
       .recacheByPath(spark.asInstanceOf[classic.SparkSession], path)
+
+  /** The PREPARED physical plan with AQE unwrapped: executedPlan after
+    * EnsureRequirements (exchanges/sorts present — `sparkPlan` predates
+    * them), descending into AdaptiveSparkPlanExec's initialPlan (the
+    * statically-planned tree AQE starts from; `initialPlan` is
+    * private[sql], hence this lives in the bridge package). The static
+    * lints (PlanAudit) read this: it is the plan that ships to an
+    * arbitrary cluster before any runtime re-plan.
+    */
+  def preparedPlan(df: DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
 }

@@ -33,6 +33,9 @@ class FullSurfaceAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // NOT the demotion class (sort is inherent, not a buffer-type
     // accident) — additions here need the same justification
     val sortAggAllowed: Map[String, String] = Map.empty
+    // gates allowed a small-sided SortMergeJoin, each naming why the
+    // shuffle is right anyway (same contract as sortAggAllowed)
+    val smallJoinAllowed: Map[String, String] = Map.empty
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
       try {
         val df = q(spark, dir)
@@ -44,6 +47,14 @@ class FullSurfaceAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
           bad += s"$name (SortAggregate demotion — a non-mutable agg " +
             s"buffer forced a sort where HashAggregate+map-side combine " +
             s"was available):\n  ${demotions.mkString("\n  ")}"
+        // a SortMergeJoin with a buildable side under the broadcast
+        // threshold is a both-sides shuffle bought for nothing at
+        // 100 TB (full-outer sides are exempt inside the lint — Spark
+        // cannot broadcast them)
+        val smallJoins = PlanAudit.unbroadcastSmallJoins(df)
+        if (smallJoins.nonEmpty && !smallJoinAllowed.contains(name))
+          bad += s"$name (non-broadcast small-side join):\n  " +
+            smallJoins.mkString("\n  ")
         // an unblocked CartesianProduct anywhere in a shipped plan is a
         // corpus² scan at 100 TB — PlanSpec covers the pairwise family,
         // this covers EVERY registered gate (cached build subtrees

@@ -92,4 +92,34 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PlanAudit.duplicatedExpensive(
       Dedup.substringScrubKeepFirst(docs, 8)).isEmpty)
   }
+
+  test("the small-side join lint fires on a hinted shuffle join with a " +
+    "broadcastable side, and exempts full-outer and co-located shapes") {
+    val s = spark
+    import s.implicits._
+    val big = s.range(0, 10000).toDF("k")
+      .withColumn("pay", expr("repeat('x', 64)"))
+    val small = Seq(1L, 2L, 3L).toDF("k").withColumn("v", lit(1))
+    // the MERGE hint forces the SortMergeJoin the planner would never
+    // pick over a 60-byte side — the misplan shape (in the wild it is
+    // a stats misestimate upstream) the lint exists to catch
+    val findings = PlanAudit.unbroadcastSmallJoins(
+      big.join(small.hint("MERGE"), Seq("k")))
+    assert(findings.exists(_.contains("SortMergeJoin")),
+      findings.mkString("; "))
+    // a threshold between the two sides' estimates: "small" stays
+    // broadcastable, "big" (180 KB) does not — at the default 10 MB
+    // both test frames would count as broadcastable
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1000")
+    try {
+      // a full-outer join has no broadcastable side: the shuffle is
+      // the correct plan, never a finding
+      assert(PlanAudit.unbroadcastSmallJoins(
+        big.join(small, Seq("k"), "full_outer")).isEmpty)
+      // left outer with a small LEFT side: only the right side is
+      // buildable, and it sits over the threshold — silent
+      assert(PlanAudit.unbroadcastSmallJoins(
+        small.join(big, Seq("k"), "left")).isEmpty)
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
