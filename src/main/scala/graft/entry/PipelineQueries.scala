@@ -629,6 +629,13 @@ object PipelineQueries extends QueryProvider {
     "mm_features" -> ((s, d) =>
       Multimodal.featureExtract(s, Multimodal.renderPpm(docs(s, d)), 8)
         .toDF().orderBy("doc_id", "bin")),
+    // REAL conv featurizer on PARSED PIXELS: fixed Sobel/Laplacian
+    // kernel bank, per-(channel, kernel) mean absolute response — the
+    // edge/texture energy a vision stack's first layer computes; the
+    // oracle recomputes every kernel response from the same bytes
+    "mm_features_conv" -> ((s, d) =>
+      Multimodal.featureExtractConv(s, Multimodal.renderPpm(docs(s, d)))
+        .toDF().orderBy("doc_id", "bin")),
     "corpus_decisions" -> ((s, d) =>
       Corpus.decisions(docs(s, d), minhashPairs(s, d, 0.5),
         qualityThreshold = 0.46).orderBy("doc_id")),
@@ -794,6 +801,7 @@ object PipelineQueries extends QueryProvider {
     "mm_frames" -> Multimodal.frameSampleSql,
     "mm_resize" -> Multimodal.resizeSql(8, 8),
     "mm_features" -> Multimodal.featureExtractSql(8),
+    "mm_features_conv" -> Multimodal.featureExtractConvSql,
     "corpus_decisions" -> Corpus.decisionsSql(0.5, 0.46),
     // same densification semantics through the DSv2 spine leaf
     "gapfill_spine" ->
