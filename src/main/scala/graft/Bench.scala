@@ -218,6 +218,14 @@ object Bench {
       force(SparkEntry.queries("dql_pipeline_simtopk")(spark, sfDir)))
     warm("dql_sim_lsh")(
       force(SparkEntry.queries("dql_pipeline_simrange_lsh")(spark, sfDir)))
+    // warms the refresh-policy artifacts (base-subset IVF seed + the
+    // appended index): index MAINTENANCE is provisioning on the refresh
+    // cadence exactly like the initial build, and the sized-variant
+    // index (nCells=5) is its own sanctioned artifact
+    warm("dql_sim_ivf_refresh")(
+      force(SparkEntry.queries("dql_pipeline_simtopk_refresh")(spark, sfDir)))
+    warm("dql_sim_ivf_sized")(
+      force(SparkEntry.queries("dql_pipeline_simtopk_sized")(spark, sfDir)))
     // warms the DQL registry's frozen quality-classifier weights (the
     // same trained-model provisioning story as stream_classifier above)
     warm("dql_quality_trained")(
