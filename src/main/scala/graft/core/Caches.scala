@@ -200,7 +200,17 @@ object Caches {
         val hit = e.getKey match {
           case p: Product =>
             p.productIterator.exists(_.asInstanceOf[AnyRef] eq spark) &&
-              p.productIterator.contains(dir)
+              p.productIterator.exists {
+                // a key element `<dir>#<suffix>` is the SUB-CORPUS
+                // convention (a store over a subset/derived view of
+                // `dir` — e.g. the IVF refresh gate's base-subset
+                // store): its artifacts derive from the same files,
+                // so a refresh of `dir` must invalidate them too, or
+                // a stale frozen artifact pairs with fresh data (the
+                // r15 advisory class)
+                case s: String => s == dir || s.startsWith(dir + "#")
+                case _ => false
+              }
           case _ => false
         }
         if (hit) {

@@ -42,7 +42,11 @@ trait SeriesStore {
     * memo artifacts ([[DqlArtifacts]]): two store instances over the
     * same data must return the same key, and a store over refreshed
     * data a different one after [[graft.core.Caches.evictArtifacts]].
-    * Directory-backed stores return the directory path. ABSTRACT on
+    * Directory-backed stores return the directory path. A store over
+    * a SUBSET or derived view of a corpus dir must use the
+    * `<dir>#<suffix>` convention: evictArtifacts(dir) also matches
+    * `dir#…` keys, so a refresh of the underlying files invalidates
+    * the derived store's artifacts too. ABSTRACT on
     * purpose — a class-name default would silently share one key (and
     * one frozen artifact) across every instance of a multi-corpus
     * store class, and evictArtifacts(dir) could never match it.

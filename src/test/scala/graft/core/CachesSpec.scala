@@ -39,9 +39,17 @@ class CachesSpec extends AnyFunSuite with BeforeAndAfterAll {
     cache.put((s, "/data/KEEP"), b)
     // value carrying the frame inside a product (index, meta) pair
     tupleCache.put((s, "/data/v1", 0.5), (c, 42))
+    // SUB-CORPUS keys (`dir#suffix` — a store over a subset/derived
+    // view of dir, e.g. the IVF refresh gate's base store) must fall
+    // with the dir they derive from; a LONGER dir sharing the prefix
+    // must not ("/data/v1x" is a different corpus)
+    cache.put((s, "/data/v1#ivf-append-base"), 7)
+    cache.put((s, "/data/v1x"), 8)
     val n = Caches.evictArtifacts(s, "/data/v1")
-    assert(n == 2)
+    assert(n == 3)
     assert(!cache.containsKey((s, "/data/v1")))
+    assert(!cache.containsKey((s, "/data/v1#ivf-append-base")))
+    assert(cache.containsKey((s, "/data/v1x")))
     assert(cache.containsKey((s, "/data/KEEP")))
     assert(!tupleCache.containsKey((s, "/data/v1", 0.5)))
     assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
