@@ -152,6 +152,14 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
       case "dedup_exact" => graft.pipeline.Dedup.exact(docs)
       case "dedup_minhash" =>
         graft.pipeline.Dedup.minhashPairs(docs, args.head)
+      // the hot-band disclosure surface from the language: the band
+      // buckets a capped candidate build (Dedup.MaxBandBucket posture)
+      // would exclude, read off the shared (session, corpus) band
+      // index artifact — degenerate boilerplate clusters become a
+      // queryable table for canonical-keep / quota routing
+      case "dedup_hot_bands" =>
+        graft.pipeline.Dedup.hotBands(
+          DqlArtifacts.bandIndex(spark, store), args.head.toInt)
       case "quality" =>
         // widened like the batch gate: the multi-regex rule battery is
         // the text family's costliest per-row compute, and a narrow

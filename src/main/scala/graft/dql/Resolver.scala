@@ -88,6 +88,10 @@ object Resolver {
   val pipelineFns: Map[String, (Int, String)] = Map(
     "dedup_exact" -> ((0, "dedup_exact()")),
     "dedup_minhash" -> ((1, "dedup_minhash(jaccard-threshold in (0,1])")),
+    "dedup_hot_bands" ->
+      ((1, "dedup_hot_bands(int max-bucket >= 1) — the hot-band " +
+        "disclosure table: band buckets the capped candidate build " +
+        "would exclude, with sizes")),
     "quality" -> ((0, "quality()")),
     "langid" -> ((0, "langid()")),
     "scrub" -> ((1, "scrub(int n-gram window >= 2)")),
@@ -195,6 +199,9 @@ object Resolver {
             throw ResolveError(sig)
           case "scrub" | "scrub_keepfirst"
             if vals.head < 2 || vals.head != vals.head.floor =>
+            throw ResolveError(sig)
+          case "dedup_hot_bands"
+            if vals.head < 1 || vals.head != vals.head.floor =>
             throw ResolveError(sig)
           case "sim_topk" | "sim_topk_sized"
             if vals.exists(v => v < 1 || v != v.floor) =>

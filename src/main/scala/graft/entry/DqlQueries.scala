@@ -127,6 +127,10 @@ object DqlQueries extends QueryProvider {
     // mirror: the gate pins index-path ≡ brute (r15 verdict #4)
     "dql_pipeline_simtopk" ->
       (("SELECT sim_topk(5, 10) LAST 30 d", Seq("query_id", "rank"))),
+    // the hot-band disclosure table from the language (cap 1 = every
+    // bucket with two or more members, so the fixture yields real rows)
+    "dql_pipeline_hot_bands" ->
+      (("SELECT dedup_hot_bands(1) LAST 30 d", Seq("band_idx", "bh"))),
     // EXPLICIT index sizing at a non-default nCells (5 vs the pinned
     // 8): all-cells dispatch stays exact, so the oracle is STILL brute
     // — the gate proves the dispatch is sizing-invariant (r16 #3)
@@ -495,6 +499,7 @@ object DqlQueries extends QueryProvider {
     "dql_pipeline_dedup" ->
       (graft.pipeline.Dedup.exactSql + "\nORDER BY text_hash"),
     "dql_pipeline_minhash" -> graft.pipeline.Dedup.minhashPairsSql(0.5),
+    "dql_pipeline_hot_bands" -> graft.pipeline.Dedup.hotBandsSql(1),
     "dql_pipeline_quality" -> graft.pipeline.TextOps.qualitySql,
     // Dim comes from the shared testdata constant (r15 advisory: the
     // literal 64 here risked silent drift against the sim gates)

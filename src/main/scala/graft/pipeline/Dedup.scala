@@ -354,7 +354,11 @@ object Dedup {
     * CTE named `sh` already in scope; emits CTE bodies `sig … pairs` and the
     * final verified SELECT.
     */
-  private def bandedVerifySql(threshold: Double): String = {
+  /** the shared signature → banded → melted CTE chain (given a shingle
+    * CTE `sh` in scope): the SQL derivation of the band keys both the
+    * pair mirror and the hot-band disclosure mirror read
+    */
+  private def sigBandMeltSql: String = {
     val mhs = (for (s <- 0 until Seeds; c <- 0 until Channels)
       yield s"MIN(substr(md5('$s|' || shingle), ${c * 8 + 1}, 8)) AS mh${s}_$c")
       .mkString(", ")
@@ -366,7 +370,22 @@ object Dedup {
       .mkString(" UNION ALL ")
     s"""sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
        |banded AS (SELECT doc_id, $bandDefs FROM sig),
-       |melted AS ($melted),
+       |melted AS ($melted)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[bandIndex]] ∘ [[hotBands]]: band-bucket sizes
+    * over the same signature derivation, filtered past the cap.
+    */
+  def hotBandsSql(maxBucket: Int): String =
+    s"""WITH $shingles3Sql,
+       |$sigBandMeltSql
+       |SELECT band_idx, bh, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM melted GROUP BY 1, 2
+       |HAVING COUNT(*) > $maxBucket
+       |ORDER BY band_idx, bh""".stripMargin
+
+  private def bandedVerifySql(threshold: Double): String = {
+    s"""$sigBandMeltSql,
        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |          FROM melted x JOIN melted y
        |          ON x.band_idx = y.band_idx AND x.bh = y.bh

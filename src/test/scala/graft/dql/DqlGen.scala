@@ -198,6 +198,12 @@ object DqlGen {
         FCall("sim_topk",
           Seq(Num(nq.toDouble, isInt = true), Num(k.toDouble, isInt = true)))
       },
+      Gen.zip(Gen.choose(1L, 50L), Gen.choose(1L, 20L), Gen.choose(1L, 32L))
+        .map { case (nq, k, nc) =>
+          FCall("sim_topk_sized",
+            Seq(Num(nq.toDouble, isInt = true), Num(k.toDouble, isInt = true),
+              Num(nc.toDouble, isInt = true)))
+        },
       // cos >= 0 only: the grammar has no unary minus (reference parity),
       // so negative literals are not DQL-expressible
       Gen.zip(Gen.choose(1L, 50L), Gen.choose(0, 99)).map { case (nq, c) =>
