@@ -70,6 +70,46 @@ class StreamingPipelineDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quality_trained scores arrivals across micro-batches exactly " +
+    "like the batch frozen-weights scan (stateless append)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val out = StreamingPipelineDql.compile(stream,
+      "SELECT quality_trained(8, 2, 0.05, 10, 0.2) LAST 30 d",
+      new TestdataStore(dir))
+    val q = out.writeStream.format("memory").queryName("spdql_qt")
+      .outputMode("append").start()
+    // synthetic arrivals split across two triggers: the scoring is
+    // row-local against frozen weights, so batch boundaries must not
+    // matter and no arrival may drop
+    val docs = (0L until 40L).map(i =>
+      i -> (s"doc $i " + Seq.fill(12)("alpha beta gamma").mkString(" ")))
+    try {
+      in.addData(docs.take(20): _*); q.processAllAvailable()
+      in.addData(docs.drop(20): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("spdql_qt")
+      .select("doc_id", "label", "score", "keep").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    val w = graft.dql.DqlArtifacts.heldOutWeights(s,
+      new TestdataStore(dir), 8, 2, 0.05, 10, 0.2)
+    val expected = graft.pipeline.Classifier.scoreWith(
+      graft.pipeline.Curation.onSplit(docs.toDF("doc_id", "text"), 0.2,
+        "val"), 8, 10, w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "val split empty — vacuous replay")
+    // arrivals from BOTH micro-batches made it through
+    assert(got.exists(_._1 < 20) && got.exists(_._1 >= 20),
+      "a whole micro-batch is missing from the scored output")
+  }
+
   test("selector decorations and series selectors are typed rejects") {
     intercept[Unstreamable](compile(
       "SELECT quality() AS 'q' LAST 30 d"))
