@@ -190,6 +190,8 @@ object DqlGen {
         FCall("dedup_minhash", Seq(Num(t / 100.0, isInt = false)))),
       Gen.const(FCall("quality", Nil)),
       Gen.const(FCall("langid", Nil)),
+      Gen.choose(1L, 5000L).map(c =>
+        FCall("dedup_hot_bands", Seq(Num(c.toDouble, isInt = true)))),
       Gen.choose(2L, 12L).map(n =>
         FCall("scrub", Seq(Num(n.toDouble, isInt = true)))),
       Gen.choose(2L, 12L).map(n =>
