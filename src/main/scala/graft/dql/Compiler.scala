@@ -150,8 +150,14 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     def docs = store.table(spark, "documents")
     name match {
       case "dedup_exact" => graft.pipeline.Dedup.exact(docs)
+      // near-dup pairs read OFF the shared (session, corpus) band-index
+      // artifact (r17 review): the signature/banding cost is paid once
+      // per corpus refresh, not re-exploded per query — bit-identical
+      // to the direct build (BandIndexSpec pins index ≡ direct), so the
+      // oracle stays the uncapped pairs mirror
       case "dedup_minhash" =>
-        graft.pipeline.Dedup.minhashPairs(docs, args.head)
+        graft.pipeline.Dedup.minhashPairsFromIndex(
+          DqlArtifacts.bandIndex(spark, store), args.head)
       // the hot-band disclosure surface from the language: the band
       // buckets a capped candidate build (Dedup.MaxBandBucket posture)
       // would exclude, read off the shared (session, corpus) band

@@ -43,9 +43,9 @@ object DqlArtifacts {
   val BucketTarget = 64L
   val Dim: Int = graft.core.Tables.EmbeddingDim
 
-  private val sizingCache = graft.core.Caches.registerArtifactCache(
+  private val countCache = graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), (Int, Int)])
+      (SparkSession, String), java.lang.Long])
 
   private def posInt(conf: String, raw: String): Int = {
     val v = try raw.trim.toInt catch {
@@ -58,34 +58,38 @@ object DqlArtifacts {
     v
   }
 
-  private def sizing(spark: SparkSession,
-                     store: SeriesStore): (Int, Int) =
-    sizingCache.computeIfAbsent((spark, store.corpusKey), { _ =>
-      val confN = spark.conf.getOption("spark.graft.dql.sim.ncells")
-        .map(posInt("spark.graft.dql.sim.ncells", _))
-      val confB = spark.conf.getOption("spark.graft.dql.sim.bits")
-        .map(posInt("spark.graft.dql.sim.bits", _))
-      lazy val n: Long = // one count per (session, corpus), memoized
-        math.max(1L, store.table(spark, "embeddings").count())
-      val nc = confN.getOrElse(
-        math.max(1.0, math.ceil(math.sqrt(n.toDouble))).toInt)
-      val b = confB.getOrElse {
-        val target = math.max(1.0, n.toDouble / BucketTarget)
-        math.min(24, math.max(1,
-          math.ceil(math.log(target) / math.log(2.0)).toInt))
-      }
-      (nc, b)
+  /** ONLY the corpus count memoizes (one job per (session, corpus));
+    * the conf pins are read LIVE on every lookup — a conf change after
+    * the first query must take effect, not be silently ignored (the
+    * same conf-flip hazard class CompileOpts closed on the streaming
+    * side). Note the INDEX artifacts themselves are keyed by the
+    * nCells/bits they were built at, so a sizing change builds a new
+    * artifact and never mutates a live one.
+    */
+  private def corpusN(spark: SparkSession, store: SeriesStore): Long =
+    countCache.computeIfAbsent((spark, store.corpusKey), { _ =>
+      Long.box(math.max(1L, store.table(spark, "embeddings").count()))
     })
 
   /** production IVF cell count for this (session, corpus) — conf pin
-    * first, else ⌈√corpus⌉ */
+    * first (read live), else ⌈√corpus⌉ */
   def nCells(spark: SparkSession, store: SeriesStore): Int =
-    sizing(spark, store)._1
+    spark.conf.getOption("spark.graft.dql.sim.ncells")
+      .map(posInt("spark.graft.dql.sim.ncells", _))
+      .getOrElse(math.max(1.0,
+        math.ceil(math.sqrt(corpusN(spark, store).toDouble))).toInt)
 
-  /** production LSH hyperplane count — conf pin first, else
-    * ⌈log₂(corpus / BucketTarget)⌉ in [1, 24] */
+  /** production LSH hyperplane count — conf pin first (read live),
+    * else ⌈log₂(corpus / BucketTarget)⌉ in [1, 24] */
   def bits(spark: SparkSession, store: SeriesStore): Int =
-    sizing(spark, store)._2
+    spark.conf.getOption("spark.graft.dql.sim.bits")
+      .map(posInt("spark.graft.dql.sim.bits", _))
+      .getOrElse {
+        val target = math.max(1.0,
+          corpusN(spark, store).toDouble / BucketTarget)
+        math.min(24, math.max(1,
+          math.ceil(math.log(target) / math.log(2.0)).toInt))
+      }
 
   private val ivfCache = graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[
@@ -152,10 +156,21 @@ object DqlArtifacts {
     * broadcast — never a corpus shuffle. The base (store-keyed)
     * artifact is left in place: it still reflects the store's own
     * table, and the appended artifact's lineage reads its pin.
+    *
+    * CONTRACT — `deltaId` must uniquely identify the refresh batch's
+    * CONTENT (the caller's refresh-ledger key: batch sequence number,
+    * input-file manifest hash, …). The memo trusts it: calling again
+    * with the same id and DIFFERENT delta rows returns the artifact
+    * built from the first call's rows, silently. There is no content
+    * fingerprint here by design — fingerprinting would re-scan the
+    * delta on every warm lookup, defeating the memo; a retry with
+    * corrected data must use a NEW id (or evictArtifacts the corpus).
     */
   def ivfRefresh(spark: SparkSession, store: SeriesStore,
                  deltaId: String, delta: DataFrame,
                  nCellsOverride: Int = 0): (DataFrame, DataFrame) = {
+    require(deltaId.nonEmpty, "ivfRefresh: deltaId must be non-empty " +
+      "(it keys the refresh memo — see the content contract)")
     val nc =
       if (nCellsOverride > 0) nCellsOverride else nCells(spark, store)
     refreshCache.computeIfAbsent(

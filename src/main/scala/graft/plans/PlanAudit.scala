@@ -200,11 +200,29 @@ object PlanAudit {
           }
           val small = buildable.filter { case (_, s) => s >= 0 && s <= thr }
           // co-located (bucketed) joins shuffle nothing — a broadcast
-          // would add a build cost and save no exchange
-          val shuffles = j.exists {
-            case _: org.apache.spark.sql.execution.exchange.Exchange => true
-            case _ => false
-          }
+          // would add a build cost and save no exchange. Only an
+          // exchange ON A CHILD'S SPINE (above any operator that
+          // establishes its own partitioning) counts against the
+          // exemption: a shuffle deep in the subtree that exists for
+          // an aggregation or another join is paid under EITHER join
+          // strategy, so it says nothing about this join's cost —
+          // flagging it would fail e.g. a bucketed side joined to a
+          // groupBy output whose partitioning the join reuses.
+          def spineHasExchange(
+              p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+            p match {
+              case _: org.apache.spark.sql.execution.exchange.Exchange =>
+                true
+              case u @ (_: org.apache.spark.sql.execution.SortExec |
+                        _: org.apache.spark.sql.execution.ProjectExec |
+                        _: org.apache.spark.sql.execution.FilterExec |
+                        _: org.apache.spark.sql.execution
+                          .WholeStageCodegenExec |
+                        _: org.apache.spark.sql.execution.InputAdapter) =>
+                spineHasExchange(u.children.head)
+              case _ => false
+            }
+          val shuffles = spineHasExchange(j.left) || spineHasExchange(j.right)
           if (small.nonEmpty && shuffles)
             out += s"SortMergeJoin(${j.joinType}) shuffles both sides " +
               s"while its ${small.map { case (side, s) =>

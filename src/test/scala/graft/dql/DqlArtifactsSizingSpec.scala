@@ -72,13 +72,22 @@ class DqlArtifactsSizingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DqlArtifacts.bits(spark, small) === 1)
   }
 
-  test("sizing is memoized per (session, corpus): one count total") {
+  test("only the COUNT memoizes; conf pins read live, so a conf change " +
+    "after the first lookup takes effect") {
     val st = new FakeStore("sizing-memo", 100L)
     DqlArtifacts.nCells(spark, st)
     st.counted = false
     DqlArtifacts.bits(spark, st)
     DqlArtifacts.nCells(spark, st)
-    assert(!st.counted, "second lookup must hit the memo")
+    assert(!st.counted, "second lookup must hit the count memo")
+    // the conf-flip hazard class (same as the streaming CompileOpts
+    // fix): setting a pin AFTER auto-sized lookups must win, and
+    // unsetting it must fall back to the auto sizing
+    withConf("spark.graft.dql.sim.ncells" -> "32") {
+      assert(DqlArtifacts.nCells(spark, st) === 32)
+    }
+    assert(DqlArtifacts.nCells(spark, st) === 10) // ceil(sqrt(100))
+    assert(!st.counted, "conf flips must not re-count the corpus")
   }
 
   test("malformed or non-positive conf values are typed errors") {

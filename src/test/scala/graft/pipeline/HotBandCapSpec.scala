@@ -65,6 +65,21 @@ class HotBandCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { idx.unpersist(true); () }
   }
 
+  test("the gate corpora actually sit below the cap — the 'gates ≡ " +
+    "uncapped oracle' assumption is an enforced invariant, not a hope") {
+    // the SQL mirrors are deliberately uncapped (below the cap the two
+    // forms are identical); this pin is what makes that sound at both
+    // the correctness SF and the bench SF — a regenerated fixture with
+    // a >MaxBandBucket boilerplate cluster fails HERE, loudly, instead
+    // of as an unexplained gate hash mismatch
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = graft.core.Tables(spark, sf, "documents")
+      assert(Dedup.hotBands(Dedup.bandIndex(docs)).isEmpty,
+        s"$sf has a band bucket over Dedup.MaxBandBucket — the dedup " +
+          "gate oracles no longer mirror the capped engine")
+    }
+  }
+
   test("below the cap, capped and uncapped builds are identical " +
     "(gate ≡ oracle regime)") {
     val s = spark
