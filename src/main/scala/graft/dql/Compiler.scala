@@ -41,6 +41,15 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     if (isEvents) {
       if (q.selectors.length != 1)
         throw CompileError("an EVENTS selector must be the only selector")
+      // decorations reject exactly like the pipeline branch does:
+      // dropping a user's SHIFT/AS/METADATA/TOP silently is never OK
+      // (r17 review — the paths must agree)
+      val esel = q.selectors.head
+      if (esel.shift.nonEmpty || esel.name.nonEmpty || esel.metadata.nonEmpty)
+        throw CompileError(
+          "SHIFT/AS/METADATA do not apply to EVENTS selectors")
+      if (q.limit.nonEmpty)
+        throw CompileError("TOP/BOTTOM scores series — not event streams")
       Resolver.resolve(q.selectors.head.expr, q.aliases, store.resolutionMs) match {
         case REvents(bucket, filter) =>
           val ev = store.events(spark, bucket)
@@ -128,7 +137,19 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     * its ENTIRE range as one window (src/dqe_funnel.erl:59-71), keep the n
     * best series' streams. Deterministic tie-break on the series key.
     */
+  /** constant-free aggregates a BY clause can score with (the
+    * threshold family needs a constant the Limit grammar cannot
+    * supply; percentile needs its fraction) */
+  private val LimitFns: Set[String] =
+    Set("sum", "avg", "min", "max", "variance", "stddev", "median")
+
   private def applyLimit(df: DataFrame, lim: Limit): DataFrame = {
+    // typed registry error, never a MatchError from the aggregate
+    // dispatch (r17 review)
+    if (!LimitFns.contains(lim.fun))
+      throw CompileError(
+        s"TOP/BOTTOM BY '${lim.fun}' — the score must be a " +
+          s"constant-free aggregate (${LimitFns.toSeq.sorted.mkString("/")})")
     val scoreAgg = Aggrs.spark(lim.fun, None)(col("value"), col("ts_ms"))
     val scores = df.groupBy(col("name"), col("metric"))
       .agg(scoreAgg.as("score"))
@@ -489,8 +510,15 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         case "max" => all.groupBy("ts_ms").agg(max(col("value")).as("value"), conf)
         case _ =>
           val n = children.length
-          val pivots = (0 until n).map(i =>
-            max(when(col("cidx") === i, col("value"))).as(s"c$i")) :+ conf
+          // per-child row counts ride the pivot: a non-commutative
+          // combinator folds its children IN ARGUMENT ORDER over one
+          // value each — a child that matched several series (glob /
+          // broad lookup) would silently collapse to max-of-series
+          // under the bare pivot (r17 review), so multiplicity is a
+          // LOUD typed error, never a silent semantics change
+          val pivots = (0 until n).flatMap(i => Seq(
+            max(when(col("cidx") === i, col("value"))).as(s"c$i"),
+            count(when(col("cidx") === i, 1)).as(s"n$i"))) :+ conf
           val piv = all.groupBy("ts_ms").agg(pivots.head, pivots.tail: _*)
           val folded = name match {
             case "diff" =>
@@ -502,7 +530,15 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
                 when(col(s"c$i") === 0.0, a).otherwise(a / col(s"c$i"))
               }
           }
-          piv.select(col("ts_ms"), folded.as("value"), col("confidence"))
+          val oneEach = (0 until n).map(i => col(s"n$i") <= 1L)
+            .reduce(_ && _)
+          piv.select(col("ts_ms"),
+            when(oneEach, folded).otherwise(raise_error(lit(
+              s"$name: non-commutative combinators take ONE series per " +
+                "child; a child matched several at the same point — " +
+                "reduce it first (GROUP BY ... USING, or an " +
+                "aggregation) or use sum/avg/min/max"))).as("value"),
+            col("confidence"))
       }
       // a combinator's output is one synthetic series
       combined.withColumn("metric", lit(name))
@@ -530,12 +566,12 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     in.groupBy(Seq(col("metric")) ++ store.tagCols.map(col) :+
       Exact.wstart(col("ts_ms"), w).as("ts_ms"): _*)
 
-  private def kth(v: Column, p: Double): Column = {
-    val arr = array_sort(collect_list(v))
-    element_at(arr,
-      greatest(lit(1L), ceil(lit(p) * size(arr).cast("double")).cast("long"))
-        .cast("int"))
-  }
+  // delegates to the shared bounded kth: the fused-histogram exact
+  // quantile collects the whole window per group, and the
+  // KthGroupRowBound loud-failure backstop must cover it exactly like
+  // the plain percentile path (r17 review: this was an unguarded copy)
+  private def kth(v: Column, p: Double): Column =
+    graft.ops.Aggrs.kthBounded(v, p, graft.ops.Aggrs.KthGroupRowBound)
 
   // ----------------------------------------------------------- leaves
 
@@ -550,19 +586,32 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
     val base = store.scanRange(spark, bucket, startMs, endMs).where(cond)
     if (!dense) base.withColumn("confidence", lit(1.0))
     else {
-      val res = SeriesStoreResolution
+      // the BUCKET's resolution, not a session-wide constant: the
+      // SeriesStore seam advertises per-bucket resolutions (the
+      // reference fetches it per bucket, src/dql_resolution.erl:206),
+      // and a 60 s bucket densified at a 1 s spine would fabricate
+      // 60× phantom gap rows (r17 review)
+      val res = store.resolutionMs(bucket)
       val catalog = store.series(spark, bucket).where(cond)
         .select((col("metric") +: store.tagCols.map(col)): _*).distinct()
-      val nSlots = (endMs - startMs) / res
+      // the spine enumerates the 0-ANCHORED resolution grid within
+      // [startMs, endMs): stored points are grid-floored
+      // (SeriesOps.series), so a spine anchored at a raw startMs (e.g.
+      // the default nowMs = currentTimeMillis, virtually never a grid
+      // multiple) would share no ts with any real point and every slot
+      // would read as an empty (r17 review; the reference aligns
+      // ranges to the resolution, src/dql_resolution.erl:131-135).
+      // Grid-aligned callers (every oracle gate) see identical spines.
+      val firstSlot = math.ceil(startMs.toDouble / res).toLong * res
+      val nSlots = math.max(0L, (endMs - firstSlot + res - 1) / res)
       val spine = spark.range(nSlots)
-        .select((lit(startMs) + col("id") * res).as("ts_ms"))
+        .select((lit(firstSlot) + col("id") * res).as("ts_ms"))
         .crossJoin(broadcast(catalog))
       spine.join(base, Seq("metric") ++ store.tagCols :+ "ts_ms", "left")
         .withColumn("confidence",
           when(col("value").isNotNull, 1.0).otherwise(0.0))
     }
   }
-  private val SeriesStoreResolution = store.resolutionMs("")
 
   private def lookupPathCond(path: Seq[String]): Column = {
     val parts = split(col("metric"), "\\.")

@@ -84,6 +84,11 @@ object Resolver {
     * operator module (`src/dqe.erl:62-122`); numeric-literal arguments
     * only — the corpus tables they read are bound by the store, like
     * buckets are for series leaves.
+    *
+    * Negative literals: the grammar has no unary minus (reference
+    * parity — dql_parser.yrl has none either), so the negative half of
+    * a min-cosine domain is spelled arithmetically, `(0 - 0.5)`; the
+    * constant folder reduces it before validation.
     */
   val pipelineFns: Map[String, (Int, String)] = Map(
     "dedup_exact" -> ((0, "dedup_exact()")),
@@ -194,23 +199,31 @@ object Resolver {
           s"$n expects numeric literal arguments — $sig")))
         if (vals.length != arity)
           throw ResolveError(s"$n takes $arity argument(s) — $sig")
-        n match {
-          case "dedup_minhash" if vals.head <= 0.0 || vals.head > 1.0 =>
-            throw ResolveError(sig)
-          case "scrub" | "scrub_keepfirst"
-            if vals.head < 2 || vals.head != vals.head.floor =>
-            throw ResolveError(sig)
-          case "dedup_hot_bands"
-            if vals.head < 1 || vals.head != vals.head.floor =>
-            throw ResolveError(sig)
-          case "sim_topk" | "sim_topk_sized"
-            if vals.exists(v => v < 1 || v != v.floor) =>
-            throw ResolveError(sig)
-          case "sim_range" if vals.head < 1 || vals.head != vals.head.floor ||
-            vals(1) < -1.0 || vals(1) > 1.0 =>
-            throw ResolveError(sig)
-          case _ => ()
+        // EVERY registered function validates its documented domain —
+        // asymmetric guards let sibling spellings accept values the
+        // validated ones reject (r17 review). Predicates compose from
+        // the same vocabulary the signature texts use.
+        def intGe(lo: Double)(v: Double) = v >= lo && v == v.floor
+        def in01Open(v: Double) = v > 0.0 && v < 1.0
+        def in01OpenClosed(v: Double) = v > 0.0 && v <= 1.0
+        def cosine(v: Double) = v >= -1.0 && v <= 1.0
+        val ok: Boolean = n match {
+          case "dedup_minhash" | "dedup_ngram" => in01OpenClosed(vals.head)
+          case "scrub" | "scrub_keepfirst" => intGe(2)(vals.head)
+          case "dedup_hot_bands" => intGe(1)(vals.head)
+          case "dedup_simhash" => intGe(0)(vals.head)
+          case "dedup_embed" => cosine(vals.head)
+          case "sim_topk" | "sim_topk_sized" | "sim_topk_probe" |
+               "sim_topk_brute" | "sim_rrf" => vals.forall(intGe(1))
+          case "sim_range" | "sim_range_brute" | "sim_range_lsh" =>
+            intGe(1)(vals.head) && cosine(vals(1))
+          case "quality_trained" | "threshold_scan" =>
+            intGe(1)(vals(0)) && intGe(1)(vals(1)) && vals(2) > 0.0 &&
+              intGe(1)(vals(3)) && in01Open(vals(4)) &&
+              (n == "quality_trained" || intGe(1)(vals(5)))
+          case _ => true // arity-0 spellings have no domain to check
         }
+        if (!ok) throw ResolveError(sig)
         RPipeline(n, vals)
 
       // infix lowering (src/dql_parser.yrl:132-158)
@@ -237,6 +250,9 @@ object Resolver {
         val (child, w, htv, sf) = histogramArgs(hargs, aliases, bucketRes)
         RHistFn(fn, None, w, htv, sf, child)
       case ("percentile", Seq(FCall("histogram", hargs), p)) if num(p).isDefined =>
+        if (num(p).exists(v => v <= 0.0 || v > 1.0))
+          throw ResolveError(
+            s"histogram percentile takes a fraction in (0, 1], got ${num(p).get}")
         val (child, w, htv, sf) = histogramArgs(hargs, aliases, bucketRes)
         RHistFn("percentile", num(p), w, htv, sf, child)
       case ("histogram", hargs) =>
@@ -254,6 +270,16 @@ object Resolver {
           case ("percentile", Num(v, true)) => Some(v * 0.5)
           case _                            => num(c)
         }
+        // the resulting fraction must index the kth element: out of
+        // (0, 1] the compiled element_at lands past the array end —
+        // silent nulls off ANSI, a crash on (r17 review). The natural
+        // 0-100 spelling lands here too: percentile(m, 90, 1 m)
+        // halves to 45.0.
+        if (n == "percentile" && k.exists(v => v <= 0.0 || v > 1.0))
+          throw ResolveError(
+            s"percentile fraction must be in (0, 1] after the " +
+              s"integer-halving rule (got ${k.get} — integers halve: " +
+              "1 → 0.5, 2 → 1.0; fractions pass through)")
         mkAggr(n, k, t, res(m))
       // (metric) → transform
       case (n, Seq(m)) if trans1.contains(n) && isSeries(m) =>

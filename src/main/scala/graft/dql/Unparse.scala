@@ -7,7 +7,12 @@ import Ast._
   * parse∘unparse fixpoint, SURVEY §5).
   */
 object Unparse {
-  private def q(s: String): String = "'" + s.replace("'", "\\'") + "'"
+  // backslash FIRST: the lexer treats \x as escaped x, so an unescaped
+  // backslash in a part would swallow the next char on re-lex (and a
+  // trailing one would eat the closing quote) — the exact fixpoint
+  // break the unparser exists to prevent (r17 review)
+  private def q(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
   private def pathStr(p: Seq[String]): String =
     p.map(x => if (x == "*") "*" else q(x)).mkString(".")
 
@@ -53,9 +58,13 @@ object Unparse {
     case EOr(a, b)      => s"(${eventFilter(a)} OR ${eventFilter(b)})"
     case ENot(g)        => s"NOT ${eventFilter(g)}"
   }
+  // dotted segments are QUOTED parts (the parser's part() reads quoted
+  // tokens; bare words only happen to lex for plain identifiers — a
+  // part with a quote/backslash must round-trip through q(), the r17
+  // fixpoint-fuzz find); bracket indices stay raw
   private def ePath(p: Seq[String]): String =
-    p.head + p.tail.map(s =>
-      if (s.startsWith("[")) s else "." + s).mkString
+    q(p.head) + p.tail.map(s =>
+      if (s.startsWith("[")) s else "." + q(s)).mkString
 
   private def point(p: Point): String = p match {
     case AbsMs(ms) => ms.toString

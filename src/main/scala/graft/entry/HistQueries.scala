@@ -23,12 +23,10 @@ object HistQueries extends QueryProvider {
   private def ints: Column = round(col("value"), 0).cast("long")
   private val intsSql = "CAST(ROUND(value, 0) AS BIGINT)"
 
-  private def kth(v: Column, p: Double): Column = {
-    val arr = array_sort(collect_list(v))
-    element_at(arr,
-      greatest(lit(1L), ceil(lit(p) * size(arr).cast("double")).cast("long"))
-        .cast("int"))
-  }
+  // shared bounded kth (value-identical below the bound; the backstop
+  // raises loudly instead of an opaque OOM past it)
+  private def kth(v: Column, p: Double): Column =
+    graft.ops.Aggrs.kthBounded(v, p, graft.ops.Aggrs.KthGroupRowBound)
   private def kthSql(v: String, p: Double): String =
     s"list_sort(list($v))[GREATEST(1, CAST(CEIL($p * COUNT($v)) AS BIGINT))]"
 

@@ -109,6 +109,77 @@ class CompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.dql.histogram.hdr")
   }
 
+  test("dense spine anchors to the resolution grid even for a raw " +
+    "(unaligned) nowMs — real points are never orphaned (r17 review)") {
+    // same conf read as the lazy-densification test, but through a
+    // BETWEEN whose endpoints sit 123 ms off the 1 s grid — the shape
+    // Graft.query's default nowMs = currentTimeMillis produces. Stored
+    // points are grid-floored, so a spine anchored at the raw start
+    // would miss every one of them (count_above of an all-empty spine
+    // = 0 everywhere); the aligned spine must reproduce the aligned
+    // query's values on the shared interior hours.
+    val aligned = run("SELECT count_above_conf('purchase'.'3' BUCKET " +
+      "'testdata', 0.5, 1 h) BETWEEN 1704067200000 AND 1706745600000")
+      .collect().map(r => r.getLong(2) ->
+        r.getAs[Number](3).doubleValue).toMap
+    val raw = run("SELECT count_above_conf('purchase'.'3' BUCKET " +
+      "'testdata', 0.5, 1 h) BETWEEN 1704067200123 AND 1706745600123")
+      .collect().map(r => r.getLong(2) ->
+        r.getAs[Number](3).doubleValue).toMap
+    assert(raw.nonEmpty)
+    assert(aligned.values.sum > 0.0, "month has no points — vacuous")
+    // interior hours (fully inside both ranges) agree exactly
+    val interior = aligned.keySet.intersect(raw.keySet)
+      .filter(t => t > 1704067200000L && t < 1706742000000L)
+    assert(interior.nonEmpty)
+    interior.foreach(t => assert(raw(t) == aligned(t), s"hour $t"))
+    assert(raw.values.sum > 0.0, "unaligned spine orphaned every point")
+  }
+
+  test("typed rejects: EVENTS decorations, TOP registry, percentile " +
+    "range, pipeline argument domains (r17 review symmetry)") {
+    def rejects(dql: String, frag: String): Unit = {
+      val e = intercept[RuntimeException](run(dql))
+      assert(e.getMessage != null && e.getMessage.contains(frag),
+        s"$dql → ${e.getMessage}")
+    }
+    rejects("SELECT EVENTS FROM 'testdata' WHERE 'k' > 90 SHIFT BY 1 h LAST 1 d",
+      "EVENTS")
+    rejects("SELECT EVENTS FROM 'testdata' LAST 1 d TOP 5 BY avg()",
+      "event streams")
+    rejects("SELECT avg('purchase'.* BUCKET 'testdata', 1 d) LAST 31 d " +
+      "TOP 2 BY bogus()", "constant-free aggregate")
+    rejects("SELECT percentile('purchase'.'3' BUCKET 'testdata', 90, 1 h) " +
+      "LAST 1 d", "halving")
+    rejects("SELECT percentile(histogram('purchase'.'3' BUCKET 'testdata', " +
+      "1000, 3, 1 h), 1.5) LAST 1 d", "fraction")
+    // the previously-unvalidated sibling spellings now guard their
+    // documented domains exactly like the validated ones
+    rejects("SELECT dedup_ngram(0) LAST 1 d", "dedup_ngram")
+    rejects("SELECT sim_rrf(5, 0) LAST 1 d", "sim_rrf")
+    rejects("SELECT sim_topk_probe(0, 5, 1) LAST 1 d", "sim_topk_probe")
+    rejects("SELECT sim_range_lsh(5, 7) LAST 1 d", "sim_range_lsh")
+    rejects("SELECT dedup_simhash(0.5) LAST 1 d", "dedup_simhash")
+    rejects("SELECT quality_trained(8, 2, 0.05, 10, 2) LAST 1 d",
+      "quality_trained")
+  }
+
+  test("non-commutative combinators reject a multi-series child loudly " +
+    "instead of collapsing it to max-of-series (r17 review)") {
+    val df = run("SELECT diff(avg('purchase'.* BUCKET 'testdata', 1 d), " +
+      "avg('error'.'3' BUCKET 'testdata', 1 d)) LAST 31 d")
+    val e = intercept[Exception](df.collect())
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") +
+        messages(t.getCause)
+    assert(messages(e).contains("ONE series per child"),
+      messages(e).take(300))
+    // single-series children still fold fine
+    val ok = run("SELECT diff(avg('purchase'.'3' BUCKET 'testdata', 1 d), " +
+      "avg('error'.'3' BUCKET 'testdata', 1 d)) LAST 31 d")
+    assert(ok.collect().nonEmpty)
+  }
+
   test("queryStrict raises no_results on a dead series (dqe_funnel parity)") {
     val store = new TestdataStore(dir)
     // a path that matches nothing → empty result → explicit error

@@ -11,7 +11,13 @@ import Ast._
 object DqlGen {
   private val name: Gen[String] = for {
     c <- Gen.alphaLowerChar
-    s <- Gen.listOfN(4, Gen.alphaNumChar)
+    // quote and backslash included: quoted parts may carry them (the
+    // lexer has escape rules), and the parse∘unparse fixpoint must
+    // survive them — the r17 review found the unparser dropped
+    // backslash escaping and no generated part ever exercised it
+    s <- Gen.listOfN(4,
+      Gen.frequency(8 -> Gen.alphaNumChar,
+        1 -> Gen.const('\\'), 1 -> Gen.const('\'')))
   } yield (c :: s).mkString
 
   private val unit: Gen[String] = Gen.oneOf(TimeLit.units)
@@ -97,7 +103,15 @@ object DqlGen {
         (t, w) <- window(r)
       } yield (FCall(n, Seq(m, t)), w)),
       1 -> (for {
-        n <- aggr3Name; (m, r) <- typed(depth - 1, baseRes); c <- const
+        n <- aggr3Name; (m, r) <- typed(depth - 1, baseRes)
+        // percentile's constant must land in (0, 1] AFTER the
+        // integer-halving rule (now resolver-validated); threshold
+        // aggregates take any constant
+        c <- if (n == "percentile")
+          Gen.oneOf[Num](Gen.const(Num(1.0, isInt = true)),
+            Gen.const(Num(2.0, isInt = true)),
+            Gen.choose(1, 99).map(p => Num(p / 100.0, isInt = false)))
+        else const
         (t, w) <- window(r)
       } yield (FCall(n, Seq(m, c, t)), w)),
       2 -> (for {
