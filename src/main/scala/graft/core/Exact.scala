@@ -82,6 +82,8 @@ object Exact {
     s"GREATEST(CAST(CAST(SUM(CAST(($c)*($c) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)/COUNT($c)" +
       s" - POW(${dsumSql(c)}/COUNT($c), 2.0), 0.0)"
   def dstddevPopSql(c: String): String = s"SQRT(${dvarPopSql(c)})"
+  // floor-mod like the Spark side's pmod, not DuckDB's truncating % —
+  // the two diverge on pre-epoch (negative) timestamps (r17 review)
   def wstartSql(tsMs: String, w: Long): String =
-    s"CAST($tsMs - $tsMs % $w AS BIGINT)"
+    s"CAST($tsMs - ((($tsMs) % $w + $w) % $w) AS BIGINT)"
 }

@@ -129,9 +129,18 @@ object SeriesOps {
     val ser0 = muserMax.fold(ser1)(m => ser1.where(col("muser") < m))
     val ser = ser0.where(col("ts_ms") >= startMs && col("ts_ms") < endMs)
     val catalog = ser0.select("metric", "mtype", "muser").distinct()
-    val nSlots = (endMs - startMs) / ResolutionMs
+    // the spine enumerates the 0-ANCHORED resolution grid within
+    // [startMs, endMs): stored slots are grid-floored, so a spine
+    // anchored at a raw (unaligned) startMs would orphan every real
+    // point — same class as the Compiler dense-leaf fix, kept in
+    // lockstep with the SQL mirror below (r17 review). Grid-aligned
+    // callers see the identical spine.
+    val firstSlot =
+      math.ceil(startMs.toDouble / ResolutionMs).toLong * ResolutionMs
+    val nSlots = math.max(0L, (endMs - firstSlot + ResolutionMs - 1) /
+      ResolutionMs)
     val spine = spark.range(nSlots)
-      .select((lit(startMs) + col("id") * ResolutionMs).as("ts_ms"))
+      .select((lit(firstSlot) + col("id") * ResolutionMs).as("ts_ms"))
       .crossJoin(broadcast(catalog))
     spine.join(ser, Seq("metric", "mtype", "muser", "ts_ms"), "left")
       .withColumn("confidence",
@@ -147,11 +156,15 @@ object SeriesOps {
     val conds = mtypeFilter.map(t => s"mtype = '$t'").toSeq ++
       muserMax.map(m => s"muser < $m").toSeq
     val f = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    // mirror of the Scala spine's grid alignment: first slot =
+    // ceil(start / res) * res (identical to start for aligned callers)
+    val firstSlot = math.ceil(startMs.toDouble / ResolutionMs).toLong *
+      ResolutionMs
     s"""WITH series AS ($seriesSql),
        |base AS (SELECT * FROM series$f),
        |cat AS (SELECT DISTINCT metric, mtype, muser FROM base),
        |spine AS (SELECT c.metric, c.mtype, c.muser, CAST(r.range AS BIGINT) AS ts_ms
-       |          FROM cat c CROSS JOIN range($startMs, $endMs, ${ResolutionMs}) r),
+       |          FROM cat c CROSS JOIN range($firstSlot, $endMs, ${ResolutionMs}) r),
        |gapfilled AS (
        |  SELECT s.metric, s.mtype, s.muser, s.ts_ms, b.value,
        |         CASE WHEN b.value IS NOT NULL THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS confidence

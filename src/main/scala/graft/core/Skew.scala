@@ -42,11 +42,37 @@ object Skew {
     partials
       .groupBy(keys.map(col): _*)
       .agg(flatten(collect_list(col("__part"))).as("__all"))
-      .withColumn("__sorted", array_sort(col("__all")))
-      .select(keys.map(col) :+ element_at(col("__sorted"),
-        greatest(lit(1L), ceil(lit(p) * size(col("__sorted")).cast("double"))
-          .cast("long")).cast("int")).as("value"): _*)
+      .withColumn("__sorted", boundedSorted(col("__all")))
+      .select(keys.map(col) :+ kthOf(col("__sorted"), p).as("value"): _*)
   }
+
+  /** sorted array with the same loud [[graft.ops.Aggrs.KthGroupRowBound]]
+    * backstop as the unsalted path: salting engages precisely on the
+    * groups big enough to need the bound, so the reassembled window —
+    * still one key's full row set, inherent to an exact order
+    * statistic — must fail descriptively, not as an executor OOM
+    * (r17 review)
+    */
+  private def boundedSorted(all: Column): Column = {
+    val bound = graft.ops.Aggrs.KthGroupRowBound
+    when(size(all) <= lit(bound), array_sort(all))
+      .otherwise(raise_error(concat(
+        lit(s"percentile group exceeds KthGroupRowBound=$bound rows: "),
+        size(all).cast("string"),
+        lit(" — widen the resolution or pre-aggregate the window"))))
+  }
+
+  /** 0-based `get` (null out of bounds), not ANSI `element_at`: an
+    * all-gap window collects an EMPTY array (collect_list skips the
+    * null gap values), and the k-th of an empty window is NULL on both
+    * engines — under Spark 4's default ANSI mode element_at(empty, 1)
+    * would kill the query instead (r17 review; the determinism
+    * conventions call for get() on any maybe-out-of-range lookup)
+    */
+  private def kthOf(sorted: Column, p: Double): Column =
+    get(sorted,
+      (greatest(lit(1L), ceil(lit(p) * size(sorted).cast("double"))
+        .cast("long")) - 1L).cast("int"))
 
   /** The DQL-frame form of [[saltedKth]]: same output contract as the
     * unsalted windowed percentile compile — one row per `keys` group with
@@ -59,8 +85,11 @@ object Skew {
     * the window start has replaced `ts_ms` in the keys by now), `value`,
     * and `confidence`. Value semantics are exactly the unsalted path's:
     * collect_list skips null values (gap rows), confidence averages over
-    * every row. Decimal partial sums keep the confidence mean
-    * order-independent across the two phases.
+    * every row AS A PLAIN DOUBLE sum/count — the same arithmetic the
+    * unsalted `avg(confidence)` runs, so flipping the salted flag (or
+    * crossing the autoRows bound as data grows) cannot move the
+    * confidence bits (r17 review: a decimal-summed mean here truncated
+    * fractional confidences differently from the unsalted path).
     */
   def saltedKthWindow(df: DataFrame, keys: Seq[String], p: Double,
                       salts: Int): DataFrame = {
@@ -70,19 +99,15 @@ object Skew {
     val partials = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sort_array(collect_list(col("value"))).as("__part"),
-        sum(col("confidence")
-          .cast(org.apache.spark.sql.types.DecimalType(28, Exact.S)))
-          .as("__csum"),
+        sum(col("confidence")).as("__csum"),
         count(col("confidence")).as("__cn"))
     partials
       .groupBy(keys.map(col): _*)
       .agg(flatten(collect_list(col("__part"))).as("__all"),
         sum(col("__csum")).as("__csum2"), sum(col("__cn")).as("__cn2"))
-      .withColumn("__sorted", array_sort(col("__all")))
+      .withColumn("__sorted", boundedSorted(col("__all")))
       .select(keys.map(col) :+
-        element_at(col("__sorted"),
-          greatest(lit(1L), ceil(lit(p) * size(col("__sorted")).cast("double"))
-            .cast("long")).cast("int")).as("value") :+
-        (col("__csum2").cast("double") / col("__cn2")).as("confidence"): _*)
+        kthOf(col("__sorted"), p).as("value") :+
+        (col("__csum2") / col("__cn2")).as("confidence"): _*)
   }
 }

@@ -63,9 +63,15 @@ object Aggrs {
         lit(s"percentile group exceeds KthGroupRowBound=$bound rows: "),
         size(arr).cast("string"),
         lit(" — widen the resolution or pre-aggregate the window"))))
-    element_at(guarded,
-      greatest(lit(1L), ceil(lit(p) * size(arr).cast("double")).cast("long"))
-        .cast("int"))
+    // 0-based get (null out of bounds), never ANSI element_at: an
+    // all-gap window collects an EMPTY array (collect_list skips null
+    // gap values) and its k-th is NULL on both engines — the DuckDB
+    // mirror's list index already yields NULL there, while
+    // element_at(empty, 1) would kill the query under Spark 4's
+    // default ANSI mode (r17 review; determinism conventions)
+    get(guarded,
+      (greatest(lit(1L), ceil(lit(p) * size(arr).cast("double"))
+        .cast("long")) - 1L).cast("int"))
   }
 
   private def kth(v: Column, p: Double): Column =

@@ -33,7 +33,12 @@ object Events {
     case Cmp(p, op, v) =>
       val c = v match {
         case _: Int | _: Long | _: Double =>
-          pathCol(df, p).cast("double")
+          // try_cast, not cast: a JSON prop holding a non-numeric
+          // value ("N/A") must read as a non-match (NULL comparison),
+          // not a CAST_INVALID_INPUT that aborts the scan under
+          // Spark 4's default ANSI mode (r17 review); the mirror uses
+          // TRY_CAST for the same filter-as-non-match semantics
+          pathCol(df, p).try_cast("double")
         case _ => pathCol(df, p)
       }
       val l = lit(v match {
@@ -56,21 +61,26 @@ object Events {
 
   /** DuckDB mirror of [[compile]] over the raw events table. */
   def sql(f: Filter, columns: Set[String]): String = {
+    // literal values and regex patterns splice into single-quoted SQL:
+    // escape quotes (doubled per the SQL standard) so a value like
+    // "it's" cannot break — or redirect — the oracle query (r17
+    // review; same class as the Unparse.q fix)
+    def esc(s: String): String = s.replace("'", "''")
     def path(p: String): String =
       if (columns.contains(p)) p
-      else s"json_extract_string(props, '$$.$p')"
+      else s"json_extract_string(props, '$$.${esc(p)}')"
     def numPath(p: String): String =
       if (columns.contains(p)) p
-      else s"CAST(json_extract_string(props, '$$.$p') AS DOUBLE)"
+      else s"TRY_CAST(json_extract_string(props, '$$.${esc(p)}') AS DOUBLE)"
     f match {
       case Cmp(p, op, v) =>
         val (c, l) = v match {
-          case s: String => (path(p), s"'$s'")
+          case s: String => (path(p), s"'${esc(s)}'")
           case n         => (numPath(p), n.toString)
         }
         val o = if (op == "==") "=" else op
         s"($c $o $l)"
-      case Regex(p, pat) => s"regexp_matches(${path(p)}, '$pat')"
+      case Regex(p, pat) => s"regexp_matches(${path(p)}, '${esc(pat)}')"
       case And(fs)       => fs.map(sql(_, columns)).mkString("(", " AND ", ")")
       case Or(a, b)      => s"(${sql(a, columns)} OR ${sql(b, columns)})"
       case Not(g)        => s"(NOT ${sql(g, columns)})"

@@ -203,13 +203,10 @@ object Sessions {
         df.withColumn(s"t$i",
           min(when(qualifies, col("ts_ms"))).over(w))
     }
-    val counts = withTimes.groupBy().agg(
-      steps.indices.map(i =>
-        count_distinct(when(col(s"t$i").isNotNull, col("user_id")))
-          .as(s"u$i")).head,
-      steps.indices.map(i =>
-        count_distinct(when(col(s"t$i").isNotNull, col("user_id")))
-          .as(s"u$i")).tail: _*)
+    val aggs = steps.indices.map(i =>
+      count_distinct(when(col(s"t$i").isNotNull, col("user_id")))
+        .as(s"u$i"))
+    val counts = withTimes.groupBy().agg(aggs.head, aggs.tail: _*)
     val stacked = steps.zipWithIndex.map { case (step, i) =>
       struct(lit(i.toLong).as("step_idx"), lit(step).as("step"),
         col(s"u$i").as("users"))
