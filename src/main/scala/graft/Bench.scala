@@ -226,6 +226,16 @@ object Bench {
       force(SparkEntry.queries("dql_pipeline_simtopk_refresh")(spark, sfDir)))
     warm("dql_sim_ivf_sized")(
       force(SparkEntry.queries("dql_pipeline_simtopk_sized")(spark, sfDir)))
+    // warms the band-index refresh artifacts (base-subset seed + the
+    // appended index) — the same maintenance-is-provisioning story as
+    // the IVF refresh above, on the near-dup artifact
+    warm("dql_band_refresh")(
+      force(SparkEntry.queries("dql_pipeline_neardup_refresh")(spark, sfDir)))
+    // warms the keep-first gram artifact (duplicated hashes + canonical
+    // keys) the keep-first scrubs — direct and DQL-spelled — probe; the
+    // keep-zero artifact is warmed by stream_spans above
+    warm("dupgrams_canon")(
+      force(SparkEntry.queries("stream_scrub_keepfirst")(spark, sfDir)))
     // warms the DQL registry's frozen quality-classifier weights (the
     // same trained-model provisioning story as stream_classifier above)
     warm("dql_quality_trained")(

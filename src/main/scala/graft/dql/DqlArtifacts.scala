@@ -219,6 +219,132 @@ object DqlArtifacts {
           .persist(StorageLevel.MEMORY_AND_DISK))
     })
 
+  private val bandRefreshCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame])
+
+  /** Eviction-vs-append refresh for the near-dup band index — the
+    * [[ivfRefresh]] policy applied to the OTHER shared index artifact
+    * (r17 review: the IVF artifact gained a refresh policy, the band
+    * index still evicted wholesale on every corpus change). Band-index
+    * rows are a pure per-doc function of each document's own shingles,
+    * so maintenance is the cheapest algebraic case:
+    *
+    *   - APPEND when every delta doc_id is NEW to the corpus:
+    *     signatures compute for the DELTA ONLY
+    *     ([[graft.pipeline.Dedup.bandIndexAppend]] — the base corpus is
+    *     never re-shingled), and because (doc, band) keys are disjoint
+    *     under append the result ≡ a full rebuild bit-for-bit
+    *     (BandIndexSpec's standing invariant).
+    *   - REBUILD on any id overlap: an in-place text update invalidates
+    *     that doc's bands and shingle set, so the index rebuilds over
+    *     (base − delta ids) ∪ delta.
+    *
+    * Same `deltaId` CONTENT contract as [[ivfRefresh]] (the memo trusts
+    * the caller's refresh-ledger key; a retry with corrected rows needs
+    * a new id or an evictArtifacts). `delta` has the documents shape
+    * (doc_id, text).
+    */
+  def bandRefresh(spark: SparkSession, store: SeriesStore,
+                  deltaId: String, delta: DataFrame): DataFrame = {
+    require(deltaId.nonEmpty, "bandRefresh: deltaId must be non-empty " +
+      "(it keys the refresh memo — see the content contract)")
+    bandRefreshCache.computeIfAbsent(
+      (spark, store.corpusKey, deltaId), { _ =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val base = bandIndex(spark, store)
+        val deltaIds = delta.select(col("doc_id"))
+        val overlaps = !base
+          .join(broadcast(deltaIds), Seq("doc_id"), "left_semi").isEmpty
+        val refreshed =
+          if (!overlaps)
+            graft.pipeline.Dedup.bandIndexAppend(base, delta)
+          else
+            graft.pipeline.Dedup.bandIndex(
+              store.table(spark, "documents")
+                .join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+                .unionByName(delta))
+        graft.core.Caches.sanction(
+          refreshed.persist(StorageLevel.MEMORY_AND_DISK))
+      })
+  }
+
+  private val lshRefreshCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String, Int), DataFrame])
+
+  /** [[ivfRefresh]]'s policy for the LSH band-index artifact: the
+    * hyperplane-sign bucketing ([[graft.pipeline.Similarity.lshPrep]])
+    * is row-local, so an all-new delta appends as a delta-only prep +
+    * union (≡ rebuild bit-for-bit — each row's bucket depends on
+    * nothing but its own embedding); any id overlap rebuilds over
+    * (base − delta ids) ∪ delta. Same `deltaId` content contract as
+    * the other refreshes. `delta` has the embeddings shape
+    * (vec_id, embedding).
+    */
+  def lshRefresh(spark: SparkSession, store: SeriesStore,
+                 deltaId: String, delta: DataFrame,
+                 bitsOverride: Int = 0): DataFrame = {
+    require(deltaId.nonEmpty, "lshRefresh: deltaId must be non-empty " +
+      "(it keys the refresh memo — see the content contract)")
+    val b = if (bitsOverride > 0) bitsOverride else bits(spark, store)
+    lshRefreshCache.computeIfAbsent(
+      (spark, store.corpusKey, deltaId, b), { _ =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val base = lshIndex(spark, store, b)
+        val deltaIds = delta.select(col("vec_id"))
+        val overlaps = !base
+          .join(broadcast(deltaIds), Seq("vec_id"), "left_semi").isEmpty
+        val refreshed =
+          if (!overlaps)
+            base.unionByName(Similarity.lshPrep(delta, b, Dim))
+          else
+            Similarity.lshPrep(
+              store.table(spark, "embeddings")
+                .join(broadcast(deltaIds), Seq("vec_id"), "left_anti")
+                .unionByName(delta), b, Dim)
+        graft.core.Caches.sanction(
+          refreshed.persist(StorageLevel.MEMORY_AND_DISK))
+      })
+  }
+
+  private val gramCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int), DataFrame])
+
+  private val gramCanonCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int), DataFrame])
+
+  /** The corpus duplicated-gram artifact
+    * ([[graft.pipeline.Dedup.dupGrams]] — window hashes occurring more
+    * than once corpus-wide), pinned and sanctioned per (session,
+    * corpus, n). The batch-refreshed table the streaming span/scrub
+    * probes and the streaming DQL `scrub` spelling read — one artifact
+    * per corpus shared by every consumer (the bandIndex posture).
+    */
+  def dupGrams(spark: SparkSession, store: SeriesStore, n: Int): DataFrame =
+    gramCache.computeIfAbsent((spark, store.corpusKey, n), { _ =>
+      graft.core.Caches.sanction(
+        graft.pipeline.Dedup.dupGrams(store.table(spark, "documents"), n)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    })
+
+  /** The keep-first companion ([[graft.pipeline.Dedup.dupGramsWithCanon]]
+    * — duplicated hashes WITH their packed canonical-occurrence keys),
+    * pinned and sanctioned per (session, corpus, n); read by the
+    * streaming keep-first scrub and the streaming DQL `scrub_keepfirst`
+    * spelling.
+    */
+  def dupGramsCanon(spark: SparkSession, store: SeriesStore,
+                    n: Int): DataFrame =
+    gramCanonCache.computeIfAbsent((spark, store.corpusKey, n), { _ =>
+      graft.core.Caches.sanction(
+        graft.pipeline.Dedup.dupGramsWithCanon(
+          store.table(spark, "documents"), n)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    })
+
   private val clsCache = graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, Int, Int, Double, Int, Double),

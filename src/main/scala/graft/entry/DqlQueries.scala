@@ -229,6 +229,32 @@ object DqlQueries extends QueryProvider {
       col("vec_id") % 5 =!= 0
   }
 
+  /** Store over the BASE subset of the documents corpus for the
+    * band-index refresh gate (delta = doc_id % 5 = 0 — all-new ids, the
+    * append regime). Distinct corpusKey like [[IvfBaseStore]]: the
+    * subset must never share the full corpus's memoized artifacts.
+    */
+  private final class BandBaseStore(d: String) extends graft.dql.SeriesStore {
+    private val inner = new TestdataStore(d)
+    override def corpusKey: String = d + "#band-append-base"
+    def resolutionMs(bucket: String): Long = inner.resolutionMs(bucket)
+    def series(s: SparkSession, bucket: String): DataFrame =
+      inner.series(s, bucket)
+    def tagCol(ns: String, key: String): Option[String] =
+      inner.tagCol(ns, key)
+    val tagCols: Seq[String] = Seq("mtype", "muser")
+    def events(s: SparkSession, bucket: String): DataFrame =
+      inner.events(s, bucket)
+    override def table(s: SparkSession, name: String): DataFrame = {
+      val t = inner.table(s, name)
+      if (name == "documents") t.where(bandBasePred) else t
+    }
+  }
+  private def bandBasePred: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col("doc_id") % 5 =!= 0
+  }
+
   /** default name literal for a selector, exactly as the engine renders */
   private def nameOf(key: String, sel: Int = 0): String =
     Unparse.expr(Parser.parse(dqls(key)).selectors(sel).expr)
@@ -256,7 +282,8 @@ object DqlQueries extends QueryProvider {
       key -> ((s: SparkSession, d: String) =>
         Compiler.run(s, new TestdataStore(d), NowMs, dql)
           .orderBy(order.map(org.apache.spark.sql.functions.col): _*))
-    } + ("dql_pipeline_simtopk_refresh" -> ivfRefreshGate _)
+    } + ("dql_pipeline_simtopk_refresh" -> ivfRefreshGate _) +
+      ("dql_pipeline_neardup_refresh" -> bandRefreshGate _)
 
   /** IVF index maintenance from the registry side (r16 verdict #6):
     * the artifact is SEEDED over the base subset, the delta arrives as
@@ -277,6 +304,24 @@ object DqlQueries extends QueryProvider {
       emb.where(col("vec_id") < 5), 10,
       nProbe = graft.dql.DqlArtifacts.nCells(s, baseStore))
       .orderBy("query_id", "rank")
+  }
+
+  /** Band-index maintenance from the registry side (the [[ivfRefreshGate]]
+    * pattern on the OTHER shared index artifact): the near-dup band
+    * index is SEEDED over the base document subset, the delta arrives
+    * as a refresh batch, and [[graft.dql.DqlArtifacts.bandRefresh]]
+    * takes the APPEND path (all delta doc ids new → signatures computed
+    * for the delta only, base never re-shingled). Pairs read off the
+    * appended artifact must equal the FULL-corpus pair oracle — the
+    * proof that append maintenance loses nothing.
+    */
+  private def bandRefreshGate(s: SparkSession, d: String): DataFrame = {
+    val baseStore = new BandBaseStore(d)
+    val delta = graft.core.Tables(s, d, "documents").where(!bandBasePred)
+    val refreshed = graft.dql.DqlArtifacts.bandRefresh(
+      s, baseStore, deltaId = "mod5-docs", delta = delta)
+    graft.pipeline.Dedup.minhashPairsFromIndex(refreshed, 0.5)
+      .orderBy("doc_a", "doc_b")
   }
 
   // ----------------------------------------------------------- oracle
@@ -520,6 +565,11 @@ object DqlQueries extends QueryProvider {
       graft.pipeline.Similarity.bruteTopKSql(
         graft.core.Tables.EmbeddingDim, 10,
         "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5"),
+    // band-index append-maintenance pin (the simtopk_refresh posture on
+    // the near-dup artifact): pairs read off the base-seeded index
+    // APPENDED with the delta ≡ the FULL-corpus pair oracle
+    "dql_pipeline_neardup_refresh" ->
+      graft.pipeline.Dedup.minhashPairsSql(0.5),
     "dql_pipeline_simtopk_ivf" -> graft.pipeline.Similarity.bruteTopKSql(
       graft.core.Tables.EmbeddingDim, 5,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 12"),

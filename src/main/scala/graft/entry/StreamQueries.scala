@@ -384,11 +384,11 @@ object StreamQueries extends QueryProvider {
     * and frozen-artifact probes, each ≡ its batch oracle on the
     * bounded replay.
     */
-  private def runDqlPipeline(s: SparkSession, dir: String,
-                             dql: String): DataFrame =
+  private def runDqlPipeline(s: SparkSession, dir: String, dql: String,
+                             mode: String = "append"): DataFrame =
     drain(s, graft.streaming.StreamingPipelineDql.compile(
       docStream(s, dir), dql, new graft.dql.TestdataStore(dir)),
-      "append")
+      mode)
 
   /** The stream-static near-dup gate: the document replay probed against
     * the band index of the SAME corpus — every flagged (probe, corpus)
@@ -422,17 +422,12 @@ object StreamQueries extends QueryProvider {
     * rebuilds from current storage (r14 advisory: no refreshed corpus
     * may pair with a stale frozen artifact).
     */
-  private val dupGramsCache =
-    graft.core.Caches.registerArtifactCache(
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      DataFrame]())
+  // delegates to the shared (session, corpus, n)-keyed artifact in
+  // DqlArtifacts (r17): the streaming DQL registry's scrub spelling
+  // reads the SAME table, so the corpus-wide count is paid once per
+  // refresh no matter which surface probes it
   private def dupGramsArtifact(s: SparkSession, dir: String): DataFrame =
-    dupGramsCache.computeIfAbsent((s, dir), { _ =>
-      graft.core.Caches.sanction(
-        graft.pipeline.Dedup.dupGrams(
-          graft.core.Tables(s, dir, "documents"), 8)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
+    graft.dql.DqlArtifacts.dupGrams(s, new graft.dql.TestdataStore(dir), 8)
 
   private def runSpans(s: SparkSession, dir: String): DataFrame =
     drain(s, DocStream.spanHitsAgainstGrams(docStream(s, dir),
@@ -450,16 +445,9 @@ object StreamQueries extends QueryProvider {
   /** the keep-first artifact — duplicated hashes WITH their packed
     * canonical keys — memoized + sanctioned like [[dupGramsArtifact]]
     */
-  private val dupCanonCache = graft.core.Caches.registerArtifactCache(
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      DataFrame]())
   private def dupCanonArtifact(s: SparkSession, dir: String): DataFrame =
-    dupCanonCache.computeIfAbsent((s, dir), { _ =>
-      graft.core.Caches.sanction(
-        graft.pipeline.Dedup.dupGramsWithCanon(
-          graft.core.Tables(s, dir, "documents"), 8)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
+    graft.dql.DqlArtifacts.dupGramsCanon(s,
+      new graft.dql.TestdataStore(dir), 8)
 
   private def runScrubKeepFirst(s: SparkSession, dir: String): DataFrame =
     drain(s, DocStream.scrubKeepFirstAgainstGrams(docStream(s, dir),
@@ -1589,6 +1577,14 @@ object StreamQueries extends QueryProvider {
         "SELECT quality_trained(32, 10, 0.001, 55, 0.1) LAST 30 d")),
     "stream_dql_pipeline_dedup" -> ((s, d) =>
       runDqlPipeline(s, d, "SELECT dedup_minhash(0.5) LAST 30 d")),
+    // span scrubs from the language on the firehose: the frozen
+    // (session, corpus, n) gram artifacts probed per arrival — update
+    // mode like the direct stream_scrub gates (one doc-keyed re-group)
+    "stream_dql_pipeline_scrub" -> ((s, d) =>
+      runDqlPipeline(s, d, "SELECT scrub(8) LAST 30 d", "update")),
+    "stream_dql_pipeline_scrub_keepfirst" -> ((s, d) =>
+      runDqlPipeline(s, d, "SELECT scrub_keepfirst(8) LAST 30 d",
+        "update")),
     "stream_comb_diff" -> ((s, d) => runDql(s, d, CombDql, "append")),
     "stream_conf_count" -> ((s, d) => runDql(s, d, ConfDql, "update")),
     "stream_derivate" -> ((s, d) => runDql(s, d, DerivDql, "append")),
@@ -1948,6 +1944,13 @@ object StreamQueries extends QueryProvider {
          |  UNION ALL
          |  SELECT doc_b AS doc_id, doc_a AS match_id, jaccard
          |  FROM (${graft.pipeline.Dedup.minhashPairsSql(0.5)}))""".stripMargin,
+    // the DQL scrub spellings dispatch to the stream scrub operators
+    // against the shared gram artifacts, so the batch rewrite oracles
+    // apply verbatim (the stream_scrub / stream_scrub_keepfirst pins)
+    "stream_dql_pipeline_scrub" ->
+      graft.pipeline.Dedup.substringScrubSql(8),
+    "stream_dql_pipeline_scrub_keepfirst" ->
+      graft.pipeline.Dedup.substringScrubKeepFirstSql(8),
     "stream_bpe_encode" -> graft.pipeline.Bpe.encodeCountsSql(4,
       "doc_id % 5 <> 0", "doc_id % 5 = 0"),
     // live scoreboard: final complete-mode board ≡ the batch per-source

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -43,16 +43,50 @@ object Dedup {
     */
   val MaxBandBucket = 1000
 
+  /** Conf-first resolution of the hot-band cap (the same class of
+    * fixture-constant the r17 sim-sizing knobs closed:
+    * `spark.graft.dql.sim.ncells` went conf-first, this cap follows) —
+    * `spark.graft.dedup.maxBandBucket` pins an explicit value, read
+    * LIVE on every candidate build so a conf change after the first
+    * query takes effect; unset falls back to [[MaxBandBucket]]. A
+    * deployment tunes it against its own boilerplate profile (the cap
+    * bounds ONE shuffle task's pair expansion at ~cap²/2), the gate
+    * harness leaves it unset so every oracle corpus sits far below it.
+    */
+  val MaxBandBucketConf = "spark.graft.dedup.maxBandBucket"
+
+  def maxBandBucket(spark: SparkSession): Int =
+    spark.conf.getOption(MaxBandBucketConf).map { raw =>
+      val v = try raw.trim.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$MaxBandBucketConf must be a positive integer, got '$raw'")
+      }
+      if (v < 1) throw new IllegalArgumentException(
+        s"$MaxBandBucketConf must be a positive integer, got '$raw'")
+      v
+    }.getOrElse(MaxBandBucket)
+
+  /** caller-explicit cap wins (> 0); 0 = "resolve from conf/default" —
+    * the sentinel keeps `maxBucket = Int.MaxValue`-style explicit
+    * overrides working while the no-argument forms honor the conf
+    */
+  private def resolveCap(df: DataFrame, maxBucket: Int): Int = {
+    require(maxBucket >= 0,
+      s"maxBucket must be >= 0 (0 = conf/default), got $maxBucket")
+    if (maxBucket > 0) maxBucket else maxBandBucket(df.sparkSession)
+  }
+
   /** The disclosure companion of [[MaxBandBucket]]: the band buckets a
     * capped candidate build EXCLUDED, with their sizes — over a band
     * index ([[bandIndex]] schema) or any (doc_id, band_idx, bh) frame.
-    * One map-side-combinable count aggregation.
+    * One map-side-combinable count aggregation. `maxBucket` 0 (the
+    * default) resolves via [[maxBandBucket]].
     */
-  def hotBands(index: DataFrame,
-               maxBucket: Int = MaxBandBucket): DataFrame =
+  def hotBands(index: DataFrame, maxBucket: Int = 0): DataFrame =
     index.groupBy("band_idx", "bh")
       .agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBucket)
+      .where(col("n") > resolveCap(index, maxBucket))
 
   /** band keys annotated + filtered to buckets within the cap: one
     * window count over the join's own (band_idx, bh) partitioning, so
@@ -275,7 +309,8 @@ object Dedup {
     * touched.
     */
   def minhashPairsFromIndex(index: DataFrame, threshold: Double,
-                            maxBucket: Int = MaxBandBucket): DataFrame = {
+                            maxBucket: Int = 0): DataFrame = {
+    val cap = resolveCap(index, maxBucket)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pin: the key self-join and the two set joins would otherwise
     // recompute the (appended) index once per consumer side. An index
@@ -290,7 +325,7 @@ object Dedup {
     // enter the self-join — excluded pairs are a DISCLOSED bound, read
     // them back via [[hotBands]](index, maxBucket)
     val keys = withinCap(
-      idx.select(col("doc_id"), col("band_idx"), col("bh")), maxBucket)
+      idx.select(col("doc_id"), col("band_idx"), col("bh")), cap)
     val cand = keys.as("x").join(keys.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.bh") === col("y.bh") &&
@@ -333,9 +368,10 @@ object Dedup {
     // the hot-band cap runs BEFORE the pin: the window count shares the
     // self-join's (band_idx, bh) partitioning, so the pinned frame is
     // already join-partitioned and the cap costs no extra exchange
-    // (excluded buckets are the disclosed [[MaxBandBucket]] bound)
+    // (excluded buckets are the disclosed [[maxBandBucket]] bound)
     val melted = withinCap(banded.selectExpr("doc_id",
-      s"stack($Bands, $stackExpr) as (band_idx, bh)"), MaxBandBucket)
+      s"stack($Bands, $stackExpr) as (band_idx, bh)"),
+      maxBandBucket(sig.sparkSession))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = melted.as("x").join(melted.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

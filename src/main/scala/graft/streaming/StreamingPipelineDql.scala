@@ -81,6 +81,19 @@ object StreamingPipelineDql {
         DocStream.nearDupAgainstIndex(docStream,
           DqlArtifacts.bandIndex(spark, store), args.head, watermark)
           .select("doc_id", "match_id", "jaccard")
+      // span SCRUB against the frozen duplicated-gram artifact: window
+      // hashes derive row-locally, one stream-static left join marks
+      // hits, one doc-keyed re-group + row-local island fold rewrites
+      // the text (the stream_scrub / stream_scrub_keepfirst precedent;
+      // sinks run update mode — a doc's windows ride one input row)
+      case "scrub" =>
+        val n = args.head.toInt
+        DocStream.scrubAgainstGrams(docStream,
+          DqlArtifacts.dupGrams(spark, store, n), n)
+      case "scrub_keepfirst" =>
+        val n = args.head.toInt
+        DocStream.scrubKeepFirstAgainstGrams(docStream,
+          DqlArtifacts.dupGramsCanon(spark, store, n), n)
       case other if Resolver.pipelineFns.contains(other) =>
         throw Unstreamable(
           s"pipeline function '$other' needs corpus-wide state " +

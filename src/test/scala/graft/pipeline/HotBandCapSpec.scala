@@ -55,7 +55,9 @@ class HotBandCapSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ===
         Set((100000L, 100001L)))
       // generous wall bound — the point is k²-in-one-task never runs
-      assert(sec < 60.0, f"capped candidate build took $sec%.1f s")
+      // (~50M pairs, minutes); 180 s absorbs full-suite JIT/GC noise
+      // (observed one >60 s flake in a 77-suite sequential run)
+      assert(sec < 180.0, f"capped candidate build took $sec%.1f s")
       // the exclusion is DISCLOSED: every band of the boilerplate
       // cluster surfaces with its size
       val hot = Dedup.hotBands(idx).collect()
@@ -111,5 +113,41 @@ class HotBandCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(setOf(Dedup.minhashPairs(docs, 0.5)) === uncapped)
     // and nothing was hot
     assert(Dedup.hotBands(idx).isEmpty)
+  }
+
+  test("the cap is conf-first: spark.graft.dedup.maxBandBucket pins it " +
+    "live, an explicit argument still wins, bad values are typed errors") {
+    val docs = adversarial(20)  // one 20-doc boilerplate bucket
+    val idx = Dedup.bandIndex(docs)
+    // default (conf unset): 20 < 1000, the cluster pairs and nothing is hot
+    assert(Dedup.hotBands(idx).isEmpty)
+    assert(Dedup.minhashPairsFromIndex(idx, 0.9).count() > 0)
+    try {
+      // conf pins the cap BELOW the cluster: build excludes it, hotBands
+      // discloses it — read LIVE, no artifact eviction needed
+      spark.conf.set(Dedup.MaxBandBucketConf, "10")
+      assert(Dedup.maxBandBucket(spark) === 10)
+      val pairs = Dedup.minhashPairsFromIndex(idx, 0.9).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((100000L, 100001L)),
+        "conf-pinned cap 10 should exclude the 20-doc bucket")
+      val hot = Dedup.hotBands(idx).collect()
+      assert(hot.nonEmpty && hot.forall(_.getLong(2) == 20L))
+      // the direct build path (minhashPairs → bandedCandidates) honors
+      // the same conf
+      assert(Dedup.minhashPairs(docs, 0.9).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((100000L, 100001L)))
+      // explicit argument beats the conf
+      assert(Dedup.minhashPairsFromIndex(idx, 0.9,
+        maxBucket = Int.MaxValue).count() > 1)
+      // typed errors on non-integer / non-positive pins
+      for (bad <- Seq("zero", "0", "-3")) {
+        spark.conf.set(Dedup.MaxBandBucketConf, bad)
+        val e = intercept[IllegalArgumentException](
+          Dedup.maxBandBucket(spark))
+        assert(e.getMessage.contains(Dedup.MaxBandBucketConf))
+      }
+    } finally spark.conf.unset(Dedup.MaxBandBucketConf)
   }
 }

@@ -58,6 +58,63 @@ class StreamingPipelineDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compile(
       "SELECT quality_trained(8, 2, 0.05, 10, 0.2) LAST 30 d").isStreaming)
     assert(compile("SELECT dedup_minhash(0.5) LAST 30 d").isStreaming)
+    // span scrubs against the frozen (session, corpus, n) gram
+    // artifacts — the stream_scrub operators from the language
+    assert(compile("SELECT scrub(8) LAST 30 d").isStreaming)
+    assert(compile("SELECT scrub_keepfirst(8) LAST 30 d").isStreaming)
+  }
+
+  test("scrub rewrites arrivals across micro-batches exactly like the " +
+    "batch scrub of the same corpus (frozen gram artifact, doc-keyed " +
+    "re-group)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    // the corpus-backed store the frozen artifact derives from: the
+    // probe docs ARE corpus docs, so batch scrub(4) over the corpus is
+    // the exact oracle for the replayed subset
+    val boiler = "one two three four"  // a 4-gram duplicated corpus-wide
+    val corpus = (0L until 12L).map(i =>
+      i -> (s"$boiler unique$i tail$i words$i here$i " + boiler))
+    val store = new graft.dql.SeriesStore {
+      override def corpusKey: String = dir + "#spdql-scrub"
+      def resolutionMs(bucket: String): Long = 1000L
+      def series(ss: SparkSession, bucket: String): DataFrame =
+        throw new UnsupportedOperationException
+      def tagCol(ns: String, k: String): Option[String] = None
+      val tagCols: Seq[String] = Seq.empty
+      def events(ss: SparkSession, bucket: String): DataFrame =
+        throw new UnsupportedOperationException
+      override def table(ss: SparkSession, name: String): DataFrame = {
+        require(name == "documents", name)
+        corpus.toDF("doc_id", "text")
+      }
+    }
+    val out = StreamingPipelineDql.compile(stream,
+      "SELECT scrub(4) LAST 30 d", store)
+    val q = out.writeStream.format("memory").queryName("spdql_scrub")
+      .outputMode("update").start()
+    try {
+      in.addData(corpus.take(6): _*); q.processAllAvailable()
+      in.addData(corpus.drop(6): _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "n_dropped", "clean_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    // update mode re-emits a doc only if its group changes; each doc
+    // rides one trigger here, so take the LAST emission per doc_id
+    val gotAll = s.table("spdql_scrub")
+    val got = rows(gotAll)
+    val expected = rows(graft.pipeline.Dedup.substringScrub(
+      corpus.toDF("doc_id", "text"), 4))
+    assert(got === expected)
+    assert(got.exists(_._3 > 0L), "nothing scrubbed — vacuous fixture")
+    assert(got.exists(_._1 < 6) && got.exists(_._1 >= 6),
+      "a whole micro-batch is missing from the scrubbed output")
   }
 
   test("corpus-wide functions are typed rejects naming the batch path") {
