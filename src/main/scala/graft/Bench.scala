@@ -231,6 +231,10 @@ object Bench {
     // the IVF refresh above, on the near-dup artifact
     warm("dql_band_refresh")(
       force(SparkEntry.queries("dql_pipeline_neardup_refresh")(spark, sfDir)))
+    // warms the gram-refresh artifacts (base-subset counts seed + the
+    // merged duplicated-hash projection)
+    warm("dql_gram_refresh")(
+      force(SparkEntry.queries("dql_pipeline_spans_refresh")(spark, sfDir)))
     // warms the keep-first gram artifact (duplicated hashes + canonical
     // keys) the keep-first scrubs — direct and DQL-spelled — probe; the
     // keep-zero artifact is warmed by stream_spans above

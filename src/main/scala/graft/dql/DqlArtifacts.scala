@@ -316,34 +316,150 @@ object DqlArtifacts {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, Int), DataFrame])
 
+  private val gramCountsCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int), DataFrame])
+
+  private val gramCanonCountsCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int), DataFrame])
+
+  /** The MAINTAINABLE gram artifact — per-hash occurrence counts
+    * ([[graft.pipeline.Dedup.gramCounts]]), pinned and sanctioned per
+    * (session, corpus, n). This is the table production materializes
+    * when the corpus grows incrementally (Dedup's own contract: counts
+    * merge under append, the duplicated-hash set does not), so the
+    * refresh path ([[gramRefresh]]) folds deltas into IT and the
+    * consumer-facing [[dupGrams]] is its `c > 1` projection.
+    */
+  def gramCounts(spark: SparkSession, store: SeriesStore,
+                 n: Int): DataFrame =
+    gramCountsCache.computeIfAbsent((spark, store.corpusKey, n), { _ =>
+      graft.core.Caches.sanction(
+        graft.pipeline.Dedup.gramCounts(store.table(spark, "documents"), n)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    })
+
+  /** The keep-first maintainable twin
+    * ([[graft.pipeline.Dedup.gramCountsCanon]] — counts plus packed
+    * canonical-occurrence keys, both algebraically mergeable under
+    * append: counts add, keys min).
+    */
+  def gramCountsCanon(spark: SparkSession, store: SeriesStore,
+                      n: Int): DataFrame =
+    gramCanonCountsCache.computeIfAbsent((spark, store.corpusKey, n), { _ =>
+      graft.core.Caches.sanction(
+        graft.pipeline.Dedup.gramCountsCanon(
+          store.table(spark, "documents"), n)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    })
+
   /** The corpus duplicated-gram artifact
     * ([[graft.pipeline.Dedup.dupGrams]] — window hashes occurring more
     * than once corpus-wide), pinned and sanctioned per (session,
-    * corpus, n). The batch-refreshed table the streaming span/scrub
-    * probes and the streaming DQL `scrub` spelling read — one artifact
-    * per corpus shared by every consumer (the bandIndex posture).
+    * corpus, n): the `c > 1` projection of the maintainable
+    * [[gramCounts]] artifact (one corpus scan feeds both). The
+    * batch-refreshed table the streaming span/scrub probes and the
+    * streaming DQL `scrub` spelling read — one artifact per corpus
+    * shared by every consumer (the bandIndex posture).
     */
   def dupGrams(spark: SparkSession, store: SeriesStore, n: Int): DataFrame =
     gramCache.computeIfAbsent((spark, store.corpusKey, n), { _ =>
       graft.core.Caches.sanction(
-        graft.pipeline.Dedup.dupGrams(store.table(spark, "documents"), n)
+        graft.pipeline.Dedup.dupGramsOf(gramCounts(spark, store, n))
           .persist(StorageLevel.MEMORY_AND_DISK))
     })
 
   /** The keep-first companion ([[graft.pipeline.Dedup.dupGramsWithCanon]]
     * — duplicated hashes WITH their packed canonical-occurrence keys),
-    * pinned and sanctioned per (session, corpus, n); read by the
-    * streaming keep-first scrub and the streaming DQL `scrub_keepfirst`
-    * spelling.
+    * the projection of [[gramCountsCanon]]; read by the streaming
+    * keep-first scrub and the streaming DQL `scrub_keepfirst` spelling.
     */
   def dupGramsCanon(spark: SparkSession, store: SeriesStore,
                     n: Int): DataFrame =
     gramCanonCache.computeIfAbsent((spark, store.corpusKey, n), { _ =>
       graft.core.Caches.sanction(
-        graft.pipeline.Dedup.dupGramsWithCanon(
-          store.table(spark, "documents"), n)
+        graft.pipeline.Dedup.dupGramsWithCanonOf(
+          gramCountsCanon(spark, store, n))
           .persist(StorageLevel.MEMORY_AND_DISK))
     })
+
+  private val gramRefreshCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String, Int), DataFrame])
+
+  private val gramCanonRefreshCache =
+    graft.core.Caches.registerArtifactCache(
+      new java.util.concurrent.ConcurrentHashMap[
+        (SparkSession, String, String, Int), DataFrame])
+
+  /** Eviction-vs-append refresh for the duplicated-gram artifact — the
+    * [[ivfRefresh]] policy on the LAST shared artifact family without
+    * one. All-new delta doc ids → APPEND: the delta's counts fold into
+    * the resident [[gramCounts]] artifact with ONE keyed full-outer
+    * merge ([[graft.pipeline.Dedup.gramCountsAppend]] — the base corpus
+    * is never re-scanned), and the refreshed duplicated-hash set is the
+    * merged counts' projection (≡ a full rebuild by the counts algebra).
+    * Any id overlap → REBUILD over (base − delta ids) ∪ delta (a text
+    * update invalidates counts no merge can repair — the old text is
+    * gone). Same deltaId content contract and memoization as the other
+    * refreshes. Returns the refreshed [[dupGrams]]-shaped projection.
+    */
+  def gramRefresh(spark: SparkSession, store: SeriesStore, deltaId: String,
+                  delta: DataFrame, n: Int): DataFrame = {
+    require(deltaId.nonEmpty, "gramRefresh: deltaId must be non-empty " +
+      "(it keys the refresh memo — see the content contract)")
+    gramRefreshCache.computeIfAbsent(
+      (spark, store.corpusKey, deltaId, n), { _ =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val deltaIds = delta.select(col("doc_id"))
+        val overlaps = !store.table(spark, "documents")
+          .join(broadcast(deltaIds), Seq("doc_id"), "left_semi").isEmpty
+        val refreshed =
+          if (!overlaps)
+            graft.pipeline.Dedup.dupGramsOf(
+              graft.pipeline.Dedup.gramCountsAppend(
+                gramCounts(spark, store, n), delta, n))
+          else
+            graft.pipeline.Dedup.dupGrams(
+              store.table(spark, "documents")
+                .join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+                .unionByName(delta), n)
+        graft.core.Caches.sanction(
+          refreshed.persist(StorageLevel.MEMORY_AND_DISK))
+      })
+  }
+
+  /** [[gramRefresh]] for the keep-first artifact: counts add, canonical
+    * keys min ([[graft.pipeline.Dedup.gramCountsCanonAppend]]) on the
+    * append path; rebuild on overlap. Returns the refreshed
+    * [[dupGramsCanon]]-shaped projection.
+    */
+  def gramCanonRefresh(spark: SparkSession, store: SeriesStore,
+                       deltaId: String, delta: DataFrame,
+                       n: Int): DataFrame = {
+    require(deltaId.nonEmpty, "gramCanonRefresh: deltaId must be " +
+      "non-empty (it keys the refresh memo — see the content contract)")
+    gramCanonRefreshCache.computeIfAbsent(
+      (spark, store.corpusKey, deltaId, n), { _ =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val deltaIds = delta.select(col("doc_id"))
+        val overlaps = !store.table(spark, "documents")
+          .join(broadcast(deltaIds), Seq("doc_id"), "left_semi").isEmpty
+        val refreshed =
+          if (!overlaps)
+            graft.pipeline.Dedup.dupGramsWithCanonOf(
+              graft.pipeline.Dedup.gramCountsCanonAppend(
+                gramCountsCanon(spark, store, n), delta, n))
+          else
+            graft.pipeline.Dedup.dupGramsWithCanon(
+              store.table(spark, "documents")
+                .join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+                .unionByName(delta), n)
+        graft.core.Caches.sanction(
+          refreshed.persist(StorageLevel.MEMORY_AND_DISK))
+      })
+  }
 
   private val clsCache = graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[

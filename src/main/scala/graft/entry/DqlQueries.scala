@@ -283,7 +283,8 @@ object DqlQueries extends QueryProvider {
         Compiler.run(s, new TestdataStore(d), NowMs, dql)
           .orderBy(order.map(org.apache.spark.sql.functions.col): _*))
     } + ("dql_pipeline_simtopk_refresh" -> ivfRefreshGate _) +
-      ("dql_pipeline_neardup_refresh" -> bandRefreshGate _)
+      ("dql_pipeline_neardup_refresh" -> bandRefreshGate _) +
+      ("dql_pipeline_spans_refresh" -> gramRefreshGate _)
 
   /** IVF index maintenance from the registry side (r16 verdict #6):
     * the artifact is SEEDED over the base subset, the delta arrives as
@@ -322,6 +323,24 @@ object DqlQueries extends QueryProvider {
       s, baseStore, deltaId = "mod5-docs", delta = delta)
     graft.pipeline.Dedup.minhashPairsFromIndex(refreshed, 0.5)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Gram-artifact maintenance from the registry side: the maintainable
+    * counts artifact seeds over the base subset, the delta folds in with
+    * one keyed full-outer merge
+    * ([[graft.dql.DqlArtifacts.gramRefresh]]'s append path — the base
+    * corpus is never re-scanned), and the span summary read against the
+    * refreshed duplicated-hash projection must equal the FULL-corpus
+    * rebuild oracle.
+    */
+  private def gramRefreshGate(s: SparkSession, d: String): DataFrame = {
+    val baseStore = new BandBaseStore(d)
+    val delta = graft.core.Tables(s, d, "documents").where(!bandBasePred)
+    val refreshed = graft.dql.DqlArtifacts.gramRefresh(
+      s, baseStore, deltaId = "mod5-docs", delta = delta, n = 8)
+    graft.pipeline.Dedup.substringSpansWith(
+      graft.core.Tables(s, d, "documents"), refreshed, 8)
+      .orderBy("doc_id")
   }
 
   // ----------------------------------------------------------- oracle
@@ -570,6 +589,11 @@ object DqlQueries extends QueryProvider {
     // APPENDED with the delta ≡ the FULL-corpus pair oracle
     "dql_pipeline_neardup_refresh" ->
       graft.pipeline.Dedup.minhashPairsSql(0.5),
+    // gram-artifact append-maintenance pin: spans read against the
+    // base-seeded counts artifact MERGED with the delta ≡ the
+    // FULL-corpus rebuild oracle
+    "dql_pipeline_spans_refresh" ->
+      graft.pipeline.Dedup.substringSpansSql(8),
     "dql_pipeline_simtopk_ivf" -> graft.pipeline.Similarity.bruteTopKSql(
       graft.core.Tables.EmbeddingDim, 5,
       "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 12"),

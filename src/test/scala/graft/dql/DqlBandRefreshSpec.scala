@@ -118,6 +118,50 @@ class DqlBandRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
       DqlArtifacts.bandRefresh(spark, store, "", docsDf(Seq())))
   }
 
+  test("gram refresh: new-id delta merges into the counts artifact and " +
+    "equals the full rebuild (hash set AND the span summary read off " +
+    "it); overlap rebuilds; canon twin agrees; memoized per deltaId") {
+    val boiler = "p q r s t u v w x y"  // 10 tokens → repeated 3-grams
+    val base = (0L until 20L).map(id =>
+      id -> (if (id % 4 == 0) boiler else text() + " " + text()))
+    // half the delta repeats the boilerplate → cross-batch duplicated
+    // grams that only the MERGED artifact can see
+    val delta = (20L until 28L).map(id =>
+      id -> (if (id % 2 == 0) boiler else text() + " " + text()))
+    val store = new TableStore("gram-refresh-append", "documents",
+      docsDf(base))
+    val all = docsDf(base ++ delta)
+    val refreshed = DqlArtifacts.gramRefresh(spark, store, "d1",
+      docsDf(delta), n = 3)
+    def hashes(df: DataFrame) =
+      df.select("gh").collect().map(_.getString(0)).toSet
+    assert(hashes(refreshed) === hashes(Dedup.dupGrams(all, 3)))
+    val gotSpans = Dedup.substringSpansWith(all, refreshed, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantSpans = Dedup.substringSpans(all, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSpans === wantSpans)
+    assert(gotSpans.exists(_._1 >= 20L) && gotSpans.exists(_._1 < 20L),
+      "no cross-batch duplicated span — vacuous append fixture")
+    assert(DqlArtifacts.gramRefresh(spark, store, "d1", docsDf(delta),
+      n = 3) eq refreshed)
+    // canon twin: merged keys-min projection ≡ full keep-first rebuild
+    val refreshedC = DqlArtifacts.gramCanonRefresh(spark, store, "d1",
+      docsDf(delta), n = 3)
+    def canonRows(df: DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDecimal(1))).toSet
+    assert(canonRows(refreshedC) ===
+      canonRows(Dedup.dupGramsWithCanon(all, 3)))
+    // overlap: doc 4's text updated → both refreshes rebuild
+    val upd = Seq(4L -> (text() + " " + text()))
+    val expectDocs = docsDf(base.filterNot(_._1 == 4L) ++ upd)
+    assert(hashes(DqlArtifacts.gramRefresh(spark, store, "d2",
+      docsDf(upd), n = 3)) === hashes(Dedup.dupGrams(expectDocs, 3)))
+    assert(canonRows(DqlArtifacts.gramCanonRefresh(spark, store, "d2",
+      docsDf(upd), n = 3)) ===
+      canonRows(Dedup.dupGramsWithCanon(expectDocs, 3)))
+  }
+
   private def lshRows(df: DataFrame): Set[(Long, Long)] =
     df.select("vec_id", "bkt").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
