@@ -218,6 +218,13 @@ object Bench {
       force(SparkEntry.queries("dql_pipeline_simtopk")(spark, sfDir)))
     warm("dql_sim_lsh")(
       force(SparkEntry.queries("dql_pipeline_simrange_lsh")(spark, sfDir)))
+    // warms the quantized DQL index artifacts (int8 grid + PQ codes/
+    // codebooks) — the resident memory-ladder rungs the sim_topk_sq8/pq
+    // spellings probe
+    warm("dql_sim_sq8")(
+      force(SparkEntry.queries("dql_pipeline_simtopk_sq8")(spark, sfDir)))
+    warm("dql_sim_pq")(
+      force(SparkEntry.queries("dql_pipeline_simtopk_pq")(spark, sfDir)))
     // warms the refresh-policy artifacts (base-subset IVF seed + the
     // appended index): index MAINTENANCE is provisioning on the refresh
     // cadence exactly like the initial build, and the sized-variant

@@ -256,6 +256,28 @@ final class Compiler(spark: SparkSession, store: SeriesStore, nowMs: Long) {
         val emb = store.table(spark, "embeddings")
         graft.pipeline.Similarity.bruteTopK(emb,
           emb.where(col("vec_id") < args.head.toLong), args(1).toInt)
+      // the quantized resident-index rungs from the language: ranking is
+      // the asymmetric quantized cosine against the memoized artifact —
+      // the memory-per-vector ladder (float32 → int8 4× → codes-only
+      // 32×) that decides how much corpus a deployment keeps hot. Both
+      // share the exact index's cell assignment (one memo), probe like
+      // sim_topk_probe, and never rebuild per query.
+      case "sim_topk_sq8" =>
+        val emb = store.table(spark, "embeddings")
+        val (idx, cents) = DqlArtifacts.sq8Index(spark, store,
+          DqlArtifacts.nCells(spark, store))
+        graft.pipeline.Similarity.ivfSq8QuantTopKProbedOn(idx, cents,
+          emb.where(col("vec_id") < args.head.toLong), args(1).toInt,
+          nProbe = args(2).toInt)
+      case "sim_topk_pq" =>
+        val emb = store.table(spark, "embeddings")
+        val (m, ksub) =
+          (DqlArtifacts.pqM(spark), DqlArtifacts.pqKsub(spark))
+        val (idx, cbsRow, cents) = DqlArtifacts.pqIndex(spark, store,
+          DqlArtifacts.nCells(spark, store), m, ksub)
+        graft.pipeline.Similarity.ivfPqTopKProbedOn(idx, cbsRow, cents,
+          emb.where(col("vec_id") < args.head.toLong), m,
+          DqlArtifacts.Dim, args(1).toInt, nProbe = args(2).toInt)
       // exact radius search rides the same IVF artifact as sim_topk:
       // all-cells probe + threshold filter ≡ brute rangeSearch, but the
       // corpus join is equi on cell id — with this, NO default

@@ -128,6 +128,69 @@ object DqlArtifacts {
           .persist(StorageLevel.MEMORY_AND_DISK))
     })
 
+  /** fixture-pinned PQ shape constants (what the `dql_pipeline_simtopk_pq`
+    * oracle bakes in) — conf-first like the other sizing knobs:
+    * `spark.graft.dql.sim.pq.m` / `.ksub` pin explicit values, read live;
+    * unset falls back to these (m = 8 subspaces of Dim/8 dims, ksub = 16
+    * entries — 8 codes/vector, the 32× compression rung).
+    */
+  val PqM = 8
+  val PqKsub = 16
+
+  def pqM(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dql.sim.pq.m")
+      .map(posInt("spark.graft.dql.sim.pq.m", _)).getOrElse(PqM)
+
+  def pqKsub(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dql.sim.pq.ksub")
+      .map(posInt("spark.graft.dql.sim.pq.ksub", _)).getOrElse(PqKsub)
+
+  private val sq8Cache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int), (DataFrame, DataFrame)])
+
+  private val pqCache = graft.core.Caches.registerArtifactCache(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int, Int, Int),
+      (DataFrame, DataFrame, DataFrame)])
+
+  /** The scalar-quantized (int8) IVF index over the store's embeddings —
+    * (idx, cents) with `idx` the [[Similarity.sq8Quantize]] table (one
+    * byte per dimension + per-vector grid: the 4×-smaller RESIDENT form
+    * of [[ivfIndex]]'s cells), pinned and sanctioned per (session,
+    * corpus, nCells). Built over the same cell assignment as
+    * [[ivfIndex]] (shares its memo), so cell ids coincide across rungs.
+    */
+  def sq8Index(spark: SparkSession, store: SeriesStore,
+               nCells: Int = NCells): (DataFrame, DataFrame) =
+    sq8Cache.computeIfAbsent((spark, store.corpusKey, nCells), { _ =>
+      val (cells, cents) = ivfIndex(spark, store, nCells)
+      (graft.core.Caches.sanction(
+        Similarity.sq8Quantize(cells)
+          .persist(StorageLevel.MEMORY_AND_DISK)), cents)
+    })
+
+  /** The product-quantized IVF index — (idx, cbsRow, cents) with `idx`
+    * the [[Similarity.pqEncode]] codes table (m small ints per vector:
+    * the bottom rung of the resident-memory ladder) and `cbsRow` the
+    * packed codebook row the ADC tables derive from; pinned and
+    * sanctioned per (session, corpus, nCells, m, ksub). Cells shared
+    * with [[ivfIndex]] as above.
+    */
+  def pqIndex(spark: SparkSession, store: SeriesStore, nCells: Int,
+              m: Int, ksub: Int): (DataFrame, DataFrame, DataFrame) =
+    pqCache.computeIfAbsent((spark, store.corpusKey, nCells, m, ksub), { _ =>
+      val (cells, cents) = ivfIndex(spark, store, nCells)
+      val cbsRow = graft.core.Caches.sanction(
+        Similarity.pqPacked(Similarity.pqCodebooks(
+          store.table(spark, "embeddings"), m, ksub, Dim))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      val idx = graft.core.Caches.sanction(
+        Similarity.pqEncode(cells, cbsRow, m, Dim)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      (idx, cbsRow, cents)
+    })
+
   private val refreshCache = graft.core.Caches.registerArtifactCache(
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String, Int), (DataFrame, DataFrame)])

@@ -121,6 +121,15 @@ object Resolver {
     "sim_topk_brute" ->
       ((2, "sim_topk_brute(query vec_id bound >= 1, int k >= 1) — " +
         "exhaustive fallback")),
+    // the quantized resident-index rungs: ranking by asymmetric
+    // quantized cosine against the memoized int8 / codes-only artifact
+    // (the memory ladder the batch sim_topk_sq8_*/pq_* gates pin)
+    "sim_topk_sq8" ->
+      ((3, "sim_topk_sq8(query vec_id bound >= 1, int k >= 1, " +
+        "int n-probe >= 1) — int8-quantized index, asymmetric ranking")),
+    "sim_topk_pq" ->
+      ((3, "sim_topk_pq(query vec_id bound >= 1, int k >= 1, " +
+        "int n-probe >= 1) — product-quantized index, ADC ranking")),
     "sim_range" ->
       ((2, "sim_range(query vec_id bound >= 1, min-cosine in [-1,1]) — " +
         "IVF-exact")),
@@ -214,7 +223,8 @@ object Resolver {
           case "dedup_simhash" => intGe(0)(vals.head)
           case "dedup_embed" => cosine(vals.head)
           case "sim_topk" | "sim_topk_sized" | "sim_topk_probe" |
-               "sim_topk_brute" | "sim_rrf" => vals.forall(intGe(1))
+               "sim_topk_brute" | "sim_topk_sq8" | "sim_topk_pq" |
+               "sim_rrf" => vals.forall(intGe(1))
           case "sim_range" | "sim_range_brute" | "sim_range_lsh" =>
             intGe(1)(vals.head) && cosine(vals(1))
           case "quality_trained" | "threshold_scan" =>

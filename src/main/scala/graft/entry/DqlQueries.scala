@@ -193,6 +193,16 @@ object DqlQueries extends QueryProvider {
       (("SELECT scrub_keepfirst(8) LAST 30 d", Seq("doc_id"))),
     // now index-backed exact (all-cells probe) — the brute oracle pins
     // index-path ≡ brute for the radius search too
+    // the quantized resident-index rungs from the language: asymmetric
+    // int8 / ADC ranking against the memoized artifacts, oracle = the
+    // batch quantized mirrors at the fixture shape (nCells=8, m=8,
+    // ksub=16)
+    "dql_pipeline_simtopk_sq8" ->
+      (("SELECT sim_topk_sq8(12, 5, 3) LAST 30 d",
+        Seq("query_id", "rank"))),
+    "dql_pipeline_simtopk_pq" ->
+      (("SELECT sim_topk_pq(12, 5, 3) LAST 30 d",
+        Seq("query_id", "rank"))),
     "dql_pipeline_simrange" ->
       (("SELECT sim_range(5, 0.3) LAST 30 d", Seq("query_id", "vec_id"))),
     "dql_pipeline_simrange_brute" ->
@@ -604,6 +614,15 @@ object DqlQueries extends QueryProvider {
     "dql_pipeline_simtopk_probe" ->
       graft.pipeline.Similarity.ivfTopKProbedSql(
         graft.dql.DqlArtifacts.NCells, graft.core.Tables.EmbeddingDim, 5, 3,
+        "SELECT vec_id FROM embeddings WHERE vec_id < 12"),
+    "dql_pipeline_simtopk_sq8" ->
+      graft.pipeline.Similarity.ivfSq8QuantTopKProbedSql(
+        graft.dql.DqlArtifacts.NCells, graft.core.Tables.EmbeddingDim, 5, 3,
+        "SELECT vec_id FROM embeddings WHERE vec_id < 12"),
+    "dql_pipeline_simtopk_pq" ->
+      graft.pipeline.Similarity.ivfPqTopKProbedSql(
+        graft.dql.DqlArtifacts.NCells, graft.dql.DqlArtifacts.PqM,
+        graft.dql.DqlArtifacts.PqKsub, graft.core.Tables.EmbeddingDim, 5, 3,
         "SELECT vec_id FROM embeddings WHERE vec_id < 12"),
     "dql_pipeline_rrf" -> graft.pipeline.Similarity.rrfFuseSql(
       graft.pipeline.Similarity.ivfTopKSql(graft.dql.DqlArtifacts.NCells,

@@ -431,11 +431,24 @@ object Similarity {
   def ivfSq8QuantTopKProbed(emb: DataFrame, queries: DataFrame,
                             nCells: Int, dim: Int, k: Int,
                             nProbe: Int): DataFrame = {
-    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val cells = ivfCells(emb, nCells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idx = sq8Quantize(cells)
-    val cents = ivfCents(emb, nCells)
+    Persist.handoff(
+      ivfSq8QuantTopKProbedOn(sq8Quantize(cells), ivfCents(emb, nCells),
+        queries, k, nProbe), cells)
+  }
+
+  /** [[ivfSq8QuantTopKProbed]]'s search half against an ALREADY-BUILT
+    * quantized index — `idx` the [[sq8Quantize]] table, `cents` the
+    * (cid, cvec, cnrm) quantizer. The DQL registry dispatches here
+    * against its memoized SQ8 artifact (the resident 4×-smaller index),
+    * so the per-query cost is the probed cells' population, never an
+    * index rebuild; the only nested loop is queries × nCells centroids.
+    */
+  def ivfSq8QuantTopKProbedOn(idx: DataFrame, cents: DataFrame,
+                              queries: DataFrame, k: Int,
+                              nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val qemb = queries.select(col("vec_id").as("q_id"),
         col("embedding").as("qvec"))
       .withColumn("qnrm", VectorOps.norm(col("qvec")))
@@ -456,9 +469,8 @@ object Similarity {
           col("qnrm"), col("dnrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-    Persist.handoff(out, cells)
   }
 
   def ivfSq8QuantTopKProbedSql(nCells: Int, dim: Int, k: Int, nProbe: Int,
@@ -1234,12 +1246,26 @@ object Similarity {
   def ivfPqTopKProbed(emb: DataFrame, queries: DataFrame, nCells: Int,
                       m: Int, ksub: Int, dim: Int, k: Int,
                       nProbe: Int): DataFrame = {
-    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val cells = ivfCells(emb, nCells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cbsRow = pqPacked(pqCodebooks(emb, m, ksub, dim))
-    val idx = pqEncode(cells, cbsRow, m, dim)
-    val cents = ivfCents(emb, nCells)
+    Persist.handoff(
+      ivfPqTopKProbedOn(pqEncode(cells, cbsRow, m, dim), cbsRow,
+        ivfCents(emb, nCells), queries, m, dim, k, nProbe), cells)
+  }
+
+  /** [[ivfPqTopKProbed]]'s search half against an ALREADY-BUILT PQ index
+    * — `idx` the [[pqEncode]] codes table, `cbsRow` the packed codebook
+    * row, `cents` the coarse quantizer. The DQL registry dispatches here
+    * against its memoized PQ artifact (the codes-only bottom rung of the
+    * resident-memory ladder), so the per-query cost is the probed cells'
+    * population scored by 2·m ADC lookups; the only nested loops are
+    * queries × nCells centroids and the one-row codebook broadcasts.
+    */
+  def ivfPqTopKProbedOn(idx: DataFrame, cbsRow: DataFrame,
+                        cents: DataFrame, queries: DataFrame, m: Int,
+                        dim: Int, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val qemb = queries.select(col("vec_id").as("q_id"),
         col("embedding").as("qvec"))
       .withColumn("qnrm", VectorOps.norm(col("qvec")))
@@ -1261,9 +1287,8 @@ object Similarity {
           col("qnrm")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-    Persist.handoff(out, cells)
   }
 
   /** Both PQ knobs at once — the production configuration on the bottom

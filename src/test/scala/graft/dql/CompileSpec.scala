@@ -158,6 +158,8 @@ class CompileSpec extends AnyFunSuite with BeforeAndAfterAll {
     rejects("SELECT dedup_ngram(0) LAST 1 d", "dedup_ngram")
     rejects("SELECT sim_rrf(5, 0) LAST 1 d", "sim_rrf")
     rejects("SELECT sim_topk_probe(0, 5, 1) LAST 1 d", "sim_topk_probe")
+    rejects("SELECT sim_topk_sq8(5, 5, 0) LAST 1 d", "sim_topk_sq8")
+    rejects("SELECT sim_topk_pq(5, 0, 1) LAST 1 d", "sim_topk_pq")
     rejects("SELECT sim_range_lsh(5, 7) LAST 1 d", "sim_range_lsh")
     rejects("SELECT dedup_simhash(0.5) LAST 1 d", "dedup_simhash")
     rejects("SELECT quality_trained(8, 2, 0.05, 10, 2) LAST 1 d",

@@ -220,6 +220,18 @@ object DqlGen {
             Seq(Num(nq.toDouble, isInt = true), Num(k.toDouble, isInt = true),
               Num(nc.toDouble, isInt = true)))
         },
+      Gen.zip(Gen.choose(1L, 50L), Gen.choose(1L, 20L), Gen.choose(1L, 8L))
+        .map { case (nq, k, np) =>
+          FCall("sim_topk_sq8",
+            Seq(Num(nq.toDouble, isInt = true), Num(k.toDouble, isInt = true),
+              Num(np.toDouble, isInt = true)))
+        },
+      Gen.zip(Gen.choose(1L, 50L), Gen.choose(1L, 20L), Gen.choose(1L, 8L))
+        .map { case (nq, k, np) =>
+          FCall("sim_topk_pq",
+            Seq(Num(nq.toDouble, isInt = true), Num(k.toDouble, isInt = true),
+              Num(np.toDouble, isInt = true)))
+        },
       // cos >= 0 only: the grammar has no unary minus (reference parity),
       // so negative literals are not DQL-expressible
       Gen.zip(Gen.choose(1L, 50L), Gen.choose(0, 99)).map { case (nq, c) =>

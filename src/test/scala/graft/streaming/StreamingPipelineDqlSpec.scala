@@ -121,6 +121,8 @@ class StreamingPipelineDqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (dql <- Seq("SELECT dedup_exact() LAST 30 d",
                     "SELECT dedup_ngram(0.3) LAST 30 d",
                     "SELECT sim_topk(5, 10) LAST 30 d",
+                    "SELECT sim_topk_sq8(5, 10, 3) LAST 30 d",
+                    "SELECT sim_topk_pq(5, 10, 3) LAST 30 d",
                     "SELECT dedup_hot_bands(100) LAST 30 d",
                     "SELECT threshold_scan(8, 2, 0.05, 10, 0.2, 10) LAST 30 d")) {
       val e = intercept[Unstreamable](compile(dql))
