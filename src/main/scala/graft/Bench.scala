@@ -78,6 +78,16 @@ object Bench {
       // their oracles bake in (DqlArtifacts auto-scales when unset)
       .config("spark.graft.dql.sim.ncells", graft.dql.DqlArtifacts.NCells)
       .config("spark.graft.dql.sim.bits", graft.dql.DqlArtifacts.Bits)
+      // generated-class cache sized to the surface (static conf, default
+      // 100 LRU entries): 334 gates × multi-stage plans compile far more
+      // distinct classes than 100, so at the default the warmup's
+      // compilations are EVICTED before their timed gates run and run1
+      // pays a full Janino re-compile — measured on dedup_minhash_append:
+      // run1 codegen 14.0 s (48 classes, 20.7 s official) when evicted
+      // vs 0.4 s (1.25 s official) when cached. The cache holds source
+      // strings + compiled classes; 2000 entries is a few hundred MB at
+      // worst, irrelevant beside the 8 GB heap.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val diag = new BenchDiag(spark)

@@ -21,6 +21,9 @@ object Verify {
       // the engine corpus-scales the index sizing (DqlArtifacts)
       .config("spark.graft.dql.sim.ncells", graft.dql.DqlArtifacts.NCells)
       .config("spark.graft.dql.sim.bits", graft.dql.DqlArtifacts.Bits)
+      // generated-class cache sized to the gate surface (see Bench's
+      // note: the 100-entry default LRU-evicts across 334 gates)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
