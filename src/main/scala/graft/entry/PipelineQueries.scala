@@ -56,8 +56,8 @@ object PipelineQueries extends QueryProvider {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String, Int), Seq[(String, String, Long)]]())
 
-  private def bpeRules(s: SparkSession, d: String, trainPred: String,
-                       k: Int): Seq[(String, String, Long)] =
+  private[entry] def bpeRules(s: SparkSession, d: String, trainPred: String,
+                              k: Int): Seq[(String, String, Long)] =
     bpeRulesCache.computeIfAbsent((s, d, trainPred, k), { _ =>
       val dw = docsWide(s, d)
       val train = trainPred match {

@@ -94,4 +94,80 @@ class CachesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the rebuilt artifact was re-memoized: a second evict finds it
     assert(Caches.evictArtifacts(s, dir) >= 1)
   }
+
+  test("eviction predicate vs fuzzed key shapes: exactly the keys with " +
+    "a session element and a dir / dir#suffix string element fall") {
+    // r17 verdict #6: refresh-invalidation correctness hangs on the
+    // `dir#suffix` SUB-CORPUS string convention — any future artifact
+    // key that embeds the path differently must not SILENTLY escape
+    // eviction. This pins the predicate against generated key shapes:
+    //   evicted(key) ⟺ key is a Product with (∃ element eq session) ∧
+    //                   (∃ string element s: s == dir ∨ s.startsWith(dir+"#"))
+    // so near-miss spellings (dir+"/x", dir+"x", "#"+dir, dir embedded
+    // mid-string, dir without a session element, non-product keys) all
+    // correctly SURVIVE — an artifact keyed that way is outside the
+    // convention and a spec failure here is the loud signal the
+    // convention needs extending, not a silent stale pairing.
+    val s = spark
+    val other = s.newSession()
+    val dir = s"/fuzz/corpus-${java.util.UUID.randomUUID().toString.take(8)}"
+    val cache = Caches.registerArtifactCache(
+      new java.util.concurrent.ConcurrentHashMap[Any, Any]())
+    val rnd = new scala.util.Random(181818L)
+    // string pool: matching spellings and near-misses of the convention
+    def strings(): String = rnd.nextInt(8) match {
+      case 0 => dir
+      case 1 => dir + "#" + rnd.alphanumeric.take(4).mkString // sub-corpus
+      case 2 => dir + "/" + rnd.alphanumeric.take(4).mkString // child path
+      case 3 => dir + rnd.alphanumeric.take(3).mkString       // longer dir
+      case 4 => "#" + dir                                     // suffix-side
+      case 5 => s"/pre$dir"                                   // embedded
+      case 6 => dir.stripSuffix(dir.takeRight(2))             // shorter
+      case _ => "/fuzz/other-" + rnd.alphanumeric.take(6).mkString
+    }
+    def matchingString(x: Any): Boolean = x match {
+      case str: String => str == dir || str.startsWith(dir + "#")
+      case _ => false
+    }
+    val keys: Seq[Any] = (0 until 300).map { i =>
+      val arity = 1 + rnd.nextInt(4)
+      val elems: Seq[Any] = (0 until arity).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => s
+          case 1 => other
+          case 2 => strings()
+          case 3 => rnd.nextInt(100): java.lang.Integer
+          case _ => rnd.nextDouble(): java.lang.Double
+        }
+      }
+      val key: Any = (rnd.nextInt(6), elems) match {
+        case (0, Seq(a)) => a // bare (non-product) key
+        case (_, Seq(a)) => Tuple1(a)
+        case (_, Seq(a, b)) => (a, b)
+        case (_, Seq(a, b, c)) => (a, b, c)
+        case (_, es) => (es(0), es(1), es(2), es(3))
+      }
+      cache.put(key, i)
+      key
+    }.distinct
+    val expectEvicted = keys.filter {
+      case p: Product =>
+        p.productIterator.exists(_.asInstanceOf[AnyRef] eq s) &&
+          p.productIterator.exists(matchingString)
+      case _ => false // bare keys carry no session scope: never evicted
+    }.toSet
+    assert(expectEvicted.nonEmpty && expectEvicted.size < keys.size,
+      "fuzz must generate both evicted and surviving shapes")
+    Caches.evictArtifacts(s, dir)
+    val survivors = {
+      val b = Seq.newBuilder[Any]
+      cache.keySet().forEach(k => { b += k; () })
+      b.result().toSet
+    }
+    val wronglyKept = expectEvicted.intersect(survivors)
+    val wronglyEvicted = keys.toSet.diff(expectEvicted).diff(survivors)
+    assert(wronglyKept.isEmpty, s"escaped eviction: $wronglyKept")
+    assert(wronglyEvicted.isEmpty, s"over-evicted: $wronglyEvicted")
+    cache.clear()
+  }
 }
