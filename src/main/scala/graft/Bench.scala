@@ -91,6 +91,17 @@ object Bench {
       // warning below guards the code-cache side of the same cliff.
       .config("spark.sql.codegen.cache.maxEntries",
         graft.core.Tuning.codegenCacheEntries(SparkEntry.queries.size))
+      // Spark 4 keys the generated-class cache by (context classloader,
+      // source); session ARTIFACT ISOLATION (default on) hands every
+      // streaming query's cloned session a fresh isolated classloader, so
+      // identical stream plans re-Janino'd (and re-C2'd) on EVERY run —
+      // measured r18 via cache-key forensics: stream_avg run2 compiled 17
+      // units, all "scope drift" (same body, new ExecutorClassLoader);
+      // with isolation off: 0. The harness is single-tenant and adds no
+      // session artifacts, so isolation buys it nothing; multi-tenant
+      // deployments keep the default.
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val diag = new BenchDiag(spark)
@@ -442,10 +453,20 @@ object Bench {
     val gateLoad = scala.collection.mutable.Map.empty[String, Long]
     // code-cache headroom peak (item 5): max gauge across diag windows
     var codeCachePeak = 0L
+    // probe cadence: at every family boundary AND every 8 gates inside a
+    // family — the sim/stream families are 40+ gates each, so
+    // family-boundary-only probing left multi-minute stretches with no
+    // in-band env reading (the r18 first drive's burst landed exactly
+    // there: it began at the `shift` boundary, the pause fired once, and
+    // the load returned unobserved through the alphabetically-late
+    // stream gates)
+    var sinceProbe = 0
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n))).map { name =>
       val fam = name.takeWhile(_ != '_')
-      if (fam != lastFam) { probeAtBoundary(fam); lastFam = fam }
+      if (fam != lastFam) { probeAtBoundary(fam); lastFam = fam; sinceProbe = 0 }
+      else if (sinceProbe >= 8) { probeAtBoundary(s"$fam+"); sinceProbe = 0 }
+      sinceProbe += 1
       graft.core.Caches.releaseTransient(spark, blocking = true)
       pinSanctioned(name)
       gateLoad(name) = diag.loadAvgX100
@@ -580,24 +601,15 @@ object Bench {
     //   - regression: probe fast and run3 still slow — real, run1
     //     stands;
     //   - unadjudicated: run3 itself failed — no steady evidence.
+    // decision rules live in BenchProtocol (pure, spec-pinned)
     val adjudicated: Map[String, (Double, Double, String, Boolean)] =
       outliers.map { case (name, trigger, med, pSec, run3, _) =>
         val (run1, r2) = results.collectFirst {
           case (`name`, (c, e, r)) => (c + e, r)
         }.getOrElse((if (run3 > 0) run3 else 0.0, -1.0))
-        val envEvent = pSec > math.max(0.3, 2 * probeBaseline)
-        val steady = Seq(run1, r2, run3).filter(_ > 0)
-          .foldLeft(run1)((m, s) => math.min(m, s))
-        val cls =
-          if (run3 <= 0) "unadjudicated"
-          else if (envEvent) "env_event"
-          else if (run3 <= math.max(1.0, 3 * med)) "transient_warmup"
-          else "regression"
-        val official =
-          if (envEvent && trigger.startsWith("run1") && run3 > 0)
-            math.min(run1, run3)
-          else run1
-        name -> ((official, steady, cls, envEvent))
+        val a = BenchProtocol.adjudicate(
+          trigger, run1, r2, run3, med, pSec, probeBaseline)
+        name -> ((a.official, a.steady, a.cls, a.envEvent))
       }.toMap
     // ---- deferred quiet-window re-runs (r17 verdict #1b/#1d) ----------
     //
@@ -681,11 +693,8 @@ object Bench {
         // decides; the fixed-work probe measures actual contention
         val loadFlagged = adjudicated.get(k).exists(_._3 == "env_event")
         deferred.collectFirst { case (`k`, _, pSec, dSec, _, _) =>
-          val healthy = pSec > 0 && dSec > 0 &&
-            pSec <= math.max(0.3, 2 * probeBaseline2)
-          if (loadFlagged && healthy) (dSec, "deferred", true)
-          else if (loadFlagged) (pre, srcPre, false)
-          else (pre, srcPre, true)
+          BenchProtocol.trustDecision(
+            pre, srcPre, loadFlagged, pSec, dSec, probeBaseline2)
         }.getOrElse((pre, srcPre, true)) match { case v => k -> v }
       }.toMap
     val untrusted = officials.collect {

@@ -1,0 +1,70 @@
+package graft
+
+/** The bench's outlier-adjudication and trust decisions as PURE functions,
+  * so the protocol that decides what number ships as the round's record is
+  * itself spec-pinned (r18: the r17 round shipped a 30 s official for
+  * 0.1 s of work because the decision rules had an unreachable corner —
+  * `env_event` with load spanning both runs — that nothing exercised).
+  *
+  * Decision inputs are seconds (negative = the run failed / not taken).
+  */
+object BenchProtocol {
+
+  /** Adjudication classes (doc in Bench's outlier block):
+    *   - env_event: the adjacent fixed-work probe also ran slow — box
+    *     event; official = min(run1, run3) when run1 was the outlier.
+    *   - transient_warmup: probe fast AND run3 back under the trigger
+    *     line — one-off session warm-up; conservative run1 stands.
+    *   - regression: probe fast, run3 still slow — real; run1 stands.
+    *   - unadjudicated: run3 itself failed.
+    */
+  final case class Adjudication(official: Double, steady: Double,
+                                cls: String, envEvent: Boolean)
+
+  /** probe health: a fixed-work probe at ≤2× the session's quiet-box
+    * baseline (floored at 0.3 s so sub-second jitter never flags)
+    */
+  def probeHealthy(probeSec: Double, baseline: Double): Boolean =
+    probeSec > 0 && probeSec <= math.max(0.3, 2 * baseline)
+
+  def adjudicate(trigger: String, run1: Double, run2: Double,
+                 run3: Double, siblingMedian: Double,
+                 probeSec: Double, probeBaseline: Double): Adjudication = {
+    // a FAILED probe (≤0) is absent evidence, not a slow probe: env_event
+    // requotes officials, so it needs a positive slow reading
+    val envEvent = probeSec > math.max(0.3, 2 * probeBaseline)
+    val steady = Seq(run1, run2, run3).filter(_ > 0)
+      .foldLeft(run1)((m, s) => math.min(m, s))
+    val cls =
+      if (run3 <= 0) "unadjudicated"
+      else if (envEvent) "env_event"
+      else if (run3 <= math.max(1.0, 3 * siblingMedian)) "transient_warmup"
+      else "regression"
+    val official =
+      if (envEvent && trigger.startsWith("run1") && run3 > 0)
+        math.min(run1, run3)
+      else run1
+    Adjudication(official, steady, cls, envEvent)
+  }
+
+  /** Post-sweep trust decision for a deferred-re-run suspect (r17 verdict
+    * items 1b/1d): the deferred quiet-window run becomes the official
+    * when the first number was load-flagged AND the deferred window was
+    * healthy; a load-flagged gate with NO healthy window is UNTRUSTED
+    * (published but excluded from the contract total); an un-flagged
+    * suspect keeps its conservative official with the deferred run as
+    * steady evidence.
+    *
+    * @return (official seconds, source tag, trusted?)
+    */
+  def trustDecision(preOfficial: Double, preSource: String,
+                    loadFlagged: Boolean,
+                    deferredProbe: Double, deferredRun: Double,
+                    probeBaseline: Double): (Double, String, Boolean) = {
+    val healthy = deferredRun > 0 &&
+      probeHealthy(deferredProbe, probeBaseline)
+    if (loadFlagged && healthy) (deferredRun, "deferred", true)
+    else if (loadFlagged) (preOfficial, preSource, false)
+    else (preOfficial, preSource, true)
+  }
+}

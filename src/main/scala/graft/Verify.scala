@@ -26,6 +26,10 @@ object Verify {
       // here was the r17 verdict's last fixture constant)
       .config("spark.sql.codegen.cache.maxEntries",
         graft.core.Tuning.codegenCacheEntries(SparkEntry.queries.size))
+      // single-tenant harness: session artifact isolation would scope the
+      // generated-class cache per streaming query's cloned session and
+      // re-Janino identical stream plans every run (see Bench's note)
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

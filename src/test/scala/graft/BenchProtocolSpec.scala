@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's adjudication + trust rules, pinned as pure functions
+  * (BenchProtocol): these decide which number ships as the round's record,
+  * so every class and corner gets an explicit case — including the r17
+  * failure (env_event with load spanning run1 AND run3) and the r18
+  * remedies (deferred requote, untrusted exclusion).
+  */
+class BenchProtocolSpec extends AnyFunSuite {
+  import BenchProtocol._
+
+  private val base = 0.15 // session probe baseline (quiet-box fixed work)
+
+  test("env_event on a run1 outlier requotes to min(run1, run3)") {
+    val a = adjudicate("run1", run1 = 12.0, run2 = 11.0, run3 = 0.8,
+      siblingMedian = 0.7, probeSec = 1.2, probeBaseline = base)
+    assert(a.cls == "env_event" && a.envEvent)
+    assert(a.official == 0.8 && a.steady == 0.8)
+  }
+
+  test("env_event persisting through run3 still ships run3's (slow) min " +
+    "- the case the deferred pass exists to requote") {
+    val a = adjudicate("run1", run1 = 30.4, run2 = 29.0, run3 = 28.0,
+      siblingMedian = 0.7, probeSec = 2.0, probeBaseline = base)
+    assert(a.cls == "env_event")
+    assert(a.official == 28.0) // still poisoned: min of two dirty runs
+  }
+
+  test("run1_abs (absolute 5s trigger) is a run1-class trigger for the " +
+    "env requote rule") {
+    val a = adjudicate("run1_abs", run1 = 6.0, run2 = 5.5, run3 = 1.1,
+      siblingMedian = 2.4, probeSec = 1.0, probeBaseline = base)
+    assert(a.cls == "env_event" && a.official == 1.1)
+  }
+
+  test("transient_warmup: probe fast, run3 back under the line; " +
+    "conservative run1 stands, steady records the fastest run") {
+    val a = adjudicate("run1", run1 = 4.0, run2 = 1.2, run3 = 1.0,
+      siblingMedian = 1.0, probeSec = 0.16, probeBaseline = base)
+    assert(a.cls == "transient_warmup" && !a.envEvent)
+    assert(a.official == 4.0 && a.steady == 1.0)
+  }
+
+  test("regression: probe fast, run3 still slow; run1 stands") {
+    val a = adjudicate("run1", run1 = 4.2, run2 = 4.4, run3 = 4.1,
+      siblingMedian = 0.9, probeSec = 0.14, probeBaseline = base)
+    assert(a.cls == "regression" && a.official == 4.2)
+  }
+
+  test("unadjudicated: run3 failed; no evidence, run1 stands") {
+    val a = adjudicate("run1", run1 = 4.2, run2 = 4.0, run3 = -1.0,
+      siblingMedian = 0.9, probeSec = 0.14, probeBaseline = base)
+    assert(a.cls == "unadjudicated" && a.official == 4.2)
+  }
+
+  test("a FAILED adjacent probe is absent evidence, never env_event") {
+    val a = adjudicate("run1", run1 = 8.0, run2 = 7.0, run3 = 7.5,
+      siblingMedian = 0.9, probeSec = -1.0, probeBaseline = base)
+    assert(!a.envEvent && a.cls == "regression" && a.official == 8.0)
+  }
+
+  test("run2-triggered outliers never requote the official (run1 was " +
+    "never in question)") {
+    val a = adjudicate("run2", run1 = 0.9, run2 = 9.0, run3 = 0.8,
+      siblingMedian = 0.8, probeSec = 1.4, probeBaseline = base)
+    assert(a.envEvent && a.official == 0.9)
+  }
+
+  test("deferred requote: load-flagged first number + healthy quiet " +
+    "window -> the deferred run IS the official") {
+    val (sec, src, trusted) = trustDecision(preOfficial = 28.0,
+      preSource = "run3", loadFlagged = true,
+      deferredProbe = 0.16, deferredRun = 0.9, probeBaseline = base)
+    assert(sec == 0.9 && src == "deferred" && trusted)
+  }
+
+  test("untrusted: load-flagged but the deferred window is also " +
+    "poisoned - published, excluded from the total") {
+    val (sec, src, trusted) = trustDecision(preOfficial = 28.0,
+      preSource = "run3", loadFlagged = true,
+      deferredProbe = 1.8, deferredRun = 25.0, probeBaseline = base)
+    assert(sec == 28.0 && src == "run3" && !trusted)
+    // a failed deferred run is equally untrusted
+    assert(!trustDecision(28.0, "run3", loadFlagged = true,
+      deferredProbe = 0.16, deferredRun = -1.0, probeBaseline = base)._3)
+  }
+
+  test("an un-flagged suspect (genuine regression) keeps its " +
+    "conservative official, trusted") {
+    val (sec, src, trusted) = trustDecision(preOfficial = 6.0,
+      preSource = "run1", loadFlagged = false,
+      deferredProbe = 0.16, deferredRun = 5.8, probeBaseline = base)
+    assert(sec == 6.0 && src == "run1" && trusted)
+  }
+
+  test("probe health floors at 0.3s so sub-second jitter never flags") {
+    assert(probeHealthy(0.29, baseline = 0.05))
+    assert(!probeHealthy(0.31, baseline = 0.05))
+    assert(probeHealthy(0.9, baseline = 0.5))
+    assert(!probeHealthy(-1.0, baseline = 0.5)) // failed probe: unhealthy
+  }
+}
