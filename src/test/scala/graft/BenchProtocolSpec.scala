@@ -71,28 +71,50 @@ class BenchProtocolSpec extends AnyFunSuite {
   test("deferred requote: load-flagged first number + healthy quiet " +
     "window -> the deferred run IS the official") {
     val (sec, src, trusted) = trustDecision(preOfficial = 28.0,
-      preSource = "run3", loadFlagged = true,
+      preSource = "run3", loadFlagged = true, overLine = true,
       deferredProbe = 0.16, deferredRun = 0.9, probeBaseline = base)
     assert(sec == 0.9 && src == "deferred" && trusted)
+  }
+
+  test("an over-line official requotes from a healthy deferred window " +
+    "even when its own adjacent probe missed the burst (not flagged)") {
+    val (sec, src, trusted) = trustDecision(preOfficial = 6.5,
+      preSource = "run1", loadFlagged = false, overLine = true,
+      deferredProbe = 0.16, deferredRun = 2.3, probeBaseline = base)
+    assert(sec == 2.3 && src == "deferred" && trusted)
+  }
+
+  test("a requote never WORSENS an official: a slower (but healthy) " +
+    "deferred run leaves the first number standing") {
+    val (sec, src, trusted) = trustDecision(preOfficial = 2.3,
+      preSource = "run3", loadFlagged = true, overLine = false,
+      deferredProbe = 0.16, deferredRun = 2.9, probeBaseline = base)
+    assert(sec == 2.3 && src == "run3" && trusted)
   }
 
   test("untrusted: load-flagged but the deferred window is also " +
     "poisoned - published, excluded from the total") {
     val (sec, src, trusted) = trustDecision(preOfficial = 28.0,
-      preSource = "run3", loadFlagged = true,
+      preSource = "run3", loadFlagged = true, overLine = true,
       deferredProbe = 1.8, deferredRun = 25.0, probeBaseline = base)
     assert(sec == 28.0 && src == "run3" && !trusted)
     // a failed deferred run is equally untrusted
-    assert(!trustDecision(28.0, "run3", loadFlagged = true,
+    assert(!trustDecision(28.0, "run3", loadFlagged = true, overLine = true,
       deferredProbe = 0.16, deferredRun = -1.0, probeBaseline = base)._3)
   }
 
-  test("an un-flagged suspect (genuine regression) keeps its " +
-    "conservative official, trusted") {
-    val (sec, src, trusted) = trustDecision(preOfficial = 6.0,
-      preSource = "run1", loadFlagged = false,
-      deferredProbe = 0.16, deferredRun = 5.8, probeBaseline = base)
-    assert(sec == 6.0 && src == "run1" && trusted)
+  test("an un-flagged UNDER-line suspect (genuine regression evidence " +
+    "run) keeps its conservative official, trusted") {
+    val (sec, src, trusted) = trustDecision(preOfficial = 4.0,
+      preSource = "run1", loadFlagged = false, overLine = false,
+      deferredProbe = 0.16, deferredRun = 3.8, probeBaseline = base)
+    assert(sec == 4.0 && src == "run1" && trusted)
+    // over-line + unhealthy deferred window + not flagged: run1 stands
+    // trusted (no clean evidence either way, conservative wins)
+    val (s2, _, t2) = trustDecision(preOfficial = 6.0,
+      preSource = "run1", loadFlagged = false, overLine = true,
+      deferredProbe = 1.8, deferredRun = 5.5, probeBaseline = base)
+    assert(s2 == 6.0 && t2)
   }
 
   test("probe health floors at 0.3s so sub-second jitter never flags") {
