@@ -1,10 +1,11 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native fixed-point dot product: `Σ round_half_away(a[i]*b[i]*scale)` as
   * a LONG — the hot kernel of the similarity/dedup vector path.
@@ -26,6 +27,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class FixedPointDot(left: Expression, right: Expression, scale: Double)
     extends BinaryExpression {
 
+  // analysis-time typing: this kernel is user-reachable through the
+  // registered SQL function graft_dot(a, b) — a mistyped argument must
+  // be an AnalysisException, not a codegen compile fallback plus an
+  // executor-side ClassCastException mid-job
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def vec(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (vec(left.dataType) && vec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        "graft_dot expects array<float>/array<double> arguments, got (" +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
   override def dataType: DataType = LongType
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -57,21 +74,20 @@ case class FixedPointDot(left: Expression, right: Expression, scale: Double)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
-      val v = ctx.freshName("v")
-      val a = ctx.freshName("a")
-      val f = ctx.freshName("f")
-      val rr = ctx.freshName("rr")
       val lGet = if (isFloat(left)) s"(double)$l.getFloat($i)" else s"$l.getDouble($i)"
       val rGet = if (isFloat(right)) s"(double)$r.getFloat($i)" else s"$r.getDouble($i)"
+      // ONE rounding implementation: the generated code calls the same
+      // static helper the interpreted path uses (the package convention —
+      // JIT inlines the static call). A hand-inlined second copy of the
+      // exactness-critical half-away rounding here once risked silently
+      // desyncing codegen from interpreted/oracle results on a future
+      // tie-handling edit.
+      val cls = FixedPointDot.getClass.getName.stripSuffix("$")
       s"""
          |int $n = Math.min($l.numElements(), $r.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = ($lGet) * ($rGet) * ${scale}d;
-         |  double $a = Math.abs($v);
-         |  double $f = Math.floor($a);
-         |  double $rr = ($a - $f >= 0.5d) ? $f + 1.0d : $f;
-         |  $acc += (long)($v < 0 ? -$rr : $rr);
+         |  $acc += $cls.roundHalfAway(($lGet) * ($rGet) * ${scale}d);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -20,7 +20,20 @@ import org.apache.spark.sql.functions.udaf
   */
 object HdrHistogram {
 
-  final case class Buf(counts: Map[Long, Long], total: Long)
+  /** Sparse sketch buffer. MUTABLE by design: the buffer rides between
+    * rows in object form (Kryo-encoded only at partial-agg exchange), so
+    * reduce/merge update in place — the previous immutable Map paid
+    * persistent-HashMap path-copy allocations per input ROW on the
+    * aggregation hot path, which is exactly the fixed-memory sketch's
+    * selling point inverted. The map is java.util.HashMap, NOT
+    * scala.mutable.LongMap: Kryo's FieldSerializer does not reconstruct
+    * LongMap's internal invariants and the deserialized map SIGSEGVs the
+    * JVM on iteration (observed in-suite); java maps go through Kryo's
+    * MapSerializer, which rebuilds via put().
+    */
+  final case class Buf(
+      counts: java.util.HashMap[java.lang.Long, java.lang.Long],
+      var total: Long)
 
   /** index math for one (sf) configuration */
   final class Layout(val sf: Int) extends Serializable {
@@ -61,40 +74,61 @@ object HdrHistogram {
   def quantile(layout: Layout, buf: Buf, p: Double): Double = {
     if (buf.total == 0) return Double.NaN
     val target = math.max(1L, math.ceil(p * buf.total).toLong)
+    val entries = {
+      val b = Seq.newBuilder[(Long, Long)]
+      buf.counts.forEach((k, n) => { b += ((k.longValue, n.longValue)); () })
+      b.result().sortBy(_._1)
+    }
     var cum = 0L
-    for ((idx, n) <- buf.counts.toSeq.sortBy(_._1)) {
+    for ((idx, n) <- entries) {
       cum += n
       if (cum >= target) return layout.highestEquivalent(idx).toDouble
     }
-    layout.highestEquivalent(buf.counts.keys.max).toDouble
+    layout.highestEquivalent(entries.last._1).toDouble
   }
 
   /** `Aggregator[value, sketch, p-quantile]` for long-rounded inputs
     * (the reference rounds to ints before insert, dqe_hist.erl:53-57).
+    *
+    * Range semantics follow the reference sketch (quoted in
+    * dql/Compiler.scala:457-463): values below 0 and above `htv` (the
+    * highest trackable value) are DROPPED — they never enter the
+    * histogram or its total. The previous behavior clamped negatives to
+    * bucket 0, counting phantom zeros for standalone users of this
+    * Aggregator (the DQL gates pre-filter and never saw it); `htv`
+    * defaults to unbounded for callers without a configured ceiling.
     */
-  final class PercentileAgg(sf: Int, p: Double)
+  final class PercentileAgg(sf: Int, p: Double, htv: Long = Long.MaxValue)
       extends Aggregator[java.lang.Long, Buf, Double] {
     @transient private lazy val layout = new Layout(sf)
-    def zero: Buf = Buf(Map.empty, 0L)
+    def zero: Buf = Buf(new java.util.HashMap, 0L)
     def reduce(b: Buf, v: java.lang.Long): Buf = {
-      if (v == null) b
+      if (v == null || v < 0L || v > htv) b
       else {
-        val idx = layout.indexOf(v)
-        Buf(b.counts.updated(idx, b.counts.getOrElse(idx, 0L) + 1), b.total + 1)
+        val idx = java.lang.Long.valueOf(layout.indexOf(v))
+        val prev = b.counts.get(idx)
+        b.counts.put(idx, if (prev == null) 1L else prev + 1L)
+        b.total += 1
+        b
       }
     }
-    def merge(a: Buf, b: Buf): Buf =
-      Buf(b.counts.foldLeft(a.counts) { case (m, (k, n)) =>
-        m.updated(k, m.getOrElse(k, 0L) + n)
-      }, a.total + b.total)
+    def merge(a: Buf, b: Buf): Buf = {
+      b.counts.forEach { (k, n) =>
+        val prev = a.counts.get(k)
+        a.counts.put(k, if (prev == null) n else prev + n)
+      }
+      a.total += b.total
+      a
+    }
     def finish(b: Buf): Double = quantile(layout, b, p)
     def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
   /** DataFrame-usable column function: `hdrPercentile(sf, p)(col)` */
-  def hdrPercentile(sf: Int, p: Double): Column => Column = {
-    val f = udaf(new PercentileAgg(sf, p), Encoders.LONG)
+  def hdrPercentile(sf: Int, p: Double, htv: Long = Long.MaxValue)
+      : Column => Column = {
+    val f = udaf(new PercentileAgg(sf, p, htv), Encoders.LONG)
     c => f(c)
   }
 }

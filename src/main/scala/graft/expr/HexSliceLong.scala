@@ -50,6 +50,15 @@ case class HexSliceLong(child: Expression, start: Int, len: Int)
 }
 
 object HexSliceLong {
+  /** Column-level entry point (the package convention — every kernel
+    * owns its GraftBridge plumbing rather than leaking it to call sites)
+    */
+  def apply(c: org.apache.spark.sql.Column, start: Int,
+            len: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(HexSliceLong(GraftBridge.expression(c), start, len))
+  }
+
   /** static so generated code can call it; ASCII input assumed (md5 hex
     * is) — a multibyte char would read as non-hex bytes and stop the
     * parse, matching conv's prefix semantics closely enough for the

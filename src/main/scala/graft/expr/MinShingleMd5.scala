@@ -1,6 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -25,6 +26,21 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinShingleMd5(child: Expression, len: Int)
     extends UnaryExpression {
 
+  // plan-time validation: this kernel is user-reachable through the
+  // registered SQL function graft_fingerprint(text, len), so a bad len
+  // must fail at planning, not as a mid-job MessageDigest crash on an
+  // executor (len = -1 previously called md.update(bytes, i, -1))
+  require(len >= 1,
+    s"graft_fingerprint: shingle length must be >= 1, got $len")
+
+  // analysis-time typing (same rationale as FixedPointDot): a mistyped
+  // argument to graft_fingerprint must fail analysis, not cast-crash an
+  // executor
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint expects a string argument, got " +
+        child.dataType.simpleString)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
@@ -67,13 +83,26 @@ object MinShingleMd5 {
         i += 1
       }
     } else {
-      var i = 1
-      while (i <= nChars - len + 1) {
-        // char-correct slice (matches substr semantics on any input)
-        val sub = s.substringSQL(i, len)
+      // non-ASCII path: slide a BYTE-offset window over the chars — each
+      // step advances the window's start/end by one UTF-8 char, so the
+      // whole scan is O(nBytes). (The previous substringSQL(i, len) form
+      // re-walked the string from the start at every position: O(n²) on
+      // exactly the CJK/accented rows this kernel exists to speed up.)
+      val bytes = s.getBytes
+      def step(off: Int): Int =
+        off + UTF8String.numBytesForFirstByte(bytes(off))
+      var start = 0
+      var end = 0
+      var k = 0
+      while (k < len) { end = step(end); k += 1 }
+      var i = 0
+      val last = nChars - len
+      while (i <= last) {
         md.reset()
-        val d = md.digest(sub.getBytes)
+        md.update(bytes, start, end - start)
+        val d = md.digest()
         if (best == null || unsignedLess(d, best)) best = d
+        if (i < last) { start = step(start); end = step(end) }
         i += 1
       }
     }

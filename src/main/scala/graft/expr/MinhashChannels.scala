@@ -63,6 +63,16 @@ case class MinhashChannels(child: Expression, n: Int, seeds: Int,
 }
 
 object MinhashChannels {
+  /** Column-level entry point (the package convention — every kernel
+    * owns its GraftBridge plumbing rather than leaking it to call sites)
+    */
+  def apply(c: org.apache.spark.sql.Column, n: Int, seeds: Int,
+            channels: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      MinhashChannels(GraftBridge.expression(c), n, seeds, channels))
+  }
+
   /** static so generated code can call it; null when the (trimmed,
     * single-space-split) text has fewer than `n` words
     */

@@ -195,9 +195,8 @@ object Dedup {
     // to recover the identical hex string (band keys unchanged). The
     // parse is the native [[graft.expr.HexSliceLong]] kernel — `conv`'s
     // generic radix machinery measured ~35% of the stage's CPU at 10×.
-    def chan(s: Int, c: Int) = org.apache.spark.sql.GraftBridge.column(
-      graft.expr.HexSliceLong(org.apache.spark.sql.GraftBridge
-        .expression(col(s"h$s")), c * 8, 8))
+    def chan(s: Int, c: Int) =
+      graft.expr.HexSliceLong(col(s"h$s"), c * 8, 8)
     val mhAggs = for (s <- 0 until Seeds; c <- 0 until Channels)
       yield min(chan(s, c)).as(s"mh${s}_$c")
     hashed.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
@@ -220,9 +219,7 @@ object Dedup {
     */
   private[graft] def signatureRowLocal(docs: DataFrame,
                                        n: Int): DataFrame = {
-    val mh = org.apache.spark.sql.GraftBridge.column(
-      graft.expr.MinhashChannels(org.apache.spark.sql.GraftBridge
-        .expression(col("text")), n, Seeds, Channels))
+    val mh = graft.expr.MinhashChannels(col("text"), n, Seeds, Channels)
     graft.core.Parallel.widen(docs)
       .select(col("doc_id"), explode(array(struct(mh.as("mh")))).as("s"))
       .select(col("doc_id"), col("s.mh").as("mh"))
@@ -262,9 +259,7 @@ object Dedup {
     // aggregation, AND doc-keyed join all disappear — one scan at any
     // corpus size. Set ORDER differs from the collect_set form; every
     // consumer (array_intersect Jaccard) is order-insensitive.
-    val mh = org.apache.spark.sql.GraftBridge.column(
-      graft.expr.MinhashChannels(org.apache.spark.sql.GraftBridge
-        .expression(col("text")), 3, Seeds, Channels))
+    val mh = graft.expr.MinhashChannels(col("text"), 3, Seeds, Channels)
     val ssArr = distinctShingles(3)
     val bandCols = (0 until Bands).map(b =>
       md5(concat((0 until Channels).map(c =>

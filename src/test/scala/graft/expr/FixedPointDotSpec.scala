@@ -53,4 +53,19 @@ class FixedPointDotSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(FixedPointDot.roundHalfAway(v) == bd, s"v=$v")
     }
   }
+
+  test("a mistyped argument fails at analysis, not as an executor " +
+    "ClassCastException mid-job") {
+    // graft_dot is a REGISTERED session function (GraftExtensions), so
+    // arbitrary SQL reaches this expression; r18 added the input type
+    // check after review found `graft_dot(array(1.0D), 2)` resolved fine
+    // and then cast-crashed inside a task
+    val s = spark
+    import s.implicits._
+    val e = intercept[Exception](
+      Seq((Array(1.0), 2)).toDF("a", "x")
+        .select(FixedPointDot(col("a"), col("x"), 100.0)).collect())
+    assert(e.getMessage.contains("graft_dot") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
 }

@@ -48,4 +48,30 @@ class HdrHistogramSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"p=$p sf=$sf sketch=$sketch exact=$exact relErr=$relErr")
     }
   }
+
+  test("reference range semantics: negatives and values above htv are " +
+    "DROPPED, never clamped into the sketch") {
+    // reference behavior (dqe_hist.erl insert path, quoted in
+    // dql/Compiler.scala): out-of-range values never enter the histogram
+    // or its total. The previous clamp counted phantom zeros: p50 over
+    // [-5,-5,-5,10] read 0 instead of 10 for standalone Aggregator users
+    // (the DQL gates pre-filter and never saw it).
+    val df = spark.createDataFrame(
+      Seq(-5L, -5L, -5L, 10L).map(Tuple1(_))).toDF("v")
+    val p50 = df.agg(HdrHistogram.hdrPercentile(2, 0.5)(col("v")))
+      .head().getDouble(0)
+    assert(p50 == 10.0, s"negatives must be dropped, got p50=$p50")
+    // htv ceiling: values above it are dropped the same way
+    val df2 = spark.createDataFrame(
+      Seq(1L, 2L, 3L, 1000000L).map(Tuple1(_))).toDF("v")
+    val p99 = df2.agg(
+      HdrHistogram.hdrPercentile(2, 0.99, htv = 100L)(col("v")))
+      .head().getDouble(0)
+    assert(p99 == 3.0, s"values above htv must be dropped, got p99=$p99")
+    // all-dropped input → NaN (empty-sketch convention)
+    val p = spark.createDataFrame(Seq(-1L).map(Tuple1(_))).toDF("v")
+      .agg(HdrHistogram.hdrPercentile(2, 0.5)(col("v")))
+      .head().getDouble(0)
+    assert(p.isNaN)
+  }
 }

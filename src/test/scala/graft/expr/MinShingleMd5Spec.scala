@@ -62,4 +62,36 @@ class MinShingleMd5Spec extends AnyFunSuite with BeforeAndAfterAll {
     val r = df.collect().head
     assert(r.getString(0) == r.getString(1))
   }
+
+  test("mixed-width text: the sliding byte-window path equals the " +
+    "composed form at every shingle position") {
+    // r18: the non-ASCII path became an O(n) sliding byte-offset window
+    // (substringSQL re-walked from position 0 per shingle — O(n²) on CJK
+    // rows). Mixed 1/2/3/4-byte chars exercise every window-advance
+    // width; both substr and the window count CODE POINTS (UTF8String
+    // chars), so a 4-byte char is one position on both sides — pinned.
+    val s = spark
+    import s.implicits._
+    val text = "abé中xß龥cdà二yz" * 3
+    for (len <- Seq(2, 5, 8)) {
+      val df = Seq(text).toDF("text").select(
+        MinShingleMd5(col("text"), len).as("native"),
+        expr(s"array_min(transform(sequence(1, length(text)-${len - 1})," +
+          s" i -> md5(substr(text, i, $len))))").as("composed"))
+      val r = df.collect().head
+      assert(r.getString(0) == r.getString(1), s"len=$len")
+    }
+  }
+
+  test("plan-time validation: non-positive shingle length and mistyped " +
+    "argument both fail before any executor work") {
+    intercept[IllegalArgumentException](MinShingleMd5(col("text"), 0))
+    intercept[IllegalArgumentException](MinShingleMd5(col("text"), -1))
+    val s = spark
+    import s.implicits._
+    val e = intercept[Exception](
+      Seq(1).toDF("x").select(MinShingleMd5(col("x"), 8)).collect())
+    assert(e.getMessage.contains("graft_fingerprint") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
 }
