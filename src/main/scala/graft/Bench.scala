@@ -202,12 +202,25 @@ object Bench {
       if (sec > 0 && base < Double.MaxValue &&
           !BenchProtocol.probeHealthy(sec, base) && pauseBudget > 0) {
         pauseBudget -= 1
-        System.err.println(
-          s"[bench] probe at $at ran ${r3(sec)}s vs baseline ${r3(base)}s " +
-            "— box re-loaded, pausing the sweep to settle")
-        val (waited, ok) = settle(s"midrun:$at", 10000L, 90000L)
-        val re = probe(s"$at:resettled")
-        pauses += ((at, sec, waited, if (ok) 1L else 0L, re))
+        // probe-first (r18 verdict #3): re-probe BEFORE settling — r18's
+        // pauses[0] burned its full 90 s at the `comb` boundary when the
+        // re-probe then read healthy in 0.3 s; the deferred pass already
+        // follows this rule (BenchProtocol.settleNeeded, spec-pinned)
+        val re0 = probe(s"$at:recheck")
+        if (!BenchProtocol.settleNeeded(re0, probeBaselineNow)) {
+          System.err.println(
+            s"[bench] probe at $at ran ${r3(sec)}s vs baseline ${r3(base)}s " +
+              s"but the immediate re-probe is healthy (${r3(re0)}s) — blip, " +
+              "no settle")
+          pauses += ((at, sec, 0L, 1L, re0))
+        } else {
+          System.err.println(
+            s"[bench] probe at $at ran ${r3(sec)}s vs baseline ${r3(base)}s " +
+              s"(re-probe ${r3(re0)}s) — box re-loaded, pausing to settle")
+          val (waited, ok) = settle(s"midrun:$at", 10000L, 90000L)
+          val re = probe(s"$at:resettled")
+          pauses += ((at, sec, waited, if (ok) 1L else 0L, re))
+        }
       }
     }
 
@@ -661,11 +674,37 @@ object Bench {
     def loadFlaggedGate(k: String): Boolean =
       adjudicated.get(k).exists(_._4) &&
         outlierTrigger.get(k).exists(_.startsWith("run1"))
-    val suspects = results.collect {
+    // pre-deferred steady: fastest successful observation among run1,
+    // run2, and any run3 — the gate's own evidence of what the work
+    // costs when nothing external interferes
+    val preSteady: Map[String, Double] = results.map { case (k, (c, e, r2)) =>
+      val cands = Seq(c + e, r2) ++ adjudicated.get(k).map(_._2).toSeq
+      val pos = cands.filter(_ > 0)
+      k -> (if (pos.isEmpty) c + e else pos.min)
+    }.toMap
+    // suspect classes, in priority order (r18 verdict #1: trusted
+    // officials shipped at 2–5× their own steady under persistent
+    // mid-band load and nothing re-measured them):
+    //   (a) over the 5 s line or probe-load-flagged — the r18 rules;
+    //   (b) INFLATED: official > 2× the gate's own steady (1 s floor,
+    //       BenchProtocol.inflatedOfficial) — ambient load the outlier
+    //       net missed, or legitimate cold-run cost the deferred run
+    //       will simply confirm (min() keeps the official).
+    // Budgets are separate so a heavily-loaded box can't starve the
+    // over-line class with dozens of 2× gates: 12 for (a) as before,
+    // up to 12 more for (b) ranked by reclaimable excess.
+    val flaggedSuspects = results.collect {
       case (k, _) if !gateFailed(k) &&
         (preOfficial(k) > 5.0 ||
           (loadFlaggedGate(k) && preOfficial(k) > 1.0)) => k
     }.sortBy(k => -preOfficial(k)).take(12)
+    def inflatedGate(k: String): Boolean =
+      BenchProtocol.inflatedOfficial(preOfficial(k), preSteady(k))
+    val inflatedSuspects = results.collect {
+      case (k, _) if !gateFailed(k) && !flaggedSuspects.contains(k) &&
+        inflatedGate(k) => k
+    }.sortBy(k => -(preOfficial(k) - preSteady(k))).take(12)
+    val suspects = flaggedSuspects ++ inflatedSuspects
     // (name, settleWaitMs, probeSec, runSec, loadX100, diag)
     val deferred = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Double, Double, Long, Seq[(String, Long)])]
@@ -721,7 +760,7 @@ object Bench {
         deferred.collectFirst { case (`k`, _, pSec, dSec, _, _) =>
           BenchProtocol.trustDecision(
             pre, srcPre, loadFlaggedGate(k), overLine = pre > 5.0,
-            pSec, dSec, probeBaseline2)
+            inflated = inflatedGate(k), pSec, dSec, probeBaseline2)
         }.getOrElse((pre, srcPre, true)) match { case v => k -> v }
       }.toMap
     val untrusted = officials.collect {
@@ -854,8 +893,23 @@ object Bench {
     // copy of the newest for the driver/judge workflows that read it.
     val bytes =
       (detailJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val stamped = s"BENCH_DETAIL_${System.currentTimeMillis() / 1000}.json"
-    java.nio.file.Files.write(java.nio.file.Paths.get(stamped), bytes)
+    // stamps live under bench_runs/ (gitignored) so a multi-drive round
+    // doesn't litter the repo root (r18 left 13 there), at millisecond
+    // granularity so two drives finishing within the same second can't
+    // clobber each other's evidence — with a createFile-retry uniquifier
+    // as the backstop for sub-millisecond collisions
+    val runsDir = java.nio.file.Paths.get("bench_runs")
+    java.nio.file.Files.createDirectories(runsDir)
+    val stampBase = System.currentTimeMillis()
+    def claim(p: java.nio.file.Path): Boolean =
+      try { java.nio.file.Files.createFile(p); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    val stamped = Iterator.from(0)
+      .map(i => runsDir.resolve(
+        if (i == 0) s"BENCH_DETAIL_$stampBase.json"
+        else s"BENCH_DETAIL_$stampBase-$i.json"))
+      .collectFirst { case p if claim(p) => p }.get
+    java.nio.file.Files.write(stamped, bytes)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), bytes)
     System.err.println(s"[bench] detail artifact: $stamped (+ latest copy)")
@@ -893,8 +947,14 @@ object Bench {
     // contract line LAST (documented shape), after spark.stop() so no
     // shutdown logging prints below it; build.sbt routes forked stdout
     // raw (StdoutOutput) and suppresses sbt's "[success]" epilogue, so
-    // this is the final stdout line of the whole sbt run
-    System.out.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // this is the final stdout line of the whole sbt run.
+    // `steady_total` rides INSIDE the parsed contract object (r18 verdict
+    // #5) so the driver's own round-over-round diffing sees the
+    // load-resistant column without reading stdout line 2; the per-gate
+    // steady map stays on the line above — duplicating 34 more entries
+    // here would push the contract line against the driver's ~2000-byte
+    // stdout tail
+    System.out.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","steady_total":${r3(steadyTotal)},"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -33,8 +33,11 @@ object BenchProtocol {
     // a FAILED probe (≤0) is absent evidence, not a slow probe: env_event
     // requotes officials, so it needs a positive slow reading
     val envEvent = probeSec > math.max(0.3, 2 * probeBaseline)
-    val steady = Seq(run1, run2, run3).filter(_ > 0)
-      .foldLeft(run1)((m, s) => math.min(m, s))
+    // steady = fastest SUCCESSFUL run; a failed (≤0) run1 must not seed
+    // the fold (it would ship a negative steady despite healthy run2/3) —
+    // run1 is only the fallback when no run succeeded at all
+    val positives = Seq(run1, run2, run3).filter(_ > 0)
+    val steady = if (positives.isEmpty) run1 else positives.min
     val cls =
       if (run3 <= 0) "unadjudicated"
       else if (envEvent) "env_event"
@@ -65,15 +68,41 @@ object BenchProtocol {
     */
   def trustDecision(preOfficial: Double, preSource: String,
                     loadFlagged: Boolean, overLine: Boolean,
+                    inflated: Boolean,
                     deferredProbe: Double, deferredRun: Double,
                     probeBaseline: Double): (Double, String, Boolean) = {
     val healthy = deferredRun > 0 &&
       probeHealthy(deferredProbe, probeBaseline)
-    if ((loadFlagged || overLine) && healthy) {
+    if ((loadFlagged || overLine || inflated) && healthy) {
       if (deferredRun < preOfficial) (deferredRun, "deferred", true)
       else (preOfficial, preSource, true)
     }
     else if (loadFlagged) (preOfficial, preSource, false)
     else (preOfficial, preSource, true)
   }
+
+  /** Inflation suspect rule (r18 verdict #1: the driver total summed run1
+    * officials taken at loadavg 3–13 — `aggr_avg` shipped trusted at
+    * 4.12 s for 0.61 s of quiet work — because the deferred pass only
+    * fired over the 5 s line or on an env_event above 1 s; persistent
+    * mid-band load on sub-5 s gates never requoted). An official more
+    * than 2× the gate's OWN steady (fastest successful run) with a 1 s
+    * absolute floor is a deferred-re-run suspect: the gap is either
+    * ambient load (the healthy quiet window requotes it) or legitimate
+    * cold-run cost (the deferred run lands near run1 and min() leaves
+    * the official standing — one bounded extra run, no bias).
+    */
+  def inflatedOfficial(official: Double, steady: Double): Boolean =
+    official > 1.0 && steady > 0 && official > 2 * steady
+
+  /** Mid-run pause rule (r18 verdict: `pauses[0]` burned its full 90 s
+    * settle budget at the `comb` boundary when its own re-probe then
+    * read healthy in 0.317 s). Probe-first, exactly like the deferred
+    * pass: a slow boundary probe triggers an immediate RE-probe, and the
+    * settle wait is spent only when the re-probe is also unhealthy — a
+    * healthy re-probe means the slow reading was a blip and the sweep
+    * proceeds with `settle_wait_ms: 0`.
+    */
+  def settleNeeded(reprobeSec: Double, baseline: Double): Boolean =
+    !probeHealthy(reprobeSec, baseline)
 }

@@ -183,6 +183,67 @@ object StreamQueries extends QueryProvider {
     }
   }
 
+  /** Disk-backed fallback root for staged copies when the preferred
+    * (tmpfs) root runs out of headroom mid-round (see [[stageCopy]]).
+    */
+  private val TmpRoot: java.nio.file.Path =
+    Paths.get(System.getProperty("java.io.tmpdir"))
+
+  /** Best-effort recursive delete (shared by the stale sweep; [[drain]]
+    * has its own retry-once variant for the checkpoint race).
+    */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val ls = Files.list(p)
+      try ls.iterator().forEachRemaining(rmTree(_))
+      finally ls.close()
+    }
+    Files.deleteIfExists(p); ()
+  }
+
+  /** Sweep dead-run leftovers under a staging root (r18 advice: drain's
+    * "left for the next run's sweep" promise had no sweeper — a JVM
+    * killed mid-gate leaks `graft-ckpt-*` on /dev/shm, where it holds RAM
+    * until reboot). Only this harness's own prefixes, and only entries
+    * idle longer than [[StaleIdleMs]], so a CONCURRENT live harness
+    * (the driver's Verify beside a dev Bench) is never swept: a live
+    * drain's checkpoint root is seconds old and every gate is bounded.
+    * Returns bytes' worth of entries deleted (best-effort, 0 on error).
+    */
+  private val StaleIdleMs = 15L * 60 * 1000
+  private def sweepStale(root: java.nio.file.Path,
+                         prefixes: Seq[String]): Int = {
+    var swept = 0
+    try {
+      val now = System.currentTimeMillis()
+      val ls = Files.list(root)
+      try ls.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        val stale = prefixes.exists(n.startsWith) &&
+          (try now - Files.getLastModifiedTime(p).toMillis > StaleIdleMs
+           catch { case _: Throwable => false })
+        if (stale) {
+          try { rmTree(p); swept += 1 }
+          catch { case _: Throwable => () }
+        }
+      }
+      finally ls.close()
+    } catch { case _: Throwable => () }
+    if (swept > 0)
+      System.err.println(
+        s"[stream] swept $swept stale staging entr(ies) under $root")
+    swept
+  }
+  // the sweep the drain's cleanup message promises: once per JVM, at
+  // class init, before any new checkpoint is cut
+  sweepStale(ReplayRoot, Seq("graft-ckpt-"))
+
+  /** Staging headroom exhausted on the preferred root — callers fall back
+    * to the disk-backed [[TmpRoot]] for this corpus.
+    */
+  private final class StageSpaceException(msg: String)
+    extends RuntimeException(msg)
+
   /** Copy `src` to `dst` unless an up-to-date copy is already staged —
     * same size AND at least as new as the source. A driver that
     * regenerates the testdata (or a copy that died halfway) must not be
@@ -195,6 +256,25 @@ object StreamQueries extends QueryProvider {
         .isBefore(Files.getLastModifiedTime(src).toInstant)
     if (!fresh) {
       Files.createDirectories(dst.getParent)
+      // headroom gate (r18 advice): the one-time roomy() check at root
+      // selection ignores what will be STAGED — a large corpus (or
+      // several corpora across a round) can pin tmpfs RAM until a later
+      // copy ENOSPCs mid-stage. Check against THIS copy's size; under
+      // pressure, first sweep stale staged corpora from earlier runs,
+      // then raise StageSpaceException so the caller re-stages this
+      // corpus on the disk-backed root instead of dying mid-copy.
+      val need = Files.size(src) + (256L << 20) // copy + working margin
+      def usable: Long =
+        try Files.getFileStore(dst.getParent).getUsableSpace
+        catch { case _: Throwable => Long.MaxValue }
+      if (usable < need) {
+        sweepStale(ReplayRoot,
+          Seq("graft-stream-src-", "graft-stream-docs-", "graft-stream-emb-"))
+        if (usable < need)
+          throw new StageSpaceException(
+            s"staging $src needs $need usable bytes but " +
+              s"${dst.getParent}'s store has $usable")
+      }
       Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     }
     !fresh
@@ -212,9 +292,29 @@ object StreamQueries extends QueryProvider {
                            path: String): org.apache.spark.sql.types.StructType =
     schemaMemo.computeIfAbsent(path, p => s.read.parquet(p).schema)
 
+  /** Run `stage` against the preferred (tmpfs) root, falling back to the
+    * disk-backed temp root when staging headroom runs out (r18 advice:
+    * an ENOSPC mid-stage took the gate down; a slower disk-backed copy
+    * is strictly better, and the fallback is per-corpus so an
+    * already-staged corpus on tmpfs keeps its fast copies).
+    */
+  private def withStagingRoot[A](stage: java.nio.file.Path => A): A =
+    try stage(ReplayRoot)
+    catch {
+      case e: StageSpaceException if ReplayRoot != TmpRoot =>
+        System.err.println(
+          s"[stream] ${e.getMessage} — re-staging on $TmpRoot")
+        stage(TmpRoot)
+    }
+
   private def stagedDir(s: SparkSession, dir: String): String =
       synchronized { graft.core.Provisioning.timed {
-    val staged = ReplayRoot.resolve("graft-stream-src-" + dirKey(dir))
+        withStagingRoot(stagedDirAt(s, dir, _))
+  } }
+
+  private def stagedDirAt(s: SparkSession, dir: String,
+                          root: java.nio.file.Path): String = {
+    val staged = root.resolve("graft-stream-src-" + dirKey(dir))
     val events = staged.resolve("events.parquet")
     val sentinel = staged.resolve("zz-sentinel.parquet")
     val copied = stageCopy(Paths.get(dir, "events.parquet"), events)
@@ -251,7 +351,7 @@ object StreamQueries extends QueryProvider {
       Files.delete(build)
     }
     staged.toString
-  } }
+  }
 
   /** Staging dir for the document stream: a copy of `documents.parquet`
     * (no sentinel — the dedup gate is a stateful FILTER, not a windowed
@@ -260,10 +360,12 @@ object StreamQueries extends QueryProvider {
     */
   private def stagedDocsDir(dir: String): String =
       synchronized { graft.core.Provisioning.timed {
-    val staged = ReplayRoot.resolve("graft-stream-docs-" + dirKey(dir))
-    stageCopy(Paths.get(dir, "documents.parquet"),
-      staged.resolve("documents.parquet"))
-    staged.toString
+    withStagingRoot { root =>
+      val staged = root.resolve("graft-stream-docs-" + dirKey(dir))
+      stageCopy(Paths.get(dir, "documents.parquet"),
+        staged.resolve("documents.parquet"))
+      staged.toString
+    }
   } }
 
   /** Start `out` against the memory sink, drain the replay, return the
@@ -559,10 +661,12 @@ object StreamQueries extends QueryProvider {
     */
   private def stagedEmbDir(dir: String): String =
       synchronized { graft.core.Provisioning.timed {
-    val staged = ReplayRoot.resolve("graft-stream-emb-" + dirKey(dir))
-    stageCopy(Paths.get(dir, "embeddings.parquet"),
-      staged.resolve("embeddings.parquet"))
-    staged.toString
+    withStagingRoot { root =>
+      val staged = root.resolve("graft-stream-emb-" + dirKey(dir))
+      stageCopy(Paths.get(dir, "embeddings.parquet"),
+        staged.resolve("embeddings.parquet"))
+      staged.toString
+    }
   } }
 
   /** The packed IVF index (+ centroid row), memoized + sanctioned per

@@ -71,7 +71,7 @@ class BenchProtocolSpec extends AnyFunSuite {
   test("deferred requote: load-flagged first number + healthy quiet " +
     "window -> the deferred run IS the official") {
     val (sec, src, trusted) = trustDecision(preOfficial = 28.0,
-      preSource = "run3", loadFlagged = true, overLine = true,
+      preSource = "run3", loadFlagged = true, overLine = true, inflated = false,
       deferredProbe = 0.16, deferredRun = 0.9, probeBaseline = base)
     assert(sec == 0.9 && src == "deferred" && trusted)
   }
@@ -79,7 +79,7 @@ class BenchProtocolSpec extends AnyFunSuite {
   test("an over-line official requotes from a healthy deferred window " +
     "even when its own adjacent probe missed the burst (not flagged)") {
     val (sec, src, trusted) = trustDecision(preOfficial = 6.5,
-      preSource = "run1", loadFlagged = false, overLine = true,
+      preSource = "run1", loadFlagged = false, overLine = true, inflated = false,
       deferredProbe = 0.16, deferredRun = 2.3, probeBaseline = base)
     assert(sec == 2.3 && src == "deferred" && trusted)
   }
@@ -87,7 +87,7 @@ class BenchProtocolSpec extends AnyFunSuite {
   test("a requote never WORSENS an official: a slower (but healthy) " +
     "deferred run leaves the first number standing") {
     val (sec, src, trusted) = trustDecision(preOfficial = 2.3,
-      preSource = "run3", loadFlagged = true, overLine = false,
+      preSource = "run3", loadFlagged = true, overLine = false, inflated = false,
       deferredProbe = 0.16, deferredRun = 2.9, probeBaseline = base)
     assert(sec == 2.3 && src == "run3" && trusted)
   }
@@ -95,24 +95,24 @@ class BenchProtocolSpec extends AnyFunSuite {
   test("untrusted: load-flagged but the deferred window is also " +
     "poisoned - published, excluded from the total") {
     val (sec, src, trusted) = trustDecision(preOfficial = 28.0,
-      preSource = "run3", loadFlagged = true, overLine = true,
+      preSource = "run3", loadFlagged = true, overLine = true, inflated = false,
       deferredProbe = 1.8, deferredRun = 25.0, probeBaseline = base)
     assert(sec == 28.0 && src == "run3" && !trusted)
     // a failed deferred run is equally untrusted
-    assert(!trustDecision(28.0, "run3", loadFlagged = true, overLine = true,
+    assert(!trustDecision(28.0, "run3", loadFlagged = true, overLine = true, inflated = false,
       deferredProbe = 0.16, deferredRun = -1.0, probeBaseline = base)._3)
   }
 
   test("an un-flagged UNDER-line suspect (genuine regression evidence " +
     "run) keeps its conservative official, trusted") {
     val (sec, src, trusted) = trustDecision(preOfficial = 4.0,
-      preSource = "run1", loadFlagged = false, overLine = false,
+      preSource = "run1", loadFlagged = false, overLine = false, inflated = false,
       deferredProbe = 0.16, deferredRun = 3.8, probeBaseline = base)
     assert(sec == 4.0 && src == "run1" && trusted)
     // over-line + unhealthy deferred window + not flagged: run1 stands
     // trusted (no clean evidence either way, conservative wins)
     val (s2, _, t2) = trustDecision(preOfficial = 6.0,
-      preSource = "run1", loadFlagged = false, overLine = true,
+      preSource = "run1", loadFlagged = false, overLine = true, inflated = false,
       deferredProbe = 1.8, deferredRun = 5.5, probeBaseline = base)
     assert(s2 == 6.0 && t2)
   }
@@ -122,5 +122,65 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!probeHealthy(0.31, baseline = 0.05))
     assert(probeHealthy(0.9, baseline = 0.5))
     assert(!probeHealthy(-1.0, baseline = 0.5)) // failed probe: unhealthy
+  }
+
+  test("steady folds over SUCCESSFUL runs only: a failed run1 must not " +
+    "seed a negative steady past healthy run2/run3") {
+    val a = adjudicate("run2", run1 = -1.0, run2 = 1.4, run3 = 1.2,
+      siblingMedian = 0.9, probeSec = 0.14, probeBaseline = base)
+    assert(a.steady == 1.2)
+    // no successful run at all: run1 is the only (failed) evidence
+    val b = adjudicate("run1", run1 = -1.0, run2 = -1.0, run3 = -1.0,
+      siblingMedian = 0.9, probeSec = 0.14, probeBaseline = base)
+    assert(b.steady == -1.0)
+  }
+
+  test("inflatedOfficial: official > 2x own steady above the 1s floor " +
+    "is a deferred suspect (r18: aggr_avg shipped 4.12s for 0.61s work)") {
+    assert(inflatedOfficial(official = 4.12, steady = 0.61))
+    assert(!inflatedOfficial(official = 0.9, steady = 0.3))  // under floor
+    assert(!inflatedOfficial(official = 1.5, steady = 0.9))  // under 2x
+    assert(!inflatedOfficial(official = 4.0, steady = -1.0)) // no evidence
+    assert(!inflatedOfficial(official = 4.0, steady = 4.0))
+  }
+
+  test("inflated official + healthy quiet window requotes to the " +
+    "deferred run (the r18 load-shaped-total fix)") {
+    val (sec, src, trusted) = trustDecision(preOfficial = 4.12,
+      preSource = "run1", loadFlagged = false, overLine = false,
+      inflated = true,
+      deferredProbe = 0.16, deferredRun = 0.7, probeBaseline = base)
+    assert(sec == 0.7 && src == "deferred" && trusted)
+  }
+
+  test("inflated official whose deferred run confirms the cost (cold-run " +
+    "JIT, not load) keeps the conservative official — min() never worsens") {
+    val (sec, src, trusted) = trustDecision(preOfficial = 4.0,
+      preSource = "run1", loadFlagged = false, overLine = false,
+      inflated = true,
+      deferredProbe = 0.16, deferredRun = 3.9, probeBaseline = base)
+    assert(sec == 3.9 && src == "deferred" && trusted)
+    val (s2, src2, t2) = trustDecision(preOfficial = 4.0,
+      preSource = "run1", loadFlagged = false, overLine = false,
+      inflated = true,
+      deferredProbe = 0.16, deferredRun = 4.3, probeBaseline = base)
+    assert(s2 == 4.0 && src2 == "run1" && t2)
+  }
+
+  test("inflated official with a poisoned deferred window stays TRUSTED " +
+    "conservative (only probe-evidenced load-flags untrust)") {
+    val (sec, src, trusted) = trustDecision(preOfficial = 4.12,
+      preSource = "run1", loadFlagged = false, overLine = false,
+      inflated = true,
+      deferredProbe = 1.8, deferredRun = 4.0, probeBaseline = base)
+    assert(sec == 4.12 && src == "run1" && trusted)
+  }
+
+  test("settleNeeded (probe-first pauses): a healthy immediate re-probe " +
+    "skips the settle wait entirely — settle_wait_ms stays 0") {
+    assert(!settleNeeded(reprobeSec = 0.317, baseline = base * 2))
+    assert(!settleNeeded(reprobeSec = 0.16, baseline = base))
+    assert(settleNeeded(reprobeSec = 1.2, baseline = base))
+    assert(settleNeeded(reprobeSec = -1.0, baseline = base)) // failed probe
   }
 }

@@ -50,6 +50,36 @@ class ParseUnparseSpec extends AnyFunSuite {
     }
   }
 
+  test("EVERY pipeline registry spelling has a generator arm and survives " +
+    "parse.unparse + typed resolution (r18 verdict #4: registry drift)") {
+    // coverage assertion: a new Resolver.pipelineFns entry without a
+    // generator (or a generator for a removed spelling) fails here
+    assert(DqlGen.pipelineValidArgs.keySet == Resolver.pipelineFns.keySet,
+      s"generator arms out of sync with the registry — only in registry: " +
+        s"${(Resolver.pipelineFns.keySet -- DqlGen.pipelineValidArgs.keySet).toSeq.sorted}; " +
+        s"only in generators: " +
+        s"${(DqlGen.pipelineValidArgs.keySet -- Resolver.pipelineFns.keySet).toSeq.sorted}")
+    for (n <- Resolver.pipelineFns.keys.toSeq.sorted)
+      forAllSamples(DqlGen.pipelineValidArgs(n), n = 10) { as =>
+        val q = Query(Seq(Selector(FCall(n, as))), Map.empty,
+          Last(TimeLit(1, "h")), None)
+        val text = Unparse(q)
+        assert(Parser.parse(text) == q, s"\n  text: $text")
+        val r = Resolver.resolve(q.selectors.head.expr, Map.empty, _ => 1000L)
+        assert(r == Resolver.RPipeline(n, as.map(_.v)), text)
+      }
+  }
+
+  test("invalid pipeline calls (wrong arity / out-of-domain args) raise a " +
+    "TYPED ResolveError across the registry") {
+    forAllSamples(DqlGen.pipelineInvalidCall, n = 150) { case (name, call) =>
+      val e = intercept[Resolver.ResolveError](
+        Resolver.resolve(call, Map.empty, _ => 1000L))
+      // the reject names the spelling or quotes its documented signature
+      assert(e.msg.contains(name) || e.msg.contains("("), s"$call -> ${e.msg}")
+    }
+  }
+
   test("representative reference queries parse (FIXTURES.md A)") {
     val samples = Seq(
       "SELECT avg('a'.'b'.'c' BUCKET 'bkt', 30 s) LAST 1 h",
