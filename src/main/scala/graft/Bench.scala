@@ -708,6 +708,13 @@ object Bench {
     // (name, settleWaitMs, probeSec, runSec, loadX100, diag)
     val deferred = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Double, Double, Long, Seq[(String, Long)])]
+    // GLOBAL settle budget across the deferred pass: the inflated class
+    // (r18 verdict #1) widened the suspect list to 24, and 24 × 120 s of
+    // per-gate settling on a permanently loaded box would add 48 min to
+    // the driver's timeline for windows that never come — after the
+    // budget, deferred runs proceed probe-only (an unhealthy probe just
+    // means no requote, the conservative/untrusted rules stand)
+    var deferredSettleBudgetMs = 600000L
     for (name <- suspects) {
       System.err.println(
         s"[bench] deferred re-run $name (official ${r3(preOfficial(name))}s" +
@@ -718,8 +725,11 @@ object Bench {
       // only when the probe itself shows contention
       var pSec = probe(s"deferred:$name")
       var waited = 0L
-      if (!BenchProtocol.probeHealthy(pSec, probeBaselineNow)) {
-        waited = settle(s"deferred:$name", 5000L, 120000L)._1
+      if (!BenchProtocol.probeHealthy(pSec, probeBaselineNow) &&
+          deferredSettleBudgetMs > 0) {
+        waited = settle(s"deferred:$name", 5000L,
+          math.min(120000L, deferredSettleBudgetMs))._1
+        deferredSettleBudgetMs -= waited
         pSec = probe(s"deferred:$name")
       }
       graft.core.Caches.releaseTransient(spark, blocking = true)
