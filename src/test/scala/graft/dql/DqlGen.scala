@@ -319,4 +319,27 @@ object DqlGen {
     (_, e) <- pipelineValidCall
     tf <- timeframe
   } yield Query(Seq(Selector(e)), Map.empty, tf, None)
+
+  /** fused-histogram queries (SURVEY §2.7): `fn(histogram(m, htv, sf, t))`
+    * for the reducing fns plus `percentile(histogram(...), p)`. The
+    * reference's eqc generators DISABLE histogram trees
+    * (`eqc/dqe_helper.erl:248-250` commented out); this engine supports
+    * them, so the random property surface covers them too (r18 verdict #4
+    * breadth note). Window chosen as an exact multiple of the leaf
+    * resolution, htv ≥ 1 int, sf in 1–5 — the resolver's documented
+    * domain.
+    */
+  val histQuery: Gen[Query] = for {
+    m <- leaf
+    htv <- Gen.choose(1L, 10000L).map(intNum)
+    sf <- Gen.choose(1L, 5L).map(intNum)
+    (t, _) <- window(1000L)
+    call <- Gen.frequency(
+      5 -> Gen.oneOf(Resolver.histFns.toSeq).map(fn =>
+        FCall(fn, Seq(FCall("histogram", Seq(m, htv, sf, t))))),
+      2 -> Gen.choose(1, 100).map(p =>
+        FCall("percentile", Seq(FCall("histogram", Seq(m, htv, sf, t)),
+          Num(p / 100.0, isInt = false)))))
+    tf <- timeframe
+  } yield Query(Seq(Selector(call)), Map.empty, tf, None)
 }

@@ -70,6 +70,17 @@ class ParseUnparseSpec extends AnyFunSuite {
       }
   }
 
+  test("parse . unparse is a fixpoint on fused-histogram queries, and " +
+    "they resolve to RHistFn (beyond the reference eqc envelope, which " +
+    "disables histogram trees - eqc/dqe_helper.erl:248-250)") {
+    forAllSamples(DqlGen.histQuery, n = 100) { q =>
+      val text = Unparse(q)
+      assert(Parser.parse(text) == q, s"\n  text: $text")
+      val r = Resolver.resolve(q.selectors.head.expr, Map.empty, _ => 1000L)
+      assert(r.isInstanceOf[Resolver.RHistFn], text)
+    }
+  }
+
   test("invalid pipeline calls (wrong arity / out-of-domain args) raise a " +
     "TYPED ResolveError across the registry") {
     forAllSamples(DqlGen.pipelineInvalidCall, n = 150) { case (name, call) =>
