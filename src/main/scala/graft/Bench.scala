@@ -201,19 +201,23 @@ object Bench {
       val base = probeBaselineNow
       if (sec > 0 && base < Double.MaxValue &&
           !BenchProtocol.probeHealthy(sec, base) && pauseBudget > 0) {
-        pauseBudget -= 1
         // probe-first (r18 verdict #3): re-probe BEFORE settling — r18's
         // pauses[0] burned its full 90 s at the `comb` boundary when the
         // re-probe then read healthy in 0.3 s; the deferred pass already
         // follows this rule (BenchProtocol.settleNeeded, spec-pinned)
         val re0 = probe(s"$at:recheck")
         if (!BenchProtocol.settleNeeded(re0, probeBaselineNow)) {
+          // a free blip (healthy re-probe, ~0.3 s spent) must not consume
+          // the pause budget — the budget bounds SETTLE wall time, and
+          // eight blips would otherwise disable settling for a real load
+          // event later in the sweep (r19 review)
           System.err.println(
             s"[bench] probe at $at ran ${r3(sec)}s vs baseline ${r3(base)}s " +
               s"but the immediate re-probe is healthy (${r3(re0)}s) — blip, " +
               "no settle")
           pauses += ((at, sec, 0L, 1L, re0))
         } else {
+          pauseBudget -= 1
           System.err.println(
             s"[bench] probe at $at ran ${r3(sec)}s vs baseline ${r3(base)}s " +
               s"(re-probe ${r3(re0)}s) — box re-loaded, pausing to settle")

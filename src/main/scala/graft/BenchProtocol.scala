@@ -87,10 +87,22 @@ object BenchProtocol {
     * fired over the 5 s line or on an env_event above 1 s; persistent
     * mid-band load on sub-5 s gates never requoted). An official more
     * than 2× the gate's OWN steady (fastest successful run) with a 1 s
-    * absolute floor is a deferred-re-run suspect: the gap is either
-    * ambient load (the healthy quiet window requotes it) or legitimate
-    * cold-run cost (the deferred run lands near run1 and min() leaves
-    * the official standing — one bounded extra run, no bias).
+    * absolute floor is a deferred-re-run suspect.
+    *
+    * Known, accepted semantic shift (r19 review): the deferred run is a
+    * FRESH PLAN in a warm JVM, so for a gate whose run1/run2 gap is
+    * legitimate first-execution JIT of its generated classes (not load),
+    * the deferred run lands near run2 and min() requotes the official to
+    * a warm measurement. This is the r18 verdict's explicitly chosen
+    * trade ("two independent quiet observations under the same cold-plan
+    * discipline beat one hot one" — the over-line requote has worked
+    * this way since r18): within one JVM, load-inflation and JIT cost
+    * are indistinguishable (the loadavg annotation cannot discriminate —
+    * the bench's own 32-thread work reads 1.6–11.6 on a QUIET box,
+    * measured r19), and a warm-but-honest number beats a cold-but-maybe-
+    * poisoned one in the contract total. First-execution cost stays
+    * visible per gate: the detail artifact keeps run1/run2/run3 and
+    * marks the requote with `source: "deferred"`.
     */
   def inflatedOfficial(official: Double, steady: Double): Boolean =
     official > 1.0 && steady > 0 && official > 2 * steady

@@ -221,14 +221,16 @@ object StreamQueries extends QueryProvider {
     Files.deleteIfExists(p); ()
   }
 
-  /** Sweep dead-run leftovers under a staging root (r18 advice: drain's
-    * "left for the next run's sweep" promise had no sweeper — a JVM
-    * killed mid-gate leaks `graft-ckpt-*` on /dev/shm, where it holds RAM
-    * until reboot). Only this harness's own prefixes, and only entries
-    * idle longer than [[StaleIdleMs]], so a CONCURRENT live harness
-    * (the driver's Verify beside a dev Bench) is never swept: a live
-    * drain's checkpoint root is seconds old and every gate is bounded.
-    * Returns bytes' worth of entries deleted (best-effort, 0 on error).
+  /** Sweep dead-run checkpoint leftovers under a staging root (r18
+    * advice: drain's "left for the next run's sweep" promise had no
+    * sweeper — a JVM killed mid-gate leaks `graft-ckpt-*` on /dev/shm,
+    * where it holds RAM until reboot). The idle heuristic is only valid
+    * for CONSTANTLY-WRITTEN dirs: a live drain's checkpoint is written
+    * every micro-batch and every gate is bounded, so idle >
+    * [[StaleIdleMs]] means a dead owner. Write-once staged CORPUS dirs
+    * must never go through here — a concurrent harness reads them
+    * without ever touching their mtime (r19 review). Returns the number
+    * of entries deleted (best-effort, 0 on error).
     */
   private val StaleIdleMs = 15L * 60 * 1000
   private def sweepStale(root: java.nio.file.Path,
@@ -279,22 +281,23 @@ object StreamQueries extends QueryProvider {
       // headroom gate (r18 advice): the one-time roomy() check at root
       // selection ignores what will be STAGED — a large corpus (or
       // several corpora across a round) can pin tmpfs RAM until a later
-      // copy ENOSPCs mid-stage. Check against THIS copy's size; under
-      // pressure, first sweep stale staged corpora from earlier runs,
-      // then raise StageSpaceException so the caller re-stages this
-      // corpus on the disk-backed root instead of dying mid-copy.
+      // copy ENOSPCs mid-stage. Check against THIS copy's size and raise
+      // StageSpaceException so the caller re-stages this corpus on the
+      // disk-backed root instead of dying mid-copy. Deliberately NO
+      // sweep of other corpora's staged dirs here (r19 review): staged
+      // corpora are write-once/read-many, so their mtime never advances
+      // while a CONCURRENT harness is actively reading them — an idle
+      // heuristic that is valid for constantly-written checkpoint dirs
+      // would delete a live run's source files out from under its
+      // streaming query. The fallback root absorbs the pressure instead.
       val need = Files.size(src) + (256L << 20) // copy + working margin
-      def usable: Long =
+      val usable: Long =
         try Files.getFileStore(dst.getParent).getUsableSpace
         catch { case _: Throwable => Long.MaxValue }
-      if (usable < need) {
-        sweepStale(ReplayRoot,
-          Seq("graft-stream-src-", "graft-stream-docs-", "graft-stream-emb-"))
-        if (usable < need)
-          throw new StageSpaceException(
-            s"staging $src needs $need usable bytes but " +
-              s"${dst.getParent}'s store has $usable")
-      }
+      if (usable < need)
+        throw new StageSpaceException(
+          s"staging $src needs $need usable bytes but " +
+            s"${dst.getParent}'s store has $usable")
       Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     }
     !fresh
@@ -423,17 +426,9 @@ object StreamQueries extends QueryProvider {
     // stragglers for the next run's sweep rather than throwing from a
     // finally.
     def rmQuiet(root: java.nio.file.Path): Unit = {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val ls = Files.list(p)
-          try ls.iterator().forEachRemaining(rm(_))
-          finally ls.close()
-        }
-        Files.deleteIfExists(p); ()
-      }
-      try rm(root)
+      try rmTree(root)
       catch { case _: Throwable =>
-        try { Thread.sleep(100); rm(root) }
+        try { Thread.sleep(100); rmTree(root) }
         catch { case t: Throwable =>
           System.err.println(
             s"[stream] checkpoint cleanup incomplete at $root: " +
