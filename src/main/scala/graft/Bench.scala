@@ -115,41 +115,6 @@ object Bench {
     // block, so the artifact says on its face whether totals are
     // round-over-round comparable or must be read against the probes.
     val settleThresholdX100 = 300L // loadavg 3.0 on a 32-cpu box
-    // bounded settle gate, reused at three protocol points (r17 verdict
-    // #1: the one-shot start gate passed after a momentary dip, load
-    // returned mid-run, and a poisoned official shipped as the number of
-    // record): (1) before any work, (2) mid-run when a family-boundary
-    // probe shows the box re-loaded, (3) before each deferred re-run of
-    // an over-line official. Returns (waited ms, settled?).
-    def settle(tag: String, minMs: Long, maxMs: Long): (Long, Boolean) = {
-      var waited = 0L
-      while (waited < minMs ||
-             (diag.loadAvgX100 > settleThresholdX100 && waited < maxMs)) {
-        if (diag.loadAvgX100 > settleThresholdX100)
-          System.err.println(
-            s"[bench] box loaded at $tag (loadavg_x100=${diag.loadAvgX100}" +
-              s" > $settleThresholdX100) — settling, waited ${waited / 1000}s")
-        Thread.sleep(5000)
-        waited += 5000
-      }
-      val ok = diag.loadAvgX100 <= settleThresholdX100
-      if (!ok)
-        System.err.println(
-          s"[bench] box did NOT settle at $tag within ${maxMs / 1000}s " +
-            s"(loadavg_x100=${diag.loadAvgX100})")
-      (waited, ok)
-    }
-    val loadPreSettle = diag.loadAvgX100
-    // minimum 30 s even when the gate passes immediately: the 1-min
-    // loadavg is a trailing indicator, so a burst that just ended can
-    // read low while the box is still draining (r15's driver run settled
-    // in 10 s and the round's totals moved 20% on identical plans)
-    val (settleWaitMs, settledOk) = settle("start", 30000L, 180000L)
-    val settled = if (settledOk) 1L else 0L
-    if (settled == 0L)
-      System.err.println(
-        "[bench] start gate unsettled — artifact annotated; totals must " +
-          "be read against the calibration probes")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -185,6 +150,64 @@ object Bench {
       val ok = probes.collect { case (_, s, _) if s > 0 => s }
       if (ok.isEmpty) Double.MaxValue else ok.min
     }
+
+    // bounded settle gate, reused at three protocol points (r17 verdict
+    // #1: the one-shot start gate passed after a momentary dip, load
+    // returned mid-run, and a poisoned official shipped as the number of
+    // record): (1) before any work, (2) mid-run when a family-boundary
+    // probe shows the box re-loaded, (3) before each deferred re-run of
+    // an over-line official. Returns (waited ms, settled?).
+    //
+    // probeExit (r19 verdict #6): the bench's OWN decaying 1-min loadavg
+    // reads >3 mid-run on a quiet box, so a loadavg-gated mid-run settle
+    // can burn its full budget while the box is already fine (r19's
+    // `dedup+` pause: 90 s spent, re-probe then read 0.169 s). With
+    // probeExit the wait re-runs the fixed-work probe every 15 s once
+    // past minMs and exits settled the moment it reads healthy — the
+    // probe measures actual contention, loadavg only annotates. Never
+    // used at the start gate (no baseline exists yet; the gate's point
+    // is measuring external load before any work).
+    def settle(tag: String, minMs: Long, maxMs: Long,
+               probeExit: Boolean = false): (Long, Boolean) = {
+      var waited = 0L
+      var probeOk = false
+      while (!probeOk &&
+             (waited < minMs ||
+              (diag.loadAvgX100 > settleThresholdX100 && waited < maxMs))) {
+        if (diag.loadAvgX100 > settleThresholdX100)
+          System.err.println(
+            s"[bench] box loaded at $tag (loadavg_x100=${diag.loadAvgX100}" +
+              s" > $settleThresholdX100) — settling, waited ${waited / 1000}s")
+        Thread.sleep(5000)
+        waited += 5000
+        if (probeExit && waited >= minMs && waited % 15000 == 0 &&
+            probeBaselineNow < Double.MaxValue) {
+          val ps = probe(s"settle:$tag")
+          probeOk = BenchProtocol.probeHealthy(ps, probeBaselineNow)
+          if (probeOk)
+            System.err.println(
+              s"[bench] settle $tag: probe healthy (${r3(ps)}s) after " +
+                s"${waited / 1000}s — box quiet, proceeding")
+        }
+      }
+      val ok = probeOk || diag.loadAvgX100 <= settleThresholdX100
+      if (!ok)
+        System.err.println(
+          s"[bench] box did NOT settle at $tag within ${maxMs / 1000}s " +
+            s"(loadavg_x100=${diag.loadAvgX100})")
+      (waited, ok)
+    }
+    val loadPreSettle = diag.loadAvgX100
+    // minimum 30 s even when the gate passes immediately: the 1-min
+    // loadavg is a trailing indicator, so a burst that just ended can
+    // read low while the box is still draining (r15's driver run settled
+    // in 10 s and the round's totals moved 20% on identical plans)
+    val (settleWaitMs, settledOk) = settle("start", 30000L, 180000L)
+    val settled = if (settledOk) 1L else 0L
+    if (settled == 0L)
+      System.err.println(
+        "[bench] start gate unsettled — artifact annotated; totals must " +
+          "be read against the calibration probes")
     // mid-run load re-check (r17 verdict, round-18 item 1a): the r17
     // driver run settled once at the start, external load returned
     // mid-run, and nine officials shipped 15–145× their quiet cost. At
@@ -193,8 +216,9 @@ object Bench {
     // sweep behind the settle gate and re-probe before continuing.
     // Bounded (pause budget, per-pause cap) so a permanently co-loaded
     // box degrades to the annotated r17 behavior instead of hanging.
+    // (at, probeSec, settleWaitMs, settledFlag, reprobeSec, blipFlag)
     val pauses = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Double, Long, Long, Double)]
+      .empty[(String, Double, Long, Long, Double, Long)]
     var pauseBudget = 8
     def probeAtBoundary(at: String): Unit = {
       val sec = probe(at)
@@ -210,20 +234,24 @@ object Bench {
           // a free blip (healthy re-probe, ~0.3 s spent) must not consume
           // the pause budget — the budget bounds SETTLE wall time, and
           // eight blips would otherwise disable settling for a real load
-          // event later in the sweep (r19 review)
+          // event later in the sweep (r19 review). Recorded with
+          // blip=1/settled=0 (r19 advice: a blip is a SKIPPED settle,
+          // not a successful one — consumers counting `settled` must
+          // not see it)
           System.err.println(
             s"[bench] probe at $at ran ${r3(sec)}s vs baseline ${r3(base)}s " +
               s"but the immediate re-probe is healthy (${r3(re0)}s) — blip, " +
               "no settle")
-          pauses += ((at, sec, 0L, 1L, re0))
+          pauses += ((at, sec, 0L, 0L, re0, 1L))
         } else {
           pauseBudget -= 1
           System.err.println(
             s"[bench] probe at $at ran ${r3(sec)}s vs baseline ${r3(base)}s " +
               s"(re-probe ${r3(re0)}s) — box re-loaded, pausing to settle")
-          val (waited, ok) = settle(s"midrun:$at", 10000L, 90000L)
+          val (waited, ok) = settle(s"midrun:$at", 10000L, 90000L,
+            probeExit = true)
           val re = probe(s"$at:resettled")
-          pauses += ((at, sec, waited, if (ok) 1L else 0L, re))
+          pauses += ((at, sec, waited, if (ok) 1L else 0L, re, 0L))
         }
       }
     }
@@ -376,6 +404,48 @@ object Bench {
     // set — a violation marks the query failed rather than reporting a
     // flattering number.
     graft.core.Caches.releaseTransient(spark, blocking = true)
+
+    // box-state reference workloads (r19 verdict #3): r19's quietest
+    // drive ran +20% steady over r18's at ZERO engine change, and
+    // nothing in the artifact could separate "engine slower" from "box
+    // busier" between rounds. Three fixed workloads — a scan (IO +
+    // codegen'd agg), a shuffle (exchange + hash agg), and a
+    // driver-planning loop (40 identical tiny queries: parse → analyze →
+    // plan → schedule, the per-micro-batch stream floor's bottleneck) —
+    // run 3× at drive start and 3× at drive end; the per-round
+    // distributions land under `boxref` in the detail artifact as the
+    // cross-round normalizer: identical work, so any movement is the
+    // box. The plan loop reuses ONE expression so after its first
+    // compile the codegen cache hits and the measurement is driver
+    // latency, not Janino (and the cache takes one entry, not forty).
+    def boxrefPass(at: String): Seq[(String, Seq[Double])] = {
+      def timeIt(body: => Unit): Double = {
+        val t0 = System.nanoTime()
+        try { body; (System.nanoTime() - t0) / 1e9 }
+        catch { case t: Throwable =>
+          System.err.println(
+            s"[bench] boxref workload failed at $at: ${t.getMessage}")
+          -1.0
+        }
+      }
+      import org.apache.spark.sql.functions.{sum => fsum, avg => favg, col}
+      def scanW(): Unit = force(probeDf)
+      def shuffleW(): Unit = force(spark.read
+        .parquet(java.nio.file.Paths.get(sfDir, "lineitem.parquet").toString)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(fsum(col("l_quantity")), favg(col("l_extendedprice"))))
+      def planW(): Unit = {
+        var i = 0
+        while (i < 40) {
+          spark.range(1).selectExpr("id + 1 AS v").collect(); i += 1
+        }
+      }
+      Seq[(String, () => Unit)](
+        ("scan", () => scanW()), ("shuffle", () => shuffleW()),
+        ("plan", () => planW()))
+        .map { case (n, w) => n -> Seq.fill(3)(timeIt(w())) }
+    }
+    val boxrefStart = boxrefPass("start")
 
     // one measured pass: plan construction + analysis + contamination
     // assertion timed as `compile`, execution (noop sink) as `exec` —
@@ -689,19 +759,28 @@ object Bench {
     // suspect classes, in priority order (r18 verdict #1: trusted
     // officials shipped at 2–5× their own steady under persistent
     // mid-band load and nothing re-measured them):
-    //   (a) over the 5 s line or probe-load-flagged — the r18 rules;
-    //   (b) INFLATED: official > 2× the gate's own steady (1 s floor,
+    //   (a) OVER THE 5 s LINE — the contract's own red line. UNCAPPED
+    //       (r19 verdict #2: stream_active 5.29 s and
+    //       stream_sim_pq_residual 5.12 s shipped trusted over the line
+    //       with no deferred record because ≥12 bigger fires outranked
+    //       them in the old shared 12-slot budget; over-line gates are
+    //       few by construction, so every one gets an attempt);
+    //   (b) probe-load-flagged — the r18 rules, capped at 12;
+    //   (c) INFLATED: official > 2× the gate's own steady (1 s floor,
     //       BenchProtocol.inflatedOfficial) — ambient load the outlier
     //       net missed, or legitimate cold-run cost the deferred run
-    //       will simply confirm (min() keeps the official).
-    // Budgets are separate so a heavily-loaded box can't starve the
-    // over-line class with dozens of 2× gates: 12 for (a) as before,
-    // up to 12 more for (b) ranked by reclaimable excess.
-    val flaggedSuspects = results.collect {
-      case (k, _) if !gateFailed(k) &&
-        (preOfficial(k) > 5.0 ||
-          (loadFlaggedGate(k) && preOfficial(k) > 1.0)) => k
+    //       will simply confirm (min() keeps the official). Capped at
+    //       12, ranked by reclaimable excess.
+    // Caps apply per class so a heavily-loaded box can't starve the
+    // over-line class with dozens of 2× gates.
+    val overLineSuspects = results.collect {
+      case (k, _) if !gateFailed(k) && preOfficial(k) > 5.0 => k
+    }.sortBy(k => -preOfficial(k))
+    val loadSuspects = results.collect {
+      case (k, _) if !gateFailed(k) && !overLineSuspects.contains(k) &&
+        loadFlaggedGate(k) && preOfficial(k) > 1.0 => k
     }.sortBy(k => -preOfficial(k)).take(12)
+    val flaggedSuspects = overLineSuspects ++ loadSuspects
     def inflatedGate(k: String): Boolean =
       BenchProtocol.inflatedOfficial(preOfficial(k), preSteady(k))
     val inflatedSuspects = results.collect {
@@ -709,9 +788,17 @@ object Bench {
         inflatedGate(k) => k
     }.sortBy(k => -(preOfficial(k) - preSteady(k))).take(12)
     val suspects = flaggedSuspects ++ inflatedSuspects
-    // (name, settleWaitMs, probeSec, runSec, loadX100, diag)
-    val deferred = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Long, Double, Double, Long, Seq[(String, Long)])]
+    // one deferred record per attempt; forensics ride along (r19 verdict
+    // #4: deferred runs executed at 20–50× steady while loadavg read ~2 —
+    // the poisoner was invisible, so each record now bounds the window
+    // with a POST-run probe and carries box-global memory/iowait gauges
+    // plus the JVM's own major-fault delta next to loadavg)
+    final case class DeferredRec(name: String, attempt: Int,
+      settleWaitMs: Long, probeSec: Double, runSec: Double,
+      probeAfterSec: Double, loadX100: Long, memAvailKbBefore: Long,
+      memAvailKbAfter: Long, iowaitTicksDelta: Long, majfltDelta: Long,
+      diag: Seq[(String, Long)])
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[DeferredRec]
     // GLOBAL settle budget across the deferred pass: the inflated class
     // (r18 verdict #1) widened the suspect list to 24, and 24 × 120 s of
     // per-gate settling on a permanently loaded box would add 48 min to
@@ -719,10 +806,11 @@ object Bench {
     // budget, deferred runs proceed probe-only (an unhealthy probe just
     // means no requote, the conservative/untrusted rules stand)
     var deferredSettleBudgetMs = 600000L
-    for (name <- suspects) {
+    def deferredAttempt(name: String, attempt: Int): Unit = {
       System.err.println(
-        s"[bench] deferred re-run $name (official ${r3(preOfficial(name))}s" +
-          s", class ${adjudicated.get(name).map(_._3).getOrElse("none")})")
+        s"[bench] deferred re-run $name attempt $attempt (official " +
+          s"${r3(preOfficial(name))}s, class " +
+          s"${adjudicated.get(name).map(_._3).getOrElse("none")})")
       // probe first: a healthy probe means the box is ALREADY quiet and
       // settling would only wait out the bench's own decaying loadavg
       // (which reads 3–17 mid-run from self-work alone); settle + re-probe
@@ -732,13 +820,16 @@ object Bench {
       if (!BenchProtocol.probeHealthy(pSec, probeBaselineNow) &&
           deferredSettleBudgetMs > 0) {
         waited = settle(s"deferred:$name", 5000L,
-          math.min(120000L, deferredSettleBudgetMs))._1
+          math.min(120000L, deferredSettleBudgetMs), probeExit = true)._1
         deferredSettleBudgetMs -= waited
         pSec = probe(s"deferred:$name")
       }
       graft.core.Caches.releaseTransient(spark, blocking = true)
       pinSanctioned(s"$name(deferred)")
       val load = diag.loadAvgX100
+      val memB = BenchDiag.memAvailableKb
+      val iowB = BenchDiag.iowaitTicks
+      val mfB = BenchDiag.selfMajorFaults
       val md = diag.mark()
       val pd = graft.core.Provisioning.snapshotNs
       val t0 = System.nanoTime()
@@ -749,13 +840,51 @@ object Bench {
             s"${t.getClass.getName}: ${t.getMessage}")
           -1.0
         }
-      deferred += ((name, waited, pSec, dSec, load,
-        noteCodeCache(diag.measure(md) :+
-          ("provision_ms" ->
-            (graft.core.Provisioning.snapshotNs - pd) / 1000000L))))
+      val dd = noteCodeCache(diag.measure(md) :+
+        ("provision_ms" ->
+          (graft.core.Provisioning.snapshotNs - pd) / 1000000L))
+      val memA = BenchDiag.memAvailableKb
+      val iowA = BenchDiag.iowaitTicks
+      val mfA = BenchDiag.selfMajorFaults
+      // post-run probe: bounds whether an unhealthy window died before
+      // the run (both probes slow) or during it (pre fast, post slow)
+      val pAfter = probe(s"deferred:$name:after")
+      def delta(b: Long, a: Long): Long = if (b < 0 || a < 0) -1L else a - b
+      deferred += DeferredRec(name, attempt, waited, pSec, dSec, pAfter,
+        load, memB, memA, delta(iowB, iowA), delta(mfB, mfA), dd)
     }
+    for (name <- suspects) deferredAttempt(name, 1)
+    // RETRY pass (r19 verdict #1, second half): a suspect whose only
+    // window was itself poisoned gets ONE more window at end of drive
+    // before the trust rule demotes it to untrusted — the drive's tail
+    // is minutes later, and a transient fire has often passed by then.
+    // Probe-only when the settle budget is spent (a healthy probe +
+    // run still acquits).
+    val retryQueue = suspects.filter { k =>
+      val atts = deferred.filter(_.name == k)
+      atts.nonEmpty && !atts.exists(a =>
+        BenchProtocol.windowHealthy(a.probeSec, a.runSec, probeBaselineNow))
+    }
+    if (retryQueue.nonEmpty)
+      System.err.println(
+        s"[bench] retry windows for ${retryQueue.size} suspect(s) whose " +
+          s"first deferred window was unhealthy: ${retryQueue.mkString(", ")}")
+    for (name <- retryQueue) deferredAttempt(name, 2)
     // final probe baseline including the deferred windows' probes
     val probeBaseline2 = probeBaselineNow
+    // the attempt that stands for each suspect: the healthiest window
+    // (fastest healthy run), else the LAST attempt — trustDecision then
+    // sees clean evidence when any window produced it
+    val bestAttempt: Map[String, DeferredRec] =
+      deferred.toSeq.groupBy(_.name).map { case (k, atts) =>
+        val healthy = atts.filter(a =>
+          BenchProtocol.windowHealthy(a.probeSec, a.runSec, probeBaseline2))
+        k -> (if (healthy.nonEmpty) healthy.minBy(_.runSec)
+              else atts.maxBy(_.attempt))
+      }
+    // end-of-drive box-state reference (paired with boxrefStart): the
+    // start/end pair also bounds WHEN a drive's box went bad
+    val boxrefEnd = boxrefPass("end")
     // per gate: (official sec, source run, trusted?) — the contract total
     // sums only trusted officials
     val officials: Map[String, (Double, String, Boolean)] =
@@ -771,10 +900,11 @@ object Bench {
         // loadFlaggedGate = envEvent bool + run1-class trigger (see the
         // suspects block for why the class string and run2 triggers are
         // both wrong here)
-        deferred.collectFirst { case (`k`, _, pSec, dSec, _, _) =>
+        bestAttempt.get(k).map { a =>
           BenchProtocol.trustDecision(
             pre, srcPre, loadFlaggedGate(k), overLine = pre > 5.0,
-            inflated = inflatedGate(k), pSec, dSec, probeBaseline2)
+            inflated = inflatedGate(k), a.probeSec, a.runSec,
+            probeBaseline2)
         }.getOrElse((pre, srcPre, true)) match { case v => k -> v }
       }.toMap
     val untrusted = officials.collect {
@@ -790,7 +920,7 @@ object Bench {
     val steadyOf: Map[String, Double] = results.map { case (k, (c, e, r2)) =>
       val cands = Seq(c + e, r2) ++
         adjudicated.get(k).map(_._2).toSeq ++
-        deferred.collectFirst { case (`k`, _, _, d, _, _) if d > 0 => d }
+        deferred.collect { case a if a.name == k && a.runSec > 0 => a.runSec }
       k -> cands.filter(_ > 0).min
     }.toMap
     // note: the memoized series table (SeriesOps) is shared across queries
@@ -839,16 +969,27 @@ object Bench {
         "code_cache_reserved" -> ccReserved,
         "code_cache_warn" -> (if (ccWarn.isDefined) 1L else 0L),
         "pause_budget_left" -> pauseBudget.toLong))
-      val pausesJson = pauses.map { case (at, sec, wait, ok, re) =>
+      val pausesJson = pauses.map { case (at, sec, wait, ok, re, blip) =>
         "{\"at\":\"" + at + "\",\"probe_sec\":" + r3(sec) +
           ",\"settle_wait_ms\":" + wait + ",\"settled\":" + ok +
-          ",\"reprobe_sec\":" + r3(re) + "}"
+          ",\"blip\":" + blip + ",\"reprobe_sec\":" + r3(re) + "}"
       }.mkString("[", ",", "]")
-      val deferredJson = deferred.map {
-        case (k, wait, pSec, dSec, load, dd) =>
-          "\"" + k + "\":{\"settle_wait_ms\":" + wait +
-            ",\"probe_sec\":" + r3(pSec) + ",\"run_sec\":" + r3(dSec) +
-            ",\"loadavg_x100\":" + load + ",\"diag\":" + obj(dd) + "}"
+      // key = gate name for the first attempt, "name#2" for the retry
+      // window, so the object keeps one entry per attempt without
+      // duplicate keys; `attempt` rides inside each record too
+      val deferredJson = deferred.map { a =>
+        val key = if (a.attempt == 1) a.name else s"${a.name}#${a.attempt}"
+        "\"" + key + "\":{\"attempt\":" + a.attempt +
+          ",\"settle_wait_ms\":" + a.settleWaitMs +
+          ",\"probe_sec\":" + r3(a.probeSec) +
+          ",\"run_sec\":" + r3(a.runSec) +
+          ",\"probe_after_sec\":" + r3(a.probeAfterSec) +
+          ",\"loadavg_x100\":" + a.loadX100 +
+          ",\"mem_avail_kb_before\":" + a.memAvailKbBefore +
+          ",\"mem_avail_kb_after\":" + a.memAvailKbAfter +
+          ",\"iowait_ticks_delta\":" + a.iowaitTicksDelta +
+          ",\"majflt_delta\":" + a.majfltDelta +
+          ",\"diag\":" + obj(a.diag) + "}"
       }.mkString("{", ",", "}")
       // every official, annotated with the run it came from, the ambient
       // loadavg run1 started under (item 1c), and whether it aggregates
@@ -892,10 +1033,17 @@ object Bench {
           "\"" + k + "\":{\"env_event\":" + env + ",\"class\":\"" + cls +
             "\",\"official\":" + r3(v) + ",\"steady\":" + r3(steady) + "}"
       }.mkString("{", ",", "}")
+      val boxrefJson = {
+        def side(p: Seq[(String, Seq[Double])]): String =
+          p.map { case (n, xs) =>
+            "\"" + n + "\":" + xs.map(r3).mkString("[", ",", "]")
+          }.mkString("{", ",", "}")
+        s"""{"start":${side(boxrefStart)},"end":${side(boxrefEnd)}}"""
+      }
       s"""{"detail":$entries,"diag":$diagJson,"probes":$probesJson,""" +
         s""""outliers":$outliersJson,"adjudicated":$adjJson,""" +
         s""""officials":$officialsJson,"deferred":$deferredJson,""" +
-        s""""pauses":$pausesJson,""" +
+        s""""pauses":$pausesJson,"boxref":$boxrefJson,""" +
         s""""provisioning":$provisioningJson,"memo":$memoJson,""" +
         s""""env":$envJson,"failed":$failedJson,"sf":"$sfDir"}"""
     }
@@ -942,6 +1090,14 @@ object Bench {
     val steadyQs = Headline.filter(steadyOf.contains)
       .map(k => "\"" + k + "\":" + r3(steadyOf(k))).mkString("{", ",", "}")
     val steadyTotal = steadyOf.values.sum
+    // cold-plan comparability column (r19 advice: the deferred requote
+    // can replace a cold-plan official with a warm quiet-window
+    // measurement, which changes what the headline total measures
+    // round-over-round) — cold_total sums the PRE-deferred adjudicated
+    // officials over all gates, i.e. the number the r18 discipline would
+    // have shipped, published next to the trusted total so both framings
+    // stay comparable across rounds
+    val coldTotal = preOfficial.values.sum
     val untrustedJson =
       untrusted.map("\"" + _ + "\"").mkString("[", ",", "]")
     spark.stop()
@@ -956,8 +1112,8 @@ object Bench {
     // excludes poison; which gates were excluded is on THIS line
     // (`untrusted`) and per-gate in BENCH_DETAIL's `officials`.
     System.out.println(
-      s"""{"steady_total":${r3(steadyTotal)},"untrusted":$untrustedJson,""" +
-        s""""steady":$steadyQs}""")
+      s"""{"steady_total":${r3(steadyTotal)},"cold_total":${r3(coldTotal)},""" +
+        s""""untrusted":$untrustedJson,"steady":$steadyQs}""")
     // contract line LAST (documented shape), after spark.stop() so no
     // shutdown logging prints below it; build.sbt routes forked stdout
     // raw (StdoutOutput) and suppresses sbt's "[success]" epilogue, so
@@ -968,7 +1124,7 @@ object Bench {
     // steady map stays on the line above — duplicating 34 more entries
     // here would push the contract line against the driver's ~2000-byte
     // stdout tail
-    System.out.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","steady_total":${r3(steadyTotal)},"queries":$qs,"sf":"$sfDir"}""")
+    System.out.println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","steady_total":${r3(steadyTotal)},"cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

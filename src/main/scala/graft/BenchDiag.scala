@@ -219,4 +219,51 @@ object BenchDiag {
         "risk; raise -XX:ReservedCodeCacheSize or lower " +
         "spark.sql.codegen.cache.maxEntries")
     else None
+
+  // ---- box-state forensics (r19 verdict #4: deferred runs executed at
+  // 20–50× steady while loadavg read ~2 — whatever poisoned those
+  // windows was invisible to the load average, so the deferred records
+  // now carry memory and IO gauges next to it). All best-effort, -1
+  // where /proc is absent (non-Linux): forensics must never take a
+  // measurement down.
+
+  private def procLines(path: String): Seq[String] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().toList finally src.close()
+    } catch { case _: Throwable => Seq.empty }
+
+  /** Box-global MemAvailable (kB) from /proc/meminfo — external memory
+    * pressure (a co-tenant ballooning, tmpfs fills) moves this while
+    * loadavg can stay flat.
+    */
+  def memAvailableKb: Long =
+    procLines("/proc/meminfo")
+      .collectFirst { case l if l.startsWith("MemAvailable:") =>
+        l.split("\\s+")(1).toLong }
+      .getOrElse(-1L)
+
+  /** Box-global cumulative iowait ticks from /proc/stat's aggregate cpu
+    * line — a window poisoned by IO contention shows a tick-delta here
+    * with no loadavg signature.
+    */
+  def iowaitTicks: Long =
+    procLines("/proc/stat")
+      .collectFirst { case l if l.startsWith("cpu ") =>
+        val f = l.trim.split("\\s+")
+        if (f.length > 5) f(5).toLong else -1L }
+      .getOrElse(-1L)
+
+  /** This JVM's cumulative major page faults from /proc/self/stat —
+    * majflt across a run window means the process itself was paging
+    * (memory pressure reached us, not just the box).
+    */
+  def selfMajorFaults: Long =
+    try {
+      val stat = procLines("/proc/self/stat").headOption.getOrElse("")
+      // fields after the parenthesised comm: state ppid pgrp session
+      // tty_nr tpgid flags minflt cminflt majflt ...
+      val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+      if (rest.length > 9) rest(9).toLong else -1L
+    } catch { case _: Throwable => -1L }
 }

@@ -50,6 +50,16 @@ object BenchProtocol {
     Adjudication(official, steady, cls, envEvent)
   }
 
+  /** A deferred window is healthy evidence only when the run succeeded
+    * AND its adjacent fixed-work probe read at the quiet-box baseline —
+    * the single definition Bench's retry queue and [[trustDecision]]
+    * both consult, so "needs another window" and "window was good"
+    * can never drift apart.
+    */
+  def windowHealthy(probeSec: Double, runSec: Double,
+                    baseline: Double): Boolean =
+    runSec > 0 && probeHealthy(probeSec, baseline)
+
   /** Post-sweep trust decision for a deferred-re-run suspect (r17 verdict
     * items 1b/1d): a HEALTHY deferred quiet-window run (probe at
     * baseline, run succeeded) requotes the official when the first
@@ -60,9 +70,20 @@ object BenchProtocol {
     * independent quiet observations under the same cold-plan discipline
     * beat one hot one. The requote takes min(first, deferred) so a
     * deferred run that caught its own noise never WORSENS an official.
-    * A load-flagged gate with no healthy window is UNTRUSTED (published
-    * but excluded from the contract total); anything else keeps its
-    * conservative official with the deferred run as steady evidence.
+    *
+    * When NO healthy window exists, ANY suspect class — load-flagged,
+    * over-line, or inflated — is UNTRUSTED (published with its
+    * best-known value but excluded from the contract total). r19 closed
+    * only the load-flagged arm and the fall-through shipped
+    * `text_bigrams` TRUSTED at 14.66 s (6.3× its own 2.33 s steady,
+    * deferred probe 11.6 s = window poisoned, run discarded) and
+    * `text_vocab` at 7.27 s (11× steady) inside the contract total
+    * (r19 verdict #1). A suspect without clean evidence has no
+    * defensible number: the conservative official is KNOWN to carry
+    * load (that's what made it a suspect) and the deferred window
+    * could not acquit it. Bench grants each such gate one RETRY window
+    * at end of drive before this demotion fires, so untrusted is the
+    * last resort, not the first response.
     *
     * @return (official seconds, source tag, trusted?)
     */
@@ -71,13 +92,13 @@ object BenchProtocol {
                     inflated: Boolean,
                     deferredProbe: Double, deferredRun: Double,
                     probeBaseline: Double): (Double, String, Boolean) = {
-    val healthy = deferredRun > 0 &&
-      probeHealthy(deferredProbe, probeBaseline)
+    val healthy = windowHealthy(deferredProbe, deferredRun, probeBaseline)
     if ((loadFlagged || overLine || inflated) && healthy) {
       if (deferredRun < preOfficial) (deferredRun, "deferred", true)
       else (preOfficial, preSource, true)
     }
-    else if (loadFlagged) (preOfficial, preSource, false)
+    else if (loadFlagged || overLine || inflated)
+      (preOfficial, preSource, false)
     else (preOfficial, preSource, true)
   }
 

@@ -233,6 +233,28 @@ object StreamQueries extends QueryProvider {
     * of entries deleted (best-effort, 0 on error).
     */
   private val StaleIdleMs = 15L * 60 * 1000
+
+  /** Newest mtime across a dir and its IMMEDIATE children (r19 advice:
+    * Spark writes per-micro-batch files INSIDE the checkpoint's
+    * offsets/ commits/ state/ subdirs, so the checkpoint root's own
+    * mtime is frozen at creation — the idle check must look one level
+    * down, where a live drain's offsets/ advances every batch).
+    */
+  private def recentMtimeMs(p: java.nio.file.Path): Long = {
+    var m = Files.getLastModifiedTime(p).toMillis
+    if (Files.isDirectory(p)) {
+      val ls = Files.list(p)
+      try ls.iterator().forEachRemaining { c =>
+        try {
+          val t = Files.getLastModifiedTime(c).toMillis
+          if (t > m) m = t
+        } catch { case _: Throwable => () }
+      }
+      finally ls.close()
+    }
+    m
+  }
+
   private def sweepStale(root: java.nio.file.Path,
                          prefixes: Seq[String]): Int = {
     var swept = 0
@@ -242,7 +264,7 @@ object StreamQueries extends QueryProvider {
       try ls.iterator().forEachRemaining { p =>
         val n = p.getFileName.toString
         val stale = prefixes.exists(n.startsWith) &&
-          (try now - Files.getLastModifiedTime(p).toMillis > StaleIdleMs
+          (try now - recentMtimeMs(p) > StaleIdleMs
            catch { case _: Throwable => false })
         if (stale) {
           try { rmTree(p); swept += 1 }
@@ -257,8 +279,11 @@ object StreamQueries extends QueryProvider {
     swept
   }
   // the sweep the drain's cleanup message promises: once per JVM, at
-  // class init, before any new checkpoint is cut
+  // class init, before any new checkpoint is cut — on BOTH roots a
+  // checkpoint can land on (the disk-backed fallback leaks just the
+  // same when a JVM dies mid-gate)
   sweepStale(ReplayRoot, Seq("graft-ckpt-"))
+  if (TmpRoot != ReplayRoot) sweepStale(TmpRoot, Seq("graft-ckpt-"))
 
   /** Staging headroom exhausted on the preferred root — callers fall back
     * to the disk-backed [[TmpRoot]] for this corpus.
@@ -436,8 +461,27 @@ object StreamQueries extends QueryProvider {
         }
       }
     }
-    val ckpt = graft.core.Provisioning.timed(
-      Files.createTempDirectory(ReplayRoot, "graft-ckpt-"))
+    // checkpoint root selection goes through the same headroom posture
+    // as corpus staging (r19 advice: on the exact tmpfs-full condition
+    // StageSpaceException handles for staged copies, checkpoint
+    // WAL/state writes could still ENOSPC mid-drain). Checkpoints are
+    // small — offsets/commits are bytes, state deltas kilobytes — so a
+    // fixed 256 MiB headroom check on the preferred root with the
+    // disk-backed TmpRoot as fallback suffices; best-effort (an
+    // unreadable file store keeps the preferred root).
+    val ckpt = graft.core.Provisioning.timed {
+      val root =
+        try {
+          if (ReplayRoot != TmpRoot &&
+              Files.getFileStore(ReplayRoot).getUsableSpace < (256L << 20)) {
+            System.err.println(
+              s"[stream] low headroom on $ReplayRoot — checkpointing on " +
+                s"$TmpRoot for this gate")
+            TmpRoot
+          } else ReplayRoot
+        } catch { case _: Throwable => ReplayRoot }
+      Files.createTempDirectory(root, "graft-ckpt-")
+    }
     val q =
       try graft.core.Provisioning.timed {
         // earlier gate runs' results have been consumed by the caller by

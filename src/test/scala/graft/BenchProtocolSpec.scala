@@ -109,12 +109,28 @@ class BenchProtocolSpec extends AnyFunSuite {
       preSource = "run1", loadFlagged = false, overLine = false, inflated = false,
       deferredProbe = 0.16, deferredRun = 3.8, probeBaseline = base)
     assert(sec == 4.0 && src == "run1" && trusted)
-    // over-line + unhealthy deferred window + not flagged: run1 stands
-    // trusted (no clean evidence either way, conservative wins)
+  }
+
+  test("over-line official with an unhealthy deferred window is " +
+    "UNTRUSTED even when not load-flagged (r19 verdict #1: text_vocab " +
+    "shipped trusted at 7.27s for 0.66s of steady work through the old " +
+    "fall-through)") {
     val (s2, _, t2) = trustDecision(preOfficial = 6.0,
       preSource = "run1", loadFlagged = false, overLine = true, inflated = false,
       deferredProbe = 1.8, deferredRun = 5.5, probeBaseline = base)
-    assert(s2 == 6.0 && t2)
+    assert(s2 == 6.0 && !t2)
+    // a FAILED deferred run is equally an unhealthy window
+    assert(!trustDecision(14.66, "run1", loadFlagged = false,
+      overLine = true, inflated = false,
+      deferredProbe = 0.16, deferredRun = -1.0, probeBaseline = base)._3)
+  }
+
+  test("windowHealthy is the single health definition: succeeded run + " +
+    "probe at baseline") {
+    assert(windowHealthy(probeSec = 0.16, runSec = 1.0, baseline = base))
+    assert(!windowHealthy(probeSec = 1.8, runSec = 1.0, baseline = base))
+    assert(!windowHealthy(probeSec = 0.16, runSec = -1.0, baseline = base))
+    assert(!windowHealthy(probeSec = -1.0, runSec = 1.0, baseline = base))
   }
 
   test("probe health floors at 0.3s so sub-second jitter never flags") {
@@ -167,13 +183,14 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(s2 == 4.0 && src2 == "run1" && t2)
   }
 
-  test("inflated official with a poisoned deferred window stays TRUSTED " +
-    "conservative (only probe-evidenced load-flags untrust)") {
+  test("inflated official with a poisoned deferred window is UNTRUSTED " +
+    "(r19 verdict #1: a suspect the deferred window could not acquit " +
+    "has no defensible number; Bench retries one more window first)") {
     val (sec, src, trusted) = trustDecision(preOfficial = 4.12,
       preSource = "run1", loadFlagged = false, overLine = false,
       inflated = true,
       deferredProbe = 1.8, deferredRun = 4.0, probeBaseline = base)
-    assert(sec == 4.12 && src == "run1" && trusted)
+    assert(sec == 4.12 && src == "run1" && !trusted)
   }
 
   test("settleNeeded (probe-first pauses): a healthy immediate re-probe " +
