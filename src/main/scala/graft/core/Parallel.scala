@@ -26,7 +26,28 @@ import org.apache.spark.sql.DataFrame
   * scan plans, where building the RDD lineage runs nothing.
   */
 object Parallel {
-  def widen(df: DataFrame): DataFrame = {
+  /** [[widen]] variant for WIDE rows: hash-repartitions on `key` instead
+    * of round-robin. Keyless `repartition(n)` first locally SORTS its
+    * input (`spark.sql.execution.sortBeforeRepartition`, on by default —
+    * retried tasks must reproduce the row-to-partition assignment), and
+    * on a wide fact row that sort costs more than the downstream compute
+    * the widen exists to parallelize (measured r20 on tpch_q1: keyless
+    * widen cpu 5–9 s vs the 1.2 s serial aggregation it replaced). A
+    * hash partitioning is deterministic per row, so it skips the sort;
+    * `key` must be high-cardinality relative to the core count (guide
+    * §2.5 — 20–100× more distinct values than partitions) so the spread
+    * is even. Same no-op guard as [[widen]]: realistic layouts with
+    * splits ≥ cores return unchanged.
+    */
+  def widenBy(df: DataFrame,
+              key: org.apache.spark.sql.Column): DataFrame =
+    widenWith(df, p => df.repartition(p, key))
+
+  def widen(df: DataFrame): DataFrame =
+    widenWith(df, p => df.repartition(p))
+
+  private def widenWith(df: DataFrame,
+                        re: Int => DataFrame): DataFrame = {
     // a streaming frame cannot be physically planned outside its query
     // (and its parallelism is the source's/shuffle's business anyway)
     if (df.isStreaming) return df
@@ -46,7 +67,7 @@ object Parallel {
     if (unsafe) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+      if (df.rdd.getNumPartitions < p) re(p) else df
     }
   }
 }

@@ -525,6 +525,10 @@ object StreamQueries extends QueryProvider {
           System.err.println(s"[stream-progress] gate-batch id=${p.batchId} " +
             s"rows=${p.numInputRows} durations=${p.durationMs}")
         }
+      // opt-in plan capture (dev only): the last micro-batch's executed
+      // plan — the only way to see a stream gate's physical plan, since
+      // the gate function returns the already-drained sink table
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain(true)
       q.stop()
       rmQuiet(ckpt)
     }

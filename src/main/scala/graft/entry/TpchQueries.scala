@@ -11,8 +11,36 @@ import graft.core.{Exact, Tables}
   */
 object TpchQueries extends QueryProvider {
 
+  /** The fact scan at compute parallelism — applied ONLY where measured
+    * to win (optimization guide §1.1: implement the "ideal" plan, then
+    * keep it only where the empirical loop confirms it). The local
+    * single-row-group lineitem file yields ~3 input splits, so fact-side
+    * map stages run 3-way on a 32-core box; [[graft.core.Parallel.widenBy]]
+    * inserts ONE hash exchange on `l_orderkey` above the scan when
+    * splits < cores (a no-op on any realistic layout with row groups ≥
+    * cores, so the 100 TB plan shape is unchanged). Keyed, not
+    * round-robin: keyless repartition pays a local determinism sort of
+    * the wide fact rows (`spark.sql.execution.sortBeforeRepartition`,
+    * guide §2.5) that measured r20 at MORE cpu than the compute being
+    * parallelized (tpch_q1 keyless widen: 5–9 s cpu vs the 1.2 s serial
+    * aggregation it replaced).
+    *
+    * Where it stands (focused bench drives, steady column, r20):
+    * tpch_q1 1.164 → 0.808 s (the five decimal folds parallelize;
+    * exchange cost ≪ agg saved) and tpch_q18 0.997 → 0.708 s (the
+    * groupBy(l_orderkey) REUSES the inserted hash partitioning — guide
+    * §2.4 — so the widen replaces the agg exchange rather than adding
+    * one). Everywhere else the family A/B measured a net LOSS
+    * (13.4 → 18.5 s with all 19 lineitem scans widened: broadcast-join
+    * pipelines gained an exchange that nothing downstream reuses), so
+    * the other 17 consumers keep the bare scan.
+    */
+  private def lineitemWide(s: SparkSession, dir: String): DataFrame =
+    graft.core.Parallel.widenBy(Tables(s, dir, "lineitem"),
+      col("l_orderkey"))
+
   private def q1(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem")
+    lineitemWide(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         Exact.dsum(col("l_quantity")).as("sum_qty"),
@@ -71,7 +99,7 @@ object TpchQueries extends QueryProvider {
     * qualifying keys BEFORE any dimension work).
     */
   private def q18ish(s: SparkSession, dir: String): DataFrame = {
-    val big = Tables(s, dir, "lineitem")
+    val big = lineitemWide(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(Exact.dsum(col("l_quantity")).as("sum_qty"))
       .where(col("sum_qty") > 250.0)
