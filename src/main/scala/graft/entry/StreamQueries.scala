@@ -73,9 +73,14 @@ import graft.streaming.{DocStream, StreamingDql}
   * (r10), another ~11% at 8→4 with `Trigger.AvailableNow` (r13: each
   * task pays a state-store delta-file commit per partition per batch,
   * and AvailableNow replaces the processAllAvailable poll/stop cycle
-  * with a self-terminating run). The runner pins 4 for the replay and
-  * restores the session value after; production streams size this to
-  * their cluster instead. The remaining per-gate floor is JIT/codegen of
+  * with a self-terminating run), and another ~25–35% at 4→2 (r20
+  * Scratch A/B over 15 gates, warm runs: e.g. stream_derivate 2.8 vs
+  * 6.7 s, stream_hist 1.75 vs 3.3 s, stream_active 2.0 vs 3.3 s —
+  * consistent on both the light DQL gates and the compute-carrying
+  * doc-stream gates; 2→1 measured MIXED, the no-data output batch of
+  * windowed gates gets slower single-threaded, so 2 is the floor).
+  * The runner pins 2 for the replay and restores the session value
+  * after; production streams size this to their cluster instead. The remaining per-gate floor is JIT/codegen of
   * each gate's DISTINCT stateful plan (~60 generated classes, 2–5 s of
   * across-thread JIT per gate, measured r13) — real per-query
   * compilation under the bench's cold-plan discipline, not harness
@@ -496,12 +501,12 @@ object StreamQueries extends QueryProvider {
         }
         val name = s"graft_stream_gate_${runSeq.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        // replay state-store partitioning, conf-first (default 4 — see
-        // the class doc's 32→8→4 measurements); captured at query start,
-        // rides with the query for its lifetime
+        // replay state-store partitioning, conf-first (default 2 — see
+        // the class doc's 32→8→4→2 measurement chain); captured at query
+        // start, rides with the query for its lifetime
         s.conf.set("spark.sql.shuffle.partitions",
           s.conf.getOption("spark.graft.stream.replay.partitions")
-            .getOrElse("4"))
+            .getOrElse("2"))
         try out.writeStream.format("memory").queryName(name)
           .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

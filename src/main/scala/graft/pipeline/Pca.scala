@@ -295,6 +295,19 @@ object Pca {
         col("s.resid").as("resid"))
   }
 
+  /** The deflation-trained model as driver-local arrays — the public
+    * seam for callers that FREEZE the ladder as (session, corpus) model
+    * state and score against it without retraining per query (the
+    * [[graft.entry.StreamQueries]] online-projector posture, and since
+    * r20 the batch projection gates' too — training is model
+    * provisioning on the corpus refresh cadence, exactly the
+    * clsWeights / BPE-merge-table / trained-IVFADC convention).
+    * Returns (per-dim mean, per-component (loading vector, eigval)).
+    */
+  def trainLadder(emb: DataFrame, dim: Int, iters: Int,
+                  k: Int): (Seq[Double], Seq[(Array[Double], Double)]) =
+    deflationLadder(emb, dim, iters, k)
+
   /** Rank-k projection + residual against the deflation-trained
     * components: `proj_c = ⟨x − m, v_c⟩` (each against the ORIGINAL
     * centered vector — the standard PCA readout),
@@ -306,7 +319,18 @@ object Pca {
     */
   def projectK(emb: DataFrame, dim: Int, iters: Int, k: Int): DataFrame = {
     val (mean, ladder) = deflationLadder(emb, dim, iters, k)
-    val comps = ladder.map(_._1)
+    projectKFrom(emb, mean, ladder.map(_._1))
+  }
+
+  /** [[projectK]]'s scoring half against an ALREADY-TRAINED (mean,
+    * components) ladder — one row-local scan, zero training jobs; the
+    * arithmetic is the identical exact-decimal/9dp chain, so scoring
+    * against a frozen ladder is bit-identical to training inline.
+    */
+  def projectKFrom(emb: DataFrame, mean: Seq[Double],
+                   comps: Seq[Array[Double]]): DataFrame = {
+    require(comps.nonEmpty, "projectKFrom: need at least one component")
+    val k = comps.size
     val cen = centered(emb, localRow(emb, "m", mean))
     val projs = comps.zipWithIndex.map { case (vc, i) =>
       dfold(zip_with(col("cx"), typedLit(vc.toSeq),
