@@ -51,10 +51,14 @@ object SeriesOps {
     // a no-op on any layout with splits ≥ cores, and filters still push
     // into the scan below the inserted exchange. Callers whose plan opens
     // with its own hash exchange (the per-user session operators) pass
-    // widen=false — a round-robin repartition directly under a hash
-    // partition is a wasted full pass over the scan.
+    // widen=false — a repartition directly under a hash partition is a
+    // wasted full pass over the scan. KEYED on event_id (r20, guide
+    // §2.5): the row carries the wide `props` JSON string, and keyless
+    // round-robin repartition pays a local determinism sort of those
+    // rows (sortBeforeRepartition) — the unique event key spreads
+    // perfectly with no sort.
     val out = df.withColumn("ts_ms", tsMs.cast("long"))
-    if (widen) Parallel.widen(out) else out
+    if (widen) Parallel.widenBy(out, col("event_id")) else out
   }
 
   /** (metric, mtype, muser, ts_ms, value) at 1 s resolution — present slots

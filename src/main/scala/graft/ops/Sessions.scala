@@ -313,11 +313,20 @@ object Sessions {
     */
   def activeUsers(ev: DataFrame, dayMs: Long, windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val a = ev.select(col("user_id"),
-      expr(s"ts_ms DIV $dayMs").as("day")).distinct()
+    // the distinct (user, day) shell feeds THREE consumers (day spine,
+    // DAU count, WAU coverage explode) — unpinned, the event scan +
+    // distinct shuffle executed three times in one action (r20,
+    // optimization guide §7.2 duplicated subtrees). Pinned transient,
+    // released per query by releaseTransient.
+    val a = graft.core.Caches.deferRelease(
+      ev.select(col("user_id"),
+        expr(s"ts_ms DIV $dayMs").as("day")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val days = a.select("day").distinct()
-    val dau = a.groupBy("day")
-      .agg(count_distinct(col("user_id")).as("dau"))
+    // `a` is distinct on (user_id, day), so the per-day user count needs
+    // no second distinct pass — count(1) is value-identical and skips
+    // count_distinct's Expand + re-shuffle
+    val dau = a.groupBy("day").agg(count(lit(1)).as("dau"))
     val cov = a.select(col("user_id"),
       explode(sequence(col("day"),
         col("day") + (windowDays - 1))).as("day"))

@@ -36,23 +36,38 @@ object Curation {
     * bucket label is a row-local comparison. The corpus never sorts
     * globally and never shuffles for the labeling pass.
     */
-  def pplBuckets(docs: DataFrame, scored: DataFrame): DataFrame =
-    scoredByLang(docs, scored).join(broadcast(pplCuts(docs, scored)), "lang")
-      .select(col("doc_id") +: col("lang") +: col("avg_logprob") +:
-        pplLabelCols(col("avg_logprob"), col("c13"), col("c23")): _*)
+  def pplBuckets(docs: DataFrame, scored: DataFrame): DataFrame = {
+    // the scored-by-lang frame feeds BOTH the cut aggregation and the
+    // labeling join — unpersisted, the whole `scored` subtree (token
+    // explode → model join → per-doc aggregation) executed twice in one
+    // action (r20 baseline: curate_ppl_buckets steady 1.5 s ≈ 2× the
+    // text_logprob gate it wraps). Persist + handoff is the standard
+    // shared-subtree pin (Persist scaladoc); released per query by
+    // releaseTransient.
+    val sl = scoredByLang(docs, scored)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Persist.handoff(
+      sl.join(broadcast(pplCutsFrom(sl)), "lang")
+        .select(col("doc_id") +: col("lang") +: col("avg_logprob") +:
+          pplLabelCols(col("avg_logprob"), col("c13"), col("c23")): _*),
+      sl)
+  }
 
   /** The per-language tercile cut table (lang, c13, c23) — the frozen
     * artifact the STREAMING labeler joins against (batch-refreshed with
     * the LM, exactly like CCNet's per-language cutoff files).
     */
-  def pplCuts(docs: DataFrame, scored: DataFrame): DataFrame = {
+  def pplCuts(docs: DataFrame, scored: DataFrame): DataFrame =
+    pplCutsFrom(scoredByLang(docs, scored))
+
+  private def pplCutsFrom(sl: DataFrame): DataFrame = {
     def kth(v: Column, p: Double): Column = {
       val arr = array_sort(collect_list(v))
       element_at(arr,
         greatest(lit(1L), ceil(lit(p) * size(arr).cast("double")).cast("long"))
           .cast("int"))
     }
-    scoredByLang(docs, scored).groupBy("lang")
+    sl.groupBy("lang")
       .agg(kth(col("avg_logprob"), 1.0 / 3).as("c13"),
         kth(col("avg_logprob"), 2.0 / 3).as("c23"))
   }

@@ -119,6 +119,24 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.forall { case (k, v) => r2(k) <= v + 1e-9 })
   }
 
+  test("frozen-ladder scoring is bit-identical to inline training " +
+    "(the r20 memoized-projection contract)") {
+    val inline = Pca.projectK(corpus, D, iters = 3, k = 2)
+      .orderBy("vec_id").collect()
+    val (mean, ladder) = Pca.trainLadder(corpus, D, iters = 3, k = 2)
+    val frozen = Pca.projectKFrom(corpus, mean, ladder.map(_._1))
+      .orderBy("vec_id").collect()
+    assert(inline.length == frozen.length && inline.nonEmpty)
+    inline.zip(frozen).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      (1 to 3).foreach { c =>
+        assert(java.lang.Double.doubleToRawLongBits(a.getDouble(c)) ==
+          java.lang.Double.doubleToRawLongBits(b.getDouble(c)),
+          s"vec ${a.getLong(0)} col $c: ${a.getDouble(c)} vs ${b.getDouble(c)}")
+      }
+    }
+  }
+
   test("projection: resid ≈ 0 on-axis, proj ≈ 0 orthogonal; streaming" +
     " form is stateless and bit-equal to batch") {
     val s = spark
