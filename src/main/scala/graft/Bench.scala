@@ -72,6 +72,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing stays parallelism-first (the Spark default).
+      // Byte-sized coalescing (parallelismFirst=false, r20 verdict #3 /
+      // guide §2.6) was A/B'd in r21 over the 34 headline gates under
+      // the full bench protocol and REJECTED: 0 gates improved, 22
+      // regressed >10% steady (comb_diff 0.32 → 1.19 s, corpus_decisions
+      // 1.22 → 2.87 s) — this suite's exchanges are byte-small but their
+      // post-shuffle stages CARRY COMPUTE (exact-decimal final
+      // aggregations, verify joins), and coalescing them to one
+      // partition serializes that compute. Advisory-size coalescing
+      // targets shuffle-bound stages; these are not.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // fixture pins: the timed gates must run the same index sizing
@@ -384,15 +394,10 @@ object Bench {
       force(SparkEntry.queries("curate_classifier_val")(spark, sfDir)))
     warm("classifier_bigram")(
       force(SparkEntry.queries("curate_classifier_bigram")(spark, sfDir)))
-    // warms the FROZEN PCA ladders (per-dim mean + deflation-trained
-    // loadings) the batch projection gates score against (r20): the
-    // k×iters training collects are driver-local model state on the
-    // corpus refresh cadence — the same provisioning story as the
-    // classifier weights above and the stream projector's pcaArtifacts
-    warm("pca_ladder")(
-      force(SparkEntry.queries("embed_project")(spark, sfDir)))
-    warm("pca_ladder_k")(
-      force(SparkEntry.queries("embed_project_k")(spark, sfDir)))
+    // (r21: the r20 `pca_ladder`/`pca_ladder_k` warm steps are REMOVED —
+    // the r20 verdict flagged the frozen-ladder memo as a cost-model
+    // change, and the embed_project/_k gates train inline again, so the
+    // training belongs inside their timed region)
     // sanctioned JIT warm-up, no artifact: text_quality's r16 official
     // was two cold-codegen runs summed (51 s + 38 s task-time for
     // 6.9 s of steady work on identical input) — the plan is a
@@ -472,9 +477,7 @@ object Bench {
     val memoReads = scala.collection.mutable.Map.empty[String, Seq[String]]
     val driverMemoGates: Map[String, String] = Map(
       "stream_classifier" -> "stream_classifier",
-      "stream_sim_pq_residual_trained" -> "stream_sim_pq_residual_trained",
-      "embed_project" -> "pca_ladder",
-      "embed_project_k" -> "pca_ladder_k")
+      "stream_sim_pq_residual_trained" -> "stream_sim_pq_residual_trained")
     def runOnce(name: String): (Double, Double) = {
       // pre-construction snapshot: builders warm NOW are contamination if
       // the plan reads them; builders the construction itself fills
@@ -921,6 +924,17 @@ object Bench {
     val untrusted = officials.collect {
       case (k, (_, _, false)) => k
     }.toSeq.sorted
+    // adjudication-movement tally (r20 verdict #7): officials whose
+    // requote differs >2× from their own run1 — the one number that
+    // separates engine movement from adjudication movement when the
+    // next round's totals are compared (a harness that can requote
+    // aggressively must say how often it did)
+    val requoted2x = officials.collect {
+      case (k, (sec, src, _)) if src != "run1" && run1Of.contains(k) &&
+        run1Of(k) > 0 && (sec > 2 * run1Of(k) || sec * 2 < run1Of(k)) => k
+    }.toSeq.sorted
+    val requoted2xJson =
+      requoted2x.map("\"" + _ + "\"").mkString("[", ",", "]")
     if (untrusted.nonEmpty)
       System.err.println(
         s"[bench] UNTRUSTED officials (excluded from the contract " +
@@ -1053,6 +1067,7 @@ object Bench {
       }
       s"""{"detail":$entries,"diag":$diagJson,"probes":$probesJson,""" +
         s""""outliers":$outliersJson,"adjudicated":$adjJson,""" +
+        s""""requoted_2x":$requoted2xJson,""" +
         s""""officials":$officialsJson,"deferred":$deferredJson,""" +
         s""""pauses":$pausesJson,"boxref":$boxrefJson,""" +
         s""""provisioning":$provisioningJson,"memo":$memoJson,""" +
@@ -1124,7 +1139,8 @@ object Bench {
     // (`untrusted`) and per-gate in BENCH_DETAIL's `officials`.
     System.out.println(
       s"""{"steady_total":${r3(steadyTotal)},"cold_total":${r3(coldTotal)},""" +
-        s""""untrusted":$untrustedJson,"steady":$steadyQs}""")
+        s""""untrusted":$untrustedJson,"requoted_2x":$requoted2xJson,""" +
+        s""""steady":$steadyQs}""")
     // contract line LAST (documented shape), after spark.stop() so no
     // shutdown logging prints below it; build.sbt routes forked stdout
     // raw (StdoutOutput) and suppresses sbt's "[success]" epilogue, so

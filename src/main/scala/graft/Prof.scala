@@ -14,6 +14,10 @@ object Prof {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("PROF_SHUFFLE", "32"))
+      // PROF_PARALLELISM_FIRST=false reproduces the r21 byte-sized-AQE
+      // A/B (rejected — see Bench's session conf note)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("PROF_PARALLELISM_FIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -28,6 +32,21 @@ object Prof {
         .reduce(_ unionByName _)
     }
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      // decon_ngram A/B (r21): the pre-r21 explode → broadcast join →
+      // count_distinct derivation, kept as a probe so the shipped
+      // row-local UDF kernel stays comparable against it
+      "decon_join" -> ((s, d) => {
+        val all = graft.core.Tables(s, d, "documents")
+        val train = all.where(col("doc_id") % 97 =!= 0)
+        val eval = all.where(col("doc_id") % 97 === 0)
+        val evalSh = graft.pipeline.Dedup.shingles3(eval)
+          .select("shingle").distinct()
+        graft.pipeline.Dedup.shingles3(train)
+          .join(broadcast(evalSh), Seq("shingle"))
+          .groupBy("doc_id")
+          .agg(count_distinct(col("shingle")).as("n_overlap"))
+          .where(col("n_overlap") >= 3).orderBy("doc_id")
+      }),
       "simhash_fp" -> ((s, d) =>
         graft.pipeline.Dedup.simhash(graft.core.Tables(s, d, "documents"))),
       "docs_len" -> ((s, d) =>

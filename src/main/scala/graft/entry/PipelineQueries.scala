@@ -109,28 +109,6 @@ object PipelineQueries extends QueryProvider {
         }).map(_.doubleValue)
       })
 
-  /** The FROZEN PCA ladder (per-dim mean + deflation-trained loadings),
-    * memoized per (session, dir, iters, k) — driver-local model state on
-    * the corpus refresh cadence, the [[clsWeights]] convention and the
-    * batch mirror of [[graft.entry.StreamQueries]]'s pcaArtifacts: the
-    * projection gates score against the frozen ladder (one row-local
-    * scan) instead of re-running the k×iters training jobs per query
-    * (r20: training was ~1.5 s of embed_project's 2.1 s steady). The
-    * trainer gates (embed_pca, embed_pca_k) deliberately KEEP training
-    * inline — timing the trainer end-to-end is their stated purpose,
-    * same as the sim_topk_*_trained family.
-    */
-  private val pcaLadderCache = graft.core.Caches.registerArtifactCache(
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, Int, Int),
-      (Seq[Double], Seq[(Array[Double], Double)])]())
-
-  private def pcaLadder(s: SparkSession, d: String, iters: Int, k: Int)
-      : (Seq[Double], Seq[(Array[Double], Double)]) =
-    pcaLadderCache.computeIfAbsent((s, d, iters, k), { _ =>
-      Pca.trainLadder(emb(s, d), Dim, iters, k)
-    })
-
   /** held-out val-split scoring scan against the frozen "train"-scope
     * weights — shared by the four curate_classifier_val* gates
     */
@@ -220,25 +198,24 @@ object PipelineQueries extends QueryProvider {
     // top principal direction by power iteration (3 steps, fixed seed)
     "embed_pca" -> ((s, d) => Pca.topComponent(emb(s, d), Dim, iters = 3)),
     // PCA projection + reconstruction residual, self-scored (outlier /
-    // compression readout) — scored against the FROZEN (session, dir)
-    // ladder ([[pcaLadder]]): one row-local scan, training is
-    // provisioning (bit-identical to training inline, same oracle)
+    // compression readout). Trains the (mean, component) pair inline in
+    // the timed query — the r20 frozen-ladder memo is REVERTED here (r20
+    // verdict: a dir-keyed memo warmed by the bench moved the training
+    // out of the timed region, flagged as a cost-model change, not an
+    // optimization; the trainLadder/projectKFrom seam and the stream
+    // projector's frozen pcaArtifacts are unchanged).
     "embed_project" -> ((s, d) => {
-      val (mean, ladder) = pcaLadder(s, d, iters = 3, k = 1)
-      import s.implicits._
-      Pca.project(emb(s, d), Seq(mean).toDF("m"),
-        Seq(ladder.head._1.toSeq).toDF("vs")).orderBy("vec_id")
+      val e = emb(s, d)
+      Pca.project(e, Pca.meanRow(e), Pca.topComponentRow(e, Dim, 3))
+        .orderBy("vec_id")
     }),
     // top-2 principal directions by deflation (whitening pre-pass)
     "embed_pca_k" -> ((s, d) =>
       Pca.topComponents(emb(s, d), Dim, iters = 3, k = 2)),
-    // rank-2 projection + residual against the deflation-trained pair —
-    // frozen-ladder scoring like embed_project above
-    "embed_project_k" -> ((s, d) => {
-      val (mean, ladder) = pcaLadder(s, d, iters = 3, k = 2)
-      Pca.projectKFrom(emb(s, d), mean, ladder.map(_._1))
-        .orderBy("vec_id")
-    }),
+    // rank-2 projection + residual against the deflation-trained pair
+    // (inline training — see the embed_project revert note above)
+    "embed_project_k" -> ((s, d) =>
+      Pca.projectK(emb(s, d), Dim, iters = 3, k = 2).orderBy("vec_id")),
     // radius search: the full similarity ball, filter not rank
     "sim_range" -> ((s, d) => {
       val e = emb(s, d)

@@ -525,15 +525,24 @@ object StreamQueries extends QueryProvider {
       // addBatch, walCommit, …) — the evidence for where a replay gate's
       // wall time actually goes (r18: 83% of stream wall was NOT task
       // time; this attributes it batch by batch)
-      if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
-        q.recentProgress.foreach { p =>
-          System.err.println(s"[stream-progress] gate-batch id=${p.batchId} " +
-            s"rows=${p.numInputRows} durations=${p.durationMs}")
-        }
-      // opt-in plan capture (dev only): the last micro-batch's executed
-      // plan — the only way to see a stream gate's physical plan, since
-      // the gate function returns the already-drained sink table
-      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain(true)
+      // the dev-only diagnostics must never leak the query or the
+      // checkpoint dir: if explain/progress throws (e.g. the query
+      // already terminated under AvailableNow), q.stop() and the
+      // checkpoint cleanup below still have to run (r20 advice)
+      try {
+        if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
+          q.recentProgress.foreach { p =>
+            System.err.println(s"[stream-progress] gate-batch id=${p.batchId} " +
+              s"rows=${p.numInputRows} durations=${p.durationMs}")
+          }
+        // opt-in plan capture (dev only): the last micro-batch's executed
+        // plan — the only way to see a stream gate's physical plan, since
+        // the gate function returns the already-drained sink table
+        if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain(true)
+      } catch { case t: Throwable =>
+        System.err.println(
+          s"[stream] dev diagnostics failed: ${t.getClass.getSimpleName}")
+      }
       q.stop()
       rmQuiet(ckpt)
     }
@@ -588,8 +597,13 @@ object StreamQueries extends QueryProvider {
     // the staged dir is ONE file = one input split, which would run the
     // compute-heavy probe projections (2M+ md5 calls for the near-dup
     // signature) single-threaded — the stream analog of Parallel.widen's
-    // narrow-layout case; a real firehose arrives pre-partitioned
-    s.readStream.schema(sch).parquet(staged).repartition(8)
+    // narrow-layout case; a real firehose arrives pre-partitioned.
+    // KEYED on doc_id (r21, the r20 events-widen fix applied here):
+    // keyless repartition(8) paid the sortBeforeRepartition determinism
+    // sort of full document texts on EVERY micro-batch; a hash spread on
+    // the unique doc key is deterministic per row, skips the sort, and
+    // spreads evenly (5000 docs across 8 partitions)
+    s.readStream.schema(sch).parquet(staged).repartition(8, col("doc_id"))
       .withColumn("ts", timestamp_millis((col("doc_id") + 86400L) * 1000L))
   }
 

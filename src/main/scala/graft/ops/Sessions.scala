@@ -324,9 +324,12 @@ object Sessions {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val days = a.select("day").distinct()
     // `a` is distinct on (user_id, day), so the per-day user count needs
-    // no second distinct pass — count(1) is value-identical and skips
-    // count_distinct's Expand + re-shuffle
-    val dau = a.groupBy("day").agg(count(lit(1)).as("dau"))
+    // no second distinct pass — a plain count over it skips
+    // count_distinct's Expand + re-shuffle. count(user_id), not
+    // count(1): COUNT(DISTINCT user_id) ignores NULL users, and the
+    // null-skipping count keeps that exact semantics on the off chance
+    // a source ever ships a NULL user_id (r20 advice).
+    val dau = a.groupBy("day").agg(count(col("user_id")).as("dau"))
     val cov = a.select(col("user_id"),
       explode(sequence(col("day"),
         col("day") + (windowDays - 1))).as("day"))

@@ -119,12 +119,38 @@ object Curation {
     */
   def decontaminate(train: DataFrame, eval: DataFrame,
                     minOverlap: Int): DataFrame = {
+    // Row-local probe against the broadcast eval shingle SET (r21): the
+    // former explode → broadcast join → count_distinct groupBy shuffled
+    // every surviving (doc_id, shingle) occurrence and paid the distinct
+    // aggregation's Expand pass; the per-doc distinct-overlap count is a
+    // pure function of the doc's own text and the (benchmark-small) eval
+    // set, so it computes in ONE pass with zero exchange. Kernel choice
+    // and Jaccard-of-measurement pedigree are the streaming operator's
+    // ([[graft.streaming.DocStream.decontaminate]], which now delegates
+    // here): string-in/long-out UDF beat array_intersect (re-hashes the
+    // eval array per row) and the array-typed UDF (ArrayData→Seq per
+    // eval) at sf0.1. Shingling stays in lockstep with
+    // [[Dedup.shingles3]]: split on single spaces KEEPING empties,
+    // 3-word windows, distinct. `minOverlap` ≥ 1 keeps the batch join's
+    // can't-emit-overlap-0 contract.
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
     val evalSh = Dedup.shingles3(eval).select("shingle").distinct()
-    Dedup.shingles3(train)
-      .join(broadcast(evalSh), Seq("shingle"))
-      .groupBy("doc_id")
-      .agg(count_distinct(col("shingle")).as("n_overlap"))
+      .collect().map(_.getString(0)).toSet
+    val b = train.sparkSession.sparkContext.broadcast(evalSh)
+    val overlap = udf((text: String) => {
+      // null text flags nothing, like the join over empty shingles
+      // (reference-typed UDF args receive the null, not skipped)
+      if (text == null) 0L
+      else {
+        val w = text.trim.split(" ", -1)
+        if (w.length < 3) 0L
+        else w.sliding(3).map(_.mkString(" ")).toSet
+          .count(b.value.contains).toLong
+      }
+    })
+    train.withColumn("n_overlap", overlap(col("text")))
       .where(col("n_overlap") >= minOverlap)
+      .select(col("doc_id"), col("n_overlap"))
   }
 
   /** SQL mirror of [[decontaminate]] with the eval set = doc_id % 97 = 0

@@ -358,8 +358,7 @@ object DocStream {
     */
   def scrubAgainstGrams(docs: DataFrame, dup: DataFrame,
                         n: Int): DataFrame =
-    scrubHitting(docs, dup.withColumn("isdup", lit(1)), n,
-      col("isdup") === 1)
+    scrubHitting(docs, dup, n, keepFirst = false)
 
   /** [[scrubAgainstGrams]] with the Lee et al. keep-ONE semantics,
     * online: the batch-refreshed artifact carries each duplicated
@@ -374,24 +373,79 @@ object DocStream {
     */
   def scrubKeepFirstAgainstGrams(docs: DataFrame, dupCanon: DataFrame,
                                  n: Int): DataFrame =
-    scrubHitting(docs, dupCanon.withColumn("isdup", lit(1)), n,
-      col("isdup") === 1 &&
-        graft.pipeline.Dedup.packedOccKey =!= col("c0"))
+    scrubHitting(docs, dupCanon, n, keepFirst = true)
 
-  /** shared scrub core: explode window hashes (outer — hit-less/short
-    * docs pass through), stream-static left join against the artifact,
-    * collect positions satisfying `hitCond`, island-fold, cut
+  /** Shared scrub core — fully ROW-LOCAL since r21: window hashes derive
+    * per row ([[graft.pipeline.Dedup.gramHashes]], unchanged), and the
+    * hit positions come from probing the artifact as a broadcast SET
+    * instead of explode → stream-static join → doc-keyed re-group. The
+    * previous shape posexploded every window hash into its own row WITH
+    * the full word array `w` riding along (Generate copies the array
+    * into every output row, and the re-group hashed (doc_id, w) — the
+    * whole array — as its group key per row): O(len²) row-buffer bytes
+    * per document, measured as stream_scrub's 3.2 s steady vs 0.6 s for
+    * stream_spans, whose exploded rows carry only (doc_id, pos, gh).
+    * The artifact was ALREADY broadcast (BroadcastHashJoin in the r20
+    * plan), so a driver-collected set is the same memory class; the
+    * decon operator set the UDF-probe precedent with measurements. The
+    * stateful re-group disappears entirely — zero state stores, zero
+    * exchanges; each doc emits exactly once per replay as before
+    * (stateless row pass-through of the bounded replay).
+    *
+    * Bit-identity: `ps` was sort_array(collect_list(when(hit, pos))) —
+    * the ascending hit positions; the probe emits positions in ascending
+    * order by construction. The keep-first exemption compares the SAME
+    * packed key arithmetic (doc_id·2³² + pos, exact integers) against
+    * the artifact's c0. Everything downstream of `ps` (island fold, span
+    * widen, indexed cut) is byte-for-byte the previous expression chain.
     */
   private def scrubHitting(docs: DataFrame, dup: DataFrame, n: Int,
-                           hitCond: Column): DataFrame = {
-    val occ = graft.pipeline.Dedup.withWords(docs)
+                           keepFirst: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    // (gh → canonical packed key) for keep-first, (gh → null) otherwise;
+    // the artifact is the batch-refreshed broadcast-class table the old
+    // join shipped to every executor anyway
+    val canon: Map[String, BigInt] =
+      if (keepFirst)
+        dup.select(col("gh"), col("c0")).collect().iterator
+          .map(r => r.getString(0) ->
+            BigInt(r.getDecimal(1).toBigIntegerExact)).toMap
+      else
+        dup.select(col("gh")).collect().iterator
+          .map(r => r.getString(0) -> (null: BigInt)).toMap
+    val b = docs.sparkSession.sparkContext.broadcast(canon)
+    val hitPs = udf((docId: Long, ghs: Seq[String]) => {
+      if (ghs == null) Seq.empty[Int]
+      else {
+        val m = b.value
+        val out = Seq.newBuilder[Int]
+        var i = 0
+        val it = ghs.iterator
+        while (it.hasNext) {
+          val gh = it.next()
+          m.get(gh) match {
+            case Some(c0) =>
+              if (c0 == null ||
+                  BigInt(docId) * 4294967296L + i != c0) out += i
+            case None => ()
+          }
+          i += 1
+        }
+        out.result()
+      }
+    })
+    // the explode(array(struct)) seal is the generator barrier (the
+    // signatureRowLocal idiom): `ps` is referenced from inside the
+    // island fold and the per-word cut lambdas below, and without the
+    // barrier CollapseProject splices the UDF + fold chain into those
+    // lambda bodies — re-evaluating them per word element (measured:
+    // 8.4 s/batch vs 0.35 s sealed)
+    val agg = graft.pipeline.Dedup.withWords(docs)
       .select(col("doc_id"), col("w"),
-        posexplode_outer(graft.pipeline.Dedup.gramHashes(n))
-          .as(Seq("pos", "gh")))
-    val hits = occ.join(dup, Seq("gh"), "left_outer")
-    val agg = hits.groupBy(col("doc_id"), col("w"))
-      .agg(sort_array(collect_list(when(hitCond, col("pos"))))
-        .as("ps"))
+        explode(array(struct(
+          hitPs(col("doc_id"), graft.pipeline.Dedup.gramHashes(n))
+            .as("ps")))).as("s"))
+      .select(col("doc_id"), col("w"), col("s.ps").as("ps"))
     val emptySpans = array().cast("array<struct<s:int,e:int>>")
     // chain merge: each hit joins its predecessor's island when the gap
     // is ≤ n (s = island min, e = island max — the running last hit)
@@ -484,26 +538,10 @@ object DocStream {
     * Returns (doc_id, n_overlap) for flagged documents, the batch output.
     */
   def decontaminate(docs: DataFrame, eval: DataFrame,
-                    minOverlap: Int): DataFrame = {
-    import org.apache.spark.sql.functions.udf
-    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
-    val evalSh = graft.pipeline.Dedup.shingles3(eval)
-      .select("shingle").distinct()
-      .collect().map(_.getString(0)).toSet
-    val b = docs.sparkSession.sparkContext.broadcast(evalSh)
-    val overlap = udf((text: String) => {
-      // null text flags nothing, like the batch join over empty shingles
-      // (reference-typed UDF args receive the null, they are not skipped)
-      if (text == null) 0L
-      else {
-        val w = text.trim.split(" ", -1)
-        if (w.length < 3) 0L
-        else w.sliding(3).map(_.mkString(" ")).toSet
-          .count(b.value.contains).toLong
-      }
-    })
-    docs.withColumn("n_overlap", overlap(col("text")))
-      .where(col("n_overlap") >= minOverlap)
-      .select(col("doc_id"), col("n_overlap"))
-  }
+                    minOverlap: Int): DataFrame =
+    // the probe is stateless row-local DataFrame ops, so the batch
+    // operator's kernel runs unchanged on the streaming frame (r21: the
+    // UDF kernel that lived here moved to Curation so the batch
+    // decon_ngram gate shares it — one implementation, zero drift)
+    graft.pipeline.Curation.decontaminate(docs, eval, minOverlap)
 }

@@ -393,10 +393,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // carries O(partitions × k) rows per stratum, not the full stratum
     val topk = planOf(entry.PipelineQueries.queries("curate_topk")(spark, dir))
     assert(topk.contains("WindowGroupLimit"), topk.take(3000))
-    // the benchmark shingle set broadcasts; the train side must not
-    // shuffle for the join
+    // r21: decon is a row-local probe of the broadcast eval shingle SET —
+    // one scan, no shingle explode, no join, no exchange before the
+    // gate's orderBy (the former explode → broadcast join →
+    // count_distinct shape shuffled every surviving gram occurrence)
     val decon = planOf(entry.PipelineQueries.queries("decon_ngram")(spark, dir))
-    assert(decon.contains("BroadcastHashJoin"), decon.take(3000))
+    assert(!decon.contains("Join"), decon.take(3000))
+    assert(!decon.contains("Generate"), decon.take(3000))
+    assert(!decon.contains("HashAggregate"), decon.take(3000))
     // cluster-balanced sampling keeps the same two-phase rank shape, and
     // its quantizer assignment must broadcast (never shuffle the corpus)
     val clu = planOf(

@@ -78,19 +78,30 @@ class RowLocalParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flagged.values.forall(_ == 1.0))
   }
 
-  test("decontaminate's text UDF ≡ the batch shingle-overlap join") {
+  test("decontaminate's text UDF ≡ the reference shingle-overlap join") {
+    // r21: Curation.decontaminate (and the delegating
+    // DocStream.decontaminate) ship the row-local UDF kernel, so the
+    // reference side here is the explode → broadcast join →
+    // count_distinct derivation the operator replaced — the exact
+    // semantics the DuckDB oracle still spells
     val s = spark
     import s.implicits._
     val ts = texts(60, seed = 31L)
     val all = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val train = all.filter(_._1 % 3 != 0).toDF("doc_id", "text")
     val eval = all.filter(_._1 % 3 == 0).toDF("doc_id", "text")
+    val evalSh = graft.pipeline.Dedup.shingles3(eval)
+      .select("shingle").distinct()
     for (k <- Seq(1, 2)) {
-      val st = DocStream.decontaminate(train, eval, k)
+      val st = graft.pipeline.Curation.decontaminate(train, eval, k)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val b = graft.pipeline.Curation.decontaminate(train, eval, k)
+      val b = graft.pipeline.Dedup.shingles3(train)
+        .join(broadcast(evalSh), Seq("shingle"))
+        .groupBy("doc_id")
+        .agg(count_distinct(col("shingle")).as("n_overlap"))
+        .where(col("n_overlap") >= k)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(st == b, s"k=$k stream-only=${st -- b} batch-only=${b -- st}")
+      assert(st == b, s"k=$k udf-only=${st -- b} join-only=${b -- st}")
     }
   }
 }
