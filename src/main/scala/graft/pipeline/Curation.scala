@@ -148,9 +148,15 @@ object Curation {
           .count(b.value.contains).toLong
       }
     })
-    train.withColumn("n_overlap", overlap(col("text")))
+    // explode(array(struct)) seal: the filter below would otherwise be
+    // pushed under the projection and the UDF would evaluate twice per
+    // row (once in the Filter, again in the Project — guide §4.4's
+    // duplicated-UDF shape, visible in the unsealed plan)
+    train
+      .select(col("doc_id"),
+        explode(array(struct(overlap(col("text")).as("n")))).as("s"))
+      .select(col("doc_id"), col("s.n").as("n_overlap"))
       .where(col("n_overlap") >= minOverlap)
-      .select(col("doc_id"), col("n_overlap"))
   }
 
   /** SQL mirror of [[decontaminate]] with the eval set = doc_id % 97 = 0

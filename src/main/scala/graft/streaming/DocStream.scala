@@ -461,7 +461,14 @@ object DocStream {
       struct(sp.getField("s").as("s"),
         (sp.getField("e") + lit(n - 1)).as("e")))
     agg
-      .withColumn("sp", spans)
+      // second seal: without it the fold-over-ps chain splices into the
+      // per-word `kept` lambda below and re-runs PER WORD ELEMENT —
+      // O(words × hits) per document (a fully-duplicated 1000-word doc
+      // pays 10⁶ fold steps); sealed, the islands merge runs once per
+      // doc and the per-word probe is O(spans)
+      .select(col("doc_id"), col("w"),
+        explode(array(struct(spans.as("sp")))).as("s2"))
+      .select(col("doc_id"), col("w"), col("s2.sp").as("sp"))
       .withColumn("kept", filter(col("w"), (x, i) =>
         !exists(col("sp"), p =>
           p.getField("s") <= i && i <= p.getField("e"))))

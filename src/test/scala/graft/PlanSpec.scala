@@ -399,8 +399,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // count_distinct shape shuffled every surviving gram occurrence)
     val decon = planOf(entry.PipelineQueries.queries("decon_ngram")(spark, dir))
     assert(!decon.contains("Join"), decon.take(3000))
-    assert(!decon.contains("Generate"), decon.take(3000))
     assert(!decon.contains("HashAggregate"), decon.take(3000))
+    // the only Generate is the single-evaluation UDF seal, never a
+    // shingle explode (posexplode/explode over the gram transform)
+    assert(!decon.contains("posexplode"), decon.take(3000))
     // cluster-balanced sampling keeps the same two-phase rank shape, and
     // its quantizer assignment must broadcast (never shuffle the corpus)
     val clu = planOf(
