@@ -21,9 +21,12 @@ object PipelineQueries extends QueryProvider {
     Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1)
   // widened variant for the regex-heavy text ops only: measured a win for
   // langid/quality (multi-pattern regex per row), a loss for the cheap
-  // per-row ops where the exchange outweighs the parallel compute
+  // per-row ops where the exchange outweighs the parallel compute.
+  // KEYED on the unique doc id since r21 (the r20 events-widen rule):
+  // round-robin repartition pays the sortBeforeRepartition determinism
+  // sort of the text payload; the hash spread doesn't
   private def docsWide(s: SparkSession, d: String): DataFrame =
-    graft.core.Parallel.widen(docs(s, d))
+    graft.core.Parallel.widenBy(docs(s, d), col("doc_id"))
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
 

@@ -29,7 +29,16 @@ object Corpus {
     val canon = Dedup.canonicalize(pairs)
     val dups = canon.where(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"), lit(true).as("is_dup"))
-    val quality = TextOps.quality(docs).select("doc_id", "quality")
+    // widen the quality scan (r21): a narrow corpus layout (one split)
+    // ran the per-doc quality expressions single-threaded — the
+    // text_quality gate widens its own input, this composed consumer
+    // did not (measured: a 1-task 0.35 s stage inside the gate). KEYED
+    // on the unique doc id (r20 events-widen rule: round-robin pays the
+    // determinism sort of the text payload); no-op on realistic
+    // multi-split layouts, like every widen
+    val quality = TextOps.quality(
+        graft.core.Parallel.widenBy(docs, col("doc_id")))
+      .select("doc_id", "quality")
     docs.select("doc_id")
       .join(broadcast(dups), Seq("doc_id"), "left")
       .join(quality, Seq("doc_id"))

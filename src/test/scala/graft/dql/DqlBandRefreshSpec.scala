@@ -162,6 +162,56 @@ class DqlBandRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
       canonRows(Dedup.dupGramsWithCanon(expectDocs, 3)))
   }
 
+  test("refresh ≡ rebuild under GENERATOR-driven corpora and random " +
+    "append/overlap splits (r20 verdict carry-over: the example fixtures " +
+    "above pin one split each; this samples the split space — random " +
+    "texts with empties/boilerplate, random base/delta boundary, random " +
+    "overlap subset — for the band and gram refresh spellings)") {
+    import org.scalacheck.{Gen => G}
+    import org.scalacheck.rng.Seed
+    val word: G[String] = G.frequency(
+      4 -> G.oneOf(vocab),
+      2 -> G.const("p q r s t u v w x y"), // boilerplate run → dup grams
+      1 -> G.const(""))
+    val doc: G[String] = G.choose(3, 14).flatMap(n =>
+      G.listOfN(n, word).map(_.mkString(" ")))
+    def sampleCorpus(n: Int, seed: Long): Seq[String] =
+      (0 until n).flatMap(i => doc(G.Parameters.default, Seed(seed + i)))
+    for (sample <- 0 until 3) {
+      val n = 12 + sample * 6
+      val texts = sampleCorpus(n, 9000L + sample * 100)
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // random boundary; a (possibly empty) random subset of base ids is
+      // REWRITTEN in the delta (the overlap-forces-rebuild path), and new
+      // ids append beyond the boundary
+      val split = 2 + (sample * 7 + 5) % (n - 4)
+      val base = all.take(split)
+      val overlapIds = base.map(_._1).filter(id => (id + sample) % 5 == 0)
+        .take(sample) // sample 0: pure append; 1..2: growing overlap
+      val delta = overlapIds.map(id => id -> s"rewritten ${texts(id.toInt)}") ++
+        all.drop(split)
+      // refresh semantics: overlap rebuilds over (base − overlap) ∪ delta,
+      // pure append merges — both must equal the full rebuild over the
+      // effective corpus
+      val effective = base.filterNot(d => overlapIds.contains(d._1)) ++ delta
+      val store = new TableStore(s"refresh-prop-$sample", "documents",
+        docsDf(base))
+      val bandRef = DqlArtifacts.bandRefresh(
+        spark, store, s"dp$sample", docsDf(delta))
+      assert(indexRows(bandRef) === indexRows(Dedup.bandIndex(
+        docsDf(effective))),
+        s"band refresh != rebuild at sample=$sample split=$split " +
+          s"overlap=${overlapIds.mkString(",")}")
+      val gramRef = DqlArtifacts.gramRefresh(spark, store, s"dp$sample",
+        docsDf(delta), n = 3)
+      def hashes(df: DataFrame) =
+        df.select("gh").collect().map(_.getString(0)).toSet
+      assert(hashes(gramRef) === hashes(Dedup.dupGrams(docsDf(effective), 3)),
+        s"gram refresh != rebuild at sample=$sample split=$split " +
+          s"overlap=${overlapIds.mkString(",")}")
+    }
+  }
+
   private def lshRows(df: DataFrame): Set[(Long, Long)] =
     df.select("vec_id", "bkt").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
