@@ -32,6 +32,17 @@ object Prof {
         .reduce(_ unionByName _)
     }
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      // docsWide keyed-vs-keyless A/B (r21): the keyless (round-robin)
+      // widen forms of three docsWide consumers that moved in the final
+      // drive — run against the gate (keyed) in one session
+      "scrub_keyless" -> ((s, d) =>
+        graft.pipeline.Dedup.substringScrub(
+          graft.core.Parallel.widen(graft.core.Tables(s, d, "documents")),
+          8).orderBy("doc_id")),
+      "spans_keyless" -> ((s, d) =>
+        graft.pipeline.Dedup.substringSpans(
+          graft.core.Parallel.widen(graft.core.Tables(s, d, "documents")),
+          8).orderBy("doc_id")),
       // decon_ngram A/B (r21): the pre-r21 explode → broadcast join →
       // count_distinct derivation, kept as a probe so the shipped
       // row-local UDF kernel stays comparable against it
